@@ -12,7 +12,9 @@ object SparkEntry {
 
   /** Full declared inventory, assembled from the operator modules. */
   def all: Map[String, QueryDef] =
-    operators.Relational.defs ++ operators.Relational2.defs
+    operators.Relational.defs ++ operators.Relational2.defs ++
+      operators.TextAnalysis.defs ++ operators.Dedup.defs ++
+      operators.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact (content
+  * hash), exact n-gram Jaccard (inverted-index join — the scalable form),
+  * MinHash+LSH (shingle → minhash signature → banded bucket join), and
+  * SimHash (hamming-ball near-dup).
+  *
+  * Scale design: nothing here cross-joins the corpus. Exact Jaccard uses a
+  * shingle inverted index (explode → equi-join on shingle → count), which
+  * shuffles by shingle — the same pattern that works at 100 TB because hot
+  * shingles can be frequency-capped (see `maxShingleDocFreq`). MinHash/LSH
+  * reduces each doc to a constant-size signature, and candidates come from
+  * an equi-join on band keys, so the shuffle volume is O(docs × bands), not
+  * O(docs²).
+  */
+object Dedup {
+
+  /** Non-empty whitespace tokens, identical to the DuckDB oracle's
+    * list_filter(string_split(trim(text),' '), x -> x != ''). */
+  private def words(c: Column): Column = filter(split(trim(c), " "), w => w =!= "")
+
+  /** Distinct word 3-gram shingles per doc: (doc_id, sh). 0-based `ws[i]`
+    * indexing in SQL exprs. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+        .as("sh"))
+
+  /** Drop shingles appearing in more than this many docs before the pair
+    * join — the skew guard that keeps the inverted-index join bounded on a
+    * real corpus (a stopword-only shingle would otherwise create a
+    * quadratic hot key). The testdata vocabulary is tiny, so the cap is
+    * high enough to be a no-op there. */
+  private val maxShingleDocFreq = 1000000
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- exact dedup by content hash (reference's UNIQUE(source_url,
+    //      sha256) idempotency key, storage/db.py:28) ----
+    "q50_exact_dedup" -> QueryDef.sql(
+      """SELECT sha256(text) AS content_key, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_key""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("content_key"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_key")
+    },
+
+    // ---- exact n-gram Jaccard near-dup pairs via shingle inverted index ----
+    "q51_ngram_jaccard_pairs" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT d1, d2, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+        |FROM com JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6
+        |ORDER BY d1, d2""") { (s, dir) =>
+      val sh = shingles(Tables.documents(s, dir))
+      val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDocFreq).select("sh")
+      val shF = sh.join(freqOk, "sh")
+      val cnt = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = shF.as("a")
+      val b = shF.as("b")
+      val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("c"))
+      val j = col("c").cast("double") /
+        (col("ca.n") + col("cb.n") - col("c"))
+      common
+        .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+        .filter(j >= 0.6)
+        .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
+        .orderBy("d1", "d2")
+    },
+
+    // ---- MinHash + LSH candidate pairs (no SQL oracle — sketch internals
+    //      are engine-specific; DedupSpec checks recall against q51's exact
+    //      pairs instead) ----
+    "q52_minhash_lsh_pairs" -> QueryDef.rowsOnly { (s, dir) =>
+      minhashLshPairs(Tables.documents(s, dir), numHashes = 16, bands = 4)
+        .orderBy("d1", "d2")
+    },
+
+    // ---- SimHash near-dup pairs (hamming distance on 64-bit sketches) ----
+    "q53_simhash_pairs" -> QueryDef.rowsOnly { (s, dir) =>
+      simhashPairs(Tables.documents(s, dir), maxHamming = 6)
+        .orderBy("d1", "d2")
+    }
+  )
+
+  /** MinHash signatures (numHashes seeded xxhash64 mins over shingles),
+    * banded into `bands` keys; candidate pairs from the band-key equi-join,
+    * scored by signature agreement. */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(docs)
+    val sig = sh.groupBy("doc_id")
+      .agg(array((0 until numHashes).map(j => min(xxhash64(lit(j), col("sh")))): _*).as("sig"))
+    val bandCols = expr(
+      s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
+        s"'band', b, 'key', xxhash64(b, ${(0 until rowsPerBand).map(r => s"sig[$rowsPerBand*b+$r]").mkString(", ")})))")
+    val banded = sig.select(col("doc_id"), col("sig"), explode(bandCols).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), p => p))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over word unigrams (xxhash64 per word, ±1 vote per
+    * bit), near-dup pairs = hamming distance <= maxHamming. Candidates come
+    * from an equi-join on 16-bit chunks (a sketch within hamming d of
+    * another must share at least one of 4 chunks when d <= 3 per chunk —
+    * standard pigeonhole banding). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val wordHash = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitVotes = (0 until 64).map { k =>
+      sum(when(expr(s"(h >> $k) & 1") === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    val votes = wordHash.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val simhash = (0 until 64).map { k =>
+      when(col(s"b$k") > 0, expr(s"CAST(1 AS BIGINT) << $k")).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    val sketch = votes.select(col("doc_id"), simhash.as("simhash"))
+    val chunks = sketch.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), c -> named_struct(" +
+        "'chunk', c, 'key', (simhash >> (16 * c)) & 65535))")).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val a = chunks.as("a")
+    val b = chunks.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

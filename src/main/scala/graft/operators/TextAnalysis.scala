@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (north star in
+  * BASELINE.json): token counting, quality scoring, language ID, document
+  * fingerprinting. All per-row column expressions — no UDFs, fully
+  * codegen'd, shuffle-free until the final aggregation, so they stream
+  * through a 100 TB corpus at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (documents.text has a trailing
+    * space); identical to DuckDB `list_filter(string_split(trim(text),' '),
+    * x -> x != '')`. */
+  private def words(c: Column): Column =
+    filter(split(trim(c), " "), w => w =!= "")
+
+  private val stopwordsEn = Seq("the", "a", "and", "of", "to", "is", "in")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- token counting: whitespace tokens + a BPE-ish regex token count
+    //      (word pieces and punctuation as separate tokens) ----
+    "q40_token_stats" -> QueryDef.sql(
+      """SELECT doc_id,
+        |  len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_words,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
+        |  length(text) AS n_chars_actual,
+        |  n_chars AS n_chars_declared
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(words(col("text"))).as("n_words"),
+          expr("regexp_count(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')").as("n_tokens"),
+          length(col("text")).as("n_chars_actual"),
+          col("n_chars").as("n_chars_declared"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality scoring: length/punctuation/stopword signals combined
+    //      into a deterministic per-row score ----
+    "q41_quality_score" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+        |    len(list_filter(string_split(trim(text),' '),
+        |        x -> list_contains(['the','a','and','of','to','is','in'], x))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_words, n_punct, n_stop,
+        |  round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+        |  round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |        * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+        |        * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / n_words * 5.0, 1.0)), 6) AS quality
+        |FROM f ORDER BY doc_id""") { (s, dir) =>
+      val stopArr = array(stopwordsEn.map(lit): _*)
+      val f = Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(words(col("text"))).as("n_words"),
+        expr("regexp_count(text, '[^A-Za-z0-9 ]')").as("n_punct"),
+        size(filter(words(col("text")), w => array_contains(stopArr, w))).as("n_stop"))
+      f.select(col("doc_id"), col("n_chars"), col("n_words"), col("n_punct"), col("n_stop"),
+          round(col("n_stop").cast("double") / col("n_words"), 6).as("stop_ratio"),
+          round(
+            least(col("n_words").cast("double") / 20.0, lit(1.0))
+              * (lit(1.0) - col("n_punct").cast("double") / col("n_chars"))
+              * (lit(0.5) + lit(0.5) *
+                  least(col("n_stop").cast("double") / col("n_words") * 5.0, lit(1.0))),
+            6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- language ID: stopword-hit n-gram heuristic with a fixed
+    //      tie-break order (en > de > es > fr > other) ----
+    "q42_lang_id" -> QueryDef.sql(
+      """WITH h AS (
+        |  SELECT doc_id, lang AS declared_lang,
+        |    len(list_filter(string_split(trim(text),' '), x -> list_contains(['the','and','of','to','is'], x))) AS en_hits,
+        |    len(list_filter(string_split(trim(text),' '), x -> list_contains(['der','die','und','das','ist'], x))) AS de_hits,
+        |    len(list_filter(string_split(trim(text),' '), x -> list_contains(['el','la','de','que','los'], x))) AS es_hits,
+        |    len(list_filter(string_split(trim(text),' '), x -> list_contains(['le','les','des','est','une'], x))) AS fr_hits
+        |  FROM documents)
+        |SELECT doc_id, declared_lang, en_hits, de_hits, es_hits, fr_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+        |       WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+        |       WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+        |       WHEN fr_hits > 0 THEN 'fr'
+        |       ELSE 'und' END AS predicted_lang
+        |FROM h ORDER BY doc_id""") { (s, dir) =>
+      def hits(ws: Seq[String]): Column =
+        size(filter(words(col("text")), w => array_contains(array(ws.map(lit): _*), w)))
+      val h = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang").as("declared_lang"),
+        hits(Seq("the", "and", "of", "to", "is")).as("en_hits"),
+        hits(Seq("der", "die", "und", "das", "ist")).as("de_hits"),
+        hits(Seq("el", "la", "de", "que", "los")).as("es_hits"),
+        hits(Seq("le", "les", "des", "est", "une")).as("fr_hits"))
+      h.withColumn("predicted_lang",
+          when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits")
+            && col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+          .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits")
+            && col("de_hits") > 0, "de")
+          .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+          .when(col("fr_hits") > 0, "fr")
+          .otherwise("und"))
+        .orderBy("doc_id")
+    },
+
+    // ---- document fingerprinting: canonical-form content hash (the
+    //      reference's sha256 content key, X0, applied to normalized text) ----
+    "q43_doc_fingerprint" -> QueryDef.sql(
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp_md5,
+        |  sha256(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp_sha256,
+        |  length(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS canonical_len
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val canonical = lower(trim(regexp_replace(col("text"), " +", " ")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(canonical).as("fp_md5"),
+          sha2(canonical, 256).as("fp_sha256"),
+          length(canonical).as("canonical_len"))
+        .orderBy("doc_id")
+    }
+  )
+}
