@@ -68,23 +68,7 @@ object Dedup {
         |FROM com JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
         |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6
         |ORDER BY d1, d2""") { (s, dir) =>
-      val sh = shingles(Tables.documents(s, dir))
-      val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDocFreq).select("sh")
-      val shF = sh.join(freqOk, "sh")
-      val cnt = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = shF.as("a")
-      val b = shF.as("b")
-      val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("c"))
-      val j = col("c").cast("double") /
-        (col("ca.n") + col("cb.n") - col("c"))
-      common
-        .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
-        .filter(j >= 0.6)
-        .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
+      exactJaccardPairs(Tables.documents(s, dir), threshold = 0.6)
         .orderBy("d1", "d2")
     },
 
@@ -102,6 +86,28 @@ object Dedup {
         .orderBy("d1", "d2")
     }
   )
+
+  /** Exact word-3-gram Jaccard pairs >= threshold via the shingle inverted
+    * index: explode → equi-join on shingle → count common → combine with
+    * per-doc shingle counts. No cross join anywhere — the scalable form. */
+  def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs)
+    val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDocFreq).select("sh")
+    val shF = sh.join(freqOk, "sh")
+    val cnt = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shF.as("a")
+    val b = shF.as("b")
+    val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    val j = col("c").cast("double") / (col("ca.n") + col("cb.n") - col("c"))
+    common
+      .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+      .filter(j >= threshold)
+      .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
+  }
 
   /** MinHash signatures (numHashes seeded xxhash64 mins over shingles),
     * banded into `bands` keys; candidate pairs from the band-key equi-join,
@@ -127,12 +133,9 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over word unigrams (xxhash64 per word, ±1 vote per
-    * bit), near-dup pairs = hamming distance <= maxHamming. Candidates come
-    * from an equi-join on 16-bit chunks (a sketch within hamming d of
-    * another must share at least one of 4 chunks when d <= 3 per chunk —
-    * standard pigeonhole banding). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  /** 64-bit SimHash sketch per doc: xxhash64 per word, ±1 vote per bit,
+    * sign of the vote sum sets the bit. (doc_id, simhash BIGINT). */
+  def simhashSketch(docs: DataFrame): DataFrame = {
     val wordHash = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
     val bitVotes = (0 until 64).map { k =>
@@ -142,8 +145,16 @@ object Dedup {
     val simhash = (0 until 64).map { k =>
       when(col(s"b$k") > 0, expr(s"CAST(1 AS BIGINT) << $k")).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
-    val sketch = votes.select(col("doc_id"), simhash.as("simhash"))
-    val chunks = sketch.select(col("doc_id"), col("simhash"),
+    votes.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** 64-bit SimHash over word unigrams (xxhash64 per word, ±1 vote per
+    * bit), near-dup pairs = hamming distance <= maxHamming. Candidates come
+    * from an equi-join on 16-bit chunks (a sketch within hamming d of
+    * another must share at least one of 4 chunks when d <= 3 per chunk —
+    * standard pigeonhole banding). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = simhashSketch(docs).select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), c -> named_struct(" +
         "'chunk', c, 'key', (simhash >> (16 * c)) & 65535))")).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))

@@ -48,15 +48,7 @@ object Similarity {
         |      FROM p)
         |SELECT qid, nid, cos_sim, rank FROM r WHERE rank <= 5
         |ORDER BY qid, rank""") { (s, dir) =>
-      val e = withNorm(Tables.embeddings(s, dir))
-      val q = e.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("norm").as("qnorm"))
-      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
-      broadcast(q).join(e, col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          round(dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")), 6).as("cos_sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+      cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 50, k = 5)
         .orderBy("qid", "rank")
     },
 
@@ -90,6 +82,22 @@ object Similarity {
         .orderBy("qid", "rank")
     }
   )
+
+  /** Exact brute-force cosine top-k: rows of `embeddings` matching
+    * `isQuery` are ranked against the whole corpus. The query side is
+    * broadcast; the corpus side streams through its scan partitions and the
+    * per-query top-k is the only shuffle. */
+  def cosineTopK(embeddings: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("norm").as("qnorm"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    broadcast(q).join(e, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 
   /** Random-hyperplane LSH: plane (band, p) component i has a deterministic
     * pseudo-random ±1 sign from xxhash64. A vector's key in a band is the

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  // Planted corpus: 0/1 exact dups; 2/3 and 5/6 near dups (last word
+  // changed → word-3-gram Jaccard ≈ 0.91, inside the LSH design range);
+  // 4 unrelated; 7 short doc. Docs are ~24 words because MinHash/SimHash
+  // need a real shingle population — a one-word edit on a 12-word doc is
+  // J≈0.54, legitimately below a 0.6-threshold sketch.
+  private val base2 = "spark runs distributed queries over very large datasets " +
+    "with columnar storage and adaptive execution planning across many worker " +
+    "nodes while caching hot partitions in memory"
+  private val base5 = "data pipelines ingest clean filter join aggregate and " +
+    "write results downstream every day with checkpoint recovery watermark " +
+    "tracking and exactly once delivery into warehouse tables"
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, base2),
+    (3L, base2.replaceAll("memory$", "ram")),
+    (4L, "completely different content about cooking pasta with tomato sauce and fresh basil herbs"),
+    (5L, base5),
+    (6L, base5.replaceAll("tables$", "marts")),
+    (7L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the min doc_id") {
+    val groups = docs.groupBy(sha2(col("text"), 256).as("k"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+    val dup = groups.filter(col("n") > 1).collect()
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("keep") == 0L)
+    assert(groups.count() == 7) // 8 docs, one pair collapsed
+  }
+
+  test("exact jaccard finds planted near-dup pairs and nothing else") {
+    val pairs = Dedup.exactJaccardPairs(docs, threshold = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair")
+    assert(pairs.contains((2L, 3L)), "near dup pair 2-3")
+    assert(pairs.contains((5L, 6L)), "near dup pair 5-6")
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }, "unrelated doc clean")
+  }
+
+  test("exact jaccard of identical docs is 1.0") {
+    val j = Dedup.exactJaccardPairs(docs, threshold = 0.5)
+      .filter(col("d1") === 0 && col("d2") === 1)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("minhash LSH recalls the planted near-dup pairs") {
+    val cand = Dedup.minhashLshPairs(docs, numHashes = 16, bands = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 1L)))
+    assert(cand.contains((2L, 3L)))
+    assert(cand.contains((5L, 6L)))
+    assert(!cand.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash estimated jaccard is 1.0 for identical docs") {
+    val est = Dedup.minhashLshPairs(docs, numHashes = 16, bands = 4)
+      .filter(col("d1") === 0 && col("d2") === 1)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    val sk = Dedup.simhashSketch(docs)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(sk(a) ^ sk(b))
+    assert(ham(0L, 1L) == 0, "identical docs have hamming 0")
+    assert(ham(2L, 3L) < ham(2L, 4L), "near-dup closer than unrelated")
+    assert(ham(5L, 6L) < ham(5L, 4L), "near-dup closer than unrelated")
+    // banded candidate pairs carry exact hamming and always include
+    // identical docs (all chunks equal)
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
+      .select("d1", "d2", "hamming").as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((0L, 1L)).contains(0))
+    byPair.foreach { case ((a, b), d) =>
+      assert(d == java.lang.Long.bitCount(sk(a) ^ sk(b)), "banding preserves distance")
+    }
+  }
+
+  test("minhash recall vs exact on real testdata documents") {
+    val real = Tables.documents(spark, sf001)
+    val exact = Dedup.exactJaccardPairs(real, threshold = 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val cand = Dedup.minhashLshPairs(real, numHashes = 16, bands = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata has planted near-dups")
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall below 0.9 on J>=0.8 pairs")
+  }
+}
