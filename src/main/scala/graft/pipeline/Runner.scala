@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import Model._
+
+/** The reference's per-item driver loop (pipeline.py:14–64) restructured as
+  * set-at-a-time DataFrame stages with fan-out to three sinks:
+  *
+  *   plan → metadata fetch → responses append (K1) → extract (P1–P3) →
+  *   [dead-letter parse errors (F6)] → artifact fetch → responses append →
+  *   sha256 (X0) → blob put (K3) → artifacts dedup append (K2) →
+  *   manifest (K9) + run.json (K10) + attempts capture (K4/K8, redacted X1)
+  *
+  * Where the reference pipelines one item at a time through all stages,
+  * this runs every item through each stage partition-parallel; per-host
+  * rate discipline lives inside the source (HttpSource), and idempotency
+  * under re-execution comes from K2's anti-join + K3's write-if-absent.
+  */
+object Runner {
+
+  case class RunResult(
+      runDir: String,
+      status: String,
+      attempts: Long,
+      responses: Long,
+      artifacts: Long,
+      parseErrors: Long)
+
+  def run(
+      spark: SparkSession,
+      connector: Connector,
+      limit: Int,
+      fixtureRoot: String,
+      warehouseDir: String,
+      blobRoot: String,
+      runRoot: String): RunResult = {
+    import spark.implicits._
+
+    val startedAt = java.time.Instant.now()
+    val runDir = buildRunDir(runRoot, startedAt)
+    val store = new ProvenanceStore(spark, warehouseDir)
+
+    try {
+      // S4 plan → S2/S3 metadata fetch (offline fixture transport)
+      val items = connector.plan(spark, limit)
+      val metaRequests = connector.metadataRequests(spark, items)
+      val metaFetched = HttpSource.fetch(spark, metaRequests, null, Some(fixtureRoot))
+        .cache()
+
+      // K1 append metadata responses, ids back for FK J1/J2
+      val metaWithIds = store.appendResponses(
+        metaFetched.toDF()
+          .withColumn("provider", col("provider"))
+          .select(col("provider"), col("method"), col("url"), col("params_json"),
+            col("status_code"), col("headers_json"), col("body"),
+            col("item_index"), col("stage"))).cache()
+
+      // P1–P3 extraction; F6 split into targets vs dead-letter.
+      // metaWithIds carries body/params_json/status_code through from the
+      // append, so extraction runs directly on the id-stamped rows.
+      val extracted = connector.extract(metaWithIds).cache()
+
+      val parseErrors = extracted.filter(col("error_message").isNotNull)
+        .select(lit(connector.name).as("provider"), lit("extract").as("stage"),
+          col("error_message").as("message"), col("source_url").as("url"),
+          col("item_index"), col("response_id"))
+        .cache()
+
+      val targets = extracted
+        .filter(col("artifact_url").isNotNull && col("error_message").isNull)
+
+      // S6 artifact fetch
+      val artRequests = targets.select(col("item_index"), col("artifact_url"))
+        .as[(Int, String)]
+        .map { case (idx, url) =>
+          FetchRequest(connector.name, idx, "artifact", "GET", url, null,
+            connector.artifactFixture)
+        }
+      val artFetched = HttpSource.fetch(spark, artRequests, null, Some(fixtureRoot))
+        .filter(_.status_code == 200).cache()
+
+      val artWithIds = store.appendResponses(
+        artFetched.toDF().select(col("provider"), col("method"), col("url"),
+          col("params_json"), col("status_code"), col("headers_json"), col("body"),
+          col("item_index"), col("stage"))).cache()
+
+      // X0 hash + K3 blob put + K2 dedup append
+      val hashed = artWithIds
+        .select(col("provider"), col("url").as("source_url"),
+          sha2(col("body"), 256).as("sha256"),
+          length(col("body")).cast("long").as("bytes"),
+          col("body"), col("id").as("response_id"))
+        .withColumn("blob_path",
+          concat(lit(blobRoot + "/"), substring(col("sha256"), 1, 2),
+            lit("/"), col("sha256")))
+        .cache()
+      BlobStore.put(hashed, blobRoot)
+      val inserted = store.appendArtifacts(
+        hashed.select("provider", "source_url", "sha256", "bytes", "blob_path",
+          "response_id"))
+
+      // K4/K8 attempts capture with X1 redaction
+      val attempts = metaFetched.union(artFetched).flatMap(_.attempts).toDF()
+        .withColumn("request_headers", Redaction.redactMap(col("request_headers")))
+        .withColumn("response_headers", Redaction.redactMap(col("response_headers")))
+        .cache()
+      attempts.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$runDir/attempts")
+
+      // K9 manifest
+      val manifest = inserted
+        .select(to_json(struct(col("source_url"), col("sha256"), col("blob_path"))))
+        .as[String].collect()
+      Files.write(Paths.get(s"$runDir/artifacts.json"),
+        manifest.mkString("[\n", ",\n", "\n]").getBytes("UTF-8"))
+
+      // K10 run summary
+      val nAttempts = attempts.count()
+      val nResponses = metaWithIds.count() + artWithIds.count()
+      val nArtifacts = inserted.count()
+      val nErrors = parseErrors.count()
+      parseErrors.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$runDir/parse_errors")
+      writeRunJson(runDir, "succeeded", connector.name, limit, startedAt,
+        nAttempts, nResponses, nArtifacts, nErrors)
+      RunResult(runDir, "succeeded", nAttempts, nResponses, nArtifacts, nErrors)
+    } catch {
+      case e: Exception =>
+        // K12: error.txt + failed status (reference cli.py:106–115)
+        Files.createDirectories(Paths.get(runDir))
+        Files.write(Paths.get(s"$runDir/error.txt"),
+          String.valueOf(e).getBytes("UTF-8"))
+        writeRunJson(runDir, "failed", connector.name, limit, startedAt, 0, 0, 0, 0)
+        throw e
+    }
+  }
+
+  /** Timestamped run dir with numeric collision suffix (reference
+    * run_capture.py:54–64). */
+  def buildRunDir(root: String, startedAt: java.time.Instant): String = {
+    val stem = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .withZone(java.time.ZoneOffset.UTC).format(startedAt)
+    var dir = Paths.get(root, stem)
+    var i = 1
+    while (Files.exists(dir)) { dir = Paths.get(root, s"$stem-$i"); i += 1 }
+    Files.createDirectories(dir)
+    dir.toString
+  }
+
+  private def writeRunJson(
+      runDir: String, status: String, provider: String, limit: Int,
+      startedAt: java.time.Instant, attempts: Long, responses: Long,
+      artifacts: Long, parseErrors: Long): Unit = {
+    val endedAt = java.time.Instant.now()
+    val json =
+      s"""{
+         |  "status": "$status",
+         |  "args": {"provider": "$provider", "limit": $limit},
+         |  "started_at": "$startedAt",
+         |  "ended_at": "$endedAt",
+         |  "counts": {
+         |    "attempts": $attempts,
+         |    "responses": $responses,
+         |    "artifacts": $artifacts,
+         |    "parse_errors": $parseErrors
+         |  }
+         |}""".stripMargin
+    Files.write(Paths.get(s"$runDir/run.json"), json.getBytes("UTF-8"))
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports of the reference's golden e2e + hardening tests
+  * (tests/test_offline_e2e.py, tests/test_capture_hardening.py):
+  * same counts, same graceful degradation, same redaction invariant,
+  * plus the dedup-idempotence property (ingest twice ⇒ identical
+  * artifacts table — storage/db.py:28,76).
+  */
+class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val fixtures = "src/test/resources/fixtures"
+
+  test("sec_edgar offline e2e: 2 responses, 1 artifact, succeeded") {
+    val wh = tmpDir("wh"); val blobs = tmpDir("blobs"); val runs = tmpDir("runs")
+    val res = Runner.run(spark, SecEdgarConnector, limit = 1,
+      fixtures, wh, blobs, runs)
+    assert(res.status == "succeeded")
+    assert(res.responses == 2, "metadata + artifact responses")
+    assert(res.artifacts == 1)
+    assert(res.parseErrors == 0)
+    val store = new ProvenanceStore(spark, wh)
+    assert(store.responses.count() == 2)
+    assert(store.artifacts.count() == 1)
+    // blob store layout root/<sha[:2]>/<sha>, content round-trips
+    val a = store.artifacts.head()
+    val sha = a.getAs[String]("sha256")
+    val blob = Paths.get(BlobStore.blobPath(blobs, sha))
+    assert(Files.exists(blob))
+    assert(new String(Files.readAllBytes(blob), "UTF-8").contains("SEC fixture artifact"))
+    // FK join J1: artifact.response_id resolves to an artifact-stage response
+    val joined = store.artifacts.as("a")
+      .join(store.responses.as("r"), col("a.response_id") === col("r.id"))
+    assert(joined.count() == 1)
+    assert(Files.exists(Paths.get(s"${res.runDir}/run.json")))
+    assert(Files.exists(Paths.get(s"${res.runDir}/artifacts.json")))
+  }
+
+  test("nrc_adams_aps offline e2e: 2 responses, 1 artifact") {
+    val wh = tmpDir("wh"); val blobs = tmpDir("blobs"); val runs = tmpDir("runs")
+    val res = Runner.run(spark, NrcAdamsApsConnector, limit = 1,
+      fixtures, wh, blobs, runs)
+    assert(res.status == "succeeded")
+    assert(res.responses == 2)
+    assert(res.artifacts == 1)
+    assert(res.parseErrors == 0)
+  }
+
+  test("fault injection: corrupted {} fixture degrades gracefully (1/0 + parse_error)") {
+    val fx = tmpDir("fx")
+    Files.createDirectories(Paths.get(s"$fx/sec_edgar"))
+    Files.write(Paths.get(s"$fx/sec_edgar/submissions.json"), "{}".getBytes)
+    val wh = tmpDir("wh"); val blobs = tmpDir("blobs"); val runs = tmpDir("runs")
+    val res = Runner.run(spark, SecEdgarConnector, limit = 1, fx, wh, blobs, runs)
+    assert(res.status == "succeeded", "parse errors must not fail the run")
+    assert(res.responses == 1, "only the metadata response")
+    assert(res.artifacts == 0)
+    assert(res.parseErrors == 1)
+    val errs = spark.read.json(s"${res.runDir}/parse_errors")
+    assert(errs.filter(col("provider") === "sec_edgar").count() == 1)
+  }
+
+  test("fault injection: corrupted APS fixture degrades gracefully") {
+    val fx = tmpDir("fx")
+    Files.createDirectories(Paths.get(s"$fx/nrc_adams_aps"))
+    Files.write(Paths.get(s"$fx/nrc_adams_aps/search.json"), "{}".getBytes)
+    val wh = tmpDir("wh"); val blobs = tmpDir("blobs"); val runs = tmpDir("runs")
+    val res = Runner.run(spark, NrcAdamsApsConnector, limit = 1, fx, wh, blobs, runs)
+    assert(res.status == "succeeded")
+    assert(res.responses == 1)
+    assert(res.artifacts == 0)
+    assert(res.parseErrors == 1)
+  }
+
+  test("dedup idempotence: running the same ingest twice adds no artifacts") {
+    val wh = tmpDir("wh"); val blobs = tmpDir("blobs"); val runs = tmpDir("runs")
+    val r1 = Runner.run(spark, SecEdgarConnector, 1, fixtures, wh, blobs, runs)
+    val r2 = Runner.run(spark, SecEdgarConnector, 1, fixtures, wh, blobs, runs)
+    assert(r1.artifacts == 1)
+    assert(r2.artifacts == 0, "second run: anti-join drops the known (url, sha)")
+    val store = new ProvenanceStore(spark, wh)
+    assert(store.artifacts.count() == 1)
+    assert(store.responses.count() == 4, "responses always append")
+    // ids stay contiguous and unique across appends
+    val ids = store.responses.select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("attempts capture redacts sensitive headers") {
+    val df = Seq(
+      (Map("Authorization" -> "Bearer abc", "Content-Type" -> "application/json",
+        "X-Api-Key" -> "k", "My-Token" -> "t"))
+    ).toDF("headers")
+    val out = df.select(Redaction.redactMap(col("headers")).as("h"))
+      .select(explode(col("h"))).as[(String, String)].collect().toMap
+    assert(out("Authorization") == Model.redactedValue)
+    assert(out("X-Api-Key") == Model.redactedValue)
+    assert(out("My-Token") == Model.redactedValue)
+    assert(out("Content-Type") == "application/json")
+  }
+
+  test("recursive JSON redaction walks nested objects and arrays") {
+    val json = """{"a":{"password":"x","keep":"y"},"list":[{"auth_token":"z"},{"ok":1}]}"""
+    val out = Seq(json).toDF("j")
+      .select(Redaction.redactJsonUdf(col("j"))).as[String].head()
+    assert(!out.contains("\"x\"") && !out.contains("\"z\""))
+    assert(out.contains("\"y\"") && out.contains("\"ok\":1"))
+    assert(out.contains(Model.redactedValue))
+    // invalid JSON passes through
+    val bad = Seq("not json").toDF("j")
+      .select(Redaction.redactJsonUdf(col("j"))).as[String].head()
+    assert(bad == "not json")
+  }
+
+  test("retry state machine: 500 then 200 captures both attempts") {
+    val limiter = new RateLimiter
+    var calls = 0
+    val transport: HttpSource.Transport = (_, _, _) => {
+      calls += 1
+      if (calls == 1) (500, Map("retry" -> "yes"), Array.emptyByteArray)
+      else (200, Map.empty[String, String], "ok".getBytes)
+    }
+    val req = Model.FetchRequest("p", 0, "metadata", "GET", "https://x.test/a", null, "f")
+    val out = HttpSource.liveFetch(limiter, transport, req, maxArtifactBytes = 1000)
+    assert(out.status_code == 200)
+    assert(new String(out.body) == "ok")
+    assert(out.attempts.map(_.status_code) == Seq(500, 200))
+  }
+
+  test("retry state machine: transport errors recorded as status 0 with error_type") {
+    val limiter = new RateLimiter
+    val transport: HttpSource.Transport = (_, _, _) =>
+      throw new RuntimeException("boom")
+    val req = Model.FetchRequest("p", 0, "metadata", "GET", "https://x.test/a", null, "f")
+    val out = HttpSource.liveFetch(limiter, transport, req, 1000)
+    assert(out.status_code == 0)
+    assert(out.attempts.size == 3, "3 attempts (http_client.py:163)")
+    assert(out.attempts.forall(_.error_type == "RuntimeException"))
+  }
+
+  test("size cap fails the row, not the job (F5)") {
+    val limiter = new RateLimiter
+    val transport: HttpSource.Transport = (_, _, _) =>
+      (200, Map.empty[String, String], Array.fill[Byte](2000)(1))
+    val req = Model.FetchRequest("p", 0, "artifact", "GET", "https://x.test/a", null, "f")
+    val out = HttpSource.liveFetch(limiter, transport, req, maxArtifactBytes = 1000)
+    assert(out.status_code == 0)
+    assert(out.attempts.last.error_type == "SizeCapExceeded")
+  }
+
+  test("run dir collision gets a numeric suffix") {
+    val root = tmpDir("runs")
+    val t = java.time.Instant.parse("2026-01-02T03:04:05Z")
+    val d1 = Runner.buildRunDir(root, t)
+    val d2 = Runner.buildRunDir(root, t)
+    assert(d1.endsWith("20260102T030405Z"))
+    assert(d2.endsWith("20260102T030405Z-1"))
+  }
+}
