@@ -14,7 +14,8 @@ object SparkEntry {
   def all: Map[String, QueryDef] =
     operators.Relational.defs ++ operators.Relational2.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
-      operators.Similarity.defs
+      operators.Similarity.defs ++ operators.Multimodal.defs ++
+      streaming.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming / incremental layer (SURVEY.md §2.9).
+  *
+  * The reference specifies watermark-based incremental sync with overlap
+  * and key dedupe (dossier :224–241 EDGAR 48h/accessionNumber, :692–725 APS
+  * 72h/AccessionNumber) and leaves `checkpoint()` as a hook
+  * (connectors/base.py:32–34). Here that contract is Structured Streaming:
+  * `withWatermark` + `dropDuplicatesWithinWatermark` for T2/T3, windowed
+  * aggregations over event time, `flatMapGroupsWithState` for custom
+  * session state, and a batch reconciliation join for T4 (reissue
+  * detection by hash-diff — late-arriving upstream correction, not
+  * event-time lateness).
+  *
+  * Scale notes: streaming state is keyed and partitioned by the dedup/
+  * group key, so state volume is O(distinct keys within watermark), and
+  * checkpointing handles executor loss. All operators below work
+  * identically on a 1000-executor cluster — nothing is collected.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  case class SessionSummary(user_id: Long, n_events: Long, total_value: Double,
+      closed: Boolean)
+
+  /** T2/T3: event-time dedup within a watermark window — one row per key
+    * inside the overlap horizon; late duplicates beyond the watermark are
+    * dropped by state expiry instead of unbounded state growth. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      overlap: String = "48 hours",
+      keys: Seq[String] = Seq("user_id", "event_type")): DataFrame =
+    events
+      .withWatermark("ts", overlap)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Tumbling event-time window counts with watermark-bounded state. */
+  def tumblingCounts(
+      events: DataFrame,
+      width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding windows (width, slide) — same shape, overlapping assignment. */
+  def slidingCounts(
+      events: DataFrame,
+      width: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Custom keyed state (§2.10 extension surface): per-user session
+    * aggregation via flatMapGroupsWithState — emits a running summary per
+    * trigger; with a processing-time timeout configured, emits a closing
+    * summary when the session expires (None → NoTimeout, state lives for
+    * the query's lifetime — the testable mode, since timeout-driven empty
+    * triggers keep processAllAvailable from ever settling). */
+  def userSessions(
+      events: Dataset[Event],
+      timeoutMs: Option[Long] = None): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = timeoutMs
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), SessionSummary](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, v) = state.get
+            state.remove()
+            Iterator(SessionSummary(userId, n, v, closed = true))
+          } else {
+            val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0; var v = v0
+            rows.foreach { e => n += 1; v += e.value }
+            state.update((n, v))
+            timeoutMs.foreach(state.setTimeoutDuration)
+            Iterator(SessionSummary(userId, n, v, closed = false))
+          }
+      }
+  }
+
+  /** T4 reconciliation batch (dossier :85–91, :245–252): reissued upstream
+    * artifacts are rows whose key matches but whose content hash changed —
+    * join stored vs fresh on the idempotency key, keep hash mismatches as
+    * the reprocess set. */
+  def reconcile(stored: DataFrame, fresh: DataFrame, key: String): DataFrame =
+    fresh.as("f")
+      .join(stored.as("s"), col(s"f.$key") === col(s"s.$key"), "inner")
+      .filter(col("f.sha256") =!= col("s.sha256"))
+      .select(col(s"f.$key").as(key), col("s.sha256").as("old_sha256"),
+        col("f.sha256").as("new_sha256"))
+
+  /** Streaming read of the events table shape from a parquet directory
+    * (real deployments point this at an arriving-file landing zone). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Batch-expressible window queries for the oracle gate: the same
+    * event-time semantics the streaming operators use, checked vs DuckDB. */
+  def defs: Map[String, QueryDef] = Map(
+
+    "q36_tumbling_window" -> QueryDef.sql(
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    "q37_sliding_window" -> QueryDef.sql(
+      """WITH g AS (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE]) AS window_start,
+        |    event_id, value
+        |  FROM events)
+        |SELECT window_start, count(*) AS n
+        |FROM g GROUP BY window_start
+        |ORDER BY window_start""") { (s, dir) =>
+      // 1h windows sliding by 30m: each event lands in exactly 2 windows
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("n"))
+        .orderBy("window_start")
+    },
+
+    "q38_reconcile_hash_diff" -> QueryDef.sql(
+      """WITH stored AS (
+        |  SELECT doc_id, sha256(text) AS sha256 FROM documents),
+        |fresh AS (
+        |  SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS sha256
+        |  FROM documents)
+        |SELECT f.doc_id AS doc_id, s.sha256 AS old_sha256, f.sha256 AS new_sha256
+        |FROM fresh f JOIN stored s ON f.doc_id = s.doc_id
+        |WHERE f.sha256 != s.sha256
+        |ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val stored = docs.select(col("doc_id"), sha2(col("text"), 256).as("sha256"))
+      val fresh = docs.select(col("doc_id"),
+        sha2(when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")), 256).as("sha256"))
+      reconcile(stored, fresh, "doc_id").orderBy("doc_id")
+    }
+  )
+}
