@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (Array[Float]).
   *
   * Baseline: exact brute-force cosine top-k — query set broadcast against
-  * the corpus scan, similarity as a codegen'd `aggregate(zip_with(...))`
-  * expression (no UDF). At 100 TB the corpus side streams partition-local
+  * the corpus scan, similarity via the native codegen'd
+  * [[graft.functions.DotProduct]] expression (no UDF, no lambda
+  * allocation). At 100 TB the corpus side streams partition-local
   * with zero shuffle (the only shuffle is the final per-query top-k, which
   * is bounded by queries × k after a partial top-k inside each partition).
   *
@@ -19,15 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** embedding as array<double> plus its L2 norm (sequential left-to-right
-    * accumulation — deterministic). */
-  private def withNorm(df: DataFrame): DataFrame =
+  /** embedding as array<double> plus its L2 norm. Uses the native
+    * codegen'd [[graft.functions.DotProduct]] expression — the
+    * aggregate/zip_with lambda form was 30× slower on the all-pairs query
+    * (intermediate array per row, per-element lambda dispatch). */
+  private def withNorm(df: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     df.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      .withColumn("norm", sqrt(expr("aggregate(emb, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("norm", sqrt(expr("graft_dot(emb, emb)")))
+  }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -69,7 +73,7 @@ object Similarity {
       val b = e.select(col("vec_id").as("v2"), col("emb").as("emb2"), col("norm").as("norm2"))
       a.join(b, col("v1") < col("v2"))
         .select(col("v1"), col("v2"),
-          round(dot(col("emb1"), col("emb2")) / (col("norm1") * col("norm2")), 6).as("cos_sim"))
+          round(dot("emb1", "emb2") / (col("norm1") * col("norm2")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.4)
         .orderBy("v1", "v2")
     },
@@ -94,7 +98,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
     broadcast(q).join(e, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+        round(dot("qemb", "emb") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -136,7 +140,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
     cand
       .select(col("qid"), col("nid"),
-        round(dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+        round(dot("qemb", "emb") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

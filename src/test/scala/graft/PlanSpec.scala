@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties that make these queries
+  * viable at 100 TB are part of the contract, not an accident — filters
+  * reach the parquet scan, dimension joins broadcast, hot paths stay
+  * inside whole-stage codegen, and the vector hot-loop uses the native
+  * expression. A regression here is a performance bug even while results
+  * stay correct.
+  */
+class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import org.apache.spark.sql.execution.ExplainMode
+
+  /** Formatted explain: full (untruncated) scan details incl. PushedFilters. */
+  private def plan(name: String): String =
+    SparkEntry.all(name).fn(spark, sf001).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  /** Final adaptive plan, post-execution: `*(n)` prefixes mark
+    * whole-stage-codegen'd operators (AQE's pre-execution plan reports no
+    * codegen subtrees, so we must run the query first). */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.all(name).fn(spark, sf001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 filter predicates push into the parquet scan") {
+    val p = plan("q02_filter_predicates")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("EqualTo(o_orderstatus,O"), s"status filter must reach the scan: $p")
+  }
+
+  test("q01 projection prunes the lineitem scan to referenced columns") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_partkey"), "unused columns must not be read")
+    assert(!p.contains("l_suppkey"), "unused columns must not be read")
+  }
+
+  test("q04 dimension joins are broadcast, not shuffled") {
+    val p = plan("q04_join_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "snowflake dims must never sort-merge the fact table")
+  }
+
+  test("q01 aggregation runs inside whole-stage codegen") {
+    val p = executedPlan("q01_pricing_summary")
+    assert(p.contains("*("), s"no codegen stages in final plan: $p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q54/q55 use the native dot-product expression, not lambda aggregate") {
+    val p54 = plan("q54_cosine_topk")
+    val p55 = plan("q55_cosine_threshold_pairs")
+    assert(p54.contains("graft_dot"), p54)
+    assert(p55.contains("graft_dot"), p55)
+  }
+
+  test("q22 range join broadcasts the tiny tier dimension") {
+    val p = plan("q22_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q24 EXISTS compiles to a semi join with the quantity filter pushed down") {
+    val p = plan("q24_exists_filtered")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,49"),
+      s"filter must reach the lineitem scan: $p")
+  }
+
+  test("partial aggregation happens before the shuffle (map-side combine)") {
+    val p = executedPlan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), s"map-side combine missing: $p")
+    assert(p.contains("functions=[sum("), s"final aggregate missing: $p")
+  }
+}
