@@ -84,6 +84,23 @@ object Similarity {
       annLshTopK(Tables.embeddings(s, dir), nQueries = 50, k = 5,
         planesPerBand = 4, bands = 4)
         .orderBy("qid", "rank")
+    },
+
+    // ---- per-label centroids (the IVF coarse-quantizer building block):
+    //      element-wise vector mean via posexplode + decimal-exact sums ----
+    "q57_label_centroids" -> QueryDef.sql(
+      """SELECT label, i - 1 AS dim,
+        |  round(CAST(sum(CAST(embedding[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS centroid
+        |FROM embeddings, (SELECT unnest(range(1, 4097)) AS i) t
+        |WHERE i <= len(embedding)
+        |GROUP BY label, i
+        |ORDER BY label, dim""") { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(round((sum(col("v").cast("decimal(28,12)")).cast("double") / count(lit(1))), 6)
+          .as("centroid"))
+        .orderBy("label", "dim")
     }
   )
 

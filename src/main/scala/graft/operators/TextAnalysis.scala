@@ -111,6 +111,19 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- deterministic content-hash sampling: the reproducible corpus
+    //      subsample a training-data pipeline uses (same rows on every
+    //      engine/run, no RNG state to coordinate across 1000 executors) ----
+    "q44_deterministic_sample" -> QueryDef.sql(
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substring(md5(text), 1, 1) = '0'
+        |ORDER BY doc_id""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(substring(md5(col("text")), 1, 1) === "0")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // ---- document fingerprinting: canonical-form content hash (the
     //      reference's sha256 content key, X0, applied to normalized text) ----
     "q43_doc_fingerprint" -> QueryDef.sql(

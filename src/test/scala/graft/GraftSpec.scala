@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.MinHashAgg
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine facade surface: SQL over registered views, native function
+  * availability in SQL, the typed Aggregator UDAF. */
+class GraftSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  test("Graft.sql answers joins over the registered table views") {
+    val df = Graft.sql(spark, sf001,
+      """SELECT n.n_name, count(*) AS n
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n DESC, n_name LIMIT 3""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
+  test("graft_dot resolves in plain SQL after registration") {
+    Graft.registerTables(spark, sf001)
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .as[Double].head()
+    assert(d == 32.0)
+  }
+
+  test("GraftExtensions injects without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+
+  test("MinHashAgg aggregator builds signatures equal for identical shingle sets") {
+    val mh = udaf(new MinHashAgg(16))
+    val shingles = Seq(
+      (1L, "a b c"), (1L, "b c d"), (1L, "c d e"),
+      (2L, "a b c"), (2L, "b c d"), (2L, "c d e"), // same set as doc 1
+      (3L, "x y z"), (3L, "y z w")
+    ).toDF("doc_id", "sh")
+    val sigs = shingles.groupBy("doc_id").agg(mh(col("sh")).as("sig"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(sigs(1L).toSeq == sigs(2L).toSeq, "identical sets → identical signatures")
+    assert(MinHashAgg.estJaccard(sigs(1L), sigs(2L)) == 1.0)
+    assert(MinHashAgg.estJaccard(sigs(1L), sigs(3L)) < 0.5, "disjoint sets diverge")
+    assert(sigs(1L).length == 16)
+  }
+
+  test("MinHashAgg buffer merge is order-independent (partition merge path)") {
+    val mh = udaf(new MinHashAgg(8))
+    val many = (1 to 200).map(i => (1L, s"shingle $i")).toDF("doc_id", "sh")
+    val s1 = many.repartition(1).groupBy("doc_id").agg(mh(col("sh")))
+      .as[(Long, Array[Long])].head()._2
+    val s8 = many.repartition(8).groupBy("doc_id").agg(mh(col("sh")))
+      .as[(Long, Array[Long])].head()._2
+    assert(s1.toSeq == s8.toSeq, "signature independent of partitioning")
+  }
+}
