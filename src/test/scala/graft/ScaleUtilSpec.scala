@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.Skew
+import graft.pipeline.EmissionContract
+import graft.streaming.WatermarkSync
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleUtilSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  // ---- emission contract ----
+
+  test("APS rows normalize to the shared emission contract") {
+    val aps = Seq(
+      ("ML24001A001", "50-123", "2024-01-05", "2024-01-06T10:00:00Z",
+        "https://api.nrc.gov/x.pdf"),
+      ("ML24001A002", null, null, null, null)
+    ).toDF("AccessionNumber", "DocketNumber", "DocumentDate",
+      "DateAddedTimestamp", "pdfUrl")
+    val out = EmissionContract.fromAps(aps).collect()
+    assert(out.length == 2)
+    val r = out.head
+    assert(r.getAs[String]("_schema_version") == "1")
+    assert(r.getAs[String]("provider") == "nrc_adams_aps")
+    assert(r.getAs[String]("accession_number") == "ML24001A001")
+    assert(r.getAs[java.sql.Date]("document_date").toString == "2024-01-05")
+    assert(r.getAs[String]("retention_allowed") == "unknown")
+    assert(out(1).getAs[String]("docket_number") == null)
+    assert(EmissionContract.fromAps(aps).columns.toSeq == EmissionContract.columns)
+  }
+
+  test("EDGAR rows normalize with dual accession join keys") {
+    val edgar = Seq(
+      ("0000320193-24-000123", "2024-01-02", "2024-01-02T16:30:00.000Z",
+        "https://www.sec.gov/a.htm")
+    ).toDF("accessionNumber", "filingDate", "acceptanceDateTime", "url")
+    val out = EmissionContract.withAccessionForms(EmissionContract.fromEdgar(edgar))
+      .collect().head
+    assert(out.getAs[String]("accession_nodash") == "000032019324000123")
+    assert(out.getAs[String]("accession_dashed") == "0000320193-24-000123")
+    // nodash round-trips to dashed (dossier :168 — both forms join-compatible)
+    val nodash = Seq(("000032019324000123", "x")).toDF("accession_number", "url")
+    val round = EmissionContract.withAccessionForms(nodash).collect().head
+    assert(round.getAs[String]("accession_dashed") == "0000320193-24-000123")
+  }
+
+  // ---- watermark sync ----
+
+  test("watermark sync: overlap re-reads dedupe, old rows drop, watermark advances") {
+    val state = Files.createTempDirectory("wmsync").toString
+    def rows(data: (Long, String, String)*) =
+      data.toSeq.toDF("key", "tss", "payload")
+        .select(col("key"), to_timestamp(col("tss")).as("ts"), col("payload"))
+
+    // batch 1: 3 rows
+    val r1 = WatermarkSync.syncBatch(spark,
+      rows((1L, "2024-01-10 00:00:00", "a"), (2L, "2024-01-10 01:00:00", "b"),
+        (3L, "2024-01-10 02:00:00", "c")),
+      state, "ts", Seq("key"))
+    assert(r1.appended == 3)
+
+    // batch 2: key 3 re-sent (dup within overlap), key 4 new, key 0 too old
+    val r2 = WatermarkSync.syncBatch(spark,
+      rows((3L, "2024-01-10 02:00:00", "c"), (4L, "2024-01-10 03:00:00", "d"),
+        (0L, "2024-01-01 00:00:00", "stale")),
+      state, "ts", Seq("key"), overlap = "48 hours")
+    assert(r2.appended == 1, "only the genuinely new key lands")
+
+    val all = WatermarkSync.stored(spark, state).get
+    assert(all.count() == 4)
+    assert(all.select("key").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    val wm = WatermarkSync.readWatermark(state).get
+    assert(wm == java.sql.Timestamp.valueOf("2024-01-10 03:00:00").getTime * 1000)
+  }
+
+  test("watermark sync is idempotent: replaying a batch appends nothing") {
+    val state = Files.createTempDirectory("wmsync2").toString
+    val batch = Seq((1L, "2024-01-10 00:00:00", "a")).toDF("key", "tss", "payload")
+      .select(col("key"), to_timestamp(col("tss")).as("ts"), col("payload"))
+    assert(WatermarkSync.syncBatch(spark, batch, state, "ts", Seq("key")).appended == 1)
+    assert(WatermarkSync.syncBatch(spark, batch, state, "ts", Seq("key")).appended == 0)
+  }
+
+  // ---- skew ----
+
+  test("salted join equals plain join on skewed data") {
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) 99L else i.toLong, s"v$i"))
+      .toDF("k", "payload") // key 99 is hot
+    val small = Seq((99L, "hot"), (5L, "cold"), (7L, "cold7")).toDF("k", "dim")
+    val plain = big.join(small, "k").select("k", "payload", "dim")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(big, small, "k", saltBuckets = 8)
+      .select("k", "payload", "dim").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.count(_.head == 99L) == 201)
+  }
+
+  test("key histogram surfaces the hot key") {
+    val big = (1 to 1000).map(i => (if (i % 5 == 0) 42L else i.toLong, i))
+      .toDF("k", "v")
+    val top = Skew.keyHistogram(big, "k", topN = 1)
+      .as[(Long, Long)].collect().head
+    assert(top == ((42L, 201L)))
+  }
+
+  // ---- bucketed co-located join (the shuffle-free fact-fact join path) ----
+
+  test("bucketed tables join without any exchange") {
+    // warehouse dir is a temp dir set at session build (static conf)
+    val o = Tables.orders(spark, sf001)
+    val l = Tables.lineitem(spark, sf001)
+    try {
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("orders_b")
+      l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("lineitem_b")
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("orders_b")
+          .join(spark.table("lineitem_b"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select("o_orderkey", "o_orderstatus", "l_quantity")
+        j.collect()
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(plan.contains("Bucketed: true"), plan)
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join must not shuffle either side: $plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
