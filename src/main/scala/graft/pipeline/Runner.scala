@@ -101,8 +101,10 @@ object Runner {
         hashed.select("provider", "source_url", "sha256", "bytes", "blob_path",
           "response_id"))
 
-      // K4/K8 attempts capture with X1 redaction
-      val attempts = metaFetched.union(artFetched).flatMap(_.attempts).toDF()
+      // K4–K8 per-attempt capture files with X1 redaction
+      val allFetched = metaFetched.union(artFetched)
+      CaptureSink.writeCaptures(allFetched, runDir)
+      val attempts = allFetched.flatMap(_.attempts).toDF()
         .withColumn("request_headers", Redaction.redactMap(col("request_headers")))
         .withColumn("response_headers", Redaction.redactMap(col("response_headers")))
         .cache()

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Dedup, Skew}
+import graft.pipeline.{ProvenanceStore, Redaction}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5 test plan) over generated inputs with
+  * fixed seeds — deterministic, no flaky randomness. Each property is the
+  * reference's own invariant: dedup idempotence (db.py:28,76), redaction
+  * stability (run_capture.py:229–244), sketch consistency, join
+  * equivalence under salting. */
+class PropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val urlGen: Gen[String] =
+    Gen.oneOf("a", "b", "c", "d", "e").map(s => s"https://x.test/$s")
+  private val shaGen: Gen[String] = Gen.oneOf("s1", "s2", "s3")
+  private val batchGen: Gen[List[(String, String)]] =
+    Gen.listOfN(12, Gen.zip(urlGen, shaGen))
+
+  test("property: artifacts dedup-append is idempotent for arbitrary batches") {
+    samples(batchGen, 3, seed = 7L).zipWithIndex.foreach { case (batch, i) =>
+      val wh = java.nio.file.Files.createTempDirectory(s"propwh$i").toString
+      val store = new ProvenanceStore(spark, wh)
+      def rows = batch.toDF("source_url", "sha256")
+        .withColumn("provider", lit("p"))
+        .withColumn("bytes", lit(1L))
+        .withColumn("blob_path", concat(lit("/b/"), col("sha256")))
+        .withColumn("response_id", lit(1L))
+      store.appendArtifacts(rows)
+      store.appendArtifacts(rows) // replay
+      val distinctKeys = batch.distinct.size
+      assert(store.artifacts.count() == distinctKeys,
+        s"batch $batch must land exactly its distinct (url, sha) pairs")
+      // unique ids despite the replay
+      val ids = store.artifacts.select("id").as[Long].collect()
+      assert(ids.distinct.length == ids.length)
+    }
+  }
+
+  private val headerGen: Gen[Map[String, String]] = Gen.mapOfN(6, Gen.zip(
+    Gen.oneOf("Authorization", "Content-Type", "X-Api-Key", "Accept",
+      "session-token", "My-Password-Hint", "ETag"),
+    Gen.alphaNumStr.map(_.take(12))))
+
+  test("property: header redaction is idempotent and key-preserving") {
+    samples(headerGen, 5, seed = 11L).foreach { headers =>
+      val df = Seq(headers).toDF("h")
+      val once = df.select(Redaction.redactMap(col("h")).as("h"))
+      val twice = once.select(Redaction.redactMap(col("h")).as("h"))
+      val a = once.as[Map[String, String]].head()
+      val b = twice.as[Map[String, String]].head()
+      assert(a == b, "redact ∘ redact == redact")
+      assert(a.keySet == headers.keySet, "redaction never drops keys")
+      a.foreach { case (k, v) =>
+        if (Redaction.isSensitive(k)) assert(v == graft.pipeline.Model.redactedValue)
+        else assert(v == headers(k), s"non-sensitive $k must pass through")
+      }
+    }
+  }
+
+  private val wordGen: Gen[String] = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "lambda", "mu")
+  private val docGen: Gen[String] =
+    Gen.listOfN(20, wordGen).map(_.mkString(" "))
+
+  test("property: minhash signature equality tracks set identity") {
+    val docs = samples(docGen, 6, seed = 23L).distinct
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // duplicate every doc under a shifted id: each (i, i+n) pair identical
+    val n = docs.size
+    val dup = docs.zipWithIndex.map { case (t, i) => ((i + n).toLong, t) }
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df.union(dup), numHashes = 16, bands = 4)
+      .select("d1", "d2", "est_jaccard").as[(Long, Long, Double)].collect()
+    val est = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    (0 until n).foreach { i =>
+      assert(est.get((i.toLong, (i + n).toLong)).contains(1.0),
+        s"identical docs $i/${i + n} must estimate J=1.0: ${pairs.toSeq}")
+    }
+    pairs.foreach { case (_, _, j) => assert(j >= 0.0 && j <= 1.0) }
+  }
+
+  test("property: salted join equals plain join for random data and bucket counts") {
+    val kvGen = Gen.zip(Gen.choose(1L, 8L), Gen.alphaNumStr.map(_.take(6)))
+    Seq(1, 3, 7).zipWithIndex.foreach { case (buckets, i) =>
+      val bigRows = samples(kvGen, 60, seed = 31L + i)
+      val big = bigRows.toDF("k", "v")
+      val small = Seq((1L, "d1"), (2L, "d2"), (8L, "d8")).toDF("k", "dim")
+      val plain = big.join(small, "k").select("k", "v", "dim")
+        .collect().map(_.toSeq).toSet
+      val salted = Skew.saltedJoin(big, small, "k", buckets)
+        .select("k", "v", "dim").collect().map(_.toSeq).toSet
+      assert(salted == plain, s"buckets=$buckets")
+    }
+  }
+}
