@@ -116,8 +116,12 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = shingles(docs)
-    val sig = sh.groupBy("doc_id")
-      .agg(array((0 until numHashes).map(j => min(xxhash64(lit(j), col("sh")))): _*).as("sig"))
+    // one-pass signatures via the typed Aggregator UDAF: each shingle
+    // updates all lanes in a single constant-size buffer, so the partial
+    // state merged across partitions is numHashes longs per doc (vs
+    // numHashes independent min() aggregates)
+    val mh = udaf(new graft.functions.MinHashAgg(numHashes))
+    val sig = sh.groupBy("doc_id").agg(mh(col("sh")).as("sig"))
     val bandCols = expr(
       s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
         s"'band', b, 'key', xxhash64(b, ${(0 until rowsPerBand).map(r => s"sig[$rowsPerBand*b+$r]").mkString(", ")})))")

@@ -9,6 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftSpec extends AnyFunSuite with SparkSessionTestWrapper {
   import spark.implicits._
 
+  test("SparkEntry.entry flagship query returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("Graft.sql answers joins over the registered table views") {
     val df = Graft.sql(spark, sf001,
       """SELECT n.n_name, count(*) AS n
