@@ -200,7 +200,7 @@ object Relational {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          row_number().over(w).as("rn"))
+          row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
     },
@@ -224,7 +224,7 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           sum(d2(col("o_totalprice"))).over(wf).cast("double").as("running_spend"),
           lag(col("o_totalprice"), 1).over(w).as("prev_price"),
-          rank().over(w).as("rk"))
+          rank().over(w).cast("long").as("rk"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     },
 
@@ -269,7 +269,7 @@ object Relational {
         |GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
         |ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST""") { (s, dir) =>
       Tables.orders(s, dir)
-        .rollup(year(col("o_orderdate")).as("order_year"), col("o_orderstatus"))
+        .rollup(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderstatus"))
         .agg(dsum(col("o_totalprice")).as("total_sales"), count(lit(1)).as("n"))
         .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
     },
@@ -325,7 +325,7 @@ object Relational {
           regexp_replace(col("p_name"), " ", "_").as("name_snake"),
           concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
           lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
-          length(col("p_name")).as("name_len"))
+          length(col("p_name")).cast("long").as("name_len"))
         .orderBy("p_partkey")
     },
 
@@ -357,9 +357,9 @@ object Relational {
         .groupBy(col("o_orderdate"))
         .agg(count(lit(1)).as("n"))
         .select(col("o_orderdate").cast("date").as("order_date"),
-          year(col("o_orderdate")).as("y"),
-          month(col("o_orderdate")).as("m"),
-          dayofmonth(col("o_orderdate")).as("d"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
           col("n"),
           (col("o_orderdate") + expr("INTERVAL 2 DAYS")).cast("date").as("plus2d"))
         .orderBy("order_date")
@@ -368,7 +368,7 @@ object Relational {
     // ---- json extraction (X12; events.props is a JSON string) ----
     "q19_json_funcs" -> QueryDef.sql(
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events
         |GROUP BY event_type

@@ -85,7 +85,7 @@ object Relational2 {
         |FROM documents WHERE doc_id <= 200 ORDER BY doc_id""") { (s, dir) =>
       Tables.documents(s, dir).filter(col("doc_id") <= 200)
         .select(col("doc_id"),
-          size(filter(split(col("text"), " "), w => length(w) > 4)).as("n_long_words"),
+          size(filter(split(col("text"), " "), w => length(w) > 4)).cast("long").as("n_long_words"),
           element_at(array_sort(filter(split(col("text"), " "), w => w =!= "")), 1)
             .as("first_word"))
         .orderBy("doc_id")
@@ -192,8 +192,8 @@ object Relational2 {
           first(col("o_orderkey")).over(w).as("first_ok"),
           last(col("o_orderkey")).over(wFull).as("last_ok"),
           dense_rank().over(Window.partitionBy("o_custkey").orderBy("o_orderstatus"))
-            .as("status_rank"),
-          ntile(4).over(w).as("quartile"),
+            .cast("long").as("status_rank"),
+          ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pct_rank"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
         .drop("o_orderdate")

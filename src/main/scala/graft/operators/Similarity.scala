@@ -97,6 +97,7 @@ object Similarity {
         |ORDER BY label, dim""") { (s, dir) =>
       Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("dim", col("dim").cast("long"))
         .groupBy("label", "dim")
         .agg(round((sum(col("v").cast("decimal(28,12)")).cast("double") / count(lit(1))), 6)
           .as("centroid"))
@@ -116,7 +117,7 @@ object Similarity {
     broadcast(q).join(e, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"),
         round(dot("qemb", "emb") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
@@ -158,7 +159,7 @@ object Similarity {
     cand
       .select(col("qid"), col("nid"),
         round(dot("qemb", "emb") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 }

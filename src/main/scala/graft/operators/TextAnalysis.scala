@@ -33,9 +33,9 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""") { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          size(words(col("text"))).as("n_words"),
-          expr("regexp_count(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')").as("n_tokens"),
-          length(col("text")).as("n_chars_actual"),
+          size(words(col("text"))).cast("long").as("n_words"),
+          expr("regexp_count(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')").cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_actual"),
           col("n_chars").as("n_chars_declared"))
         .orderBy("doc_id")
     },
@@ -60,10 +60,10 @@ object TextAnalysis {
       val stopArr = array(stopwordsEn.map(lit): _*)
       val f = Tables.documents(s, dir).select(
         col("doc_id"),
-        length(col("text")).as("n_chars"),
-        size(words(col("text"))).as("n_words"),
-        expr("regexp_count(text, '[^A-Za-z0-9 ]')").as("n_punct"),
-        size(filter(words(col("text")), w => array_contains(stopArr, w))).as("n_stop"))
+        length(col("text")).cast("long").as("n_chars"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        expr("regexp_count(text, '[^A-Za-z0-9 ]')").cast("long").as("n_punct"),
+        size(filter(words(col("text")), w => array_contains(stopArr, w))).cast("long").as("n_stop"))
       f.select(col("doc_id"), col("n_chars"), col("n_words"), col("n_punct"), col("n_stop"),
           round(col("n_stop").cast("double") / col("n_words"), 6).as("stop_ratio"),
           round(
@@ -94,6 +94,7 @@ object TextAnalysis {
         |FROM h ORDER BY doc_id""") { (s, dir) =>
       def hits(ws: Seq[String]): Column =
         size(filter(words(col("text")), w => array_contains(array(ws.map(lit): _*), w)))
+          .cast("long")
       val h = Tables.documents(s, dir).select(
         col("doc_id"), col("lang").as("declared_lang"),
         hits(Seq("the", "and", "of", "to", "is")).as("en_hits"),
@@ -137,7 +138,7 @@ object TextAnalysis {
         .select(col("doc_id"),
           md5(canonical).as("fp_md5"),
           sha2(canonical, 256).as("fp_sha256"),
-          length(canonical).as("canonical_len"))
+          length(canonical).cast("long").as("canonical_len"))
         .orderBy("doc_id")
     }
   )

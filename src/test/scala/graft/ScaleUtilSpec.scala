@@ -105,6 +105,39 @@ class ScaleUtilSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(top == ((42L, 201L)))
   }
 
+  // ---- partition pruning: the other half of "scan only what you need" ----
+
+  test("partitioned layout prunes at the directory level") {
+    val dir = Files.createTempDirectory("evpart").toString
+    Tables.events(spark, sf001)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+      .groupBy("user_id").count()
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(plan.contains("(event_type"), plan)
+    // the predicate must NOT appear as a post-scan row filter on data
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"partition column filtering must happen at planning, not scan: $plan")
+  }
+
+  test("dynamic partition pruning fires for a dim-filtered join on the partition key") {
+    val dir = Files.createTempDirectory("ordpart").toString
+    Tables.orders(spark, sf001)
+      .withColumn("status_part", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status_part").parquet(dir)
+    val dim = Seq(("O", "open")).toDF("status_key", "label")
+    val q = spark.read.parquet(dir)
+      .join(dim, col("status_part") === col("status_key"))
+      .groupBy("label").count()
+    q.collect()
+    val plan = q.queryExecution.toString
+    assert(plan.toLowerCase.contains("dynamicpruning") ||
+      q.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(status_part"),
+      s"expected DPP or static pruning on the partition key: $plan")
+  }
+
   // ---- bucketed co-located join (the shuffle-free fact-fact join path) ----
 
   test("bucketed tables join without any exchange") {

@@ -19,7 +19,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("brute-force top-k ranks the parallel vector first") {
     val topk = Similarity.cosineTopK(vecs, col("vec_id") === 0, k = 4)
-      .select("nid", "rank", "cos_sim").as[(Long, Int, Double)].collect()
+      .select("nid", "rank", "cos_sim").as[(Long, Long, Double)].collect()
       .sortBy(_._2)
     assert(topk.head._1 == 1L, "nearest neighbor of v0 is v1")
     assert(topk.head._3 > 0.99)

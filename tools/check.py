@@ -41,6 +41,12 @@ def compare(name, got: pd.DataFrame, exp: pd.DataFrame):
     if len(g) != len(e):
         return [f"row count differs: spark={len(g)} oracle={len(e)}"]
     for c in g.columns:
+        if str(g[c].dtype) != str(e[c].dtype):
+            problems.append(
+                f"col {c}: dtype differs spark={g[c].dtype} oracle={e[c].dtype}")
+    if problems:
+        return problems
+    for c in g.columns:
         gv, ev = g[c], e[c]
         if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
             ga = gv.astype(float).to_numpy()
