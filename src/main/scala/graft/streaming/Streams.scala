@@ -99,6 +99,39 @@ object Streams {
       }
   }
 
+  /** Event-time session windows (native session_window: sessions close
+    * after `gap` of silence per key) — the declarative alternative to
+    * [[userSessions]]'s explicit state. */
+  def sessionWindowCounts(
+      events: DataFrame,
+      gap: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Wire a stream into the batch-incremental store: every micro-batch
+    * flows through [[WatermarkSync.syncBatch]] (overlap re-read + anti-join
+    * dedupe + watermark advance). This is the T1 checkpoint contract made
+    * concrete — exactly-once landing via the sync's idempotence rather
+    * than sink transactions. */
+  def incrementalSinkQuery(
+      events: DataFrame,
+      stateDir: String,
+      keyCols: Seq[String],
+      overlap: String = "48 hours"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        WatermarkSync.syncBatch(batch.sparkSession, batch, stateDir, "ts",
+          keyCols, overlap)
+        ()
+      }
+
   /** T4 reconciliation batch (dossier :85–91, :245–252): reissued upstream
     * artifacts are rows whose key matches but whose content hash changed —
     * join stored vs fresh on the idempotency key, keep hash mismatches as

@@ -99,6 +99,48 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(spark.table("file_stream_out").schema.fieldNames.contains("window_start"))
   }
 
+  test("session_window groups events separated by less than the gap") {
+    val input = MemoryStream[Event](spark)
+    val out = Streams.sessionWindowCounts(input.toDF(), gap = "10 minutes",
+      watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sessw_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:05:00", 1, "click", 2.0), // same session
+        ev(3, "2024-01-01 10:30:00", 1, "click", 4.0)) // gap > 10m → new session
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 12:00:00", 9, "view", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sessw_out")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().filter(_._1 == 1L).sortBy(_._2)
+      assert(rows.toSeq == Seq((1L, 1L, 4.0), (1L, 2L, 3.0)),
+        s"two sessions: [e1,e2] and [e3]: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("foreachBatch incremental sink dedupes across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("incsink").toString
+    val input = MemoryStream[Event](spark)
+    val q = Streams.incrementalSinkQuery(input.toDF(), dir,
+      keyCols = Seq("event_id")).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click"),
+        ev(2, "2024-01-01 10:05:00", 2, "view"))
+      q.processAllAvailable()
+      input.addData(
+        ev(2, "2024-01-01 10:05:00", 2, "view"), // replay of event 2
+        ev(3, "2024-01-01 10:10:00", 3, "click"))
+      q.processAllAvailable()
+      val landed = graft.streaming.WatermarkSync.stored(spark, dir).get
+      assert(landed.count() == 3, "replayed event must not duplicate")
+      assert(landed.select("event_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("reconcile flags only hash-changed keys") {
     val stored = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("k", "sha256")
     val fresh = Seq((1L, "aaa"), (2L, "CHANGED"), (4L, "new")).toDF("k", "sha256")
