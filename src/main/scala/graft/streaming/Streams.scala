@@ -132,6 +132,28 @@ object Streams {
         ()
       }
 
+  /** Watermarked stream-stream join: correlate two event streams per user
+    * within a bounded interval (right event no earlier than the left, at
+    * most `within` later). Both sides carry watermarks so join state is
+    * bounded — the streaming form of the FK correlation the provenance
+    * tables do in batch (J1). */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_id").as("l_event"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_event"), col("event_type").as("r_type"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+  }
+
   /** T4 reconciliation batch (dossier :85–91, :245–252): reissued upstream
     * artifacts are rows whose key matches but whose content hash changed —
     * join stored vs fresh on the idempotency key, keep hash mismatches as
@@ -165,8 +187,8 @@ object Streams {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n"), col("total_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
         .orderBy("window_start", "event_type")
     },
 
@@ -183,7 +205,7 @@ object Streams {
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour", "30 minutes"))
         .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("window_start"), col("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"), col("n"))
         .orderBy("window_start")
     },
 

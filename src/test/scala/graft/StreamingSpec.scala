@@ -141,6 +141,28 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("stream-stream join correlates events within the interval bound") {
+    val clicks = MemoryStream[Event](spark)
+    val buys = MemoryStream[Event](spark)
+    val joined = Streams.streamStreamJoin(clicks.toDF(), buys.toDF(),
+      within = "1 hour", watermark = "2 hours")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click"),
+        ev(2, "2024-01-01 10:00:00", 2, "click"))
+      buys.addData(
+        ev(10, "2024-01-01 10:30:00", 1, "purchase"), // within 1h of click 1
+        ev(11, "2024-01-01 12:30:00", 2, "purchase")) // 2.5h later → outside
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select("l_event", "r_event").as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 10L)),
+        s"only the within-interval pair joins: $rows")
+    } finally q.stop()
+  }
+
   test("reconcile flags only hash-changed keys") {
     val stored = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("k", "sha256")
     val fresh = Seq((1L, "aaa"), (2L, "CHANGED"), (4L, "new")).toDF("k", "sha256")
