@@ -31,6 +31,24 @@ class GraftSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(d == 32.0)
   }
 
+  test("graft-fixture DSv2 source reads fixtures as capture rows") {
+    val df = spark.read.format("graft-fixture")
+      .option("provider", "sec_edgar")
+      .option("root", "src/test/resources/fixtures")
+      .option("fixtures", "submissions.json,artifact.htm,missing.bin")
+      .load()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("provider", "fixture_name", "url", "status_code", "headers_json", "body"))
+    val rows = df.select("fixture_name", "status_code").as[(String, Int)]
+      .collect().toMap
+    assert(rows("submissions.json") == 200)
+    assert(rows("artifact.htm") == 200)
+    assert(rows("missing.bin") == 0, "missing fixture dead-letters as status 0")
+    val body = new String(df.filter(col("fixture_name") === "artifact.htm")
+      .select("body").as[Array[Byte]].head(), "UTF-8")
+    assert(body.contains("SEC fixture artifact"))
+  }
+
   test("GraftExtensions injects without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)

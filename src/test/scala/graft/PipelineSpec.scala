@@ -94,6 +94,21 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("unexpected failure writes error.txt and failed run.json, then rethrows (K12)") {
+    val runs = tmpDir("runs")
+    val ex = intercept[Exception] {
+      // unwritable warehouse path → the responses append throws
+      Runner.run(spark, SecEdgarConnector, 1, fixtures,
+        "/proc/graft-invalid/warehouse", tmpDir("blobs"), runs)
+    }
+    assert(ex != null)
+    val runDir = new java.io.File(runs).listFiles().head
+    assert(Files.exists(runDir.toPath.resolve("error.txt")))
+    val runJson = new String(
+      Files.readAllBytes(runDir.toPath.resolve("run.json")), "UTF-8")
+    assert(runJson.contains("\"status\": \"failed\""))
+  }
+
   test("attempts capture redacts sensitive headers") {
     val df = Seq(
       (Map("Authorization" -> "Bearer abc", "Content-Type" -> "application/json",
