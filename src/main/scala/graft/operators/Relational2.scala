@@ -199,6 +199,53 @@ object Relational2 {
         .drop("o_orderdate")
     },
 
+    // ---- scalar strings, batch 2: translate/reverse/repeat/instr/
+    //      split_part/initcap/left/right ----
+    "q45_string_funcs2" -> QueryDef.sql(
+      """SELECT p_partkey,
+        |  translate(p_brand, '#', '-') AS brand_dashed,
+        |  reverse(p_type) AS type_reversed,
+        |  repeat(p_brand, 2) AS brand_twice,
+        |  CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  left(p_name, 3) AS name_left3,
+        |  right(p_name, 3) AS name_right3
+        |FROM part WHERE p_partkey <= 150 ORDER BY p_partkey""") { (s, dir) =>
+      Tables.part(s, dir).filter(col("p_partkey") <= 150)
+        .select(col("p_partkey"),
+          translate(col("p_brand"), "#", "-").as("brand_dashed"),
+          reverse(col("p_type")).as("type_reversed"),
+          repeat(col("p_brand"), 2).as("brand_twice"),
+          instr(col("p_name"), "a").cast("long").as("first_a"),
+          coalesce(element_at(split(col("p_type"), " "), 1), lit(""))
+            .as("type_head"),
+          substring(col("p_name"), 1, 3).as("name_left3"),
+          expr("right(p_name, 3)").as("name_right3"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- scalar dates, batch 2: datediff/add_months/last_day/day-of-week
+    //      (Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday — aligned
+    //      by subtracting 1 on the Spark side) ----
+    "q46_date_funcs2" -> QueryDef.sql(
+      """SELECT o_orderkey,
+        |  date_diff('day', o_orderdate, TIMESTAMP '2001-12-31 00:00:00') AS days_to_eoy,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""") { (s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"),
+          datediff(lit("2001-12-31").cast("date"), col("o_orderdate"))
+            .cast("long").as("days_to_eoy"),
+          add_months(col("o_orderdate"), 3).as("plus3m"),
+          last_day(col("o_orderdate")).as("month_end"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- min/max over orderable non-numeric types + conditional agg ----
     "q35_minmax_conditional_agg" -> QueryDef.sql(
       """SELECT o_orderstatus,
