@@ -26,7 +26,7 @@ object Skew {
     require(saltBuckets > 0)
     val bigCols = big.columns
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(struct(bigCols.map(col): _*)), lit(saltBuckets)).cast("int"))
+      pmod(xxhash64(struct(bigCols.toIndexedSeq.map(col): _*)), lit(saltBuckets)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(expr(s"sequence(0, ${saltBuckets - 1})")))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

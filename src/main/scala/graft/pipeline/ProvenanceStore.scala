@@ -48,7 +48,7 @@ final class ProvenanceStore(spark: SparkSession, warehouseDir: String) {
     val withIds = rows
       .withColumn("id", row_number().over(w) + lit(base))
       .withColumn("created_at", current_timestamp())
-      .select(Model.responsesSchema.fieldNames.map(col) :+ col("item_index") :+ col("stage"): _*)
+      .select(Model.responsesSchema.fieldNames.toIndexedSeq.map(col) :+ col("item_index") :+ col("stage"): _*)
     withIds.drop("item_index", "stage")
       .write.mode(SaveMode.Append).parquet(responsesPath)
     withIds
@@ -68,7 +68,7 @@ final class ProvenanceStore(spark: SparkSession, warehouseDir: String) {
     val withIds = fresh
       .withColumn("id", row_number().over(w) + lit(base))
       .withColumn("created_at", current_timestamp())
-      .select(Model.artifactsSchema.fieldNames.map(col): _*)
+      .select(Model.artifactsSchema.fieldNames.toIndexedSeq.map(col): _*)
     withIds.write.mode(SaveMode.Append).parquet(artifactsPath)
     withIds
   }
