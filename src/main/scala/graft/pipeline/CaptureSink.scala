@@ -72,11 +72,12 @@ object CaptureSink {
         Redaction.redactJsonUdf(col("request_headers_json")))
       .withColumn("response_headers_json",
         Redaction.redactJsonUdf(col("response_headers_json")))
-      // K7 gate: content-type contains json (case-insensitive) + size cap
+      // K7 gate: the content-type HEADER contains json (case-insensitive
+      // key and value, run_capture.py:143) + size cap
       .withColumn("pretty_eligible",
         col("byte_count") <= prettyMaxBytes &&
-          (lower(col("response_headers_json")).contains("json") ||
-            lower(col("url")).endsWith(".json")))
+          regexp_extract(lower(col("response_headers_json")),
+            "\"content-type\"\\s*:\\s*\"([^\"]*)\"", 1).contains("json"))
 
     stamped.select("stem", "method", "url", "attempt_number", "status_code",
         "request_headers_json", "response_headers_json", "error_type",
