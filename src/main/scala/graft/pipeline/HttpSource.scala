@@ -81,14 +81,31 @@ object HttpSource {
     }
   }
 
+  /** Exponential backoff with deterministic jitter (dossier :54–60:
+    * exp backoff + jitter; Retry-After authoritative when the server sends
+    * it; 404 terminal — 404 is not in the retryable set). Deterministic
+    * jitter (hash of url+attempt) keeps re-executed partitions
+    * reproducible. */
+  def backoffMs(url: String, attempt: Int,
+                retryAfterHeader: Option[String]): Long =
+    retryAfterHeader.flatMap(s => scala.util.Try(s.trim.toLong).toOption) match {
+      case Some(seconds) => seconds * 1000L
+      case None =>
+        val base = math.min(500L << (attempt - 1), 5000L)
+        val jitter = math.abs((url + "#" + attempt).hashCode % 100L)
+        base + jitter
+    }
+
   /** Live path: rate-limit per host, 3 attempts, retryable-status and
-    * transport-error retry, size cap as a dead-letter condition
-    * (http_client.py:163–216). */
+    * transport-error retry with backoff, size cap as a dead-letter
+    * condition (http_client.py:163–216). `sleeper` is injectable so tests
+    * observe the schedule instead of waiting it out. */
   def liveFetch(
       limiter: RateLimiter,
       transport: Transport,
       req: FetchRequest,
-      maxArtifactBytes: Long): CapturedFetch = {
+      maxArtifactBytes: Long,
+      sleeper: Long => Unit = Thread.sleep): CapturedFetch = {
     val host = hostOf(req.url)
     var attempts = Vector.empty[AttemptRecord]
     var result: Option[CapturedFetch] = None
@@ -101,6 +118,12 @@ object HttpSource {
         attempts :+= AttemptRecord(req.provider, req.item_index, req.stage,
           req.method, req.url, n, status, Map.empty, respHeaders, null, null)
         if (isRetryableStatus(status)) {
+          if (n < retryAttempts) {
+            val retryAfter = respHeaders.collectFirst {
+              case (k, v) if k.equalsIgnoreCase("retry-after") => v
+            }
+            sleeper(backoffMs(req.url, n, retryAfter))
+          }
           if (n == retryAttempts)
             result = Some(CapturedFetch(req.provider, req.item_index, req.stage,
               req.method, req.url, req.params_json, status,
@@ -123,6 +146,7 @@ object HttpSource {
           attempts :+= AttemptRecord(req.provider, req.item_index, req.stage,
             req.method, req.url, n, 0, Map.empty, Map.empty,
             e.getClass.getSimpleName, String.valueOf(e.getMessage))
+          if (n < retryAttempts) sleeper(backoffMs(req.url, n, None))
           if (n == retryAttempts)
             result = Some(CapturedFetch(req.provider, req.item_index, req.stage,
               req.method, req.url, req.params_json, 0, headersJson(Map.empty),

@@ -135,19 +135,53 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(bad == "not json")
   }
 
-  test("retry state machine: 500 then 200 captures both attempts") {
+  test("retry state machine: 500 then 200 captures both attempts with backoff") {
     val limiter = new RateLimiter
     var calls = 0
+    var sleeps = Vector.empty[Long]
     val transport: HttpSource.Transport = (_, _, _) => {
       calls += 1
       if (calls == 1) (500, Map("retry" -> "yes"), Array.emptyByteArray)
       else (200, Map.empty[String, String], "ok".getBytes)
     }
     val req = Model.FetchRequest("p", 0, "metadata", "GET", "https://x.test/a", null, "f")
-    val out = HttpSource.liveFetch(limiter, transport, req, maxArtifactBytes = 1000)
+    val out = HttpSource.liveFetch(limiter, transport, req, maxArtifactBytes = 1000,
+      sleeper = ms => sleeps :+= ms)
     assert(out.status_code == 200)
     assert(new String(out.body) == "ok")
     assert(out.attempts.map(_.status_code) == Seq(500, 200))
+    assert(sleeps.length == 1, "one backoff between the two attempts")
+    assert(sleeps.head >= 500 && sleeps.head < 600, s"base 500ms + jitter: $sleeps")
+  }
+
+  test("Retry-After header is authoritative for the backoff delay") {
+    val limiter = new RateLimiter
+    var calls = 0
+    var sleeps = Vector.empty[Long]
+    val transport: HttpSource.Transport = (_, _, _) => {
+      calls += 1
+      if (calls == 1) (429, Map("Retry-After" -> "7"), Array.emptyByteArray)
+      else (200, Map.empty[String, String], "ok".getBytes)
+    }
+    val req = Model.FetchRequest("p", 0, "metadata", "GET", "https://x.test/b", null, "f")
+    val out = HttpSource.liveFetch(limiter, transport, req, 1000,
+      sleeper = ms => sleeps :+= ms)
+    assert(out.status_code == 200)
+    assert(sleeps == Vector(7000L), s"Retry-After seconds win over exp backoff: $sleeps")
+  }
+
+  test("404 is terminal: no retry, no backoff") {
+    val limiter = new RateLimiter
+    var calls = 0
+    val transport: HttpSource.Transport = (_, _, _) => {
+      calls += 1
+      (404, Map.empty[String, String], Array.emptyByteArray)
+    }
+    val req = Model.FetchRequest("p", 0, "metadata", "GET", "https://x.test/c", null, "f")
+    val out = HttpSource.liveFetch(limiter, transport, req, 1000, sleeper = _ => fail("no sleep"))
+    assert(calls == 1)
+    assert(out.status_code == 404)
+    assert(out.attempts.size == 1)
   }
 
   test("retry state machine: transport errors recorded as status 0 with error_type") {
