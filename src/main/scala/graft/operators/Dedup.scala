@@ -72,6 +72,42 @@ object Dedup {
         .orderBy("d1", "d2")
     },
 
+    // ---- duplicate clusters: connected components over the near-dup pair
+    //      graph (keep-one-per-cluster is what a dedup pipeline actually
+    //      ships). Spark side: iterative min-label propagation (converges
+    //      in O(graph diameter) joins); oracle: recursive CTE transitive
+    //      closure — same fixpoint, declarative form. ----
+    "q62_dup_clusters" -> QueryDef.sql(
+      """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM com
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |  WHERE r.a != e.b),
+        |members AS (SELECT DISTINCT a AS doc_id FROM edges)
+        |SELECT m.doc_id,
+        |  least(m.doc_id, min(r.b)) AS cluster_id,
+        |  m.doc_id = least(m.doc_id, min(r.b)) AS is_keeper
+        |FROM members m JOIN reach r ON r.a = m.doc_id
+        |GROUP BY m.doc_id
+        |ORDER BY doc_id""") { (s, dir) =>
+      duplicateClusters(exactJaccardPairs(Tables.documents(s, dir), 0.6))
+        .orderBy("doc_id")
+    },
+
     // ---- MinHash + LSH candidate pairs (no SQL oracle — sketch internals
     //      are engine-specific; DedupSpec checks recall against q51's exact
     //      pairs instead) ----
@@ -107,6 +143,49 @@ object Dedup {
       .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
       .filter(j >= threshold)
       .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
+  }
+
+  /** Connected components over a near-dup pair graph by iterative min-label
+    * propagation: every node adopts the smallest label among itself and its
+    * neighbors until fixpoint (≤ graph diameter iterations — near-dup
+    * clusters are tiny, so 2–4 in practice; `maxIters` bounds pathological
+    * chains). Output: (doc_id, cluster_id, is_keeper) for every doc that
+    * appears in a pair; cluster_id = smallest doc_id in the component, the
+    * deterministic keeper rule.
+    *
+    * Scale notes: each iteration is one shuffle join on the edge list;
+    * at 100 TB checkpoint `labels` every few iterations to cut lineage,
+    * and switch to large-star/small-star (Kiveris et al.) if components
+    * get deep. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      i += 1
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "b_id"),
+          col("b") === col("b_id"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(neighborMin, Seq("doc_id"))
+        .select(col("doc_id"),
+          least(col("label"), col("nbr_label")).as("label"))
+        .cache()
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
+        .filter(col("u.label") =!= col("l.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("is_keeper"))
   }
 
   /** MinHash signatures (numHashes seeded xxhash64 mins over shingles),

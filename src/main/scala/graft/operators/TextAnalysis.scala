@@ -125,6 +125,41 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- TF-IDF: top-3 distinguishing terms per doc. tf and df are
+    //      integer counts (cross-engine exact); the only float op is the
+    //      final per-row ln + multiply, rounded before ranking ----
+    "q48b_tfidf_topterms" -> QueryDef.sql(
+      """WITH wds AS (SELECT doc_id, unnest(list_filter(string_split(trim(text),' '), x -> x != '')) AS word
+        |             FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM wds GROUP BY 1, 2),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM wds GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (word) CROSS JOIN n
+        |  WHERE tf.doc_id < 50),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, word) AS rnk FROM scored)
+        |SELECT doc_id, word, tfidf, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val wds = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      val tf = wds.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = wds.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "word").join(broadcast(nDocs))
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("word"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("tfidf"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    },
+
     // ---- document fingerprinting: canonical-form content hash (the
     //      reference's sha256 content key, X0, applied to normalized text) ----
     "q43_doc_fingerprint" -> QueryDef.sql(

@@ -88,6 +88,18 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("duplicate clusters merge transitive chains to one keeper") {
+    // chain: 10~11 and 11~12 are edges, 10~12 is not — one component {10,11,12}
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .select("doc_id", "cluster_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(clusters.map(c => c._1 -> c._2).toMap ==
+      Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(clusters.filter(_._3).map(_._1).toSeq == Seq(10L, 20L),
+      "exactly one keeper per component, the min doc_id")
+  }
+
   test("minhash recall vs exact on real testdata documents") {
     val real = Tables.documents(spark, sf001)
     val exact = Dedup.exactJaccardPairs(real, threshold = 0.8)
