@@ -28,7 +28,20 @@ object Bench {
     // warm-up: session init, codegen, parquet footer caches
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Headline set: one representative per operator family, held STABLE
+    // across rounds so BENCH_r{N} totals stay comparable as the query
+    // inventory grows. SPARK_GRAFT_BENCH_ALL=1 runs the full inventory.
+    val headline = Set(
+      "q01_pricing_summary", "q02_filter_predicates", "q03_join_revenue_topk",
+      "q04_join_broadcast_dims", "q09_window_topk_per_group",
+      "q24_exists_filtered", "q36_tumbling_window", "q41_quality_score",
+      "q51_ngram_jaccard_pairs", "q52_minhash_lsh_pairs",
+      "q54_cosine_topk", "q55_cosine_threshold_pairs")
+    val selected =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(headline).toMap
+
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>

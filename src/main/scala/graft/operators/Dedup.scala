@@ -158,9 +158,19 @@ object Dedup {
     * and switch to large-star/small-star (Kiveris et al.) if components
     * get deep. */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .distinct().cache()
+    // cache + materialize the pair computation FIRST: the symmetric union
+    // below reads it twice, and every iteration joins against it
+    val p = pairs.cache()
+    val nPairs = p.count()
+    // size iteration parallelism to the graph, not the corpus — near-dup
+    // graphs are usually a tiny fraction of the input, and per-iteration
+    // task overhead dominates otherwise (~100k edges per partition)
+    val parts = math.max(1, math.min(
+      p.sparkSession.sparkContext.defaultParallelism,
+      (nPairs / 100000L).toInt + 1))
+    val edges = p.select(col("d1").as("a"), col("d2").as("b"))
+      .union(p.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct().repartition(parts).cache()
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).cache()
     var converged = false
@@ -172,16 +182,15 @@ object Dedup {
           col("b") === col("b_id"))
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
+      // fused update + convergence flag: one join, one action per iteration
       val updated = labels.join(neighborMin, Seq("doc_id"))
         .select(col("doc_id"),
-          least(col("label"), col("nbr_label")).as("label"))
+          least(col("label"), col("nbr_label")).as("label"),
+          (col("nbr_label") < col("label")).as("chg"))
         .cache()
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
-        .filter(col("u.label") =!= col("l.label"))
-        .limit(1).count()
+      val changed = updated.filter(col("chg")).limit(1).count()
       labels.unpersist()
-      labels = updated
+      labels = updated.drop("chg")
       converged = changed == 0
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"),
