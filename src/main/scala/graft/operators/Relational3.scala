@@ -18,15 +18,41 @@ object Relational3 {
     // ---- approximate percentile: like q32, the sketch value is
     //      engine-specific, so the oracle checks the exact quantile plus a
     //      relative-error bound on the estimate ----
+    // exact median from explicit integer row positions (lower/upper middle
+    // of the sorted group) — engines disagree on continuous-quantile
+    // interpolation conventions at some group sizes, so the oracle-exact
+    // value must avoid interpolation entirely
     "q47_approx_percentile" -> QueryDef.sql(
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
-        |  true AS approx_within_2pct
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
-      Tables.lineitem(s, dir).groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_median"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_median"))
+      """WITH o AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |med AS (
+        |  SELECT l_returnflag,
+        |    round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS exact_median
+        |  FROM o WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, exact_median, true AS approx_within_2pct
+        |FROM med ORDER BY l_returnflag""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("v", "l_orderkey", "l_linenumber")
+      val ranked = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      val med = ranked
+        .filter(col("rn") === (col("n") + 1).divide(2).cast("long") ||
+          col("rn") === (col("n") + 2).divide(2).cast("long"))
+        .groupBy("l_returnflag")
+        .agg(round(sum(col("v").cast("decimal(18,2)")).cast("double") / count(lit(1)), 2)
+          .as("exact_median"))
+      val approx = Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_median"))
+      med.join(approx, "l_returnflag")
         .select(col("l_returnflag"), col("exact_median"),
           (abs(col("approx_median") - col("exact_median")) <=
             col("exact_median") * 0.02).as("approx_within_2pct"))
