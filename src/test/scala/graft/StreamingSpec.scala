@@ -163,6 +163,36 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("checkpointed query resumes exactly-once across a restart (T1)") {
+    val base = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/checkpoint"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+
+    def writeBatch(name: String, events: Seq[Event]): Unit =
+      events.toDF().write.mode("overwrite").parquet(s"$srcDir/$name")
+
+    writeBatch("b1", Seq(ev(1, "2024-01-01 10:00:00", 1, "click"),
+      ev(2, "2024-01-01 10:01:00", 2, "view")))
+    val schema = spark.read.parquet(s"$srcDir/b1").schema
+    def startQuery() = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(srcDir)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(outDir).count() == 2)
+
+    // restart from the same checkpoint; add new data only
+    writeBatch("b2", Seq(ev(3, "2024-01-01 10:02:00", 3, "click")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 3, "restart must not reprocess batch 1")
+    assert(out.select("event_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("reconcile flags only hash-changed keys") {
     val stored = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("k", "sha256")
     val fresh = Seq((1L, "aaa"), (2L, "CHANGED"), (4L, "new")).toDF("k", "sha256")
