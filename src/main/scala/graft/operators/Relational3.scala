@@ -122,6 +122,40 @@ object Relational3 {
         .orderBy("p_partkey")
     },
 
+    // ---- pivot: long → wide (oracle expresses the same reshape as
+    //      conditional aggregation; pivot's absent cells null-fill to 0) ----
+    "q63_pivot" -> QueryDef.sql(
+      """SELECT year(o_orderdate) AS order_year,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+        |FROM orders GROUP BY 1 ORDER BY order_year""") { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("O", "F", "P"))
+        .select(col("order_year"), col("O").as("n_open"),
+          col("F").as("n_finished"), col("P").as("n_pending"))
+        .orderBy("order_year")
+    },
+
+    // ---- unpivot: wide → long (melt) ----
+    "q64_unpivot" -> QueryDef.sql(
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part) t
+        |WHERE p_partkey <= 200
+        |ORDER BY p_partkey, metric""") { (s, dir) =>
+      Tables.part(s, dir).filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "value")
+        .orderBy("p_partkey", "metric")
+    },
+
     // ---- null semantics over outer-join generated nulls: coalesce /
     //      nullif / null-safe equality ----
     "q61_null_semantics" -> QueryDef.sql(
