@@ -205,6 +205,32 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.attempts.last.error_type == "SizeCapExceeded")
   }
 
+  test("token bucket actually limits: draining the bucket forces a wait") {
+    val limiter = new RateLimiter
+    val t0 = System.nanoTime()
+    limiter.acquire("host-x", rate = 2.0) // bucket starts full (2 tokens)
+    limiter.acquire("host-x", rate = 2.0)
+    val afterBurst = (System.nanoTime() - t0) / 1e9
+    assert(afterBurst < 0.2, s"burst within capacity must not sleep: $afterBurst")
+    limiter.acquire("host-x", rate = 2.0) // deficit → ~0.5s wait at 2 rps
+    val total = (System.nanoTime() - t0) / 1e9
+    assert(total >= 0.3, s"third acquire must wait for refill: $total")
+  }
+
+  test("backoff schedule: exponential base, 5s cap, Retry-After override") {
+    val d1 = HttpSource.backoffMs("https://x.test/a", 1, None)
+    val d2 = HttpSource.backoffMs("https://x.test/a", 2, None)
+    val d9 = HttpSource.backoffMs("https://x.test/a", 9, None)
+    assert(d1 >= 500 && d1 < 600)
+    assert(d2 >= 1000 && d2 < 1100)
+    assert(d9 >= 5000 && d9 < 5100, "capped at 5s + jitter")
+    assert(HttpSource.backoffMs("u", 1, Some("11")) == 11000L)
+    assert(HttpSource.backoffMs("u", 1, Some("garbage")) >= 500,
+      "unparseable Retry-After falls back to exponential")
+    assert(HttpSource.backoffMs("https://x.test/a", 1, None) == d1,
+      "jitter is deterministic per (url, attempt)")
+  }
+
   test("run dir collision gets a numeric suffix") {
     val root = tmpDir("runs")
     val t = java.time.Instant.parse("2026-01-02T03:04:05Z")
