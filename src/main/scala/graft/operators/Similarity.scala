@@ -86,6 +86,15 @@ object Similarity {
         .orderBy("qid", "rank")
     },
 
+    // ---- IVF top-k with a k-means coarse quantizer (rows-only — the
+    //      quantizer is engine-specific; SimilaritySpec measures recall
+    //      and candidate reduction vs brute force) ----
+    "q65_ivf_topk" -> QueryDef.rowsOnly { (s, dir) =>
+      ivfTopK(Tables.embeddings(s, dir), nQueries = 50, k = 5,
+        nClusters = 8, nProbe = 3)
+        .orderBy("qid", "rank")
+    },
+
     // ---- per-label centroids (the IVF coarse-quantizer building block):
     //      element-wise vector mean via posexplode + decimal-exact sums ----
     "q57_label_centroids" -> QueryDef.sql(
@@ -116,6 +125,85 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
     broadcast(q).join(e, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"),
+        round(dot("qemb", "emb") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** K-means centroids over the (normalized) embedding column, computed
+    * DataFrame-iteratively: deterministic seeds (lowest vec_ids), then
+    * `iters` rounds of assign-to-nearest (broadcast centroids) and
+    * element-wise mean recompute (posexplode → avg → re-assemble).
+    *
+    * Scale notes: each iteration is one narrow pass over the corpus plus a
+    * groupBy(cluster, dim) shuffle of k×dim cells — independent of corpus
+    * size after the partial aggregation. Seeds/means are deterministic, so
+    * re-runs converge identically. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = withNorm(embeddings)
+      .select(col("vec_id"),
+        expr("transform(emb, x -> x / norm)").as("emb")) // unit vectors
+      .cache()
+    var centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster_id"), col("emb").as("cemb"))
+      .cache()
+    (1 to iters).foreach { _ =>
+      val assigned = assignClusters(e, centroids)
+      val next = assigned
+        .select(col("cluster_id"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy("cluster_id", "dim")
+        .agg(avg(col("v")).as("v"))
+        .groupBy("cluster_id")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, v))), s -> s.v)")
+          .as("cemb"))
+        .cache()
+      centroids.unpersist()
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: (vec_id, emb, cluster_id, cos_to_centroid). */
+  private def assignClusters(unitVecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cluster_id"))
+    unitVecs.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("emb"), col("cluster_id"),
+        dot("emb", "cemb").as("c_cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** IVF approximate top-k: corpus vectors index into their nearest
+    * centroid's posting list; a query probes only its `nProbe` nearest
+    * centroids' lists and exact-ranks those candidates. Pair volume drops
+    * from queries × corpus to queries × (corpus × nProbe / k) on balanced
+    * clusters — the standard recall/cost dial. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              nClusters: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nClusters, kmeansIters)
+    val e = withNorm(embeddings).cache()
+    val unit = e.select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb"))
+    val posting = assignClusters(unit, centroids)
+      .select(col("vec_id").as("nid"), col("cluster_id"))
+    val probes = unit.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("qid"), col("cluster_id"),
+        dot("emb", "cemb").as("c_cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("c_cos").desc, col("cluster_id"))))
+      .filter(col("rn") <= nProbe)
+      .select("qid", "cluster_id")
+    val qSide = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("norm").as("qnorm"))
+    val cand = probes.join(posting, "cluster_id")
+      .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
+      .join(broadcast(qSide), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("emb"), col("norm")), "nid")
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    cand
+      .select(col("qid"), col("nid"),
         round(dot("qemb", "emb") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -33,6 +33,41 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cos == 0.0)
   }
 
+  test("IVF with k-means quantizer: exact scores, fewer candidates, useful recall") {
+    val emb = Tables.embeddings(spark, sf001)
+    val nQ = 50
+    val ivf = Similarity.ivfTopK(emb, nQueries = nQ, k = 5, nClusters = 8, nProbe = 3)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    // every emitted similarity is the exactly-computed one
+    val full = Similarity.cosineTopK(emb, col("vec_id") < nQ, k = Int.MaxValue)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    ivf.foreach { case (q, n, c) =>
+      assert(full.get((q, n)).contains(c), s"IVF pair ($q,$n) score mismatch")
+    }
+    // recall of the exact top-1 with 3 of 8 probes should beat 3/8 random
+    val exactTop1 = Similarity.cosineTopK(emb, col("vec_id") < nQ, k = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val ivfPairs = ivf.map(r => (r._1, r._2)).toSet
+    val recall = exactTop1.count { case (q, n) => ivfPairs.contains((q, n)) }.toDouble /
+      exactTop1.size
+    assert(recall >= 0.4, s"IVF top-1 recall $recall below 0.4")
+  }
+
+  test("k-means centroids are unit-scale, deterministic, and cover all clusters") {
+    val emb = Tables.embeddings(spark, sf001)
+    val c1 = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+      .select("cluster_id", "cemb").as[(Int, Array[Double])].collect().sortBy(_._1)
+    val c2 = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+      .select("cluster_id", "cemb").as[(Int, Array[Double])].collect().sortBy(_._1)
+    assert(c1.map(_._1).toSeq == (0 until 8))
+    assert(c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq, "deterministic")
+    c1.foreach { case (_, v) =>
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(norm > 0.0 && norm <= 1.0001, s"mean of unit vectors has norm <= 1: $norm")
+    }
+  }
+
   test("ANN LSH results are a subset of true cosine ranking with exact scores") {
     val ann = Similarity.annLshTopK(Tables.embeddings(spark, sf001),
         nQueries = 50, k = 5, planesPerBand = 4, bands = 4)
