@@ -95,6 +95,16 @@ object Similarity {
         .orderBy("qid", "rank")
     },
 
+    // ---- int8-quantized brute-force top-k (rows-only — quantization
+    //      noise is engine/format-specific; SimilaritySpec measures top-k
+    //      overlap against the exact float path) ----
+    "q66_quantized_topk" -> QueryDef.rowsOnly { (s, dir) =>
+      cosineTopK(
+        dequantizeInt8(quantizeInt8(Tables.embeddings(s, dir))),
+        col("vec_id") < 50, k = 5)
+        .orderBy("qid", "rank")
+    },
+
     // ---- per-label centroids (the IVF coarse-quantizer building block):
     //      element-wise vector mean via posexplode + decimal-exact sums ----
     "q57_label_centroids" -> QueryDef.sql(
@@ -129,6 +139,26 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Int8 scalar quantization of the embedding column: per-vector
+    * symmetric scale (max|x| / 127), elements stored as TINYINT. At 100 TB
+    * this cuts the similarity scan's bytes ~4× (float32 → int8 + one
+    * float scale per vector); dequantized cosine stays within ~1% of exact
+    * for unit-scale embeddings (SimilaritySpec measures the top-k overlap).
+    * Output: (vec_id, qemb array<tinyint>, scale double). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("scale",
+        expr("aggregate(emb, 0D, (acc, x) -> greatest(acc, abs(x))) / 127.0"))
+      .select(col("vec_id"),
+        expr("transform(emb, x -> CAST(round(x / scale) AS TINYINT))").as("qemb"),
+        col("scale"))
+
+  /** Reverse of [[quantizeInt8]]: (vec_id, embedding array<double>). */
+  def dequantizeInt8(quantized: DataFrame): DataFrame =
+    quantized.select(col("vec_id"),
+      expr("transform(qemb, q -> CAST(q AS DOUBLE) * scale)").as("embedding"))
 
   /** K-means centroids over the (normalized) embedding column, computed
     * DataFrame-iteratively: deterministic seeds (lowest vec_ids), then

@@ -68,6 +68,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("int8 quantization round-trips within tolerance and preserves top-k") {
+    val emb = Tables.embeddings(spark, sf001)
+    val deq = Similarity.dequantizeInt8(Similarity.quantizeInt8(emb))
+    // element-wise error bounded by scale/2 = max|x|/254
+    val err = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("orig"))
+      .join(deq.withColumnRenamed("embedding", "deq"), "vec_id")
+      .select(expr(
+        """aggregate(zip_with(orig, deq, (a, b) -> abs(a - b)), 0D,
+          |          (acc, x) -> greatest(acc, x))""".stripMargin).as("max_err"),
+        expr("aggregate(orig, 0D, (acc, x) -> greatest(acc, abs(x))) / 254.0")
+          .as("bound"))
+    assert(err.filter(col("max_err") > col("bound") * 1.0001).count() == 0,
+      "quantization error exceeds scale/2 bound")
+    // top-1 agreement with the exact float path
+    val exact = Similarity.cosineTopK(emb, col("vec_id") < 50, k = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val quant = Similarity.cosineTopK(deq.withColumnRenamed("embedding", "embedding"),
+        col("vec_id") < 50, k = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val agree = exact.count { case (q, n) => quant.get(q).contains(n) }.toDouble /
+      exact.size
+    assert(agree >= 0.85, s"int8 top-1 agreement $agree below 0.85")
+  }
+
   test("ANN LSH results are a subset of true cosine ranking with exact scores") {
     val ann = Similarity.annLshTopK(Tables.embeddings(spark, sf001),
         nQueries = 50, k = 5, planesPerBand = 4, bands = 4)
