@@ -2,6 +2,7 @@ package graft.pipeline
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.expr
 import Model._
 
 /** The rate-limited, retrying fetch source (reference http_client.py:121–313)
@@ -11,12 +12,16 @@ import Model._
   * testable without network (the reference's own tests inject fake
   * transports, tests/test_capture_hardening.py:60–96). The offline
   * transport resolves `fixtures/<provider>/<fixture_name>` — offline is the
-  * default mode in the reference (cli.py:33, http_client.py:75–76).
+  * default mode in the reference (cli.py:33, http_client.py:75–76). Live
+  * mode (reference cli.py:29 `--live`) uses [[jdkTransport]], a
+  * `java.net.http` client with redirect-following and per-URL timeouts.
   *
   * Scale design:
-  * - requests are repartitioned BY HOST so each host's rate budget is
-  *   enforced inside a single partition (reference limiter is
-  *   process-global; SURVEY.md §7 hard parts);
+  * - requests are repartitioned BY HOST (`parse_url(url, 'HOST')`) so each
+  *   host's rate budget is enforced inside a single partition: one host →
+  *   one partition → one RateLimiter bucket, budgets hold cluster-wide no
+  *   matter how many executors run (reference limiter is process-global;
+  *   SURVEY.md §7 hard parts);
   * - retries live INSIDE the partition function — Spark task retries are
   *   too coarse (they would redo the whole partition);
   * - attempts are emitted as rows alongside the response (the observer
@@ -26,15 +31,77 @@ import Model._
   */
 object HttpSource {
 
-  /** (method, url, bodyJson) → (status, headers, body); throws for
-    * transport errors. */
-  type Transport = (String, String, String) => (Int, Map[String, String], Array[Byte])
+  /** (method, url, paramsJson, requestHeaders, readTimeoutMs) →
+    * (status, responseHeaders, body); throws for transport errors. */
+  type Transport =
+    (String, String, String, Map[String, String], Long) => (Int, Map[String, String], Array[Byte])
+
+  /** Live-mode configuration (reference http_client.py:38–63: env-driven
+    * credentials, size cap, PDF read timeout). Serializable — ships to
+    * executors inside the mapPartitions closure. */
+  case class HttpConfig(
+      live: Boolean = false,
+      secUserAgent: Option[String] = None,
+      nrcSubscriptionKey: Option[String] = None,
+      connectTimeoutMs: Long = 10000L,
+      readTimeoutMs: Long = 60000L,
+      pdfReadTimeoutMs: Long = 180000L)
+
+  object HttpConfig {
+    /** Reference env contract: SEC_USER_AGENT, NRC_SUBSCRIPTION_KEY (alias
+      * NRC_APS_SUBSCRIPTION_KEY), APP_PDF_READ_TIMEOUT_SECONDS
+      * (http_client.py:44–63, config.py). */
+    def fromEnv(live: Boolean, env: Map[String, String] = sys.env): HttpConfig =
+      HttpConfig(
+        live = live,
+        secUserAgent = env.get("SEC_USER_AGENT").filter(_.nonEmpty),
+        nrcSubscriptionKey = env.get("NRC_SUBSCRIPTION_KEY")
+          .orElse(env.get("NRC_APS_SUBSCRIPTION_KEY")).filter(_.nonEmpty),
+        pdfReadTimeoutMs = env.get("APP_PDF_READ_TIMEOUT_SECONDS").filter(_.nonEmpty)
+          .flatMap(s => scala.util.Try((s.toDouble * 1000).toLong).toOption)
+          .getOrElse(180000L))
+  }
 
   val retryAttempts = 3
 
   /** Retryable = 429, 403, or 5xx (reference http_client.py:111–112). */
   def isRetryableStatus(status: Int): Boolean =
     status == 429 || status == 403 || status >= 500
+
+  /** PDF-URL predicate (F4, reference http_client.py:78–80): *.pdf or an
+    * NRC docs URL gets the long read timeout. */
+  def isPdfUrl(url: String): Boolean = {
+    val lower = url.toLowerCase
+    lower.endsWith(".pdf") || lower.contains("www.nrc.gov/docs/")
+  }
+
+  def readTimeoutFor(cfg: HttpConfig, url: String): Long =
+    if (isPdfUrl(url)) cfg.pdfReadTimeoutMs else cfg.readTimeoutMs
+
+  /** Per-request headers (reference http_client.py:85–107 _build_headers):
+    * default UA; sec.gov hosts REQUIRE the operator-identifying UA and take
+    * gzip; the APS host requires the subscription key header AND a
+    * 3 rps per-(key, host) budget on top of the host budget. Missing
+    * credentials fail the job (config error, not data error — reference
+    * raises ValueError). */
+  def buildHeaders(cfg: HttpConfig, limiter: RateLimiter, host: String,
+                   method: String): Map[String, String] = {
+    var h = Map("User-Agent" -> "graft/0.1")
+    if (host.contains("sec.gov")) {
+      val ua = cfg.secUserAgent.getOrElse(throw new IllegalStateException(
+        "SEC_USER_AGENT must be set for SEC live requests"))
+      h += ("User-Agent" -> ua, "Accept-Encoding" -> "gzip, deflate")
+    }
+    if (host == "adams-api.nrc.gov") {
+      val key = cfg.nrcSubscriptionKey.getOrElse(throw new IllegalStateException(
+        "NRC_SUBSCRIPTION_KEY or NRC_APS_SUBSCRIPTION_KEY must be set"))
+      h += ("Ocp-Apim-Subscription-Key" -> key)
+      limiter.acquireAps(key, host) // T5: 3 rps per (subscription_key, host)
+    }
+    if (method.equalsIgnoreCase("POST"))
+      h += ("Accept" -> "application/json", "Content-Type" -> "application/json")
+    h
+  }
 
   /** Run the fetch state machine for every request; emits one CapturedFetch
     * per request (status 0 + error attempts if all retries failed). */
@@ -44,17 +111,23 @@ object HttpSource {
       transport: Transport,
       offlineFixtureRoot: Option[String],
       maxArtifactBytes: Long = 50L * 1024 * 1024,
-      hostParallelism: Int = 1): Dataset[CapturedFetch] = {
+      hostParallelism: Int = 1,
+      config: HttpConfig = HttpConfig()): Dataset[CapturedFetch] = {
     import spark.implicits._
     val root = offlineFixtureRoot
-    // partition by host so per-host rate budgets hold cluster-wide
-    val byHost = requests.repartition(math.max(hostParallelism, 1), requests("url"))
+    // Partition by HOST (not full url): hashing the url scatters one host's
+    // requests across partitions, and each partition owns its own
+    // RateLimiter — per-host budgets only hold if a host maps to exactly
+    // one partition.
+    val byHost = requests.repartition(
+      math.max(hostParallelism, 1), expr("parse_url(url, 'HOST')"))
     byHost.mapPartitions { it =>
       val limiter = new RateLimiter
       it.map { req =>
         root match {
           case Some(dir) => offlineFetch(dir, req)
-          case None      => liveFetch(limiter, transport, req, maxArtifactBytes)
+          case None      => liveFetch(limiter, transport, req, maxArtifactBytes,
+                                      config = config)
         }
       }
     }
@@ -96,27 +169,35 @@ object HttpSource {
         base + jitter
     }
 
-  /** Live path: rate-limit per host, 3 attempts, retryable-status and
-    * transport-error retry with backoff, size cap as a dead-letter
-    * condition (http_client.py:163–216). `sleeper` is injectable so tests
-    * observe the schedule instead of waiting it out. */
+  /** Live path: rate-limit per host (plus per-subscription-key for APS),
+    * 3 attempts, retryable-status and transport-error retry with backoff,
+    * size cap as a dead-letter condition (http_client.py:163–216).
+    * `sleeper` is injectable so tests observe the schedule instead of
+    * waiting it out. Request headers are recorded on every attempt (the
+    * capture sinks redact sensitive keys, X1). */
   def liveFetch(
       limiter: RateLimiter,
       transport: Transport,
       req: FetchRequest,
       maxArtifactBytes: Long,
-      sleeper: Long => Unit = Thread.sleep): CapturedFetch = {
+      sleeper: Long => Unit = Thread.sleep,
+      config: HttpConfig = HttpConfig()): CapturedFetch = {
     val host = hostOf(req.url)
+    val readTimeoutMs = readTimeoutFor(config, req.url)
     var attempts = Vector.empty[AttemptRecord]
     var result: Option[CapturedFetch] = None
     var n = 0
     while (n < retryAttempts && result.isEmpty) {
       n += 1
       limiter.acquireHost(host)
+      // headers are (re)built per attempt: APS per-key budget applies to
+      // every request sent, including retries (http_client.py:96–100)
+      val reqHeaders = buildHeaders(config, limiter, host, req.method)
       try {
-        val (status, respHeaders, body) = transport(req.method, req.url, req.params_json)
+        val (status, respHeaders, body) =
+          transport(req.method, req.url, req.params_json, reqHeaders, readTimeoutMs)
         attempts :+= AttemptRecord(req.provider, req.item_index, req.stage,
-          req.method, req.url, n, status, Map.empty, respHeaders, null, null)
+          req.method, req.url, n, status, reqHeaders, respHeaders, null, null)
         if (isRetryableStatus(status)) {
           if (n < retryAttempts) {
             val retryAfter = respHeaders.collectFirst {
@@ -142,9 +223,10 @@ object HttpSource {
             headersJson(respHeaders), body, attempts))
         }
       } catch {
+        case e: IllegalStateException => throw e // config error: fail the job
         case e: Exception =>
           attempts :+= AttemptRecord(req.provider, req.item_index, req.stage,
-            req.method, req.url, n, 0, Map.empty, Map.empty,
+            req.method, req.url, n, 0, reqHeaders, Map.empty,
             e.getClass.getSimpleName, String.valueOf(e.getMessage))
           if (n < retryAttempts) sleeper(backoffMs(req.url, n, None))
           if (n == retryAttempts)
@@ -154,6 +236,71 @@ object HttpSource {
       }
     }
     result.get
+  }
+
+  /** Default live transport on `java.net.http` (reference uses httpx with
+    * follow_redirects=True, http_client.py:63): redirects followed, connect
+    * timeout fixed, read timeout per request (PDF URLs get the long one),
+    * GET params appended as a query string, POST body sent as JSON. One
+    * client per JVM — java.net.http.HttpClient is thread-safe. */
+  def jdkTransport(connectTimeoutMs: Long = 10000L): Transport = {
+    (method, url, paramsJson, headers, readTimeoutMs) => {
+      import java.net.http.{HttpClient => JHttpClient, HttpRequest, HttpResponse}
+      val client = JdkClientHolder.client(connectTimeoutMs)
+      val target =
+        if (!method.equalsIgnoreCase("POST") && paramsJson != null && paramsJson.nonEmpty)
+          appendQuery(url, paramsJson)
+        else url
+      var b = HttpRequest.newBuilder(java.net.URI.create(target))
+        .timeout(java.time.Duration.ofMillis(readTimeoutMs))
+      headers.foreach { case (k, v) => b = b.header(k, v) }
+      b = if (method.equalsIgnoreCase("POST"))
+        b.POST(HttpRequest.BodyPublishers.ofString(
+          if (paramsJson == null) "{}" else paramsJson))
+      else b.GET()
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+      val respHeaders = {
+        import scala.jdk.CollectionConverters._
+        resp.headers().map().asScala.map {
+          case (k, vs) => k -> vs.asScala.mkString(", ")
+        }.toMap
+      }
+      (resp.statusCode(), respHeaders, resp.body())
+    }
+  }
+
+  /** Flat JSON object → query string (reference relies on httpx params=;
+    * the Spark-side FetchRequest carries them as params_json). */
+  private[pipeline] def appendQuery(url: String, paramsJson: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(paramsJson)
+    if (node == null || !node.isObject) url
+    else {
+      import scala.jdk.CollectionConverters._
+      val enc = (s: String) =>
+        java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+      val qs = node.properties().asScala.map { e =>
+        val v = if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString
+        s"${enc(e.getKey)}=${enc(v)}"
+      }.mkString("&")
+      if (qs.isEmpty) url
+      else if (url.contains("?")) s"$url&$qs"
+      else s"$url?$qs"
+    }
+  }
+
+  private object JdkClientHolder {
+    @volatile private var cached: java.net.http.HttpClient = _
+    def client(connectTimeoutMs: Long): java.net.http.HttpClient = {
+      if (cached == null) synchronized {
+        if (cached == null)
+          cached = java.net.http.HttpClient.newBuilder()
+            .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+            .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+            .build()
+      }
+      cached
+    }
   }
 
   def hostOf(url: String): String =
