@@ -12,7 +12,7 @@ import java.util.concurrent.ConcurrentHashMap
   * lives inside one partition) and this limiter is executor-local state
   * created per partition — see HttpSource.
   */
-final class RateLimiter {
+class RateLimiter {
   private final class Bucket(rate: Double) {
     private val r = math.max(rate, 1.0) // reference clamps rate >= 1 (rate_limiter.py:40–41)
     private var tokens: Double = r

@@ -139,7 +139,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val limiter = new RateLimiter
     var calls = 0
     var sleeps = Vector.empty[Long]
-    val transport: HttpSource.Transport = (_, _, _) => {
+    val transport: HttpSource.Transport = (_, _, _, _, _) => {
       calls += 1
       if (calls == 1) (500, Map("retry" -> "yes"), Array.emptyByteArray)
       else (200, Map.empty[String, String], "ok".getBytes)
@@ -158,7 +158,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val limiter = new RateLimiter
     var calls = 0
     var sleeps = Vector.empty[Long]
-    val transport: HttpSource.Transport = (_, _, _) => {
+    val transport: HttpSource.Transport = (_, _, _, _, _) => {
       calls += 1
       if (calls == 1) (429, Map("Retry-After" -> "7"), Array.emptyByteArray)
       else (200, Map.empty[String, String], "ok".getBytes)
@@ -173,7 +173,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("404 is terminal: no retry, no backoff") {
     val limiter = new RateLimiter
     var calls = 0
-    val transport: HttpSource.Transport = (_, _, _) => {
+    val transport: HttpSource.Transport = (_, _, _, _, _) => {
       calls += 1
       (404, Map.empty[String, String], Array.emptyByteArray)
     }
@@ -186,7 +186,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("retry state machine: transport errors recorded as status 0 with error_type") {
     val limiter = new RateLimiter
-    val transport: HttpSource.Transport = (_, _, _) =>
+    val transport: HttpSource.Transport = (_, _, _, _, _) =>
       throw new RuntimeException("boom")
     val req = Model.FetchRequest("p", 0, "metadata", "GET", "https://x.test/a", null, "f")
     val out = HttpSource.liveFetch(limiter, transport, req, 1000)
@@ -197,7 +197,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("size cap fails the row, not the job (F5)") {
     val limiter = new RateLimiter
-    val transport: HttpSource.Transport = (_, _, _) =>
+    val transport: HttpSource.Transport = (_, _, _, _, _) =>
       (200, Map.empty[String, String], Array.fill[Byte](2000)(1))
     val req = Model.FetchRequest("p", 0, "artifact", "GET", "https://x.test/a", null, "f")
     val out = HttpSource.liveFetch(limiter, transport, req, maxArtifactBytes = 1000)
@@ -231,6 +231,70 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "jitter is deterministic per (url, attempt)")
   }
 
+  test("fetch partitions by host: each host's requests land in one partition (T5 budget)") {
+    // Per-host budgets only hold if host → exactly one partition (one
+    // RateLimiter bucket). Record (host, partitionId) inside the transport
+    // and assert no host spans partitions at hostParallelism = 2.
+    HostRecorder.seen.clear()
+    val reqs = (0 until 6).map { i =>
+      val host = if (i % 2 == 0) "a.test" else "b.test"
+      Model.FetchRequest("p", i, "metadata", "GET", s"https://$host/r$i", null, s"f$i")
+    }
+    val transport: HttpSource.Transport = (_, url, _, _, _) => {
+      HostRecorder.seen.add(
+        (HttpSource.hostOf(url), org.apache.spark.TaskContext.getPartitionId()))
+      (200, Map.empty[String, String], "ok".getBytes)
+    }
+    val out = HttpSource.fetch(spark, reqs.toDS(), transport,
+      offlineFixtureRoot = None, hostParallelism = 2)
+    assert(out.count() == 6)
+    val byHost = HostRecorder.seen.toArray(Array.empty[(String, Int)])
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    assert(byHost.keySet == Set("a.test", "b.test"))
+    assert(byHost.values.forall(_.size == 1),
+      s"a host spanning >1 partition breaks its rate budget: $byHost")
+  }
+
+  test("buildHeaders: SEC UA + gzip, APS key acquires per-key budget, POST content-type") {
+    val aps = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val limiter = new RateLimiter {
+      override def acquireAps(key: String, host: String): Unit = aps.add((key, host))
+    }
+    val cfg = HttpSource.HttpConfig(live = true,
+      secUserAgent = Some("Example Co admin@example.com"),
+      nrcSubscriptionKey = Some("sekrit"))
+    val sec = HttpSource.buildHeaders(cfg, limiter, "www.sec.gov", "GET")
+    assert(sec("User-Agent") == "Example Co admin@example.com")
+    assert(sec("Accept-Encoding") == "gzip, deflate")
+    val nrc = HttpSource.buildHeaders(cfg, limiter, "adams-api.nrc.gov", "POST")
+    assert(nrc("Ocp-Apim-Subscription-Key") == "sekrit")
+    assert(nrc("Content-Type") == "application/json")
+    assert(aps.toArray.toSeq == Seq(("sekrit", "adams-api.nrc.gov")),
+      "APS header construction must draw from the per-(key, host) budget")
+    // missing credentials are config errors: fail the job, not the row
+    intercept[IllegalStateException] {
+      HttpSource.buildHeaders(HttpSource.HttpConfig(), limiter, "www.sec.gov", "GET")
+    }
+    intercept[IllegalStateException] {
+      HttpSource.buildHeaders(HttpSource.HttpConfig(), limiter, "adams-api.nrc.gov", "GET")
+    }
+  }
+
+  test("PDF URLs get the long read timeout, passed through to the transport (F4)") {
+    val cfg = HttpSource.HttpConfig(readTimeoutMs = 60000L, pdfReadTimeoutMs = 180000L)
+    assert(HttpSource.readTimeoutFor(cfg, "https://x.test/doc.PDF") == 180000L)
+    assert(HttpSource.readTimeoutFor(cfg, "https://www.nrc.gov/docs/ML1234/x") == 180000L)
+    assert(HttpSource.readTimeoutFor(cfg, "https://x.test/doc.json") == 60000L)
+    var seenTimeout = -1L
+    val transport: HttpSource.Transport = (_, _, _, _, readTimeoutMs) => {
+      seenTimeout = readTimeoutMs
+      (200, Map.empty[String, String], "ok".getBytes)
+    }
+    val req = Model.FetchRequest("p", 0, "artifact", "GET", "https://x.test/a.pdf", null, "f")
+    HttpSource.liveFetch(new RateLimiter, transport, req, 1000, config = cfg)
+    assert(seenTimeout == 180000L)
+  }
+
   test("run dir collision gets a numeric suffix") {
     val root = tmpDir("runs")
     val t = java.time.Instant.parse("2026-01-02T03:04:05Z")
@@ -239,4 +303,10 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(d1.endsWith("20260102T030405Z"))
     assert(d2.endsWith("20260102T030405Z-1"))
   }
+}
+
+/** JVM-wide recorder the executor-side transport writes into (local mode
+  * shares the JVM, so tests can observe per-partition behavior). */
+object HostRecorder {
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]
 }
