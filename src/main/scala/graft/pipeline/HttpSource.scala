@@ -290,17 +290,16 @@ object HttpSource {
   }
 
   private object JdkClientHolder {
-    @volatile private var cached: java.net.http.HttpClient = _
-    def client(connectTimeoutMs: Long): java.net.http.HttpClient = {
-      if (cached == null) synchronized {
-        if (cached == null)
-          cached = java.net.http.HttpClient.newBuilder()
-            .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
-            .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
-            .build()
-      }
-      cached
-    }
+    // keyed by connect timeout: callers with different timeouts must not
+    // silently share a client built for someone else's timeout
+    private val cached =
+      new java.util.concurrent.ConcurrentHashMap[Long, java.net.http.HttpClient]()
+    def client(connectTimeoutMs: Long): java.net.http.HttpClient =
+      cached.computeIfAbsent(connectTimeoutMs, ms =>
+        java.net.http.HttpClient.newBuilder()
+          .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+          .connectTimeout(java.time.Duration.ofMillis(ms))
+          .build())
   }
 
   def hostOf(url: String): String =

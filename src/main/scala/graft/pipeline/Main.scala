@@ -28,6 +28,10 @@ object Main {
     val warehouse = opts.getOrElse("warehouse", "/tmp/graft/warehouse")
     val blobs = opts.getOrElse("blobs", "/tmp/graft/blobs")
     val runs = opts.getOrElse("runs", "/tmp/graft/runs")
+    // reference cli.py:29: --live flips to the real transport; offline
+    // (fixtures) is the default; credentials come from env (http_client.py:44)
+    val live = opts.contains("live")
+    val config = HttpSource.HttpConfig.fromEnv(live)
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -39,7 +43,8 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val res = Runner.run(spark, connector, limit, fixtures, warehouse, blobs, runs)
+      val res = Runner.run(spark, connector, limit, fixtures, warehouse, blobs,
+        runs, live = live, config = config)
       // reference summary shape (cli.py:101–105)
       println(s"run ${res.status}: provider=$provider attempts=${res.attempts} " +
         s"responses=${res.responses} artifacts=${res.artifacts} " +
@@ -56,6 +61,7 @@ object Main {
   private def parse(args: List[String]): Map[String, String] = args match {
     case Nil => Map.empty
     case "run" :: rest => parse(rest)
+    case "--live" :: rest => parse(rest) + ("live" -> "true")
     case key :: value :: rest if key.startsWith("--") =>
       parse(rest) + (key.stripPrefix("--") -> value)
     case other => fail(s"unrecognized arguments: $other")

@@ -35,18 +35,31 @@ object Runner {
       fixtureRoot: String,
       warehouseDir: String,
       blobRoot: String,
-      runRoot: String): RunResult = {
+      runRoot: String,
+      live: Boolean = false,
+      config: HttpSource.HttpConfig = HttpSource.HttpConfig(),
+      transport: HttpSource.Transport = null,
+      hostParallelism: Int = 1): RunResult = {
     import spark.implicits._
 
     val startedAt = java.time.Instant.now()
     val runDir = buildRunDir(runRoot, startedAt)
     val store = new ProvenanceStore(spark, warehouseDir)
+    // live mode (reference cli.py:29 --live): real transport, no fixtures;
+    // offline stays the default, exactly as in the reference (cli.py:33)
+    val offlineRoot = if (live) None else Some(fixtureRoot)
+    val tr: HttpSource.Transport =
+      if (!live) null
+      else if (transport != null) transport
+      else HttpSource.jdkTransport(config.connectTimeoutMs)
 
     try {
+      tee(runDir, s"run start provider=${connector.name} limit=$limit live=$live")
       // S4 plan → S2/S3 metadata fetch (offline fixture transport)
       val items = connector.plan(spark, limit)
       val metaRequests = connector.metadataRequests(spark, items)
-      val metaFetched = HttpSource.fetch(spark, metaRequests, null, Some(fixtureRoot))
+      val metaFetched = HttpSource.fetch(spark, metaRequests, tr, offlineRoot,
+        hostParallelism = hostParallelism, config = config)
         .cache()
 
       // K1 append metadata responses, ids back for FK J1/J2
@@ -78,7 +91,8 @@ object Runner {
           FetchRequest(connector.name, idx, "artifact", "GET", url, null,
             connector.artifactFixture)
         }
-      val artFetched = HttpSource.fetch(spark, artRequests, null, Some(fixtureRoot))
+      val artFetched = HttpSource.fetch(spark, artRequests, tr, offlineRoot,
+        hostParallelism = hostParallelism, config = config)
         .filter(_.status_code == 200).cache()
 
       val artWithIds = store.appendResponses(
@@ -123,6 +137,8 @@ object Runner {
       val nArtifacts = inserted.count()
       val nErrors = parseErrors.count()
       parseErrors.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$runDir/parse_errors")
+      tee(runDir, s"run succeeded attempts=$nAttempts responses=$nResponses " +
+        s"artifacts=$nArtifacts parse_errors=$nErrors")
       writeRunJson(runDir, "succeeded", connector.name, limit, startedAt,
         nAttempts, nResponses, nArtifacts, nErrors)
       RunResult(runDir, "succeeded", nAttempts, nResponses, nArtifacts, nErrors)
@@ -132,9 +148,20 @@ object Runner {
         Files.createDirectories(Paths.get(runDir))
         Files.write(Paths.get(s"$runDir/error.txt"),
           String.valueOf(e).getBytes("UTF-8"))
+        tee(runDir, s"run failed: $e")
         writeRunJson(runDir, "failed", connector.name, limit, startedAt, 0, 0, 0, 0)
         throw e
     }
+  }
+
+  /** K11: tee log lines to console AND `<runDir>/run.log` (reference
+    * run_capture.py:39–51 — a logging handler writing into the run dir). */
+  private def tee(runDir: String, msg: String): Unit = {
+    val line = s"${java.time.Instant.now()} $msg"
+    println(line)
+    Files.write(Paths.get(s"$runDir/run.log"), (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
   }
 
   /** Timestamped run dir with numeric collision suffix (reference
