@@ -32,15 +32,36 @@ object WatermarkSync {
     else None
   }
 
+  /** Partition column of the landed table — `data/` is laid out as
+    * `sync_date=YYYY-MM-DD/` so horizon reads prune at the directory level. */
+  val partitionCol = "sync_date"
+
   def stored(spark: SparkSession, stateDir: String): Option[DataFrame] =
     if (new java.io.File(dataPath(stateDir)).exists())
       Some(spark.read.parquet(dataPath(stateDir)))
     else None
 
+  /** Landed rows whose partition can still collide with an incoming row:
+    * only partitions dated on/after `watermark - overlap` are read — the
+    * anti-join's stored side is O(overlap window), not O(history). */
+  def storedWithinHorizon(
+      spark: SparkSession,
+      stateDir: String,
+      wmMicros: Long,
+      overlap: String): Option[DataFrame] =
+    stored(spark, stateDir).map(_.filter(
+      col(partitionCol) >=
+        to_date(timestamp_micros(lit(wmMicros)) - expr(s"INTERVAL $overlap"))))
+
   /** One sync batch. `incoming` must carry `tsCol` (timestamp) and
     * `keyCols`; rows whose key already landed are dropped (reissues with
     * the SAME key are deduped — hash-diff reissue handling is
-    * [[Streams.reconcile]]'s job, a separate reconciliation pass). */
+    * [[Streams.reconcile]]'s job, a separate reconciliation pass).
+    *
+    * Per-batch work is bounded: the incoming side is filtered to the
+    * overlap horizon, the stored side of the anti-join prunes to the
+    * horizon's date partitions, and the watermark advances as
+    * `max(previous, batch max)` — no full-history scan anywhere. */
   def syncBatch(
       spark: SparkSession,
       incoming: DataFrame,
@@ -49,24 +70,38 @@ object WatermarkSync {
       keyCols: Seq[String],
       overlap: String = "48 hours"): SyncResult = {
     Files.createDirectories(Paths.get(stateDir))
-    val horizon = readWatermark(stateDir) match {
+    val prevWm = readWatermark(stateDir)
+    val horizon = prevWm match {
       case Some(wm) =>
         incoming.filter(
           col(tsCol) >= timestamp_micros(lit(wm)) - expr(s"INTERVAL $overlap"))
       case None => incoming
     }
-    val fresh = stored(spark, stateDir) match {
-      case Some(existing) =>
-        horizon.join(existing.select(keyCols.map(col): _*).dropDuplicates(),
+    val existing = prevWm match {
+      case Some(wm) => storedWithinHorizon(spark, stateDir, wm, overlap)
+      case None     => stored(spark, stateDir)
+    }
+    val fresh = existing match {
+      case Some(ex) =>
+        horizon.join(ex.select(keyCols.map(col): _*).dropDuplicates(),
           keyCols, "left_anti")
       case None => horizon
     }
-    val deduped = fresh.dropDuplicates(keyCols)
-    val n = deduped.count()
-    if (n > 0) deduped.write.mode(SaveMode.Append).parquet(dataPath(stateDir))
-    val newWm = stored(spark, stateDir).get
-      .agg(max(unix_micros(col(tsCol)))).head().getLong(0)
-    Files.write(wmPath(stateDir), newWm.toString.getBytes("UTF-8"))
-    SyncResult(n, newWm)
+    val deduped = fresh.dropDuplicates(keyCols).cache()
+    try {
+      // one pass over the batch: row count + max event time together
+      val stats = deduped
+        .agg(count(lit(1)), max(unix_micros(col(tsCol)))).head()
+      val n = stats.getLong(0)
+      if (n > 0)
+        deduped.withColumn(partitionCol, to_date(col(tsCol)))
+          .write.mode(SaveMode.Append).partitionBy(partitionCol)
+          .parquet(dataPath(stateDir))
+      val batchMax = if (stats.isNullAt(1)) None else Some(stats.getLong(1))
+      val newWm = (prevWm ++ batchMax).maxOption
+      newWm.foreach(wm =>
+        Files.write(wmPath(stateDir), wm.toString.getBytes("UTF-8")))
+      SyncResult(n, newWm.getOrElse(Long.MinValue))
+    } finally deduped.unpersist()
   }
 }
