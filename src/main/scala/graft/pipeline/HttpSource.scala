@@ -45,12 +45,13 @@ object HttpSource {
       nrcSubscriptionKey: Option[String] = None,
       connectTimeoutMs: Long = 10000L,
       readTimeoutMs: Long = 60000L,
-      pdfReadTimeoutMs: Long = 180000L)
+      pdfReadTimeoutMs: Long = 180000L,
+      maxArtifactBytes: Long = 50L * 1024 * 1024)
 
   object HttpConfig {
     /** Reference env contract: SEC_USER_AGENT, NRC_SUBSCRIPTION_KEY (alias
-      * NRC_APS_SUBSCRIPTION_KEY), APP_PDF_READ_TIMEOUT_SECONDS
-      * (http_client.py:44–63, config.py). */
+      * NRC_APS_SUBSCRIPTION_KEY), APP_PDF_READ_TIMEOUT_SECONDS,
+      * APP_MAX_ARTIFACT_BYTES (http_client.py:44–63, config.py). */
     def fromEnv(live: Boolean, env: Map[String, String] = sys.env): HttpConfig =
       HttpConfig(
         live = live,
@@ -59,7 +60,10 @@ object HttpSource {
           .orElse(env.get("NRC_APS_SUBSCRIPTION_KEY")).filter(_.nonEmpty),
         pdfReadTimeoutMs = env.get("APP_PDF_READ_TIMEOUT_SECONDS").filter(_.nonEmpty)
           .flatMap(s => scala.util.Try((s.toDouble * 1000).toLong).toOption)
-          .getOrElse(180000L))
+          .getOrElse(180000L),
+        maxArtifactBytes = env.get("APP_MAX_ARTIFACT_BYTES").filter(_.nonEmpty)
+          .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+          .getOrElse(50L * 1024 * 1024))
   }
 
   val retryAttempts = 3
@@ -259,15 +263,62 @@ object HttpSource {
           if (paramsJson == null) "{}" else paramsJson))
       else b.GET()
       val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
-      val respHeaders = {
+      val rawHeaders = {
         import scala.jdk.CollectionConverters._
         resp.headers().map().asScala.map {
           case (k, vs) => k -> vs.asScala.mkString(", ")
         }.toMap
       }
-      (resp.statusCode(), respHeaders, resp.body())
+      // buildHeaders advertises Accept-Encoding: gzip for sec.gov, and the
+      // reference's httpx transparently decompresses (http_client.py:91) —
+      // java.net.http does NOT, so decode here or every downstream consumer
+      // (JSON extract, sha256, blob store) would see compressed bytes.
+      val (respHeaders, body) = decodeBody(rawHeaders, resp.body())
+      (resp.statusCode(), respHeaders, body)
     }
   }
+
+  /** Decompress a gzip/deflate response body per Content-Encoding and drop
+    * the now-inaccurate Content-Encoding/Content-Length headers, matching
+    * httpx's transparent-decompression contract. Unknown encodings (and
+    * bodies that fail to decode) pass through untouched. */
+  private[graft] def decodeBody(
+      headers: Map[String, String],
+      body: Array[Byte]): (Map[String, String], Array[Byte]) = {
+    val encoding = headers.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("content-encoding") => v.trim.toLowerCase
+    }
+    def strip(h: Map[String, String]) = h.filterNot { case (k, _) =>
+      k.equalsIgnoreCase("content-encoding") || k.equalsIgnoreCase("content-length")
+    }
+    encoding match {
+      case Some("gzip") =>
+        try (strip(headers), readAll(new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(body))))
+        catch { case _: java.io.IOException => (headers, body) }
+      case Some("deflate") =>
+        // servers send both zlib-wrapped and raw deflate; try zlib first
+        try (strip(headers), readAll(new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(body))))
+        catch {
+          case _: java.io.IOException =>
+            try (strip(headers), readAll(new java.util.zip.InflaterInputStream(
+              new java.io.ByteArrayInputStream(body),
+              new java.util.zip.Inflater(true))))
+            catch { case _: java.io.IOException => (headers, body) }
+        }
+      case _ => (headers, body)
+    }
+  }
+
+  private def readAll(in: java.io.InputStream): Array[Byte] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
 
   /** Flat JSON object → query string (reference relies on httpx params=;
     * the Spark-side FetchRequest carries them as params_json). */

@@ -59,6 +59,7 @@ object Runner {
       val items = connector.plan(spark, limit)
       val metaRequests = connector.metadataRequests(spark, items)
       val metaFetched = HttpSource.fetch(spark, metaRequests, tr, offlineRoot,
+        maxArtifactBytes = config.maxArtifactBytes,
         hostParallelism = hostParallelism, config = config)
         .cache()
 
@@ -92,6 +93,7 @@ object Runner {
             connector.artifactFixture)
         }
       val artFetched = HttpSource.fetch(spark, artRequests, tr, offlineRoot,
+        maxArtifactBytes = config.maxArtifactBytes,
         hostParallelism = hostParallelism, config = config)
         .filter(_.status_code == 200).cache()
 

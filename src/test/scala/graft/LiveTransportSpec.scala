@@ -98,6 +98,71 @@ class LiveTransportSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("jdkTransport decompresses gzip bodies (httpx-parity; reference http_client.py:91)") {
+    val plain = """{"filings":{"recent":{}}}"""
+    val gzipped = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(plain.getBytes(UTF_8)); gz.close()
+      bos.toByteArray
+    }
+    withServer("/gz" -> { ex =>
+      respond(ex, 200, gzipped, "Content-Encoding" -> "gzip")
+    }) { port =>
+      val t = HttpSource.jdkTransport()
+      val (status, headers, body) = t("GET", s"http://127.0.0.1:$port/gz", null,
+        Map("Accept-Encoding" -> "gzip, deflate"), 5000L)
+      assert(status == 200)
+      assert(new String(body, UTF_8) == plain,
+        "gzip body must be transparently decompressed like httpx does")
+      assert(!headers.keys.exists(_.equalsIgnoreCase("content-encoding")),
+        "decoded responses must not claim a content-encoding")
+      assert(!headers.keys.exists(_.equalsIgnoreCase("content-length")),
+        "stale compressed length must be dropped")
+    }
+  }
+
+  test("decodeBody: deflate (zlib + raw), unknown encoding, corrupt gzip pass-through") {
+    val plain = "deflate payload".getBytes(UTF_8)
+    def zlib(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos)
+      d.write(b); d.close(); bos.toByteArray
+    }
+    def raw(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos,
+        new java.util.zip.Deflater(-1, true))
+      d.write(b); d.close(); bos.toByteArray
+    }
+    val (h1, b1) = HttpSource.decodeBody(Map("Content-Encoding" -> "deflate"), zlib(plain))
+    assert(b1.sameElements(plain) && h1.isEmpty)
+    val (h2, b2) = HttpSource.decodeBody(Map("Content-Encoding" -> "deflate"), raw(plain))
+    assert(b2.sameElements(plain) && h2.isEmpty)
+    // unknown encoding: untouched, header kept (caller can still see it)
+    val br = "br-bytes".getBytes(UTF_8)
+    val (h3, b3) = HttpSource.decodeBody(Map("Content-Encoding" -> "br"), br)
+    assert(b3.sameElements(br) && h3.nonEmpty)
+    // corrupt gzip: pass through rather than fail the fetch
+    val junk = Array[Byte](1, 2, 3)
+    val (_, b4) = HttpSource.decodeBody(Map("Content-Encoding" -> "gzip"), junk)
+    assert(b4.sameElements(junk))
+    // no encoding header: identity
+    val (h5, b5) = HttpSource.decodeBody(Map("Server" -> "x"), plain)
+    assert(b5.sameElements(plain) && h5 == Map("Server" -> "x"))
+  }
+
+  test("HttpConfig.fromEnv honors APP_MAX_ARTIFACT_BYTES (reference http_client.py:57)") {
+    val cfg = HttpSource.HttpConfig.fromEnv(live = true,
+      env = Map("APP_MAX_ARTIFACT_BYTES" -> "1048576"))
+    assert(cfg.maxArtifactBytes == 1048576L)
+    val dflt = HttpSource.HttpConfig.fromEnv(live = true, env = Map.empty)
+    assert(dflt.maxArtifactBytes == 50L * 1024 * 1024)
+    val bad = HttpSource.HttpConfig.fromEnv(live = true,
+      env = Map("APP_MAX_ARTIFACT_BYTES" -> "not-a-number"))
+    assert(bad.maxArtifactBytes == 50L * 1024 * 1024)
+  }
+
   test("Runner --live end-to-end: injected transport, SEC UA header, run.log tee (K11)") {
     val fixtures = "src/test/resources/fixtures"
     val submissions = Files.readAllBytes(Paths.get(s"$fixtures/sec_edgar/submissions.json"))
