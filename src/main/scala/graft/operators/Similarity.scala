@@ -79,11 +79,26 @@ object Similarity {
     },
 
     // ---- LSH-bucketed approximate top-k (the 100 TB path; no SQL oracle —
-    //      SimilaritySpec measures recall against q54's exact result) ----
+    //      SimilaritySpec measures recall against q54's exact result).
+    //      Multi-probe (2 weakest-margin bit flips per band) lifts top-1
+    //      recall from 0.46 (r3/r4 params) to ~0.9 at the same corpus-side
+    //      index size. ----
     "q56_ann_lsh_topk" -> QueryDef.rowsOnly { (s, dir) =>
       annLshTopK(Tables.embeddings(s, dir), nQueries = 50, k = 5,
-        planesPerBand = 4, bands = 4)
+        planesPerBand = 6, bands = 16, probes = 2)
         .orderBy("qid", "rank")
+    },
+
+    // ---- LSH-candidate cosine threshold pairs: the 100 TB replacement for
+    //      q55's exact all-pairs — candidates from a (band, key) equi-join
+    //      (shuffle O(n × bands)), exact graft_dot re-scoring, so every
+    //      emitted pair carries the exactly-computed similarity. Candidate
+    //      generation is engine-specific → rows-only; SimilaritySpec gates
+    //      recall against q55's exact pair set. ----
+    "q55b_cosine_pairs_lsh" -> QueryDef.rowsOnly { (s, dir) =>
+      cosineThresholdPairsLsh(Tables.embeddings(s, dir), threshold = 0.4,
+        planesPerBand = 6, bands = 24)
+        .orderBy("v1", "v2")
     },
 
     // ---- IVF top-k with a k-means coarse quantizer (rows-only — the
@@ -239,45 +254,110 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH: plane (band, p) component i has a deterministic
-    * pseudo-random ±1 sign from xxhash64. A vector's key in a band is the
-    * planesPerBand-bit sign pattern; candidates for a query are corpus
-    * vectors sharing (band, key); exact cosine then ranks candidates.
-    */
+  /** Signed projections onto bands×planesPerBand deterministic
+    * pseudo-random ±1 hyperplanes via the native codegen'd
+    * [[graft.functions.LshProject]] expression (one fused loop per row —
+    * the lambda transform/aggregate form allocated an array per plane per
+    * row and was ~7× slower at sf0.1). Requires an `emb` column; yields
+    * array<double> `m` of length bands × planesPerBand, plane (band, p) at
+    * index band*planesPerBand+p. */
+  private def marginsExpr(planesPerBand: Int, bands: Int): Column =
+    expr(s"graft_lsh_project(emb, ${bands * planesPerBand})")
+
+  /** Primary band keys from the `m` margins column: for each band, a struct
+    * (band, key) where key packs the planesPerBand sign bits. */
+  private def bandKeysExpr(planesPerBand: Int, bands: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${bands - 1}), band -> named_struct(
+         |  'band', band,
+         |  'key', aggregate(sequence(0, ${planesPerBand - 1}), CAST(0 AS BIGINT),
+         |    (acc, p) -> acc | IF(m[band * $planesPerBand + p] > 0D,
+         |      shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))))""".stripMargin)
+
+  /** Multi-probe band keys: per band, the primary key plus `probes` probe
+    * keys with the lowest-|margin| sign bits flipped one at a time — the
+    * standard multi-probe LSH trick (a near-zero margin means the true
+    * neighbor plausibly lies on the other side of that plane). fp = -1
+    * encodes the primary (no flip) key. */
+  private def probeKeysExpr(planesPerBand: Int, bands: Int, probes: Int): Column =
+    expr(
+      s"""flatten(transform(sequence(0, ${bands - 1}), band ->
+         |  transform(
+         |    concat(
+         |      array(-1),
+         |      slice(transform(array_sort(transform(sequence(0, ${planesPerBand - 1}),
+         |          p -> named_struct('a', abs(m[band * $planesPerBand + p]), 'p', p))),
+         |        s -> s.p), 1, $probes)),
+         |    fp -> named_struct('band', band,
+         |      'key', aggregate(sequence(0, ${planesPerBand - 1}), CAST(0 AS BIGINT),
+         |        (acc, p) -> acc | IF(IF(p = fp, m[band * $planesPerBand + p] <= 0D,
+         |                                       m[band * $planesPerBand + p] > 0D),
+         |          shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))))))""".stripMargin)
+
+  /** Random-hyperplane LSH top-k: a vector's key in a band is the
+    * planesPerBand-bit sign pattern of its projections; candidates for a
+    * query are corpus vectors sharing (band, key); exact cosine then ranks
+    * candidates. With `probes` > 0 the query side additionally probes, per
+    * band, the buckets reached by flipping each of the `probes` weakest
+    * sign bits — recall rises steeply at zero extra index (corpus-side)
+    * cost; only the broadcast query side grows by the probe factor. */
   def annLshTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-                 planesPerBand: Int, bands: Int): DataFrame = {
+                 planesPerBand: Int, bands: Int, probes: Int = 0): DataFrame = {
     val e = withNorm(embeddings)
-    // band keys: for each band, an integer of planesPerBand sign bits
-    val bandKeys = (0 until bands).map { band =>
-      val bits = (0 until planesPerBand).map { p =>
-        val planeId = band * planesPerBand + p
-        val signDot = expr(
-          s"""aggregate(
-             |  transform(sequence(0, size(emb) - 1),
-             |    i -> emb[i] * CAST((CAST(xxhash64($planeId, i) & 1 AS INT) * 2 - 1) AS DOUBLE)),
-             |  0D, (acc, x) -> acc + x)""".stripMargin)
-        when(signDot > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(band).as("band"), bits.as("key"))
-    }
-    val keyed = e.withColumn("bk", explode(array(bandKeys: _*)))
-      .select(col("vec_id"), col("emb"), col("norm"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    // candidates: same (band, key), deduped across bands
-    val cand = broadcast(
-      keyed.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-          col("norm").as("qnorm"), col("band"), col("key")))
-      .join(keyed, Seq("band", "key"))
+    val m = e.withColumn("m", marginsExpr(planesPerBand, bands))
+    val corpus = m.withColumn("bk", explode(bandKeysExpr(planesPerBand, bands)))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val queries = m.filter(col("vec_id") < nQueries)
+      .withColumn("bk", explode(probeKeysExpr(planesPerBand, bands, probes)))
+      .select(col("vec_id").as("qid"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // candidate ids from the (band, key) equi-join — dedup the bare
+    // (qid, nid) id pairs across bands/probes BEFORE attaching embeddings,
+    // so the dedup shuffle moves 16-byte pairs, not kilobyte vectors
+    val cand = broadcast(queries)
+      .join(corpus, Seq("band", "key"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("qemb"), col("qnorm"),
-        col("vec_id").as("nid"), col("emb"), col("norm"))
-      .dropDuplicates("qid", "nid")
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    val qSide = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("norm").as("qnorm"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
     cand
+      .join(broadcast(qSide), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("emb"), col("norm")), "nid")
       .select(col("qid"), col("nid"),
         round(dot("qemb", "emb") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Cosine threshold pairs via LSH candidates — the 100 TB form of q55's
+    * all-pairs scan. Both sides of the self-join carry primary band keys;
+    * candidate pairs come from the (band, key) equi-join (shuffle volume
+    * O(n × bands), never O(n²)); exact graft_dot cosine re-scores every
+    * candidate, so emitted similarities are exact — only recall (which
+    * pairs are seen) is approximate, governed by (planesPerBand, bands). */
+  def cosineThresholdPairsLsh(embeddings: DataFrame, threshold: Double,
+                              planesPerBand: Int, bands: Int): DataFrame = {
+    val e = withNorm(embeddings)
+    val keyed = e.withColumn("m", marginsExpr(planesPerBand, bands))
+      .withColumn("bk", explode(bandKeysExpr(planesPerBand, bands)))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // candidate id pairs from the (band, key) equi-join; dedup the bare
+    // (v1, v2) ids across bands BEFORE re-attaching embeddings — the dedup
+    // shuffle then moves 16-byte pairs instead of kilobyte vectors
+    val pairs = keyed.select(col("vec_id").as("v1"), col("band"), col("key"))
+      .join(keyed.select(col("vec_id").as("v2"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2")
+      .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("v1"), col("emb").as("emb1"),
+        col("norm").as("norm1")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("emb").as("emb2"),
+        col("norm").as("norm2")), "v2")
+      .select(col("v1"), col("v2"),
+        round(dot("emb1", "emb2") / (col("norm1") * col("norm2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 }

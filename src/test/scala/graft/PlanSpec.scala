@@ -60,6 +60,30 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(p55.contains("graft_dot"), p55)
   }
 
+  test("no headline bench plan contains an unbounded BroadcastNestedLoopJoin") {
+    // the headline set must stay runnable at 100 TB: a BNLJ between two
+    // corpus-sized sides is O(n²) row pairs (the r2–r4 q55 cartesian this
+    // test exists to keep out). The one admissible BNLJ shape is q54's
+    // exact top-k: the BROADCAST side is the bounded query set, so work is
+    // queries × corpus — linear in the corpus, the textbook brute-force
+    // baseline. Every other headline plan must be equi-join only.
+    Bench.headline.filterNot(_ == "q54_cosine_topk").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name headline plan contains a BroadcastNestedLoopJoin:\n$p")
+    }
+    // q54: BNLJ allowed, but only with the query side as the broadcast build
+    val p54 = plan("q54_cosine_topk")
+    assert(p54.contains("BroadcastNestedLoopJoin Inner BuildLeft"),
+      s"q54 must broadcast the bounded query side:\n$p54")
+  }
+
+  test("q55b candidate generation is a (band, key) equi-join, scored by graft_dot") {
+    val p = plan("q55b_cosine_pairs_lsh")
+    assert(p.contains("graft_dot"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q22 range join broadcasts the tiny tier dimension") {
     val p = plan("q22_range_join")
     assert(p.contains("BroadcastNestedLoopJoin"), p)

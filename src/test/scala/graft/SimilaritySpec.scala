@@ -45,13 +45,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     ivf.foreach { case (q, n, c) =>
       assert(full.get((q, n)).contains(c), s"IVF pair ($q,$n) score mismatch")
     }
-    // recall of the exact top-1 with 3 of 8 probes should beat 3/8 random
+    // measured floor: 0.76 top-1 recall with 3 of 8 probes (deterministic
+    // k-means seeds + fixed testdata make this a fixed number, gated with
+    // a small margin, not a "beats random" floor)
     val exactTop1 = Similarity.cosineTopK(emb, col("vec_id") < nQ, k = 1)
       .select("qid", "nid").as[(Long, Long)].collect().toMap
     val ivfPairs = ivf.map(r => (r._1, r._2)).toSet
     val recall = exactTop1.count { case (q, n) => ivfPairs.contains((q, n)) }.toDouble /
       exactTop1.size
-    assert(recall >= 0.4, s"IVF top-1 recall $recall below 0.4")
+    assert(recall >= 0.7, s"IVF top-1 recall $recall below 0.7")
   }
 
   test("k-means centroids are unit-scale, deterministic, and cover all clusters") {
@@ -93,9 +95,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(agree >= 0.85, s"int8 top-1 agreement $agree below 0.85")
   }
 
-  test("ANN LSH results are a subset of true cosine ranking with exact scores") {
+  test("ANN LSH multi-probe: exact scores, top-1 recall at the measured floor") {
+    // q56's declared params: r=6, b=16, 2 probes per band — measured top-1
+    // recall 0.88 on the fixed sf0.01 corpus (deterministic xxhash planes),
+    // gated at 0.8. Without probes the same index measures 0.60; the
+    // r3/r4-era (4, 4, 0) config measured 0.46.
     val ann = Similarity.annLshTopK(Tables.embeddings(spark, sf001),
-        nQueries = 50, k = 5, planesPerBand = 4, bands = 4)
+        nQueries = 50, k = 5, planesPerBand = 6, bands = 16, probes = 2)
       .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
     // every ANN similarity must equal the exactly-computed similarity
     val full = Similarity.cosineTopK(Tables.embeddings(spark, sf001),
@@ -105,13 +111,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     ann.foreach { case (q, n, c) =>
       assert(full.get((q, n)).contains(c), s"ANN pair ($q,$n) score mismatch")
     }
-    // recall of the exact top-1 should beat random bucketing by a wide margin
     val exactTop1 = Similarity.cosineTopK(Tables.embeddings(spark, sf001),
         col("vec_id") < 50, k = 1)
       .select("qid", "nid").as[(Long, Long)].collect().toMap
     val annPairs = ann.map(r => (r._1, r._2)).toSet
     val recall = exactTop1.count { case (q, n) => annPairs.contains((q, n)) }.toDouble /
       exactTop1.size
-    assert(recall >= 0.25, s"ANN top-1 recall $recall below 0.25")
+    assert(recall >= 0.8, s"ANN top-1 recall $recall below 0.8")
+  }
+
+  test("q55b LSH threshold pairs: exact scores, no false positives, recall floor") {
+    val emb = Tables.embeddings(spark, sf001)
+    val exact = SparkEntry.all("q55_cosine_threshold_pairs").fn(spark, sf001)
+      .select("v1", "v2", "cos_sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.cosineThresholdPairsLsh(emb, threshold = 0.4,
+        planesPerBand = 6, bands = 24)
+      .select("v1", "v2", "cos_sim").as[(Long, Long, Double)].collect()
+    // precision 1.0 by construction: every emitted pair is exactly re-scored,
+    // so it must appear in the exact pair set with the identical similarity
+    lsh.foreach { case (v1, v2, c) =>
+      assert(exact.get((v1, v2)).contains(c), s"pair ($v1,$v2) not exact or score drift")
+    }
+    // measured recall (deterministic planes, fixed corpora): 0.788 at
+    // sf0.001 (52/66 pairs), 0.847 at sf0.01 (50/59) — the pairs sit at the
+    // sim≈0.4 tail of a near-random distribution, the hardest case for
+    // LSH; gate at 0.75. Candidate volume measures ~1/3 of the n² cartesian
+    // at these params.
+    val found = lsh.map(r => (r._1, r._2)).toSet
+    val recall = exact.keys.count(found).toDouble / exact.size
+    assert(recall >= 0.75, s"q55b pair recall $recall below 0.75")
   }
 }
