@@ -32,6 +32,9 @@ object Main {
     // (fixtures) is the default; credentials come from env (http_client.py:44)
     val live = opts.contains("live")
     val config = HttpSource.HttpConfig.fromEnv(live)
+    // --id-mode contiguous restores SQLite-AUTOINCREMENT parity (global
+    // ordered row_number); the default partitioned scheme is shuffle-free
+    val idMode = ProvenanceStore.idMode(opts.getOrElse("id-mode", "partitioned"))
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -44,7 +47,7 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val res = Runner.run(spark, connector, limit, fixtures, warehouse, blobs,
-        runs, live = live, config = config)
+        runs, live = live, config = config, idMode = idMode)
       // reference summary shape (cli.py:101–105)
       println(s"run ${res.status}: provider=$provider attempts=${res.attempts} " +
         s"responses=${res.responses} artifacts=${res.artifacts} " +

@@ -7,18 +7,29 @@ import org.apache.spark.sql.functions._
 /** Parquet-backed `responses` / `artifacts` provenance tables
   * (reference storage/db.py:6–31), with:
   *
-  * - K1 ordered id assignment: `row_number` over a DECLARED ordering
-  *   (provider, item_index, stage) offset by the current max id —
-  *   SQLite-AUTOINCREMENT-equivalent, deterministic, FK-join-safe
-  *   (SURVEY.md §7 hard parts). This is a global sort: acceptable at
-  *   provenance-table cardinality (one row per API call), and the one
-  *   place the Spark plan is deliberately more expensive than the
-  *   reference's counter.
+  * - K1 id assignment, two schemes (SCALING.md "Ingest spine"):
+  *   - [[ProvenanceStore.IdMode.Partitioned]] (default): unique ids packed
+  *     from (partition_id, row_in_partition) via
+  *     `monotonically_increasing_id`, offset past the table's current max —
+  *     no shuffle, no global sort; each task stamps its own rows, so the
+  *     append path scales with the cluster. Ids are unique and
+  *     FK-join-safe but NOT contiguous (runs leave gaps).
+  *   - [[ProvenanceStore.IdMode.Contiguous]]: SQLite-AUTOINCREMENT parity —
+  *     `row_number` over a DECLARED ordering (provider, item_index, stage,
+  *     url) offset by the current max id. Deterministic and contiguous,
+  *     but a global sort funnels every appended row through one task:
+  *     acceptable at single-box provenance cardinality, a scale-killer at
+  *     100 TB ingest, hence opt-in only.
   * - K2 dedup append: `dropDuplicates + left_anti` against the existing
   *   table = the reference's INSERT OR IGNORE on UNIQUE(source_url, sha256)
   *   (storage/db.py:76; dossier :266 idempotency rule).
   */
-final class ProvenanceStore(spark: SparkSession, warehouseDir: String) {
+final class ProvenanceStore(
+    spark: SparkSession,
+    warehouseDir: String,
+    idMode: ProvenanceStore.IdMode = ProvenanceStore.IdMode.Partitioned) {
+
+  import ProvenanceStore.IdMode
 
   private val responsesPath = s"$warehouseDir/responses"
   private val artifactsPath = s"$warehouseDir/artifacts"
@@ -38,15 +49,25 @@ final class ProvenanceStore(spark: SparkSession, warehouseDir: String) {
   private def maxId(df: DataFrame): Long =
     df.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
 
-  /** Append response rows, assigning contiguous ids after the current max.
+  /** Stamp an `id` column per the selected scheme. `orderCols` only orders
+    * the Contiguous scheme; Partitioned ids derive from physical placement. */
+  private def withIdColumn(rows: DataFrame, base: Long, orderCols: Seq[String]): DataFrame =
+    idMode match {
+      case IdMode.Partitioned =>
+        rows.withColumn("id", monotonically_increasing_id() + lit(base + 1L))
+      case IdMode.Contiguous =>
+        val w = Window.orderBy(orderCols.map(col): _*)
+        rows.withColumn("id", row_number().over(w).cast("long") + lit(base))
+    }
+
+  /** Append response rows, assigning unique ids after the current max.
     * Input columns: provider, method, url, params_json, status_code,
     * headers_json, body, item_index, stage (ordering keys).
     * Returns the appended rows WITH ids (for FK propagation, J1/J2). */
   def appendResponses(rows: DataFrame): DataFrame = {
     val base = maxId(responses)
-    val w = Window.orderBy(col("provider"), col("item_index"), col("stage"), col("url"))
-    val withIds = rows
-      .withColumn("id", row_number().over(w) + lit(base))
+    val withIds = withIdColumn(rows, base,
+      Seq("provider", "item_index", "stage", "url"))
       .withColumn("created_at", current_timestamp())
       .select(Model.responsesSchema.fieldNames.toIndexedSeq.map(col) :+ col("item_index") :+ col("stage"): _*)
     withIds.drop("item_index", "stage")
@@ -64,12 +85,32 @@ final class ProvenanceStore(spark: SparkSession, warehouseDir: String) {
     val fresh = rows
       .dropDuplicates("source_url", "sha256")
       .join(existing, Seq("source_url", "sha256"), "left_anti")
-    val w = Window.orderBy(col("provider"), col("source_url"), col("sha256"))
-    val withIds = fresh
-      .withColumn("id", row_number().over(w) + lit(base))
+    val withIds = withIdColumn(fresh, base,
+      Seq("provider", "source_url", "sha256"))
       .withColumn("created_at", current_timestamp())
       .select(Model.artifactsSchema.fieldNames.toIndexedSeq.map(col): _*)
     withIds.write.mode(SaveMode.Append).parquet(artifactsPath)
     withIds
+  }
+}
+
+object ProvenanceStore {
+  /** K1 id-assignment scheme. */
+  sealed trait IdMode
+  object IdMode {
+    /** Shuffle-free composite ids (partition, row-in-partition) — the
+      * 100 TB default. Unique, FK-safe, non-contiguous. */
+    case object Partitioned extends IdMode
+    /** SQLite-AUTOINCREMENT parity: contiguous ids via a global ordered
+      * row_number. Opt-in; single-task sort on the append path. */
+    case object Contiguous extends IdMode
+  }
+
+  /** Parse an id-mode name (CLI/env): "contiguous" | "partitioned". */
+  def idMode(name: String): IdMode = name.trim.toLowerCase match {
+    case "contiguous"  => IdMode.Contiguous
+    case "partitioned" => IdMode.Partitioned
+    case other => throw new IllegalArgumentException(
+      s"unknown id mode '$other' (expected contiguous|partitioned)")
   }
 }

@@ -39,12 +39,13 @@ object Runner {
       live: Boolean = false,
       config: HttpSource.HttpConfig = HttpSource.HttpConfig(),
       transport: HttpSource.Transport = null,
-      hostParallelism: Int = 1): RunResult = {
+      hostParallelism: Int = 1,
+      idMode: ProvenanceStore.IdMode = ProvenanceStore.IdMode.Partitioned): RunResult = {
     import spark.implicits._
 
     val startedAt = java.time.Instant.now()
     val runDir = buildRunDir(runRoot, startedAt)
-    val store = new ProvenanceStore(spark, warehouseDir)
+    val store = new ProvenanceStore(spark, warehouseDir, idMode)
     // live mode (reference cli.py:29 --live): real transport, no fixtures;
     // offline stays the default, exactly as in the reference (cli.py:33)
     val offlineRoot = if (live) None else Some(fixtureRoot)

@@ -89,9 +89,43 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val store = new ProvenanceStore(spark, wh)
     assert(store.artifacts.count() == 1)
     assert(store.responses.count() == 4, "responses always append")
-    // ids stay contiguous and unique across appends
+    // default (partitioned) id scheme: unique and positive across appends;
+    // contiguity is the opt-in Contiguous mode's contract, tested below
+    val ids = store.responses.select("id").as[Long].collect()
+    assert(ids.distinct.length == 4, s"ids must be unique: ${ids.toSeq}")
+    assert(ids.forall(_ > 0))
+  }
+
+  test("contiguous id mode (SQLite parity): ids 1..4 across two appends, FK join green") {
+    val wh = tmpDir("wh"); val blobs = tmpDir("blobs"); val runs = tmpDir("runs")
+    val mode = ProvenanceStore.IdMode.Contiguous
+    Runner.run(spark, SecEdgarConnector, 1, fixtures, wh, blobs, runs, idMode = mode)
+    Runner.run(spark, SecEdgarConnector, 1, fixtures, wh, blobs, runs, idMode = mode)
+    val store = new ProvenanceStore(spark, wh, mode)
     val ids = store.responses.select("id").as[Long].collect().sorted
-    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L), "AUTOINCREMENT-parity contiguity")
+    // J1 under the contiguous scheme
+    val joined = store.artifacts.as("a")
+      .join(store.responses.as("r"), col("a.response_id") === col("r.id"))
+    assert(joined.count() == 1)
+  }
+
+  test("partitioned id mode: no global sort in the append plan, FK join green") {
+    val wh = tmpDir("wh"); val blobs = tmpDir("blobs"); val runs = tmpDir("runs")
+    // default mode IS partitioned — the scale-out scheme carries the e2e suite
+    val res = Runner.run(spark, SecEdgarConnector, 1, fixtures, wh, blobs, runs)
+    assert(res.status == "succeeded")
+    val store = new ProvenanceStore(spark, wh)
+    // J1: every artifact's response_id resolves under composite ids
+    val joined = store.artifacts.as("a")
+      .join(store.responses.as("r"), col("a.response_id") === col("r.id"))
+    assert(joined.count() == 1)
+    // the id expression itself is shuffle-free: stamping a 4-partition frame
+    // preserves partitioning and assigns unique ids with no Window/sort
+    val probe = spark.range(0, 100, 1, 4).toDF("x")
+      .withColumn("id", monotonically_increasing_id() + lit(1L))
+    assert(probe.rdd.getNumPartitions == 4)
+    assert(probe.select("id").as[Long].collect().distinct.length == 100)
   }
 
   test("unexpected failure writes error.txt and failed run.json, then rethrows (K12)") {
