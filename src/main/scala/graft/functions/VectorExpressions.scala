@@ -140,16 +140,30 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_dot expects 2 arguments (vector, vector), got ${exprs.length}")
+        DotProduct(exprs.head, exprs(1))
+      })
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_lsh_project"),
       new ExpressionInfo(classOf[LshProject].getName, "graft_lsh_project"),
-      (exprs: Seq[Expression]) => LshProject(exprs.head,
-        exprs(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"graft_lsh_project plane count must be an integer literal, got $other")
-        }))
+      (exprs: Seq[Expression]) => {
+        // arity + foldability guarded BEFORE eval(null): a one-arg call or a
+        // non-literal plane count must raise the friendly message, not an
+        // IndexOutOfBounds/NPE out of eval on an unbound attribute
+        if (exprs.length != 2 || !exprs(1).foldable)
+          throw new IllegalArgumentException(
+            "graft_lsh_project expects (vector, planeCount) where planeCount " +
+              s"is an integer literal, got ${exprs.length} argument(s)" +
+              (if (exprs.length == 2) s"; non-foldable plane count ${exprs(1).sql}" else ""))
+        LshProject(exprs.head,
+          exprs(1).eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_lsh_project plane count must be an integer literal, got $other")
+          })
+      })
   }
 }

@@ -33,8 +33,11 @@ object Main {
     val live = opts.contains("live")
     val config = HttpSource.HttpConfig.fromEnv(live)
     // --id-mode contiguous restores SQLite-AUTOINCREMENT parity (global
-    // ordered row_number); the default partitioned scheme is shuffle-free
-    val idMode = ProvenanceStore.idMode(opts.getOrElse("id-mode", "partitioned"))
+    // ordered row_number); the default partitioned scheme is shuffle-free.
+    // The divergence from reference id shape (sparse vs contiguous 1..N) is
+    // deliberate and called out in the summary line + run.json below.
+    val idModeName = opts.getOrElse("id-mode", "partitioned")
+    val idMode = ProvenanceStore.idMode(idModeName)
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -51,7 +54,10 @@ object Main {
       // reference summary shape (cli.py:101–105)
       println(s"run ${res.status}: provider=$provider attempts=${res.attempts} " +
         s"responses=${res.responses} artifacts=${res.artifacts} " +
-        s"parse_errors=${res.parseErrors} run_dir=${res.runDir}")
+        s"parse_errors=${res.parseErrors} id_mode=$idModeName run_dir=${res.runDir}")
+      if (idMode == ProvenanceStore.IdMode.Partitioned)
+        println("note: id_mode=partitioned assigns sparse (non-contiguous) ids; " +
+          "use --id-mode contiguous for SQLite-AUTOINCREMENT id parity")
     } catch {
       case e: Exception =>
         System.err.println(s"run failed: $e")

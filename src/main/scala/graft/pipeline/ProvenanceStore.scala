@@ -60,16 +60,32 @@ final class ProvenanceStore(
         rows.withColumn("id", row_number().over(w).cast("long") + lit(base))
     }
 
+  /** Partitioned ids come from `monotonically_increasing_id`, which is
+    * NONDETERMINISTIC across re-evaluations — and every append is consumed
+    * twice (the parquet write here, then FK propagation in the caller,
+    * Runner J1/J2). A plain `.cache()` upstream does not close that hole:
+    * under cache eviction, task retry, or a live-mode re-fetch the two
+    * evaluations can stamp DIFFERENT ids, silently writing
+    * `artifacts.response_id` values that exist nowhere in `responses`.
+    * An eager `localCheckpoint` materializes the stamped rows exactly once
+    * and truncates lineage, so a lost block fails the job loudly instead of
+    * diverging quietly. Contiguous ids are a deterministic function of the
+    * declared ordering and skip the materialization. */
+  private def pinIds(stamped: DataFrame): DataFrame = idMode match {
+    case IdMode.Partitioned => stamped.localCheckpoint(true)
+    case IdMode.Contiguous  => stamped
+  }
+
   /** Append response rows, assigning unique ids after the current max.
     * Input columns: provider, method, url, params_json, status_code,
     * headers_json, body, item_index, stage (ordering keys).
     * Returns the appended rows WITH ids (for FK propagation, J1/J2). */
   def appendResponses(rows: DataFrame): DataFrame = {
     val base = maxId(responses)
-    val withIds = withIdColumn(rows, base,
+    val withIds = pinIds(withIdColumn(rows, base,
       Seq("provider", "item_index", "stage", "url"))
       .withColumn("created_at", current_timestamp())
-      .select(Model.responsesSchema.fieldNames.toIndexedSeq.map(col) :+ col("item_index") :+ col("stage"): _*)
+      .select(Model.responsesSchema.fieldNames.toIndexedSeq.map(col) :+ col("item_index") :+ col("stage"): _*))
     withIds.drop("item_index", "stage")
       .write.mode(SaveMode.Append).parquet(responsesPath)
     withIds
@@ -85,10 +101,10 @@ final class ProvenanceStore(
     val fresh = rows
       .dropDuplicates("source_url", "sha256")
       .join(existing, Seq("source_url", "sha256"), "left_anti")
-    val withIds = withIdColumn(fresh, base,
+    val withIds = pinIds(withIdColumn(fresh, base,
       Seq("provider", "source_url", "sha256"))
       .withColumn("created_at", current_timestamp())
-      .select(Model.artifactsSchema.fieldNames.toIndexedSeq.map(col): _*)
+      .select(Model.artifactsSchema.fieldNames.toIndexedSeq.map(col): _*))
     withIds.write.mode(SaveMode.Append).parquet(artifactsPath)
     withIds
   }

@@ -143,7 +143,7 @@ object Runner {
       tee(runDir, s"run succeeded attempts=$nAttempts responses=$nResponses " +
         s"artifacts=$nArtifacts parse_errors=$nErrors")
       writeRunJson(runDir, "succeeded", connector.name, limit, startedAt,
-        nAttempts, nResponses, nArtifacts, nErrors)
+        nAttempts, nResponses, nArtifacts, nErrors, idMode)
       RunResult(runDir, "succeeded", nAttempts, nResponses, nArtifacts, nErrors)
     } catch {
       case e: Exception =>
@@ -152,7 +152,7 @@ object Runner {
         Files.write(Paths.get(s"$runDir/error.txt"),
           String.valueOf(e).getBytes("UTF-8"))
         tee(runDir, s"run failed: $e")
-        writeRunJson(runDir, "failed", connector.name, limit, startedAt, 0, 0, 0, 0)
+        writeRunJson(runDir, "failed", connector.name, limit, startedAt, 0, 0, 0, 0, idMode)
         throw e
     }
   }
@@ -182,12 +182,19 @@ object Runner {
   private def writeRunJson(
       runDir: String, status: String, provider: String, limit: Int,
       startedAt: java.time.Instant, attempts: Long, responses: Long,
-      artifacts: Long, parseErrors: Long): Unit = {
+      artifacts: Long, parseErrors: Long,
+      idMode: ProvenanceStore.IdMode): Unit = {
     val endedAt = java.time.Instant.now()
+    // id_mode is recorded so a partitioned run's sparse ids are traceable to
+    // a declared scheme, not mistaken for reference (contiguous) parity
+    val idModeName = idMode match {
+      case ProvenanceStore.IdMode.Partitioned => "partitioned"
+      case ProvenanceStore.IdMode.Contiguous  => "contiguous"
+    }
     val json =
       s"""{
          |  "status": "$status",
-         |  "args": {"provider": "$provider", "limit": $limit},
+         |  "args": {"provider": "$provider", "limit": $limit, "id_mode": "$idModeName"},
          |  "started_at": "$startedAt",
          |  "ended_at": "$endedAt",
          |  "counts": {

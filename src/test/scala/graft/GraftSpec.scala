@@ -31,6 +31,24 @@ class GraftSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(d == 32.0)
   }
 
+  test("graft_lsh_project misuse raises the friendly error, not IOOBE/NPE") {
+    Graft.registerTables(spark, sf001)
+    val oneArg = intercept[Exception] {
+      spark.sql("SELECT graft_lsh_project(array(1.0D))").collect()
+    }
+    assert(oneArg.getMessage.contains("graft_lsh_project"),
+      s"one-arg call must name the function: ${oneArg.getMessage}")
+    val nonLiteral = intercept[Exception] {
+      spark.sql("SELECT graft_lsh_project(array(1.0D), id) FROM range(3)").collect()
+    }
+    assert(nonLiteral.getMessage.contains("graft_lsh_project"),
+      s"non-literal plane count must name the function: ${nonLiteral.getMessage}")
+    val wrongArity = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0D))").collect()
+    }
+    assert(wrongArity.getMessage.contains("graft_dot"))
+  }
+
   test("graft-fixture DSv2 source reads fixtures as capture rows") {
     val df = spark.read.format("graft-fixture")
       .option("provider", "sec_edgar")

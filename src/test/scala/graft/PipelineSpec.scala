@@ -128,6 +128,32 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(probe.select("id").as[Long].collect().distinct.length == 100)
   }
 
+  test("partitioned ids materialize once: returned frame is lineage-truncated, matches parquet") {
+    // monotonically_increasing_id is nondeterministic across re-evaluations,
+    // and every append is consumed twice (write + FK propagation). The store
+    // must pin the stamped rows so both consumers see the SAME ids — the
+    // returned plan reads materialized blocks, not the stamping expression.
+    val wh = tmpDir("wh")
+    val store = new ProvenanceStore(spark, wh) // default = Partitioned
+    val rows = spark.range(0, 50, 1, 8)
+      .select(
+        lit("p").as("provider"), lit("GET").as("method"),
+        concat(lit("https://x.test/"), col("id")).as("url"),
+        lit(null).cast("string").as("params_json"),
+        lit(200).as("status_code"), lit("{}").as("headers_json"),
+        lit("b".getBytes("UTF-8")).as("body"),
+        col("id").cast("int").as("item_index"), lit("metadata").as("stage"))
+    val returned = store.appendResponses(rows)
+    val leaves = returned.queryExecution.logical.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      s"returned frame must be checkpointed, got: ${leaves.map(_.nodeName)}")
+    val ret = returned.select("id").as[Long].collect().sorted.toSeq
+    val written = store.responses.select("id").as[Long].collect().sorted.toSeq
+    assert(ret == written, "FK ids handed to the caller must equal written ids")
+    assert(ret.distinct.size == 50)
+  }
+
   test("unexpected failure writes error.txt and failed run.json, then rethrows (K12)") {
     val runs = tmpDir("runs")
     val ex = intercept[Exception] {
