@@ -21,9 +21,17 @@ object Tables {
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects; read the raw int64 nanos (legacy conf) and floor-truncate to
     * Spark's native microsecond timestamps — same truncation DuckDB/pandas
-    * apply when downcasting ns→us, so oracle comparisons stay exact. */
+    * apply when downcasting ns→us, so oracle comparisons stay exact.
+    *
+    * The legacy conf must be set at SESSION BUILD (Bench/Verify/Main/test
+    * wrapper all do) — a loader mutating session conf on every call is a
+    * global side effect this deliberately refuses to repeat. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      throw new IllegalStateException(
+        "events.parquet is TIMESTAMP(NANOS): set " +
+          "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession " +
+          "builder (see graft.Bench/Verify/Main)")
     spark.read.parquet(s"$dir/events.parquet")
   }
 

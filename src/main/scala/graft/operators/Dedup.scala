@@ -108,6 +108,41 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- duplicate clusters via large-star/small-star (Kiveris et al.) —
+    //      same contract and same recursive-CTE oracle as q62, but the
+    //      O(log n)-round algorithm instead of O(diameter) label
+    //      propagation: both paths are oracle-checked ----
+    "q67_dup_clusters_star" -> QueryDef.sql(
+      """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM com
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |  WHERE r.a != e.b),
+        |members AS (SELECT DISTINCT a AS doc_id FROM edges)
+        |SELECT m.doc_id,
+        |  least(m.doc_id, min(r.b)) AS cluster_id,
+        |  m.doc_id = least(m.doc_id, min(r.b)) AS is_keeper
+        |FROM members m JOIN reach r ON r.a = m.doc_id
+        |GROUP BY m.doc_id
+        |ORDER BY doc_id""") { (s, dir) =>
+      connectedComponentsStar(exactJaccardPairs(Tables.documents(s, dir), 0.6))
+        .orderBy("doc_id")
+    },
+
     // ---- MinHash + LSH candidate pairs (no SQL oracle — sketch internals
     //      are engine-specific; DedupSpec checks recall against q51's exact
     //      pairs instead) ----
@@ -153,10 +188,11 @@ object Dedup {
     * appears in a pair; cluster_id = smallest doc_id in the component, the
     * deterministic keeper rule.
     *
-    * Scale notes: each iteration is one shuffle join on the edge list;
-    * at 100 TB checkpoint `labels` every few iterations to cut lineage,
-    * and switch to large-star/small-star (Kiveris et al.) if components
-    * get deep. */
+    * Scale notes: each iteration is one shuffle join on the edge list. If
+    * the graph is DEEPER than `maxIters` (a pathological chain), the
+    * propagation would return wrong (unconverged) labels — so it hands off
+    * to [[connectedComponentsStar]], whose round count is logarithmic in
+    * component size instead of linear in diameter. */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // cache + materialize the pair computation FIRST: the symmetric union
     // below reads it twice, and every iteration joins against it
@@ -193,8 +229,96 @@ object Dedup {
       labels = updated.drop("chg")
       converged = changed == 0
     }
+    if (!converged) {
+      // component deeper than maxIters: unconverged labels would be WRONG
+      // (two docs of one cluster under different keepers). Fall back to the
+      // O(log n)-round star algorithm instead.
+      labels.unpersist(); edges.unpersist()
+      return connectedComponentsStar(p)
+    }
     labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("is_keeper"))
+  }
+
+  /** Connected components by alternating large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * deep-component fallback for [[duplicateClusters]]:
+    *
+    *  - large-star: every node's strictly-larger neighbors re-link to the
+    *    minimum of its closed neighborhood — `(v, m(u))` for `v > u`.
+    *  - small-star: orient each edge large→small; every node's smaller
+    *    neighbors (and the node itself) re-link to that minimum.
+    *
+    * Both steps preserve connectivity and strictly shrink star depth; the
+    * edge set reaches its fixpoint (every non-root pointing at its
+    * component minimum) in rounds LOGARITHMIC in component size — a
+    * 1000-node chain converges in ~10 rounds where min-label propagation
+    * needs ~1000 joins. Each round is two self-aggregating joins on the
+    * edge list, no driver-side graph state; convergence is detected by an
+    * (edge-count, hash-sum) fingerprint — one tiny action per round.
+    *
+    * Input: undirected pairs (d1, d2); output matches duplicateClusters:
+    * (doc_id, cluster_id, is_keeper), cluster_id = component minimum. */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val p = pairs.select(col("d1"), col("d2")).cache()
+    val nodes = p.select(col("d1").as("doc_id"))
+      .union(p.select(col("d2").as("doc_id"))).distinct().cache()
+    val parts = math.max(1, math.min(
+      p.sparkSession.sparkContext.defaultParallelism,
+      (p.count() / 100000L).toInt + 1))
+    // every round derives from the previous round's edge set MULTIPLE times
+    // (symmetric union + two joins), so building on raw lineage grows the
+    // logical plan exponentially with rounds — localCheckpoint each round
+    // pins the data AND truncates the plan to a constant size
+    var edges = p.filter(col("d1") =!= col("d2"))
+      .select(col("d1").as("a"), col("d2").as("b"))
+      .distinct().repartition(parts).localCheckpoint(true)
+
+    // (count, xor-of-hashes): order-insensitive, overflow-free (ANSI-safe),
+    // collision odds negligible at equal counts
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var fp = fingerprint(edges)
+    var converged = fp._1 == 0L
+    var i = 0
+    while (!converged && i < maxIters) {
+      i += 1
+      // large-star over the symmetric adjacency (u=a, v=b)
+      val nbrs = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = nbrs.groupBy("a").agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val large = nbrs.join(mins, "a")
+        .filter(col("b") > col("a") && col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star on the large→small orientation
+      val oriented = large.select(
+        greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+      val m2 = oriented.groupBy("hi").agg(min(col("lo")).as("m"))
+      val joined = oriented.join(m2, "hi")
+      val next = joined.select(col("lo").as("a"), col("m").as("b"))
+        .union(joined.select(col("hi").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct().repartition(parts).localCheckpoint(true)
+      val nextFp = fingerprint(next)
+      edges = next
+      converged = nextFp == fp
+      fp = nextFp
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+    // fixpoint edges form stars: each non-root has edges only to its root
+    val roots = edges.groupBy(col("a").as("doc_id")).agg(min(col("b")).as("root"))
+    nodes.join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }
 
   /** MinHash signatures (numHashes seeded xxhash64 mins over shingles),

@@ -281,7 +281,15 @@ object HttpSource {
   /** Decompress a gzip/deflate response body per Content-Encoding and drop
     * the now-inaccurate Content-Encoding/Content-Length headers, matching
     * httpx's transparent-decompression contract. Unknown encodings (and
-    * bodies that fail to decode) pass through untouched. */
+    * bodies that fail to decode) pass through untouched.
+    *
+    * DELIBERATE DIVERGENCE from httpx: a corrupt gzip/deflate body raises
+    * `DecodingError` there, failing the whole fetch; here it passes through
+    * with Content-Encoding intact, so the attempt survives, the raw bytes
+    * are preserved for the capture sinks, and the row fails later at parse
+    * time (F6 dead-letter) instead of the fetch stage — fail-the-row beats
+    * fail-the-fetch in a set-at-a-time engine. The retained header marks
+    * the body as still-encoded for downstream inspection. */
   private[graft] def decodeBody(
       headers: Map[String, String],
       body: Array[Byte]): (Map[String, String], Array[Byte]) = {

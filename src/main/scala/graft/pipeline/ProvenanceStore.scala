@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * - K2 dedup append: `dropDuplicates + left_anti` against the existing
   *   table = the reference's INSERT OR IGNORE on UNIQUE(source_url, sha256)
   *   (storage/db.py:76; dossier :266 idempotency rule).
+  *
+  * Read paths: the internal reads here stay on Spark's vectorized parquet
+  * reader (fastest for the append path's full-column scans); external
+  * consumers get the DSv2 face with filter/column pushdown via
+  * `spark.read.format("graft-provenance")` ([[graft.sources.ProvenanceDataSource]]).
   */
 final class ProvenanceStore(
     spark: SparkSession,

@@ -64,13 +64,16 @@ object Runner {
         hostParallelism = hostParallelism, config = config)
         .cache()
 
-      // K1 append metadata responses, ids back for FK J1/J2
+      // K1 append metadata responses, ids back for FK J1/J2. The row count
+      // rides the append's own materialization as an observe() metric.
+      val metaObs = org.apache.spark.sql.Observation()
       val metaWithIds = store.appendResponses(
         metaFetched.toDF()
           .withColumn("provider", col("provider"))
           .select(col("provider"), col("method"), col("url"), col("params_json"),
             col("status_code"), col("headers_json"), col("body"),
-            col("item_index"), col("stage"))).cache()
+            col("item_index"), col("stage"))
+          .observe(metaObs, count(lit(1)).as("n"))).cache()
 
       // P1–P3 extraction; F6 split into targets vs dead-letter.
       // metaWithIds carries body/params_json/status_code through from the
@@ -81,7 +84,6 @@ object Runner {
         .select(lit(connector.name).as("provider"), lit("extract").as("stage"),
           col("error_message").as("message"), col("source_url").as("url"),
           col("item_index"), col("response_id"))
-        .cache()
 
       val targets = extracted
         .filter(col("artifact_url").isNotNull && col("error_message").isNull)
@@ -98,10 +100,12 @@ object Runner {
         hostParallelism = hostParallelism, config = config)
         .filter(_.status_code == 200).cache()
 
+      val artObs = org.apache.spark.sql.Observation()
       val artWithIds = store.appendResponses(
         artFetched.toDF().select(col("provider"), col("method"), col("url"),
           col("params_json"), col("status_code"), col("headers_json"), col("body"),
-          col("item_index"), col("stage"))).cache()
+          col("item_index"), col("stage"))
+          .observe(artObs, count(lit(1)).as("n"))).cache()
 
       // X0 hash + K3 blob put + K2 dedup append
       val hashed = artWithIds
@@ -118,28 +122,37 @@ object Runner {
         hashed.select("provider", "source_url", "sha256", "bytes", "blob_path",
           "response_id"))
 
-      // K4–K8 per-attempt capture files with X1 redaction
+      // K4–K8 per-attempt capture files with X1 redaction.
+      // Counts for the K10 summary ride as observe() metrics on the sink
+      // writes below — one pass per frame, no post-hoc count() jobs (at
+      // 100 TB every extra action is a full re-scan of its lineage).
       val allFetched = metaFetched.union(artFetched)
       CaptureSink.writeCaptures(allFetched, runDir)
-      val attempts = allFetched.flatMap(_.attempts).toDF()
+      val attemptsObs = org.apache.spark.sql.Observation()
+      allFetched.flatMap(_.attempts).toDF()
         .withColumn("request_headers", Redaction.redactMap(col("request_headers")))
         .withColumn("response_headers", Redaction.redactMap(col("response_headers")))
-        .cache()
-      attempts.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$runDir/attempts")
+        .observe(attemptsObs, count(lit(1)).as("n"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).json(s"$runDir/attempts")
 
-      // K9 manifest
-      val manifest = inserted
-        .select(to_json(struct(col("source_url"), col("sha256"), col("blob_path"))))
-        .as[String].collect()
-      Files.write(Paths.get(s"$runDir/artifacts.json"),
-        manifest.mkString("[\n", ",\n", "\n]").getBytes("UTF-8"))
+      // K9 manifest — streamed JSON lines per run, never collected: a
+      // 100 TB ingest's manifest is itself big data (round-4 verdict #5)
+      val insertedObs = org.apache.spark.sql.Observation()
+      inserted.observe(insertedObs, count(lit(1)).as("n"))
+        .select("source_url", "sha256", "blob_path")
+        .coalesce(1).write.mode(SaveMode.Overwrite).json(s"$runDir/artifacts")
 
-      // K10 run summary
-      val nAttempts = attempts.count()
-      val nResponses = metaWithIds.count() + artWithIds.count()
-      val nArtifacts = inserted.count()
-      val nErrors = parseErrors.count()
-      parseErrors.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$runDir/parse_errors")
+      val errorsObs = org.apache.spark.sql.Observation()
+      parseErrors.observe(errorsObs, count(lit(1)).as("n"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).json(s"$runDir/parse_errors")
+
+      // K10 run summary from the observed metrics (the writes above have
+      // completed synchronously, so the observations are already filled)
+      val nAttempts = attemptsObs.get("n").asInstanceOf[Long]
+      val nArtifacts = insertedObs.get("n").asInstanceOf[Long]
+      val nErrors = errorsObs.get("n").asInstanceOf[Long]
+      val nResponses = metaObs.get("n").asInstanceOf[Long] +
+        artObs.get("n").asInstanceOf[Long]
       tee(runDir, s"run succeeded attempts=$nAttempts responses=$nResponses " +
         s"artifacts=$nArtifacts parse_errors=$nErrors")
       writeRunJson(runDir, "succeeded", connector.name, limit, startedAt,

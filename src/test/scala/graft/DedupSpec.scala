@@ -100,6 +100,41 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "exactly one keeper per component, the min doc_id")
   }
 
+  test("large-star/small-star CC: planted 1000-node path converges within the round bound") {
+    // worst case for min-label propagation (diameter 999 → ~999 joins);
+    // the star algorithm must close it in its logarithmic round bound
+    // (maxIters default 50 — it throws rather than return wrong labels)
+    val pairs = spark.range(0, 999)
+      .select(col("id").as("d1"), (col("id") + 1).as("d2"))
+    val out = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 1000)
+    assert(out.forall(_._2 == 0L), "one component rooted at the min node")
+    assert(out.filter(_._3).map(_._1).toSeq == Seq(0L), "only node 0 keeps")
+  }
+
+  test("large-star/small-star CC agrees with label propagation on branching components") {
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (11L, 14L), (14L, 15L), // tree
+      (20L, 21L), (21L, 22L), (22L, 20L),                          // cycle
+      (30L, 31L)).toDF("d1", "d2")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val prop = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(star == prop, s"star=$star prop=$prop")
+  }
+
+  test("duplicateClusters falls back to star CC when the graph outlives maxIters") {
+    // 64-node path with maxIters=3: label propagation cannot converge, so
+    // the fallback must produce the CORRECT labels anyway
+    val pairs = spark.range(0, 63).select(col("id").as("d1"), (col("id") + 1).as("d2"))
+    val out = Dedup.duplicateClusters(pairs, maxIters = 3)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 64)
+    assert(out.forall(_._2 == 0L), "fallback labels must be converged, not partial")
+  }
+
   test("minhash recall vs exact on real testdata documents") {
     val real = Tables.documents(spark, sf001)
     val exact = Dedup.exactJaccardPairs(real, threshold = 0.8)

@@ -49,6 +49,42 @@ class GraftSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(wrongArity.getMessage.contains("graft_dot"))
   }
 
+  test("graft-provenance DSv2 source matches the plain parquet read, filters/projection push") {
+    import graft.pipeline.{Model, ProvenanceStore}
+    val wh = java.nio.file.Files.createTempDirectory("wh").toString
+    val store = new ProvenanceStore(spark, wh)
+    store.appendResponses(spark.range(0, 100, 1, 4).select(
+      lit("prov_a").as("provider"), lit("GET").as("method"),
+      concat(lit("https://x.test/"), col("id")).as("url"),
+      when(col("id") % 2 === 0, lit("{}")).as("params_json"), // nulls on odd ids
+      (lit(200) + (col("id") % 2).cast("int")).as("status_code"),
+      lit("{}").as("headers_json"), lit("body".getBytes("UTF-8")).as("body"),
+      col("id").cast("int").as("item_index"), lit("metadata").as("stage")))
+
+    val dsv2 = spark.read.format("graft-provenance")
+      .option("warehouse", wh).option("table", "responses").load()
+    val plain = spark.read.schema(Model.responsesSchema).parquet(s"$wh/responses")
+    // full-row equality incl. timestamps (INT96/INT64 decode) and nulls
+    assert(dsv2.orderBy("id").collect().toSeq == plain.orderBy("id").collect().toSeq)
+
+    // filtered + projected read returns the right rows
+    val got = dsv2.filter(col("id") > 5 && col("status_code") === 200)
+      .select("id", "url").orderBy("id")
+    val want = plain.filter(col("id") > 5 && col("status_code") === 200)
+      .select("id", "url").orderBy("id")
+    assert(got.collect().toSeq == want.collect().toSeq)
+
+    // a filter above every id (stats say: skip all row groups) reads empty;
+    // partitioned ids are sparse ((partition<<33)+row), so derive the max
+    val maxId = plain.agg(max("id")).head().getLong(0)
+    assert(dsv2.filter(col("id") > maxId).count() == 0)
+    // empty projection (count(*)) still counts rows
+    assert(dsv2.count() == 100)
+    // missing table dir reads as empty, not an error
+    assert(spark.read.format("graft-provenance")
+      .option("warehouse", wh).option("table", "artifacts").load().count() == 0)
+  }
+
   test("graft-fixture DSv2 source reads fixtures as capture rows") {
     val df = spark.read.format("graft-fixture")
       .option("provider", "sec_edgar")

@@ -143,10 +143,15 @@ class LiveTransportSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val br = "br-bytes".getBytes(UTF_8)
     val (h3, b3) = HttpSource.decodeBody(Map("Content-Encoding" -> "br"), br)
     assert(b3.sameElements(br) && h3.nonEmpty)
-    // corrupt gzip: pass through rather than fail the fetch
+    // corrupt gzip: DELIBERATE divergence from httpx (which raises
+    // DecodingError) — fail-the-row beats fail-the-fetch; the retained
+    // Content-Encoding header marks the body as still-encoded so the
+    // capture sinks and parse stage can see what happened
     val junk = Array[Byte](1, 2, 3)
-    val (_, b4) = HttpSource.decodeBody(Map("Content-Encoding" -> "gzip"), junk)
+    val (h4, b4) = HttpSource.decodeBody(Map("Content-Encoding" -> "gzip"), junk)
     assert(b4.sameElements(junk))
+    assert(h4.get("Content-Encoding").contains("gzip"),
+      "corrupt body must keep its Content-Encoding marker")
     // no encoding header: identity
     val (h5, b5) = HttpSource.decodeBody(Map("Server" -> "x"), plain)
     assert(b5.sameElements(plain) && h5 == Map("Server" -> "x"))

@@ -41,7 +41,11 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .join(store.responses.as("r"), col("a.response_id") === col("r.id"))
     assert(joined.count() == 1)
     assert(Files.exists(Paths.get(s"${res.runDir}/run.json")))
-    assert(Files.exists(Paths.get(s"${res.runDir}/artifacts.json")))
+    // K9 manifest: streamed JSON lines (one file per run), never collected
+    val manifest = spark.read.json(s"${res.runDir}/artifacts")
+    assert(manifest.count() == 1)
+    assert(manifest.columns.toSet == Set("source_url", "sha256", "blob_path"))
+    assert(manifest.head().getAs[String]("sha256") == sha)
   }
 
   test("nrc_adams_aps offline e2e: 2 responses, 1 artifact") {

@@ -96,6 +96,29 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"filter must reach the lineitem scan: $p")
   }
 
+  test("graft-provenance DSv2 scan reports pushed filters and a pruned read schema") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("wh").toString
+    val store = new graft.pipeline.ProvenanceStore(spark, wh)
+    store.appendResponses(spark.range(0, 10, 1, 2).select(
+      lit("p").as("provider"), lit("GET").as("method"),
+      concat(lit("https://x.test/"), col("id")).as("url"),
+      lit(null).cast("string").as("params_json"), lit(200).as("status_code"),
+      lit("{}").as("headers_json"), lit("b".getBytes("UTF-8")).as("body"),
+      col("id").cast("int").as("item_index"), lit("metadata").as("stage")))
+    val q = spark.read.format("graft-provenance")
+      .option("warehouse", wh).option("table", "responses").load()
+      .filter(col("id") > 3 && col("provider") === "p")
+      .select("id", "url")
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("graft-provenance"), p)
+    assert(p.contains("GreaterThan(id,3)"), s"id filter must be pushed: $p")
+    assert(p.contains("EqualTo(provider,p)"), s"provider filter must be pushed: $p")
+    // the body blob must not be decoded for a 2-column projection
+    val scanDesc = p.linesIterator.filter(_.contains("graft-provenance")).mkString("\n")
+    assert(!scanDesc.contains("body"), s"projection must prune body: $scanDesc")
+  }
+
   test("partial aggregation happens before the shuffle (map-side combine)") {
     val p = executedPlan("q01_pricing_summary")
     assert(p.contains("partial_sum"), s"map-side combine missing: $p")
