@@ -19,6 +19,7 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -236,10 +237,12 @@ private[sources] class ProvenanceTable(
 private[sources] class ProvenanceScanBuilder(dir: String, tableSchema: StructType)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var requested: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Array[AggSpec] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(ProvenanceDataSource.supported(_, tableSchema))
@@ -253,7 +256,46 @@ private[sources] class ProvenanceScanBuilder(dir: String, tableSchema: StructTyp
   override def pruneColumns(requiredSchema: StructType): Unit =
     requested = requiredSchema
 
-  override def build(): Scan = new ProvenanceScan(dir, requested, pushed)
+  /** Partial aggregate pushdown: MIN/MAX on int/long columns and COUNT /
+    * COUNT(*) are answered from parquet footer STATISTICS — one metadata
+    * read per file, zero data pages. At 100 TB, `max(id)` (the
+    * ProvenanceStore append path's base-id probe) touches footers only.
+    * Strings/timestamps are refused: parquet may truncate binary stats to
+    * bounds, and INT96 stats are deprecated — both would be wrong answers,
+    * not slow ones. Partial (not complete) pushdown: the scan emits one
+    * partial row per file and Spark's final aggregate folds them, so
+    * multi-file tables and empty tables finalize correctly for free. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    // only without filters: Spark won't offer aggregation past residual
+    // filters, but refuse defensively — stats are pre-filter
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def statsCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+            if nr.fieldNames.length == 1 =>
+          tableSchema.fields.find(_.name == nr.fieldNames()(0))
+        case _ => None
+      }
+    def numeric(f: StructField): Boolean =
+      f.dataType == LongType || f.dataType == IntegerType
+    val specs = agg.aggregateExpressions.map {
+      case m: Max => statsCol(m.column).filter(numeric)
+        .map(f => AggSpec("max", f.name, f.dataType == LongType))
+      case m: Min => statsCol(m.column).filter(numeric)
+        .map(f => AggSpec("min", f.name, f.dataType == LongType))
+      case _: CountStar => Some(AggSpec("countstar", "", isLong = true))
+      case c: Count if !c.isDistinct => statsCol(c.column)
+        .map(f => AggSpec("count", f.name, isLong = true))
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) { pushedAgg = specs.flatten; true }
+    else false
+  }
+
+  override def build(): Scan =
+    if (pushedAgg.nonEmpty) new ProvenanceAggScan(dir, pushedAgg)
+    else new ProvenanceScan(dir, requested, pushed)
 }
 
 private[sources] class ProvenanceScan(
@@ -285,6 +327,151 @@ private[sources] class ProvenanceScan(
 }
 
 private[sources] case class ProvenanceFilePartition(file: String) extends InputPartition
+
+/** One pushed aggregate: kind ∈ max|min|count|countstar. `isLong` picks the
+  * partial's Spark type for max/min (LongType vs IntegerType). */
+private[sources] case class AggSpec(kind: String, col: String, isLong: Boolean) {
+  def display: String = kind match {
+    case "countstar" => "COUNT(*)"
+    case k => s"${k.toUpperCase}($col)"
+  }
+  def field: StructField = kind match {
+    case "max" | "min" => StructField(display,
+      if (isLong) LongType else IntegerType, nullable = true)
+    case _ => StructField(display, LongType, nullable = false)
+  }
+}
+
+/** Footer-statistics aggregate scan: one partial row per parquet file,
+  * computed from row-group metadata (min/max/null-count/row-count) with a
+  * single-column data-scan fallback for any file whose stats are absent —
+  * correctness never depends on stats being present, only speed does. */
+private[sources] class ProvenanceAggScan(dir: String, specs: Array[AggSpec])
+    extends Scan with Batch {
+
+  private val outSchema = StructType(specs.map(_.field).toIndexedSeq)
+
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(new Configuration())
+    if (!fs.exists(path)) Array.empty
+    else fs.listStatus(path)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map(s => ProvenanceFilePartition(s.getPath.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ProvenanceAggReaderFactory(specs)
+
+  override def description(): String =
+    s"graft-provenance $dir " +
+      s"PushedAggregation: [${specs.map(_.display).mkString(", ")}]"
+}
+
+private[sources] class ProvenanceAggReaderFactory(specs: Array[AggSpec])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[ProvenanceFilePartition].file
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+
+      override def next(): Boolean = !emitted
+
+      override def get(): InternalRow = {
+        emitted = true
+        import scala.jdk.CollectionConverters._
+        val conf = new Configuration()
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+        val blocks = try reader.getFooter.getBlocks.asScala.toSeq finally reader.close()
+
+        def chunk(block: org.apache.parquet.hadoop.metadata.BlockMetaData, col: String) =
+          block.getColumns.asScala.find(_.getPath.toDotString == col)
+
+        // trustworthy stats per (blocks, col): every row group must either
+        // carry usable statistics or be all-null with the null count set
+        def statsUsable(col: String, needValues: Boolean): Boolean =
+          blocks.forall { b =>
+            chunk(b, col).exists { c =>
+              val st = c.getStatistics
+              st != null && st.isNumNullsSet &&
+                (!needValues || st.hasNonNullValue || st.getNumNulls == b.getRowCount)
+            }
+          }
+
+        val values: Array[Any] = specs.map { spec =>
+          spec.kind match {
+            case "countstar" => blocks.map(_.getRowCount).sum
+            case "count" =>
+              if (statsUsable(spec.col, needValues = false))
+                blocks.map(b => b.getRowCount - chunk(b, spec.col).get.getStatistics.getNumNulls).sum
+              else scanColumn(file, spec)._1
+            case "max" | "min" =>
+              if (statsUsable(spec.col, needValues = true)) {
+                val vs = blocks.flatMap { b =>
+                  chunk(b, spec.col).map(_.getStatistics).collect {
+                    case st if st.hasNonNullValue =>
+                      (if (spec.kind == "max") st.genericGetMax else st.genericGetMin)
+                        .asInstanceOf[Number].longValue()
+                  }
+                }
+                if (vs.isEmpty) null
+                else {
+                  val v = if (spec.kind == "max") vs.max else vs.min
+                  if (spec.isLong) v else v.toInt
+                }
+              } else {
+                val (_, mn, mx, any) = scanColumn(file, spec)
+                if (!any) null
+                else {
+                  val v = if (spec.kind == "max") mx else mn
+                  if (spec.isLong) v else v.toInt
+                }
+              }
+          }
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+
+      /** Fallback when footer stats are absent: single-column data scan of
+        * this file. Returns (nonNullCount, min, max, sawAnyValue). */
+      private def scanColumn(file: String, spec: AggSpec): (Long, Long, Long, Boolean) = {
+        val conf = new Configuration()
+        val r0 = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+        val fileSchema = try r0.getFooter.getFileMetaData.getSchema finally r0.close()
+        val projection = new MessageType(fileSchema.getName,
+          ProvenanceDataSource.fieldOf(fileSchema, spec.col))
+        conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+        val reader = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+          .withConf(conf).build()
+        try {
+          var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue; var any = false
+          var g = reader.read()
+          while (g != null) {
+            if (g.getFieldRepetitionCount(spec.col) > 0) {
+              n += 1; any = true
+              val v = ProvenanceDataSource.fieldOf(projection, spec.col)
+                .asPrimitiveType().getPrimitiveTypeName match {
+                case INT64 => g.getLong(spec.col, 0)
+                case _ => g.getInteger(spec.col, 0).toLong
+              }
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            g = reader.read()
+          }
+          (n, mn, mx, any)
+        } finally reader.close()
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private[sources] class ProvenanceReaderFactory(
     requested: StructType, pushed: Array[Filter]) extends PartitionReaderFactory {

@@ -119,6 +119,47 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!scanDesc.contains("body"), s"projection must prune body: $scanDesc")
   }
 
+  test("graft-provenance aggregate pushdown answers min/max/count from footer stats") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("wh").toString
+    val store = new graft.pipeline.ProvenanceStore(spark, wh)
+    // two appends → multiple part-files; params_json null on odd ids
+    (0 until 2).foreach { batch =>
+      store.appendResponses(spark.range(0, 40, 1, 4).select(
+        lit(s"p$batch").as("provider"), lit("GET").as("method"),
+        concat(lit(s"https://x.test/$batch/"), col("id")).as("url"),
+        when(col("id") % 2 === 0, lit("{}")).as("params_json"),
+        lit(200 + batch).as("status_code"), lit("{}").as("headers_json"),
+        lit("b".getBytes("UTF-8")).as("body"),
+        col("id").cast("int").as("item_index"), lit("metadata").as("stage")))
+    }
+    val dsv2 = spark.read.format("graft-provenance")
+      .option("warehouse", wh).option("table", "responses").load()
+    val plain = spark.read.schema(graft.pipeline.Model.responsesSchema)
+      .parquet(s"$wh/responses")
+    def aggs(df: org.apache.spark.sql.DataFrame) = df.agg(
+      max("id"), min("id"), count(lit(1)), count(col("params_json")),
+      min("status_code"), max("status_code"))
+    val q = aggs(dsv2)
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedAggregation: [MAX(id), MIN(id), COUNT(*), " +
+      "COUNT(params_json), MIN(status_code), MAX(status_code)]"),
+      s"aggregates must reach the footer-stats scan: $p")
+    assert(q.head() == aggs(plain).head(), "footer-stats answers must equal the data scan")
+    // empty table: finalization over zero partial rows → count 0, max null
+    val empty = spark.read.format("graft-provenance")
+      .option("warehouse", wh).option("table", "artifacts").load()
+      .agg(count(lit(1)), max("id")).head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+    // a filtered aggregate must NOT use the stats path (pre-filter stats
+    // would be wrong): it falls back to the row scan and stays correct
+    val filtered = dsv2.filter(col("status_code") === 201).agg(count(lit(1)), max("id"))
+    val pf = filtered.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!pf.contains("PushedAggregation"), pf)
+    assert(filtered.head() ==
+      plain.filter(col("status_code") === 201).agg(count(lit(1)), max("id")).head())
+  }
+
   test("partial aggregation happens before the shuffle (map-side combine)") {
     val p = executedPlan("q01_pricing_summary")
     assert(p.contains("partial_sum"), s"map-side combine missing: $p")
