@@ -75,6 +75,45 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}""")
+
+    // SPARK_GRAFT_BENCH_SCALING=1: rerun the headline at the other scale
+    // factors and report each query's log-log slope (elapsed vs sf). Slope
+    // ≈ 1 is linear scaling, ≪ 1 is fixed-overhead-dominated at these
+    // sizes, and ≫ 1 flags a super-linear operator — the local stand-in
+    // for "would this plan survive a 100× scale-up". Opt-in extra line;
+    // the driver's one-line contract above is unchanged.
+    if (sys.env.get("SPARK_GRAFT_BENCH_SCALING").contains("1")) {
+      val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", sfDir)
+        .distinct.filter(d => new java.io.File(d).exists())
+      val sfOf = (d: String) => d.split("sf").last.toDouble
+      val byDir = sfDirs.map { d =>
+        d -> selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val samples = (1 to runsPerQuery).map { _ =>
+            val t0 = System.nanoTime()
+            try fn(spark, d).write.mode("overwrite").format("noop").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed at $d: ${e.getMessage}") }
+            (System.nanoTime() - t0) / 1e9
+          }
+          name -> median(samples)
+        }.toMap
+      }.toMap
+      val slopes = selected.keySet.toSeq.sorted.map { name =>
+        // least-squares slope of ln(t) on ln(sf)
+        val pts = sfDirs.map(d => (math.log(sfOf(d)), math.log(byDir(d)(name))))
+        val n = pts.size.toDouble
+        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        "\"" + name + f"\":$slope%.2f"
+      }.mkString("{", ",", "}")
+      val perSf = sfDirs.map { d =>
+        "\"" + f"${sfOf(d)}%.3f" + "\":" + byDir(d).toSeq.sorted
+          .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"scaling_slopes","slopes":$slopes,"seconds_by_sf":$perSf,"runs_per_query":$runsPerQuery}""")
+    }
     spark.stop()
   }
 
