@@ -112,6 +112,36 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- language ID, char-n-gram depth (NEXT #7): character trigram
+    //      profile hits with a confidence score — robust to unseen words
+    //      where q42's word-stopword hits are not. Same shuffle-free
+    //      codegen'd shape. ----
+    "q68_lang_id_ngram" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id, lang AS declared_lang, lower(text) AS t FROM documents),
+        |g AS (SELECT doc_id, declared_lang,
+        |        [substring(t, i, 3) for i in range(1, greatest(len(t)-1, 1))] AS tg
+        |      FROM t),
+        |h AS (SELECT doc_id, declared_lang,
+        |  len(list_filter(tg, x -> list_contains(['the',' th','he ','and',' an','nd ','ing','ng ',' of','of '], x))) AS en_hits,
+        |  len(list_filter(tg, x -> list_contains(['der','die','und','ein','ich','sch','cht',' da','das','en '], x))) AS de_hits,
+        |  len(list_filter(tg, x -> list_contains(['que',' qu','el ',' el','la ',' la','los','ión','ado','nte'], x))) AS es_hits,
+        |  len(list_filter(tg, x -> list_contains(['les',' le','le ','des',' de','de ','ent','une',' un','ais'], x))) AS fr_hits
+        |  FROM g)
+        |SELECT doc_id, declared_lang, en_hits, de_hits, es_hits, fr_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+        |       WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+        |       WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+        |       WHEN fr_hits > 0 THEN 'fr'
+        |       ELSE 'und' END AS predicted_lang,
+        |  CASE WHEN en_hits + de_hits + es_hits + fr_hits = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE round(CAST(greatest(en_hits, de_hits, es_hits, fr_hits) AS DOUBLE)
+        |                  / (en_hits + de_hits + es_hits + fr_hits), 6) END AS confidence
+        |FROM h ORDER BY doc_id""") { (s, dir) =>
+      langIdNgram(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("declared_lang"), col("text")))
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic content-hash sampling: the reproducible corpus
     //      subsample a training-data pipeline uses (same rows on every
     //      engine/run, no RNG state to coordinate across 1000 executors) ----
@@ -177,4 +207,46 @@ object TextAnalysis {
         .orderBy("doc_id")
     }
   )
+
+  /** Character-trigram language-ID profiles: the highest-frequency trigrams
+    * of each language's function words (public rank-order statistics à la
+    * Cavnar–Trenkle n-gram categorization, cut to a 10-gram profile). */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " th", "he ", "and", " an", "nd ", "ing", "ng ", " of", "of "),
+    "de" -> Seq("der", "die", "und", "ein", "ich", "sch", "cht", " da", "das", "en "),
+    "es" -> Seq("que", " qu", "el ", " el", "la ", " la", "los", "ión", "ado", "nte"),
+    "fr" -> Seq("les", " le", "le ", "des", " de", "de ", "ent", "une", " un", "ais"))
+
+  /** Char-trigram language ID with confidence. Input: (doc_id,
+    * declared_lang, text); output adds per-language profile hit counts,
+    * `predicted_lang` (argmax, tie-break en > de > es > fr, 'und' when no
+    * profile hits), and `confidence` = best_hits / total_hits (0.0 when
+    * undetermined). Pure codegen'd column expressions — trigram explosion
+    * happens INSIDE the row (higher-order array functions), so the operator
+    * is shuffle-free and streams at scan speed; profiles are literals, so
+    * adding a language is one more profile row, not a join. */
+  def langIdNgram(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val withTg = docs.withColumn("t", lower(col("text")))
+      .withColumn("tg", when(length(col("t")) < 3, array().cast("array<string>"))
+        .otherwise(expr("transform(sequence(1, length(t)-2), i -> substring(t, i, 3))")))
+    val hits = langProfiles.foldLeft(withTg) { case (df, (lang, grams)) =>
+      val profile = array(grams.map(lit): _*)
+      df.withColumn(s"${lang}_hits",
+        size(filter(col("tg"), g => array_contains(profile, g))).cast("long"))
+    }
+    val total = col("en_hits") + col("de_hits") + col("es_hits") + col("fr_hits")
+    val best = greatest(col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits"))
+    hits.select(col("doc_id"), col("declared_lang"),
+      col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits"),
+      when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits")
+          && col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+        .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits")
+          && col("de_hits") > 0, "de")
+        .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+        .when(col("fr_hits") > 0, "fr")
+        .otherwise("und").as("predicted_lang"),
+      when(total === 0, lit(0.0))
+        .otherwise(round(best.cast("double") / total.cast("double"), 6))
+        .as("confidence"))
+  }
 }

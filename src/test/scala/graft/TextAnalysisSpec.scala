@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality gates for the text-analysis operators beyond oracle parity —
+  * the oracle proves both engines agree; these prove the answers are
+  * USEFUL on real-language text (the synthetic corpus's `lang` column is
+  * random metadata over English-ish tokens, so accuracy is only testable
+  * on planted sentences). */
+class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  test("char-trigram language ID identifies planted sentences with confidence") {
+    val docs = Seq(
+      (1L, "en", "the quick brown fox and the lazy dog are running through the woods of england"),
+      (2L, "de", "der schnelle braune fuchs und der faule hund laufen durch dichte deutsche wälder"),
+      (3L, "es", "el rápido zorro marrón y el perro perezoso corren por los bosques que quedan lejos"),
+      (4L, "fr", "le renard brun rapide et le chien paresseux courent dans les forêts de france une belle journée"),
+      (5L, "und", "zzz qqq 12345")
+    ).toDF("doc_id", "declared_lang", "text")
+    val out = TextAnalysis.langIdNgram(docs)
+      .select("doc_id", "predicted_lang", "confidence")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(1L)._1 == "en", s"got $byId")
+    assert(byId(2L)._1 == "de", s"got $byId")
+    assert(byId(3L)._1 == "es", s"got $byId")
+    assert(byId(4L)._1 == "fr", s"got $byId")
+    assert(byId(5L)._1 == "und" && byId(5L)._2 == 0.0, s"got $byId")
+    // identified languages must be confident, not coin-flips
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(byId(id)._2 >= 0.5, s"doc $id confidence ${byId(id)._2} < 0.5")
+    }
+  }
+
+  test("language ID is shuffle-free: no exchange in the plan") {
+    val docs = Seq((1L, "en", "the dog")).toDF("doc_id", "declared_lang", "text")
+    val plan = TextAnalysis.langIdNgram(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"langIdNgram must stream at scan speed:\n$plan")
+  }
+
+  test("short and empty texts yield und with zero confidence, not errors") {
+    val docs = Seq((1L, "en", ""), (2L, "en", "ab"), (3L, "en", "of "))
+      .toDF("doc_id", "declared_lang", "text")
+    val out = TextAnalysis.langIdNgram(docs)
+      .select("doc_id", "predicted_lang", "confidence")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "und", 0.0)))
+    assert(out(1) == ((2L, "und", 0.0)))
+    assert(out(2) == ((3L, "en", 1.0)), "a single profile trigram is a full-confidence hit")
+  }
+}
