@@ -51,8 +51,15 @@ final class ProvenanceStore(
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  private def maxId(df: DataFrame): Long =
-    df.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
+  /** Current max id via the DSv2 face's aggregate pushdown: answered from
+    * parquet footer STATISTICS (one metadata read per file, zero data
+    * pages) — the append path's base-id probe stays O(files), not O(rows),
+    * as the table grows. [[graft.sources.ProvenanceDataSource]] falls back
+    * to a column scan per-file if stats are ever absent. */
+  private def maxId(table: String): Long =
+    spark.read.format("graft-provenance")
+      .option("warehouse", warehouseDir).option("table", table).load()
+      .agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
 
   /** Stamp an `id` column per the selected scheme. `orderCols` only orders
     * the Contiguous scheme; Partitioned ids derive from physical placement. */
@@ -86,7 +93,7 @@ final class ProvenanceStore(
     * headers_json, body, item_index, stage (ordering keys).
     * Returns the appended rows WITH ids (for FK propagation, J1/J2). */
   def appendResponses(rows: DataFrame): DataFrame = {
-    val base = maxId(responses)
+    val base = maxId("responses")
     val withIds = pinIds(withIdColumn(rows, base,
       Seq("provider", "item_index", "stage", "url"))
       .withColumn("created_at", current_timestamp())
@@ -101,7 +108,7 @@ final class ProvenanceStore(
     * storage/db.py:64–83). Input: provider, source_url, sha256, bytes,
     * blob_path, response_id. */
   def appendArtifacts(rows: DataFrame): DataFrame = {
-    val base = maxId(artifacts)
+    val base = maxId("artifacts")
     val existing = artifacts.select("source_url", "sha256")
     val fresh = rows
       .dropDuplicates("source_url", "sha256")

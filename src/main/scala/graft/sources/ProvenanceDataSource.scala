@@ -300,10 +300,29 @@ private[sources] class ProvenanceScanBuilder(dir: String, tableSchema: StructTyp
 
 private[sources] class ProvenanceScan(
     dir: String, requested: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requested
   override def toBatch: Batch = this
+
+  /** On-disk byte size from the file listing (cheap, no footer reads) so
+    * the optimizer can judge broadcastability; rows left unset — an honest
+    * "unknown" beats a misleading guess once filters prune row groups. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes: Long = {
+        val path = new Path(dir)
+        val fs = path.getFileSystem(new Configuration())
+        if (!fs.exists(path)) 0L
+        else fs.listStatus(path)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+      }
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val path = new Path(dir)
