@@ -73,8 +73,15 @@ object Bench {
     val runs = results.map { case (k, _, s) =>
       "\"" + k + "\":" + s.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // p95 (nearest-rank over the in-process samples; ≈max at 3 runs) —
+    // the dispersion companion to the reported p50
+    val p95s = results.map { case (k, _, s) =>
+      val sorted = s.sorted
+      val p95 = sorted(math.min(sorted.size - 1, math.ceil(0.95 * sorted.size).toInt - 1))
+      "\"" + k + f"\":$p95%.3f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}""")
 
     // SPARK_GRAFT_BENCH_SCALING=1: rerun the headline at the other scale
     // factors and report each query's log-log slope (elapsed vs sf). Slope

@@ -154,6 +154,57 @@ object Streams {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
   }
 
+  case class EmbeddingEvent(doc_id: Long, emb: Seq[Double])
+  case class CentroidUpdate(centroid_id: Int, n: Long, mean: Seq[Double])
+  /** Internal running-sum state for [[incrementalCentroids]] (public only
+    * because the state encoder's codegen needs public accessors). */
+  case class CentroidState(n: Long, sum: Array[Double])
+
+  /** Streaming IVF maintenance: keep each coarse-quantizer centroid's
+    * running mean current as embeddings arrive, so the ANN index
+    * (`Similarity.ivfTopK`'s posting lists) can be re-centered without a
+    * full batch k-means re-run.
+    *
+    * Each embedding is assigned to its nearest INITIAL centroid inside the
+    * map (the centroid array is a small broadcast-sized constant — k × dim
+    * doubles), then `mapGroupsWithState` keyed by centroid id folds an
+    * exact running (count, sum) — state is one vector per centroid, O(k ×
+    * dim) TOTAL regardless of stream length, and each micro-batch shuffles
+    * only by centroid key. Emits the updated running mean per touched
+    * centroid in Update mode. NoTimeout: centroid state is permanent by
+    * design (it IS the index), not session-scoped. */
+  def incrementalCentroids(
+      embs: Dataset[EmbeddingEvent],
+      init: Array[Array[Double]]): Dataset[CentroidUpdate] = {
+    import embs.sparkSession.implicits._
+    val dim = init.head.length
+    embs
+      .map { e =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < init.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val x = e.emb(i) - init(c)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (best, e.emb)
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState[CentroidState, CentroidUpdate](GroupStateTimeout.NoTimeout) {
+        case (cid, rows, state) =>
+          val s = state.getOption.getOrElse(CentroidState(0L, new Array[Double](dim)))
+          var n = s.n
+          val sum = s.sum.clone()
+          rows.foreach { case (_, emb) =>
+            var i = 0
+            while (i < dim) { sum(i) += emb(i); i += 1 }
+            n += 1
+          }
+          state.update(CentroidState(n, sum))
+          CentroidUpdate(cid, n, sum.map(_ / n).toSeq)
+      }
+  }
+
   /** T4 reconciliation batch (dossier :85–91, :245–252): reissued upstream
     * artifacts are rows whose key matches but whose content hash changed —
     * join stored vs fresh on the idempotency key, keep hash mismatches as

@@ -193,6 +193,33 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.select("event_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("incremental centroids fold running means across micro-batches") {
+    import graft.streaming.Streams.{CentroidUpdate, EmbeddingEvent}
+    val init = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val input = MemoryStream[EmbeddingEvent](spark)
+    val out = Streams.incrementalCentroids(input.toDS(), init)
+    val q = out.writeStream.format("memory").queryName("centroid_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        EmbeddingEvent(1, Seq(1.0, 1.0)), EmbeddingEvent(2, Seq(3.0, 1.0)),
+        EmbeddingEvent(3, Seq(9.0, 11.0)))
+      q.processAllAvailable()
+      input.addData(
+        EmbeddingEvent(4, Seq(2.0, 4.0)), EmbeddingEvent(5, Seq(11.0, 9.0)))
+      q.processAllAvailable()
+      // Update mode: take the LAST emitted row per centroid
+      val last = spark.table("centroid_out").as[CentroidUpdate].collect()
+        .groupBy(_.centroid_id).map { case (k, v) => k -> v.maxBy(_.n) }
+      // centroid 0: docs 1,2,4 → mean (2, 2); state must carry batch 1 into 2
+      assert(last(0).n == 3L)
+      assert(last(0).mean == Seq(2.0, 2.0), s"got ${last(0)}")
+      // centroid 1: docs 3,5 → mean (10, 10)
+      assert(last(1).n == 2L)
+      assert(last(1).mean == Seq(10.0, 10.0), s"got ${last(1)}")
+    } finally q.stop()
+  }
+
   test("reconcile flags only hash-changed keys") {
     val stored = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("k", "sha256")
     val fresh = Seq((1L, "aaa"), (2L, "CHANGED"), (4L, "new")).toDF("k", "sha256")
