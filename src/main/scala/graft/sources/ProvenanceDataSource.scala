@@ -5,7 +5,7 @@ import graft.pipeline.Model
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.compat.{FilterCompat, RowGroupFilter}
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.api.ReadSupport
@@ -18,8 +18,9 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Or => V2Or, Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -187,6 +188,68 @@ object ProvenanceDataSource {
     }
   }
 
+  /** V2 [[V2Predicate]] → V1 [[Filter]], for the shapes runtime (DPP-style)
+    * filters arrive in: comparisons / IN over one column and literals, null
+    * tests, AND/OR. Literals are Catalyst-internal values, so strings come
+    * in as [[UTF8String]] and are re-externalized here. Anything that
+    * doesn't fit these shapes returns None and is simply not applied —
+    * runtime filters are a pruning hint, never a correctness dependency. */
+  private[sources] def predicateToV1(p: V2Predicate): Option[Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit}
+    def col(e: V2Expr): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def lit(e: V2Expr): Option[Any] = e match {
+      case l: V2Lit[_] => Option(l.value).map {
+        case s: UTF8String => s.toString
+        case v => v
+      }
+      case _ => None
+    }
+    def cmp(l: V2Expr, r: V2Expr,
+        direct: (String, Any) => Filter,
+        flipped: (String, Any) => Filter): Option[Filter] =
+      (for { c <- col(l); v <- lit(r) } yield direct(c, v))
+        .orElse(for { c <- col(r); v <- lit(l) } yield flipped(c, v))
+    p match {
+      case and: V2And =>
+        for { a <- predicateToV1(and.left); b <- predicateToV1(and.right) }
+          yield sources.And(a, b)
+      case or: V2Or =>
+        for { a <- predicateToV1(or.left); b <- predicateToV1(or.right) }
+          yield sources.Or(a, b)
+      case _ => (p.name, p.children) match {
+        // conjunctions usually arrive as the And/Or classes (matched above),
+        // but the generic name-shaped form is equally valid API
+        case ("AND", Array(l: V2Predicate, r: V2Predicate)) =>
+          for { a <- predicateToV1(l); b <- predicateToV1(r) }
+            yield sources.And(a, b)
+        case ("OR", Array(l: V2Predicate, r: V2Predicate)) =>
+          for { a <- predicateToV1(l); b <- predicateToV1(r) }
+            yield sources.Or(a, b)
+        case ("=", Array(l, r)) =>
+          cmp(l, r, sources.EqualTo.apply, sources.EqualTo.apply)
+        case (">", Array(l, r)) =>
+          cmp(l, r, sources.GreaterThan.apply, sources.LessThan.apply)
+        case (">=", Array(l, r)) =>
+          cmp(l, r, sources.GreaterThanOrEqual.apply, sources.LessThanOrEqual.apply)
+        case ("<", Array(l, r)) =>
+          cmp(l, r, sources.LessThan.apply, sources.GreaterThan.apply)
+        case ("<=", Array(l, r)) =>
+          cmp(l, r, sources.LessThanOrEqual.apply, sources.GreaterThanOrEqual.apply)
+        case ("IN", children) if children.length >= 2 =>
+          for {
+            c <- col(children.head)
+            vs <- Some(children.tail.map(lit)) if vs.forall(_.isDefined)
+          } yield sources.In(c, vs.map(_.get))
+        case ("IS_NULL", Array(e)) => col(e).map(sources.IsNull.apply)
+        case ("IS_NOT_NULL", Array(e)) => col(e).map(sources.IsNotNull.apply)
+        case _ => None
+      }
+    }
+  }
+
   /** A filter is advertised as pushed iff it translates against the
     * declared table schema (file schemas are rechecked per-file). */
   private[sources] def supported(f: Filter, tableSchema: StructType): Boolean = {
@@ -295,15 +358,36 @@ private[sources] class ProvenanceScanBuilder(dir: String, tableSchema: StructTyp
 
   override def build(): Scan =
     if (pushedAgg.nonEmpty) new ProvenanceAggScan(dir, pushedAgg)
-    else new ProvenanceScan(dir, requested, pushed)
+    else new ProvenanceScan(dir, tableSchema, requested, pushed)
 }
 
 private[sources] class ProvenanceScan(
-    dir: String, requested: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    dir: String, tableSchema: StructType, requested: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = requested
   override def toBatch: Batch = this
+
+  /** Runtime (DPP-style) filters, delivered by [[filter]] after the build
+    * side of a join has executed; folded into both file-level pruning
+    * ([[planInputPartitions]]) and the per-reader parquet predicate. */
+  private var runtime: Array[Filter] = Array.empty
+  private def allFilters: Array[Filter] = pushed ++ runtime
+
+  /** Every column whose predicates can reach parquet stats is eligible as a
+    * runtime-filter attribute — Spark only injects a DPP subquery when the
+    * join key is listed here. */
+  override def filterAttributes(): Array[NamedReference] =
+    tableSchema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == StringType => Expressions.column(f.name)
+    }
+
+  override def filter(predicates: Array[V2Predicate]): Unit =
+    runtime = predicates
+      .flatMap(ProvenanceDataSource.predicateToV1)
+      .filter(ProvenanceDataSource.supported(_, tableSchema))
 
   /** On-disk byte size from the file listing (cheap, no footer reads) so
     * the optimizer can judge broadcastability; rows left unset — an honest
@@ -327,15 +411,37 @@ private[sources] class ProvenanceScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val path = new Path(dir)
     val fs = path.getFileSystem(new Configuration())
-    if (!fs.exists(path)) Array.empty
-    else fs.listStatus(path)
+    if (!fs.exists(path)) return Array.empty
+    val files = fs.listStatus(path)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-      .map(s => ProvenanceFilePartition(s.getPath.toString): InputPartition)
+    // Runtime filters arrive AFTER initial planning and re-plan partitions:
+    // prune whole FILES whose row-group statistics cannot match, so the
+    // scheduler never launches their tasks. One footer read (KBs) per
+    // candidate file on the driver — the same cost profile as catalog
+    // partition pruning — and only on the DPP path; statically-filtered
+    // scans keep their pruning executor-side in the readers.
+    val kept =
+      if (runtime.isEmpty) files
+      else files.filter { s =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(s.getPath, new Configuration()))
+        try {
+          val footer = r.getFooter
+          val fileSchema = footer.getFileMetaData.getSchema
+          allFilters.flatMap(ProvenanceDataSource.translate(_, fileSchema))
+            .reduceOption(FilterApi.and)
+            .forall { p =>
+              !RowGroupFilter.filterRowGroups(
+                FilterCompat.get(p), footer.getBlocks, fileSchema).isEmpty
+            }
+        } finally r.close()
+      }
+    kept.map(s => ProvenanceFilePartition(s.getPath.toString): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProvenanceReaderFactory(requested, pushed)
+    new ProvenanceReaderFactory(requested, allFilters)
 
   /** Surfaced in `explain` via the v2 scan node; mirrors the built-in
     * parquet scan's reporting shape so PlanSpec can pin pushdown. */
