@@ -142,6 +142,17 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- language ID, 7-language breadth (NEXT #4): same trigram-profile
+    //      classifier widened with pt/it/nl; the oracle SQL is GENERATED
+    //      from the same profile constants, so gram lists and argmax order
+    //      cannot drift between engines ----
+    "q69_lang_id_wide" -> QueryDef.sql(langIdOracleSql(langProfilesWide)) { (s, dir) =>
+      langIdNgramOver(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("declared_lang"), col("text")),
+        langProfilesWide)
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic content-hash sampling: the reproducible corpus
     //      subsample a training-data pipeline uses (same rows on every
     //      engine/run, no RNG state to coordinate across 1000 executors) ----
@@ -217,6 +228,73 @@ object TextAnalysis {
     "es" -> Seq("que", " qu", "el ", " el", "la ", " la", "los", "ión", "ado", "nte"),
     "fr" -> Seq("les", " le", "le ", "des", " de", "de ", "ent", "une", " un", "ais"))
 
+  /** Breadth extension (NEXT #4): pt/it/nl on top of the base four.
+    * Profiles may share trigrams across languages (e.g. "de " in fr and
+    * nl) — each profile is counted independently and the fixed argmax
+    * order below keeps prediction deterministic. */
+  private[graft] val langProfilesWide: Seq[(String, Seq[String])] = langProfiles ++ Seq(
+    "pt" -> Seq("ão ", "çõe", "não", " nã", "uma", " um", "os ", "dos", " do", "ara"),
+    "it" -> Seq("che", " ch", "di ", " di", "lla", "ell", "zio", "gli", " gl", "per"),
+    "nl" -> Seq("een", " ee", "het", " he", "van", " va", "ijk", "aar", "oor", "ver"))
+
+  /** DuckDB rendering of [[langIdNgramOver]], generated from the SAME
+    * profile constants so the Spark result and the oracle can never drift
+    * on gram lists, argmax order, or column names. */
+  private[graft] def langIdOracleSql(profiles: Seq[(String, Seq[String])]): String = {
+    val hitExprs = profiles.map { case (l, gs) =>
+      val lst = gs.map(g => s"'$g'").mkString("[", ",", "]")
+      s"  len(list_filter(tg, x -> list_contains($lst, x))) AS ${l}_hits"
+    }.mkString(",\n")
+    val hitNames = profiles.map { case (l, _) => s"${l}_hits" }
+    val cases = hitNames.zip(profiles.map(_._1))
+      .map { case (h, l) => s"WHEN $h = best AND $h > 0 THEN '$l'" }
+      .mkString("\n       ")
+    s"""WITH t AS (SELECT doc_id, lang AS declared_lang, lower(text) AS t FROM documents),
+       |g AS (SELECT doc_id, declared_lang,
+       |        [substring(t, i, 3) for i in range(1, greatest(len(t)-1, 1))] AS tg
+       |      FROM t),
+       |h AS (SELECT doc_id, declared_lang,
+       |$hitExprs
+       |  FROM g),
+       |s AS (SELECT *, greatest(${hitNames.mkString(", ")}) AS best,
+       |        ${hitNames.mkString(" + ")} AS total FROM h)
+       |SELECT doc_id, declared_lang, ${hitNames.mkString(", ")},
+       |  CASE $cases
+       |       ELSE 'und' END AS predicted_lang,
+       |  CASE WHEN total = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE round(CAST(best AS DOUBLE) / total, 6) END AS confidence
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Profile-parametric char-trigram language ID (see [[langIdNgram]] for
+    * the contract). Adding a language is one more profile row — the hit
+    * columns, argmax chain, and confidence denominator are all derived
+    * from the profile list. Ties resolve to the EARLIEST profile in list
+    * order with a maximal nonzero hit count. */
+  def langIdNgramOver(
+      docs: org.apache.spark.sql.DataFrame,
+      profiles: Seq[(String, Seq[String])]): org.apache.spark.sql.DataFrame = {
+    val withTg = docs.withColumn("t", lower(col("text")))
+      .withColumn("tg", when(length(col("t")) < 3, array().cast("array<string>"))
+        .otherwise(expr("transform(sequence(1, length(t)-2), i -> substring(t, i, 3))")))
+    val hits = profiles.foldLeft(withTg) { case (df, (lang, grams)) =>
+      val profile = array(grams.map(lit): _*)
+      df.withColumn(s"${lang}_hits",
+        size(filter(col("tg"), g => array_contains(profile, g))).cast("long"))
+    }
+    val hitCols = profiles.map { case (l, _) => col(s"${l}_hits") }
+    val total = hitCols.reduce(_ + _)
+    val best = greatest(hitCols: _*)
+    val predicted = profiles.foldLeft(when(lit(false), "und")) {
+      case (w, (l, _)) => w.when(col(s"${l}_hits") === best && col(s"${l}_hits") > 0, l)
+    }.otherwise("und")
+    hits.select(Seq(col("doc_id"), col("declared_lang")) ++ hitCols ++ Seq(
+      predicted.as("predicted_lang"),
+      when(total === 0, lit(0.0))
+        .otherwise(round(best.cast("double") / total.cast("double"), 6))
+        .as("confidence")): _*)
+  }
+
   /** Char-trigram language ID with confidence. Input: (doc_id,
     * declared_lang, text); output adds per-language profile hit counts,
     * `predicted_lang` (argmax, tie-break en > de > es > fr, 'und' when no
@@ -225,28 +303,6 @@ object TextAnalysis {
     * happens INSIDE the row (higher-order array functions), so the operator
     * is shuffle-free and streams at scan speed; profiles are literals, so
     * adding a language is one more profile row, not a join. */
-  def langIdNgram(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val withTg = docs.withColumn("t", lower(col("text")))
-      .withColumn("tg", when(length(col("t")) < 3, array().cast("array<string>"))
-        .otherwise(expr("transform(sequence(1, length(t)-2), i -> substring(t, i, 3))")))
-    val hits = langProfiles.foldLeft(withTg) { case (df, (lang, grams)) =>
-      val profile = array(grams.map(lit): _*)
-      df.withColumn(s"${lang}_hits",
-        size(filter(col("tg"), g => array_contains(profile, g))).cast("long"))
-    }
-    val total = col("en_hits") + col("de_hits") + col("es_hits") + col("fr_hits")
-    val best = greatest(col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits"))
-    hits.select(col("doc_id"), col("declared_lang"),
-      col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits"),
-      when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits")
-          && col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
-        .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits")
-          && col("de_hits") > 0, "de")
-        .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
-        .when(col("fr_hits") > 0, "fr")
-        .otherwise("und").as("predicted_lang"),
-      when(total === 0, lit(0.0))
-        .otherwise(round(best.cast("double") / total.cast("double"), 6))
-        .as("confidence"))
-  }
+  def langIdNgram(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    langIdNgramOver(docs, langProfiles)
 }

@@ -51,4 +51,42 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out(1) == ((2L, "und", 0.0)))
     assert(out(2) == ((3L, "en", 1.0)), "a single profile trigram is a full-confidence hit")
   }
+
+  test("wide profiles classify planted pt/it/nl text correctly") {
+    val docs = Seq(
+      (1L, "pt", "não sei se uma canção dos meus amigos vai parar as ações"),
+      (2L, "it", "che cosa vuoi di bello dalla vita degli amici per la sera"),
+      (3L, "nl", "een verhaal van het meisje dat altijd naar de overkant keek"),
+      (4L, "en", "the quick brown fox jumps over the lazy dog and runs off"),
+      (5L, "de", "ich dachte dass das ein schönes geschenk für die kinder war"))
+      .toDF("doc_id", "declared_lang", "text")
+    val out = TextAnalysis.langIdNgramOver(docs, TextAnalysis.langProfilesWide)
+      .select("doc_id", "declared_lang", "predicted_lang", "confidence")
+      .as[(Long, String, String, Double)].collect().sortBy(_._1)
+    out.foreach { case (id, declared, predicted, conf) =>
+      assert(predicted == declared, s"doc $id: predicted $predicted, wanted $declared")
+      assert(conf > 0.0 && conf <= 1.0)
+    }
+  }
+
+  test("confidence calibrates: monolingual text scores above mixed text") {
+    val docs = Seq(
+      (1L, "en", "the thing and the other thing of the same kind going along"),
+      // half the trigram mass deliberately feeds the es profile
+      (2L, "en", "the thing que el hombre la casa los perros and the kind"))
+      .toDF("doc_id", "declared_lang", "text")
+    val out = TextAnalysis.langIdNgramOver(docs, TextAnalysis.langProfilesWide)
+      .select("doc_id", "predicted_lang", "confidence")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out(0)._2 == "en" && out(1)._2 == "en")
+    assert(out(0)._3 > out(1)._3,
+      s"clean text must out-score mixed text: ${out.toSeq}")
+  }
+
+  test("wide language ID stays shuffle-free with 7 profiles") {
+    val docs = Seq((1L, "en", "the dog")).toDF("doc_id", "declared_lang", "text")
+    val plan = TextAnalysis.langIdNgramOver(docs, TextAnalysis.langProfilesWide)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"wide langId must stream at scan speed:\n$plan")
+  }
 }
