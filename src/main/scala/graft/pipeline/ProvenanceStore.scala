@@ -61,32 +61,11 @@ final class ProvenanceStore(
       .option("warehouse", warehouseDir).option("table", table).load()
       .agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
 
-  /** Stamp an `id` column per the selected scheme. `orderCols` only orders
-    * the Contiguous scheme; Partitioned ids derive from physical placement. */
   private def withIdColumn(rows: DataFrame, base: Long, orderCols: Seq[String]): DataFrame =
-    idMode match {
-      case IdMode.Partitioned =>
-        rows.withColumn("id", monotonically_increasing_id() + lit(base + 1L))
-      case IdMode.Contiguous =>
-        val w = Window.orderBy(orderCols.map(col): _*)
-        rows.withColumn("id", row_number().over(w).cast("long") + lit(base))
-    }
+    ProvenanceStore.withIdColumn(rows, base, orderCols, idMode)
 
-  /** Partitioned ids come from `monotonically_increasing_id`, which is
-    * NONDETERMINISTIC across re-evaluations — and every append is consumed
-    * twice (the parquet write here, then FK propagation in the caller,
-    * Runner J1/J2). A plain `.cache()` upstream does not close that hole:
-    * under cache eviction, task retry, or a live-mode re-fetch the two
-    * evaluations can stamp DIFFERENT ids, silently writing
-    * `artifacts.response_id` values that exist nowhere in `responses`.
-    * An eager `localCheckpoint` materializes the stamped rows exactly once
-    * and truncates lineage, so a lost block fails the job loudly instead of
-    * diverging quietly. Contiguous ids are a deterministic function of the
-    * declared ordering and skip the materialization. */
-  private def pinIds(stamped: DataFrame): DataFrame = idMode match {
-    case IdMode.Partitioned => stamped.localCheckpoint(true)
-    case IdMode.Contiguous  => stamped
-  }
+  private def pinIds(stamped: DataFrame): DataFrame =
+    ProvenanceStore.pinIds(stamped, idMode)
 
   /** Append response rows, assigning unique ids after the current max.
     * Input columns: provider, method, url, params_json, status_code,
@@ -133,6 +112,36 @@ object ProvenanceStore {
       * row_number. Opt-in; single-task sort on the append path. */
     case object Contiguous extends IdMode
   }
+
+  /** Stamp an `id` column per the selected scheme. `orderCols` only orders
+    * the Contiguous scheme; Partitioned ids derive from physical placement.
+    * Shared by the file layout here and [[BucketedProvenance]]. */
+  private[pipeline] def withIdColumn(
+      rows: DataFrame, base: Long, orderCols: Seq[String], idMode: IdMode): DataFrame =
+    idMode match {
+      case IdMode.Partitioned =>
+        rows.withColumn("id", monotonically_increasing_id() + lit(base + 1L))
+      case IdMode.Contiguous =>
+        val w = Window.orderBy(orderCols.map(col): _*)
+        rows.withColumn("id", row_number().over(w).cast("long") + lit(base))
+    }
+
+  /** Partitioned ids come from `monotonically_increasing_id`, which is
+    * NONDETERMINISTIC across re-evaluations — and every append is consumed
+    * twice (the parquet write, then FK propagation in the caller, Runner
+    * J1/J2). A plain `.cache()` upstream does not close that hole: under
+    * cache eviction, task retry, or a live-mode re-fetch the two
+    * evaluations can stamp DIFFERENT ids, silently writing
+    * `artifacts.response_id` values that exist nowhere in `responses`.
+    * An eager `localCheckpoint` materializes the stamped rows exactly once
+    * and truncates lineage, so a lost block fails the job loudly instead of
+    * diverging quietly. Contiguous ids are a deterministic function of the
+    * declared ordering and skip the materialization. */
+  private[pipeline] def pinIds(stamped: DataFrame, idMode: IdMode): DataFrame =
+    idMode match {
+      case IdMode.Partitioned => stamped.localCheckpoint(true)
+      case IdMode.Contiguous  => stamped
+    }
 
   /** Parse an id-mode name (CLI/env): "contiguous" | "partitioned". */
   def idMode(name: String): IdMode = name.trim.toLowerCase match {
