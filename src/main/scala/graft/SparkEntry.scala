@@ -13,7 +13,7 @@ object SparkEntry {
   /** Full declared inventory, assembled from the operator modules. */
   def all: Map[String, QueryDef] =
     operators.Relational.defs ++ operators.Relational2.defs ++
-      operators.Relational3.defs ++
+      operators.Relational3.defs ++ operators.TemporalJoins.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       streaming.Streams.defs

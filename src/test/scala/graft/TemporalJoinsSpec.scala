@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.TemporalJoins
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of join and binned range join: point-in-time semantics, tie-breaks,
+  * staleness tolerance, bin-boundary correctness, and the plan shapes that
+  * make them scale (single shuffle / equi-join, no nested loop). */
+class TemporalJoinsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val left = Seq(
+    (10L, 1L, t("2024-01-01 10:00:00"), 1.0),
+    (11L, 1L, t("2024-01-01 12:00:00"), 2.0),
+    (12L, 2L, t("2024-01-01 09:00:00"), 3.0), // before any right row
+    (13L, 3L, t("2024-01-01 10:00:00"), 4.0)  // key with no right rows
+  ).toDF("event_id", "user_id", "ts", "value")
+
+  private val right = Seq(
+    (100L, 1L, t("2024-01-01 09:30:00"), 10.0),
+    (101L, 1L, t("2024-01-01 10:00:00"), 11.0), // ties left row 10 exactly
+    (102L, 1L, t("2024-01-01 10:00:00"), 12.0), // same ts: larger id wins
+    (103L, 1L, t("2024-01-01 11:59:00"), 13.0),
+    (104L, 2L, t("2024-01-01 09:30:00"), 14.0)  // after left row 12
+  ).toDF("event_id", "user_id", "ts", "value")
+
+  private def asof(tol: Option[String] = None) =
+    TemporalJoins.asofJoin(left, right, key = "user_id", ts = "ts",
+      rightOrder = "event_id", rightPayload = Seq("event_id", "ts", "value"),
+      prefix = "r_", tolerance = tol)
+
+  test("as-of join: latest at-or-before, max-id tie-break, outer nulls") {
+    val out = asof().select("event_id", "r_event_id", "r_value")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1)
+    assert(out(0) == ((10L, Some(102L), Some(12.0))),
+      "equal-ts right row matches (inclusive), larger event_id wins the tie")
+    assert(out(1) == ((11L, Some(103L), Some(13.0))))
+    assert(out(2) == ((12L, None, None)), "no right row at-or-before")
+    assert(out(3) == ((13L, None, None)), "key absent from right side")
+  }
+
+  test("as-of join tolerance nulls out stale matches") {
+    val out = asof(tol = Some("10 MINUTES"))
+      .select("event_id", "r_event_id")
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(out(0) == ((10L, Some(102L))), "0-age match survives")
+    assert(out(1) == ((11L, Some(103L))), "1-minute-old match survives")
+    assert(out(2) == ((12L, None)))
+    val strict = asof(tol = Some("30 SECONDS"))
+      .select("event_id", "r_event_id")
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(strict(1) == ((11L, None)), "1-minute-old match is too stale at 30s")
+  }
+
+  test("as-of join plans exactly one exchange (union + window, no join)") {
+    val plan = asof().queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single shuffle by key:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
+  private val intervals = Seq(
+    // [10:00, 10:10) — crosses the 10:05 bin boundary at 5-min bins
+    (1L, 1L, t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00")),
+    (2L, 2L, t("2024-01-01 10:02:00"), t("2024-01-01 10:04:00"))
+  ).toDF("iv_id", "user_id", "start_ts", "end_ts")
+
+  private val points = Seq(
+    (1L, t("2024-01-01 10:00:00"), 1.0),  // == start: inclusive
+    (1L, t("2024-01-01 10:07:00"), 2.0),  // second bin of interval 1
+    (1L, t("2024-01-01 10:10:00"), 3.0),  // == end: exclusive
+    (2L, t("2024-01-01 10:03:00"), 4.0),
+    (2L, t("2024-01-01 10:04:00"), 5.0),  // == end: exclusive
+    (3L, t("2024-01-01 10:03:00"), 6.0)   // key matches nothing
+  ).toDF("user_id", "ts", "value")
+
+  test("range join: boundary semantics and bin-crossing intervals") {
+    val out = TemporalJoins.rangeJoinBinned(intervals, points,
+      key = "user_id", startCol = "start_ts", endCol = "end_ts",
+      tsCol = "ts", binSeconds = 300L, pointPayload = Seq("value"))
+      .select("iv_id", "p_value").as[(Long, Double)].collect().sorted
+    assert(out.toSeq == Seq((1L, 1.0), (1L, 2.0), (2L, 4.0)),
+      "start inclusive, end exclusive, cross-bin matches found once")
+  }
+
+  test("range join plans an equi-join, never a nested loop") {
+    val plan = TemporalJoins.rangeJoinBinned(intervals, points,
+      key = "user_id", startCol = "start_ts", endCol = "end_ts",
+      tsCol = "ts", binSeconds = 300L, pointPayload = Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("wide bins and narrow bins agree (bin width is perf-only)") {
+    def run(binSeconds: Long) = TemporalJoins.rangeJoinBinned(intervals, points,
+      key = "user_id", startCol = "start_ts", endCol = "end_ts",
+      tsCol = "ts", binSeconds = binSeconds, pointPayload = Seq("value"))
+      .select("iv_id", "p_value").as[(Long, Double)].collect().sorted.toSeq
+    assert(run(60L) == run(3600L))
+  }
+}
