@@ -301,11 +301,19 @@ private[sources] class ProvenanceScanBuilder(dir: String, tableSchema: StructTyp
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var requested: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Array[AggSpec] = Array.empty
+  private var limit: Int = -1
+
+  /** LIMIT pushdown, partial (the default contract): each partition reader
+    * stops after `n` rows — short-circuiting the parquet read — and Spark
+    * applies the global limit on top. `df.limit(10)` over a 100 TB table
+    * then touches at most `10 × files` rows instead of scanning out. */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(ProvenanceDataSource.supported(_, tableSchema))
@@ -358,11 +366,12 @@ private[sources] class ProvenanceScanBuilder(dir: String, tableSchema: StructTyp
 
   override def build(): Scan =
     if (pushedAgg.nonEmpty) new ProvenanceAggScan(dir, pushedAgg)
-    else new ProvenanceScan(dir, tableSchema, requested, pushed)
+    else new ProvenanceScan(dir, tableSchema, requested, pushed, limit)
 }
 
 private[sources] class ProvenanceScan(
-    dir: String, tableSchema: StructType, requested: StructType, pushed: Array[Filter])
+    dir: String, tableSchema: StructType, requested: StructType,
+    pushed: Array[Filter], limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -441,13 +450,14 @@ private[sources] class ProvenanceScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProvenanceReaderFactory(requested, allFilters)
+    new ProvenanceReaderFactory(requested, allFilters, limit)
 
   /** Surfaced in `explain` via the v2 scan node; mirrors the built-in
     * parquet scan's reporting shape so PlanSpec can pin pushdown. */
   override def description(): String =
     s"graft-provenance $dir " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (limit >= 0) s"PushedLimit: $limit, " else "") +
       s"ReadSchema: ${requested.catalogString}"
 }
 
@@ -599,7 +609,8 @@ private[sources] class ProvenanceAggReaderFactory(specs: Array[AggSpec])
 }
 
 private[sources] class ProvenanceReaderFactory(
-    requested: StructType, pushed: Array[Filter]) extends PartitionReaderFactory {
+    requested: StructType, pushed: Array[Filter], limit: Int = -1)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ProvenanceFilePartition].file
@@ -629,8 +640,15 @@ private[sources] class ProvenanceReaderFactory(
       }
 
       private var current: Group = _
+      private var emitted = 0L
 
-      override def next(): Boolean = { current = reader.read(); current != null }
+      override def next(): Boolean = {
+        // partial LIMIT pushdown: stop this partition's read early
+        if (limit >= 0 && emitted >= limit) return false
+        current = reader.read()
+        if (current != null) emitted += 1
+        current != null
+      }
 
       override def get(): InternalRow = {
         val values = requested.fields.map { f =>

@@ -105,6 +105,21 @@ class ProvenanceRuntimeFilterSpec extends AnyFunSuite with SparkSessionTestWrapp
       "unsupported predicate shape must not prune anything")
   }
 
+  test("limit pushdown short-circuits each partition's read") {
+    val b = new ProvenanceScanBuilder(s"$warehouse/responses", Model.responsesSchema)
+    assert(b.pushLimit(3))
+    val scan = b.build().asInstanceOf[ProvenanceScan]
+    val parts = scan.planInputPartitions()
+    assert(parts.length == 4)
+    val ids = readIds(scan, parts)
+    assert(ids.size == 12, s"each of 4 partitions must stop at 3 rows, got ${ids.size}")
+    // e2e: Spark's global limit on top of the partial pushdown is exact
+    val df = spark.read.format("graft-provenance")
+      .option("warehouse", warehouse).option("table", "responses").load()
+    assert(df.limit(7).count() == 7)
+    assert(df.limit(0).count() == 0)
+  }
+
   test("predicateToV1 translates comparisons, flips, IN, null tests") {
     import ProvenanceDataSource.predicateToV1
     def id = Expressions.column("id")
