@@ -165,7 +165,12 @@ object Dedup {
     val sh = shingles(docs)
     val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDocFreq).select("sh")
-    val shF = sh.join(freqOk, "sh")
+    // Explicit repartition by shingle: all three consumers below (cnt, a, b)
+    // then hang off ONE canonical shuffle exchange, which Spark's
+    // ReuseExchange dedupes — the explode+join subtree runs once, not three
+    // times. It also pins the self-join to a partitioned join on `sh`
+    // instead of broadcasting the whole shingle index (fatal at 100 TB).
+    val shF = sh.join(freqOk, "sh").repartition(col("sh"))
     val cnt = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = shF.as("a")
     val b = shF.as("b")
