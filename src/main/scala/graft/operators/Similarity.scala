@@ -339,9 +339,13 @@ object Similarity {
   def cosineThresholdPairsLsh(embeddings: DataFrame, threshold: Double,
                               planesPerBand: Int, bands: Int): DataFrame = {
     val e = withNorm(embeddings)
+    // repartition by the band key: both sides of the self-join below hang
+    // off ONE canonical exchange (ReuseExchange dedupes the hash+explode
+    // subtree at runtime) and the join stays partitioned, never broadcast
     val keyed = e.withColumn("m", marginsExpr(planesPerBand, bands))
       .withColumn("bk", explode(bandKeysExpr(planesPerBand, bands)))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(col("band"), col("key"))
     // candidate id pairs from the (band, key) equi-join; dedup the bare
     // (v1, v2) ids across bands BEFORE re-attaching embeddings — the dedup
     // shuffle then moves 16-byte pairs instead of kilobyte vectors
