@@ -342,8 +342,11 @@ object Dedup {
     val bandCols = expr(
       s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
         s"'band', b, 'key', xxhash64(b, ${(0 until rowsPerBand).map(r => s"sig[$rowsPerBand*b+$r]").mkString(", ")})))")
+    // repartition by band key → self-join sides share one reused exchange
+    // (signature aggregation runs once), join stays partitioned
     val banded = sig.select(col("doc_id"), col("sig"), explode(bandCols).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(col("band"), col("key"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
