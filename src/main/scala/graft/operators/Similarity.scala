@@ -225,14 +225,32 @@ object Similarity {
     * from queries × corpus to queries × (corpus × nProbe / k) on balanced
     * clusters — the standard recall/cost dial. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              nClusters: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame = {
-    val centroids = kmeansCentroids(embeddings, nClusters, kmeansIters)
+              nClusters: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame =
+    ivfTopKWith(embeddings,
+      kmeansCentroids(embeddings, nClusters, kmeansIters), nQueries, k, nProbe)
+
+  /** [[ivfTopK]] against CALLER-SUPPLIED centroids (cluster_id, cemb) —
+    * the streaming-refresh entry point: feed it the latest means from
+    * [[graft.streaming.Streams.incrementalCentroids]] (via
+    * `Streams.latestCentroids`) and the IVF index re-centers without a
+    * batch k-means re-run. Centroids are re-normalized here so assignment
+    * is true cosine — raw dot against non-unit centroids (e.g. streamed
+    * means of raw embeddings) would bias every vector toward the
+    * largest-norm centroid. Zero-norm centroids (empty clusters) drop. */
+  def ivfTopKWith(embeddings: DataFrame, centroids: DataFrame,
+                  nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(centroids.sparkSession)
+    val cUnit = centroids
+      .withColumn("cnorm", sqrt(expr("graft_dot(cemb, cemb)")))
+      .filter(col("cnorm") > 0)
+      .select(col("cluster_id"),
+        expr("transform(cemb, x -> x / cnorm)").as("cemb"))
     val e = withNorm(embeddings).cache()
     val unit = e.select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb"))
-    val posting = assignClusters(unit, centroids)
+    val posting = assignClusters(unit, cUnit)
       .select(col("vec_id").as("nid"), col("cluster_id"))
     val probes = unit.filter(col("vec_id") < nQueries)
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(cUnit))
       .select(col("vec_id").as("qid"), col("cluster_id"),
         dot("emb", "cemb").as("c_cos"))
       .withColumn("rn", row_number().over(Window.partitionBy("qid")

@@ -46,7 +46,23 @@ object TemporalJoins {
       rightOrder: String,
       rightPayload: Seq[String],
       prefix: String,
+      tolerance: Option[String] = None): DataFrame =
+    asofJoinKeys(left, right, Seq(key), ts, rightOrder, rightPayload,
+      prefix, tolerance)
+
+  /** Multi-key generalization of [[asofJoin]]: match on the conjunction of
+    * `keys` (e.g. (user_id, region)). Same single-shuffle mechanics — the
+    * hash partitioning is just wider. */
+  def asofJoinKeys(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      rightOrder: String,
+      rightPayload: Seq[String],
+      prefix: String,
       tolerance: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
     require(tolerance.isEmpty || rightPayload.contains(ts),
       s"tolerance needs '$ts' in rightPayload to evaluate staleness")
     val leftCols = left.columns.toSeq
@@ -56,12 +72,12 @@ object TemporalJoins {
       lit(1).as("__side"), lit(null).cast("long").as("__ord")) ++
       rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c"))
     val rSel = leftCols.map { c =>
-      if (c == key || c == ts) col(c)
+      if (keys.contains(c) || c == ts) col(c)
       else lit(null).cast(left.schema(c).dataType).as(c)
     } ++ Seq(lit(0).as("__side"), col(rightOrder).cast("long").as("__ord")) ++
       rightPayload.map(c => col(c).as(s"$prefix$c"))
     val unioned = left.select(lSel: _*).union(right.select(rSel: _*))
-    val w = Window.partitionBy(key)
+    val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col("__side").asc, col("__ord").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = payloadCols.foldLeft(unioned) { (df, c) =>

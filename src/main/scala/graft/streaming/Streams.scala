@@ -205,6 +205,22 @@ object Streams {
       }
   }
 
+  /** Latest mean per centroid from an update log — the shape a foreachBatch
+    * sink of [[incrementalCentroids]] lands (Update mode re-emits a row per
+    * touched centroid per batch; highest `n` = most recent). Output
+    * (cluster_id, cemb) plugs directly into
+    * [[graft.operators.Similarity.ivfTopKWith]], closing the streaming
+    * index-refresh loop. */
+  def latestCentroids(updates: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("centroid_id").orderBy(col("n").desc)
+    updates
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("centroid_id").cast("int").as("cluster_id"),
+        col("mean").as("cemb"))
+  }
+
   /** T4 reconciliation batch (dossier :85–91, :245–252): reissued upstream
     * artifacts are rows whose key matches but whose content hash changed —
     * join stored vs fresh on the idempotency key, keep hash mismatches as

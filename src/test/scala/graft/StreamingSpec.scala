@@ -220,6 +220,37 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("streamed centroid refresh feeds IVF search end-to-end") {
+    import graft.streaming.Streams.EmbeddingEvent
+    // two directionally-separated clusters (x-axis-ish and y-axis-ish) so
+    // cosine routing through the streamed centroids is unambiguous
+    val init = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val input = MemoryStream[EmbeddingEvent](spark)
+    val q = Streams.incrementalCentroids(input.toDS(), init)
+      .writeStream.format("memory").queryName("centroid_e2e")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        EmbeddingEvent(1, Seq(1.0, 0.1)), EmbeddingEvent(2, Seq(0.9, 0.2)),
+        EmbeddingEvent(3, Seq(0.1, 1.0)), EmbeddingEvent(4, Seq(0.2, 0.9)))
+      q.processAllAvailable()
+      // latest streamed means become the IVF coarse quantizer; note the
+      // means are NOT unit vectors — ivfTopKWith must renormalize them
+      val centroids = Streams.latestCentroids(spark.table("centroid_e2e"))
+      assert(centroids.count() == 2)
+      val embeddings = Seq(
+        (0L, Seq(1.0, 0.15)), (1L, Seq(0.95, 0.1)),
+        (10L, Seq(0.1, 0.9)), (11L, Seq(0.12, 1.1)))
+        .toDF("vec_id", "embedding")
+      val topk = graft.operators.Similarity
+        .ivfTopKWith(embeddings, centroids, nQueries = 1, k = 1, nProbe = 1)
+        .select("qid", "nid").as[(Long, Long)].collect()
+      // query 0 points x-ward; its sole probe is the streamed x-cluster and
+      // must surface its true nearest neighbor (vec 1), not a y-cluster vec
+      assert(topk.toSeq == Seq((0L, 1L)), s"got ${topk.toSeq}")
+    } finally q.stop()
+  }
+
   test("reconcile flags only hash-changed keys") {
     val stored = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("k", "sha256")
     val fresh = Seq((1L, "aaa"), (2L, "CHANGED"), (4L, "new")).toDF("k", "sha256")

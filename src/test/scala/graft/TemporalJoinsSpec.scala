@@ -96,6 +96,25 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("multi-key as-of join matches on the key conjunction") {
+    val l = Seq(
+      (1L, 1L, "eu", t("2024-01-01 10:00:00")),
+      (2L, 1L, "us", t("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "region", "ts")
+    val r = Seq(
+      (100L, 1L, "eu", t("2024-01-01 09:00:00"), 1.0),
+      (101L, 1L, "us", t("2024-01-01 09:30:00"), 2.0))
+      .toDF("event_id", "user_id", "region", "ts", "value")
+    val out = TemporalJoins.asofJoinKeys(l, r, keys = Seq("user_id", "region"),
+      ts = "ts", rightOrder = "event_id", rightPayload = Seq("event_id", "value"),
+      prefix = "r_")
+      .select("event_id", "r_event_id", "r_value")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, Some(100L), Some(1.0))),
+      "eu click must NOT match the us view despite same user_id")
+    assert(out(1) == ((2L, Some(101L), Some(2.0))))
+  }
+
   test("wide bins and narrow bins agree (bin width is perf-only)") {
     def run(binSeconds: Long) = TemporalJoins.rangeJoinBinned(intervals, points,
       key = "user_id", startCol = "start_ts", endCol = "end_ts",
