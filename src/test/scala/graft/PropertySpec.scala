@@ -89,6 +89,34 @@ class PropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
     pairs.foreach { case (_, _, j) => assert(j >= 0.0 && j <= 1.0) }
   }
 
+  test("property: as-of join equals the naive inequality-join argmax") {
+    import graft.operators.TemporalJoins
+    val rowGen = Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L),
+      Gen.choose(0, 999).map(_.toDouble))
+    Seq(0, 1, 2).foreach { i =>
+      val lRows = samples(rowGen, 25, seed = 41L + i).zipWithIndex
+        .map { case ((k, t, v), id) => (id.toLong, k,
+          new java.sql.Timestamp(1700000000000L + t * 60000L), v) }
+      val rRows = samples(rowGen, 25, seed = 141L + i).zipWithIndex
+        .map { case ((k, t, v), id) => (100L + id, k,
+          new java.sql.Timestamp(1700000000000L + t * 60000L), v) }
+      val l = lRows.toDF("event_id", "k", "ts", "value")
+      val r = rRows.toDF("event_id", "k", "ts", "value")
+      val got = TemporalJoins.asofJoinKeys(l, r, Seq("k"), "ts",
+        rightOrder = "event_id", rightPayload = Seq("event_id"), prefix = "r_")
+        .select("event_id", "r_event_id")
+        .as[(Long, Option[Long])].collect().toMap
+      // naive reference: per left row, argmax over ALL at-or-before right
+      // rows by (ts, event_id) — quadratic, fine at property scale
+      val expected = lRows.map { case (id, k, ts, _) =>
+        val cands = rRows.filter(rr => rr._2 == k && !rr._3.after(ts))
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(rr => (rr._3.getTime, rr._1))._1))
+      }.toMap
+      assert(got == expected, s"round $i")
+    }
+  }
+
   test("property: salted join equals plain join for random data and bucket counts") {
     val kvGen = Gen.zip(Gen.choose(1L, 8L), Gen.alphaNumStr.map(_.take(6)))
     Seq(1, 3, 7).zipWithIndex.foreach { case (buckets, i) =>
