@@ -51,37 +51,62 @@ object Bench {
     // warm-up: session init, codegen, parquet footer caches
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
 
-    val selected =
+    val base =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(headline.toSet).toMap
+    // test hook for the fail-loudly contract: rc must be non-zero and the
+    // JSON must carry the error when any query throws
+    val selected =
+      if (sys.env.get("SPARK_GRAFT_BENCH_INJECT_FAIL").contains("1"))
+        base + ("zz_injected_failure" ->
+          ((s: SparkSession, _: String) => s.sql("SELECT raise_error('injected bench failure')")))
+      else base
 
-    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failed query must NOT silently become a (fast) timing: the error is
+    // carried per-query in the JSON (`errors`) and the process exits
+    // non-zero, so a broken query reads as broken, not as a speedup
+    def time(name: String, dir: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, dir).write.mode("overwrite").format("noop").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed at $dir: ${e.getMessage}")
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to runsPerQuery).map(_ => time(name, fn))
-      (name, median(samples), samples)
+      val sampled = (1 to runsPerQuery).map(_ => time(name, sfDir, fn))
+      val samples = sampled.map(_._1)
+      (name, median(samples), samples, sampled.flatMap(_._2).headOption)
     }
-    val qs = results.map { case (k, m, _) => "\"" + k + f"\":$m%.3f" }
+    val qs = results.map { case (k, m, _, _) => "\"" + k + f"\":$m%.3f" }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, _, s) =>
+    val errs = results.map { case (k, _, _, e) =>
+      "\"" + k + "\":" + e.map(jsonStr).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val runs = results.map { case (k, _, s, _) =>
       "\"" + k + "\":" + s.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // p95 (nearest-rank over the in-process samples; ≈max at 3 runs) —
     // the dispersion companion to the reported p50
-    val p95s = results.map { case (k, _, s) =>
+    val p95s = results.map { case (k, _, s, _) =>
       val sorted = s.sorted
       val p95 = sorted(math.min(sorted.size - 1, math.ceil(0.95 * sorted.size).toInt - 1))
       "\"" + k + f"\":$p95%.3f"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"errors":$errs,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}""")
+    var anyFailed = results.exists(_._4.isDefined)
 
     // SPARK_GRAFT_BENCH_SCALING=1: rerun the headline at the other scale
     // factors and report each query's log-log slope (elapsed vs sf). Slope
@@ -95,14 +120,9 @@ object Bench {
       val sfOf = (d: String) => d.split("sf").last.toDouble
       val byDir = sfDirs.map { d =>
         d -> selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val samples = (1 to runsPerQuery).map { _ =>
-            val t0 = System.nanoTime()
-            try fn(spark, d).write.mode("overwrite").format("noop").save()
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed at $d: ${e.getMessage}") }
-            (System.nanoTime() - t0) / 1e9
-          }
-          name -> median(samples)
+          val sampled = (1 to runsPerQuery).map(_ => time(name, d, fn))
+          if (sampled.exists(_._2.isDefined)) anyFailed = true
+          name -> median(sampled.map(_._1))
         }.toMap
       }.toMap
       val slopes = selected.keySet.toSeq.sorted.map { name =>
@@ -122,6 +142,7 @@ object Bench {
       println(s"""{"metric":"scaling_slopes","slopes":$slopes,"seconds_by_sf":$perSf,"runs_per_query":$runsPerQuery}""")
     }
     spark.stop()
+    if (anyFailed) sys.exit(1)
   }
 
   private def median(xs: Seq[Double]): Double = {

@@ -39,6 +39,27 @@ object Dedup {
     * high enough to be a no-op there. */
   private val maxShingleDocFreq = 1000000
 
+  /** Default cap on (band, key) bucket size for the MinHash/SimHash banded
+    * self-joins — the LSH analogue of [[maxShingleDocFreq]]. One degenerate
+    * band key (near-constant sketches from boilerplate-heavy docs) turns
+    * the candidate self-join quadratic: a 100k-doc bucket is 5×10⁹ pairs.
+    * AQE skew handling splits the *shuffle*, not the pair count, so the
+    * bucket must be dropped before the join. Dropping a giant bucket is
+    * semantically safe for NEAR-dup detection: docs that collide at that
+    * scale are boilerplate/identical, which exact dedup (q50) catches
+    * first. No-op at testdata scale (500 docs < cap). */
+  private[graft] val defaultLshBucketCap = 10000
+
+  /** Keep only rows whose (bucket-key columns) group is within `cap` —
+    * shared skew guard for the banded self-joins below. */
+  private def capBuckets(rows: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val ok = rows.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= cap)
+      .drop("bucket_n")
+    rows.join(ok, keyCols)
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- exact dedup by content hash (reference's UNIQUE(source_url,
@@ -328,8 +349,11 @@ object Dedup {
 
   /** MinHash signatures (numHashes seeded xxhash64 mins over shingles),
     * banded into `bands` keys; candidate pairs from the band-key equi-join,
-    * scored by signature agreement. */
-  def minhashLshPairs(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    * scored by signature agreement. (band, key) buckets larger than
+    * `maxBucketSize` are dropped before the self-join (see
+    * [[defaultLshBucketCap]]). */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = shingles(docs)
@@ -344,8 +368,10 @@ object Dedup {
         s"'band', b, 'key', xxhash64(b, ${(0 until rowsPerBand).map(r => s"sig[$rowsPerBand*b+$r]").mkString(", ")})))")
     // repartition by band key → self-join sides share one reused exchange
     // (signature aggregation runs once), join stays partitioned
-    val banded = sig.select(col("doc_id"), col("sig"), explode(bandCols).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = capBuckets(
+      sig.select(col("doc_id"), col("sig"), explode(bandCols).as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key")),
+      Seq("band", "key"), maxBucketSize)
       .repartition(col("band"), col("key"))
     val a = banded.as("a")
     val b = banded.as("b")
@@ -373,18 +399,63 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word unigrams (xxhash64 per word, ±1 vote per
-    * bit), near-dup pairs = hamming distance <= maxHamming. Candidates come
-    * from an equi-join on 16-bit chunks (a sketch within hamming d of
-    * another must share at least one of 4 chunks when d <= 3 per chunk —
-    * standard pigeonhole banding). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val chunks = simhashSketch(docs).select(col("doc_id"), col("simhash"),
-      explode(expr("transform(sequence(0, 3), c -> named_struct(" +
-        "'chunk', c, 'key', (simhash >> (16 * c)) & 65535))")).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val a = chunks.as("a")
-    val b = chunks.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key")
+    * bit), near-dup pairs = hamming distance <= maxHamming. See
+    * [[simhashPairsFromSketches]] for the candidate-generation guarantee. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+      maxBucketSize: Int = defaultLshBucketCap): DataFrame =
+    simhashPairsFromSketches(simhashSketch(docs), maxHamming, maxBucketSize)
+
+  /** Near-dup pairs at hamming distance <= maxHamming over precomputed
+    * (doc_id, simhash BIGINT) sketches, via block-combination banding
+    * (Manku/Jain/Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07 §3; mirrors the reference's near-dup intent, dossier §2.8):
+    *
+    * The 64 bits are split into `nBlocks` contiguous blocks and each join
+    * key concatenates a combination of `nBlocks - maxHamming` blocks; ALL
+    * such combinations become keys. A pair within hamming d <= maxHamming
+    * has its differing bits inside at most d blocks, leaving >= nBlocks - d
+    * blocks untouched — which contain at least one full key combination, so
+    * EVERY qualifying pair shares at least one (tbl, key): recall over the
+    * hamming ball is exactly 1, for any maxHamming (the old fixed 4×16-bit
+    * chunking only guaranteed d <= 3). For maxHamming <= 7 this uses 8
+    * blocks of 8 bits — e.g. d=6 → C(8,2)=28 tables with 16-bit keys, far
+    * more selective than the 7 × 9-bit chunks naive pigeonhole needs; for
+    * larger d it degrades to (d+1) single-block keys.
+    *
+    * Candidates come from a partitioned (tbl, key) equi-join — O(docs ×
+    * tables) shuffle rows, never all-pairs; buckets above `maxBucketSize`
+    * are dropped first (see [[defaultLshBucketCap]]). */
+  def simhashPairsFromSketches(sketches: DataFrame, maxHamming: Int,
+      maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val nBlocks = if (maxHamming <= 7) 8 else maxHamming + 1
+    val blocksPerKey = nBlocks - maxHamming
+    // block c spans bits [start(c), start(c+1)) — equal 8-bit blocks when
+    // nBlocks = 8, floor-balanced widths otherwise. shiftright/shiftleft
+    // function form: the `>>` operator fails to tokenize inside array(...)
+    // (parser ambiguity with nested ARRAY<...> type syntax).
+    def start(c: Int) = 64 * c / nBlocks
+    val keyStructs = (0 until nBlocks).combinations(blocksPerKey).zipWithIndex.map {
+      case (blocks, tbl) =>
+        var shift = 0
+        val parts = blocks.map { c =>
+          val w = start(c + 1) - start(c)
+          val p = s"shiftleft(shiftright(simhash, ${start(c)}) & ${(1L << w) - 1}L, $shift)"
+          shift += w
+          p
+        }
+        s"named_struct('tbl', $tbl, 'key', ${parts.mkString(" | ")})"
+    }.toSeq
+    val keyed = capBuckets(
+      sketches.select(col("doc_id"), col("simhash"),
+        explode(expr(s"array(${keyStructs.mkString(", ")})")).as("tk"))
+        .select(col("doc_id"), col("simhash"),
+          col("tk.tbl").as("tbl"), col("tk.key").as("key")),
+      Seq("tbl", "key"), maxBucketSize)
+      .repartition(col("tbl"), col("key"))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    a.join(b, col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))

@@ -32,11 +32,12 @@ object Main {
     // (fixtures) is the default; credentials come from env (http_client.py:44)
     val live = opts.contains("live")
     val config = HttpSource.HttpConfig.fromEnv(live)
-    // --id-mode contiguous restores SQLite-AUTOINCREMENT parity (global
-    // ordered row_number); the default partitioned scheme is shuffle-free.
-    // The divergence from reference id shape (sparse vs contiguous 1..N) is
-    // deliberate and called out in the summary line + run.json below.
-    val idModeName = opts.getOrElse("id-mode", "partitioned")
+    // CLI default is contiguous: the single-box CLI is the reference-parity
+    // surface, so its ids match SQLite AUTOINCREMENT (1..N) out of the box
+    // (round-6 ADVICE). --id-mode partitioned selects the shuffle-free
+    // scale scheme (sparse ids) — which stays the PROGRAMMATIC default on
+    // ProvenanceStore/Runner, where the 100 TB append path matters.
+    val idModeName = opts.getOrElse("id-mode", "contiguous")
     val idMode = ProvenanceStore.idMode(idModeName)
 
     val spark = SparkSession.builder()

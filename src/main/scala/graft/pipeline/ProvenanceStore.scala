@@ -85,19 +85,29 @@ final class ProvenanceStore(
   /** Dedup-append artifacts on (source_url, sha256); returns only the rows
     * actually inserted (the reference returns None for dups,
     * storage/db.py:64–83). Input: provider, source_url, sha256, bytes,
-    * blob_path, response_id. */
+    * blob_path, response_id.
+    *
+    * Materialize-once, strongest form (round-6 ADVICE): the write is the
+    * ONLY consumer of the nondeterministically-stamped frame, and the rows
+    * handed back to the caller are RE-READ from the parquet just written
+    * (`id > base`), so the returned ids are the durable ids by
+    * construction — no reliance on cached/checkpointed blocks surviving.
+    * (`appendResponses` can't use this form: its return carries
+    * item_index/stage, which are not part of the persisted schema, so it
+    * pins via eager localCheckpoint instead — a lost block there fails
+    * loudly rather than diverging silently.) */
   def appendArtifacts(rows: DataFrame): DataFrame = {
     val base = maxId("artifacts")
     val existing = artifacts.select("source_url", "sha256")
     val fresh = rows
       .dropDuplicates("source_url", "sha256")
       .join(existing, Seq("source_url", "sha256"), "left_anti")
-    val withIds = pinIds(withIdColumn(fresh, base,
+    val withIds = withIdColumn(fresh, base,
       Seq("provider", "source_url", "sha256"))
       .withColumn("created_at", current_timestamp())
-      .select(Model.artifactsSchema.fieldNames.toIndexedSeq.map(col): _*))
+      .select(Model.artifactsSchema.fieldNames.toIndexedSeq.map(col): _*)
     withIds.write.mode(SaveMode.Append).parquet(artifactsPath)
-    withIds
+    artifacts.filter(col("id") > base)
   }
 }
 

@@ -88,6 +88,59 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("simhash banding recalls a hamming-5 pair whose flips touch all four 16-bit quarters") {
+    // regression for the old 4×16-bit chunk banding, which only guaranteed
+    // recall for hamming <= 3: five flipped bits, at least one in every
+    // 16-bit quarter, so NO 16-bit chunk survives — the combination
+    // banding must still produce the candidate
+    val s0 = 0x0123456789ABCDEFL
+    val s1 = s0 ^ ((1L << 3) | (1L << 17) | (1L << 33) | (1L << 49) | (1L << 60))
+    val sk = Seq((1L, s0), (2L, s1)).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairsFromSketches(sk, maxHamming = 6)
+      .select("d1", "d2", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 5)), s"hamming-5 pair missed: $pairs")
+  }
+
+  test("simhash banded pairs equal brute-force hamming pairs on random+planted sketches") {
+    val rnd = new scala.util.Random(42)
+    // planted companions at every distance 0..6 (random bit positions, so
+    // flips land in arbitrary blocks) + random background sketches
+    val planted = (0 to 6).flatMap { d =>
+      val base = rnd.nextLong()
+      val flipped = rnd.shuffle((0 until 64).toList).take(d)
+        .foldLeft(base)((x, k) => x ^ (1L << k))
+      Seq(base, flipped)
+    }
+    val all = (planted ++ (0 until 30).map(_ => rnd.nextLong()))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val expected = (for {
+      (i, si) <- all; (j, sj) <- all
+      if i < j && java.lang.Long.bitCount(si ^ sj) <= 6
+    } yield (i, j, java.lang.Long.bitCount(si ^ sj))).toSet
+    assert(expected.size >= 7, "planted pairs present")
+    val got = Dedup.simhashPairsFromSketches(all.toDF("doc_id", "simhash"), maxHamming = 6)
+      .select("d1", "d2", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got == expected, s"banded=${got.size} brute=${expected.size}")
+  }
+
+  test("simhash bucket cap drops a degenerate all-identical bucket before the self-join") {
+    val sk = (0L until 200L).map(i => (i, 0x5555AAAA5555AAAAL)).toDF("doc_id", "simhash")
+    assert(Dedup.simhashPairsFromSketches(sk, maxHamming = 6).count() == 200L * 199 / 2,
+      "default cap is a no-op at this scale")
+    assert(Dedup.simhashPairsFromSketches(sk, maxHamming = 6, maxBucketSize = 50).count() == 0,
+      "capped bucket contributes no candidate pairs")
+  }
+
+  test("minhash bucket cap drops a degenerate all-identical bucket before the self-join") {
+    val many = (100L until 300L).map(i => (i, base2)).toDF("doc_id", "text")
+    assert(Dedup.minhashLshPairs(many, numHashes = 16, bands = 4, maxBucketSize = 50)
+      .count() == 0, "capped bucket contributes no candidate pairs")
+    // the planted near-dup corpus is unaffected by the default cap
+    val cand = Dedup.minhashLshPairs(docs, numHashes = 16, bands = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(cand.contains((2L, 3L)))
+  }
+
   test("duplicate clusters merge transitive chains to one keeper") {
     // chain: 10~11 and 11~12 are edges, 10~12 is not — one component {10,11,12}
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("d1", "d2")
