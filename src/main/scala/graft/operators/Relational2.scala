@@ -122,18 +122,62 @@ object Relational2 {
     },
 
     // ---- exact interpolated percentiles ----
+    // ---- exact percentiles, interpolation-convention-proof: both sides
+    //      implement the SAME explicit linear interpolation at rank
+    //      t = 1 + p*(n-1) over row_number positions, instead of trusting
+    //      Spark `percentile` and DuckDB `quantile_cont` to agree (their
+    //      conventions differ by a cent at some group sizes — NEXT.md
+    //      judgment call; q47 pins the median-only variant) ----
     "q31_percentiles" -> QueryDef.sql(
-      """SELECT l_returnflag,
-        |  quantile_cont(l_quantity, 0.5) AS median_qty,
-        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
-        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
-      Tables.lineitem(s, dir).groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_quantity, 0.5)").as("median_qty"),
-          expr("percentile(l_quantity, 0.25)").as("p25_qty"),
-          min("l_quantity").as("min_qty"),
-          max("l_quantity").as("max_qty"))
+      """WITH o AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |sel AS (
+        |  SELECT o.l_returnflag, ps.p, 1 + ps.p * (o.n - 1) AS t, o.v
+        |  FROM o CROSS JOIN (SELECT * FROM (VALUES (0.25), (0.5)) t(p)) ps
+        |  WHERE o.rn = CAST(floor(1 + ps.p * (o.n - 1)) AS BIGINT)
+        |     OR o.rn = CAST(ceil(1 + ps.p * (o.n - 1)) AS BIGINT)),
+        |q AS (
+        |  SELECT l_returnflag, p,
+        |    CASE WHEN count(*) = 1 THEN min(v)
+        |         ELSE min(v) + (max(v) - min(v)) * (min(t) - floor(min(t)))
+        |    END AS val
+        |  FROM sel GROUP BY l_returnflag, p)
+        |SELECT q.l_returnflag,
+        |  round(max(CASE WHEN p = 0.5 THEN val END), 6) AS median_qty,
+        |  round(max(CASE WHEN p = 0.25 THEN val END), 6) AS p25_qty,
+        |  min(mm.min_qty) AS min_qty, max(mm.max_qty) AS max_qty
+        |FROM q JOIN (SELECT l_returnflag, min(l_quantity) AS min_qty,
+        |               max(l_quantity) AS max_qty
+        |             FROM lineitem GROUP BY l_returnflag) mm
+        |  ON mm.l_returnflag = q.l_returnflag
+        |GROUP BY q.l_returnflag ORDER BY q.l_returnflag""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val o = li
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("v"),
+          col("l_quantity"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("l_quantity")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      val sel = o.crossJoin(Seq(0.25, 0.5).toDF("p"))
+        .withColumn("t", lit(1.0) + col("p") * (col("n") - 1))
+        .filter(col("rn") === floor(col("t")) || col("rn") === ceil(col("t")))
+      val q = sel.groupBy("l_returnflag", "p")
+        .agg(when(count(lit(1)) === 1, min("v"))
+          .otherwise(min("v") + (max("v") - min("v")) * (min("t") - floor(min("t"))))
+          .as("val"))
+      val piv = q.groupBy("l_returnflag")
+        .agg(round(max(when(col("p") === 0.5, col("val"))), 6).as("median_qty"),
+          round(max(when(col("p") === 0.25, col("val"))), 6).as("p25_qty"))
+      val mm = li.groupBy("l_returnflag")
+        .agg(min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+      piv.join(mm, "l_returnflag")
+        .select(col("l_returnflag"), col("median_qty"), col("p25_qty"),
+          col("min_qty"), col("max_qty"))
         .orderBy("l_returnflag")
     },
 
