@@ -75,11 +75,19 @@ class ProvenanceDataSource extends TableProvider with DataSourceRegister {
 }
 
 object ProvenanceDataSource {
-  def schemaFor(table: String): StructType = table match {
-    case "responses" => Model.responsesSchema
-    case "artifacts" => Model.artifactsSchema
-    case other => throw new IllegalArgumentException(
-      s"unknown provenance table '$other' (expected responses|artifacts)")
+  /** READ schema = the model schema with every field nullable: a scan
+    * cannot promise non-null across files (a drift file missing a column
+    * reads as nulls), and a falsely non-nullable read schema lets Catalyst
+    * constant-fold IsNotNull away — returning nulls under a non-nullable
+    * schema is silent wrong answers downstream. */
+  def schemaFor(table: String): StructType = {
+    val model = table match {
+      case "responses" => Model.responsesSchema
+      case "artifacts" => Model.artifactsSchema
+      case other => throw new IllegalArgumentException(
+        s"unknown provenance table '$other' (expected responses|artifacts)")
+    }
+    StructType(model.fields.map(_.copy(nullable = true)))
   }
 
   /** Spark filter → parquet FilterPredicate, against the FILE schema (so a
@@ -449,8 +457,18 @@ private[sources] class ProvenanceScan(
     kept.map(s => ProvenanceFilePartition(s.getPath.toString): InputPartition)
   }
 
+  /** Full scans (no pushed/runtime filters, no limit) read COLUMNAR via
+    * Spark's vectorized parquet reader — batches of column vectors instead
+    * of one `Group` object tree per row, which is what made the row path
+    * decode-bound on wide scans. Filtered/limited scans stay on the
+    * row-based reader, where the parquet `FilterPredicate` (row-group
+    * stats + dictionary pruning) and the early-stop limit live; those
+    * scans emit few rows, so row decode is not their bottleneck. */
+  private def columnarEligible: Boolean =
+    allFilters.isEmpty && limit < 0 && requested.fields.nonEmpty
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProvenanceReaderFactory(requested, allFilters, limit)
+    new ProvenanceReaderFactory(requested, allFilters, limit, columnarEligible)
 
   /** Surfaced in `explain` via the v2 scan node; mirrors the built-in
     * parquet scan's reporting shape so PlanSpec can pin pushdown. */
@@ -609,8 +627,67 @@ private[sources] class ProvenanceAggReaderFactory(specs: Array[AggSpec])
 }
 
 private[sources] class ProvenanceReaderFactory(
-    requested: StructType, pushed: Array[Filter], limit: Int = -1)
+    requested: StructType, pushed: Array[Filter], limit: Int = -1,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  // scan-level constant: Spark requires every partition of a scan to agree
+  // on row-vs-columnar output
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  /** Columnar full-scan path: Spark's own [[VectorizedParquetRecordReader]]
+    * decodes parquet pages straight into reused on-heap column vectors
+    * (whole-stage codegen then consumes batches, not rows). The reader is
+    * initialized exactly the way Spark's built-in parquet DSv2 factory does
+    * it — a FileSplit plus a Configuration carrying the catalyst requested
+    * schema and the converter flags — so schema clipping is Spark's own:
+    * requested columns absent from an old file surface as null vectors,
+    * matching the row path's drift behavior. Rebase modes are CORRECTED —
+    * every provenance file is written by this engine, never by a
+    * pre-Julian-switch writer. */
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport, VectorizedParquetRecordReader}
+    import org.apache.spark.sql.internal.SQLConf
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    import org.apache.hadoop.mapred.FileSplit // old-API class: the reader base casts to it
+    import org.apache.hadoop.mapreduce.TaskAttemptID
+    import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+    import org.apache.parquet.hadoop.ParquetInputFormat
+    val file = partition.asInstanceOf[ProvenanceFilePartition].file
+    new PartitionReader[ColumnarBatch] {
+      private val reader: VectorizedParquetRecordReader = {
+        val conf = new Configuration()
+        // all-nullable rendering: a non-nullable catalyst field would clip
+        // to a REQUIRED parquet column, and the reader then refuses files
+        // missing it instead of null-filling (schema drift must degrade to
+        // nulls here exactly like the row path)
+        val nullable = StructType(requested.fields.map(_.copy(nullable = true)))
+        conf.set(ParquetInputFormat.READ_SUPPORT_CLASS, classOf[ParquetReadSupport].getName)
+        conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, nullable.json)
+        conf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, nullable.json)
+        // the schema converter reads these five keys with no defaults
+        conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+        conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
+        conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+        conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+        conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+        val path = new Path(file)
+        val len = path.getFileSystem(conf).getFileStatus(path).getLen
+        val r = new VectorizedParquetRecordReader(
+          null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+        r.initialize(new FileSplit(path, 0, len, Array.empty[String]),
+          new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+        r.initBatch(new StructType(), InternalRow.empty)
+        r.enableReturningBatches()
+        r
+      }
+      override def next(): Boolean = reader.nextKeyValue()
+      override def get(): ColumnarBatch =
+        reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      override def close(): Unit = reader.close()
+    }
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ProvenanceFilePartition].file
