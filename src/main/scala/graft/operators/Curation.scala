@@ -1,0 +1,278 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingest and training: PII scan/redaction, repetition-based
+  * quality signals (Gopher/MassiveText-style), and benchmark
+  * decontamination via n-gram overlap.
+  *
+  * Scale design mirrors the rest of the engine: q72/q73 are per-row
+  * column expressions (shuffle-free, stream at scan speed); q74 is a
+  * shingle inverted-index join — the same O(docs × shingles) shape as
+  * exact Jaccard dedup (Dedup.exactJaccardPairs), never all-pairs. The
+  * synthetic corpus contains no natural PII, so q72 plants deterministic
+  * PII derived from doc_id (both engines construct the identical
+  * augmented text) and then proves the scanner finds EXACTLY it — the
+  * same planted-data discipline DedupSpec uses for recall gates.
+  */
+object Curation {
+
+  /** Non-empty whitespace tokens — identical to the DuckDB oracle's
+    * list_filter(string_split(trim(text),' '), x -> x != ''). */
+  private def words(c: Column): Column = filter(split(trim(c), " "), w => w =!= "")
+
+  /** PII detectors in redaction order. Patterns are mutually disjoint on
+    * any text (the separator shapes differ: @-domain, 3-2-4 dashes,
+    * 3-3-4 dashes, dotted quads), so per-type counts on the raw text and
+    * sequential replacement produce the same result in any order — which
+    * is what makes the operator deterministic across engines. Both the
+    * Spark columns and the oracle SQL are generated from THIS list, so
+    * the two sides cannot drift (the q69 generated-oracle discipline).
+    * Regexes are ASCII-only (`\d` = [0-9] in both Java regex and RE2). */
+  private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "[EMAIL]"),
+    ("ssn", """\d{3}-\d{2}-\d{4}""", "[SSN]"),
+    ("phone", """\d{3}-\d{3}-\d{4}""", "[PHONE]"),
+    ("ip", """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}""", "[IP]"))
+
+  /** Deterministic PII injection: doc_id decides which PII a doc carries
+    * (divisibility by 3/5/7/11), and the planted values are pure
+    * functions of doc_id — so expected per-type counts are known in
+    * closed form and the oracle builds the byte-identical string. */
+  private def augmentedText(): Column = concat(
+    col("text"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+      .otherwise(""),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" call 555-867-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(""),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string")))
+      .otherwise(""),
+    when(col("doc_id") % 11 === 0,
+      concat(lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(""))
+
+  // NOTE: keep `||` mid-line — QueryDef.sql stripMargins the full oracle
+  // text, so a line STARTING with `||` would lose a pipe as a margin marker
+  private val augmentedTextSql: String =
+    """concat(text,
+      |      CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END,
+      |      CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END,
+      |      CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END,
+      |      CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"""
+      .stripMargin
+
+  /** Per-type counts + redacted text for any (doc_id-less) text column —
+    * the reusable face. Counts are codegen'd regexp_count; redaction is
+    * a fold of regexp_replace (Spark replaces all occurrences by
+    * default; the oracle passes the 'g' flag). */
+  def piiScan(text: Column): (Seq[(String, Column)], Column) = {
+    val counts = piiPatterns.map { case (name, re, _) =>
+      name -> regexp_count(text, lit(re)).cast("long")
+    }
+    val redacted = piiPatterns.foldLeft(text) { case (c, (_, re, token)) =>
+      regexp_replace(c, re, java.util.regex.Matcher.quoteReplacement(token))
+    }
+    (counts, redacted)
+  }
+
+  private def piiOracleSql: String = {
+    val countExprs = piiPatterns.map { case (name, re, _) =>
+      s"  len(regexp_extract_all(aug, '$re')) AS n_$name"
+    }.mkString(",\n")
+    val sumExpr = piiPatterns.map { case (_, re, _) =>
+      s"len(regexp_extract_all(aug, '$re'))"
+    }.mkString(" + ")
+    val redacted = piiPatterns.foldLeft("aug") { case (e, (_, re, token)) =>
+      s"regexp_replace($e, '$re', '$token', 'g')"
+    }
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    $augmentedTextSql
+       |    AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |$countExprs,
+       |  $sumExpr AS n_pii,
+       |  $redacted AS redacted
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- PII scan + redaction: per-type counts and a redacted text
+    //      column. Narrow map, fully codegen'd, shuffle-free — streams a
+    //      100 TB corpus at scan speed. ----
+    "q72_pii_scan_redact" -> QueryDef.sql(piiOracleSql) { (s, dir) =>
+      val aug = Tables.documents(s, dir).select(col("doc_id"), augmentedText().as("aug"))
+      val (counts, redacted) = piiScan(col("aug"))
+      val countCols = counts.map { case (n, c) => c.as(s"n_$n") }
+      val total = counts.map(_._2).reduce(_ + _).as("n_pii")
+      aug.select(Seq(col("doc_id")) ++ countCols ++ Seq(total, redacted.as("redacted")): _*)
+        .orderBy("doc_id")
+    },
+
+    // ---- Gopher-style repetition signals: duplicate-word fraction and
+    //      the fraction of the doc covered by its single most frequent
+    //      word 2-gram / 3-gram. Computed IN-ROW (sort the gram array,
+    //      longest equal-run via aggregate()) so the operator is
+    //      shuffle-free — the oracle computes the same statistic the
+    //      declarative way (unnest + GROUP BY + max). Only counts and
+    //      rounded fractions are emitted, never the argmax gram itself,
+    //      so tie-breaking cannot differ between engines. ----
+    "q73_repetition_stats" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |base AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct_words FROM w),
+        |g2 AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+        |       FROM w WHERE len(ws) >= 2),
+        |t2 AS (SELECT doc_id, max(c) AS top2_cnt
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS g
+        |       FROM w WHERE len(ws) >= 3),
+        |t3 AS (SELECT doc_id, max(c) AS top3_cnt
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT b.doc_id, n_words, n_distinct_words,
+        |  CASE WHEN n_words > 0 THEN round(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 6)
+        |       ELSE 0.0 END AS dup_word_frac,
+        |  coalesce(top2_cnt, 0) AS top2_cnt,
+        |  CASE WHEN n_words >= 2 THEN round(CAST(coalesce(top2_cnt, 0) AS DOUBLE) / (n_words - 1), 6)
+        |       ELSE 0.0 END AS top2_frac,
+        |  coalesce(top3_cnt, 0) AS top3_cnt,
+        |  CASE WHEN n_words >= 3 THEN round(CAST(coalesce(top3_cnt, 0) AS DOUBLE) / (n_words - 2), 6)
+        |       ELSE 0.0 END AS top3_frac
+        |FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |ORDER BY doc_id""") { (s, dir) =>
+      repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- benchmark decontamination: flag corpus docs sharing word
+    //      8-grams with a benchmark set (here: the deterministic
+    //      content-hash sample, q44's convention — at 100 TB the bench
+    //      side is a genuinely small eval set, hence the broadcast).
+    //      Inverted-index equi-join on the shingle, never all-pairs. ----
+    "q74_decontamination" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)]) AS sh
+        |       FROM w WHERE len(ws) >= 8),
+        |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |bench AS (SELECT doc_id FROM documents WHERE substring(md5(text), 1, 1) = '0'),
+        |bsh AS (SELECT s.sh, s.doc_id AS b_doc FROM sh s JOIN bench b USING (doc_id)),
+        |hits AS (SELECT DISTINCT c.doc_id, c.sh FROM sh c JOIN bsh b
+        |         ON c.sh = b.sh AND c.doc_id != b.b_doc),
+        |shared AS (SELECT doc_id, count(*) AS n_shared FROM hits GROUP BY 1)
+        |SELECT c.doc_id, n_shingles,
+        |  coalesce(n_shared, 0) AS n_shared,
+        |  round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles, 6) AS contamination,
+        |  coalesce(n_shared, 0) * 2 >= n_shingles AS contaminated
+        |FROM cnt c LEFT JOIN shared USING (doc_id)
+        |ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      decontaminationScan(docs,
+        docs.filter(substring(md5(col("text")), 1, 1) === "0")
+          .select(col("doc_id").as("bench_id")))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** Per-document repetition statistics, all in-row (shuffle-free):
+    * duplicate-word fraction plus the count/coverage of the most
+    * frequent word 2-gram and 3-gram. The "most frequent gram" count is
+    * the longest equal-run of the SORTED gram array — computed with a
+    * single aggregate() pass over each row's array, so a 100 TB corpus
+    * never shuffles; cost is O(words log words) per row. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def gramArray(n: Int): Column = {
+      val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+      when(size(col("ws")) >= n,
+        expr(s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))"))
+        .otherwise(array().cast("array<string>"))
+    }
+    // longest run of equal adjacent elements in the sorted array == count
+    // of the most frequent element; struct-state fold, no shuffle
+    def maxRun(arr: Column): Column = {
+      def runCol(acc: Column, x: Column): Column =
+        when(acc.getField("prev").isNotNull && x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+      aggregate(
+        array_sort(arr),
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => struct(
+          x.as("prev"),
+          runCol(acc, x).as("run"),
+          greatest(acc.getField("best"), runCol(acc, x)).as("best")),
+        acc => acc.getField("best"))
+    }
+    val withGrams = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("g2", gramArray(2))
+      .withColumn("g3", gramArray(3))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"),
+        maxRun(col("g2")).as("top2_cnt"),
+        maxRun(col("g3")).as("top3_cnt"))
+    withGrams.select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+      when(col("n_words") > 0,
+        round(lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"), 6))
+        .otherwise(0.0).as("dup_word_frac"),
+      col("top2_cnt"),
+      when(col("n_words") >= 2,
+        round(col("top2_cnt").cast("double") / (col("n_words") - 1), 6))
+        .otherwise(0.0).as("top2_frac"),
+      col("top3_cnt"),
+      when(col("n_words") >= 3,
+        round(col("top3_cnt").cast("double") / (col("n_words") - 2), 6))
+        .otherwise(0.0).as("top3_frac"))
+  }
+
+  /** Drop shingles appearing in more than this many corpus docs before
+    * the bench join — same skew guard as Dedup.maxShingleDocFreq (a
+    * boilerplate 8-gram shared by millions of docs would go quadratic
+    * against a bench doc containing it; dropping ubiquitous n-grams is
+    * also standard decontamination practice). No-op at testdata scale,
+    * so the oracle — which has no cap — stays exact. */
+  private val maxShingleDocFreq = 1000000
+
+  /** Benchmark decontamination: for every corpus doc, the number and
+    * fraction of its distinct word 8-grams that also occur in some
+    * OTHER doc of the benchmark set, plus a contaminated flag at >= 50%
+    * overlap (integer comparison, no float threshold).
+    *
+    * Scale shape: corpus shingles are exploded once and repartitioned by
+    * shingle (one canonical exchange reused by the per-doc count and the
+    * join); the benchmark side is broadcast — eval benchmarks are tiny
+    * relative to a 100 TB corpus, which is precisely why this runs as a
+    * map-side join over the corpus scan rather than a shuffle. */
+  def decontaminationScan(docs: DataFrame, benchIds: DataFrame, n: Int = 8): DataFrame = {
+    val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+    val sh0 = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))"))).as("sh"))
+    val freqOk = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDocFreq).select("sh")
+    val sh = sh0.join(freqOk, "sh").repartition(col("sh"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val bsh = sh.join(broadcast(benchIds), col("doc_id") === col("bench_id"))
+      .select(col("sh").as("b_sh"), col("doc_id").as("b_doc"))
+    val hits = sh.join(bsh, col("sh") === col("b_sh") && col("doc_id") =!= col("b_doc"))
+      .select(col("doc_id"), col("sh")).distinct()
+    val shared = hits.groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    cnt.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("contamination"),
+        (coalesce(col("n_shared"), lit(0L)) * 2 >= col("n_shingles")).as("contaminated"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality gates for the curation operators beyond oracle parity: the
+  * oracle proves Spark and DuckDB agree; these prove the answers are
+  * RIGHT — planted PII is found and fully redacted, repetition counts
+  * match a brute-force Scala computation, and decontamination flags an
+  * exact benchmark copy while never matching a doc against itself. */
+class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  test("PII scan finds exactly the planted PII and redaction removes all of it") {
+    val docs = Seq(
+      (1L, "reach me at alice.smith+work@sub.example.co.uk thanks"),
+      (2L, "call 415-555-1234 or 650-555-9876 today"),
+      (3L, "server at 10.0.14.98 and 192.168.1.1"),
+      (4L, "ssn is 123-45-6789"),
+      (5L, "all of it: bob@x.io 555-867-5309 127.0.0.1 987-65-4321"),
+      (6L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val (counts, redacted) = Curation.piiScan(col("text"))
+    val out = docs.select(
+      Seq(col("doc_id")) ++ counts.map { case (n, c) => c.as(s"n_$n") } :+
+        redacted.as("redacted"): _*)
+      .as[(Long, Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    // (doc_id, n_email, n_ssn, n_phone, n_ip, redacted)
+    assert(out(0) == ((1L, 1L, 0L, 0L, 0L, "reach me at [EMAIL] thanks")))
+    assert(out(1)._4 == 2L && out(1)._6 == "call [PHONE] or [PHONE] today")
+    assert(out(2)._5 == 2L && out(2)._6 == "server at [IP] and [IP]")
+    assert(out(3)._3 == 1L && out(3)._6 == "ssn is [SSN]")
+    assert(out(4) == ((5L, 1L, 1L, 1L, 1L, "all of it: [EMAIL] [PHONE] [IP] [SSN]")))
+    assert(out(5) == ((6L, 0L, 0L, 0L, 0L, "nothing sensitive here at all")))
+    // the redacted text must itself scan clean — no detector fires on it
+    val (rescans, _) = Curation.piiScan(col("redacted"))
+    val residual = docs.select(redacted.as("redacted"))
+      .select(rescans.map(_._2).reduce(_ + _).as("n")).as[Long].collect().sum
+    assert(residual == 0L, s"redacted text still contains $residual PII matches")
+  }
+
+  test("repetition stats match a brute-force computation on planted docs") {
+    val docs = Seq(
+      (1L, "a b a b a c"),       // top bigram "a b" x2 of 5; top trigram "a b a" x2 of 4
+      (2L, "x x x x"),           // top bigram "x x" x3 of 3; top trigram x2 of 2
+      (3L, "one two three four"),// all unique: dup 0, top grams 1
+      (4L, "solo")               // 1 word: no grams at all
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(docs)
+      .as[(Long, Long, Long, Double, Long, Double, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, 6L, 3L, 0.5, 2L, 0.4, 2L, 0.5)))
+    assert(out(1) == ((2L, 4L, 1L, 0.75, 3L, 1.0, 2L, 1.0)))
+    assert(out(2) == ((3L, 4L, 4L, 0.0, 1L, 0.333333, 1L, 0.5)))
+    assert(out(3) == ((4L, 1L, 1L, 0.0, 0L, 0.0, 0L, 0.0)))
+  }
+
+  test("repetition stats are shuffle-free: no exchange in the plan") {
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val plan = Curation.repetitionStats(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("decontamination flags a benchmark copy, excludes self-matches") {
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"$eight tail1 tail2"),      // bench member
+      (2L, s"$eight tail1 tail2"),      // exact copy of bench doc 1 -> 100%
+      (3L, s"prefix $eight suffix"),    // partial overlap with doc 1
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8 q9") // disjoint vocabulary -> 0
+    ).toDF("doc_id", "text")
+    val bench = Seq(1L).toDF("bench_id")
+    val out = Curation.decontaminationScan(docs, bench)
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toList
+    val byId = out.map(r => r._1 -> r).toMap
+    // doc 1 is the bench doc itself: self-pairs excluded -> clean
+    assert(byId(1L) == ((1L, 3L, 0L, 0.0, false)), s"got ${byId(1L)}")
+    // doc 2 shares every one of its 3 shingles with bench doc 1
+    assert(byId(2L) == ((2L, 3L, 3L, 1.0, true)), s"got ${byId(2L)}")
+    // doc 3 has 3 shingles ("prefix w1..w7", "w1..w8", "w2..w8 suffix"),
+    // exactly one of which ("w1..w8") is in the bench doc
+    assert(byId(3L) == ((3L, 3L, 1L, 0.333333, false)), s"got ${byId(3L)}")
+    assert(byId(4L) == ((4L, 2L, 0L, 0.0, false)), s"got ${byId(4L)}")
+  }
+
+  test("decontamination benchmark side joins as a broadcast") {
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val bench = Seq(1L).toDF("bench_id")
+    val plan = Curation.decontaminationScan(docs, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected join strategy:\n$plan")
+  }
+}
