@@ -180,8 +180,68 @@ object Curation {
         docs.filter(substring(md5(col("text")), 1, 1) === "0")
           .select(col("doc_id").as("bench_id")))
         .orderBy("doc_id")
+    },
+
+    // ---- stratified deterministic sample: top-n docs per stratum
+    //      (lang), ranked by content hash — the reproducible stratified
+    //      subsample a training pipeline takes (same rows on every
+    //      engine/run/cluster size; q44's determinism discipline, per
+    //      stratum). One shuffle by stratum; rank-k cutoff pushes the
+    //      window's limit into the sort. ----
+    "q76_stratified_sample" -> QueryDef.sql(
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars, md5(text) AS h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, h, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 20 ORDER BY lang, rnk""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 20)
+        .orderBy("lang", "rnk")
+    },
+
+    // ---- token-budget corpus mixing: greedily fill a per-source token
+    //      budget in deterministic content-hash order (how a pipeline
+    //      draws a fixed token mix from many sources without an RNG to
+    //      coordinate). A doc is taken iff the budget is not already met
+    //      when it is reached, so the last doc may overshoot — integer
+    //      cumulative sums, exact in both engines. ----
+    "q77_token_budget_mix" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_tokens,
+        |    md5(text) AS h
+        |  FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens - n_tokens < 800
+        |ORDER BY source, cum_tokens, doc_id""") { (s, dir) =>
+      tokenBudgetMix(Tables.documents(s, dir), budgetPerSource = 800L)
+        .orderBy("source", "cum_tokens", "doc_id")
     }
   )
+
+  /** Greedy per-source token-budget fill in deterministic hash order:
+    * running token sum per source, keep a doc iff the running total
+    * BEFORE it is under budget (the crossing doc is taken; nothing
+    * after). Window sum over integers — exact on any engine, one
+    * shuffle by source. */
+  def tokenBudgetMix(docs: DataFrame, budgetPerSource: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetPerSource)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+  }
 
   /** Per-document repetition statistics, all in-row (shuffle-free):
     * duplicate-word fraction plus the count/coverage of the most

@@ -276,6 +276,39 @@ object Streams {
         .orderBy("window_start")
     },
 
+    // ---- session windows: per-user sessions closed by a 6h inactivity
+    //      gap. Spark side is the NATIVE session_window aggregation (one
+    //      shuffle by user, sessions merged inside the aggregate — the
+    //      same operator [[sessionWindowCounts]] runs in Structured
+    //      Streaming, so batch and streaming share semantics); the oracle
+    //      derives identical sessions the declarative way via
+    //      gaps-and-islands (lag + running sum). Spark opens a new
+    //      session when the gap is >= the timeout, hence `>=` in the
+    //      oracle's new-session predicate. ----
+    "q75_session_window" -> QueryDef.sql(
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 21600000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sess FROM l)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .agg(min(col("ts")).cast("timestamp_ntz").as("session_start"),
+          max(col("ts")).cast("timestamp_ntz").as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .orderBy("user_id", "session_start")
+    },
+
     "q38_reconcile_hash_diff" -> QueryDef.sql(
       """WITH stored AS (
         |  SELECT doc_id, sha256(text) AS sha256 FROM documents),

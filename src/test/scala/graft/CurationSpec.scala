@@ -84,6 +84,67 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(byId(4L) == ((4L, 2L, 0L, 0.0, false)), s"got ${byId(4L)}")
   }
 
+  test("token-budget mix matches a brute-force greedy fill, one shuffle by source") {
+    val docs = Seq(
+      (1L, "s1", "aa bb cc"), (2L, "s1", "dd ee"), (3L, "s1", "ff gg hh ii"),
+      (4L, "s1", "jj"), (5L, "s2", "kk ll mm nn oo"), (6L, "s2", "pp"),
+      (7L, "s2", "qq rr ss tt uu vv ww xx yy zz")
+    ).toDF("doc_id", "source", "text")
+    val budget = 6L
+    val out = Curation.tokenBudgetMix(docs, budget)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toList
+    // brute force: per source, order docs by (md5(text), doc_id); take a doc
+    // iff the running token total BEFORE it is under budget
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = Seq(
+      (1L, "s1", "aa bb cc"), (2L, "s1", "dd ee"), (3L, "s1", "ff gg hh ii"),
+      (4L, "s1", "jj"), (5L, "s2", "kk ll mm nn oo"), (6L, "s2", "pp"),
+      (7L, "s2", "qq rr ss tt uu vv ww xx yy zz"))
+      .groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+        var cum = 0L
+        ds.sortBy(d => (md5hex(d._3), d._1)).flatMap { case (id, src, text) =>
+          val n = text.split(" ").count(_.nonEmpty).toLong
+          val before = cum; cum += n
+          if (before < budget) Some((id, src, n, before + n)) else None
+        }
+      }.sortBy(_._1).toList
+    assert(out == expected, s"greedy fill mismatch:\n got $out\n exp $expected")
+    // every source crosses or meets its budget exactly once (the last doc
+    // taken may overshoot; nothing after it is taken)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val maxCum = rows.map(_._4).max
+      assert(maxCum >= budget || rows.size == docs.filter($"source" === src).count(),
+        s"$src stopped early at $maxCum")
+      assert(rows.count(_._4 >= budget) <= 1, s"$src took a doc past the crossing")
+    }
+    // scale shape: exactly one exchange (by source) feeding the window
+    val nExchanges = "Exchange".r.findAllIn(
+      Curation.tokenBudgetMix(docs, budget).queryExecution.executedPlan.toString).size
+    assert(nExchanges == 1, s"expected one shuffle by source, saw $nExchanges")
+  }
+
+  test("stratified sample takes at most n per stratum, deterministically") {
+    val docs = (1L to 60L).map(i => (i, s"lang${i % 3}", s"doc text $i"))
+      .toDF("doc_id", "lang", "text")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    def sample() = docs
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+    val a = sample().as[(Long, String, String, Long)].collect().sortBy(r => (r._2, r._4))
+    val b = sample().as[(Long, String, String, Long)].collect().sortBy(r => (r._2, r._4))
+    assert(a.toSeq == b.toSeq, "stratified sample is not deterministic")
+    val perLang = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ == 5), s"per-stratum cap violated: $perLang")
+    // ranks are contiguous 1..5 within each stratum
+    a.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to 5L), s"$lang ranks: ${rows.map(_._4).toSeq}")
+    }
+  }
+
   test("decontamination benchmark side joins as a broadcast") {
     val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
     val bench = Seq(1L).toDF("bench_id")
