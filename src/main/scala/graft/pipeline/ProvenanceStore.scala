@@ -109,9 +109,49 @@ final class ProvenanceStore(
     withIds.write.mode(SaveMode.Append).parquet(artifactsPath)
     artifacts.filter(col("id") > base)
   }
+
+  /** Small-file compaction (maintenance job). Every append writes its own
+    * parquet files, so a long-lived table accumulates one small file per
+    * micro-batch — and both the footer-stats `maxId` probe and the DSv2
+    * runtime-filter pruning are O(files). Rewrites the table into
+    * `ceil(rows / targetRowsPerFile)` files RANGE-PARTITIONED AND SORTED
+    * on `id`: per-file id ranges become disjoint, so any id-predicate
+    * (FK runtime filters, incremental `id > base` reads) prunes to
+    * exactly the files it needs from footer min/max alone. Rows, ids,
+    * and schema are byte-identical before/after; the swap is atomic at
+    * the directory level (write aside, then rename into place), so a
+    * concurrent reader sees the old or the new layout, never a mix. */
+  def compact(table: String, targetRowsPerFile: Long = 4000000L): ProvenanceStore.CompactionStats = {
+    require(table == "responses" || table == "artifacts", s"unknown table '$table'")
+    val (path, schema) =
+      if (table == "responses") (responsesPath, Model.responsesSchema)
+      else (artifactsPath, Model.artifactsSchema)
+    val dir = new java.io.File(path)
+    def dataFiles(d: java.io.File): Int =
+      Option(d.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    val before = dataFiles(dir)
+    if (before == 0) return ProvenanceStore.CompactionStats(0, 0, 0L)
+    val df = spark.read.schema(schema).parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val tmp = new java.io.File(s"$path.compact-tmp")
+    val old = new java.io.File(s"$path.compact-old")
+    df.repartitionByRange(nFiles, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    java.nio.file.Files.move(dir.toPath, old.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(tmp.toPath, dir.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    ProvenanceStore.CompactionStats(before, dataFiles(dir), rows)
+  }
 }
 
 object ProvenanceStore {
+  /** Result of a [[ProvenanceStore.compact]] run. */
+  final case class CompactionStats(filesBefore: Int, filesAfter: Int, rows: Long)
+
   /** K1 id-assignment scheme. */
   sealed trait IdMode
   object IdMode {

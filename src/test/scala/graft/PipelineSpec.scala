@@ -158,6 +158,49 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ret.distinct.size == 50)
   }
 
+  test("compaction: append-fragmented table -> few id-sorted files, rows identical, probe intact") {
+    val wh = tmpDir("wh")
+    val store = new ProvenanceStore(spark, wh)
+    def batch(tag: String, n: Int) = spark.range(0, n, 1, 4)
+      .select(
+        lit("p").as("provider"), lit("GET").as("method"),
+        concat(lit(s"https://x.test/$tag/"), col("id")).as("url"),
+        lit(null).cast("string").as("params_json"),
+        lit(200).as("status_code"), lit("{}").as("headers_json"),
+        lit("b".getBytes("UTF-8")).as("body"),
+        col("id").cast("int").as("item_index"), lit("metadata").as("stage"))
+    // 3 micro-batch appends x 4 partitions each = 12 small files
+    Seq("a", "b", "c").foreach(t => store.appendResponses(batch(t, 20)))
+    val beforeRows = store.responses
+      .select("id", "url").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val stats = store.compact("responses", targetRowsPerFile = 30L)
+    assert(stats.rows == 60L)
+    assert(stats.filesBefore >= 12 && stats.filesAfter == 2,
+      s"expected 12+ -> 2 files, got ${stats.filesBefore} -> ${stats.filesAfter}")
+    val afterRows = store.responses
+      .select("id", "url").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(afterRows == beforeRows, "compaction must not change a single row")
+    // range-sorted layout: per-file id ranges are DISJOINT, so an id
+    // predicate prunes to exactly one file from footer min/max alone
+    val files = new java.io.File(s"$wh/responses").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("id")), max(col("id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2,
+        s"file id ranges overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+    // the footer-stats maxId probe and the append path survive the rewrite
+    val next = store.appendResponses(batch("d", 5))
+    val nextIds = next.select("id").as[Long].collect()
+    assert(nextIds.forall(_ > beforeRows.map(_._1).max),
+      "post-compaction append must continue past the compacted max id")
+    assert(store.responses.count() == 65)
+  }
+
   test("unexpected failure writes error.txt and failed run.json, then rethrows (K12)") {
     val runs = tmpDir("runs")
     val ex = intercept[Exception] {
