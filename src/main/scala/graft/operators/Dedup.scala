@@ -60,6 +60,23 @@ object Dedup {
     rows.join(ok, keyCols)
   }
 
+  /** Shared oracle for q51/q78 — both compute the identical exact result,
+    * so both hash-match the same SQL. */
+  private val jaccardPairsOracleSql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+      |       FROM w WHERE len(ws) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2)
+      |SELECT d1, d2, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+      |FROM com JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+      |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6
+      |ORDER BY d1, d2""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- exact dedup by content hash (reference's UNIQUE(source_url,
@@ -75,21 +92,16 @@ object Dedup {
     },
 
     // ---- exact n-gram Jaccard near-dup pairs via shingle inverted index ----
-    "q51_ngram_jaccard_pairs" -> QueryDef.sql(
-      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
-        |           FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
-        |       FROM w WHERE len(ws) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |        GROUP BY 1, 2)
-        |SELECT d1, d2, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
-        |FROM com JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
-        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6
-        |ORDER BY d1, d2""") { (s, dir) =>
+    "q51_ngram_jaccard_pairs" -> QueryDef.sql(jaccardPairsOracleSql) { (s, dir) =>
       exactJaccardPairs(Tables.documents(s, dir), threshold = 0.6)
+        .orderBy("d1", "d2")
+    },
+
+    // ---- same contract, prefix-filtered (PPJoin-style): EXACT result,
+    //      so it shares q51's oracle and must hash-match it — only the
+    //      candidate-generation cost differs ----
+    "q78_jaccard_prefix_filter" -> QueryDef.sql(jaccardPairsOracleSql) { (s, dir) =>
+      prefixJaccardPairs(Tables.documents(s, dir), threshold = 0.6)
         .orderBy("d1", "d2")
     },
 
@@ -205,6 +217,68 @@ object Dedup {
       .filter(j >= threshold)
       .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
   }
+
+  /** Exact word-3-gram Jaccard pairs >= threshold with PREFIX FILTERING
+    * (Chaudhuri et al., "A Primitive Operator for Similarity Joins", ICDE
+    * 2006; Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW 2008). Same contract and byte-identical output as
+    * [[exactJaccardPairs]] — only candidate generation differs:
+    *
+    * Under any GLOBAL total order on shingles, two docs with
+    * |A∩B| >= ceil(t·max(|A|,|B|)) must collide within their first
+    * |X| - ceil(t·|X|) + 1 shingles — so only that prefix is indexed for
+    * the self-join. Ordering by ascending document frequency puts the
+    * RAREST shingles in the prefix, which is what makes the filter
+    * selective: at 100 TB the indexed volume drops by ~1/(1+t) per doc
+    * and hot (stopword-ish) shingles fall out of the prefix entirely,
+    * shrinking both shuffle volume and the worst hot-key bucket vs q51's
+    * full inverted index. Candidates additionally pass the size-ratio
+    * bound (t·|B| <= |A| <= |B|/t), then get verified with a true
+    * intersection count over the full shingle sets — candidates only, so
+    * the verify join is O(candidates × avg doc size), not O(index²).
+    *
+    * The ceil() guards subtract 1e-9 before ceiling: a threshold·n that
+    * lands EXACTLY on an integer must not round up through FP error —
+    * erring low lengthens the prefix (more candidates, still exact);
+    * erring high would silently drop true pairs. */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs)
+    val prefix = prefixIndex(sh, threshold).repartition(col("sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") >= col("b.n") * lit(threshold) - lit(1e-9) &&
+        col("b.n") >= col("a.n") * lit(threshold) - lit(1e-9))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .distinct()
+    val common = cand
+      .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("d2") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("c"))
+    val j = col("c").cast("double") / (col("n1") + col("n2") - col("c"))
+    common.filter(j >= threshold)
+      .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
+  }
+
+  /** The indexed prefix per doc: rank shingles by ascending global doc
+    * frequency (rarest first), keep positions 1..(n - ceil(t·n) + 1).
+    * Input: (doc_id, sh); output: (doc_id, sh, n). */
+  private def prefixIndex(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    sh.join(dfreq, "sh")
+      .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .filter(col("pos") <= col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1))
+      .select(col("doc_id"), col("sh"), col("n"))
+  }
+
+  /** Test hooks: indexed-prefix vs full-inverted-index row counts — the
+    * measurable claim behind q78 (DedupSpec asserts prefix < full/2). */
+  private[graft] def prefixIndexSize(docs: DataFrame, threshold: Double): Long =
+    prefixIndex(shingles(docs), threshold).count()
+  private[graft] def fullIndexSize(docs: DataFrame): Long = shingles(docs).count()
 
   /** Connected components over a near-dup pair graph by iterative min-label
     * propagation: every node adopts the smallest label among itself and its

@@ -188,6 +188,36 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.forall(_._2 == 0L), "fallback labels must be converged, not partial")
   }
 
+  test("prefix-filtered jaccard equals the exact inverted-index result") {
+    // planted corpus at two thresholds (0.5 exercises pairs near the
+    // size-ratio boundary; 0.6 is the production threshold)
+    Seq(0.5, 0.6).foreach { t =>
+      val exact = Dedup.exactJaccardPairs(docs, t)
+        .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.prefixJaccardPairs(docs, t)
+        .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(pref == exact, s"t=$t: prefix-filter result diverged from exact")
+    }
+    // real testdata: identical pair sets and scores
+    val real = Tables.documents(spark, sf001)
+    val exactR = Dedup.exactJaccardPairs(real, 0.6)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val prefR = Dedup.prefixJaccardPairs(real, 0.6)
+      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(prefR == exactR, "prefix-filter diverged from exact on testdata")
+    assert(exactR.nonEmpty)
+  }
+
+  test("prefix filter indexes strictly less than the full inverted index") {
+    // the whole point of q78: the self-joined relation is ~1/(1+t) of the
+    // full index. Measure the actual indexed row counts on real data.
+    val real = Tables.documents(spark, sf001)
+    val fullIndexRows = Dedup.fullIndexSize(real)
+    val prefixRows = Dedup.prefixIndexSize(real, 0.6)
+    assert(prefixRows < fullIndexRows / 2,
+      s"prefix index $prefixRows not < half of full index $fullIndexRows")
+  }
+
   test("minhash recall vs exact on real testdata documents") {
     val real = Tables.documents(spark, sf001)
     val exact = Dedup.exactJaccardPairs(real, threshold = 0.8)
