@@ -23,14 +23,18 @@ object Dedup {
     * list_filter(string_split(trim(text),' '), x -> x != ''). */
   private def words(c: Column): Column = filter(split(trim(c), " "), w => w =!= "")
 
-  /** Distinct word 3-gram shingles per doc: (doc_id, sh). 0-based `ws[i]`
-    * indexing in SQL exprs. */
-  private def shingles(docs: DataFrame): DataFrame =
+  /** Distinct word 3-gram shingles per doc as an array column: (doc_id,
+    * shs). 0-based `ws[i]` indexing in SQL exprs. */
+  private def shingleArrays(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
-        .as("sh"))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("shs"))
+
+  /** Exploded form: (doc_id, sh), one row per distinct shingle. */
+  private def shingles(docs: DataFrame): DataFrame =
+    shingleArrays(docs).select(col("doc_id"), explode(col("shs")).as("sh"))
 
   /** Drop shingles appearing in more than this many docs before the pair
     * join — the skew guard that keeps the inverted-index join bounded on a
@@ -99,7 +103,9 @@ object Dedup {
 
     // ---- same contract, prefix-filtered (PPJoin-style): EXACT result,
     //      so it shares q51's oracle and must hash-match it — only the
-    //      candidate-generation cost differs ----
+    //      candidate-generation cost differs (in-row hash-ordered prefix +
+    //      array-intersect verify; "df" order available for candidate-
+    //      minimal behavior on boilerplate-heavy corpora) ----
     "q78_jaccard_prefix_filter" -> QueryDef.sql(jaccardPairsOracleSql) { (s, dir) =>
       prefixJaccardPairs(Tables.documents(s, dir), threshold = 0.6)
         .orderBy("d1", "d2")
@@ -241,9 +247,10 @@ object Dedup {
     * lands EXACTLY on an integer must not round up through FP error —
     * erring low lengthens the prefix (more candidates, still exact);
     * erring high would silently drop true pairs. */
-  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs)
-    val prefix = prefixIndex(sh, threshold).repartition(col("sh"))
+  def prefixJaccardPairs(
+      docs: DataFrame, threshold: Double, order: String = "hash"): DataFrame = {
+    val arr = shingleArrays(docs).withColumn("n", size(col("shs")))
+    val prefix = prefixIndex(arr, threshold, order).repartition(col("sh"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
         col("a.n") >= col("b.n") * lit(threshold) - lit(1e-9) &&
@@ -251,33 +258,62 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .distinct()
+    // verify candidates against the compact per-doc ARRAYS (two doc-keyed
+    // joins + in-row array_intersect) — never re-shuffles the exploded
+    // shingle index, which is what made a shingle-level verify join cost
+    // more than the prefix filter saved
     val common = cand
-      .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("d2") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("c"))
+      .join(arr.select(col("doc_id").as("d1"), col("shs").as("shs1")), "d1")
+      .join(arr.select(col("doc_id").as("d2"), col("shs").as("shs2")), "d2")
+      .withColumn("c", size(array_intersect(col("shs1"), col("shs2"))))
     val j = col("c").cast("double") / (col("n1") + col("n2") - col("c"))
     common.filter(j >= threshold)
       .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
   }
 
-  /** The indexed prefix per doc: rank shingles by ascending global doc
-    * frequency (rarest first), keep positions 1..(n - ceil(t·n) + 1).
-    * Input: (doc_id, sh); output: (doc_id, sh, n). */
-  private def prefixIndex(sh: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy("doc_id")
-    sh.join(dfreq, "sh")
-      .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .filter(col("pos") <= col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1))
-      .select(col("doc_id"), col("sh"), col("n"))
+  /** The indexed prefix per doc — positions 1..(n − ceil(t·n) + 1) of the
+    * doc's shingles under a GLOBAL total order. Input: (doc_id, shs, n);
+    * output: (doc_id, sh, n).
+    *
+    * - "hash" (default): order by (xxhash64(sh), sh) — computed entirely
+    *   IN-ROW (sort + slice each doc's array; no df pass, no window, no
+    *   shuffle before the candidate join). Prefix membership is
+    *   hash-random, so a stopword shingle lands in only ~1/(1+t) of
+    *   prefixes, but when it does it joins like any other key.
+    * - "df": classic PPJoin order by ascending global document frequency
+    *   (rarest first) — minimizes candidate pairs on boilerplate-heavy
+    *   corpora (hot shingles sort LAST and fall out of every prefix), at
+    *   the cost of a df aggregation plus a per-doc window over the
+    *   exploded index. Worth it when candidate explosion, not scan cost,
+    *   dominates. Both orders produce the identical exact result
+    *   (DedupSpec pins both against [[exactJaccardPairs]]). */
+  private def prefixIndex(arr: DataFrame, threshold: Double, order: String): DataFrame = {
+    val prefixLen =
+      (col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
+    order match {
+      case "hash" =>
+        arr.withColumn("p", prefixLen)
+          .select(col("doc_id"), col("n"), explode(expr(
+            "transform(slice(array_sort(transform(shs, s -> struct(xxhash64(s) AS h, s AS sh))), 1, p), x -> x.sh)"))
+            .as("sh"))
+      case "df" =>
+        import org.apache.spark.sql.expressions.Window
+        val sh = arr.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        sh.join(dfreq, "sh")
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+          .filter(col("pos") <= col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1))
+          .select(col("doc_id"), col("sh"), col("n"))
+      case other => throw new IllegalArgumentException(
+        s"unknown prefix order '$other' (expected hash|df)")
+    }
   }
 
   /** Test hooks: indexed-prefix vs full-inverted-index row counts — the
     * measurable claim behind q78 (DedupSpec asserts prefix < full/2). */
-  private[graft] def prefixIndexSize(docs: DataFrame, threshold: Double): Long =
-    prefixIndex(shingles(docs), threshold).count()
+  private[graft] def prefixIndexSize(docs: DataFrame, threshold: Double, order: String = "hash"): Long =
+    prefixIndex(shingleArrays(docs).withColumn("n", size(col("shs"))), threshold, order).count()
   private[graft] def fullIndexSize(docs: DataFrame): Long = shingles(docs).count()
 
   /** Connected components over a near-dup pair graph by iterative min-label

@@ -190,21 +190,24 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("prefix-filtered jaccard equals the exact inverted-index result") {
     // planted corpus at two thresholds (0.5 exercises pairs near the
-    // size-ratio boundary; 0.6 is the production threshold)
-    Seq(0.5, 0.6).foreach { t =>
+    // size-ratio boundary; 0.6 is the production threshold), both prefix
+    // orders (in-row hash default; classic PPJoin df-ranked)
+    for (t <- Seq(0.5, 0.6); ord <- Seq("hash", "df")) {
       val exact = Dedup.exactJaccardPairs(docs, t)
         .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
-      val pref = Dedup.prefixJaccardPairs(docs, t)
+      val pref = Dedup.prefixJaccardPairs(docs, t, ord)
         .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
-      assert(pref == exact, s"t=$t: prefix-filter result diverged from exact")
+      assert(pref == exact, s"t=$t order=$ord: prefix-filter diverged from exact")
     }
-    // real testdata: identical pair sets and scores
+    // real testdata: identical pair sets and scores, both orders
     val real = Tables.documents(spark, sf001)
     val exactR = Dedup.exactJaccardPairs(real, 0.6)
       .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
-    val prefR = Dedup.prefixJaccardPairs(real, 0.6)
-      .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
-    assert(prefR == exactR, "prefix-filter diverged from exact on testdata")
+    Seq("hash", "df").foreach { ord =>
+      val prefR = Dedup.prefixJaccardPairs(real, 0.6, ord)
+        .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(prefR == exactR, s"order=$ord diverged from exact on testdata")
+    }
     assert(exactR.nonEmpty)
   }
 
@@ -213,9 +216,11 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // full index. Measure the actual indexed row counts on real data.
     val real = Tables.documents(spark, sf001)
     val fullIndexRows = Dedup.fullIndexSize(real)
-    val prefixRows = Dedup.prefixIndexSize(real, 0.6)
-    assert(prefixRows < fullIndexRows / 2,
-      s"prefix index $prefixRows not < half of full index $fullIndexRows")
+    Seq("hash", "df").foreach { ord =>
+      val prefixRows = Dedup.prefixIndexSize(real, 0.6, ord)
+      assert(prefixRows < fullIndexRows / 2,
+        s"$ord prefix index $prefixRows not < half of full index $fullIndexRows")
+    }
   }
 
   test("minhash recall vs exact on real testdata documents") {
