@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.functions.{col, lit, pmod}
@@ -59,12 +59,18 @@ object SpjProvenance {
 
   /** Append rows under `bucket=<b>/` directories. One shuffle by bucket id
     * on the way in (the LAST shuffle these rows ever see — every
-    * subsequent FK join is exchange-free). */
+    * subsequent FK join is exchange-free). Rows are additionally SORTED by
+    * key within each written file (a task-local sort, no extra shuffle):
+    * the scan's k-way merge reader restores per-bucket key order across
+    * appends, which is what lets [[SpjScan]] report its ordering and the
+    * FK join drop its Sort operators too — this sortedness is a format
+    * invariant every writer of the layout must uphold. */
   def write(df: DataFrame, warehouse: String, table: String, buckets: Int): Unit = {
     val key = keyColumnFor(table)
     df.withColumn("bucket",
         pmod(col(key), lit(buckets.toLong)).cast("int"))
       .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
       .write.mode("append").partitionBy("bucket")
       .parquet(tableDir(warehouse, table))
   }
@@ -163,13 +169,26 @@ private[sources] class SpjScanBuilder(
 
 /** One input partition per `bucket=<b>/` directory, keyed by the bucket id
   * ([[HasPartitionKey]]) so Spark can align both join sides bucket-by-
-  * bucket without any Exchange. */
+  * bucket without any Exchange — and, because every file is written
+  * key-sorted and the reader k-way-merges them, each partition streams in
+  * ascending key order, reported via [[SupportsReportOrdering]] so
+  * EnsureRequirements elides the merge-join Sorts as well: the lineage FK
+  * join becomes a pure zero-Exchange zero-Sort merge pass. */
 private[sources] class SpjScan(
     dir: String, requested: StructType, key: String, buckets: Int)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   override def readSchema(): StructType = requested
   override def toBatch: Batch = this
+
+  /** Ascending key order holds only when the key survives column pruning
+    * (the merge reader needs it to compare rows). ASC defaults to NULLS
+    * FIRST, matching the reader's null-key placement. */
+  override def outputOrdering(): Array[SortOrder] =
+    if (requested.fieldNames.contains(key))
+      Array(Expressions.sort(Expressions.column(key), SortDirection.ASCENDING))
+    else Array.empty
 
   private lazy val bucketFiles: Seq[(Int, Seq[String])] = {
     val path = new Path(dir)
@@ -198,7 +217,7 @@ private[sources] class SpjScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SpjReaderFactory(requested)
+    new SpjReaderFactory(requested, key)
 
   override def description(): String =
     s"graft-spj $dir bucket($buckets, $key) ReadSchema: ${requested.catalogString}"
@@ -209,16 +228,66 @@ private[sources] case class SpjBucketPartition(bucket: Int, files: Seq[String])
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
-/** Chains the per-file row readers of a bucket; the `bucket` directory
-  * column is not part of the stored files, so the reader surface is exactly
-  * the model schema. */
-private[sources] class SpjReaderFactory(requested: StructType)
+/** Reads a bucket's files — each key-sorted at write time — as one stream.
+  * When the key survives column pruning, the per-file cursors are k-way
+  * MERGED on it (each append is one sorted run; the heap restores total
+  * bucket order), preserving the ordering [[SpjScan]] reports. With the
+  * key pruned away no ordering was promised, and the files simply chain.
+  * The `bucket` directory column is not part of the stored files, so the
+  * reader surface is exactly the model schema. */
+private[sources] class SpjReaderFactory(requested: StructType, key: String)
     extends PartitionReaderFactory {
 
   private val perFile = new ProvenanceReaderFactory(requested, Array.empty, -1)
+  private val keyIdx = requested.fieldNames.indexOf(key)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition.asInstanceOf[SpjBucketPartition].files
+    if (keyIdx >= 0) merging(files) else chained(files)
+  }
+
+  /** One open cursor per sorted file run. The per-file reader materializes
+    * a fresh InternalRow on every get(), so buffered heads stay valid
+    * while other cursors advance. Null keys sort first (Long.MinValue),
+    * matching the reported ASC NULLS FIRST. */
+  private final class Cursor(reader: PartitionReader[InternalRow]) {
+    var row: InternalRow = _
+    def sortKey: Long =
+      if (row.isNullAt(keyIdx)) Long.MinValue else row.getLong(keyIdx)
+    def advance(): Boolean =
+      if (reader.next()) { row = reader.get(); true }
+      else { reader.close(); false }
+    def close(): Unit = reader.close()
+  }
+
+  private def merging(files: Seq[String]): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val heap = new java.util.PriorityQueue[Cursor](
+        math.max(1, files.size),
+        (a: Cursor, b: Cursor) => java.lang.Long.compare(a.sortKey, b.sortKey))
+      files.foreach { f =>
+        val c = new Cursor(perFile.createReader(ProvenanceFilePartition(f)))
+        if (c.advance()) heap.add(c)
+      }
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        val c = heap.poll()
+        if (c == null) false
+        else {
+          current = c.row
+          if (c.advance()) heap.add(c)
+          true
+        }
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = {
+        while (!heap.isEmpty) heap.poll().close()
+      }
+    }
+
+  private def chained(files: Seq[String]): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val it = files.iterator
       private var cur: PartitionReader[InternalRow] = _
@@ -239,5 +308,4 @@ private[sources] class SpjReaderFactory(requested: StructType)
       override def get(): InternalRow = cur.get()
       override def close(): Unit = if (cur != null) cur.close()
     }
-  }
 }

@@ -87,6 +87,44 @@ class SpjProvenanceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("FK join elides its Sorts too: reported ordering + merged sorted runs") {
+    val wh = java.nio.file.Files.createTempDirectory("spj").toString
+    // THREE interleaved appends per table — each write is one sorted run
+    // per bucket file; only the reader's k-way merge restores key order
+    SpjProvenance.write(responseRows(60), wh, "responses", buckets)
+    SpjProvenance.write(responseRows(200).filter(col("id") >= 60 && col("id") < 130), wh, "responses", buckets)
+    SpjProvenance.write(responseRows(200).filter(col("id") >= 130), wh, "responses", buckets)
+    SpjProvenance.write(artifactRows(50), wh, "artifacts", buckets)
+    SpjProvenance.write(artifactRows(120).filter(col("response_id") >= 50), wh, "artifacts", buckets)
+    withSpjCatalog("spj_sort", wh) {
+      val r = spark.table("spj_sort.responses")
+      val a = spark.table("spj_sort.artifacts")
+      val j = r.join(a, r("id") === a("response_id"))
+        .select(r("id"), a("source_url"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"zero Exchange expected:\n$plan")
+      // Sort OPERATOR prints as "Sort [keys...]"; must not confuse it with
+      // the SortMergeJoin node name itself
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Sort ["),
+        s"scan-reported ordering must elide the SMJ sorts:\n$plan")
+      // correctness under the merged read: parity with a plain join
+      val rn = spark.read.parquet(s"$wh/spj/responses").select("id")
+      val an = spark.read.parquet(s"$wh/spj/artifacts").select("response_id", "source_url")
+      val want = rn.join(an, rn("id") === an("response_id"))
+        .select(rn("id"), an("source_url"))
+        .collect().map(x => (x.getLong(0), x.getString(1))).toSet
+      assert(j.collect().map(x => (x.getLong(0), x.getString(1))).toSet == want)
+      assert(want.size == 120)
+      // each scan partition streams ascending ids (the merge across runs)
+      val perPartSorted = spark.table("spj_sort.responses").select("id")
+        .rdd.mapPartitions { it =>
+          val ids = it.map(_.getLong(0)).toVector
+          Iterator.single(ids == ids.sorted)
+        }.collect()
+      assert(perPartSorted.forall(identity), "bucket partitions must stream in key order")
+    }
+  }
+
   test("column pruning reaches the SPJ scan") {
     val wh = java.nio.file.Files.createTempDirectory("spj").toString
     SpjProvenance.write(responseRows(50), wh, "responses", buckets)
