@@ -132,6 +132,27 @@ object Streams {
         ()
       }
 
+  /** Land watermark-closed sessions into the incremental store — the
+    * streaming face of q75 wired to the T3 sync. Append mode emits a
+    * session only once its window is finalized by the watermark, and
+    * each micro-batch of closed sessions flows through
+    * [[WatermarkSync.syncBatch]] keyed on (user_id, session_start), so a
+    * replayed/restarted batch lands exactly once (same contract the
+    * event-landing path pins in StreamingSpec). */
+  def sessionSinkQuery(
+      events: DataFrame,
+      stateDir: String,
+      gap: String = "10 minutes",
+      watermark: String = "30 minutes",
+      overlap: String = "48 hours"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    sessionWindowCounts(events, gap, watermark).writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        WatermarkSync.syncBatch(batch.sparkSession, batch, stateDir,
+          "session_start", Seq("user_id", "session_start"), overlap)
+        ()
+      }
+
   /** Watermarked stream-stream join: correlate two event streams per user
     * within a bounded interval (right event no earlier than the left, at
     * most `within` later). Both sides carry watermarks so join state is

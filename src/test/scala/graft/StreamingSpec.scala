@@ -141,6 +141,33 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("closed sessions land in the incremental store exactly once (q75 streaming e2e)") {
+    val dir = java.nio.file.Files.createTempDirectory("sesssink").toString
+    val input = MemoryStream[Event](spark)
+    val q = Streams.sessionSinkQuery(input.toDF(), dir,
+      gap = "10 minutes", watermark = "30 minutes").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:05:00", 1, "click", 2.0),  // same session
+        ev(3, "2024-01-01 10:30:00", 1, "click", 4.0))  // gap >= 10m → new session
+      q.processAllAvailable()
+      // watermark far past both sessions → both finalized and emitted
+      input.addData(ev(4, "2024-01-01 13:00:00", 9, "view", 0.0))
+      q.processAllAvailable()
+      // close user 9's session too, and re-run an empty batch (restart-ish)
+      input.addData(ev(5, "2024-01-01 16:00:00", 9, "view", 0.0))
+      q.processAllAvailable()
+      val landed = graft.streaming.WatermarkSync.stored(spark, dir).get
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+      // user 1: [e1,e2] (3.0) and [e3] (4.0); user 9: [e4] closed by e5's
+      // watermark advance. e5's own session is still open — not landed.
+      assert(landed.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (9L, 1L, 0.0)),
+        s"landed sessions: ${landed.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream join correlates events within the interval bound") {
     val clicks = MemoryStream[Event](spark)
     val buys = MemoryStream[Event](spark)
