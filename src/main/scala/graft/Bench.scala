@@ -51,9 +51,19 @@ object Bench {
     // warm-up: session init, codegen, parquet footer caches
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
 
-    val base =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(headline.toSet).toMap
+    // SPARK_GRAFT_BENCH_ONLY=q51_x,q78_y narrows to named queries (A/B
+    // comparisons); SPARK_GRAFT_BENCH_ALL=1 runs the full inventory;
+    // default is the pinned headline set
+    val base = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val want = names.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val missing = want -- SparkEntry.queries.keySet
+        require(missing.isEmpty, s"unknown bench queries: ${missing.mkString(",")}")
+        SparkEntry.queries.view.filterKeys(want).toMap
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries
+        else SparkEntry.queries.view.filterKeys(headline.toSet).toMap
+    }
     // test hook for the fail-loudly contract: rc must be non-zero and the
     // JSON must carry the error when any query throws
     val selected =

@@ -32,9 +32,32 @@ object Dedup {
         "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
         .as("shs"))
 
-  /** Exploded form: (doc_id, sh), one row per distinct shingle. */
+  /** [[shingleArrays]] behind a Generate barrier: `explode(array(shs))`
+    * re-emits each row once, and because Generate is not a Project,
+    * neither CollapseProject nor filter alias-substitution can inline the
+    * array-building expression into downstream consumers — the shingle
+    * array COMPUTES EXACTLY ONCE per row no matter how many downstream
+    * expressions reference it (without this, q78's n/p/generator
+    * references each re-ran the build: measured 3× slower at sf0.1). */
+  private def shingleArraysOnce(docs: DataFrame): DataFrame =
+    shingleArrays(docs)
+      .select(col("doc_id"), explode(array(col("shs"))).as("shs"))
+
+  /** Exploded form: (doc_id, sh), one row per distinct shingle.
+    *
+    * NOT `shingleArrays(...).select(explode(col("shs")))`: exploding a
+    * bare column alias lets InferFiltersFromGenerate add a
+    * `size(shs) > 0 AND isnotnull(shs)` filter, and alias substitution
+    * then inlines the whole shingle-building expression into that filter
+    * — the shingle computation runs 3× per row (measured 2.7× slower on
+    * q51/q52 at sf0.1). A COMPLEX generator child dodges the rule, so the
+    * array expression stays inline in the Generate. */
   private def shingles(docs: DataFrame): DataFrame =
-    shingleArrays(docs).select(col("doc_id"), explode(col("shs")).as("sh"))
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+        .as("sh"))
 
   /** Drop shingles appearing in more than this many docs before the pair
     * join — the skew guard that keeps the inverted-index join bounded on a
@@ -249,12 +272,22 @@ object Dedup {
     * erring high would silently drop true pairs. */
   def prefixJaccardPairs(
       docs: DataFrame, threshold: Double, order: String = "hash"): DataFrame = {
-    val arr = shingleArrays(docs).withColumn("n", size(col("shs")))
+    val arr = shingleArraysOnce(docs).withColumn("n", size(col("shs")))
     val prefix = prefixIndex(arr, threshold, order).repartition(col("sh"))
+    // PPJoin positional filter: a pair with overlap o has its FIRST common
+    // shingle (in the global order) at positions where everything common
+    // lies at-or-after it in both lists, so o <= min(n1-pos1, n2-pos2)+1.
+    // A true pair (o >= ceil(t·(n1+n2)/(1+t))) therefore always keeps its
+    // first-common-element row; rows from matches deep in dissimilar
+    // prefixes fail the bound and die BEFORE the distinct — this is what
+    // keeps the candidate set near the true-pair count instead of the
+    // shared-prefix-shingle count.
+    val minOverlap = ceil((col("a.n") + col("b.n")) * lit(threshold / (1 + threshold)) - lit(1e-9))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
         col("a.n") >= col("b.n") * lit(threshold) - lit(1e-9) &&
-        col("b.n") >= col("a.n") * lit(threshold) - lit(1e-9))
+        col("b.n") >= col("a.n") * lit(threshold) - lit(1e-9) &&
+        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) + lit(1) >= minOverlap)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .distinct()
@@ -293,9 +326,10 @@ object Dedup {
     order match {
       case "hash" =>
         arr.withColumn("p", prefixLen)
-          .select(col("doc_id"), col("n"), explode(expr(
-            "transform(slice(array_sort(transform(shs, s -> struct(xxhash64(s) AS h, s AS sh))), 1, p), x -> x.sh)"))
-            .as("sh"))
+          .select(col("doc_id"), col("n"), posexplode(expr(
+            "transform(slice(array_sort(transform(shs, s -> struct(xxhash64(s) AS h, s AS sh))), 1, p), x -> x.sh)")))
+          .select(col("doc_id"), col("col").as("sh"), col("n"),
+            (col("pos") + 1).as("pos"))
       case "df" =>
         import org.apache.spark.sql.expressions.Window
         val sh = arr.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
@@ -304,7 +338,7 @@ object Dedup {
           .withColumn("pos", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
           .filter(col("pos") <= col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1))
-          .select(col("doc_id"), col("sh"), col("n"))
+          .select(col("doc_id"), col("sh"), col("n"), col("pos"))
       case other => throw new IllegalArgumentException(
         s"unknown prefix order '$other' (expected hash|df)")
     }
@@ -313,7 +347,7 @@ object Dedup {
   /** Test hooks: indexed-prefix vs full-inverted-index row counts — the
     * measurable claim behind q78 (DedupSpec asserts prefix < full/2). */
   private[graft] def prefixIndexSize(docs: DataFrame, threshold: Double, order: String = "hash"): Long =
-    prefixIndex(shingleArrays(docs).withColumn("n", size(col("shs"))), threshold, order).count()
+    prefixIndex(shingleArraysOnce(docs).withColumn("n", size(col("shs"))), threshold, order).count()
   private[graft] def fullIndexSize(docs: DataFrame): Long = shingles(docs).count()
 
   /** Connected components over a near-dup pair graph by iterative min-label
