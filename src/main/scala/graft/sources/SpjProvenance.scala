@@ -74,6 +74,45 @@ object SpjProvenance {
       .write.mode("append").partitionBy("bucket")
       .parquet(tableDir(warehouse, table))
   }
+
+  /** Per-bucket small-file compaction. Every append leaves one sorted run
+    * per bucket, and while the scan's k-way merge tolerates any run
+    * count, heap fan-in and per-file open cost grow with appends.
+    * Rewrites each bucket directory holding more than `maxRunsPerBucket`
+    * files into ONE key-sorted file (buckets are independent — the
+    * rewrite is a single narrow sorted pass per bucket, done bucket-by-
+    * bucket so a 100 TB table never needs a global rewrite, and the
+    * directory-rename swap keeps concurrent readers on old-or-new).
+    * Returns (bucketsCompacted, filesBefore). */
+  def compactBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouse: String, table: String,
+      maxRunsPerBucket: Int = 8): (Int, Int) = {
+    val key = keyColumnFor(table)
+    val root = new java.io.File(tableDir(warehouse, table))
+    val bucketDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+    var compacted = 0
+    var filesBefore = 0
+    bucketDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      if (files.length > maxRunsPerBucket) {
+        filesBefore += files.length
+        val tmp = new java.io.File(d.getParent, d.getName + ".compact-tmp")
+        val old = new java.io.File(d.getParent, d.getName + ".compact-old")
+        spark.read.parquet(d.getPath)
+          .coalesce(1).sortWithinPartitions(key)
+          .write.mode("overwrite").parquet(tmp.getPath)
+        java.nio.file.Files.move(d.toPath, old.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.move(tmp.toPath, d.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        org.apache.commons.io.FileUtils.deleteDirectory(old)
+        compacted += 1
+      }
+    }
+    (compacted, filesBefore)
+  }
 }
 
 /** V2 catalog exposing the SPJ layout: TableCatalog for the two tables,

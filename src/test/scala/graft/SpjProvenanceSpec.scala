@@ -125,6 +125,39 @@ class SpjProvenanceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("bucket compaction: many sorted runs -> one file per bucket, scan intact") {
+    val wh = java.nio.file.Files.createTempDirectory("spj").toString
+    // 10 appends = 10 sorted runs per touched bucket
+    (0 until 10).foreach { i =>
+      SpjProvenance.write(
+        responseRows(200).filter(col("id") >= i * 20 && col("id") < (i + 1) * 20),
+        wh, "responses", buckets)
+    }
+    val (compacted, before) = SpjProvenance.compactBuckets(spark, wh, "responses",
+      maxRunsPerBucket = 4)
+    assert(compacted == buckets, s"all $buckets buckets should compact, got $compacted")
+    assert(before > buckets * 4, s"expected >4 runs per bucket before, saw $before total")
+    val dirs = new java.io.File(s"$wh/spj/responses").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    dirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getName}: expected 1 file after compaction, got $n")
+    }
+    // scan still correct, still bucket-laid-out, still sorted per partition
+    withSpjCatalog("spj_compact", wh) {
+      val t = spark.table("spj_compact.responses")
+      assert(t.count() == 200)
+      assert(t.select("id").distinct().count() == 200)
+      val perPartSorted = t.select("id").rdd.mapPartitions { it =>
+        val ids = it.map(_.getLong(0)).toVector
+        Iterator.single(ids == ids.sorted)
+      }.collect()
+      assert(perPartSorted.forall(identity))
+    }
+    // idempotent: second pass finds nothing above the cap
+    assert(SpjProvenance.compactBuckets(spark, wh, "responses", 4) == ((0, 0)))
+  }
+
   test("column pruning reaches the SPJ scan") {
     val wh = java.nio.file.Files.createTempDirectory("spj").toString
     SpjProvenance.write(responseRows(50), wh, "responses", buckets)
