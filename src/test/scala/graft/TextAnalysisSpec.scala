@@ -83,6 +83,49 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"clean text must out-score mixed text: ${out.toSeq}")
   }
 
+  test("native trigram-hits expression matches the declarative trigram form") {
+    // brute-force reference: enumerate substring(t, i, 3) trigrams and
+    // count membership per profile — the exact semantics the oracle SQL
+    // encodes, including overlapping occurrences and shared grams
+    val profiles = Seq(
+      "aa" -> Seq("aaa", "ría", "th "),
+      "bb" -> Seq("aaa", "bbb", " ñx"))
+    val texts = Seq(
+      "aaaaa",              // overlapping "aaa" x3, counts for BOTH langs
+      "maría cantaría",     // unicode 'í' inside a gram
+      "th th th ",          // "th " x3
+      "xy",                 // shorter than a trigram -> all zero
+      "",                   // empty
+      "b ñxq ñx")           // unicode ñ gram x2
+    graft.functions.TextExpressions.register(spark)
+    val spec = graft.functions.TextExpressions.encodeProfiles(profiles)
+    val got = texts.toDF("text")
+      .select(expr(s"graft_trigram_hits(text, '$spec')").as("h"))
+      .as[Seq[Long]].collect()
+    def brute(t: String, grams: Seq[String]): Long = {
+      val cps = t.codePoints().toArray
+      (0 to cps.length - 3).count { i =>
+        grams.contains(new String(cps, i, 3))
+      }.toLong
+    }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = profiles.map { case (_, gs) => brute(t, gs) }
+      assert(got(i) == want, s"text '$t': got ${got(i)}, want $want")
+    }
+    // null text -> null output (nullSafeEval contract)
+    val nullOut = Seq[Option[String]](None).toDF("text")
+      .select(expr(s"graft_trigram_hits(text, '$spec')").as("h"))
+      .collect().head
+    assert(nullOut.isNullAt(0))
+    // registry guards: wrong arity and non-literal spec raise the
+    // friendly message, not an internal error
+    val e1 = intercept[Exception](spark.sql("SELECT graft_trigram_hits('x')"))
+    assert(e1.getMessage.contains("graft_trigram_hits expects"))
+    val e2 = intercept[Exception](
+      Seq(("x", "y")).toDF("a", "b").selectExpr("graft_trigram_hits(a, b)").collect())
+    assert(e2.getMessage.contains("graft_trigram_hits expects"))
+  }
+
   test("wide language ID stays shuffle-free with 7 profiles") {
     val docs = Seq((1L, "en", "the dog")).toDF("doc_id", "declared_lang", "text")
     val plan = TextAnalysis.langIdNgramOver(docs, TextAnalysis.langProfilesWide)
