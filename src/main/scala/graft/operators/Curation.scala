@@ -312,20 +312,37 @@ object Curation {
     * join); the benchmark side is broadcast — eval benchmarks are tiny
     * relative to a 100 TB corpus, which is precisely why this runs as a
     * map-side join over the corpus scan rather than a shuffle. */
-  def decontaminationScan(docs: DataFrame, benchIds: DataFrame, n: Int = 8): DataFrame = {
-    val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
-    val sh0 = docs
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))"))).as("sh"))
+  def decontaminationScan(docs: DataFrame, benchIds: DataFrame, n: Int = 8): DataFrame =
+    decontaminationScanAgainst(docs, benchShingleSet(docs, benchIds, n), n)
+
+  /** The benchmark side of the scan as a standalone relation:
+    * (b_sh, b_doc) — the distinct n-gram shingles of the benchmark docs.
+    * In a scheduled pipeline the eval suite changes rarely while the
+    * corpus moves daily: build this ONCE per benchmark release, persist
+    * it as parquet, and feed it to [[decontaminationScanAgainst]] on
+    * every run — the per-run job then touches only the corpus. */
+  def benchShingleSet(docs: DataFrame, benchIds: DataFrame, n: Int = 8): DataFrame =
+    shinglesN(docs, n)
+      .join(broadcast(benchIds), col("doc_id") === col("bench_id"))
+      .select(col("sh").as("b_sh"), col("doc_id").as("b_doc"))
+      .distinct()
+
+  /** Corpus scan against a prebuilt (possibly persisted) benchmark
+    * shingle set. The bench relation is broadcast — eval benchmarks are
+    * tiny relative to a 100 TB corpus, which is precisely why this runs
+    * as a map-side join over the corpus scan rather than a shuffle. The
+    * corpus-side frequency cap makes hit semantics identical whether the
+    * bench set was built capped or not: a capped-out shingle is absent
+    * from the corpus side, so it can never join. */
+  def decontaminationScanAgainst(
+      docs: DataFrame, benchShingles: DataFrame, n: Int = 8): DataFrame = {
+    val sh0 = shinglesN(docs, n)
     val freqOk = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDocFreq).select("sh")
     val sh = sh0.join(freqOk, "sh").repartition(col("sh"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val bsh = sh.join(broadcast(benchIds), col("doc_id") === col("bench_id"))
-      .select(col("sh").as("b_sh"), col("doc_id").as("b_doc"))
-    val hits = sh.join(bsh, col("sh") === col("b_sh") && col("doc_id") =!= col("b_doc"))
+    val hits = sh.join(broadcast(benchShingles),
+        col("sh") === col("b_sh") && col("doc_id") =!= col("b_doc"))
       .select(col("doc_id"), col("sh")).distinct()
     val shared = hits.groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     cnt.join(shared, Seq("doc_id"), "left")
@@ -334,5 +351,16 @@ object Curation {
         round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6)
           .as("contamination"),
         (coalesce(col("n_shared"), lit(0L)) * 2 >= col("n_shingles")).as("contaminated"))
+  }
+
+  /** Distinct word n-gram shingles, one row per (doc_id, sh). Complex
+    * generator child on purpose — see graft.operators.Dedup.shingles on
+    * InferFiltersFromGenerate. */
+  private def shinglesN(docs: DataFrame, n: Int): DataFrame = {
+    val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))"))).as("sh"))
   }
 }

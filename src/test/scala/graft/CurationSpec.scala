@@ -145,6 +145,26 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("persisted bench shingle set reproduces the direct decontamination scan") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 tail1 tail2"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 tail1 tail2"),
+      (3L, "prefix w1 w2 w3 w4 w5 w6 w7 w8 suffix"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8 q9")
+    ).toDF("doc_id", "text")
+    val bench = Seq(1L).toDF("bench_id")
+    val direct = Curation.decontaminationScan(docs, bench)
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    // build once, persist, reload, scan against — the scheduled-pipeline shape
+    val dir = java.nio.file.Files.createTempDirectory("benchsh").toString
+    Curation.benchShingleSet(docs, bench).write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val incremental = Curation.decontaminationScanAgainst(docs, reloaded)
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(incremental == direct,
+      s"scan-against-persisted diverged:\n got $incremental\n exp $direct")
+  }
+
   test("decontamination benchmark side joins as a broadcast") {
     val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
     val bench = Seq(1L).toDF("bench_id")
