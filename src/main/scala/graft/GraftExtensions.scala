@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[functions.DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => functions.DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_trigram_hits"),
+      new ExpressionInfo(classOf[functions.TrigramProfileHits].getName, "graft_trigram_hits"),
+      (exprs: Seq[Expression]) => functions.TextExpressions.fromArgs(exprs)))
   }
 }
 

@@ -129,21 +129,27 @@ object TextExpressions {
       }
     }
 
+  /** Shared builder for the session registry and the
+    * SparkSessionExtensions injector: arity + foldability guarded BEFORE
+    * eval (a one-arg call or a column spec must raise the friendly
+    * message, not an internal error on an unbound attribute). */
+  def fromArgs(exprs: Seq[Expression]): TrigramProfileHits = {
+    if (exprs.length != 2 || !exprs(1).foldable)
+      throw new IllegalArgumentException(
+        "graft_trigram_hits expects (text, profileSpec) where profileSpec " +
+          s"is a string literal, got ${exprs.length} argument(s)" +
+          (if (exprs.length == 2) s"; non-foldable spec ${exprs(1).sql}" else ""))
+    val spec = exprs(1).eval(null) match {
+      case s: UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_trigram_hits profile spec must be a string literal, got $other")
+    }
+    TrigramProfileHits(exprs.head, decodeProfiles(spec))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_trigram_hits"),
       new ExpressionInfo(classOf[TrigramProfileHits].getName, "graft_trigram_hits"),
-      (exprs: Seq[Expression]) => {
-        if (exprs.length != 2 || !exprs(1).foldable)
-          throw new IllegalArgumentException(
-            "graft_trigram_hits expects (text, profileSpec) where profileSpec " +
-              s"is a string literal, got ${exprs.length} argument(s)" +
-              (if (exprs.length == 2) s"; non-foldable spec ${exprs(1).sql}" else ""))
-        val spec = exprs(1).eval(null) match {
-          case s: UTF8String => s.toString
-          case other => throw new IllegalArgumentException(
-            s"graft_trigram_hits profile spec must be a string literal, got $other")
-        }
-        TrigramProfileHits(exprs.head, decodeProfiles(spec))
-      })
+      (exprs: Seq[Expression]) => fromArgs(exprs))
 }
