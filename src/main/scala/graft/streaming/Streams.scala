@@ -246,6 +246,69 @@ object Streams {
     * artifacts are rows whose key matches but whose content hash changed —
     * join stored vs fresh on the idempotency key, keep hash mismatches as
     * the reprocess set. */
+  case class KeyedContent(key: Long, sha256: String, ts: java.sql.Timestamp)
+  case class ContentChange(key: Long, old_sha256: String, new_sha256: String)
+
+  /** T4 as a STREAM, on the arbitrary-state v2 API (`transformWithState`,
+    * Spark 4): per-key last-content-hash in a `ValueState`, emitting a row
+    * only when a key's hash CHANGES — re-delivered identical upstream rows
+    * are swallowed without any join against the stored table. State is
+    * TTL-bounded (RocksDB column families under the hood), so keys idle
+    * longer than `ttl` age out instead of accumulating forever — the
+    * explicit-TTL control that `mapGroupsWithState` timeouts only
+    * approximate. First sight of a key emits with old_sha256 = "" (it IS
+    * a change); callers filter if they want strict re-issues only. */
+  class ChangeDetector(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KeyedContent, ContentChange] {
+    @transient private var lastHash: org.apache.spark.sql.streaming.ValueState[String] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastHash = getHandle.getValueState[String]("lastHash",
+        org.apache.spark.sql.Encoders.STRING,
+        ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[KeyedContent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ContentChange] = {
+      // fold the micro-batch's rows for this key in event-time order so a
+      // batch carrying [old, new] emits exactly the final transition
+      val out = scala.collection.mutable.ArrayBuffer.empty[ContentChange]
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.sha256)).foreach { r =>
+        val prev = if (lastHash.exists()) lastHash.get() else ""
+        if (r.sha256 != prev) {
+          out += ContentChange(key, prev, r.sha256)
+          lastHash.update(r.sha256)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Wire [[ChangeDetector]] over a stream of (key, sha256, ts) rows.
+    * Requires the RocksDB state store (transformWithState needs column
+    * families): set
+    * `spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider`.
+    *
+    * TTL demands `TimeMode.ProcessingTime` (the v2 API only expires
+    * against a clock) — pass `ttl = None` for clockless tests:
+    * processing-time-driven state ops stall `processAllAvailable()`
+    * (same hazard as flatMapGroupsWithState's ProcessingTimeTimeout). */
+  def contentChanges(
+      keyed: org.apache.spark.sql.Dataset[KeyedContent],
+      ttl: Option[java.time.Duration] = Some(java.time.Duration.ofDays(7))): DataFrame = {
+    import keyed.sparkSession.implicits._
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    keyed.groupByKey(_.key)
+      .transformWithState(new ChangeDetector(ttl), timeMode, OutputMode.Append())
+      .toDF()
+  }
+
   def reconcile(stored: DataFrame, fresh: DataFrame, key: String): DataFrame =
     fresh.as("f")
       .join(stored.as("s"), col(s"f.$key") === col(s"s.$key"), "inner")

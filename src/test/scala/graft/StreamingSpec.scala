@@ -278,6 +278,42 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("transformWithState change detector emits only hash transitions (T4 streaming)") {
+    val conf = spark.conf
+    val prevProvider = conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.KeyedContent](spark)
+      // ttl=None -> TimeMode.None: processing-time state ops stall
+      // processAllAvailable (see contentChanges scaladoc)
+      val out = Streams.contentChanges(input.toDS(), ttl = None)
+      val q = out.writeStream.format("memory").queryName("chg_out")
+        .outputMode("append").start()
+      try {
+        def kc(k: Long, h: String, t: String) = Streams.KeyedContent(k, h, ts(t))
+        input.addData(kc(1, "a", "2024-01-01 10:00:00"), kc(2, "b", "2024-01-01 10:00:00"))
+        q.processAllAvailable()
+        input.addData(
+          kc(1, "a", "2024-01-01 11:00:00"),  // unchanged -> swallowed
+          kc(2, "c", "2024-01-01 11:00:00"))  // changed -> emitted
+        q.processAllAvailable()
+        input.addData(                         // two transitions in ONE batch
+          kc(1, "d", "2024-01-01 12:00:00"),
+          kc(1, "e", "2024-01-01 12:30:00"))
+        q.processAllAvailable()
+        val rows = spark.table("chg_out")
+          .as[(Long, String, String)].collect().toSet
+        assert(rows == Set(
+          (1L, "", "a"), (2L, "", "b"),        // first sight IS a change
+          (2L, "b", "c"),
+          (1L, "a", "d"), (1L, "d", "e")),     // in-batch fold, event-time order
+          s"got $rows")
+      } finally q.stop()
+    } finally conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
   test("reconcile flags only hash-changed keys") {
     val stored = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("k", "sha256")
     val fresh = Seq((1L, "aaa"), (2L, "CHANGED"), (4L, "new")).toDF("k", "sha256")
