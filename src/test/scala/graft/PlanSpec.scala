@@ -160,6 +160,50 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       plain.filter(col("status_code") === 201).agg(count(lit(1)), max("id")).head())
   }
 
+  test("curation family plans: q72/q73 shuffle-free, q74 broadcast, q75-q77 one data shuffle") {
+    // q72 PII and q73 repetition are pure per-row maps — any Exchange is a
+    // regression (final orderBy excluded: count exchanges before the sort
+    // by using the unsorted operator forms, already covered in
+    // CurationSpec; here pin the declared queries minus their output sort)
+    Seq("q72_pii_scan_redact", "q73_repetition_stats").foreach { name =>
+      val p = plan(name)
+      val nEx = "Exchange".r.findAllIn(p).size
+      // the declared query ends in orderBy(doc_id) -> exactly one range
+      // exchange for the presentation sort, nothing else
+      assert(nEx <= 2, s"$name: expected only the output-sort exchange, plan:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$name must not join:\n$p")
+    }
+    // q74's corpus side must never shuffle FOR THE BENCH JOIN: the bench
+    // n-gram set joins as a broadcast
+    val p74 = plan("q74_decontamination")
+    assert(p74.contains("BroadcastHashJoin"), s"q74 bench join not broadcast:\n$p74")
+    assert(!p74.contains("BroadcastNestedLoopJoin") && !p74.contains("CartesianProduct"),
+      s"q74 join shape:\n$p74")
+    // q75 session windows: exactly one hash exchange by user for the
+    // session aggregate (plus the output sort's range exchange). Formatted
+    // mode prints the partitioning on the Arguments line, so count those.
+    val p75 = plan("q75_session_window")
+    val hashEx75 = "Arguments: hashpartitioning".r.findAllIn(p75).size
+    assert(hashEx75 == 1, s"q75: one session-agg shuffle expected, got $hashEx75:\n$p75")
+    assert(p75.contains("MergingSessions"), s"q75 must use the native session operator:\n$p75")
+    // q76/q77: one hash exchange by stratum/source driving the window
+    Seq("q76_stratified_sample", "q77_token_budget_mix").foreach { name =>
+      val p = plan(name)
+      val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 1, s"$name: one window shuffle expected, got $hashEx:\n$p")
+    }
+  }
+
+  test("q78 prefix-filter join is partitioned equi-join shaped, never nested-loop") {
+    val p = plan("q78_jaccard_prefix_filter")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q78 must stay equi-join shaped:\n$p")
+    // the exact verify joins by doc id; candidate join by shingle — all
+    // hash-joinable. (At sf0.001 AQE may broadcast small sides; that's
+    // fine — the shape that must NOT appear is a nested loop.)
+  }
+
   test("partial aggregation happens before the shuffle (map-side combine)") {
     val p = executedPlan("q01_pricing_summary")
     assert(p.contains("partial_sum"), s"map-side combine missing: $p")

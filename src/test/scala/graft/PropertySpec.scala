@@ -117,6 +117,30 @@ class PropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("property: prefix-filtered jaccard equals exact on random doc corpora") {
+    import graft.operators.Dedup
+    // small vocabulary forces heavy shingle overlap — the regime where the
+    // prefix + positional filters are most at risk of dropping a true pair
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, wordGen))
+    Seq(0, 1, 2).foreach { i =>
+      val docs = samples(docGen, 30, seed = 71L + i).zipWithIndex
+        .map { case (ws, id) => (id.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      Seq(0.4, 0.6, 0.8).foreach { t =>
+        val exact = Dedup.exactJaccardPairs(docs, t)
+          .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+        Seq("hash", "df").foreach { ord =>
+          val pref = Dedup.prefixJaccardPairs(docs, t, ord)
+            .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+          assert(pref == exact,
+            s"round $i t=$t order=$ord: prefix diverged from exact " +
+              s"(missing=${exact -- pref}, extra=${pref -- exact})")
+        }
+      }
+    }
+  }
+
   test("property: salted join equals plain join for random data and bucket counts") {
     val kvGen = Gen.zip(Gen.choose(1L, 8L), Gen.alphaNumStr.map(_.take(6)))
     Seq(1, 3, 7).zipWithIndex.foreach { case (buckets, i) =>
