@@ -29,30 +29,118 @@ object Multimodal {
   /** One sampled video frame reference. */
   case class FrameSample(asset_id: Long, frame_index: Int, frame_sha: String)
 
-  /** STUB codec — deterministic fake decode keyed on content bytes.
-    * Swap for a real decoder (JavaCV / TwelveMonkeys / ffmpeg) on a
-    * cluster with media libraries. */
-  object StubCodec extends Serializable {
-    def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+  /** The codec seam: decode bytes to (width, height, 8-dim feature), or
+    * None when the payload isn't this codec's format. */
+  trait Codec extends Serializable {
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])]
+  }
+
+  /** REAL decoder for binary PNM (P5 grayscale / P6 RGB, maxval <= 255) —
+    * chosen because the format needs zero external libraries, so the
+    * decode step is genuinely real in this container. Features: per-
+    * channel means, 2×2 luminance-quadrant means, and aspect w/(w+h),
+    * all in [0,1]. JPEG/PNG/video decode plugs in through the same
+    * [[Codec]] seam (JavaCV / TwelveMonkeys on a cluster with media
+    * libs); [[StubCodec]] remains the deterministic fallback for formats
+    * without a decoder here. */
+  object PnmCodec extends Codec {
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+      if (bytes.length < 10 || bytes(0) != 'P' ||
+          (bytes(1) != '5' && bytes(1) != '6')) return None
+      val rgb = bytes(1) == '6'
+      var pos = 2
+      // header tokens: width, height, maxval — whitespace-separated,
+      // '#' comments run to end-of-line
+      def nextInt(): Option[Int] = {
+        while (pos < bytes.length &&
+          (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+          if (bytes(pos) == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        val start = pos
+        while (pos < bytes.length && bytes(pos).toChar.isDigit) pos += 1
+        if (pos == start) None
+        else Some(new String(bytes, start, pos - start).toInt)
+      }
+      for {
+        w <- nextInt()
+        h <- nextInt()
+        maxval <- nextInt()
+        if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+        // single whitespace separates header from raster
+        if pos < bytes.length && bytes(pos).toChar.isWhitespace
+        raster = pos + 1
+        channels = if (rgb) 3 else 1
+        if bytes.length - raster >= w.toLong * h * channels
+      } yield {
+        var rSum = 0L; var gSum = 0L; var bSum = 0L
+        val quadLuma = new Array[Long](4)
+        val quadN = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val off = raster + (y.toLong * w + x).toInt * channels
+            val r = bytes(off) & 0xff
+            val g = if (rgb) bytes(off + 1) & 0xff else r
+            val b = if (rgb) bytes(off + 2) & 0xff else r
+            rSum += r; gSum += g; bSum += b
+            val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+            quadLuma(q) += (r * 299L + g * 587L + b * 114L) / 1000L
+            quadN(q) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val m = maxval.toFloat
+        val feature = Array(
+          rSum.toFloat / n / m, gSum.toFloat / n / m, bSum.toFloat / n / m,
+          if (quadN(0) > 0) quadLuma(0).toFloat / quadN(0) / m else 0f,
+          if (quadN(1) > 0) quadLuma(1).toFloat / quadN(1) / m else 0f,
+          if (quadN(2) > 0) quadLuma(2).toFloat / quadN(2) / m else 0f,
+          if (quadN(3) > 0) quadLuma(3).toFloat / quadN(3) / m else 0f,
+          w.toFloat / (w + h))
+        (w, h, feature)
+      }
+    }
+  }
+
+  /** STUB codec — deterministic fake decode keyed on content bytes, for
+    * formats whose decoders need media libraries this container lacks
+    * (JPEG/PNG/video). Never returns None: the deterministic fake stands
+    * in so pipeline plumbing stays testable end-to-end. */
+  object StubCodec extends Codec {
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
       val h = java.util.Arrays.hashCode(bytes)
       val width = 64 + math.abs(h % 512)
       val height = 64 + math.abs((h / 512) % 512)
       val feature = Array.tabulate(8)(i =>
         (((h * 31 + i * 2654435761L) & 0xffff).toFloat) / 65535.0f)
-      (width, height, feature)
+      Some((width, height, feature))
     }
     def frameCount(bytes: Array[Byte]): Int = 1 + (bytes.length % 7)
+  }
+
+  /** Production routing: real decode where a lib-free decoder exists,
+    * deterministic stub elsewhere. */
+  object DefaultCodec extends Codec {
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      PnmCodec.decodeImage(bytes).orElse(StubCodec.decodeImage(bytes))
   }
 
   /** Decode + feature-extract, batch-per-partition (the mapInPandas shape:
     * iterator-of-batches in, iterator-of-batches out — here Scala's
     * mapPartitions, which is the idiomatic JVM equivalent). */
-  def imageFeatures(assets: Dataset[MediaAsset]): Dataset[ImageFeatures] = {
+  def imageFeatures(
+      assets: Dataset[MediaAsset],
+      codec: Codec = DefaultCodec): Dataset[ImageFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      it.map { a =>
-        val (w, h, f) = StubCodec.decodeImage(a.bytes)
-        ImageFeatures(a.asset_id, w, h, a.bytes.length.toLong, f)
+      it.flatMap { a =>
+        codec.decodeImage(a.bytes).map { case (w, h, f) =>
+          ImageFeatures(a.asset_id, w, h, a.bytes.length.toLong, f)
+        }
       }
     }
   }
