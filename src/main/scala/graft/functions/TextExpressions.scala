@@ -108,6 +108,52 @@ case class TrigramProfileHits(child: Expression, profiles: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** Count of the most frequent word n-gram in a token array, one pass.
+  *
+  * The declarative form materializes the full gram STRING array, sorts
+  * it, then folds a struct accumulator over it per row (allocation per
+  * gram + O(g log g) comparisons). This walks the token array once,
+  * counting grams in a reused hash map — O(g) with one UTF8String
+  * concat per gram and nothing else. Returns 0 when fewer than n
+  * tokens. */
+case class TopNgramCount(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 16, s"n-gram size 1..16 supported, got $n")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_top_ngram_count"
+
+  def topCount(input: ArrayData): Long = {
+    val len = input.numElements()
+    if (len < n) return 0L
+    val counts = new java.util.HashMap[UTF8String, Int](math.max(16, len * 2))
+    val space = UTF8String.fromString(" ")
+    var best = 0
+    var i = 0
+    val last = len - n
+    while (i <= last) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = input.getUTF8String(i + j); j += 1 }
+      val gram = UTF8String.concatWs(space, parts: _*)
+      val c = counts.merge(gram, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    topCount(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topNgram", this, classOf[TopNgramCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.topCount($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramCount =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   /** Encode profiles for the SQL-literal registry form:
@@ -147,9 +193,30 @@ object TextExpressions {
     TrigramProfileHits(exprs.head, decodeProfiles(spec))
   }
 
-  def register(spark: SparkSession): Unit =
+  /** Builder for graft_top_ngram_count(tokens, n-literal). */
+  def topNgramFromArgs(exprs: Seq[Expression]): TopNgramCount = {
+    if (exprs.length != 2 || !exprs(1).foldable)
+      throw new IllegalArgumentException(
+        "graft_top_ngram_count expects (tokens, n) where n is an integer " +
+          s"literal, got ${exprs.length} argument(s)" +
+          (if (exprs.length == 2) s"; non-foldable n ${exprs(1).sql}" else ""))
+    val n = exprs(1).eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_top_ngram_count n must be an integer literal, got $other")
+    }
+    TopNgramCount(exprs.head, n)
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_trigram_hits"),
       new ExpressionInfo(classOf[TrigramProfileHits].getName, "graft_trigram_hits"),
       (exprs: Seq[Expression]) => fromArgs(exprs))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_top_ngram_count"),
+      new ExpressionInfo(classOf[TopNgramCount].getName, "graft_top_ngram_count"),
+      (exprs: Seq[Expression]) => topNgramFromArgs(exprs))
+  }
 }

@@ -126,6 +126,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(e2.getMessage.contains("graft_trigram_hits expects"))
   }
 
+  test("native top-ngram-count matches brute force, handles edges, guards args") {
+    graft.functions.TextExpressions.register(spark)
+    val cases = Seq(
+      ("a b a b a c", 2, 2L),  // "a b" x2
+      ("a b a b a c", 3, 2L),  // "a b a" x2
+      ("x x x x", 2, 3L),      // overlapping "x x" x3
+      ("solo", 2, 0L),         // fewer tokens than n
+      ("", 2, 0L),
+      ("t1 t2 t3", 3, 1L))
+    cases.foreach { case (text, n, want) =>
+      val got = Seq(text).toDF("text")
+        .selectExpr(s"graft_top_ngram_count(filter(split(trim(text), ' '), x -> x != ''), $n) AS c")
+        .as[Long].head()
+      assert(got == want, s"'$text' n=$n: got $got want $want")
+    }
+    val e = intercept[Exception](spark.sql("SELECT graft_top_ngram_count(array('a'))"))
+    assert(e.getMessage.contains("graft_top_ngram_count expects"))
+  }
+
   test("wide language ID stays shuffle-free with 7 profiles") {
     val docs = Seq((1L, "en", "the dog")).toDF("doc_id", "declared_lang", "text")
     val plan = TextAnalysis.langIdNgramOver(docs, TextAnalysis.langProfilesWide)
