@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_trigram_hits"),
       new ExpressionInfo(classOf[functions.TrigramProfileHits].getName, "graft_trigram_hits"),
       (exprs: Seq[Expression]) => functions.TextExpressions.fromArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_ngram_count"),
+      new ExpressionInfo(classOf[functions.TopNgramCount].getName, "graft_top_ngram_count"),
+      (exprs: Seq[Expression]) => functions.TextExpressions.topNgramFromArgs(exprs)))
   }
 }
 
