@@ -154,6 +154,53 @@ case class TopNgramCount(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over a token array in one pass, shuffle-free.
+  *
+  * Replicates the declarative sketch exactly — per token occurrence,
+  * `xxhash64(token)` (Spark's XXH64, seed 42) votes +1/−1 into each of
+  * the 64 bit counters; bit k of the sketch is set iff its vote sum is
+  * positive — but without the explode, the word-level shuffle, or the 64
+  * conditional aggregates per group. At 100 TB the sketch becomes a
+  * narrow map over the corpus scan instead of a full-corpus word
+  * shuffle. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  def sketch(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) > 0) out |= (1L << k); k += 1 }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    sketch(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash64", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.sketch($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   /** Encode profiles for the SQL-literal registry form:
@@ -218,5 +265,13 @@ object TextExpressions {
       FunctionIdentifier("graft_top_ngram_count"),
       new ExpressionInfo(classOf[TopNgramCount].getName, "graft_top_ngram_count"),
       (exprs: Seq[Expression]) => topNgramFromArgs(exprs))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"graft_simhash64 expects (tokens), got ${exprs.length} argument(s)")
+        SimHash64(exprs.head)
+      })
   }
 }

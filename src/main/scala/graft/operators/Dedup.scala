@@ -528,8 +528,23 @@ object Dedup {
   }
 
   /** 64-bit SimHash sketch per doc: xxhash64 per word, ±1 vote per bit,
-    * sign of the vote sum sets the bit. (doc_id, simhash BIGINT). */
+    * sign of the vote sum sets the bit. (doc_id, simhash BIGINT).
+    * Computed by the native one-pass [[graft.functions.SimHash64]] — a
+    * narrow map over the scan; the old declarative form (explode → 64
+    * conditional aggregates) shuffled every WORD of the corpus by doc_id
+    * ([[simhashSketchDeclarative]] survives as the parity reference).
+    * Docs with no tokens are excluded, matching the declarative form
+    * (explode of an empty array emits no rows). */
   def simhashSketch(docs: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), expr("graft_simhash64(ws)").as("simhash"))
+  }
+
+  /** The declarative sketch, kept as the cross-implementation parity
+    * oracle for [[simhashSketch]] (DedupSpec asserts exact equality). */
+  private[graft] def simhashSketchDeclarative(docs: DataFrame): DataFrame = {
     val wordHash = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
     val bitVotes = (0 until 64).map { k =>

@@ -223,6 +223,24 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("native simhash sketch equals the declarative 64-aggregate form exactly") {
+    // planted docs AND real testdata: the native one-pass expression must
+    // reproduce the shuffle-based sketch bit-for-bit (same xxhash64 seed,
+    // same ±1 vote rule, same sign convention, same empty-doc exclusion)
+    val planted = docs.union(Seq((99L, "   ")).toDF("doc_id", "text"))
+    val nat = Dedup.simhashSketch(planted)
+      .as[(Long, Long)].collect().toMap
+    val dec = Dedup.simhashSketchDeclarative(planted)
+      .as[(Long, Long)].collect().toMap
+    assert(nat == dec, s"sketch mismatch: ${nat.toSet.diff(dec.toSet)}")
+    assert(!nat.contains(99L), "token-less docs excluded in both forms")
+    val real = Tables.documents(spark, sf001)
+    val natR = Dedup.simhashSketch(real).as[(Long, Long)].collect().toMap
+    val decR = Dedup.simhashSketchDeclarative(real).as[(Long, Long)].collect().toMap
+    assert(natR == decR)
+    assert(natR.size == 500)
+  }
+
   test("minhash recall vs exact on real testdata documents") {
     val real = Tables.documents(spark, sf001)
     val exact = Dedup.exactJaccardPairs(real, threshold = 0.8)
