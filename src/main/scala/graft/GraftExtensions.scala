@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_top_ngram_count"),
       new ExpressionInfo(classOf[functions.TopNgramCount].getName, "graft_top_ngram_count"),
       (exprs: Seq[Expression]) => functions.TextExpressions.topNgramFromArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[functions.SimHash64].getName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"graft_simhash64 expects (tokens), got ${exprs.length} argument(s)")
+        functions.SimHash64(exprs.head)
+      }))
   }
 }
 

@@ -397,6 +397,12 @@ object Dedup {
       val changed = updated.filter(col("chg")).limit(1).count()
       labels.unpersist()
       labels = updated.drop("chg")
+      // truncate logical lineage periodically: execution reuses the
+      // cached blocks either way, but the LOGICAL plan doubles per round
+      // (labels joins its own ancestry), and analyzer/optimizer time on
+      // a deep-graph run grows with it — the same guard star CC applies
+      // every round (label sets are tiny relative to the corpus)
+      if (i % 5 == 0) labels = labels.localCheckpoint(true)
       converged = changed == 0
     }
     if (!converged) {
