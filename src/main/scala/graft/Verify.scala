@@ -16,7 +16,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=q79_x,q55_y narrows the dump for local
+    // iteration with tools/check.py; the driver sets nothing and gets all
+    val selected = sys.env.get("SPARK_GRAFT_VERIFY_ONLY") match {
+      case Some(names) =>
+        val want = names.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val missing = want -- SparkEntry.queries.keySet
+        require(missing.isEmpty, s"unknown verify queries: ${missing.mkString(",")}")
+        SparkEntry.queries.view.filterKeys(want).toMap
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -36,6 +46,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -33,6 +33,19 @@ object Similarity {
 
   private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
+  /** Shared DuckDB CTE body: exact all-pairs cosine (v1 < v2, rounded to 6
+    * places) — q55 filters it directly; q79's recursive closure builds on
+    * the identical edge set. */
+  private val cosinePairsOracleCte =
+    """
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |    round(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE))
+      |      / (sqrt(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)))
+      |         * sqrt(sum(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS cos_sim
+      |  FROM embeddings a, embeddings b, (SELECT unnest(range(1, 4097)) AS i) i
+      |  WHERE a.vec_id < b.vec_id AND i.i <= len(a.embedding)
+      |  GROUP BY a.vec_id, b.vec_id""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- exact brute-force cosine top-k (rank on the rounded similarity
@@ -58,24 +71,38 @@ object Similarity {
 
     // ---- exact cosine threshold pairs (embedding near-dup detection) ----
     "q55_cosine_threshold_pairs" -> QueryDef.sql(
-      """WITH p AS (
-        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
-        |    round(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE))
-        |      / (sqrt(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)))
-        |         * sqrt(sum(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS cos_sim
-        |  FROM embeddings a, embeddings b, (SELECT unnest(range(1, 4097)) AS i) i
-        |  WHERE a.vec_id < b.vec_id AND i.i <= len(a.embedding)
-        |  GROUP BY a.vec_id, b.vec_id)
+      s"""WITH p AS ($cosinePairsOracleCte)
         |SELECT v1, v2, cos_sim FROM p WHERE cos_sim >= 0.4
         |ORDER BY v1, v2""") { (s, dir) =>
-      val e = withNorm(Tables.embeddings(s, dir))
-      val a = e.select(col("vec_id").as("v1"), col("emb").as("emb1"), col("norm").as("norm1"))
-      val b = e.select(col("vec_id").as("v2"), col("emb").as("emb2"), col("norm").as("norm2"))
-      a.join(b, col("v1") < col("v2"))
-        .select(col("v1"), col("v2"),
-          round(dot("emb1", "emb2") / (col("norm1") * col("norm2")), 6).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.4)
+      exactCosinePairs(Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy("v1", "v2")
+    },
+
+    // ---- semantic dedup: connected components over the embedding-cosine
+    //      near-dup graph, keeper = smallest vec_id per component (the
+    //      SemDeDup-shaped "keep one per semantic cluster" op a training
+    //      pipeline ships; pair graph here is the exact one so the oracle's
+    //      recursive-CTE closure sees identical edges — the 100 TB path
+    //      swaps in LSH candidates, see [[semanticDedupClustersLsh]]) ----
+    "q79_semantic_dedup" -> QueryDef.sql(
+      s"""WITH RECURSIVE p AS ($cosinePairsOracleCte),
+        |pairs AS (SELECT v1, v2 FROM p WHERE cos_sim >= 0.4),
+        |edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+        |          UNION SELECT v2, v1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |  WHERE r.a != e.b),
+        |members AS (SELECT DISTINCT a AS vec_id FROM edges)
+        |SELECT m.vec_id,
+        |  least(m.vec_id, min(r.b)) AS cluster_id,
+        |  m.vec_id = least(m.vec_id, min(r.b)) AS is_keeper
+        |FROM members m JOIN reach r ON r.a = m.vec_id
+        |GROUP BY m.vec_id
+        |ORDER BY vec_id""") { (s, dir) =>
+      semanticDedupClusters(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy("vec_id")
     },
 
     // ---- LSH-bucketed approximate top-k (the 100 TB path; no SQL oracle —
@@ -347,6 +374,45 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Exact all-pairs cosine >= threshold (q55): the oracle/recall BASELINE
+    * for [[cosineThresholdPairsLsh]] and the edge source for
+    * [[semanticDedupClusters]]. O(n²) by design — it exists to define
+    * ground truth at test scale; production traffic takes the LSH form. */
+  def exactCosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = withNorm(embeddings)
+    val a = e.select(col("vec_id").as("v1"), col("emb").as("emb1"), col("norm").as("norm1"))
+    val b = e.select(col("vec_id").as("v2"), col("emb").as("emb2"), col("norm").as("norm2"))
+    a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(dot("emb1", "emb2") / (col("norm1") * col("norm2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Semantic dedup (SemDeDup-shaped): connected components over the
+    * embedding-cosine near-dup graph, cluster_id = component minimum,
+    * keeper = that minimum — the deterministic keep-one-per-cluster rule
+    * shared with q62/q67. Exact pair graph (see [[exactCosinePairs]]);
+    * output (vec_id, cluster_id, is_keeper) covers every vector that
+    * appears in at least one qualifying pair. */
+  def semanticDedupClusters(embeddings: DataFrame, threshold: Double): DataFrame =
+    clustersOf(exactCosinePairs(embeddings, threshold))
+
+  /** The 100 TB form of [[semanticDedupClusters]]: edges from LSH
+    * candidates re-scored exactly ([[cosineThresholdPairsLsh]] — shuffle
+    * O(n × bands), never all-pairs), components via the O(log n)-round
+    * star algorithm. Emitted similarities are exact, so edges are a SUBSET
+    * of the true graph: clusters can only split (never merge wrongly) vs
+    * the exact form — the safe failure direction for dedup, gated by
+    * SimilaritySpec against [[semanticDedupClusters]]. */
+  def semanticDedupClustersLsh(embeddings: DataFrame, threshold: Double,
+                               planesPerBand: Int, bands: Int): DataFrame =
+    clustersOf(cosineThresholdPairsLsh(embeddings, threshold, planesPerBand, bands))
+
+  private def clustersOf(pairs: DataFrame): DataFrame =
+    Dedup.connectedComponentsStar(
+        pairs.select(col("v1").as("d1"), col("v2").as("d2")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_keeper"))
 
   /** Cosine threshold pairs via LSH candidates — the 100 TB form of q55's
     * all-pairs scan. Both sides of the self-join carry primary band keys;

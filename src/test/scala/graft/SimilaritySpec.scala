@@ -142,4 +142,46 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     val recall = exact.keys.count(found).toDouble / exact.size
     assert(recall >= 0.75, s"q55b pair recall $recall below 0.75")
   }
+
+  test("q79 semantic dedup: planted clusters, min-id keepers, singletons absent") {
+    // 0-1 near-parallel (one cluster), 2-4 near-parallel (another), 3
+    // anti-parallel to 0 (cos = -1, below any positive threshold) → absent
+    val clusters = Similarity.semanticDedupClusters(vecs, threshold = 0.9)
+      .select("vec_id", "cluster_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(clusters.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+      (0L, 0L, true), (1L, 0L, false), (2L, 2L, true), (4L, 2L, false)),
+      s"unexpected clusters: ${clusters.mkString(",")}")
+  }
+
+  test("q79 LSH semantic dedup: clusters refine the exact ones, keepers stay min-id") {
+    val emb = Tables.embeddings(spark, sf001)
+    val exact = Similarity.semanticDedupClusters(emb, threshold = 0.4)
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.semanticDedupClustersLsh(emb, threshold = 0.4,
+        planesPerBand = 6, bands = 24)
+      .select("vec_id", "cluster_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect()
+    // LSH edges re-score exactly, so they are a SUBSET of the true pair
+    // graph: every LSH cluster must sit inside one exact cluster
+    // (refinement — clusters may split, never merge wrongly), and its
+    // members must all be exact-graph members
+    lsh.groupBy(_._2).foreach { case (cid, members) =>
+      val exactCids = members.map(m => exact.getOrElse(m._1,
+        fail(s"LSH clustered ${m._1} but the exact graph has no such node")))
+      assert(exactCids.distinct.length == 1,
+        s"LSH cluster $cid spans exact clusters ${exactCids.distinct.mkString(",")}")
+      // keeper = component minimum within the LSH clustering
+      val keepers = members.filter(_._3).map(_._1)
+      assert(keepers.toSeq == Seq(members.map(_._1).min),
+        s"LSH cluster $cid keeper rule violated")
+    }
+    // measured agreement on the fixed corpus (deterministic planes):
+    // pair recall 0.788 at sf0.001 translates to most vectors keeping
+    // their exact cluster id — gate the identical-assignment fraction
+    val lshMap = lsh.map(r => r._1 -> r._2).toMap
+    val same = exact.count { case (v, c) => lshMap.get(v).contains(c) }
+    val frac = same.toDouble / exact.size
+    assert(frac >= 0.6, s"LSH cluster agreement $frac below 0.6")
+  }
 }
