@@ -139,6 +139,18 @@ final class ProvenanceStore(
     df.repartitionByRange(nFiles, col("id"))
       .sortWithinPartitions("id")
       .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    // Sorted-layout manifest (`_graft_sorted`): the data-file basenames this
+    // compaction produced, one per line. The DSv2 scan reports per-partition
+    // ASC `id` ordering ONLY while the directory's file set still equals
+    // this list — any later append changes the set and silently withdraws
+    // the claim (no append-path cooperation needed). Written into the tmp
+    // dir BEFORE the swap so marker and files appear atomically together;
+    // underscore prefix keeps it invisible to parquet readers.
+    val sortedFiles = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted
+    java.nio.file.Files.writeString(
+      new java.io.File(tmp, ProvenanceStore.SortedMarker).toPath,
+      sortedFiles.mkString("\n"))
     java.nio.file.Files.move(dir.toPath, old.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(tmp.toPath, dir.toPath,
@@ -151,6 +163,11 @@ final class ProvenanceStore(
 object ProvenanceStore {
   /** Result of a [[ProvenanceStore.compact]] run. */
   final case class CompactionStats(filesBefore: Int, filesAfter: Int, rows: Long)
+
+  /** Basename of the sorted-layout manifest [[ProvenanceStore.compact]]
+    * leaves in the table directory (read by
+    * [[graft.sources.ProvenanceDataSource]]'s scan for its ordering report). */
+  val SortedMarker = "_graft_sorted"
 
   /** K1 id-assignment scheme. */
   sealed trait IdMode

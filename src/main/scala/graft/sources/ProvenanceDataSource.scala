@@ -381,10 +381,44 @@ private[sources] class ProvenanceScan(
     dir: String, tableSchema: StructType, requested: StructType,
     pushed: Array[Filter], limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportOrdering {
 
   override def readSchema(): StructType = requested
   override def toBatch: Batch = this
+
+  /** Ordering parity with [[SpjScan]] for the FLAT layout: after
+    * `ProvenanceStore.compact`, every file is id-sorted and one partition
+    * reads one file, so the scan streams each partition in ascending `id`
+    * order. Plain appends are NOT sorted, so the claim is gated on the
+    * `_graft_sorted` manifest compaction writes: it holds only while the
+    * directory's data-file set still EQUALS the compacted set (an append
+    * changes the set and withdraws the claim — conservative, no
+    * append-path cooperation required). Both readers preserve file order
+    * (row-group skipping and the early-stop limit drop rows, never reorder),
+    * and `id` must survive column pruning for the order to be observable. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (requested.fieldNames.contains("id") && sortedLayout)
+      Array(Expressions.sort(Expressions.column("id"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
+
+  private lazy val sortedLayout: Boolean = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(new Configuration())
+    val marker = new Path(path, graft.pipeline.ProvenanceStore.SortedMarker)
+    fs.exists(marker) && {
+      val manifest = {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toSeq.sorted
+        finally in.close()
+      }
+      val current = fs.listStatus(path)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSeq.sorted
+      manifest == current
+    }
+  }
 
   /** Runtime (DPP-style) filters, delivered by [[filter]] after the build
     * side of a join has executed; folded into both file-level pruning

@@ -201,6 +201,48 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(store.responses.count() == 65)
   }
 
+  test("compaction ordering parity: DSv2 scan reports id order until an append withdraws it") {
+    val wh = tmpDir("wh")
+    val store = new ProvenanceStore(spark, wh)
+    def batch(tag: String, n: Int) = spark.range(0, n, 1, 4)
+      .select(
+        lit("p").as("provider"), lit("GET").as("method"),
+        concat(lit(s"https://x.test/$tag/"), col("id")).as("url"),
+        lit(null).cast("string").as("params_json"),
+        lit(200).as("status_code"), lit("{}").as("headers_json"),
+        lit("b".getBytes("UTF-8")).as("body"),
+        col("id").cast("int").as("item_index"), lit("metadata").as("stage"))
+    def dsv2 = spark.read.format("graft-provenance")
+      .option("warehouse", wh).option("table", "responses").load()
+    def sortsIn(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.size
+    Seq("a", "b").foreach(t => store.appendResponses(batch(t, 20)))
+    // pre-compaction: plain appends promise nothing — the sort is planned
+    assert(sortsIn(dsv2.select("id", "url").sortWithinPartitions("id")) == 1,
+      "uncompacted layout must not report ordering")
+    store.compact("responses", targetRowsPerFile = 25L)
+    // post-compaction: each partition reads one id-sorted file; the scan
+    // reports ASC id and EnsureRequirements elides the per-partition sort
+    assert(sortsIn(dsv2.select("id", "url").sortWithinPartitions("id")) == 0,
+      "compacted layout must report per-partition id ordering")
+    // and the reported order is REAL: ids ascend within every partition
+    val ok = dsv2.select("id").rdd.mapPartitions { it =>
+      val ids = it.map(_.getLong(0)).toSeq
+      Iterator.single(ids == ids.sorted)
+    }.collect()
+    assert(ok.forall(identity), "a partition streamed out of id order")
+    // an append changes the file set: the manifest goes stale and the
+    // claim is withdrawn (conservative — no append-path cooperation)
+    store.appendResponses(batch("c", 5))
+    assert(sortsIn(dsv2.select("id", "url").sortWithinPartitions("id")) == 1,
+      "append after compaction must invalidate the ordering claim")
+    // re-compaction restores it
+    store.compact("responses", targetRowsPerFile = 25L)
+    assert(sortsIn(dsv2.select("id", "url").sortWithinPartitions("id")) == 0)
+  }
+
   test("unexpected failure writes error.txt and failed run.json, then rethrows (K12)") {
     val runs = tmpDir("runs")
     val ex = intercept[Exception] {
