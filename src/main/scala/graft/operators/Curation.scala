@@ -223,8 +223,109 @@ object Curation {
         |ORDER BY source, cum_tokens, doc_id""") { (s, dir) =>
       tokenBudgetMix(Tables.documents(s, dir), budgetPerSource = 800L)
         .orderBy("source", "cum_tokens", "doc_id")
+    },
+
+    // ---- vocabulary coverage: corpus word frequencies, top-100 by
+    //      frequency with cumulative token coverage — the corpus-stats
+    //      pass a tokenizer build (BPE et al.) starts from. Scale shape:
+    //      the corpus collapses to its vocabulary via one hash aggregate
+    //      (map-side combined), the top-100 comes from a DISTRIBUTED
+    //      partial top-k (TakeOrderedAndProject: each partition keeps
+    //      100, the driver merges — no global vocab sort), and only the
+    //      100 survivors see a window. Integer sums throughout; the one
+    //      double division is of exact longs, identical on any engine. ----
+    "q80_vocab_coverage" -> QueryDef.sql(
+      """WITH w AS (SELECT unnest(list_filter(string_split(trim(text),' '), x -> x != '')) AS word
+        |           FROM documents),
+        |f AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+        |t AS (SELECT sum(freq) AS total FROM f),
+        |r AS (SELECT word, freq,
+        |        CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rnk,
+        |        CAST(sum(freq) OVER (ORDER BY freq DESC, word ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq
+        |      FROM f)
+        |SELECT word, freq, rnk, cum_freq,
+        |  round(CAST(cum_freq AS DOUBLE) / (SELECT total FROM t), 6) AS cum_frac
+        |FROM r WHERE rnk <= 100 ORDER BY rnk""") { (s, dir) =>
+      vocabCoverage(Tables.documents(s, dir), topN = 100).orderBy("rnk")
+    },
+
+    // ---- per-source quality percentile gate: keep each source's top
+    //      quartile by q41's quality score — the stratified quality
+    //      filter a curation pipeline applies so one high-volume source
+    //      cannot crowd out the rest. percent_rank is (rank-1)/(n-1) on
+    //      both engines; ties broken by doc_id so ranks are total. ----
+    "q81_quality_percentile_filter" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+        |    len(list_filter(string_split(trim(text),' '),
+        |        x -> list_contains(['the','a','and','of','to','is','in'], x))) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT doc_id, source,
+        |  round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |        * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+        |        * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / n_words * 5.0, 1.0)), 6) AS quality
+        |  FROM f),
+        |r AS (SELECT doc_id, source, quality,
+        |        round(percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id), 6) AS pr
+        |      FROM q)
+        |SELECT doc_id, source, quality, pr FROM r WHERE pr <= 0.25
+        |ORDER BY source, pr, doc_id""") { (s, dir) =>
+      qualityPercentileFilter(Tables.documents(s, dir), keepFrac = 0.25)
+        .orderBy("source", "pr", "doc_id")
     }
   )
+
+  /** Corpus word frequencies with top-N cumulative coverage. One hash
+    * aggregate over the exploded corpus (partial/final, map-side
+    * combined), `orderBy.limit(topN)` for the distributed top-k, then a
+    * window over only those topN rows. `total` is an integer aggregate
+    * broadcast back in — exact, no driver round-trip in the plan. */
+  def vocabCoverage(docs: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = docs.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val total = f.agg(sum(col("freq")).as("total"))
+    val top = f.orderBy(col("freq").desc, col("word")).limit(topN)
+    val w = Window.orderBy(col("freq").desc, col("word"))
+    top
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_freq", sum(col("freq")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("word"), col("freq"), col("rnk"), col("cum_freq"),
+        round(col("cum_freq").cast("double") / col("total"), 6).as("cum_frac"))
+  }
+
+  /** Keep each source's top `keepFrac` quantile by q41's quality score:
+    * percent_rank (rank-1)/(n-1) over (quality DESC, doc_id) per source.
+    * One shuffle by source. A pathologically hot source funnels through
+    * one partition's sort here (exact ranks need a per-source total
+    * order); the scale-out variant computes an approx-quantile threshold
+    * per source and filters by it — this exact form is the contract the
+    * oracle can check. */
+  def qualityPercentileFilter(docs: DataFrame, keepFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopArr = array(Seq("the", "a", "and", "of", "to", "is", "in").map(lit): _*)
+    val f = docs.select(
+      col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(words(col("text"))).cast("long").as("n_words"),
+      expr("regexp_count(text, '[^A-Za-z0-9 ]')").cast("long").as("n_punct"),
+      size(filter(words(col("text")), w => array_contains(stopArr, w))).cast("long").as("n_stop"))
+    val q = f.select(col("doc_id"), col("source"),
+      round(
+        least(col("n_words").cast("double") / 20.0, lit(1.0))
+          * (lit(1.0) - col("n_punct").cast("double") / col("n_chars"))
+          * (lit(0.5) + lit(0.5) *
+              least(col("n_stop").cast("double") / col("n_words") * 5.0, lit(1.0))),
+        6).as("quality"))
+    val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    q.withColumn("pr", round(percent_rank().over(w), 6))
+      .filter(col("pr") <= keepFrac)
+  }
 
   /** Greedy per-source token-budget fill in deterministic hash order:
     * running token sum per source, keep a doc iff the running total

@@ -165,6 +165,49 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"scan-against-persisted diverged:\n got $incremental\n exp $direct")
   }
 
+  test("vocab coverage: counts exact vs brute force, top-k is distributed (no global sort)") {
+    val docs = Seq(
+      (1L, "a b a c a b"),
+      (2L, "b c d"),
+      (3L, "a  a")
+    ).toDF("doc_id", "text")
+    val got = Curation.vocabCoverage(docs, topN = 3)
+      .select("word", "freq", "rnk", "cum_freq", "cum_frac")
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._3)
+    // brute force: a=5, b=3, c=2, d=1; total=11; top-3 cumulative 5,8,10
+    assert(got.toSeq == Seq(
+      ("a", 5L, 1L, 5L, math.rint(5.0 / 11 * 1e6) / 1e6),
+      ("b", 3L, 2L, 8L, math.rint(8.0 / 11 * 1e6) / 1e6),
+      ("c", 2L, 3L, 10L, math.rint(10.0 / 11 * 1e6) / 1e6)),
+      s"got ${got.toSeq}")
+    // the top-k must plan as TakeOrderedAndProject (per-partition top-N +
+    // driver merge), never a global Sort of the whole vocabulary
+    val plan = Curation.vocabCoverage(docs, topN = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-k not a distributed partial top-k:\n$plan")
+  }
+
+  test("quality percentile gate keeps exactly each source's top quartile") {
+    val docs = Tables.documents(spark, sf001)
+    val q = Curation.qualityPercentileFilter(docs, keepFrac = 0.25)
+      .select("doc_id", "source", "quality").as[(Long, String, Double)].collect()
+    val all = Curation.qualityPercentileFilter(docs, keepFrac = 1.0)
+      .select("doc_id", "source", "quality").as[(Long, String, Double)].collect()
+    all.groupBy(_._2).foreach { case (src, rows) =>
+      val kept = q.filter(_._2 == src)
+      // percent_rank <= f keeps floor((n-1)*f) + 1 rows
+      val expected = math.floor((rows.length - 1) * 0.25).toInt + 1
+      assert(kept.length == expected,
+        s"source $src: kept ${kept.length}, expected $expected of ${rows.length}")
+      // and they are the TOP ones: no dropped doc outscores a kept doc
+      val dropped = rows.map(r => (r._1, r._3)).toSet -- kept.map(r => (r._1, r._3)).toSet
+      if (dropped.nonEmpty && kept.nonEmpty)
+        assert(kept.map(_._3).min >= dropped.map(_._2).max,
+          s"source $src: a dropped doc outscores a kept doc")
+    }
+  }
+
   test("decontamination benchmark side joins as a broadcast") {
     val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
     val bench = Seq(1L).toDF("bench_id")
