@@ -504,23 +504,10 @@ object Dedup {
     * [[defaultLshBucketCap]]). */
   def minhashLshPairs(docs: DataFrame, numHashes: Int, bands: Int,
       maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sh = shingles(docs)
-    // one-pass signatures via the typed Aggregator UDAF: each shingle
-    // updates all lanes in a single constant-size buffer, so the partial
-    // state merged across partitions is numHashes longs per doc (vs
-    // numHashes independent min() aggregates)
-    val mh = udaf(new graft.functions.MinHashAgg(numHashes))
-    val sig = sh.groupBy("doc_id").agg(mh(col("sh")).as("sig"))
-    val bandCols = expr(
-      s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
-        s"'band', b, 'key', xxhash64(b, ${(0 until rowsPerBand).map(r => s"sig[$rowsPerBand*b+$r]").mkString(", ")})))")
     // repartition by band key → self-join sides share one reused exchange
     // (signature aggregation runs once), join stays partitioned
     val banded = capBuckets(
-      sig.select(col("doc_id"), col("sig"), explode(bandCols).as("bk"))
-        .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key")),
+      bandedSignatures(minhashSignatures(docs, numHashes), numHashes, bands),
       Seq("band", "key"), maxBucketSize)
       .repartition(col("band"), col("key"))
     val a = banded.as("a")
@@ -528,8 +515,71 @@ object Dedup {
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), p => p))
-          .cast("double") / numHashes).as("est_jaccard"))
+        sigAgreement(numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** MinHash signature per doc: (doc_id, sig array<bigint> of length
+    * numHashes). One-pass via the typed Aggregator UDAF: each shingle
+    * updates all lanes in a single constant-size buffer, so the partial
+    * state merged across partitions is numHashes longs per doc (vs
+    * numHashes independent min() aggregates). PERSISTABLE — write this
+    * to parquet and feed it back to [[incrementalMinhashPairs]] to dedup
+    * later batches against the corpus without re-shingling it. */
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
+    val mh = udaf(new graft.functions.MinHashAgg(numHashes))
+    shingles(docs).groupBy("doc_id").agg(mh(col("sh")).as("sig"))
+  }
+
+  /** Explode signatures into (doc_id, sig, band, key) LSH rows — the
+    * join-ready form both the self-join (q52) and the incremental
+    * new-vs-corpus join share. */
+  private def bandedSignatures(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val bandCols = expr(
+      s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
+        s"'band', b, 'key', xxhash64(b, ${(0 until rowsPerBand).map(r => s"sig[$rowsPerBand*b+$r]").mkString(", ")})))")
+    sigs.select(col("doc_id"), col("sig"), explode(bandCols).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Estimated Jaccard = signature lane agreement between join sides
+    * aliased `a`/`b`. */
+  private def sigAgreement(numHashes: Int): Column =
+    size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), p => p))
+      .cast("double") / numHashes
+
+  /** Incremental near-dup: candidate pairs between a NEW batch and an
+    * EXISTING corpus represented only by its persisted
+    * [[minhashSignatures]] — the scheduled-crawl shape, where each
+    * night's batch dedups against everything already ingested without
+    * re-reading (let alone re-shingling) the corpus. Shuffle volume is
+    * O((new + corpus) × bands) band rows, and at 100 TB the corpus side
+    * rereads only the signature table (numHashes longs per doc, ~0.1% of
+    * the text). Pairs are normalized d1 < d2, so with the same
+    * parameters the result is exactly the new↔corpus slice of
+    * [[minhashLshPairs]] over the union (DedupSpec pins this). New↔new
+    * pairs are NOT emitted — run the self-join on the batch for those.
+    * Both sides get the same bucket cap; a degenerate band key is
+    * usually corpus boilerplate, and capping only one side would still
+    * go quadratic in the other. */
+  def incrementalMinhashPairs(newDocs: DataFrame, corpusSigs: DataFrame,
+      numHashes: Int, bands: Int,
+      maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
+    val newBanded = capBuckets(
+      bandedSignatures(minhashSignatures(newDocs, numHashes), numHashes, bands),
+      Seq("band", "key"), maxBucketSize)
+    val corpusBanded = capBuckets(
+      bandedSignatures(corpusSigs, numHashes, bands),
+      Seq("band", "key"), maxBucketSize)
+    newBanded.as("a").join(corpusBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        sigAgreement(numHashes).as("est_jaccard"))
       .distinct()
   }
 

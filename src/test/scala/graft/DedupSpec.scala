@@ -251,4 +251,29 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val recall = exact.count(cand.contains).toDouble / exact.size
     assert(recall >= 0.9, s"minhash recall $recall below 0.9 on J>=0.8 pairs")
   }
+
+  test("incremental minhash vs persisted corpus signatures equals the cross slice of the self-join") {
+    val real = Tables.documents(spark, sf001)
+    val corpus = real.filter(col("doc_id") < 400)
+    val batch = real.filter(col("doc_id") >= 400)
+    // persist + reload the corpus index — the scheduled-pipeline shape:
+    // later batches never re-read (or re-shingle) the corpus text
+    val dir = java.nio.file.Files.createTempDirectory("mhsig").toString
+    Dedup.minhashSignatures(corpus, numHashes = 16)
+      .write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val incremental = Dedup.incrementalMinhashPairs(batch, reloaded,
+        numHashes = 16, bands = 4)
+      .select("d1", "d2", "est_jaccard").as[(Long, Long, Double)].collect().toSet
+    // ground truth: the full self-join over the union, restricted to
+    // pairs with one side in the corpus and one in the batch
+    val full = Dedup.minhashLshPairs(real, numHashes = 16, bands = 4)
+      .select("d1", "d2", "est_jaccard").as[(Long, Long, Double)].collect()
+      .filter { case (d1, d2, _) => d1 < 400 && d2 >= 400 }.toSet
+    assert(incremental == full,
+      s"incremental diverged from the self-join's cross slice:\n" +
+        s" only incremental: ${(incremental -- full).take(5)}\n" +
+        s" only full:        ${(full -- incremental).take(5)}")
+    assert(incremental.nonEmpty, "testdata should have cross-batch near-dups")
+  }
 }
