@@ -275,8 +275,62 @@ object Curation {
         |ORDER BY source, pr, doc_id""") { (s, dir) =>
       qualityPercentileFilter(Tables.documents(s, dir), keepFrac = 0.25)
         .orderBy("source", "pr", "doc_id")
+    },
+
+    // ---- sequence packing (concat-and-chunk): concatenate each source's
+    //      docs in deterministic hash order and cut the token stream into
+    //      fixed-length training sequences; emit every doc's token span
+    //      and the sequence ids it lands in. This is the provenance map
+    //      from a training sequence BACK to its documents — the lookup a
+    //      contamination/attribution audit needs. Integer window math
+    //      only (exact on any engine); one shuffle by source. ----
+    "q82_sequence_packing" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_tokens,
+        |    md5(text) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |      FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, source, n_tokens, start_off,
+        |  start_off // 512 AS first_seq,
+        |  (start_off + n_tokens - 1) // 512 AS last_seq,
+        |  (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS n_seqs
+        |FROM c ORDER BY source, start_off, doc_id""") { (s, dir) =>
+      sequencePacking(Tables.documents(s, dir), seqLen = 512L)
+        .orderBy("source", "start_off", "doc_id")
     }
   )
+
+  /** Concat-and-chunk sequence packing: within each source, docs
+    * concatenate in deterministic (content-hash, doc_id) order; the token
+    * stream is cut every `seqLen` tokens. Each doc's `start_off` is the
+    * exclusive running token sum before it; `first_seq`/`last_seq` are
+    * the training-sequence ids its span touches (a doc longer than
+    * `seqLen` spans several; docs never re-order, so sequence→doc
+    * attribution is a range lookup). Zero-token docs pack nowhere and are
+    * excluded. Integer sums and floor-divisions only — exact everywhere.
+    * One shuffle by source; the per-source window is the same scale shape
+    * (and caveat) as [[tokenBudgetMix]]. */
+  def sequencePacking(docs: DataFrame, seqLen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+      .filter(col("n_tokens") > 0)
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    // `div` = exact integer division (the double-division `/` would round
+    // through FP; offsets are non-negative so div == floor)
+    t.withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)).cast("long"))
+      .withColumn("first_seq", expr(s"start_off div ${seqLen}L"))
+      .withColumn("last_seq", expr(s"(start_off + n_tokens - 1) div ${seqLen}L"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+        col("first_seq"), col("last_seq"),
+        (col("last_seq") - col("first_seq") + 1).as("n_seqs"))
+  }
 
   /** Corpus word frequencies with top-N cumulative coverage. One hash
     * aggregate over the exploded corpus (partial/final, map-side

@@ -208,6 +208,45 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("sequence packing: spans are contiguous per source and seq ids match brute force") {
+    val docs = Seq(
+      (1L, "srcA", "w1 w2 w3"),                    // 3 tokens
+      (2L, "srcA", (1 to 600).map(i => s"t$i").mkString(" ")), // spans >1 seq
+      (3L, "srcA", "a b"),
+      (4L, "srcB", "x y z"),
+      (5L, "srcB", "   "),                         // 0 tokens: excluded
+      (6L, "srcB", (1 to 512).map(i => s"u$i").mkString(" "))  // exactly one seq
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.sequencePacking(docs, seqLen = 512L)
+      .select("doc_id", "source", "n_tokens", "start_off", "first_seq", "last_seq", "n_seqs")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    assert(!got.exists(_._1 == 5L), "zero-token doc must not pack")
+    // brute force: per source, sort by (md5(text), doc_id), accumulate
+    val texts = docs.as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val expected = rows.map(_._1).map(texts)
+        .sortBy { case (id, _, t) => (md5hex(t), id) }
+      var off = 0L
+      expected.foreach { case (id, _, t) =>
+        val n = t.trim.split(" ").count(_.nonEmpty).toLong
+        val r = rows.find(_._1 == id).get
+        assert(r._4 == off, s"doc $id in $src: start_off ${r._4} != $off")
+        assert(r._5 == off / 512 && r._6 == (off + n - 1) / 512,
+          s"doc $id in $src: seq ids wrong")
+        assert(r._7 == r._6 - r._5 + 1)
+        off += n
+      }
+    }
+    // doc 2 (600 tokens) must span 2 sequences wherever it starts
+    assert(got.find(_._1 == 2L).get._7 == 2L)
+    // doc 6 is 512 tokens: exactly 1 sequence if it starts on a boundary,
+    // 2 otherwise — its start_off decides; verify the arithmetic directly
+    val d6 = got.find(_._1 == 6L).get
+    assert(d6._7 == (d6._4 + 511) / 512 - d6._4 / 512 + 1)
+  }
+
   test("decontamination benchmark side joins as a broadcast") {
     val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
     val bench = Seq(1L).toDF("bench_id")
