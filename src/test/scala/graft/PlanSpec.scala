@@ -204,6 +204,28 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // fine — the shape that must NOT appear is a nested loop.)
   }
 
+  test("round-7 curation/dedup additions stay equi-join + bounded-shuffle shaped") {
+    // q79 semantic dedup: the pair graph comes from the v1<v2 theta join
+    // (the deliberate exact baseline, like q55); what must NOT appear is a
+    // CartesianProduct — the v1<v2 predicate rides the BNLJ. The CC rounds
+    // are equi-joins on node ids.
+    val p79 = plan("q79_semantic_dedup")
+    assert(!p79.contains("CartesianProduct"), s"q79:\n$p79")
+    // q80 vocab coverage: distributed partial top-k, never a global sort
+    // of the vocabulary before the limit
+    val p80 = plan("q80_vocab_coverage")
+    assert(p80.contains("TakeOrderedAndProject"), s"q80 top-k not partial:\n$p80")
+    // q81/q82: one hash exchange by source driving the per-source window
+    // (plus the output sort's range exchange)
+    Seq("q81_quality_percentile_filter", "q82_sequence_packing").foreach { name =>
+      val p = plan(name)
+      val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 1, s"$name: one window shuffle expected, got $hashEx:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must not join:\n$p")
+    }
+  }
+
   test("partial aggregation happens before the shuffle (map-side combine)") {
     val p = executedPlan("q01_pricing_summary")
     assert(p.contains("partial_sum"), s"map-side combine missing: $p")
