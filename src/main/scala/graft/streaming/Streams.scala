@@ -153,6 +153,56 @@ object Streams {
         ()
       }
 
+  /** Streaming near-dup detection at ingest: each micro-batch of documents
+    * is checked against the PERSISTED MinHash signature store
+    * ([[graft.operators.Dedup.incrementalMinhashPairs]] — batch↔corpus
+    * candidates, never re-shingling history), then against itself (the
+    * q52 self-join on just the batch), and finally appends its own
+    * signatures to the store. Near-dups are flagged the moment they
+    * arrive and the corpus index grows incrementally — the streaming face
+    * of the scheduled-crawl dedup shape.
+    *
+    * Replayed batches (restart without a committed offset) are absorbed
+    * by dedup-appends, the K2 idempotence pattern: signatures anti-join
+    * the store on doc_id, pairs anti-join the pair log on (d1, d2) —
+    * landing is exactly-once by idempotence, not sink transactions. */
+  def nearDupSinkQuery(
+      docs: DataFrame, sigDir: String, pairsDir: String,
+      numHashes: Int = 16, bands: Int = 4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.Dedup
+        import org.apache.spark.sql.types._
+        val spark = batch.sparkSession
+        def readOrEmpty(path: String, schema: StructType): DataFrame =
+          if (new java.io.File(path).exists())
+            spark.read.schema(schema).parquet(path)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val sigSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("sig", ArrayType(LongType))))
+        val pairSchema = StructType(Seq(
+          StructField("d1", LongType), StructField("d2", LongType),
+          StructField("est_jaccard", DoubleType)))
+        // the batch feeds three consumers (cross pairs, self pairs, sigs):
+        // pin it once so the source is not re-evaluated per consumer
+        val b = batch.localCheckpoint(true)
+        val store = readOrEmpty(sigDir, sigSchema)
+        val pairs = Dedup.incrementalMinhashPairs(b, store, numHashes, bands)
+          .unionByName(Dedup.minhashLshPairs(b, numHashes, bands))
+          .distinct()
+        // pairs FIRST (vs the pre-batch store), then the signature append —
+        // and both appends are anti-join dedups so replays land nothing new
+        pairs.join(readOrEmpty(pairsDir, pairSchema).select("d1", "d2"),
+            Seq("d1", "d2"), "left_anti")
+          .write.mode("append").parquet(pairsDir)
+        Dedup.minhashSignatures(b, numHashes)
+          .join(store.select("doc_id"), Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(sigDir)
+        ()
+      }
+
   /** Watermarked stream-stream join: correlate two event streams per user
     * within a bounded interval (right event no earlier than the left, at
     * most `within` later). Both sides carry watermarks so join state is

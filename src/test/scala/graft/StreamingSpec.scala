@@ -141,6 +141,48 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("streaming near-dup sink flags cross-batch dups against the growing signature store") {
+    val sigDir = java.nio.file.Files.createTempDirectory("ndsig").toString + "/sigs"
+    val pairsDir = java.nio.file.Files.createTempDirectory("ndpairs").toString + "/pairs"
+    val base = "spark runs distributed queries over very large datasets " +
+      "with columnar storage and adaptive execution planning across many " +
+      "worker nodes while caching hot partitions in memory"
+    val other = "data pipelines ingest clean filter join aggregate and write " +
+      "results downstream every day with checkpoint recovery watermark " +
+      "tracking and exactly once delivery into warehouse tables"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.nearDupSinkQuery(
+      input.toDF().toDF("doc_id", "text"), sigDir, pairsDir).start()
+    try {
+      // batch 1: 0/1 identical (within-batch pair), 2 unrelated
+      input.addData((0L, base), (1L, base), (2L, other))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(pairsDir)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(after1 == Set((0L, 1L)), s"batch-1 pairs: $after1")
+      // batch 2: 10 duplicates doc 2 (CROSS-batch — only visible via the
+      // persisted store), 11 replays doc 1 (already indexed), 12 fresh
+      input.addData((10L, other), (11L, base), (12L, "tiny doc here"))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(pairsDir)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((0L, 1L), (2L, 10L), (0L, 11L), (1L, 11L)),
+        s"cross-batch pairs wrong: $pairs")
+      // signature store: one row per distinct doc (11 re-appended nothing
+      // for 1 — it is a NEW doc id, so it indexes; replay semantics are
+      // keyed on doc_id)
+      val sigs = spark.read.parquet(sigDir).select("doc_id").as[Long].collect().sorted
+      assert(sigs.toSeq == Seq(0L, 1L, 2L, 10L, 11L, 12L), s"store: ${sigs.toSeq}")
+      // true replay: re-send doc 2 verbatim — same doc_id, so neither the
+      // store nor the pair log may grow (idempotent landing)
+      input.addData((2L, other))
+      q.processAllAvailable()
+      assert(spark.read.parquet(sigDir).count() == 6, "replay must not re-index")
+      assert(spark.read.parquet(pairsDir).select("d1", "d2")
+        .as[(Long, Long)].collect().toSet == pairs, "replay must not re-emit pairs")
+    } finally q.stop()
+  }
+
   test("closed sessions land in the incremental store exactly once (q75 streaming e2e)") {
     val dir = java.nio.file.Files.createTempDirectory("sesssink").toString
     val input = MemoryStream[Event](spark)
