@@ -301,8 +301,53 @@ object Curation {
         |FROM c ORDER BY source, start_off, doc_id""") { (s, dir) =>
       sequencePacking(Tables.documents(s, dir), seqLen = 512L)
         .orderBy("source", "start_off", "doc_id")
+    },
+
+    // ---- cross-modal audit: per embedding-cluster label, how good is
+    //      the TEXT — doc count, mean q41 quality, mean length. The
+    //      text↔vector FK equi-join a curation pipeline runs to find
+    //      embedding clusters full of low-quality documents. Per-doc
+    //      quality is rounded to 6 places FIRST, then summed as
+    //      DECIMAL(18,6) — exact in both engines, so the means hash-match
+    //      (the QueryDef determinism contract: never sum raw doubles). ----
+    "q83_label_quality_profile" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+        |    len(list_filter(string_split(trim(text),' '),
+        |        x -> list_contains(['the','a','and','of','to','is','in'], x))) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT doc_id, n_chars,
+        |  round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |        * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+        |        * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / n_words * 5.0, 1.0)), 6) AS quality
+        |  FROM f),
+        |j AS (SELECT e.label, q.quality, q.n_chars
+        |      FROM q JOIN embeddings e ON e.vec_id = q.doc_id)
+        |SELECT label, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+        |FROM j GROUP BY label ORDER BY label""") { (s, dir) =>
+      labelQualityProfile(Tables.documents(s, dir), Tables.embeddings(s, dir))
+        .orderBy("label")
     }
   )
+
+  /** Per-embedding-label text-quality profile: q41's quality score joined
+    * to the embeddings table on the shared id space, aggregated by label.
+    * One equi-join (both sides pruned to 2–3 columns before the shuffle)
+    * plus one bounded group-by — at 100 TB the join shuffles ids and two
+    * small numerics, never text or vectors. */
+  def labelQualityProfile(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    qualityScored(docs).select("doc_id", "n_chars", "quality")
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("label")), "doc_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("avg_quality"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
 
   /** Concat-and-chunk sequence packing: within each source, docs
     * concatenate in deterministic (content-hash, doc_id) order; the token
@@ -362,6 +407,16 @@ object Curation {
     * oracle can check. */
   def qualityPercentileFilter(docs: DataFrame, keepFrac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    qualityScored(docs).select("doc_id", "source", "quality")
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .filter(col("pr") <= keepFrac)
+  }
+
+  /** q41's quality score as a reusable shuffle-free projection:
+    * (doc_id, source, n_chars, quality) — quality rounded to 6 places,
+    * the form the decimal-exact aggregations downstream depend on. */
+  def qualityScored(docs: DataFrame): DataFrame = {
     val stopArr = array(Seq("the", "a", "and", "of", "to", "is", "in").map(lit): _*)
     val f = docs.select(
       col("doc_id"), col("source"),
@@ -369,16 +424,13 @@ object Curation {
       size(words(col("text"))).cast("long").as("n_words"),
       expr("regexp_count(text, '[^A-Za-z0-9 ]')").cast("long").as("n_punct"),
       size(filter(words(col("text")), w => array_contains(stopArr, w))).cast("long").as("n_stop"))
-    val q = f.select(col("doc_id"), col("source"),
+    f.select(col("doc_id"), col("source"), col("n_chars"),
       round(
         least(col("n_words").cast("double") / 20.0, lit(1.0))
           * (lit(1.0) - col("n_punct").cast("double") / col("n_chars"))
           * (lit(0.5) + lit(0.5) *
               least(col("n_stop").cast("double") / col("n_words") * 5.0, lit(1.0))),
         6).as("quality"))
-    val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
-    q.withColumn("pr", round(percent_rank().over(w), 6))
-      .filter(col("pr") <= keepFrac)
   }
 
   /** Greedy per-source token-budget fill in deterministic hash order:

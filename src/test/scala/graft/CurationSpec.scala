@@ -247,6 +247,44 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(d6._7 == (d6._4 + 511) / 512 - d6._4 / 512 + 1)
   }
 
+  test("label quality profile: exact means on planted docs, vector column never read") {
+    val docs = Seq(
+      (0L, "srcA", "the cat sat on the mat today"),
+      (1L, "srcA", "a dog runs fast"),
+      (2L, "srcB", "completely different text here now")
+    ).toDF("doc_id", "source", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(0.0f, 1.0f), 7),
+      (2L, Array(1.0f, 1.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Curation.labelQualityProfile(docs, emb)
+      .select("label", "n_docs", "avg_quality", "avg_chars")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    // brute force from qualityScored itself (its formula is oracle-pinned
+    // by q41/q81); the profile must average EXACTLY those rounded scores
+    val q = Curation.qualityScored(docs)
+      .select("doc_id", "n_chars", "quality")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def avg6(vs: Seq[Double]) = math.rint(vs.sum / vs.size * 1e6) / 1e6
+    assert(got.length == 2)
+    assert(got(0)._1 == 7 && got(0)._2 == 2L)
+    assert(got(0)._3 == avg6(Seq(q(0L)._3, q(1L)._3)))
+    assert(got(0)._4 == avg6(Seq(q(0L)._2.toDouble, q(1L)._2.toDouble)))
+    assert(got(1) == ((9, 1L, q(2L)._3, q(2L)._2.toDouble)))
+    // the join must shuffle ids + two numerics, never the vector: the
+    // embeddings scan's read schema excludes `embedding`
+    val p = Curation.labelQualityProfile(docs, emb)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val gotReal = Curation.labelQualityProfile(
+      Tables.documents(spark, sf001), Tables.embeddings(spark, sf001))
+    val scan = gotReal.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scan.contains("embedding:"), s"vector column must be pruned:\n$scan")
+  }
+
   test("decontamination benchmark side joins as a broadcast") {
     val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
     val bench = Seq(1L).toDF("bench_id")
