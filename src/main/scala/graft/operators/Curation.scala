@@ -413,6 +413,26 @@ object Curation {
       .filter(col("pr") <= keepFrac)
   }
 
+  /** The 100 TB form of [[qualityPercentileFilter]]: instead of exact
+    * per-source ranks (whose window funnels a hot source through one
+    * partition's sort), compute each source's (1 − keepFrac) quality
+    * quantile with percentile_approx — a bounded-size sketch merged
+    * map-side, one ordinary aggregation — broadcast the per-source
+    * thresholds back, and keep docs at-or-above threshold. Keep-set
+    * differences vs the exact gate are confined to the quantile's error
+    * band around the threshold (CurationSpec gates agreement and the
+    * kept fraction); ties AT the threshold all keep, so the approx gate
+    * never drops a doc that outscores a kept one. */
+  def qualityThresholdFilterApprox(
+      docs: DataFrame, keepFrac: Double, accuracy: Int = 10000): DataFrame = {
+    val q = qualityScored(docs).select("doc_id", "source", "quality")
+    val thresholds = q.groupBy("source")
+      .agg(percentile_approx(col("quality"), lit(1.0 - keepFrac), lit(accuracy))
+        .as("q_threshold"))
+    q.join(broadcast(thresholds), "source")
+      .filter(col("quality") >= col("q_threshold"))
+  }
+
   /** q41's quality score as a reusable shuffle-free projection:
     * (doc_id, source, n_chars, quality) — quality rounded to 6 places,
     * the form the decimal-exact aggregations downstream depend on. */

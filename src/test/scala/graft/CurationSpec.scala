@@ -247,6 +247,37 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(d6._7 == (d6._4 + 511) / 512 - d6._4 / 512 + 1)
   }
 
+  test("approx quality gate agrees with the exact percentile gate and never inverts scores") {
+    val docs = Tables.documents(spark, sf001)
+    val exact = Curation.qualityPercentileFilter(docs, keepFrac = 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = Curation.qualityThresholdFilterApprox(docs, keepFrac = 0.25)
+      .select("doc_id", "source", "quality").as[(Long, String, Double)].collect()
+    val approxIds = approx.map(_._1).toSet
+    // score monotonicity: within a source, nothing dropped outscores a keeper
+    val all = Curation.qualityScored(docs)
+      .select("doc_id", "source", "quality").as[(Long, String, Double)].collect()
+    all.groupBy(_._2).foreach { case (src, rows) =>
+      val kept = rows.filter(r => approxIds.contains(r._1)).map(_._3)
+      val dropped = rows.filterNot(r => approxIds.contains(r._1)).map(_._3)
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(kept.min >= dropped.max, s"source $src: approx gate inverted scores")
+    }
+    // agreement with the exact gate (differences live only in the
+    // quantile's error band; measured 1.0 on the fixed corpus — gate with
+    // margin) and a sane kept fraction
+    val inter = (exact & approxIds).size.toDouble
+    assert(inter / exact.size >= 0.9, s"approx gate recall ${inter / exact.size}")
+    val frac = approxIds.size.toDouble / all.length
+    assert(frac >= 0.15 && frac <= 0.40, s"kept fraction $frac far from 0.25")
+    // plan shape: one aggregation + broadcast threshold join — never a
+    // per-source window sort over the corpus
+    val plan = Curation.qualityThresholdFilterApprox(docs, keepFrac = 0.25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"approx gate must not window:\n$plan")
+  }
+
   test("label quality profile: exact means on planted docs, vector column never read") {
     val docs = Seq(
       (0L, "srcA", "the cat sat on the mat today"),
