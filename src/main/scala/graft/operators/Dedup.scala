@@ -642,6 +642,23 @@ object Dedup {
     * are dropped first (see [[defaultLshBucketCap]]). */
   def simhashPairsFromSketches(sketches: DataFrame, maxHamming: Int,
       maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
+    val keyed = blockKeyedSketches(sketches, maxHamming, maxBucketSize)
+    val a = keyed.as("a")
+    val b = keyed.as("b")
+    a.join(b, col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Explode sketches into (doc_id, simhash, tbl, key) block-combination
+    * rows (see [[simhashPairsFromSketches]] for the recall guarantee),
+    * bucket-capped and repartitioned on the key — the join-ready form the
+    * self-join and the incremental new-vs-corpus join share. */
+  private def blockKeyedSketches(sketches: DataFrame, maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val nBlocks = if (maxHamming <= 7) 8 else maxHamming + 1
     val blocksPerKey = nBlocks - maxHamming
@@ -661,18 +678,33 @@ object Dedup {
         }
         s"named_struct('tbl', $tbl, 'key', ${parts.mkString(" | ")})"
     }.toSeq
-    val keyed = capBuckets(
+    capBuckets(
       sketches.select(col("doc_id"), col("simhash"),
         explode(expr(s"array(${keyStructs.mkString(", ")})")).as("tk"))
         .select(col("doc_id"), col("simhash"),
           col("tk.tbl").as("tbl"), col("tk.key").as("key")),
       Seq("tbl", "key"), maxBucketSize)
       .repartition(col("tbl"), col("key"))
-    val a = keyed.as("a")
-    val b = keyed.as("b")
-    a.join(b, col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+  }
+
+  /** Incremental SimHash near-dup: pairs between a NEW batch and an
+    * EXISTING corpus represented only by its persisted [[simhashSketch]]
+    * table (doc_id, simhash — 16 bytes per doc). The MinHash twin is
+    * [[incrementalMinhashPairs]]; same contract: normalized d1 < d2,
+    * exactly the new↔corpus slice of [[simhashPairsFromSketches]] over
+    * the union (block-combination keys depend only on each row's own
+    * sketch, so recall over the hamming ball stays exactly 1), new↔new
+    * pairs via the batch self-join. */
+  def incrementalSimhashPairs(newDocs: DataFrame, corpusSketches: DataFrame,
+      maxHamming: Int, maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
+    val newKeyed = blockKeyedSketches(simhashSketch(newDocs), maxHamming, maxBucketSize)
+    val corpusKeyed = blockKeyedSketches(corpusSketches, maxHamming, maxBucketSize)
+    newKeyed.as("a").join(corpusKeyed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

@@ -276,4 +276,23 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
         s" only full:        ${(full -- incremental).take(5)}")
     assert(incremental.nonEmpty, "testdata should have cross-batch near-dups")
   }
+
+  test("incremental simhash vs persisted corpus sketches equals the cross slice of the self-join") {
+    val real = Tables.documents(spark, sf001)
+    val corpus = real.filter(col("doc_id") < 400)
+    val batch = real.filter(col("doc_id") >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("shsk").toString
+    Dedup.simhashSketch(corpus).write.mode("overwrite").parquet(dir)
+    val incremental = Dedup.incrementalSimhashPairs(batch,
+        spark.read.parquet(dir), maxHamming = 6)
+      .select("d1", "d2", "hamming").as[(Long, Long, Int)].collect().toSet
+    val full = Dedup.simhashPairs(real, maxHamming = 6)
+      .select("d1", "d2", "hamming").as[(Long, Long, Int)].collect()
+      .filter { case (d1, d2, _) => d1 < 400 && d2 >= 400 }.toSet
+    assert(incremental == full,
+      s"incremental simhash diverged from the self-join's cross slice:\n" +
+        s" only incremental: ${(incremental -- full).take(5)}\n" +
+        s" only full:        ${(full -- incremental).take(5)}")
+    assert(incremental.nonEmpty, "testdata should have cross-batch hamming<=6 pairs")
+  }
 }
