@@ -265,8 +265,8 @@ object Curation {
         |  FROM documents),
         |q AS (SELECT doc_id, source,
         |  round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
-        |        * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-        |        * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / n_words * 5.0, 1.0)), 6) AS quality
+        |        * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
+        |        * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / nullif(n_words, 0) * 5.0, 1.0)), 6) AS quality
         |  FROM f),
         |r AS (SELECT doc_id, source, quality,
         |        round(percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id), 6) AS pr
@@ -321,8 +321,8 @@ object Curation {
         |  FROM documents),
         |q AS (SELECT doc_id, n_chars,
         |  round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
-        |        * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-        |        * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / n_words * 5.0, 1.0)), 6) AS quality
+        |        * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
+        |        * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / nullif(n_words, 0) * 5.0, 1.0)), 6) AS quality
         |  FROM f),
         |j AS (SELECT e.label, q.quality, q.n_chars
         |      FROM q JOIN embeddings e ON e.vec_id = q.doc_id)
@@ -444,12 +444,16 @@ object Curation {
       size(words(col("text"))).cast("long").as("n_words"),
       expr("regexp_count(text, '[^A-Za-z0-9 ]')").cast("long").as("n_punct"),
       size(filter(words(col("text")), w => array_contains(stopArr, w))).cast("long").as("n_stop"))
+    // nullif guards: empty/whitespace-only docs (n_chars or n_words = 0)
+    // must score NULL in BOTH engines — Spark's non-ANSI divide gives
+    // NULL where DuckDB's double divide gives inf/NaN, so the guard goes
+    // in the operator AND the q81/q83 oracle SQL (ADVICE r7)
     f.select(col("doc_id"), col("source"), col("n_chars"),
       round(
         least(col("n_words").cast("double") / 20.0, lit(1.0))
-          * (lit(1.0) - col("n_punct").cast("double") / col("n_chars"))
+          * (lit(1.0) - col("n_punct").cast("double") / nullif(col("n_chars"), lit(0L)))
           * (lit(0.5) + lit(0.5) *
-              least(col("n_stop").cast("double") / col("n_words") * 5.0, lit(1.0))),
+              least(col("n_stop").cast("double") / nullif(col("n_words"), lit(0L)) * 5.0, lit(1.0))),
         6).as("quality"))
   }
 

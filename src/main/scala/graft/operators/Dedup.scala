@@ -77,15 +77,30 @@ object Dedup {
     * first. No-op at testdata scale (500 docs < cap). */
   private[graft] val defaultLshBucketCap = 10000
 
-  /** Keep only rows whose (bucket-key columns) group is within `cap` —
-    * shared skew guard for the banded self-joins below. */
-  private def capBuckets(rows: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
-    val ok = rows.groupBy(keyCols.head, keyCols.tail: _*)
+  /** Bucket keys whose combined row count across `sides` EXCEEDS `cap` —
+    * the drop-list for the skew guard. By pigeonhole it has at most
+    * n/cap keys (n/10⁴ at the default), so it broadcasts; the guarded
+    * sides anti-join against it with no shuffle of their own. Counting
+    * over the union of sides is what makes the incremental new-vs-corpus
+    * paths drop EXACTLY the buckets the self-join over the union drops
+    * (capping each side alone would keep a bucket whose halves are both
+    * under cap while their join still blows up quadratically). */
+  private def overCapBuckets(sides: Seq[DataFrame], keyCols: Seq[String],
+      cap: Int): DataFrame =
+    sides.map(_.select(keyCols.map(col): _*)).reduce(_ union _)
+      .groupBy(keyCols.head, keyCols.tail: _*)
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= cap)
+      .filter(col("bucket_n") > cap)
       .drop("bucket_n")
-    rows.join(ok, keyCols)
-  }
+
+  /** Keep only rows whose (bucket-key columns) group is within `cap` —
+    * shared skew guard for the banded self-joins below. Broadcast
+    * anti-join against the (tiny) over-cap set: the old form equi-joined
+    * every banded row with the full under-cap key list, which shuffled
+    * the whole banded frame a second time — measured as most of q52's r7
+    * regression. */
+  private def capBuckets(rows: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    rows.join(broadcast(overCapBuckets(Seq(rows), keyCols, cap)), keyCols, "left_anti")
 
   /** Shared oracle for q51/q78 — both compute the identical exact result,
     * so both hash-match the same SQL. */
@@ -227,12 +242,23 @@ object Dedup {
     val sh = shingles(docs)
     val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDocFreq).select("sh")
-    // Explicit repartition by shingle: all three consumers below (cnt, a, b)
-    // then hang off ONE canonical shuffle exchange, which Spark's
-    // ReuseExchange dedupes — the explode+join subtree runs once, not three
-    // times. It also pins the self-join to a partitioned join on `sh`
-    // instead of broadcasting the whole shingle index (fatal at 100 TB).
-    val shF = sh.join(freqOk, "sh").repartition(col("sh"))
+    // Materialize the capped shingle frame ONCE. Three consumers read it
+    // (cnt, a, b); without a hard barrier the explode+join subtree executes
+    // per consumer — r7's committed plan showed 6 document scans and zero
+    // ReusedExchange, because AQE converted the self-join to broadcast and
+    // replaced the repartition-for-reuse exchanges per-consumer, so
+    // ReuseExchange never saw two identical nodes. A lazy localCheckpoint
+    // computes the subtree exactly once (first action persists the blocks,
+    // the other consumers read them back) and truncates the lineage to a
+    // LogicalRDD, which AQE cannot re-expand — PlanSpec pins the final q51
+    // plan at zero parquet re-scans. No repartition before the barrier:
+    // the LogicalRDD reports UnknownPartitioning regardless, so a
+    // pre-checkpoint shuffle by `sh` would be pure cost — consumers
+    // shuffle the PERSISTED blocks (cnt by doc_id, the self-join by sh),
+    // never the 3× recomputed explode. Same story at cluster scale:
+    // blocks spill to executor disk rather than re-running a 100 TB
+    // explode per consumer.
+    val shF = sh.join(freqOk, "sh").localCheckpoint(eager = false)
     val cnt = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = shF.as("a")
     val b = shF.as("b")
@@ -504,14 +530,17 @@ object Dedup {
     * [[defaultLshBucketCap]]). */
   def minhashLshPairs(docs: DataFrame, numHashes: Int, bands: Int,
       maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
-    // repartition by band key → self-join sides share one reused exchange
-    // (signature aggregation runs once), join stays partitioned
-    val banded = capBuckets(
-      bandedSignatures(minhashSignatures(docs, numHashes), numHashes, bands),
-      Seq("band", "key"), maxBucketSize)
-      .repartition(col("band"), col("key"))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // One barrier, three consumers: the bucket-count aggregate and both
+    // self-join sides all read the banded frame, and without the
+    // localCheckpoint each re-ran the signature UDAF over the shingles
+    // (the r6→r7 repartition-for-reuse never survived AQE — same failure
+    // mode as q51's, same fix). Signatures compute once; the persisted
+    // blocks are a constant numHashes longs per doc × bands.
+    val banded = bandedSignatures(minhashSignatures(docs, numHashes), numHashes, bands)
+      .localCheckpoint(eager = false)
+    val capped = capBuckets(banded, Seq("band", "key"), maxBucketSize)
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -561,19 +590,26 @@ object Dedup {
     * parameters the result is exactly the new↔corpus slice of
     * [[minhashLshPairs]] over the union (DedupSpec pins this). New↔new
     * pairs are NOT emitted — run the self-join on the batch for those.
-    * Both sides get the same bucket cap; a degenerate band key is
-    * usually corpus boilerplate, and capping only one side would still
-    * go quadratic in the other. */
+    * The bucket cap counts the COMBINED (band, key) bucket across both
+    * sides — the same bucket the self-join over the union would count —
+    * so the cross-slice contract holds at every bucket size; capping
+    * each side independently would keep a bucket whose halves are both
+    * under cap while the joint join still goes quadratic. */
   def incrementalMinhashPairs(newDocs: DataFrame, corpusSigs: DataFrame,
       numHashes: Int, bands: Int,
       maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
-    val newBanded = capBuckets(
-      bandedSignatures(minhashSignatures(newDocs, numHashes), numHashes, bands),
-      Seq("band", "key"), maxBucketSize)
-    val corpusBanded = capBuckets(
-      bandedSignatures(corpusSigs, numHashes, bands),
-      Seq("band", "key"), maxBucketSize)
-    newBanded.as("a").join(corpusBanded.as("b"),
+    // barrier on the new side only: its signature UDAF re-runs the
+    // shingling, and both the union bucket count and the join read it.
+    // The corpus side recomputes from the persisted signature parquet —
+    // a cheap narrow explode not worth re-persisting at corpus scale.
+    val newBanded = bandedSignatures(minhashSignatures(newDocs, numHashes), numHashes, bands)
+      .localCheckpoint(eager = false)
+    val corpusBanded = bandedSignatures(corpusSigs, numHashes, bands)
+    val over = broadcast(overCapBuckets(
+      Seq(newBanded, corpusBanded), Seq("band", "key"), maxBucketSize))
+    val keys = Seq("band", "key")
+    newBanded.join(over, keys, "left_anti").as("a")
+      .join(corpusBanded.join(over, keys, "left_anti").as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") =!= col("b.doc_id"))
       .select(
@@ -642,9 +678,13 @@ object Dedup {
     * are dropped first (see [[defaultLshBucketCap]]). */
   def simhashPairsFromSketches(sketches: DataFrame, maxHamming: Int,
       maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
-    val keyed = blockKeyedSketches(sketches, maxHamming, maxBucketSize)
-    val a = keyed.as("a")
-    val b = keyed.as("b")
+    // same one-barrier-three-consumers shape as minhashLshPairs: the
+    // bucket count and both join sides read the persisted keyed rows
+    val keyed = blockKeyedSketches(sketches, maxHamming)
+      .localCheckpoint(eager = false)
+    val capped = capBuckets(keyed, Seq("tbl", "key"), maxBucketSize)
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -654,11 +694,12 @@ object Dedup {
   }
 
   /** Explode sketches into (doc_id, simhash, tbl, key) block-combination
-    * rows (see [[simhashPairsFromSketches]] for the recall guarantee),
-    * bucket-capped and repartitioned on the key — the join-ready form the
-    * self-join and the incremental new-vs-corpus join share. */
-  private def blockKeyedSketches(sketches: DataFrame, maxHamming: Int,
-      maxBucketSize: Int): DataFrame = {
+    * rows (see [[simhashPairsFromSketches]] for the recall guarantee) —
+    * the join-ready form the self-join and the incremental new-vs-corpus
+    * join share. UNCAPPED: callers apply the bucket cap over whichever
+    * row set actually feeds their join (the self-join caps this frame
+    * alone; the incremental path caps the new ∪ corpus union). */
+  private def blockKeyedSketches(sketches: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val nBlocks = if (maxHamming <= 7) 8 else maxHamming + 1
     val blocksPerKey = nBlocks - maxHamming
@@ -678,13 +719,10 @@ object Dedup {
         }
         s"named_struct('tbl', $tbl, 'key', ${parts.mkString(" | ")})"
     }.toSeq
-    capBuckets(
-      sketches.select(col("doc_id"), col("simhash"),
+    sketches.select(col("doc_id"), col("simhash"),
         explode(expr(s"array(${keyStructs.mkString(", ")})")).as("tk"))
-        .select(col("doc_id"), col("simhash"),
-          col("tk.tbl").as("tbl"), col("tk.key").as("key")),
-      Seq("tbl", "key"), maxBucketSize)
-      .repartition(col("tbl"), col("key"))
+      .select(col("doc_id"), col("simhash"),
+        col("tk.tbl").as("tbl"), col("tk.key").as("key"))
   }
 
   /** Incremental SimHash near-dup: pairs between a NEW batch and an
@@ -694,12 +732,24 @@ object Dedup {
     * exactly the new↔corpus slice of [[simhashPairsFromSketches]] over
     * the union (block-combination keys depend only on each row's own
     * sketch, so recall over the hamming ball stays exactly 1), new↔new
-    * pairs via the batch self-join. */
+    * pairs via the batch self-join. The bucket cap counts the COMBINED
+    * (tbl, key) bucket across both sides, matching what the self-join
+    * over the union drops — see [[incrementalMinhashPairs]] for why
+    * per-side capping would break the cross-slice contract. */
   def incrementalSimhashPairs(newDocs: DataFrame, corpusSketches: DataFrame,
       maxHamming: Int, maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
-    val newKeyed = blockKeyedSketches(simhashSketch(newDocs), maxHamming, maxBucketSize)
-    val corpusKeyed = blockKeyedSketches(corpusSketches, maxHamming, maxBucketSize)
-    newKeyed.as("a").join(corpusKeyed.as("b"),
+    // barrier on the new side (its sketch runs the text pipeline; the
+    // bucket count and the join both read it); corpus keys recompute
+    // from the persisted 16-byte-per-doc sketch table — cheap, and not
+    // worth re-persisting at corpus scale
+    val newKeyed = blockKeyedSketches(simhashSketch(newDocs), maxHamming)
+      .localCheckpoint(eager = false)
+    val corpusKeyed = blockKeyedSketches(corpusSketches, maxHamming)
+    val over = broadcast(overCapBuckets(
+      Seq(newKeyed, corpusKeyed), Seq("tbl", "key"), maxBucketSize))
+    val keys = Seq("tbl", "key")
+    newKeyed.join(over, keys, "left_anti").as("a")
+      .join(corpusKeyed.join(over, keys, "left_anti").as("b"),
         col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key")
           && col("a.doc_id") =!= col("b.doc_id"))
       .select(

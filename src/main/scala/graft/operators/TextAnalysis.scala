@@ -52,10 +52,10 @@ object TextAnalysis {
         |        x -> list_contains(['the','a','and','of','to','is','in'], x))) AS n_stop
         |  FROM documents)
         |SELECT doc_id, n_chars, n_words, n_punct, n_stop,
-        |  round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+        |  round(CAST(n_stop AS DOUBLE) / nullif(n_words, 0), 6) AS stop_ratio,
         |  round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
-        |        * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-        |        * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / n_words * 5.0, 1.0)), 6) AS quality
+        |        * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
+        |        * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / nullif(n_words, 0) * 5.0, 1.0)), 6) AS quality
         |FROM f ORDER BY doc_id""") { (s, dir) =>
       val stopArr = array(stopwordsEn.map(lit): _*)
       val f = Tables.documents(s, dir).select(
@@ -64,13 +64,18 @@ object TextAnalysis {
         size(words(col("text"))).cast("long").as("n_words"),
         expr("regexp_count(text, '[^A-Za-z0-9 ]')").cast("long").as("n_punct"),
         size(filter(words(col("text")), w => array_contains(stopArr, w))).cast("long").as("n_stop"))
+      // nullif guards: an empty/whitespace-only doc has n_chars or
+      // n_words = 0, and Spark's non-ANSI divide yields NULL while
+      // DuckDB's double divide yields inf/NaN — nullif in BOTH engines
+      // makes the degenerate rows agree (NULL quality; least() skips the
+      // NULL factor identically on both sides)
       f.select(col("doc_id"), col("n_chars"), col("n_words"), col("n_punct"), col("n_stop"),
-          round(col("n_stop").cast("double") / col("n_words"), 6).as("stop_ratio"),
+          round(col("n_stop").cast("double") / nullif(col("n_words"), lit(0L)), 6).as("stop_ratio"),
           round(
             least(col("n_words").cast("double") / 20.0, lit(1.0))
-              * (lit(1.0) - col("n_punct").cast("double") / col("n_chars"))
+              * (lit(1.0) - col("n_punct").cast("double") / nullif(col("n_chars"), lit(0L)))
               * (lit(0.5) + lit(0.5) *
-                  least(col("n_stop").cast("double") / col("n_words") * 5.0, lit(1.0))),
+                  least(col("n_stop").cast("double") / nullif(col("n_words"), lit(0L)) * 5.0, lit(1.0))),
             6).as("quality"))
         .orderBy("doc_id")
     },

@@ -402,6 +402,22 @@ private[sources] class ProvenanceScan(
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
     else Array.empty
 
+  /** ONE directory listing per scan, shared by [[sortedLayout]],
+    * [[planInputPartitions]] and [[estimateStatistics]]. Listing at
+    * different times would race concurrent appends: a file landing
+    * between the manifest check and partition planning would be scanned
+    * while the ordering claim (validated against the older listing) still
+    * reported ASC id — Spark would elide a needed Sort and a downstream
+    * merge-join could be silently wrong. One snapshot makes the claim and
+    * the planned file set consistent by construction. */
+  private lazy val listedFiles: Array[org.apache.hadoop.fs.FileStatus] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(new Configuration())
+    if (!fs.exists(path)) Array.empty
+    else fs.listStatus(path)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
   private lazy val sortedLayout: Boolean = {
     val path = new Path(dir)
     val fs = path.getFileSystem(new Configuration())
@@ -413,9 +429,7 @@ private[sources] class ProvenanceScan(
           .filter(_.nonEmpty).toSeq.sorted
         finally in.close()
       }
-      val current = fs.listStatus(path)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.getName).toSeq.sorted
+      val current = listedFiles.map(_.getPath.getName).toSeq.sorted
       manifest == current
     }
   }
@@ -445,14 +459,7 @@ private[sources] class ProvenanceScan(
     * "unknown" beats a misleading guess once filters prune row groups. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes: Long = {
-        val path = new Path(dir)
-        val fs = path.getFileSystem(new Configuration())
-        if (!fs.exists(path)) 0L
-        else fs.listStatus(path)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getLen).sum
-      }
+      private val bytes: Long = listedFiles.map(_.getLen).sum
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
@@ -460,12 +467,9 @@ private[sources] class ProvenanceScan(
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val path = new Path(dir)
-    val fs = path.getFileSystem(new Configuration())
-    if (!fs.exists(path)) return Array.empty
-    val files = fs.listStatus(path)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
+    // plan from the scan's one listing snapshot (see [[listedFiles]]) —
+    // a runtime-filter re-plan prunes the SAME file set, never a newer one
+    val files = listedFiles.sortBy(_.getPath.getName)
     // Runtime filters arrive AFTER initial planning and re-plan partitions:
     // prune whole FILES whose row-group statistics cannot match, so the
     // scheduler never launches their tasks. One footer read (KBs) per

@@ -175,11 +175,17 @@ object Streams {
         import graft.operators.Dedup
         import org.apache.spark.sql.types._
         val spark = batch.sparkSession
-        def readOrEmpty(path: String, schema: StructType): DataFrame =
-          if (new java.io.File(path).exists())
-            spark.read.schema(schema).parquet(path)
+        // existence via the Hadoop FileSystem for the path's scheme — a
+        // java.io.File check is always false on hdfs://-s3a:// stores,
+        // which would silently read the signature store and pair log as
+        // empty every batch (no cross-batch dedup, replays land dupes)
+        def readOrEmpty(path: String, schema: StructType): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) spark.read.schema(schema).parquet(path)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
         val sigSchema = StructType(Seq(
           StructField("doc_id", LongType), StructField("sig", ArrayType(LongType))))
         val pairSchema = StructType(Seq(

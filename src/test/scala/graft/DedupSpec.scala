@@ -131,6 +131,37 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "capped bucket contributes no candidate pairs")
   }
 
+  test("incremental paths cap the COMBINED bucket, matching the self-join over the union") {
+    // 30 corpus + 30 batch rows share one sketch: each side alone is under
+    // the cap (50) but the combined bucket (60) is over it, so the
+    // self-join over the union drops the bucket entirely — and the
+    // incremental path must drop it too, or a skewed key slips through
+    // with up to cap² join rows (the blow-up the cap exists to stop)
+    val sk = 0x5555AAAA5555AAAAL
+    val corpusSk = (0L until 30L).map(i => (i, sk)).toDF("doc_id", "simhash")
+    val batch = (100L until 130L).map(i => (i, base2)).toDF("doc_id", "text")
+    val batchSk = Dedup.simhashSketch(batch).select(col("doc_id"), lit(sk).as("simhash"))
+    assert(Dedup.simhashPairsFromSketches(corpusSk.union(batchSk), maxHamming = 6,
+      maxBucketSize = 50).count() == 0, "self-join over the union drops the bucket")
+    // feed the incremental form docs whose sketch lands in the same bucket:
+    // identical text → identical sketch → identical block keys
+    val incSim = Dedup.incrementalSimhashPairs(
+      batch, corpusSk.select(col("doc_id"), lit(Dedup.simhashSketch(batch)
+        .select("simhash").as[Long].head()).as("simhash")),
+      maxHamming = 6, maxBucketSize = 50)
+    assert(incSim.count() == 0,
+      "incremental simhash must drop the combined-over-cap bucket")
+    val corpusDocs = (0L until 30L).map(i => (i, base2)).toDF("doc_id", "text")
+    val corpusSigs = Dedup.minhashSignatures(corpusDocs, numHashes = 16)
+    assert(Dedup.incrementalMinhashPairs(batch, corpusSigs,
+      numHashes = 16, bands = 4, maxBucketSize = 50).count() == 0,
+      "incremental minhash must drop the combined-over-cap bucket")
+    // both sides stay under the cap combined → pairs flow as before
+    assert(Dedup.incrementalMinhashPairs(batch, corpusSigs,
+      numHashes = 16, bands = 4, maxBucketSize = 100).count() == 30L * 30,
+      "under-cap combined bucket joins fully")
+  }
+
   test("minhash bucket cap drops a degenerate all-identical bucket before the self-join") {
     val many = (100L until 300L).map(i => (i, base2)).toDF("doc_id", "text")
     assert(Dedup.minhashLshPairs(many, numHashes = 16, bands = 4, maxBucketSize = 50)

@@ -226,6 +226,61 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q51 computes the shingle frame once: zero parquet re-scans behind the barrier") {
+    // r7's committed plan rebuilt the explode+join subtree per consumer —
+    // 6 documents scans, zero ReusedExchange (AQE's broadcast conversion
+    // replaced the repartition-for-reuse exchanges per-consumer). The fix
+    // is a localCheckpoint barrier: every consumer reads the persisted
+    // blocks, so the final plan holds ExistingRDD scans of ONE RDD and no
+    // parquet scan at all.
+    val p = plan("q51_ngram_jaccard_pairs")
+    val parquetScans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(parquetScans == 0,
+      s"q51 re-scans documents $parquetScans times — barrier lost:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"q51 checkpoint barrier missing:\n$p")
+  }
+
+  test("plan-regression gate: scan/exchange budgets for the expensive queries") {
+    // The five queries that dominate bench time, pinned to their current
+    // plan budgets. A plan that acquires an extra parquet scan (subtree
+    // recompute) or extra shuffle exchanges fails here BEFORE it shows up
+    // as a bench regression — the gap q51 proved in round 7. Budgets are
+    // exact-or-max on today's plans at sf0.001 with a little AQE headroom,
+    // not aspirations.
+    val budgets = Seq(
+      // name                      max parquet scans, max shuffle exchanges
+      ("q51_ngram_jaccard_pairs",  0, 5),
+      ("q52_minhash_lsh_pairs",    0, 5),
+      ("q53_simhash_pairs",        0, 5),
+      ("q54_cosine_topk",          2, 2),
+      ("q55b_cosine_pairs_lsh",    4, 8),
+      ("q78_jaccard_prefix_filter", 5, 8))
+    budgets.foreach { case (name, maxScans, maxExchanges) =>
+      val p = plan(name)
+      // count the formatted-explain detail headers — the tree prints each
+      // node a second time, so a bare "Scan parquet" regex double-counts
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+      assert(scans <= maxScans,
+        s"$name: $scans parquet scans (budget $maxScans) — subtree recompute?\n$p")
+      assert(exchanges <= maxExchanges,
+        s"$name: $exchanges shuffle exchanges (budget $maxExchanges)\n$p")
+    }
+  }
+
+  test("lsh bucket caps are broadcast anti-joins, never a second shuffle of the banded frame") {
+    // the r7 cap equi-joined every banded row against the under-cap key
+    // list (a full extra shuffle — most of q52's r7 bench regression);
+    // the guard must stay an anti-join against the tiny over-cap set
+    Seq("q52_minhash_lsh_pairs", "q53_simhash_pairs").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("LeftAnti"), s"$name cap anti-join missing:\n$p")
+      assert("BroadcastHashJoin LeftAnti".r.findAllIn(p).nonEmpty ||
+        "LeftAnti, BuildRight".r.findAllIn(p).nonEmpty,
+        s"$name cap must broadcast the over-cap set:\n$p")
+    }
+  }
+
   test("partial aggregation happens before the shuffle (map-side combine)") {
     val p = executedPlan("q01_pricing_summary")
     assert(p.contains("partial_sum"), s"map-side combine missing: $p")
