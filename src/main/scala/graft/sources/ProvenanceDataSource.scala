@@ -17,13 +17,14 @@ import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnot
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Or => V2Or, Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -294,15 +295,106 @@ object ProvenanceDataSource {
 
 private[sources] class ProvenanceTable(
     warehouse: String, table: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-provenance:$table"
   override def schema(): StructType = tableSchema
+  /** ACCEPT_ANY_SCHEMA because the write contract is narrower than the
+    * table schema: `id` and `created_at` are stamped by the store, never
+    * supplied (reference storage/db.py:44-83 — the DB assigns rowids),
+    * so by-name output resolution against the full table schema would
+    * reject every legitimate input. [[ProvenanceV1Write]] validates the
+    * input columns itself with a targeted error instead. */
+  /** BATCH_WRITE advertises writability to DataFrameWriter (which gates
+    * on it); V1_BATCH_WRITE tells the planner the Write it builds is the
+    * InsertableRelation fallback (AppendDataExecV1). Both are required —
+    * with only V1_BATCH_WRITE the writer silently falls through to the
+    * V1 DataSource path and fails as "no CreatableRelationProvider". */
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ProvenanceScanBuilder(s"$warehouse/$table", tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new ProvenanceV1Write(warehouse, table,
+          info.options.getOrDefault("idMode", "partitioned"))
+    }
+}
+
+/** DSv2 write face (round-7 verdict item 3):
+  *
+  *   df.write.format("graft-provenance")
+  *     .option("warehouse", dir).option("table", "artifacts")
+  *     .mode("append").save()
+  *
+  * now carries the SAME id-stamp + dedup-append contract as the
+  * [[graft.pipeline.ProvenanceStore]] methods — because it delegates to
+  * them. The V1Write fallback (the standard DSv2 seam for relational
+  * write semantics — the built-in JDBC source uses it) hands the whole
+  * input DataFrame to the store, which is what the contract needs:
+  * artifacts dedup-append is an ANTI-JOIN against the existing table
+  * (K2/J5, reference storage/db.py:64-83), a plan-level operation no
+  * row-local `DataWriter` can express without hand-rolling a join inside
+  * the writer. A physical BatchWrite here would either duplicate rows
+  * (no dedup) or collect the existing key set to every task — both
+  * wrong at 100 TB; the delegated plan keeps the anti-join distributed
+  * and the shuffle-free Partitioned id stamp intact.
+  *
+  * Input columns (everything else, incl. `id`/`created_at`, is stamped):
+  *  - responses: provider, method, url, params_json, status_code,
+  *    headers_json, body (+ optional item_index/stage ordering keys —
+  *    defaulted when absent; only the opt-in Contiguous id mode reads
+  *    them, via `option("idMode", "contiguous")`).
+  *  - artifacts: provider, source_url, sha256, bytes, blob_path,
+  *    response_id — deduped on (source_url, sha256), so an exact replay
+  *    of the same batch appends nothing (idempotent by anti-join, K2).
+  */
+private[sources] class ProvenanceV1Write(
+    warehouse: String, table: String, idMode: String) extends V1Write {
+
+  override def toInsertableRelation: InsertableRelation =
+    new InsertableRelation {
+      override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+        require(!overwrite,
+          "graft-provenance is an append-only provenance log; use mode(\"append\")")
+        val mode = idMode.toLowerCase match {
+          case "partitioned" => graft.pipeline.ProvenanceStore.IdMode.Partitioned
+          case "contiguous" => graft.pipeline.ProvenanceStore.IdMode.Contiguous
+          case other => throw new IllegalArgumentException(
+            s"unknown idMode '$other' (expected partitioned|contiguous)")
+        }
+        val store = new graft.pipeline.ProvenanceStore(
+          data.sparkSession, warehouse, mode)
+        val required = table match {
+          case "responses" => Seq("provider", "method", "url", "params_json",
+            "status_code", "headers_json", "body")
+          case "artifacts" => Seq("provider", "source_url", "sha256", "bytes",
+            "blob_path", "response_id")
+          case other => throw new IllegalArgumentException(
+            s"unknown provenance table '$other' (expected responses|artifacts)")
+        }
+        val missing = required.filterNot(data.columns.contains)
+        require(missing.isEmpty,
+          s"graft-provenance $table write is missing columns ${missing.mkString(", ")} " +
+            s"(required: ${required.mkString(", ")}; id/created_at are stamped by the store)")
+        table match {
+          case "responses" =>
+            val withKeys = Seq("item_index" -> org.apache.spark.sql.functions.lit(0L),
+                "stage" -> org.apache.spark.sql.functions.lit("write"))
+              .foldLeft(data) { case (df, (c, v)) =>
+                if (df.columns.contains(c)) df else df.withColumn(c, v)
+              }
+            store.appendResponses(withKeys)
+          case "artifacts" =>
+            store.appendArtifacts(data)
+        }
+        ()
+      }
+    }
 }
 
 private[sources] class ProvenanceScanBuilder(dir: String, tableSchema: StructType)
