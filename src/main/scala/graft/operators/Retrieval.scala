@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical (BM25) retrieval over the documents table — the hard-negative
+  * mining / keyword-recall operator a training-data pipeline pairs with
+  * embedding ANN (Similarity): given query documents, rank the corpus by
+  * Okapi BM25 (Robertson et al., TREC-3) and keep the top k per query.
+  *
+  * Scale design: the corpus side is an inverted index — (doc_id, term,
+  * tf) postings built with ONE shuffle of the tokenized corpus (doc
+  * length rides in the grouping key, so no doc-keyed length join later).
+  * The query side (query terms + their document frequencies) is tiny and
+  * BROADCAST onto the postings, so candidate generation touches only
+  * postings of query terms; nothing all-pairs, no shuffle of the corpus
+  * by query. Per-query top-k is a rank window partitioned by query id
+  * (WindowGroupLimit keeps per-partition state at k rows).
+  *
+  * Oracle determinism (the float-sum problem): each per-term BM25
+  * contribution is rounded to 9 decimals and cast to DECIMAL(18,9)
+  * BEFORE the per-document sum, making the aggregation exact and
+  * order-independent in both engines; only the final score rounds to 6.
+  * Ranks tie-break on doc_id, so ordering is total.
+  */
+object Retrieval {
+
+  /** Non-empty whitespace tokens, identical to the DuckDB oracle's
+    * list_filter(string_split(trim(text),' '), x -> x != ''). */
+  private def words(c: Column): Column = filter(split(trim(c), " "), w => w =!= "")
+
+  /** Okapi BM25 top-k: rows matching `isQuery` are the query documents
+    * (their distinct terms form the query); every OTHER doc is scored as
+    * a candidate. k1/b are the standard Robertson defaults. Returns
+    * (qid, doc_id, bm25, rank), rank 1..k per qid.
+    *
+    * IDF = ln(1 + (N − df + 0.5)/(df + 0.5)) — the non-negative
+    * Lucene-style variant, so stopword-ish terms contribute ~0 instead
+    * of negative scores. */
+  def bm25TopK(docs: DataFrame, isQuery: Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    // postings with the doc length IN the grouping key: one shuffle of
+    // the tokenized corpus builds tf AND carries dl to the scorer
+    // localCheckpoint barrier: the index has two consumers (the df
+    // aggregate and the probe join) and without it the tokenize+shuffle
+    // subtree runs twice — AQE replaces the exchanges per-consumer so
+    // ReuseExchange never fires (the q51 failure mode). Persisting IS
+    // the operator's semantics here: build the inverted index once,
+    // probe it per query set.
+    val tf = w.select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus stats: one row (exact integer sums under the divide)
+    val stats = w.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("ws")).cast("long")).as("avgdl"))
+    // query terms (distinct per query doc) + their df: tiny — broadcast
+    // onto the postings, so the index is probed, never re-shuffled
+    val q = docs.filter(isQuery)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(words(col("text")))).as("term"))
+    val qdf = q.join(dfreq, "term").crossJoin(broadcast(stats))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfPart = (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    // round each contribution to DECIMAL(18,9) BEFORE summing: the sum
+    // becomes exact integer arithmetic — same value on any engine, any
+    // partitioning, any add order
+    val contrib = tf.join(broadcast(qdf), "term")
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        round(idf * tfPart, 9).cast("decimal(18,9)").as("c"))
+    val rankW = Window.partitionBy("qid").orderBy(col("bm25").desc, col("doc_id"))
+    contrib.groupBy("qid", "doc_id")
+      .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- BM25 top-k retrieval: first 10 docs are the query set,
+    //      scored against the rest of the corpus (more-like-this /
+    //      hard-negative mining shape) ----
+    "q84_bm25_topk" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w)
+        |       GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w),
+        |q AS (SELECT DISTINCT doc_id AS qid, unnest(ws) AS term FROM w WHERE doc_id < 10),
+        |contrib AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    CAST(round(
+        |      ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+        |      9) AS DECIMAL(18,9)) AS c
+        |  FROM q
+        |  JOIN tf ON tf.term = q.term AND tf.doc_id != q.qid
+        |  JOIN dfreq ON dfreq.term = q.term
+        |  CROSS JOIN stats),
+        |scores AS (SELECT qid, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+        |           FROM contrib GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, bm25,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+        |      FROM scores)
+        |SELECT qid, doc_id, bm25, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""") { (s, dir) =>
+      bm25TopK(Tables.documents(s, dir), col("doc_id") < 10, k = 10)
+        .orderBy("qid", "rank")
+    }
+  )
+}

@@ -281,6 +281,20 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q84 bm25 probes a broadcast query side against the postings index, never a cross join") {
+    val p = plan("q84_bm25_topk")
+    // the only nested-loop allowed is the bounded one-row stats join
+    // (q80's admissibility argument); the scoring join must be hash
+    val crosses = "BroadcastNestedLoopJoin Cross".r.findAllIn(p).size
+    assert(crosses <= 1, s"q84 has $crosses cross joins (1-row stats only):\n$p")
+    assert(!p.contains("CartesianProduct"), s"q84 cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"q84 top-k must group-limit:\n$p")
+    // postings barrier: the inverted index builds once (q51 discipline) —
+    // the probe side reads the checkpointed index, not a parquet re-scan
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"q84: $scans parquet scans — index subtree recompute?\n$p")
+  }
+
   test("partial aggregation happens before the shuffle (map-side combine)") {
     val p = executedPlan("q01_pricing_summary")
     assert(p.contains("partial_sum"), s"map-side combine missing: $p")

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  // doc 0 is the query: it shares the rare term "zebra" with doc 1 and
+  // only ubiquitous terms with docs 2-4
+  private lazy val corpus = Seq(
+    (0L, "zebra stripes in the wild savanna"),
+    (1L, "a zebra crossing the dusty savanna plain today"),
+    (2L, "the market opened in the morning with the usual crowd"),
+    (3L, "in the beginning the team built the parser in the lab"),
+    (4L, "wild horses run across the open plain")
+  ).toDF("doc_id", "text")
+
+  test("bm25 ranks the rare-term match above common-term overlap") {
+    val got = Retrieval.bm25TopK(corpus, col("doc_id") === 0, k = 4)
+      .orderBy("rank")
+      .select("doc_id", "bm25", "rank").as[(Long, Double, Long)].collect()
+    assert(got.head._1 == 1L,
+      s"doc 1 (shares 'zebra' + 'savanna') must rank first: ${got.toSeq}")
+    assert(got.map(_._3).toSeq == (1L to got.length), "ranks contiguous from 1")
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.reverse.toSeq,
+      "scores non-increasing by rank")
+    // query doc never scores itself
+    assert(!got.map(_._1).contains(0L))
+  }
+
+  test("bm25 equals an in-Scala brute-force scorer exactly (rounded contract)") {
+    val texts = corpus.as[(Long, String)].collect().toMap
+    def toks(s: String) = s.trim.split(" ").filter(_.nonEmpty).toSeq
+    val n = texts.size
+    val dls = texts.map { case (id, t) => id -> toks(t).size }
+    val avgdl = dls.values.sum.toDouble / n
+    val dfm = texts.values.flatMap(t => toks(t).distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val (k1, b) = (1.2, 0.75)
+    def score(qid: Long, did: Long): BigDecimal = {
+      val qTerms = toks(texts(qid)).distinct
+      val tfs = toks(texts(did)).groupBy(identity).map { case (t, xs) => t -> xs.size }
+      qTerms.flatMap { t =>
+        tfs.get(t).map { tf =>
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          val part = tf * (k1 + 1.0) /
+            (tf + k1 * (1.0 - b + b * dls(did) / avgdl))
+          BigDecimal(idf * part).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }.sum
+    }
+    val expected = (1L to 4L).flatMap { did =>
+      val s = score(0L, did)
+      if (s > 0) Some(did -> s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) else None
+    }.toMap
+    val got = Retrieval.bm25TopK(corpus, col("doc_id") === 0, k = 10)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("bm25 on real testdata: k respected per query, deterministic across runs") {
+    val docs = Tables.documents(spark, sf001)
+    val a = Retrieval.bm25TopK(docs, col("doc_id") < 10, k = 10)
+      .orderBy("qid", "rank").collect()
+    val perQ = a.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQ.values.forall(_ <= 10), s"k=10 exceeded: $perQ")
+    assert(perQ.nonEmpty)
+    val b = Retrieval.bm25TopK(docs, col("doc_id") < 10, k = 10)
+      .orderBy("qid", "rank").collect()
+    assert(a.toSeq == b.toSeq, "decimal-sum contract must be run-deterministic")
+  }
+}
