@@ -245,6 +245,27 @@ object Relational {
         .drop("rn")
     },
 
+    // ---- keyset (seek) pagination: the scale path beside q11. q11's
+    //      exact-offset contract needs a GLOBAL row_number — correct, but
+    //      the window funnels the table through one partition. The page
+    //      an actual pagination loop needs is "the pageSize rows after
+    //      the last key I saw", which is a FILTER (pushable to the scan)
+    //      + distributed top-k (TakeOrderedAndProject) — no window, no
+    //      single-partition exchange, same cost at 100 TB as at 100 MB.
+    //      PaginationSpec proves page-equivalence to q11's offset form. ----
+    "q85_keyset_pagination" -> QueryDef.sql(
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1995-06-15 00:00:00'
+        |   OR (o_orderdate = TIMESTAMP '1995-06-15 00:00:00' AND o_orderkey > 1234)
+        |ORDER BY o_orderdate, o_orderkey
+        |LIMIT 50""") { (s, dir) =>
+      keysetPage(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_totalprice"),
+        Seq("o_orderdate", "o_orderkey"),
+        Some(Seq(lit(java.time.LocalDateTime.parse("1995-06-15T00:00:00")), lit(1234L))),
+        pageSize = 50)
+    },
+
     // ---- set ops: intersect / except / union distinct ----
     "q12_set_ops" -> QueryDef.sql(
       """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
@@ -471,4 +492,38 @@ object Relational {
         .orderBy("o_orderkey")
     }
   )
+
+  /** Lexicographic "after lastKey" predicate over `orderCols`:
+    * (c1 > k1) OR (c1 = k1 AND (c2 > k2 OR ...)). Expanded OR form
+    * rather than a struct comparison so the leading-column range
+    * predicate reaches parquet row-group stats — the scan skips every
+    * file/row-group entirely before the page. */
+  private[graft] def seekPredicate(orderCols: Seq[String], lastKey: Seq[Column]): Column = {
+    require(orderCols.size == lastKey.size,
+      s"lastKey arity ${lastKey.size} != orderCols arity ${orderCols.size}")
+    orderCols.zip(lastKey).foldRight(lit(false)) { case ((c, k), rest) =>
+      (col(c) > k) || (col(c) === k && rest)
+    }
+  }
+
+  /** Keyset (seek) pagination: the `pageSize` rows strictly AFTER
+    * `lastKey` in `orderCols` order (None = first page). The ordering
+    * must be total (include a unique key as the last column) or pages
+    * can overlap at ties.
+    *
+    * This is the 100 TB pagination shape: filter + `limit` compiles to
+    * a pushed scan predicate + distributed top-k
+    * (TakeOrderedAndProject) — per-partition heaps of pageSize rows and
+    * a driver merge, NO global window and NO single-partition exchange.
+    * q11's offset form stays as the exact-offset contract (and its
+    * oracle); a pagination LOOP should carry the last row's key into
+    * the next call instead of re-ranking the table every page. */
+  def keysetPage(rows: DataFrame, orderCols: Seq[String],
+      lastKey: Option[Seq[Column]], pageSize: Int): DataFrame = {
+    val after = lastKey match {
+      case Some(k) => rows.filter(seekPredicate(orderCols, k))
+      case None => rows
+    }
+    after.orderBy(orderCols.map(col): _*).limit(pageSize)
+  }
 }
