@@ -414,6 +414,58 @@ object Similarity {
         pairs.select(col("v1").as("d1"), col("v2").as("d2")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_keeper"))
 
+  /** The PERSISTABLE LSH index rows: (vec_id, band, key), one row per
+    * (vector, band). A key depends only on the row's own vector (the
+    * hyperplanes are hash-derived constants), so keys computed per batch
+    * equal keys computed over any union — the property that makes the
+    * incremental path below exactly a slice of the self-join. Write this
+    * to parquet after each ingest (~3 numbers per vector per band, ~0.1%
+    * of the vector bytes) and later batches never re-project the corpus. */
+  def lshBandKeys(embeddings: DataFrame, planesPerBand: Int, bands: Int): DataFrame =
+    withNorm(embeddings)
+      .withColumn("m", marginsExpr(planesPerBand, bands))
+      .withColumn("bk", explode(bandKeysExpr(planesPerBand, bands)))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Incremental semantic near-dup: exact-cosine pairs (>= threshold)
+    * between a NEW batch of embeddings and an EXISTING corpus represented
+    * by its persisted [[lshBandKeys]] index — the embedding analogue of
+    * [[Dedup.incrementalMinhashPairs]] / [[Dedup.incrementalSimhashPairs]],
+    * completing the incremental story across all three near-dup families.
+    *
+    * Candidates come from the new-keys × corpus-keys (band, key)
+    * equi-join; bare id pairs are normalized (v1 < v2) and deduped before
+    * vectors attach, so the dedup shuffle moves 16-byte pairs. Exact
+    * graft_dot re-scores every candidate — `corpusVectors` is joined BY ID
+    * after candidate generation, so at 100 TB only candidates' vectors are
+    * fetched, never the corpus. Same parameters ⇒ the result is exactly
+    * the new↔corpus slice of [[cosineThresholdPairsLsh]] over the union
+    * (SimilaritySpec pins this); new↔new pairs come from the batch
+    * self-join. */
+  def incrementalCosinePairsLsh(newEmbeddings: DataFrame, corpusKeys: DataFrame,
+      corpusVectors: DataFrame, threshold: Double,
+      planesPerBand: Int, bands: Int): DataFrame = {
+    val newKeyed = lshBandKeys(newEmbeddings, planesPerBand, bands)
+    val cand = newKeyed.select(col("vec_id").as("nv"), col("band"), col("key"))
+      .join(corpusKeys.select(col("vec_id").as("cv"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("nv") =!= col("cv"))
+      .select(least(col("nv"), col("cv")).as("v1"),
+        greatest(col("nv"), col("cv")).as("v2"))
+      .distinct()
+    val vecs = withNorm(
+      newEmbeddings.select("vec_id", "embedding")
+        .unionByName(corpusVectors.select("vec_id", "embedding")))
+    cand
+      .join(vecs.select(col("vec_id").as("v1"), col("emb").as("emb1"),
+        col("norm").as("norm1")), "v1")
+      .join(vecs.select(col("vec_id").as("v2"), col("emb").as("emb2"),
+        col("norm").as("norm2")), "v2")
+      .select(col("v1"), col("v2"),
+        round(dot("emb1", "emb2") / (col("norm1") * col("norm2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Cosine threshold pairs via LSH candidates — the 100 TB form of q55's
     * all-pairs scan. Both sides of the self-join carry primary band keys;
     * candidate pairs come from the (band, key) equi-join (shuffle volume
@@ -423,12 +475,16 @@ object Similarity {
   def cosineThresholdPairsLsh(embeddings: DataFrame, threshold: Double,
                               planesPerBand: Int, bands: Int): DataFrame = {
     val e = withNorm(embeddings)
-    // repartition by the band key: both sides of the self-join below hang
-    // off ONE canonical exchange (ReuseExchange dedupes the hash+explode
-    // subtree at runtime) and the join stays partitioned, never broadcast
-    val keyed = e.withColumn("m", marginsExpr(planesPerBand, bands))
-      .withColumn("bk", explode(bandKeysExpr(planesPerBand, bands)))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // repartition by the band key: both self-join sides hang off one
+    // canonical exchange for AQE's runtime stage cache to dedupe. At
+    // tiny SF the join broadcast-converts and the projection subtree
+    // runs per side (q51's failure mode, harmless at that size); at
+    // corpus scale both sides stay shuffles on identical subtrees, the
+    // shape stage reuse serves. A localCheckpoint barrier A/B'd at
+    // wall-clock parity (~2.1s standalone at sf0.1) but always pays
+    // block materialization + two fresh shuffles off
+    // UnknownPartitioning, so the reuse form is kept.
+    val keyed = lshBandKeys(embeddings, planesPerBand, bands)
       .repartition(col("band"), col("key"))
     // candidate id pairs from the (band, key) equi-join; dedup the bare
     // (v1, v2) ids across bands BEFORE re-attaching embeddings — the dedup

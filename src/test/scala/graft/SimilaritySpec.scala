@@ -143,6 +143,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(recall >= 0.75, s"q55b pair recall $recall below 0.75")
   }
 
+  test("incremental cosine pairs vs persisted LSH band keys equal the cross slice of the self-join") {
+    val emb = Tables.embeddings(spark, sf001)
+    val corpus = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    // persist + reload the corpus index — later batches must never
+    // re-project corpus vectors (the scheduled-ingest shape shared with
+    // incrementalMinhashPairs/incrementalSimhashPairs)
+    val dir = java.nio.file.Files.createTempDirectory("lshkeys").toString
+    Similarity.lshBandKeys(corpus, planesPerBand = 6, bands = 24)
+      .write.mode("overwrite").parquet(dir)
+    val incremental = Similarity.incrementalCosinePairsLsh(
+        batch, spark.read.parquet(dir), corpus,
+        threshold = 0.4, planesPerBand = 6, bands = 24)
+      .select("v1", "v2", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    // ground truth: the full LSH self-join over the union, restricted to
+    // pairs with one side in the corpus and one in the batch
+    val full = Similarity.cosineThresholdPairsLsh(emb, threshold = 0.4,
+        planesPerBand = 6, bands = 24)
+      .select("v1", "v2", "cos_sim").as[(Long, Long, Double)].collect()
+      .filter { case (v1, v2, _) => v1 < 400 && v2 >= 400 }.toSet
+    assert(incremental == full,
+      s"incremental diverged from the self-join's cross slice:\n" +
+        s" only incremental: ${(incremental -- full).take(5)}\n" +
+        s" only full:        ${(full -- incremental).take(5)}")
+    assert(incremental.nonEmpty, "testdata should have cross-batch cosine pairs")
+  }
+
   test("q79 semantic dedup: planted clusters, min-id keepers, singletons absent") {
     // 0-1 near-parallel (one cluster), 2-4 near-parallel (another), 3
     // anti-parallel to 0 (cos = -1, below any positive threshold) → absent
