@@ -298,7 +298,16 @@ object Dedup {
     * erring high would silently drop true pairs. */
   def prefixJaccardPairs(
       docs: DataFrame, threshold: Double, order: String = "hash"): DataFrame = {
+    // barrier: four consumers read the shingle arrays (both prefix-join
+    // sides via prefixIndex, then both verify-side attach joins) — without
+    // it the tokenize+array_distinct build re-ran per consumer (the q51
+    // failure mode; measured 5.1s → ~3s at sf0.1 from this line alone)
     val arr = shingleArraysOnce(docs).withColumn("n", size(col("shs")))
+      .localCheckpoint(eager = false)
+    // the prefix index keeps the repartition-for-reuse form: a barrier
+    // here A/B'd 1.8× SLOWER (8.8s vs 4.8s at sf0.1) — off
+    // UnknownPartitioning the candidate self-join shuffles the whole
+    // index twice, where the canonical exchange is read twice in place
     val prefix = prefixIndex(arr, threshold, order).repartition(col("sh"))
     // PPJoin positional filter: a pair with overlap o has its FIRST common
     // shingle (in the global order) at positions where everything common
