@@ -83,6 +83,29 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR'09): fuse a
+    * lexical and a semantic ranking into one list per query,
+    * score = Σ 1/(rrfK + rank) over the lists that ranked the doc. Both
+    * inputs are (qid, doc_id, rank). The fusion is a FULL OUTER equi-join
+    * on (qid, doc_id) — each side is already top-k-bounded (queries × k
+    * rows), so the join is tiny regardless of corpus size; the per-doc
+    * score is two in-row IEEE divisions added in a fixed order, bit-equal
+    * on any engine, so no decimal machinery is needed. */
+  def rrfFusion(lex: DataFrame, sem: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = lex.select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+    val s = sem.select(col("qid"), col("doc_id"), col("rank").as("sem_rank"))
+    val fusedScore = round(
+      coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)), 6)
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+    l.join(s, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), fusedScore.as("rrf"),
+        col("lex_rank"), col("sem_rank"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- BM25 top-k retrieval: first 10 docs are the query set,
@@ -117,6 +140,67 @@ object Retrieval {
         |ORDER BY qid, rank""") { (s, dir) =>
       bm25TopK(Tables.documents(s, dir), col("doc_id") < 10, k = 10)
         .orderBy("qid", "rank")
+    },
+
+    // ---- hybrid retrieval: RRF fusion of the BM25 lexical ranking and
+    //      the exact-cosine semantic ranking (the standard two-tower +
+    //      keyword retrieval stack for hard-negative mining). Both
+    //      rankings are top-20-bounded before the fusion join, so the
+    //      fusion itself is queries × k sized at any corpus scale. ----
+    "q86_hybrid_retrieval_rrf" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w)
+        |       GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w),
+        |q AS (SELECT DISTINCT doc_id AS qid, unnest(ws) AS term FROM w WHERE doc_id < 10),
+        |contrib AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    CAST(round(
+        |      ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+        |      9) AS DECIMAL(18,9)) AS c
+        |  FROM q
+        |  JOIN tf ON tf.term = q.term AND tf.doc_id != q.qid
+        |  JOIN dfreq ON dfreq.term = q.term
+        |  CROSS JOIN stats),
+        |bscores AS (SELECT qid, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+        |            FROM contrib GROUP BY 1, 2),
+        |lex AS (SELECT qid, doc_id,
+        |          CAST(row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+        |        FROM bscores),
+        |lex20 AS (SELECT qid, doc_id, lex_rank FROM lex WHERE lex_rank <= 20),
+        |eq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT eq.vec_id AS qid, e.vec_id AS doc_id,
+        |    round(sum(CAST(eq.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))
+        |      / (sqrt(sum(CAST(eq.embedding[i.i] AS DOUBLE) * CAST(eq.embedding[i.i] AS DOUBLE)))
+        |         * sqrt(sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))), 6) AS cos_sim
+        |  FROM eq, embeddings e, (SELECT unnest(range(1, 4097)) AS i) i
+        |  WHERE e.vec_id != eq.vec_id AND i.i <= len(e.embedding)
+        |  GROUP BY eq.vec_id, e.vec_id),
+        |sem AS (SELECT qid, doc_id,
+        |          CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS sem_rank
+        |        FROM p),
+        |sem20 AS (SELECT qid, doc_id, sem_rank FROM sem WHERE sem_rank <= 20),
+        |f AS (SELECT qid, doc_id,
+        |        round(coalesce(1.0 / (60 + lex_rank), 0)
+        |              + coalesce(1.0 / (60 + sem_rank), 0), 6) AS rrf,
+        |        lex_rank, sem_rank
+        |      FROM lex20 FULL OUTER JOIN sem20 USING (qid, doc_id)),
+        |r AS (SELECT qid, doc_id, rrf, lex_rank, sem_rank,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        |      FROM f)
+        |SELECT qid, doc_id, rrf, lex_rank, sem_rank, rank FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""") { (s, dir) =>
+      val lex = bm25TopK(Tables.documents(s, dir), col("doc_id") < 10, k = 20)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val sem = Similarity.cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 20)
+        .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+      rrfFusion(lex, sem, k = 10).orderBy("qid", "rank")
     }
   )
 }

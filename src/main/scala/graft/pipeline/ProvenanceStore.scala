@@ -45,11 +45,18 @@ final class ProvenanceStore(
   def artifacts: DataFrame =
     readOrEmpty(artifactsPath, Model.artifactsSchema)
 
-  private def readOrEmpty(path: String, schema: org.apache.spark.sql.types.StructType) =
-    if (new java.io.File(path).exists())
+  private def readOrEmpty(path: String, schema: org.apache.spark.sql.types.StructType) = {
+    // existence via the path's Hadoop FileSystem — a java.io.File check
+    // is always false on hdfs://-s3a:// warehouses, which would silently
+    // read an existing table as empty (same defect class the streaming
+    // near-dup sink fixed, r7 ADVICE)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
       spark.read.schema(schema).parquet(path)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** Current max id via the DSv2 face's aggregate pushdown: answered from
     * parquet footer STATISTICS (one metadata read per file, zero data
@@ -126,19 +133,25 @@ final class ProvenanceStore(
     val (path, schema) =
       if (table == "responses") (responsesPath, Model.responsesSchema)
       else (artifactsPath, Model.artifactsSchema)
-    val dir = new java.io.File(path)
-    def dataFiles(d: java.io.File): Int =
-      Option(d.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    // Hadoop FileSystem throughout (not java.io.File) so the maintenance
+    // job runs against hdfs://-s3a:// warehouses too; each rename below is
+    // atomic on HDFS-like stores (object stores without atomic rename
+    // should compact into a fresh prefix instead).
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(d: org.apache.hadoop.fs.Path): Int =
+      if (!fs.exists(d)) 0
+      else fs.listStatus(d).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = dataFiles(dir)
     if (before == 0) return ProvenanceStore.CompactionStats(0, 0, 0L)
     val df = spark.read.schema(schema).parquet(path)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val tmp = new java.io.File(s"$path.compact-tmp")
-    val old = new java.io.File(s"$path.compact-old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path.compact-old")
     df.repartitionByRange(nFiles, col("id"))
       .sortWithinPartitions("id")
-      .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // Sorted-layout manifest (`_graft_sorted`): the data-file basenames this
     // compaction produced, one per line. The DSv2 scan reports per-partition
     // ASC `id` ordering ONLY while the directory's file set still equals
@@ -146,16 +159,16 @@ final class ProvenanceStore(
     // the claim (no append-path cooperation needed). Written into the tmp
     // dir BEFORE the swap so marker and files appear atomically together;
     // underscore prefix keeps it invisible to parquet readers.
-    val sortedFiles = Option(tmp.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.endsWith(".parquet")).sorted
-    java.nio.file.Files.writeString(
-      new java.io.File(tmp, ProvenanceStore.SortedMarker).toPath,
-      sortedFiles.mkString("\n"))
-    java.nio.file.Files.move(dir.toPath, old.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(tmp.toPath, dir.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    val sortedFiles = fs.listStatus(tmp)
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    val marker = fs.create(
+      new org.apache.hadoop.fs.Path(tmp, ProvenanceStore.SortedMarker), true)
+    try marker.write(sortedFiles.mkString("\n").getBytes("UTF-8"))
+    finally marker.close()
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed run
+    if (!fs.rename(dir, old) || !fs.rename(tmp, dir))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+    fs.delete(old, true)
     ProvenanceStore.CompactionStats(before, dataFiles(dir), rows)
   }
 }

@@ -60,6 +60,25 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("rrf fusion: both-list docs outrank single-list docs at comparable ranks") {
+    val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("qid", "doc_id", "rank")
+    val sem = Seq((0L, 11L, 1L), (0L, 13L, 2L))
+      .toDF("qid", "doc_id", "rank")
+    val got = Retrieval.rrfFusion(lex, sem, k = 10)
+      .orderBy("rank")
+      .select("doc_id", "rrf", "rank").as[(Long, Double, Long)].collect()
+    // doc 11 appears in both lists (1/62 + 1/61) and must rank first,
+    // above the lexical #1 (1/61 alone)
+    assert(got.head._1 == 11L, s"fused winner wrong: ${got.toSeq}")
+    assert(got.map(_._1).toSet == Set(10L, 11L, 12L, 13L),
+      "full outer fusion keeps single-list docs")
+    val expected11 = BigDecimal(1.0 / 61 + 1.0 / 62)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head._2 == expected11, s"rrf score drift: ${got.head._2}")
+    assert(got.map(_._3).toSeq == (1L to 4L), "ranks contiguous")
+  }
+
   test("bm25 on real testdata: k respected per query, deterministic across runs") {
     val docs = Tables.documents(spark, sf001)
     val a = Retrieval.bm25TopK(docs, col("doc_id") < 10, k = 10)
