@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.TopNgramCount].getName, "graft_top_ngram_count"),
       (exprs: Seq[Expression]) => functions.TextExpressions.topNgramFromArgs(exprs)))
     ext.injectFunction((
+      FunctionIdentifier("graft_overlap_count"),
+      new ExpressionInfo(classOf[functions.OverlapCount].getName, "graft_overlap_count"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_overlap_count expects (array, array), got ${exprs.length} argument(s)")
+        functions.OverlapCount(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[functions.SimHash64].getName, "graft_simhash64"),
       (exprs: Seq[Expression]) => {

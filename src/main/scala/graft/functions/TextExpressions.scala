@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-scan expressions (SURVEY.md §2.10 preference order (b):
@@ -154,6 +155,62 @@ case class TopNgramCount(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** |distinct(a) ∩ distinct(b)| for two string arrays, count-only.
+  *
+  * Drop-in for `size(array_intersect(a, b))` in the q78 verify stage:
+  * the built-in materializes the intersection ARRAY (an allocation +
+  * copy per candidate pair) only for `size` to throw it away. This
+  * builds one reused hash set from the SMALLER side and counts — each
+  * hit removes its element, so duplicate elements on either side count
+  * once, exactly array_intersect's semantics. O(|a| + |b|), zero output
+  * allocation. */
+case class OverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_overlap_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, array<string>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  def overlap(l: ArrayData, r: ArrayData): Int = {
+    val (small, big) = if (l.numElements() <= r.numElements()) (l, r) else (r, l)
+    val n = small.numElements()
+    val set = new java.util.HashSet[UTF8String](math.max(16, n * 2))
+    var i = 0
+    while (i < n) { set.add(small.getUTF8String(i)); i += 1 }
+    var count = 0
+    val m = big.numElements()
+    i = 0
+    while (i < m && !set.isEmpty) {
+      // remove-on-hit: duplicates count once (array_intersect parity)
+      if (set.remove(big.getUTF8String(i))) count += 1
+      i += 1
+    }
+    count
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    overlap(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("overlapCount", this, classOf[OverlapCount].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.overlap($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): OverlapCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash over a token array in one pass, shuffle-free.
   *
   * Replicates the declarative sketch exactly — per token occurrence,
@@ -265,6 +322,14 @@ object TextExpressions {
       FunctionIdentifier("graft_top_ngram_count"),
       new ExpressionInfo(classOf[TopNgramCount].getName, "graft_top_ngram_count"),
       (exprs: Seq[Expression]) => topNgramFromArgs(exprs))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_overlap_count"),
+      new ExpressionInfo(classOf[OverlapCount].getName, "graft_overlap_count"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_overlap_count expects (array, array), got ${exprs.length} argument(s)")
+        OverlapCount(exprs.head, exprs(1))
+      })
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),

@@ -327,13 +327,17 @@ object Dedup {
         col("a.n").as("n1"), col("b.n").as("n2"))
       .distinct()
     // verify candidates against the compact per-doc ARRAYS (two doc-keyed
-    // joins + in-row array_intersect) — never re-shuffles the exploded
+    // joins + in-row intersection count) — never re-shuffles the exploded
     // shingle index, which is what made a shingle-level verify join cost
-    // more than the prefix filter saved
+    // more than the prefix filter saved. graft_overlap_count is the
+    // count-only native form of size(array_intersect(...)): one reused
+    // hash set per pair instead of materializing the intersection array
+    // just to take its size.
+    graft.functions.TextExpressions.register(docs.sparkSession)
     val common = cand
       .join(arr.select(col("doc_id").as("d1"), col("shs").as("shs1")), "d1")
       .join(arr.select(col("doc_id").as("d2"), col("shs").as("shs2")), "d2")
-      .withColumn("c", size(array_intersect(col("shs1"), col("shs2"))))
+      .withColumn("c", expr("graft_overlap_count(shs1, shs2)"))
     val j = col("c").cast("double") / (col("n1") + col("n2") - col("c"))
     common.filter(j >= threshold)
       .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))

@@ -145,6 +145,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(e.getMessage.contains("graft_top_ngram_count expects"))
   }
 
+  test("native overlap-count matches size(array_intersect) on random arrays with dupes") {
+    graft.functions.TextExpressions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'z').map(_.toString)
+    val rows = (0 until 200).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, arr(), arr())
+    }
+    // edge shapes: empty sides, identical arrays, disjoint arrays
+    val edges = Seq(
+      (1000L, Seq.empty[String], Seq("a", "b")),
+      (1001L, Seq("a", "a", "b"), Seq("a", "b", "b", "c")),
+      (1002L, Seq("x"), Seq("y")))
+    import spark.implicits._
+    val df = (rows ++ edges).toDF("id", "a", "b")
+      .withColumn("native", expr("graft_overlap_count(a, b)"))
+      .withColumn("builtin", size(array_intersect(col("a"), col("b"))))
+    val mismatch = df.filter(col("native") =!= col("builtin")).count()
+    assert(mismatch == 0, "graft_overlap_count must equal size(array_intersect) everywhere")
+    // arity/type guards fail analysis loudly, not at runtime
+    intercept[Exception] { spark.sql("SELECT graft_overlap_count(array('a'))").collect() }
+    intercept[Exception] { spark.sql("SELECT graft_overlap_count(array(1), array(2))").collect() }
+  }
+
   test("wide language ID stays shuffle-free with 7 profiles") {
     val docs = Seq((1L, "en", "the dog")).toDF("doc_id", "declared_lang", "text")
     val plan = TextAnalysis.langIdNgramOver(docs, TextAnalysis.langProfilesWide)
