@@ -534,8 +534,13 @@ object Curation {
     * it as parquet, and feed it to [[decontaminationScanAgainst]] on
     * every run — the per-run job then touches only the corpus. */
   def benchShingleSet(docs: DataFrame, benchIds: DataFrame, n: Int = 8): DataFrame =
-    shinglesN(docs, n)
-      .join(broadcast(benchIds), col("doc_id") === col("bench_id"))
+    // semi-filter to the bench docs BEFORE shingling: the old form
+    // shingled the whole corpus and then kept the bench rows — a full
+    // corpus explode to extract a tiny eval set (and one of q74's three
+    // corpus-shingle subtrees). Inner-join-after vs semi-join-before are
+    // row-identical; only the work moves.
+    shinglesN(docs.join(broadcast(benchIds),
+        col("doc_id") === col("bench_id"), "left_semi"), n)
       .select(col("sh").as("b_sh"), col("doc_id").as("b_doc"))
       .distinct()
 
@@ -551,7 +556,11 @@ object Curation {
     val sh0 = shinglesN(docs, n)
     val freqOk = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDocFreq).select("sh")
-    val sh = sh0.join(freqOk, "sh").repartition(col("sh"))
+    // one barrier, two consumers (per-doc counts + the bench hits join):
+    // without it the corpus explode+freq-cap subtree ran per consumer —
+    // q74's r8 plan had six document scans (the q51 failure mode; the
+    // old repartition-for-reuse never survived AQE broadcast conversion)
+    val sh = sh0.join(freqOk, "sh").localCheckpoint(eager = false)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = sh.join(broadcast(benchShingles),
         col("sh") === col("b_sh") && col("doc_id") =!= col("b_doc"))
