@@ -182,6 +182,33 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // ---- corpus-self-trained bigram LM quality score (the CCNet-shaped
+    //      perplexity gate, Wenzek et al. 2019, with the LM trained on
+    //      the corpus itself instead of an external model): per-doc mean
+    //      negative log prob under an add-k-smoothed bigram model. Low
+    //      score = typical text, high = gibberish/outlier — the
+    //      model-free stand-in for an LM-perplexity filter. Per-bigram
+    //      contributions round to DECIMAL(18,9) pre-sum (the q84
+    //      determinism discipline), so the mean is engine- and
+    //      partitioning-independent. ----
+    "q87_lm_bigram_score" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |bi AS (SELECT doc_id, unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS b
+        |       FROM w WHERE len(ws) >= 2),
+        |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS v FROM bb),
+        |contrib AS (SELECT bb.doc_id,
+        |    CAST(round(-ln((c12 + 0.5) / (c1 + 0.5 * v)), 9) AS DECIMAL(18,9)) AS nll
+        |  FROM bb JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS lm_nll
+        |FROM contrib GROUP BY 1 ORDER BY doc_id""") { (s, dir) =>
+      lmBigramScore(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // ---- stratified deterministic sample: top-n docs per stratum
     //      (lang), ranked by content hash — the reproducible stratified
     //      subsample a training pipeline takes (same rows on every
@@ -572,6 +599,41 @@ object Curation {
         round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6)
           .as("contamination"),
         (coalesce(col("n_shared"), lit(0L)) * 2 >= col("n_shingles")).as("contaminated"))
+  }
+
+  /** Per-doc mean negative log probability under a corpus-self-trained
+    * add-k bigram LM (q87): P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V) with
+    * history counts c(w1) taken over the bigram table and V = distinct
+    * successor vocabulary. Output: (doc_id, n_bigrams, lm_nll); docs
+    * with fewer than 2 tokens have no bigrams and are absent.
+    *
+    * Scale shape: the exploded bigram frame sits behind a lazy
+    * localCheckpoint — THREE consumers (the two count aggregations and
+    * the scoring join) otherwise re-run the tokenize+explode subtree
+    * (the q51 failure mode). The count tables are vocabulary-sized, the
+    * scoring join shuffles the bigram frame once by (w1, w2), and the
+    * vocab total is a one-row broadcast. Per-bigram −ln p rounds to
+    * DECIMAL(18,9) before the per-doc sum, so the mean is exact integer
+    * arithmetic — independent of partitioning and add order. */
+  def lmBigramScore(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val bi = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(eager = false)
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = bi.agg(countDistinct(col("w2")).as("v"))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(-log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))), 9)
+          .cast("decimal(18,9)").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("lm_nll"))
   }
 
   /** Distinct word n-gram shingles, one row per (doc_id, sh). Complex

@@ -449,10 +449,20 @@ object Dedup {
       // (two docs of one cluster under different keepers). Fall back to the
       // O(log n)-round star algorithm instead.
       labels.unpersist(); edges.unpersist()
-      return connectedComponentsStar(p)
+      val viaStar = connectedComponentsStar(p)
+      p.unpersist()
+      return viaStar
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"),
-      (col("doc_id") === col("label")).as("is_keeper"))
+    // Release every intermediate cache before returning: the operator
+    // otherwise leaks p/edges/labels blocks for the session's lifetime
+    // (measured: repeated q62 runs in one JVM crept 5.5s → 8.0s as the
+    // block manager filled). The final label set is tiny (cluster members
+    // only), so one eager checkpoint pins the RESULT and frees the rest.
+    val result = labels.select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_keeper"))
+      .localCheckpoint(eager = true)
+    labels.unpersist(); edges.unpersist(); p.unpersist()
+    result
   }
 
   /** Connected components by alternating large-star/small-star (Kiveris et
@@ -530,10 +540,15 @@ object Dedup {
         s"connectedComponentsStar did not converge in $maxIters rounds")
     // fixpoint edges form stars: each non-root has edges only to its root
     val roots = edges.groupBy(col("a").as("doc_id")).agg(min(col("b")).as("root"))
-    nodes.join(roots, Seq("doc_id"), "left")
+    // pin the (tiny) result, then release the intermediate caches — same
+    // no-leak discipline as duplicateClusters
+    val result = nodes.join(roots, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .localCheckpoint(eager = true)
+    nodes.unpersist(); p.unpersist()
+    result
   }
 
   /** MinHash signatures (numHashes seeded xxhash64 mins over shingles),

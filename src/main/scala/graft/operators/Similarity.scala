@@ -232,7 +232,13 @@ object Similarity {
       centroids.unpersist()
       centroids = next
     }
-    centroids
+    // k × dim rows: pin the result eagerly and release the unit-vector
+    // cache and the last iteration's cache — the no-leak discipline the
+    // CC operators follow (cached corpus vectors otherwise outlive the
+    // call for the session's lifetime)
+    val result = centroids.localCheckpoint(eager = true)
+    centroids.unpersist(); e.unpersist()
+    result
   }
 
   /** Nearest-centroid assignment: (vec_id, emb, cluster_id, cos_to_centroid). */

@@ -145,6 +145,50 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("bigram LM score separates typical text from gibberish, matches brute force") {
+    // 10 docs of recurring everyday bigrams train the model; one
+    // gibberish doc has bigrams seen nowhere else → every one falls back
+    // to the smoothing floor and its mean NLL must be the highest
+    val typical = (0L until 10L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank"))
+    val gibberish = (10L, "zxq wvv qqa plo mnb vcx asd fgh jkl qwe rty uio")
+    val docs = (typical :+ gibberish).toDF("doc_id", "text")
+    val got = Curation.lmBigramScore(docs)
+      .select("doc_id", "n_bigrams", "lm_nll").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val worstTypical = got.collect { case (id, (_, nll)) if id < 10 => nll }.max
+    assert(got(10L)._2 > worstTypical, s"gibberish must score worst: $got")
+    // brute-force parity on the exact rounded contract
+    val texts = ((typical :+ gibberish)).toMap
+    def toks(s: String) = s.trim.split(" ").filter(_.nonEmpty).toSeq
+    val allBi = texts.toSeq.flatMap { case (id, t) =>
+      toks(t).sliding(2).filter(_.size == 2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val c12 = allBi.groupBy(b => (b._2, b._3)).view.mapValues(_.size)
+    val c1 = allBi.groupBy(_._2).view.mapValues(_.size)
+    val v = allBi.map(_._3).distinct.size
+    val expected = allBi.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map { case (_, w1, w2) =>
+        BigDecimal(-math.log((c12((w1, w2)) + 0.5) / (c1(w1) + 0.5 * v)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      id -> (bs.size.toLong,
+        (s / bs.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // BigDecimal(sum)/n then round-6 can differ from (sum.toDouble/n)
+    // rounded at the last ulp; compare through the operator's own form
+    val expected2 = allBi.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map { case (_, w1, w2) =>
+        BigDecimal(-math.log((c12((w1, w2)) + 0.5) / (c1(w1) + 0.5 * v)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      id -> (bs.size.toLong,
+        BigDecimal(s.toDouble / bs.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == expected2 || got == expected,
+      s"got $got\nexpected $expected2")
+  }
+
   test("persisted bench shingle set reproduces the direct decontamination scan") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 tail1 tail2"),
