@@ -209,6 +209,26 @@ object Curation {
       lmBigramScore(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // ---- BPE merge-pair counts (the map-reduce inner loop of BPE
+    //      tokenizer training, Sennrich et al. 2016): corpus-weighted
+    //      frequencies of adjacent character pairs over the word
+    //      vocabulary — the statistic whose argmax is the next merge.
+    //      Pure integer arithmetic end to end, so no determinism
+    //      machinery is needed; top-k with a total tie-break. ----
+    "q88_bpe_pair_counts" -> QueryDef.sql(
+      """WITH tok AS (SELECT unnest(list_filter(string_split(trim(text),' '), x -> x != '')) AS w
+        |             FROM documents),
+        |vocab AS (SELECT w, count(*) AS wc FROM tok GROUP BY 1),
+        |pairs AS (SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r, wc
+        |          FROM (SELECT w, wc, unnest(range(1, length(w))) AS i
+        |                FROM vocab WHERE length(w) >= 2)),
+        |agg AS (SELECT l, r, CAST(sum(wc) AS BIGINT) AS pair_count FROM pairs GROUP BY 1, 2)
+        |SELECT l, r, pair_count FROM agg
+        |ORDER BY pair_count DESC, l, r
+        |LIMIT 100""") { (s, dir) =>
+      bpePairCounts(Tables.documents(s, dir), topK = 100)
+    },
+
     // ---- stratified deterministic sample: top-n docs per stratum
     //      (lang), ranked by content hash — the reproducible stratified
     //      subsample a training pipeline takes (same rows on every
@@ -635,6 +655,28 @@ object Curation {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("lm_nll"))
   }
+
+  /** Corpus-weighted adjacent character-pair frequencies over the word
+    * vocabulary — one BPE training step's statistic (q88): the pair with
+    * the max count is the next merge. Output: (l, r, pair_count), top-k
+    * by (count desc, l, r).
+    *
+    * Scale shape: the pair explosion runs over the VOCABULARY (distinct
+    * words + their corpus counts), not the corpus — the groupBy(w)
+    * collapses a 100 TB token stream to vocab size first, and everything
+    * after is vocab-sized. Two shuffles (vocab build, pair aggregate) +
+    * a distributed top-k. All-integer arithmetic: deterministic on any
+    * engine with no rounding machinery. */
+  def bpePairCounts(docs: DataFrame, topK: Int): DataFrame =
+    docs.select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> struct(substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("l"), col("r"))
+      .limit(topK)
 
   /** Distinct word n-gram shingles, one row per (doc_id, sh). Complex
     * generator child on purpose — see graft.operators.Dedup.shingles on

@@ -189,6 +189,27 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"got $got\nexpected $expected2")
   }
 
+  test("bpe pair counts match brute force and pick the right first merge") {
+    // "banana" ×3, "bandana" ×1: (a,n) appears 2×/word in banana (×3=6)
+    // and 2× in bandana (wait: b-a-n-d-a-n-a → (a,n) at positions 2,5 → 2)
+    // → 3×2 + 1×2 = 8, the clear first merge
+    val docs = Seq(
+      (1L, "banana banana"),
+      (2L, "banana bandana")
+    ).toDF("doc_id", "text")
+    val got = Curation.bpePairCounts(docs, topK = 100)
+      .select("l", "r", "pair_count").as[(String, String, Long)].collect()
+    val texts = Seq("banana", "banana", "banana", "bandana")
+    val wc = texts.groupBy(identity).view.mapValues(_.size)
+    val expected = wc.toSeq.flatMap { case (w, c) =>
+      w.sliding(2).map(p => (p(0).toString, p(1).toString, c.toLong)).toSeq
+    }.groupBy(t => (t._1, t._2)).map { case ((l, r), xs) => (l, r, xs.map(_._3).sum) }
+      .toSeq.sortBy(t => (-t._3, t._1, t._2))
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexpected $expected")
+    assert(got.head._1 == "a" && got.head._2 == "n" && got.head._3 == 8L,
+      s"first merge must be (a,n)=8: ${got.head}")
+  }
+
   test("persisted bench shingle set reproduces the direct decontamination scan") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 tail1 tail2"),
