@@ -229,6 +229,18 @@ object Curation {
       bpePairCounts(Tables.documents(s, dir), topK = 100)
     },
 
+    // ---- per-source vocab cardinality via mergeable HLL sketches: the
+    //      incremental corpus-stats shape (sketch the batch, union with
+    //      the stored sketches — never re-read the corpus). No SQL
+    //      oracle: DuckDB's approx_count_distinct is a different HLL
+    //      implementation with different estimates; CurationSpec gates
+    //      accuracy vs exact countDistinct and pins the merge equality
+    //      through a persisted round-trip. ----
+    "q89_vocab_sketch" -> QueryDef.rowsOnly { (s, dir) =>
+      vocabCardinality(vocabSketches(Tables.documents(s, dir)))
+        .orderBy("source")
+    },
+
     // ---- stratified deterministic sample: top-n docs per stratum
     //      (lang), ranked by content hash — the reproducible stratified
     //      subsample a training pipeline takes (same rows on every
@@ -677,6 +689,33 @@ object Curation {
       .agg(sum(col("wc")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("l"), col("r"))
       .limit(topK)
+
+  /** Per-source distinct-token cardinality as MERGEABLE HLL sketches
+    * (Apache DataSketches via Spark's hll_sketch_agg) — the incremental
+    * form of corpus statistics: persist the per-source sketch table
+    * (one ~2^lgK-byte binary per source), and when a new batch lands,
+    * sketch ONLY the batch and hll_union_agg it with the stored
+    * sketches. Sketching is deterministic, and union is exactly
+    * associative: sketch(A ∪ B) = union(sketch(A), sketch(B)) — equal
+    * ESTIMATES, not just close ones (CurationSpec pins the equality
+    * through a persisted round-trip) — so nightly stats never re-read
+    * the corpus. Estimate accuracy is the standard HLL ±~1.6%/sqrt(2^lgK)
+    * band, gated in ScalaTest against exact countDistinct. */
+  def vocabSketches(docs: DataFrame, lgK: Int = 12): DataFrame =
+    docs.select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy("source").agg(expr(s"hll_sketch_agg(w, $lgK)").as("sketch"))
+
+  /** (source, approx_vocab) from a sketch table — run after any number
+    * of [[mergeVocabSketches]] rounds. */
+  def vocabCardinality(sketches: DataFrame): DataFrame =
+    sketches.select(col("source"),
+      expr("hll_sketch_estimate(sketch)").as("approx_vocab"))
+
+  /** Merge two per-source sketch tables (e.g. the persisted corpus table
+    * and a fresh batch's) into one. */
+  def mergeVocabSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("source")
+      .agg(expr("hll_union_agg(sketch)").as("sketch"))
 
   /** Distinct word n-gram shingles, one row per (doc_id, sh). Complex
     * generator child on purpose — see graft.operators.Dedup.shingles on

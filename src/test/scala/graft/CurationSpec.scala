@@ -210,6 +210,35 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"first merge must be (a,n)=8: ${got.head}")
   }
 
+  test("hll vocab sketches: accurate vs exact, and incremental merge equals full recompute") {
+    val docs = Tables.documents(spark, sf001)
+    // accuracy: within the HLL error band of exact per-source counts
+    val approx = Curation.vocabCardinality(Curation.vocabSketches(docs))
+      .as[(String, Double)].collect().toMap
+    val exact = docs.select(col("source"),
+        explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source").agg(countDistinct("w").as("v"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, v) =>
+      val rel = math.abs(approx(src) - v) / v.toDouble
+      assert(rel <= 0.05, s"$src: approx ${approx(src)} vs exact $v (rel $rel)")
+    }
+    // incremental contract: sketch the two halves separately, persist +
+    // reload the "corpus" half, union — the ESTIMATES must equal the
+    // single-pass sketch exactly (HLL union is exactly associative)
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString
+    Curation.vocabSketches(corpus).write.mode("overwrite").parquet(dir)
+    val merged = Curation.vocabCardinality(
+        Curation.mergeVocabSketches(spark.read.parquet(dir), Curation.vocabSketches(batch)))
+      .as[(String, Double)].collect().toMap
+    assert(merged == approx,
+      s"incremental merge diverged from full recompute:\n merged=$merged\n full=$approx")
+  }
+
   test("persisted bench shingle set reproduces the direct decontamination scan") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 tail1 tail2"),
