@@ -106,6 +106,117 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio features. */
+  case class AudioFeatures(asset_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, duration_sec: Double, n_bytes: Long, feature: Array[Float])
+
+  /** The audio codec seam: decode bytes to (sampleRate, channels,
+    * nFrames, 8-dim feature), or None when the payload isn't this
+    * codec's format. */
+  trait AudioCodec extends Serializable {
+    def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])]
+  }
+
+  /** REAL decoder for canonical WAV (RIFF/WAVE, PCM format 1, 16-bit) —
+    * the audio analogue of [[PnmCodec]]: zero external libraries, full
+    * chunk walking (unknown chunks skipped, word-aligned, truncation-
+    * safe). Features, all in [0,1]: overall RMS, peak amplitude, RMS of
+    * the four temporal quarters (the audio twin of PnmCodec's 2×2 luma
+    * quadrants), zero-crossing rate, and a bounded sample-rate ratio.
+    * Multi-channel frames average to mono before analysis. MP3/OGG/AAC
+    * plug in through the same seam on a cluster with media libs;
+    * [[StubAudioCodec]] stands in for them here. */
+  object WavCodec extends AudioCodec {
+    def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
+      def str(off: Int, n: Int): String =
+        if (off + n <= bytes.length) new String(bytes, off, n, "US-ASCII") else ""
+      def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def le32(off: Int): Long = (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      if (bytes.length < 44 || str(0, 4) != "RIFF" || str(8, 4) != "WAVE") return None
+      var pos = 12
+      var audioFormat = -1; var channels = 0; var sampleRate = 0L; var bits = 0
+      var dataOff = -1; var dataLen = 0L
+      while (pos + 8 <= bytes.length) {
+        val id = str(pos, 4)
+        val size = le32(pos + 4)
+        val body = pos + 8
+        id match {
+          case "fmt " if body + 16 <= bytes.length =>
+            audioFormat = le16(body); channels = le16(body + 2)
+            sampleRate = le32(body + 4); bits = le16(body + 14)
+          case "data" =>
+            dataOff = body; dataLen = math.min(size, (bytes.length - body).toLong)
+          case _ => // skip LIST/INFO/etc.
+        }
+        pos = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (audioFormat != 1 || bits != 16 || channels < 1 || sampleRate <= 0 ||
+          dataOff < 0) return None
+      val bytesPerFrame = 2 * channels
+      val nFrames = dataLen / bytesPerFrame
+      if (nFrames == 0) return None
+      var sumSq = 0.0
+      val quarterSq = new Array[Double](4)
+      val quarterN = new Array[Long](4)
+      var peak = 0
+      var crossings = 0L
+      var prevSign = 0
+      var f = 0L
+      while (f < nFrames) {
+        val off = dataOff + (f * bytesPerFrame).toInt
+        var acc = 0L
+        var c = 0
+        while (c < channels) {
+          acc += le16(off + 2 * c).toShort // sign-extend
+          c += 1
+        }
+        val mono = (acc / channels).toInt
+        val a = math.abs(mono)
+        if (a > peak) peak = a
+        val sq = mono.toDouble * mono
+        sumSq += sq
+        val q = math.min(3, (f * 4 / nFrames).toInt)
+        quarterSq(q) += sq; quarterN(q) += 1
+        val sign = Integer.signum(mono)
+        if (sign != 0) {
+          if (prevSign != 0 && sign != prevSign) crossings += 1
+          prevSign = sign
+        }
+        f += 1
+      }
+      val full = 32768.0
+      def rms(sq: Double, n: Long): Float =
+        if (n > 0) (math.sqrt(sq / n) / full).toFloat else 0f
+      val feature = Array(
+        rms(sumSq, nFrames),
+        (peak / full).toFloat,
+        rms(quarterSq(0), quarterN(0)), rms(quarterSq(1), quarterN(1)),
+        rms(quarterSq(2), quarterN(2)), rms(quarterSq(3), quarterN(3)),
+        if (nFrames > 1) crossings.toFloat / (nFrames - 1) else 0f,
+        (sampleRate.toFloat / (sampleRate + 48000f)))
+      Some((sampleRate.toInt, channels, nFrames, feature))
+    }
+  }
+
+  /** Deterministic fake audio decode for formats without a lib-free
+    * decoder here (MP3/OGG/AAC) — the audio [[StubCodec]]. */
+  object StubAudioCodec extends AudioCodec {
+    def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
+      val h = java.util.Arrays.hashCode(bytes)
+      val feature = Array.tabulate(8)(i =>
+        (((h * 31 + i * 2654435761L) & 0xffff).toFloat) / 65535.0f)
+      Some((8000 + math.abs(h % 40000), 1 + math.abs(h % 2),
+        1L + bytes.length, feature))
+    }
+  }
+
+  /** Production routing for audio: real WAV decode, stub elsewhere. */
+  object DefaultAudioCodec extends AudioCodec {
+    def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+      WavCodec.decodeAudio(bytes).orElse(StubAudioCodec.decodeAudio(bytes))
+  }
+
   /** STUB codec — deterministic fake decode keyed on content bytes, for
     * formats whose decoders need media libraries this container lacks
     * (JPEG/PNG/video). Never returns None: the deterministic fake stands
@@ -140,6 +251,23 @@ object Multimodal {
       it.flatMap { a =>
         codec.decodeImage(a.bytes).map { case (w, h, f) =>
           ImageFeatures(a.asset_id, w, h, a.bytes.length.toLong, f)
+        }
+      }
+    }
+  }
+
+  /** Audio decode + feature-extract, batch-per-partition — the same
+    * narrow mapPartitions shape as [[imageFeatures]]: binary payloads
+    * never shuffle, only the small extracted features flow onward. */
+  def audioFeatures(
+      assets: Dataset[MediaAsset],
+      codec: AudioCodec = DefaultAudioCodec): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        codec.decodeAudio(a.bytes).map { case (sr, ch, n, f) =>
+          AudioFeatures(a.asset_id, sr, ch, n, n.toDouble / sr,
+            a.bytes.length.toLong, f)
         }
       }
     }

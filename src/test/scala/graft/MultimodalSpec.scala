@@ -76,6 +76,64 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(f.length == 2)
   }
 
+  /** Canonical little-endian 16-bit PCM WAV bytes, with an optional junk
+    * chunk before `data` to exercise chunk walking. */
+  private def wavBytes(sampleRate: Int, channels: Int, samples: Seq[Short],
+      junkChunk: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = (0 until 4).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    val dataLen = samples.size * 2
+    val junkLen = if (junkChunk) 8 + 4 else 0
+    bos.write("RIFF".getBytes); w32(36 + junkLen + dataLen); bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); w32(16); w16(1); w16(channels); w32(sampleRate)
+    w32(sampleRate.toLong * channels * 2); w16(channels * 2); w16(16)
+    if (junkChunk) { bos.write("LIST".getBytes); w32(4); bos.write("INFO".getBytes) }
+    bos.write("data".getBytes); w32(dataLen)
+    samples.foreach(s => w16(s & 0xffff))
+    bos.toByteArray
+  }
+
+  test("WAV codec really decodes: square wave features are exact, junk chunks skipped") {
+    // mono square wave at half amplitude: RMS = peak = 0.5 exactly,
+    // every adjacent pair crosses zero (zcr = 1), all quarters equal
+    val square = Seq.tabulate(64)(i => if (i % 2 == 0) 16384 else -16384).map(_.toShort)
+    val Some((sr, ch, n, f)) =
+      Multimodal.WavCodec.decodeAudio(wavBytes(16000, 1, square, junkChunk = true))
+    assert((sr, ch, n) == (16000, 1, 64L))
+    assert(f(0) == 0.5f, s"rms ${f(0)}")
+    assert(f(1) == 0.5f, s"peak ${f(1)}")
+    assert(f.slice(2, 6).forall(_ == 0.5f), s"quarter rms ${f.toSeq}")
+    assert(f(6) == 1.0f, s"zcr ${f(6)}")
+    // stereo averaging: L=+16384, R=-16384 every frame → mono 0, RMS 0
+    val stereo = Seq.tabulate(32)(i => if (i % 2 == 0) 16384 else -16384).map(_.toShort)
+    val Some((_, ch2, n2, f2)) = Multimodal.WavCodec.decodeAudio(wavBytes(8000, 2, stereo))
+    assert(ch2 == 2 && n2 == 16L && f2(0) == 0.0f && f2(1) == 0.0f)
+    // junk rejection: non-RIFF bytes are not WAV
+    assert(Multimodal.WavCodec.decodeAudio("not a wav at all".getBytes).isEmpty)
+    // truncated data chunk: frame count clamps to the bytes present
+    val full = wavBytes(8000, 1, square)
+    val truncated = full.take(full.length - 32)
+    val Some((_, _, nT, _)) = Multimodal.WavCodec.decodeAudio(truncated)
+    assert(nT == 48L, s"truncation must clamp frames, got $nT")
+  }
+
+  test("audio feature extraction routes WAV to the real decoder, rest to the stub") {
+    val square = Seq.tabulate(64)(i => if (i % 2 == 0) 16384 else -16384).map(_.toShort)
+    val audio = Seq(
+      MediaAsset(10L, "audio/wav", wavBytes(16000, 1, square)),
+      MediaAsset(11L, "audio/mpeg", Array[Byte](0x49, 0x44, 0x33, 1, 2, 3))
+    ).toDS()
+    val got = Multimodal.audioFeatures(audio).collect().map(a => a.asset_id -> a).toMap
+    assert(got(10L).sample_rate == 16000 && got(10L).n_frames == 64L &&
+      got(10L).duration_sec == 64.0 / 16000 && got(10L).feature(0) == 0.5f,
+      s"real WAV decode wrong: ${got(10L)}")
+    // the stub is deterministic per content
+    val again = Multimodal.audioFeatures(audio).collect().map(a => a.asset_id -> a).toMap
+    assert(got(11L).feature.toSeq == again(11L).feature.toSeq)
+    assert(got(11L).feature.toSeq != got(10L).feature.toSeq)
+  }
+
   test("frame sampling emits every k-th frame with content-hash addresses") {
     val frames = Multimodal.sampleFrames(assets, everyK = 2).collect()
     assert(frames.forall(_.frame_index % 2 == 0))
