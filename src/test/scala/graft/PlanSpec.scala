@@ -256,7 +256,8 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q55b_cosine_pairs_lsh",    4, 8),
       ("q74_decontamination",      2, 6),
       ("q78_jaccard_prefix_filter", 5, 8),
-      ("q84_bm25_topk",            2, 6))
+      ("q84_bm25_topk",            2, 6),
+      ("q87_lm_bigram_score",      0, 6))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
