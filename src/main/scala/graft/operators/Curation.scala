@@ -578,11 +578,12 @@ object Curation {
     * OTHER doc of the benchmark set, plus a contaminated flag at >= 50%
     * overlap (integer comparison, no float threshold).
     *
-    * Scale shape: corpus shingles are exploded once and repartitioned by
-    * shingle (one canonical exchange reused by the per-doc count and the
-    * join); the benchmark side is broadcast — eval benchmarks are tiny
-    * relative to a 100 TB corpus, which is precisely why this runs as a
-    * map-side join over the corpus scan rather than a shuffle. */
+    * Scale shape: corpus shingles are exploded ONCE behind a lazy
+    * localCheckpoint barrier (the per-doc count and the bench-hits join
+    * both read the persisted rows — see decontaminationScanAgainst); the
+    * benchmark side is broadcast — eval benchmarks are tiny relative to
+    * a 100 TB corpus, which is precisely why this runs as a map-side
+    * join over the corpus scan rather than a shuffle. */
   def decontaminationScan(docs: DataFrame, benchIds: DataFrame, n: Int = 8): DataFrame =
     decontaminationScanAgainst(docs, benchShingleSet(docs, benchIds, n), n)
 
