@@ -40,6 +40,39 @@ object Bench {
   val headline: Seq[String] =
     legacy12 ++ Seq("q74_decontamination", "q78_jaccard_prefix_filter")
 
+  /** Per-query physical-cost capture: shuffle bytes and spill summed over
+    * completed stages. Shuffle volume is the thing the scale design
+    * minimizes — reporting it per query makes "does this plan shuffle
+    * more than it should" a measured number instead of a plan-reading
+    * judgment, and unlike wall-clock it is deterministic run to run. */
+  private class CostListener extends org.apache.spark.scheduler.SparkListener {
+    private val read = new java.util.concurrent.atomic.AtomicLong
+    private val write = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = { read.set(0); write.set(0); spill.set(0) }
+    /** Listener events are async: settle = two identical 100 ms reads
+      * (bounded) before snapshotting. */
+    def settled(): (Long, Long, Long) = {
+      var prev = (-1L, -1L, -1L)
+      var cur = (read.get, write.get, spill.get)
+      var waited = 0
+      while (cur != prev && waited < 2000) {
+        Thread.sleep(100); waited += 100
+        prev = cur; cur = (read.get, write.get, spill.get)
+      }
+      cur
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -81,6 +114,9 @@ object Bench {
           ((s: SparkSession, _: String) => s.sql("SELECT raise_error('injected bench failure')")))
       else base
 
+    val cost = new CostListener
+    spark.sparkContext.addSparkListener(cost)
+
     // a failed query must NOT silently become a (fast) timing: the error is
     // carried per-query in the JSON (`errors`) and the process exits
     // non-zero, so a broken query reads as broken, not as a speedup
@@ -95,6 +131,17 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
+    /** One timed run wrapped with the cost capture (metrics are
+      * deterministic per plan, so the last run's numbers represent the
+      * query; the settle wait runs OUTSIDE the timed region). */
+    def timedWithCost(name: String, dir: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String], (Long, Long, Long)) = {
+      cost.reset()
+      val (secs, err) = time(name, dir, fn)
+      val c = cost.settled()
+      (secs, err, c)
+    }
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -104,24 +151,31 @@ object Bench {
       } + "\""
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sampled = (1 to runsPerQuery).map(_ => time(name, sfDir, fn))
+      val sampled = (1 to runsPerQuery).map(_ => timedWithCost(name, sfDir, fn))
       val samples = sampled.map(_._1)
-      (name, median(samples), samples, sampled.flatMap(_._2).headOption)
+      (name, median(samples), samples, sampled.flatMap(_._2).headOption, sampled.last._3)
     }
-    val qs = results.map { case (k, m, _, _) => "\"" + k + f"\":$m%.3f" }
+    val qs = results.map { case (k, m, _, _, _) => "\"" + k + f"\":$m%.3f" }
       .mkString("{", ",", "}")
-    val errs = results.map { case (k, _, _, e) =>
+    val errs = results.map { case (k, _, _, e, _) =>
       "\"" + k + "\":" + e.map(jsonStr).getOrElse("null")
     }.mkString("{", ",", "}")
-    val runs = results.map { case (k, _, s, _) =>
+    val runs = results.map { case (k, _, s, _, _) =>
       "\"" + k + "\":" + s.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // p95 (nearest-rank over the in-process samples; ≈max at 3 runs) —
     // the dispersion companion to the reported p50
-    val p95s = results.map { case (k, _, s, _) =>
+    val p95s = results.map { case (k, _, s, _, _) =>
       val sorted = s.sorted
       val p95 = sorted(math.min(sorted.size - 1, math.ceil(0.95 * sorted.size).toInt - 1))
       "\"" + k + f"\":$p95%.3f"
+    }.mkString("{", ",", "}")
+    // per-query physical cost from the last run (deterministic per plan):
+    // shuffle write MB — the number the scale design minimizes — plus
+    // read MB and spill MB when nonzero
+    val shuffles = results.map { case (k, _, _, _, (rd, wr, sp)) =>
+      "\"" + k + "\":" + f"{\"write_mb\":${wr / 1e6}%.1f," +
+        f"\"read_mb\":${rd / 1e6}%.1f,\"spill_mb\":${sp / 1e6}%.1f}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // pre-r8 12-query total from the same run's medians — cross-round
@@ -129,9 +183,9 @@ object Bench {
     // when the run actually covers the legacy set (not BENCH_ONLY slices)
     val legacyTotal =
       if (legacy12.forall(selected.contains))
-        f""","legacy12_total":${results.collect { case (k, m, _, _) if legacy12.contains(k) => m }.sum}%.3f"""
+        f""","legacy12_total":${results.collect { case (k, m, _, _, _) if legacy12.contains(k) => m }.sum}%.3f"""
       else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"shuffle":$shuffles,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
     var anyFailed = results.exists(_._4.isDefined)
 
     // SPARK_GRAFT_BENCH_SCALING=1: rerun the headline at the other scale
