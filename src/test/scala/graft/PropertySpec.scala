@@ -141,6 +141,64 @@ class PropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("property: keyset pages partition the sorted table for arbitrary data and page sizes") {
+    val rowGen = Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 500L))
+    Seq(3, 7, 17).zipWithIndex.foreach { case (pageSize, i) =>
+      // duplicate order-prefix values on purpose: (k1) ties are broken by
+      // the unique k2, which is what makes the ordering total
+      val rows = samples(rowGen, 50, seed = 97L + i)
+        .zipWithIndex.map { case ((k1, _), idx) => (k1, idx.toLong) }
+      val df = rows.toDF("k1", "k2")
+      val sortedIds = df.orderBy("k1", "k2").select("k2").as[Long].collect().toSeq
+      var lastKey: Option[Seq[org.apache.spark.sql.Column]] = None
+      var walked = Vector.empty[Long]
+      var done = false
+      var guard = 0
+      while (!done && guard < 100) {
+        guard += 1
+        val page = graft.operators.Relational.keysetPage(
+          df, Seq("k1", "k2"), lastKey, pageSize).collect()
+        if (page.isEmpty) done = true
+        else {
+          walked ++= page.map(_.getLong(1))
+          val last = page.last
+          lastKey = Some(Seq(lit(last.getLong(0)), lit(last.getLong(1))))
+          if (page.length < pageSize) done = true
+        }
+      }
+      assert(walked == sortedIds,
+        s"pageSize=$pageSize: pages must concatenate to the sorted order")
+    }
+  }
+
+  test("property: rrf fusion scores decompose into the two rank reciprocals") {
+    val rankGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(1L, 20L))
+    val lexRows = samples(rankGen, 30, seed = 41L).distinct
+      .groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+        rs.map(_._2).distinct.sorted.zipWithIndex.map { case (_, i) => (q, 100L + i, i + 1L) }
+      }
+    val semRows = samples(rankGen, 30, seed = 42L).distinct
+      .groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+        rs.map(_._2).distinct.sorted.zipWithIndex.map { case (_, i) => (q, 100L + 2 * i, i + 1L) }
+      }
+    val lex = lexRows.toDF("qid", "doc_id", "rank")
+    val sem = semRows.toDF("qid", "doc_id", "rank")
+    val lexM = lexRows.map { case (q, d, r) => (q, d) -> r }.toMap
+    val semM = semRows.map { case (q, d, r) => (q, d) -> r }.toMap
+    val got = graft.operators.Retrieval.rrfFusion(lex, sem, k = 1000)
+      .select("qid", "doc_id", "rrf").as[(Long, Long, Double)].collect()
+    got.foreach { case (q, d, rrf) =>
+      val expect = BigDecimal(
+        lexM.get((q, d)).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          semM.get((q, d)).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf == expect, s"($q,$d): $rrf != $expect")
+    }
+    // full outer: every input (qid, doc_id) appears exactly once
+    val gotKeys = got.map(t => (t._1, t._2)).toSet
+    assert(gotKeys == (lexM.keySet ++ semM.keySet))
+  }
+
   test("property: salted join equals plain join for random data and bucket counts") {
     val kvGen = Gen.zip(Gen.choose(1L, 8L), Gen.alphaNumStr.map(_.take(6)))
     Seq(1, 3, 7).zipWithIndex.foreach { case (buckets, i) =>
