@@ -131,16 +131,18 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    /** One timed run wrapped with the cost capture (metrics are
-      * deterministic per plan, so the last run's numbers represent the
-      * query; the settle wait runs OUTSIDE the timed region). */
-    def timedWithCost(name: String, dir: String,
+    /** `runs` timed samples; shuffle metrics captured from the LAST run
+      * only (they are deterministic per plan), so the settle waits —
+      * which run OUTSIDE the timed regions — cost two flushes per query
+      * instead of one per run. */
+    def sampleQuery(name: String, dir: String, runs: Int,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String], (Long, Long, Long)) = {
+        : (Seq[(Double, Option[String])], (Long, Long, Long)) = {
+      val warm = (1 until runs).map(_ => time(name, dir, fn))
+      cost.settled() // flush any stragglers from the warm runs
       cost.reset()
-      val (secs, err) = time(name, dir, fn)
-      val c = cost.settled()
-      (secs, err, c)
+      val last = time(name, dir, fn)
+      (warm :+ last, cost.settled())
     }
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
@@ -151,9 +153,9 @@ object Bench {
       } + "\""
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sampled = (1 to runsPerQuery).map(_ => timedWithCost(name, sfDir, fn))
+      val (sampled, shuffleCost) = sampleQuery(name, sfDir, runsPerQuery, fn)
       val samples = sampled.map(_._1)
-      (name, median(samples), samples, sampled.flatMap(_._2).headOption, sampled.last._3)
+      (name, median(samples), samples, sampled.flatMap(_._2).headOption, shuffleCost)
     }
     val qs = results.map { case (k, m, _, _, _) => "\"" + k + f"\":$m%.3f" }
       .mkString("{", ",", "}")
