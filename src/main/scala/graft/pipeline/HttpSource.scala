@@ -94,7 +94,7 @@ object HttpSource {
     if (host.contains("sec.gov")) {
       val ua = cfg.secUserAgent.getOrElse(throw new IllegalStateException(
         "SEC_USER_AGENT must be set for SEC live requests"))
-      h += ("User-Agent" -> ua, "Accept-Encoding" -> "gzip, deflate")
+      h ++= Seq("User-Agent" -> ua, "Accept-Encoding" -> "gzip, deflate")
     }
     if (host == "adams-api.nrc.gov") {
       val key = cfg.nrcSubscriptionKey.getOrElse(throw new IllegalStateException(
@@ -103,7 +103,7 @@ object HttpSource {
       limiter.acquireAps(key, host) // T5: 3 rps per (subscription_key, host)
     }
     if (method.equalsIgnoreCase("POST"))
-      h += ("Accept" -> "application/json", "Content-Type" -> "application/json")
+      h ++= Seq("Accept" -> "application/json", "Content-Type" -> "application/json")
     h
   }
 

@@ -680,7 +680,8 @@ private[sources] class ProvenanceAggReaderFactory(specs: Array[AggSpec])
         def statsUsable(col: String, needValues: Boolean): Boolean =
           blocks.forall { b =>
             chunk(b, col).exists { c =>
-              val st = c.getStatistics
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                c.getStatistics
               st != null && st.isNumNullsSet &&
                 (!needValues || st.hasNonNullValue || st.getNumNulls == b.getRowCount)
             }
