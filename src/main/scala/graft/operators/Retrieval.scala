@@ -106,6 +106,24 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** The 100 TB form of q86: fuse BM25 with the MULTI-PROBE LSH ANN
+    * ranking instead of the exact cosine scan — same RRF contract, the
+    * semantic side's cost drops from queries × corpus dot products to
+    * the (band, key) candidate join. Exact-cosine q86 stays as the
+    * oracle-checked baseline; RetrievalSpec gates this form's agreement
+    * against it (ANN recall is the only approximation — fused scores of
+    * surfaced docs are identical by construction). */
+  def hybridRetrievalAnn(docs: DataFrame, embeddings: DataFrame,
+      nQueries: Int, k: Int, planesPerBand: Int = 6, bands: Int = 16,
+      probes: Int = 2): DataFrame = {
+    val lex = bm25TopK(docs, col("doc_id") < nQueries, k = 2 * k)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val sem = Similarity.annLshTopK(embeddings, nQueries, k = 2 * k,
+        planesPerBand, bands, probes)
+      .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+    rrfFusion(lex, sem, k)
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- BM25 top-k retrieval: first 10 docs are the query set,
