@@ -344,6 +344,12 @@ private[sources] class ProvenanceTable(
   * wrong at 100 TB; the delegated plan keeps the anti-join distributed
   * and the shuffle-free Partitioned id stamp intact.
   *
+  * Concurrency: the append contract assumes ONE writer at a time per
+  * table — the footer-stats max-id probe is a read-modify-write, so two
+  * simultaneous appends could stamp overlapping id ranges. This is the
+  * same single-writer assumption the reference's SQLite file lock
+  * enforced (storage/db.py); serialize appends per table.
+  *
   * Input columns (everything else, incl. `id`/`created_at`, is stamped):
   *  - responses: provider, method, url, params_json, status_code,
   *    headers_json, body (+ optional item_index/stage ordering keys —
