@@ -59,7 +59,9 @@ object Multimodal {
         }
         val start = pos
         while (pos < bytes.length && bytes(pos).toChar.isDigit) pos += 1
-        if (pos == start) None
+        // > 9 digits cannot be a sane dimension/maxval and would throw
+        // in toInt — adversarial headers must yield None, never crash
+        if (pos == start || pos - start > 9) None
         else Some(new String(bytes, start, pos - start).toInt)
       }
       for {
@@ -137,9 +139,10 @@ object Multimodal {
       var pos = 12
       var audioFormat = -1; var channels = 0; var sampleRate = 0L; var bits = 0
       var dataOff = -1; var dataLen = 0L
-      while (pos + 8 <= bytes.length) {
+      var walking = true
+      while (walking && pos + 8 <= bytes.length) {
         val id = str(pos, 4)
-        val size = le32(pos + 4)
+        val size = le32(pos + 4) // unsigned 32-bit as Long, always >= 0
         val body = pos + 8
         id match {
           case "fmt " if body + 16 <= bytes.length =>
@@ -149,7 +152,13 @@ object Multimodal {
             dataOff = body; dataLen = math.min(size, (bytes.length - body).toLong)
           case _ => // skip LIST/INFO/etc.
         }
-        pos = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // LONG arithmetic: a hostile 32-bit size would overflow an Int
+        // offset into a negative position (then crash the decode instead
+        // of returning None). A chunk claiming to run past the buffer
+        // also ends the walk — nothing can follow it.
+        val next = body.toLong + size + (size & 1L) // chunks word-aligned
+        if (next <= pos || next > bytes.length) walking = false
+        else pos = next.toInt
       }
       if (audioFormat != 1 || bits != 16 || channels < 1 || sampleRate <= 0 ||
           dataOff < 0) return None

@@ -118,6 +118,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(nT == 48L, s"truncation must clamp frames, got $nT")
   }
 
+  test("WAV codec never throws on adversarial or random bytes") {
+    val rnd = new scala.util.Random(11)
+    // random garbage of assorted sizes
+    (0 until 200).foreach { i =>
+      val garbage = Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt().toByte)
+      Multimodal.WavCodec.decodeAudio(garbage) // must not throw
+    }
+    // valid RIFF/WAVE prefix with a hostile chunk size that would
+    // overflow an Int offset (0xFFFFFFF8) — must return None, not crash
+    val hostile = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes); bos.write(Array[Byte](36, 0, 0, 0))
+      bos.write("WAVE".getBytes)
+      bos.write("JUNK".getBytes)
+      bos.write(Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte))
+      bos.write(new Array[Byte](32))
+      bos.toByteArray
+    }
+    assert(Multimodal.WavCodec.decodeAudio(hostile).isEmpty)
+    // zero-size chunk loop (size 0 repeated) must terminate, not spin
+    val zeroLoop = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes); bos.write(Array[Byte](36, 0, 0, 0))
+      bos.write("WAVE".getBytes)
+      bos.write("JUNK".getBytes); bos.write(new Array[Byte](4)) // size 0
+      bos.write(new Array[Byte](24))
+      bos.toByteArray
+    }
+    assert(Multimodal.WavCodec.decodeAudio(zeroLoop).isEmpty)
+    // PNM shares the never-throw contract: random garbage and a header
+    // whose dimension overflows Int (20 digits) must both yield None
+    (0 until 200).foreach { i =>
+      val garbage = Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt().toByte)
+      Multimodal.PnmCodec.decodeImage(garbage)
+    }
+    assert(Multimodal.PnmCodec.decodeImage(
+      "P5 99999999999999999999 2 255 ....".getBytes).isEmpty)
+  }
+
   test("audio feature extraction routes WAV to the real decoder, rest to the stub") {
     val square = Seq.tabulate(64)(i => if (i % 2 == 0) 16384 else -16384).map(_.toShort)
     val audio = Seq(
