@@ -618,6 +618,8 @@ object Dedup {
     * parameters the result is exactly the new↔corpus slice of
     * [[minhashLshPairs]] over the union (DedupSpec pins this). New↔new
     * pairs are NOT emitted — run the self-join on the batch for those.
+    * ASSUMES batch and corpus doc_ids are disjoint (the ingest
+    * pipeline's id stamping guarantees it).
     * The bucket cap counts the COMBINED (band, key) bucket across both
     * sides — the same bucket the self-join over the union would count —
     * so the cross-slice contract holds at every bucket size; capping

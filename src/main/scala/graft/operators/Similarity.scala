@@ -447,7 +447,9 @@ object Similarity {
     * fetched, never the corpus. Same parameters ⇒ the result is exactly
     * the new↔corpus slice of [[cosineThresholdPairsLsh]] over the union
     * (SimilaritySpec pins this); new↔new pairs come from the batch
-    * self-join. */
+    * self-join. ASSUMES batch and corpus vec_ids are disjoint (the
+    * ingest pipeline's id stamping guarantees it): an id on both sides
+    * would duplicate rows through the vector-attach joins. */
   def incrementalCosinePairsLsh(newEmbeddings: DataFrame, corpusKeys: DataFrame,
       corpusVectors: DataFrame, threshold: Double,
       planesPerBand: Int, bands: Int): DataFrame = {
