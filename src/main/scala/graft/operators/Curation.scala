@@ -241,6 +241,29 @@ object Curation {
         .orderBy("source")
     },
 
+    // ---- cross-document repeated spans (boilerplate detection — the
+    //      Spark-shaped cousin of suffix-array substring dedup, Lee et
+    //      al. 2022 "Deduplicating Training Data Makes LMs Better"):
+    //      verbatim 8-token windows occurring in >= 2 distinct docs,
+    //      ranked by total occurrences. Unlike q51 (doc-level Jaccard)
+    //      and q74 (vs a bench set), this finds the repeated SPANS
+    //      themselves — headers, license blocks, navigation chrome. ----
+    "q90_repeated_spans" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sp AS (SELECT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)]) AS span
+        |       FROM w WHERE len(ws) >= 8),
+        |agg AS (SELECT span, count(*) AS n_occurrences,
+        |          count(DISTINCT doc_id) AS n_docs
+        |        FROM sp GROUP BY 1)
+        |SELECT span, n_occurrences, n_docs FROM agg
+        |WHERE n_docs >= 2
+        |ORDER BY n_occurrences DESC, span
+        |LIMIT 100""") { (s, dir) =>
+      repeatedSpans(Tables.documents(s, dir), n = 8, minDocs = 2, topK = 100)
+    },
+
     // ---- stratified deterministic sample: top-n docs per stratum
     //      (lang), ranked by content hash — the reproducible stratified
     //      subsample a training pipeline takes (same rows on every
@@ -667,6 +690,30 @@ object Curation {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("lm_nll"))
+  }
+
+  /** Verbatim n-token spans repeated across >= minDocs distinct docs,
+    * top-k by total occurrence count (q90) — boilerplate detection.
+    * Every window occurrence is kept (NOT array_distinct'd like the
+    * Jaccard shingles): a span repeated inside one doc AND across docs
+    * ranks by its true frequency. One shuffle of the exploded windows;
+    * the n_docs >= minDocs filter rides the aggregate, and top-k is a
+    * distributed TakeOrderedAndProject. At 100 TB, group on
+    * xxhash64(span) instead of the span text to shrink the shuffle ~5×
+    * (collisions merely merge unrelated spans into one reported row —
+    * acceptable for boilerplate triage, not for this exact oracle). */
+  def repeatedSpans(docs: DataFrame, n: Int, minDocs: Int, topK: Int): DataFrame = {
+    val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))")).as("span"))
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_occurrences").desc, col("span"))
+      .limit(topK)
   }
 
   /** Corpus-weighted adjacent character-pair frequencies over the word

@@ -239,6 +239,27 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"incremental merge diverged from full recompute:\n merged=$merged\n full=$approx")
   }
 
+  test("repeated spans find planted boilerplate and respect occurrence vs doc counts") {
+    val boiler = "this content is provided under the standard license terms"
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon"),
+      // doc 3 repeats the boilerplate TWICE: occurrences (4) > docs (3)
+      (3L, s"$boiler zeta $boiler"),
+      (4L, "totally unrelated text with no shared spans whatsoever here")
+    ).toDF("doc_id", "text")
+    val got = Curation.repeatedSpans(docs, n = 9, minDocs = 2, topK = 10)
+      .select("span", "n_occurrences", "n_docs")
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty, "planted boilerplate must surface")
+    val top = got.head
+    assert(top._1 == boiler, s"top span must be the planted boilerplate: $top")
+    assert(top._2 == 4L && top._3 == 3L,
+      s"4 occurrences across 3 docs expected: $top")
+    // nothing from the unrelated doc qualifies
+    assert(got.forall(r => !r._1.contains("whatsoever")))
+  }
+
   test("persisted bench shingle set reproduces the direct decontamination scan") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 tail1 tail2"),
