@@ -185,14 +185,26 @@ case class OverlapCount(left: Expression, right: Expression)
     val (small, big) = if (l.numElements() <= r.numElements()) (l, r) else (r, l)
     val n = small.numElements()
     val set = new java.util.HashSet[UTF8String](math.max(16, n * 2))
+    // NULL slots need isNullAt: UnsafeArrayData.getUTF8String on a null
+    // slot does NOT return null (it reads a zero-length region), which
+    // would silently conflate NULL with '' — array_intersect treats NULL
+    // as its own value, common iff present on both sides
+    var smallHasNull = false
     var i = 0
-    while (i < n) { set.add(small.getUTF8String(i)); i += 1 }
+    while (i < n) {
+      if (small.isNullAt(i)) smallHasNull = true
+      else set.add(small.getUTF8String(i))
+      i += 1
+    }
     var count = 0
+    var nullCounted = false
     val m = big.numElements()
     i = 0
-    while (i < m && !set.isEmpty) {
+    while (i < m && (!set.isEmpty || (smallHasNull && !nullCounted))) {
+      if (big.isNullAt(i)) {
+        if (smallHasNull && !nullCounted) { count += 1; nullCounted = true }
+      } else if (set.remove(big.getUTF8String(i))) count += 1
       // remove-on-hit: duplicates count once (array_intersect parity)
-      if (set.remove(big.getUTF8String(i))) count += 1
       i += 1
     }
     count

@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Non-empty whitespace tokens — identical to the DuckDB oracle's
-    * list_filter(string_split(trim(text),' '), x -> x != ''). */
-  private def words(c: Column): Column = filter(split(trim(c), " "), w => w =!= "")
+  /** Non-empty whitespace tokens — delegates to [[Text.words]], the
+    * single tokenizer shared by every operator family. */
+  private def words(c: Column): Column = Text.words(c)
 
   /** PII detectors in redaction order. Patterns are mutually disjoint on
     * any text (the separator shapes differ: @-domain, 3-2-4 dashes,

@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Non-empty whitespace tokens, identical to the DuckDB oracle's
-    * list_filter(string_split(trim(text),' '), x -> x != ''). */
-  private def words(c: Column): Column = filter(split(trim(c), " "), w => w =!= "")
+  /** Non-empty whitespace tokens — delegates to [[Text.words]], the
+    * single tokenizer shared by every operator family. */
+  private def words(c: Column): Column = Text.words(c)
 
   /** Distinct word 3-gram shingles per doc as an array column: (doc_id,
     * shs). 0-based `ws[i]` indexing in SQL exprs. */

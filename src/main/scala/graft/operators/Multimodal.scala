@@ -160,8 +160,12 @@ object Multimodal {
         if (next <= pos || next > bytes.length) walking = false
         else pos = next.toInt
       }
-      if (audioFormat != 1 || bits != 16 || channels < 1 || sampleRate <= 0 ||
-          dataOff < 0) return None
+      // sampleRate parses as UNSIGNED 32-bit: a hostile 0xFFFFFFFF passes
+      // a <=0 check and .toInt-wraps negative downstream — cap it so the
+      // never-throw-never-corrupt contract holds (192 kHz is the realistic
+      // ceiling; anything above is a malformed header)
+      if (audioFormat != 1 || bits != 16 || channels < 1 ||
+          sampleRate <= 0 || sampleRate > 4000000L || dataOff < 0) return None
       val bytesPerFrame = 2 * channels
       val nFrames = dataLen / bytesPerFrame
       if (nFrames == 0) return None

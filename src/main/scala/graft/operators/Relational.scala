@@ -493,16 +493,22 @@ object Relational {
     }
   )
 
-  /** Lexicographic "after lastKey" predicate over `orderCols`:
-    * (c1 > k1) OR (c1 = k1 AND (c2 > k2 OR ...)). Expanded OR form
-    * rather than a struct comparison so the leading-column range
-    * predicate reaches parquet row-group stats — the scan skips every
-    * file/row-group entirely before the page. */
+  /** Lexicographic "after lastKey" predicate over `orderCols` under
+    * Spark's default ASC NULLS FIRST ordering. Expanded OR form rather
+    * than a struct comparison so the leading-column range predicate
+    * reaches parquet row-group stats — the scan skips every file/
+    * row-group entirely before the page.
+    *
+    * NULL-aware (a plain `c > k` is null-rejecting, which would silently
+    * END pagination after the first page whenever an order key is NULL):
+    * "strictly after k" under nulls-first is `(k IS NULL AND c IS NOT
+    * NULL) OR c > k`, and ties use the null-safe `<=>` — both evaluate
+    * correctly whether or not the anchor literal is NULL. */
   private[graft] def seekPredicate(orderCols: Seq[String], lastKey: Seq[Column]): Column = {
     require(orderCols.size == lastKey.size,
       s"lastKey arity ${lastKey.size} != orderCols arity ${orderCols.size}")
     orderCols.zip(lastKey).foldRight(lit(false)) { case ((c, k), rest) =>
-      (col(c) > k) || (col(c) === k && rest)
+      (isnull(k) && col(c).isNotNull) || (col(c) > k) || (col(c) <=> k && rest)
     }
   }
 

@@ -26,9 +26,9 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Non-empty whitespace tokens, identical to the DuckDB oracle's
-    * list_filter(string_split(trim(text),' '), x -> x != ''). */
-  private def words(c: Column): Column = filter(split(trim(c), " "), w => w =!= "")
+  /** Non-empty whitespace tokens — delegates to [[Text.words]], the
+    * single tokenizer shared by every operator family. */
+  private def words(c: Column): Column = Text.words(c)
 
   /** Okapi BM25 top-k: rows matching `isQuery` are the query documents
     * (their distinct terms form the query); every OTHER doc is scored as

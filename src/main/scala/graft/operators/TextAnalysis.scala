@@ -12,11 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens with empties dropped (documents.text has a trailing
-    * space); identical to DuckDB `list_filter(string_split(trim(text),' '),
-    * x -> x != '')`. */
-  private def words(c: Column): Column =
-    filter(split(trim(c), " "), w => w =!= "")
+  /** Whitespace tokens with empties dropped — delegates to
+    * [[Text.words]], the single tokenizer shared by every operator
+    * family. */
+  private def words(c: Column): Column = Text.words(c)
 
   private val stopwordsEn = Seq("the", "a", "and", "of", "to", "is", "in")
 

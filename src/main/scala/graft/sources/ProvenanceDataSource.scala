@@ -76,6 +76,29 @@ class ProvenanceDataSource extends TableProvider with DataSourceRegister {
 }
 
 object ProvenanceDataSource {
+  /** Session Hadoop configuration on the DRIVER: spark.hadoop.*
+    * settings (s3a/hdfs credentials, endpoints) must reach every
+    * FileSystem and parquet access — a bare `new Configuration()` reads
+    * cluster warehouses as unauthenticated or silently missing, the
+    * defect class the r7 ADVICE flagged for the streaming sink. Falls
+    * back to a plain Configuration when no session is active. */
+  private[sources] def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Executor-shippable form of the session conf (Configuration is not
+    * Serializable): capture on the driver, re-apply task-side. */
+  private[sources] def confBits(): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    hadoopConf().iterator().asScala.map(e => e.getKey -> e.getValue).toSeq
+  }
+  private[sources] def confFromBits(bits: Seq[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    bits.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** READ schema = the model schema with every field nullable: a scan
     * cannot promise non-null across files (a drift file missing a column
     * reads as nulls), and a falsely non-nullable read schema lets Catalyst
@@ -367,12 +390,8 @@ private[sources] class ProvenanceV1Write(
       override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
         require(!overwrite,
           "graft-provenance is an append-only provenance log; use mode(\"append\")")
-        val mode = idMode.toLowerCase match {
-          case "partitioned" => graft.pipeline.ProvenanceStore.IdMode.Partitioned
-          case "contiguous" => graft.pipeline.ProvenanceStore.IdMode.Contiguous
-          case other => throw new IllegalArgumentException(
-            s"unknown idMode '$other' (expected partitioned|contiguous)")
-        }
+        // one parser: the store's CLI helper (trim + case rules live there)
+        val mode = graft.pipeline.ProvenanceStore.idMode(idMode)
         val store = new graft.pipeline.ProvenanceStore(
           data.sparkSession, warehouse, mode)
         val required = table match {
@@ -510,7 +529,7 @@ private[sources] class ProvenanceScan(
     * the planned file set consistent by construction. */
   private lazy val listedFiles: Array[org.apache.hadoop.fs.FileStatus] = {
     val path = new Path(dir)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(ProvenanceDataSource.hadoopConf())
     if (!fs.exists(path)) Array.empty
     else fs.listStatus(path)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -518,7 +537,7 @@ private[sources] class ProvenanceScan(
 
   private lazy val sortedLayout: Boolean = {
     val path = new Path(dir)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(ProvenanceDataSource.hadoopConf())
     val marker = new Path(path, graft.pipeline.ProvenanceStore.SortedMarker)
     fs.exists(marker) && {
       val manifest = {
@@ -578,7 +597,7 @@ private[sources] class ProvenanceScan(
       if (runtime.isEmpty) files
       else files.filter { s =>
         val r = ParquetFileReader.open(
-          HadoopInputFile.fromPath(s.getPath, new Configuration()))
+          HadoopInputFile.fromPath(s.getPath, ProvenanceDataSource.hadoopConf()))
         try {
           val footer = r.getFooter
           val fileSchema = footer.getFileMetaData.getSchema
@@ -604,7 +623,8 @@ private[sources] class ProvenanceScan(
     allFilters.isEmpty && limit < 0 && requested.fields.nonEmpty
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProvenanceReaderFactory(requested, allFilters, limit, columnarEligible)
+    new ProvenanceReaderFactory(requested, allFilters, limit, columnarEligible,
+      ProvenanceDataSource.confBits())
 
   /** Surfaced in `explain` via the v2 scan node; mirrors the built-in
     * parquet scan's reporting shape so PlanSpec can pin pushdown. */
@@ -645,7 +665,7 @@ private[sources] class ProvenanceAggScan(dir: String, specs: Array[AggSpec])
 
   override def planInputPartitions(): Array[InputPartition] = {
     val path = new Path(dir)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(ProvenanceDataSource.hadoopConf())
     if (!fs.exists(path)) Array.empty
     else fs.listStatus(path)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -654,14 +674,15 @@ private[sources] class ProvenanceAggScan(dir: String, specs: Array[AggSpec])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProvenanceAggReaderFactory(specs)
+    new ProvenanceAggReaderFactory(specs, ProvenanceDataSource.confBits())
 
   override def description(): String =
     s"graft-provenance $dir " +
       s"PushedAggregation: [${specs.map(_.display).mkString(", ")}]"
 }
 
-private[sources] class ProvenanceAggReaderFactory(specs: Array[AggSpec])
+private[sources] class ProvenanceAggReaderFactory(specs: Array[AggSpec],
+    confBits: Seq[(String, String)])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -674,7 +695,8 @@ private[sources] class ProvenanceAggReaderFactory(specs: Array[AggSpec])
       override def get(): InternalRow = {
         emitted = true
         import scala.jdk.CollectionConverters._
-        val conf = new Configuration()
+        // executor-side: rebuild the session conf shipped from the driver
+        val conf = ProvenanceDataSource.confFromBits(confBits)
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
         val blocks = try reader.getFooter.getBlocks.asScala.toSeq finally reader.close()
 
@@ -730,7 +752,7 @@ private[sources] class ProvenanceAggReaderFactory(specs: Array[AggSpec])
       /** Fallback when footer stats are absent: single-column data scan of
         * this file. Returns (nonNullCount, min, max, sawAnyValue). */
       private def scanColumn(file: String, spec: AggSpec): (Long, Long, Long, Boolean) = {
-        val conf = new Configuration()
+        val conf = ProvenanceDataSource.confFromBits(confBits)
         val r0 = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
         val fileSchema = try r0.getFooter.getFileMetaData.getSchema finally r0.close()
         val projection = new MessageType(fileSchema.getName,
@@ -765,7 +787,8 @@ private[sources] class ProvenanceAggReaderFactory(specs: Array[AggSpec])
 
 private[sources] class ProvenanceReaderFactory(
     requested: StructType, pushed: Array[Filter], limit: Int = -1,
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    confBits: Seq[(String, String)] = Seq.empty)
     extends PartitionReaderFactory {
 
   // scan-level constant: Spark requires every partition of a scan to agree
@@ -794,7 +817,7 @@ private[sources] class ProvenanceReaderFactory(
     val file = partition.asInstanceOf[ProvenanceFilePartition].file
     new PartitionReader[ColumnarBatch] {
       private val reader: VectorizedParquetRecordReader = {
-        val conf = new Configuration()
+        val conf = ProvenanceDataSource.confFromBits(confBits)
         // all-nullable rendering: a non-nullable catalyst field would clip
         // to a REQUIRED parquet column, and the reader then refuses files
         // missing it instead of null-filling (schema drift must degrade to
@@ -829,7 +852,7 @@ private[sources] class ProvenanceReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ProvenanceFilePartition].file
     new PartitionReader[InternalRow] {
-      private val conf = new Configuration()
+      private val conf = ProvenanceDataSource.confFromBits(confBits)
       // file footer: projection + filter translation use the ACTUAL file
       // schema, so schema drift across files degrades to "not pushed here"
       private val fileSchema: MessageType = {

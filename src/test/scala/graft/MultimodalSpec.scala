@@ -137,6 +137,17 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       bos.toByteArray
     }
     assert(Multimodal.WavCodec.decodeAudio(hostile).isEmpty)
+    // hostile sampleRate 0xFFFFFFFF (unsigned) must be rejected, not
+    // Int-wrapped into a negative rate/duration
+    val badRate = {
+      val square = Seq.tabulate(8)(i => if (i % 2 == 0) 16384 else -16384).map(_.toShort)
+      val ok = wavBytes(16000, 1, square)
+      // sampleRate lives at offset 12 (RIFF hdr) + 8 (fmt hdr) + 4
+      (0 until 4).foreach(i => ok(24 + i) = 0xFF.toByte)
+      ok
+    }
+    assert(Multimodal.WavCodec.decodeAudio(badRate).isEmpty,
+      "unsigned-overflow sample rate must yield None")
     // zero-size chunk loop (size 0 repeated) must terminate, not spin
     val zeroLoop = {
       val bos = new java.io.ByteArrayOutputStream()

@@ -50,6 +50,36 @@ class PaginationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(seen == expected, "pages concatenate to the global order")
   }
 
+  test("keyset pagination survives NULL order keys (nulls-first, no silent loss)") {
+    import spark.implicits._
+    // leading key NULL for more than a page of rows: a null-rejecting
+    // seek predicate would end pagination after page 1 and silently lose
+    // the rest of the table
+    val rows = (0L until 7L).map(i => (None: Option[Long], i)) ++
+      (7L until 12L).map(i => (Some(i), i))
+    val df = rows.toDF("k1", "k2")
+    val expected = df.orderBy("k1", "k2").select("k2").as[Long].collect().toSeq
+    var lastKey: Option[Seq[org.apache.spark.sql.Column]] = None
+    var walked = Vector.empty[Long]
+    var done = false
+    var guard = 0
+    while (!done && guard < 50) {
+      guard += 1
+      val page = Relational.keysetPage(df, Seq("k1", "k2"), lastKey, 3).collect()
+      if (page.isEmpty) done = true
+      else {
+        walked ++= page.map(_.getLong(1))
+        val last = page.last
+        lastKey = Some(Seq(
+          if (last.isNullAt(0)) lit(null).cast("long") else lit(last.getLong(0)),
+          lit(last.getLong(1))))
+        if (page.length < 3) done = true
+      }
+    }
+    assert(walked == expected,
+      s"null keys must paginate without loss: walked=$walked expected=$expected")
+  }
+
   test("q85 plan: no Window, no single-partition exchange, distributed top-k, pushed seek") {
     val df = SparkEntry.all("q85_keyset_pagination").fn(spark, sf001)
     val p = df.queryExecution.explainString(

@@ -104,7 +104,7 @@ class ProvenanceWriteSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .option("idMode", "bogus")
         .mode("append").save()
     }
-    assert(badMode.getMessage.contains("idMode"),
+    assert(badMode.getMessage.contains("id mode"),
       s"unexpected error: ${badMode.getMessage}")
   }
 

@@ -157,7 +157,12 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val edges = Seq(
       (1000L, Seq.empty[String], Seq("a", "b")),
       (1001L, Seq("a", "a", "b"), Seq("a", "b", "b", "c")),
-      (1002L, Seq("x"), Seq("y")))
+      (1002L, Seq("x"), Seq("y")),
+      // NULL elements are their own value, distinct from '' — common
+      // iff present on both sides (array_intersect parity)
+      (1003L, Seq(""), Seq(null.asInstanceOf[String])),
+      (1004L, Seq(null.asInstanceOf[String], "a"), Seq(null.asInstanceOf[String], "b")),
+      (1005L, Seq(null.asInstanceOf[String], null.asInstanceOf[String]), Seq(null.asInstanceOf[String])))
     import spark.implicits._
     val df = (rows ++ edges).toDF("id", "a", "b")
       .withColumn("native", expr("graft_overlap_count(a, b)"))
