@@ -185,6 +185,46 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- APPLY the dedup: the kept corpus after dropping every
+    //      non-keeper cluster member — the materialization step a dedup
+    //      pipeline actually ships (detect → cluster → apply). Anti-join
+    //      against the (tiny) non-keeper set, so the corpus streams
+    //      through with one broadcast-sized membership probe. ----
+    "q91_dedup_apply" -> QueryDef.sql(
+      """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM com
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |  WHERE r.a != e.b),
+        |members AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |labels AS (SELECT m.doc_id, least(m.doc_id, min(r.b)) AS cluster_id
+        |           FROM members m JOIN reach r ON r.a = m.doc_id
+        |           GROUP BY m.doc_id),
+        |dropped AS (SELECT doc_id FROM labels WHERE doc_id != cluster_id)
+        |SELECT d.doc_id, d.source, length(d.text) AS n_chars
+        |FROM documents d LEFT JOIN dropped x USING (doc_id)
+        |WHERE x.doc_id IS NULL
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      dedupApply(docs, duplicateClusters(exactJaccardPairs(docs, 0.6)))
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ---- duplicate clusters via large-star/small-star (Kiveris et al.) —
     //      same contract and same recursive-CTE oracle as q62, but the
     //      O(log n)-round algorithm instead of O(diameter) label
@@ -464,6 +504,18 @@ object Dedup {
     labels.unpersist(); edges.unpersist(); p.unpersist()
     result
   }
+
+  /** Materialize a dedup decision: keep every doc that is NOT a
+    * non-keeper cluster member (q91 — the apply step after
+    * [[duplicateClusters]]/[[connectedComponentsStar]]). Anti-join
+    * against the dropped set, which is bounded by the number of
+    * near-dups — a tiny fraction of any real corpus, so the probe
+    * broadcasts and the corpus never shuffles. Docs outside every
+    * cluster pass through untouched. */
+  def dedupApply(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      broadcast(clusters.filter(!col("is_keeper")).select("doc_id")),
+      Seq("doc_id"), "left_anti")
 
   /** Connected components by alternating large-star/small-star (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the

@@ -172,6 +172,21 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cand.contains((2L, 3L)))
   }
 
+  test("dedup apply keeps exactly the keepers plus all unclustered docs") {
+    val clusters = Dedup.duplicateClusters(Dedup.exactJaccardPairs(docs, 0.6))
+    val kept = Dedup.dedupApply(docs, clusters)
+      .select("doc_id").as[Long].collect().toSet
+    val keepers = clusters.filter(col("is_keeper"))
+      .select("doc_id").as[Long].collect().toSet
+    val members = clusters.select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(kept == keepers ++ (all -- members),
+      s"kept=$kept keepers=$keepers unclustered=${all -- members}")
+    // planted corpus: 0/1 exact dups and the two near-dup pairs each
+    // lose exactly one member
+    assert((all -- kept).size == 3, s"dropped=${all -- kept}")
+  }
+
   test("duplicate clusters merge transitive chains to one keeper") {
     // chain: 10~11 and 11~12 are edges, 10~12 is not — one component {10,11,12}
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("d1", "d2")
