@@ -507,14 +507,17 @@ object Dedup {
 
   /** Materialize a dedup decision: keep every doc that is NOT a
     * non-keeper cluster member (q91 — the apply step after
-    * [[duplicateClusters]]/[[connectedComponentsStar]]). Anti-join
-    * against the dropped set, which is bounded by the number of
-    * near-dups — a tiny fraction of any real corpus, so the probe
-    * broadcasts and the corpus never shuffles. Docs outside every
-    * cluster pass through untouched. */
+    * [[duplicateClusters]]/[[connectedComponentsStar]]). Plain anti-join
+    * with NO broadcast hint: web-crawl LLM dedup routinely drops 30–80%
+    * of the corpus, so the dropped-id set can be billions of rows — a
+    * forced broadcast would bypass AQE's size check and OOM exactly on
+    * the corpora this operator exists for. AQE still picks a broadcast
+    * at runtime when the dropped set really is small; when it isn't,
+    * the anti-join shuffles both sides on doc_id and scales linearly.
+    * Docs outside every cluster pass through untouched. */
   def dedupApply(docs: DataFrame, clusters: DataFrame): DataFrame =
     docs.join(
-      broadcast(clusters.filter(!col("is_keeper")).select("doc_id")),
+      clusters.filter(!col("is_keeper")).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
   /** Connected components by alternating large-star/small-star (Kiveris et

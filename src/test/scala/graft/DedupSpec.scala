@@ -187,6 +187,42 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert((all -- kept).size == 3, s"dropped=${all -- kept}")
   }
 
+  test("dedup apply never forces a broadcast of the dropped set (adversarial dup rate)") {
+    // Web-crawl dedup drops 30–80% of the corpus; at 100 TB the dropped-id
+    // set is billions of rows. A broadcast() HINT overrides the size
+    // threshold, so disabling broadcast by config distinguishes the two
+    // shapes: a hinted plan still contains a BroadcastExchange, an
+    // unhinted one honors the config and shuffles. Majority-duplicate
+    // corpus: 900 of 1000 docs are dropped cluster members.
+    val corpus = spark.range(0, 1000)
+      .select(col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"))
+    val clusters = spark.range(0, 950)
+      .select(col("id").as("doc_id"), (col("id") % 50).as("cluster_id"),
+        (col("id") < 50).as("is_keeper"))
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val kept = Dedup.dedupApply(corpus, clusters)
+      val ids = kept.select("doc_id").as[Long].collect().toSet
+      assert(ids == ((0L until 50L) ++ (950L until 1000L)).toSet,
+        "keepers plus unclustered docs survive")
+      val p = kept.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"),
+        s"dedupApply must not force a broadcast of the dropped set: $p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      prevAdaptive match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("duplicate clusters merge transitive chains to one keeper") {
     // chain: 10~11 and 11~12 are edges, 10~12 is not — one component {10,11,12}
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("d1", "d2")
