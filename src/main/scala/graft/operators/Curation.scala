@@ -264,6 +264,26 @@ object Curation {
       repeatedSpans(Tables.documents(s, dir), n = 8, minDocs = 2, topK = 100)
     },
 
+    // ---- the hash-space scale face of q90: same oracle, same output,
+    //      but the corpus-sized shuffle carries 8-byte xxhash64 keys and
+    //      span text is recovered only for the ~k winners (q51/q78
+    //      two-face pattern). ----
+    "q92_repeated_spans_hashed" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sp AS (SELECT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)]) AS span
+        |       FROM w WHERE len(ws) >= 8),
+        |agg AS (SELECT span, count(*) AS n_occurrences,
+        |          count(DISTINCT doc_id) AS n_docs
+        |        FROM sp GROUP BY 1)
+        |SELECT span, n_occurrences, n_docs FROM agg
+        |WHERE n_docs >= 2
+        |ORDER BY n_occurrences DESC, span
+        |LIMIT 100""") { (s, dir) =>
+      repeatedSpansHashed(Tables.documents(s, dir), n = 8, minDocs = 2, topK = 100)
+    },
+
     // ---- stratified deterministic sample: top-n docs per stratum
     //      (lang), ranked by content hash — the reproducible stratified
     //      subsample a training pipeline takes (same rows on every
@@ -714,6 +734,51 @@ object Curation {
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_occurrences").desc, col("span"))
       .limit(topK)
+  }
+
+  /** The 100 TB face of [[repeatedSpans]] (q92): aggregate in HASH space
+    * — the big shuffle carries 8-byte xxhash64 keys instead of n-token
+    * span text (~5× less shuffle at n=8), and span text is recovered
+    * only for the winners. Same output contract as the exact form; a
+    * hash collision would merge two unrelated spans into one reported
+    * row (odds ~ m²/2⁶⁴ for m distinct spans — negligible below
+    * trillions of spans, and CurationSpec pins hashed == exact on real
+    * data).
+    *
+    * Shape: (1) count occurrences and distinct docs per span HASH —
+    * the only corpus-sized shuffle, fixed-width keys, map-side
+    * combinable; (2) the k-th highest count becomes a one-row broadcast
+    * threshold, and every hash at or above it survives (k + boundary
+    * ties rows, so span-order ties at the k boundary resolve exactly as
+    * the text form after recovery); (3) a second documents scan joins
+    * the broadcast winner set to recover exemplar text for only those
+    * k+ hashes — two scans of the raw corpus (the q74 pattern) beat
+    * materializing or re-shuffling the window explosion. */
+  def repeatedSpansHashed(docs: DataFrame, n: Int, minDocs: Int, topK: Int): DataFrame = {
+    val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+    def spanFrame = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))")).as("span"))
+    val counts = spanFrame
+      .select(col("doc_id"), xxhash64(col("span")).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .localCheckpoint(eager = false) // two consumers: threshold + winners
+    val thr = counts.orderBy(col("n_occurrences").desc).limit(topK)
+      .agg(min(col("n_occurrences")).as("thr"))
+    val winners = counts.crossJoin(broadcast(thr))
+      .filter(col("n_occurrences") >= col("thr"))
+      .select("h", "n_occurrences", "n_docs")
+    spanFrame.select(xxhash64(col("span")).as("h"), col("span"))
+      .join(broadcast(winners), Seq("h"))
+      .groupBy("h", "n_occurrences", "n_docs")
+      .agg(min(col("span")).as("span"))
+      .orderBy(col("n_occurrences").desc, col("span"))
+      .limit(topK)
+      .select("span", "n_occurrences", "n_docs")
   }
 
   /** Corpus-weighted adjacent character-pair frequencies over the word

@@ -260,6 +260,26 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.forall(r => !r._1.contains("whatsoever")))
   }
 
+  test("hashed repeated spans equal the exact form (planted corpus and real data)") {
+    val boiler = "this content is provided under the standard license terms"
+    val planted = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, s"$boiler zeta $boiler"),
+      (4L, "totally unrelated text with no shared spans whatsoever here")
+    ).toDF("doc_id", "text")
+    for ((name, docs) <- Seq(
+        "planted" -> planted,
+        "sf0.001" -> Tables.documents(spark, sf001))) {
+      val exact = Curation.repeatedSpans(docs, n = 8, minDocs = 2, topK = 100)
+        .as[(String, Long, Long)].collect().toSeq
+      val hashed = Curation.repeatedSpansHashed(docs, n = 8, minDocs = 2, topK = 100)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(hashed == exact,
+        s"$name: hashed face diverged\n got ${hashed.take(5)}\n exp ${exact.take(5)}")
+    }
+  }
+
   test("persisted bench shingle set reproduces the direct decontamination scan") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 tail1 tail2"),
