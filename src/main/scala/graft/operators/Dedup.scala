@@ -462,17 +462,8 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIters) {
       i += 1
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "b_id"),
-          col("b") === col("b_id"))
-        .groupBy(col("a").as("doc_id"))
-        .agg(min(col("label")).as("nbr_label"))
       // fused update + convergence flag: one join, one action per iteration
-      val updated = labels.join(neighborMin, Seq("doc_id"))
-        .select(col("doc_id"),
-          least(col("label"), col("nbr_label")).as("label"),
-          (col("nbr_label") < col("label")).as("chg"))
-        .cache()
+      val updated = labelPropRound(edges, labels).cache()
       val changed = updated.filter(col("chg")).limit(1).count()
       labels.unpersist()
       labels = updated.drop("chg")
@@ -503,6 +494,23 @@ object Dedup {
       .localCheckpoint(eager = true)
     labels.unpersist(); edges.unpersist(); p.unpersist()
     result
+  }
+
+  /** One min-label-propagation round — q62's loop body, exposed so
+    * PlanSpec can pin its per-round shuffle budget (the iterative
+    * operators' cost is rounds × this plan; a regression here multiplies).
+    * Two shuffle joins + one aggregate: neighbor-min by edge target, then
+    * the fused label update + changed flag. */
+  private[graft] def labelPropRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val neighborMin = edges
+      .join(labels.withColumnRenamed("doc_id", "b_id"),
+        col("b") === col("b_id"))
+      .groupBy(col("a").as("doc_id"))
+      .agg(min(col("label")).as("nbr_label"))
+    labels.join(neighborMin, Seq("doc_id"))
+      .select(col("doc_id"),
+        least(col("label"), col("nbr_label")).as("label"),
+        (col("nbr_label") < col("label")).as("chg"))
   }
 
   /** Materialize a dedup decision: keep every doc that is NOT a
@@ -567,24 +575,7 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIters) {
       i += 1
-      // large-star over the symmetric adjacency (u=a, v=b)
-      val nbrs = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      val mins = nbrs.groupBy("a").agg(min(col("b")).as("mn"))
-        .select(col("a"), least(col("a"), col("mn")).as("m"))
-      val large = nbrs.join(mins, "a")
-        .filter(col("b") > col("a") && col("b") =!= col("m"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .distinct()
-      // small-star on the large→small orientation
-      val oriented = large.select(
-        greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
-        .filter(col("hi") =!= col("lo"))
-      val m2 = oriented.groupBy("hi").agg(min(col("lo")).as("m"))
-      val joined = oriented.join(m2, "hi")
-      val next = joined.select(col("lo").as("a"), col("m").as("b"))
-        .union(joined.select(col("hi").as("a"), col("m").as("b")))
-        .filter(col("a") =!= col("b"))
-        .distinct().repartition(parts).localCheckpoint(true)
+      val next = starRound(edges).repartition(parts).localCheckpoint(true)
       val nextFp = fingerprint(next)
       edges = next
       converged = nextFp == fp
@@ -604,6 +595,31 @@ object Dedup {
       .localCheckpoint(eager = true)
     nodes.unpersist(); p.unpersist()
     result
+  }
+
+  /** One large-star + small-star round — q67's loop body, exposed so
+    * PlanSpec can pin its per-round shuffle budget. Each round is two
+    * self-aggregating joins over the edge list (Kiveris SoCC'14); the
+    * caller repartitions and checkpoint-barriers the result. */
+  private[graft] def starRound(edges: DataFrame): DataFrame = {
+    // large-star over the symmetric adjacency (u=a, v=b)
+    val nbrs = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    val mins = nbrs.groupBy("a").agg(min(col("b")).as("mn"))
+      .select(col("a"), least(col("a"), col("mn")).as("m"))
+    val large = nbrs.join(mins, "a")
+      .filter(col("b") > col("a") && col("b") =!= col("m"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .distinct()
+    // small-star on the large→small orientation
+    val oriented = large.select(
+      greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+    val m2 = oriented.groupBy("hi").agg(min(col("lo")).as("m"))
+    val joined = oriented.join(m2, "hi")
+    joined.select(col("lo").as("a"), col("m").as("b"))
+      .union(joined.select(col("hi").as("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
   }
 
   /** MinHash signatures (numHashes seeded xxhash64 mins over shingles),

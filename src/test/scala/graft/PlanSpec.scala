@@ -257,7 +257,16 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q74_decontamination",      2, 6),
       ("q78_jaccard_prefix_filter", 5, 8),
       ("q84_bm25_topk",            2, 6),
-      ("q87_lm_bigram_score",      0, 6))
+      ("q87_lm_bigram_score",      0, 6),
+      // r9 additions (VERDICT r8 #4): the r8-new and barrier-backed
+      // queries. For q79/q92 the pre-barrier subtree hides behind an
+      // ExistingRDD scan, so a LOST barrier shows up as parquet scans
+      // appearing — exactly the q51 rot mode this gate exists for.
+      ("q79_semantic_dedup",       0, 2),
+      ("q86_hybrid_retrieval_rrf", 4, 9),
+      ("q90_repeated_spans",       1, 3),
+      ("q91_dedup_apply",          1, 2),
+      ("q92_repeated_spans_hashed", 1, 2))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
@@ -266,6 +275,35 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
       assert(scans <= maxScans,
         s"$name: $scans parquet scans (budget $maxScans) — subtree recompute?\n$p")
+      assert(exchanges <= maxExchanges,
+        s"$name: $exchanges shuffle exchanges (budget $maxExchanges)\n$p")
+    }
+  }
+
+  test("plan-regression gate: per-round budgets for the iterative CC operators (q62/q67)") {
+    // The iterative operators' cost is rounds × the round plan, so a
+    // regression in the loop body multiplies by the round count and the
+    // final (checkpointed) plan never shows it. Pin each round builder
+    // directly: zero parquet scans (rounds read the barriered edge set,
+    // never the corpus) and a bounded exchange count.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.ExplainMode
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      .localCheckpoint(true)
+    val labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    val rounds = Seq(
+      ("labelPropRound (q62)",
+        graft.operators.Dedup.labelPropRound(edges, labels), 4),
+      ("starRound (q67)",
+        graft.operators.Dedup.starRound(edges), 9))
+    rounds.foreach { case (name, df, maxExchanges) =>
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+      assert(scans == 0,
+        s"$name: a CC round must never re-scan parquet ($scans):\n$p")
       assert(exchanges <= maxExchanges,
         s"$name: $exchanges shuffle exchanges (budget $maxExchanges)\n$p")
     }
