@@ -785,10 +785,13 @@ private[sources] class ProvenanceAggReaderFactory(specs: Array[AggSpec],
   }
 }
 
+// confBits has NO default: every construction site must hand over the
+// driver-captured session conf, or executors would silently rebuild an
+// empty Configuration and lose s3a/hdfs credentials (r8 ADVICE).
 private[sources] class ProvenanceReaderFactory(
     requested: StructType, pushed: Array[Filter], limit: Int = -1,
     columnar: Boolean = false,
-    confBits: Seq[(String, String)] = Seq.empty)
+    confBits: Seq[(String, String)])
     extends PartitionReaderFactory {
 
   // scan-level constant: Spark requires every partition of a scan to agree

@@ -231,7 +231,9 @@ private[sources] class SpjScan(
 
   private lazy val bucketFiles: Seq[(Int, Seq[String])] = {
     val path = new Path(dir)
-    val fs = path.getFileSystem(new Configuration())
+    // session conf, not a bare Configuration: hdfs://-s3a:// warehouses
+    // need the session's spark.hadoop.* credentials to list
+    val fs = path.getFileSystem(ProvenanceDataSource.hadoopConf())
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
@@ -256,7 +258,9 @@ private[sources] class SpjScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SpjReaderFactory(requested, key)
+    // capture the session Hadoop conf ON THE DRIVER: executors rebuild it
+    // from these bits, so s3a/hdfs credentials reach the SPJ read path
+    new SpjReaderFactory(requested, key, ProvenanceDataSource.confBits())
 
   override def description(): String =
     s"graft-spj $dir bucket($buckets, $key) ReadSchema: ${requested.catalogString}"
@@ -274,10 +278,12 @@ private[sources] case class SpjBucketPartition(bucket: Int, files: Seq[String])
   * key pruned away no ordering was promised, and the files simply chain.
   * The `bucket` directory column is not part of the stored files, so the
   * reader surface is exactly the model schema. */
-private[sources] class SpjReaderFactory(requested: StructType, key: String)
+private[sources] class SpjReaderFactory(requested: StructType, key: String,
+    confBits: Seq[(String, String)])
     extends PartitionReaderFactory {
 
-  private val perFile = new ProvenanceReaderFactory(requested, Array.empty, -1)
+  private val perFile =
+    new ProvenanceReaderFactory(requested, Array.empty, -1, confBits = confBits)
   private val keyIdx = requested.fieldNames.indexOf(key)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
