@@ -50,6 +50,7 @@ final class ProvenanceStore(
     // is always false on hdfs://-s3a:// warehouses, which would silently
     // read an existing table as empty (same defect class the streaming
     // near-dup sink fixed, r7 ADVICE)
+    restoreIfStranded(path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p))
@@ -137,6 +138,7 @@ final class ProvenanceStore(
     // job runs against hdfs://-s3a:// warehouses too; each rename below is
     // atomic on HDFS-like stores (object stores without atomic rename
     // should compact into a fresh prefix instead).
+    restoreIfStranded(path)
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     def dataFiles(d: org.apache.hadoop.fs.Path): Int =
@@ -166,10 +168,34 @@ final class ProvenanceStore(
     try marker.write(sortedFiles.mkString("\n").getBytes("UTF-8"))
     finally marker.close()
     if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed run
-    if (!fs.rename(dir, old) || !fs.rename(tmp, dir))
-      throw new java.io.IOException(s"compaction swap failed for $path")
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"compaction swap failed for $path (dir -> compact-old)")
+    if (!fs.rename(tmp, dir)) {
+      // roll the original back into place before surfacing: otherwise the
+      // table silently reads as empty while the data sits stranded in
+      // .compact-old and the next compact() early-returns at before==0
+      if (!fs.rename(old, dir))
+        throw new java.io.IOException(
+          s"compaction swap failed for $path AND rollback failed — data is at $old")
+      throw new java.io.IOException(s"compaction swap failed for $path (rolled back)")
+    }
     fs.delete(old, true)
     ProvenanceStore.CompactionStats(before, dataFiles(dir), rows)
+  }
+
+  /** Crash recovery for the compact() swap: a process that died between
+    * the two renames leaves the table directory missing and the data
+    * stranded at `.compact-old`. Detected at read and compact entry; the
+    * restore is the same single atomic rename the swap uses. A crash
+    * AFTER the second rename (dir and .compact-old both present) needs no
+    * restore — the stale .compact-old is deleted on the next compact(). */
+  private def restoreIfStranded(path: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(s"$path.compact-old")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir) && fs.exists(old) && !fs.rename(old, dir))
+      throw new java.io.IOException(
+        s"table $path is stranded at $old and restore failed")
   }
 }
 

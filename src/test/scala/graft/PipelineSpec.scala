@@ -201,6 +201,36 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(store.responses.count() == 65)
   }
 
+  test("compaction crash recovery: a table stranded at .compact-old restores on read and compact") {
+    val wh = tmpDir("wh")
+    val store = new ProvenanceStore(spark, wh)
+    store.appendResponses(spark.range(0, 10, 1, 2)
+      .select(
+        lit("p").as("provider"), lit("GET").as("method"),
+        concat(lit("https://x.test/"), col("id")).as("url"),
+        lit(null).cast("string").as("params_json"),
+        lit(200).as("status_code"), lit("{}").as("headers_json"),
+        lit("b".getBytes("UTF-8")).as("body"),
+        col("id").cast("int").as("item_index"), lit("metadata").as("stage")))
+    val rows = store.responses.select("id", "url")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // simulate a crash between the swap's two renames: dir moved aside,
+    // replacement never arrived — without recovery this reads as empty
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/responses")
+    val old = new org.apache.hadoop.fs.Path(s"$wh/responses.compact-old")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(dir, old), "test setup: strand the table")
+    assert(store.responses.select("id", "url")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq == rows,
+      "read must restore the stranded table, not return empty")
+    assert(fs.exists(dir) && !fs.exists(old), "restore must move the data back")
+    // strand again and prove compact() also restores instead of no-op'ing
+    assert(fs.rename(dir, old), "test setup: strand the table again")
+    val stats = store.compact("responses", targetRowsPerFile = 100L)
+    assert(stats.rows == 10L, s"compact must restore then run: $stats")
+    assert(store.responses.count() == 10)
+  }
+
   test("compaction ordering parity: DSv2 scan reports id order until an append withdraws it") {
     val wh = tmpDir("wh")
     val store = new ProvenanceStore(spark, wh)
