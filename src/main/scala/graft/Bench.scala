@@ -44,34 +44,72 @@ object Bench {
     * completed stages. Shuffle volume is the thing the scale design
     * minimizes — reporting it per query makes "does this plan shuffle
     * more than it should" a measured number instead of a plan-reading
-    * judgment, and unlike wall-clock it is deterministic run to run. */
+    * judgment, and unlike wall-clock it is deterministic run to run.
+    *
+    * Attribution is EXACT via job groups (r8 ADVICE): every measured run
+    * executes under a unique `setJobGroup` id; `onJobStart` maps the
+    * job's stages to that group and stage completions accumulate against
+    * the group of the stage — a straggler stage that completes after the
+    * measurement window still lands on the query that ran it, never the
+    * next one, and concurrent session housekeeping (group-less jobs)
+    * never pollutes a query's numbers. */
   private class CostListener extends org.apache.spark.scheduler.SparkListener {
-    private val read = new java.util.concurrent.atomic.AtomicLong
-    private val write = new java.util.concurrent.atomic.AtomicLong
-    private val spill = new java.util.concurrent.atomic.AtomicLong
+    private val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]
+    private val agg = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val g = Option(j.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+      if (g.nonEmpty) j.stageInfos.foreach(si => stageGroup.put(si.stageId, g))
+    }
     override def onStageCompleted(
         s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val g = stageGroup.getOrDefault(s.stageInfo.stageId, "")
       val m = s.stageInfo.taskMetrics
-      if (m != null) {
-        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        spill.addAndGet(m.diskBytesSpilled)
+      if (g.nonEmpty && m != null) {
+        val a = agg.computeIfAbsent(g, _ => Array(0L, 0L, 0L))
+        a.synchronized {
+          a(0) += m.shuffleReadMetrics.totalBytesRead
+          a(1) += m.shuffleWriteMetrics.bytesWritten
+          a(2) += m.diskBytesSpilled
+        }
       }
     }
-    def reset(): Unit = { read.set(0); write.set(0); spill.set(0) }
+    private def snap(group: String): (Long, Long, Long) =
+      agg.get(group) match {
+        case null => (0L, 0L, 0L)
+        case a => a.synchronized((a(0), a(1), a(2)))
+      }
     /** Listener events are async: settle = two identical 100 ms reads
-      * (bounded) before snapshotting. */
-    def settled(): (Long, Long, Long) = {
+      * (bounded) before snapshotting the group's totals. */
+    def settled(group: String): (Long, Long, Long) = {
       var prev = (-1L, -1L, -1L)
-      var cur = (read.get, write.get, spill.get)
+      var cur = snap(group)
       var waited = 0
       while (cur != prev && waited < 2000) {
         Thread.sleep(100); waited += 100
-        prev = cur; cur = (read.get, write.get, spill.get)
+        prev = cur; cur = snap(group)
       }
       cur
     }
   }
+
+  /** Expected per-query shuffle WRITE MB at sf0.1 (VERDICT r8 #2): pinned
+    * from a cpus=32 run of the committed plans. Shuffle bytes are
+    * deterministic per plan — unlike wall-clock they cannot drift with the
+    * box — so the committed BENCH artifact carries its own regression
+    * signal: `shuffle_delta_vs_pinned` must read all zeros, and a delta
+    * beyond ±20% (with a 0.2 MB absolute floor for the near-zero pins)
+    * fails the run loudly. A plan change that legitimately shifts shuffle
+    * volume must update the pin in the same commit. */
+  val pinnedShuffleWriteMb: Map[String, Double] = Map(
+    "q01_pricing_summary" -> 0.0, "q02_filter_predicates" -> 0.0,
+    "q03_join_revenue_topk" -> 0.4, "q04_join_broadcast_dims" -> 0.0,
+    "q09_window_topk_per_group" -> 1.5, "q24_exists_filtered" -> 0.3,
+    "q36_tumbling_window" -> 0.2, "q41_quality_score" -> 0.1,
+    "q51_ngram_jaccard_pairs" -> 12.6, "q52_minhash_lsh_pairs" -> 0.9,
+    "q54_cosine_topk" -> 0.0, "q55b_cosine_pairs_lsh" -> 6.0,
+    "q74_decontamination" -> 7.7, "q78_jaccard_prefix_filter" -> 5.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,17 +170,22 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, err)
     }
     /** `runs` timed samples; shuffle metrics captured from the LAST run
-      * only (they are deterministic per plan), so the settle waits —
-      * which run OUTSIDE the timed regions — cost two flushes per query
-      * instead of one per run. */
+      * only (they are deterministic per plan). Every run gets a unique
+      * job-group id, so the last run's metrics are read from ITS group —
+      * stragglers from warm runs sit in their own groups and cannot
+      * inflate the measurement (exact attribution, no reset races). */
     def sampleQuery(name: String, dir: String, runs: Int,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Seq[(Double, Option[String])], (Long, Long, Long)) = {
-      val warm = (1 until runs).map(_ => time(name, dir, fn))
-      cost.settled() // flush any stragglers from the warm runs
-      cost.reset()
-      val last = time(name, dir, fn)
-      (warm :+ last, cost.settled())
+      def grouped(tag: String): (Double, Option[String]) = {
+        spark.sparkContext.setJobGroup(tag, s"bench $tag")
+        try time(name, dir, fn)
+        finally spark.sparkContext.clearJobGroup()
+      }
+      val warm = (1 until runs).map(i => grouped(s"$name#warm$i"))
+      val lastGroup = s"$name#measured"
+      val last = grouped(lastGroup)
+      (warm :+ last, cost.settled(lastGroup))
     }
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
@@ -179,6 +222,25 @@ object Bench {
       "\"" + k + "\":" + f"{\"write_mb\":${wr / 1e6}%.1f," +
         f"\"read_mb\":${rd / 1e6}%.1f,\"spill_mb\":${sp / 1e6}%.1f}"
     }.mkString("{", ",", "}")
+    // committed-artifact self-check: measured shuffle write vs the pinned
+    // expectation, as a relative delta (0.2 MB absolute floor absorbs AQE
+    // coalescing jitter on the near-zero pins). All zeros = the committed
+    // plans still shuffle exactly what they did when pinned; any breach
+    // fails the run loudly below.
+    val atPinnedSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val deltas = results.flatMap { case (k, _, _, _, (_, wr, _)) =>
+      pinnedShuffleWriteMb.get(k).filter(_ => atPinnedSf).map { pin =>
+        val mb = wr / 1e6
+        val diff = mb - pin
+        val breach = math.abs(diff) > math.max(0.2, 0.2 * pin)
+        (k, if (breach) diff / math.max(pin, 0.1) else 0.0, breach, mb)
+      }
+    }
+    val deltaJson =
+      if (deltas.isEmpty) ""
+      else "," + "\"shuffle_delta_vs_pinned\":" + deltas.map {
+        case (k, d, _, _) => "\"" + k + f"\":$d%.2f"
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // pre-r8 12-query total from the same run's medians — cross-round
     // continuity across the documented r8 headline break; only emitted
@@ -187,8 +249,14 @@ object Bench {
       if (legacy12.forall(selected.contains))
         f""","legacy12_total":${results.collect { case (k, m, _, _, _) if legacy12.contains(k) => m }.sum}%.3f"""
       else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"shuffle":$shuffles,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"shuffle":$shuffles$deltaJson,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
     var anyFailed = results.exists(_._4.isDefined)
+    deltas.filter(_._3).foreach { case (k, d, _, mb) =>
+      System.err.println(f"[bench] SHUFFLE REGRESSION $k: $mb%.1f MB written vs " +
+        f"pinned ${pinnedShuffleWriteMb(k)}%.1f MB (delta ${d * 100}%.0f%%) — " +
+        "plan changed; fix it or update the pin in the same commit")
+      anyFailed = true
+    }
 
     // SPARK_GRAFT_BENCH_SCALING=1: rerun the headline at the other scale
     // factors and report each query's log-log slope (elapsed vs sf). Slope
