@@ -167,41 +167,58 @@ final class ProvenanceStore(
       new org.apache.hadoop.fs.Path(tmp, ProvenanceStore.SortedMarker), true)
     try marker.write(sortedFiles.mkString("\n").getBytes("UTF-8"))
     finally marker.close()
-    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed run
-    if (!fs.rename(dir, old))
-      throw new java.io.IOException(s"compaction swap failed for $path (dir -> compact-old)")
-    if (!fs.rename(tmp, dir)) {
-      // roll the original back into place before surfacing: otherwise the
-      // table silently reads as empty while the data sits stranded in
-      // .compact-old and the next compact() early-returns at before==0
-      if (!fs.rename(old, dir))
-        throw new java.io.IOException(
-          s"compaction swap failed for $path AND rollback failed — data is at $old")
-      throw new java.io.IOException(s"compaction swap failed for $path (rolled back)")
-    }
-    fs.delete(old, true)
+    ProvenanceStore.swapCompacted(fs, dir, tmp)
     ProvenanceStore.CompactionStats(before, dataFiles(dir), rows)
   }
 
-  /** Crash recovery for the compact() swap: a process that died between
-    * the two renames leaves the table directory missing and the data
-    * stranded at `.compact-old`. Detected at read and compact entry; the
-    * restore is the same single atomic rename the swap uses. A crash
-    * AFTER the second rename (dir and .compact-old both present) needs no
-    * restore — the stale .compact-old is deleted on the next compact(). */
   private def restoreIfStranded(path: String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(path)
-    val old = new org.apache.hadoop.fs.Path(s"$path.compact-old")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir) && fs.exists(old) && !fs.rename(old, dir))
-      throw new java.io.IOException(
-        s"table $path is stranded at $old and restore failed")
+    ProvenanceStore.restoreIfStranded(
+      dir.getFileSystem(spark.sessionState.newHadoopConf()), dir)
   }
 }
 
 object ProvenanceStore {
   /** Result of a [[ProvenanceStore.compact]] run. */
   final case class CompactionStats(filesBefore: Int, filesAfter: Int, rows: Long)
+
+  /** Atomic aside-write-and-swap, shared by the table compaction here and
+    * the streaming near-dup store compaction
+    * ([[graft.streaming.Streams.compactNearDupStore]]): dir → .compact-old,
+    * tmp → dir, delete old. Each rename is atomic on HDFS-like stores; on
+    * second-rename failure the original directory is rolled back into
+    * place before throwing, so the table never reads as empty. */
+  private[graft] def swapCompacted(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(dir.toString + ".compact-old")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed run
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"compaction swap failed for $dir (dir -> compact-old)")
+    if (!fs.rename(tmp, dir)) {
+      if (!fs.rename(old, dir))
+        throw new java.io.IOException(
+          s"compaction swap failed for $dir AND rollback failed — data is at $old")
+      throw new java.io.IOException(s"compaction swap failed for $dir (rolled back)")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Crash recovery for the swap: a process that died between the two
+    * renames leaves the directory missing and the data stranded at
+    * `.compact-old`. Detected at read and compact entry; the restore is
+    * the same single atomic rename the swap uses. A crash AFTER the
+    * second rename (dir and .compact-old both present) needs no restore —
+    * the stale .compact-old is deleted on the next compaction. */
+  private[graft] def restoreIfStranded(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(dir.toString + ".compact-old")
+    if (!fs.exists(dir) && fs.exists(old) && !fs.rename(old, dir))
+      throw new java.io.IOException(
+        s"table $dir is stranded at $old and restore failed")
+  }
 
   /** Basename of the sorted-layout manifest [[ProvenanceStore.compact]]
     * leaves in the table directory (read by

@@ -209,6 +209,39 @@ object Streams {
         ()
       }
 
+  /** Maintenance for the [[nearDupSinkQuery]] stores: every micro-batch
+    * appends a few small parquet files to the signature and pair stores
+    * forever — at crawl cadence that is thousands of files per day, and
+    * the per-batch `readOrEmpty` degrades O(files). Rewrites the rows
+    * into ceil(rows / targetRowsPerFile) files and swaps atomically via
+    * [[graft.pipeline.ProvenanceStore.swapCompacted]] (aside-write, two
+    * renames, rollback on failure, stranded-dir restore at entry) — a
+    * concurrent reader sees the old or the new layout, never a mix. Run
+    * it between micro-batches or from a scheduled maintenance job; rows
+    * are byte-identical before and after, so near-dup flags are too.
+    * Returns (filesBefore, filesAfter). */
+  def compactNearDupStore(
+      spark: SparkSession, path: String,
+      targetRowsPerFile: Long = 4000000L): (Int, Int) = {
+    import graft.pipeline.ProvenanceStore
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    ProvenanceStore.restoreIfStranded(fs, dir)
+    def dataFiles: Int =
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles
+    if (before == 0) return (0, 0)
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compact-tmp")
+    df.repartition(nFiles)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    ProvenanceStore.swapCompacted(fs, dir, tmp)
+    (before, dataFiles)
+  }
+
   /** Watermarked stream-stream join: correlate two event streams per user
     * within a bounded interval (right event no earlier than the left, at
     * most `within` later). Both sides carry watermarks so join state is

@@ -183,6 +183,50 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("compacted near-dup stores: fewer files, identical flags, sink keeps working") {
+    val root = java.nio.file.Files.createTempDirectory("ndcompact").toString
+    val (sigDir, pairsDir) = (s"$root/sigs", s"$root/pairs")
+    val base = "spark runs distributed queries over very large datasets " +
+      "with columnar storage and adaptive execution planning across many " +
+      "worker nodes while caching hot partitions in memory"
+    val other = "data pipelines ingest clean filter join aggregate and write " +
+      "results downstream every day with checkpoint recovery watermark " +
+      "tracking and exactly once delivery into warehouse tables"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.nearDupSinkQuery(
+      input.toDF().toDF("doc_id", "text"), sigDir, pairsDir).start()
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    try {
+      // several micro-batches fragment both stores (one+ file per batch)
+      input.addData((0L, base), (1L, base)); q.processAllAvailable()
+      input.addData((2L, other), (3L, other)); q.processAllAvailable()
+      input.addData((4L, base + " extra"), (5L, "unrelated tiny doc")); q.processAllAvailable()
+      val sigsBefore = spark.read.parquet(sigDir)
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+      val pairsBefore = spark.read.parquet(pairsDir)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      val (sb, sa) = Streams.compactNearDupStore(spark, sigDir)
+      val (pb, pa) = Streams.compactNearDupStore(spark, pairsDir)
+      assert(files(sigDir) == sa && files(pairsDir) == pa,
+        "reported file counts must match the directory")
+      assert(sa < sb && pa < pb, s"compaction must shrink: sigs $sb->$sa pairs $pb->$pa")
+      assert(sa == 1 && pa == 1, s"rows fit one file: $sa / $pa")
+      assert(spark.read.parquet(sigDir)
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq == sigsBefore,
+        "compaction must not change a signature")
+      assert(spark.read.parquet(pairsDir)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet == pairsBefore,
+        "compaction must not change the pair log")
+      // the sink keeps flagging cross-batch dups against the compacted store
+      input.addData((10L, base)); q.processAllAvailable()
+      val after = spark.read.parquet(pairsDir)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(after.contains((0L, 10L)) && after.contains((1L, 10L)),
+        s"post-compaction batch must still see the corpus: $after")
+    } finally q.stop()
+  }
+
   test("closed sessions land in the incremental store exactly once (q75 streaming e2e)") {
     val dir = java.nio.file.Files.createTempDirectory("sesssink").toString
     val input = MemoryStream[Event](spark)
