@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-result pins for the 7 `no_oracle` queries (VERDICT r8 #6): their
+  * outputs are deterministic given params and data (partition independence
+  * is proven by tools/determinism.py), so run-over-run exactness is
+  * checkable WITHOUT DuckDB — the committed hash below is the canonical
+  * digest of the full result set on the fixed testdata. A sketch/ANN
+  * "optimization" that changes any value, row, or column now fails here
+  * instead of slipping through the rows-only driver check.
+  *
+  * Regenerate after an INTENTIONAL semantic change:
+  * `sbt "Test/runMain graft.GoldenHashes"` prints the current map. */
+object GoldenSpec {
+  /** Canonical result digest: columns sorted by name, every value rendered
+    * with a fixed format (doubles at 9 decimals — all golden queries
+    * produce either exact decimals or values derived from integer/bit
+    * arithmetic, stable to far more than 9 places), rows sorted as
+    * strings, SHA-256 over the joined block, first 16 hex chars. */
+  def goldenHash(df: DataFrame): String = {
+    val cols = df.columns.sorted.toSeq
+    val rows = df.select(cols.map(col): _*).collect().map(_.toSeq.map {
+      case null => "null"
+      case d: Double => f"$d%.9f"
+      case f: Float => f"$f%.9f"
+      case a: Array[_] => a.mkString("[", ",", "]")
+      case s: Seq[_] => s.mkString("[", ",", "]")
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case x => x.toString
+    }.mkString("|")).sorted
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(rows.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  val queries: Seq[String] = Seq(
+    "q52_minhash_lsh_pairs", "q53_simhash_pairs", "q55b_cosine_pairs_lsh",
+    "q56_ann_lsh_topk", "q65_ivf_topk", "q66_quantized_topk",
+    "q89_vocab_sketch")
+
+  val sfDirs: Seq[(String, String)] = Seq(
+    "sf0.001" -> "/root/testdata/sf0.001",
+    "sf0.01" -> "/root/testdata/sf0.01")
+
+  /** Committed digests — regenerate via GoldenHashes on intentional change. */
+  val expected: Map[(String, String), String] = Map(
+    ("q52_minhash_lsh_pairs", "sf0.001") -> "44a6a019afbf6782",
+    ("q52_minhash_lsh_pairs", "sf0.01") -> "25330f97cf5b1422",
+    ("q53_simhash_pairs", "sf0.001") -> "702899a63403ebfa",
+    ("q53_simhash_pairs", "sf0.01") -> "ba012ff0556a20e1",
+    ("q55b_cosine_pairs_lsh", "sf0.001") -> "24a99de23a321fc6",
+    ("q55b_cosine_pairs_lsh", "sf0.01") -> "d1518185aeb16f5f",
+    ("q56_ann_lsh_topk", "sf0.001") -> "5d031c801245e72e",
+    ("q56_ann_lsh_topk", "sf0.01") -> "44f027c3c528560a",
+    ("q65_ivf_topk", "sf0.001") -> "4658a205e9efe1e5",
+    ("q65_ivf_topk", "sf0.01") -> "c3336e1a26affcf6",
+    ("q66_quantized_topk", "sf0.001") -> "74936c4d9c4cfe63",
+    ("q66_quantized_topk", "sf0.01") -> "ade62389b8ada8c1",
+    ("q89_vocab_sketch", "sf0.001") -> "f712f22729cd3975",
+    ("q89_vocab_sketch", "sf0.01") -> "0f9dae0a317bac27")
+}
+
+/** Prints the current golden map — paste into [[GoldenSpec.expected]]. */
+object GoldenHashes {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- GoldenSpec.queries; (sfName, dir) <- GoldenSpec.sfDirs) {
+      val h = GoldenSpec.goldenHash(SparkEntry.all(q).fn(spark, dir))
+      println(s"""GOLDEN ("$q", "$sfName") -> "$h",""")
+    }
+    spark.stop()
+  }
+}
+
+class GoldenSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import GoldenSpec._
+  for (q <- queries; (sfName, dir) <- sfDirs)
+    test(s"golden pin: $q @ $sfName") {
+      val h = goldenHash(SparkEntry.all(q).fn(spark, dir))
+      assert(h == expected((q, sfName)),
+        s"$q @ $sfName digest changed: got $h, pinned ${expected((q, sfName))} — " +
+          "if the semantic change is intentional, regenerate via " +
+          "`Test/runMain graft.GoldenHashes` and update the map in the same commit")
+    }
+}
