@@ -91,6 +91,62 @@ class ApsPaginationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("mid-loop 429/500 retries the SAME skip: no page skipped, none double-fetched") {
+    // The untested seam between T3 (skip-offset pagination) and T6 (retry
+    // machine): a transient failure on an interior page must be retried at
+    // the SAME skip — advancing past it would silently drop hits, and
+    // re-fetching an already-consumed page would double-land them. The
+    // server 429s (with Retry-After) the first attempt at skip=10 and 500s
+    // the first attempt at skip=20; both then succeed on retry.
+    val corpus = (0 until 30).map(i => doc(i, "2026-01-01 00:00:00")).toVector
+    val seenSkips = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+    val failedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/search", (ex: HttpExchange) => {
+      val body = mapper.readTree(ex.getRequestBody.readAllBytes())
+      val skip = body.get("skip").asInt()
+      seenSkips.add(skip)
+      if ((skip == 10 || skip == 20) && failedOnce.add(skip)) {
+        val status = if (skip == 10) 429 else 500
+        if (skip == 10) ex.getResponseHeaders.add("Retry-After", "2")
+        ex.sendResponseHeaders(status, -1L)
+        ex.close()
+      } else {
+        val hits = corpus.slice(skip, skip + 10)
+          .map { case (id, ts) => s"""{"id":"$id","ts":"$ts"}""" }
+        val resp = s"""{"results":[${hits.mkString(",")}]}""".getBytes(UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, resp.length.toLong)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.start()
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val pages = ApsPagination.fetchPages(HttpSource.jdkTransport(),
+        s"http://127.0.0.1:${server.getAddress.getPort}/search",
+        """{"q":"reactor"}""", take = 10,
+        sleeper = ms => sleeps.synchronized { sleeps += ms; () })
+      // the captured page chain is clean: 3 data pages + empty terminator,
+      // every returned page a 200 (failures were absorbed by the retry
+      // machine, not surfaced as pages)
+      assert(pages.size == 4 && pages.forall(_.status_code == 200))
+      // request log: each failed skip re-requested exactly once, in order,
+      // with no offset skipped or revisited after success
+      import scala.jdk.CollectionConverters._
+      assert(seenSkips.asScala.toVector == Vector(0, 10, 10, 20, 20, 30),
+        s"retry must re-request the same skip: ${seenSkips.asScala.toVector}")
+      // Retry-After: 2 was authoritative for the 429's backoff
+      assert(sleeps.contains(2000L), s"Retry-After must drive the delay: $sleeps")
+      // and the hit stream is complete with no duplicates
+      val g = ApsPagination.hitsDF(spark, pages)
+        .select(get_json_object(col("hit_json"), "$.id").as("id"))
+      assert(g.count() == 30 && g.distinct().count() == 30,
+        "every hit exactly once across the fault")
+    } finally server.stop(0)
+  }
+
   test("T3 sync: watermark advances once per sync, overlap rows dedup, reissues land once") {
     @volatile var corpus = (0 until 25).map(i => doc(i, "2026-01-03 10:00:00")).toVector
     withApsServer(() => corpus) { (port, _) =>
