@@ -284,6 +284,25 @@ object Curation {
       repeatedSpansHashed(Tables.documents(s, dir), n = 8, minDocs = 2, topK = 100)
     },
 
+    // ---- per-document n-gram novelty: share of a doc's distinct
+    //      3-grams appearing in no other document — the per-doc
+    //      complement of q90's repeated spans, used to down-rank
+    //      template/mirror/aggregator pages in crawl curation. ----
+    "q94_ngram_novelty" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM sh JOIN dfreq USING (sh)
+        |GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      ngramNovelty(Tables.documents(s, dir), n = 3).orderBy("doc_id")
+    },
+
     // ---- stratified deterministic sample: top-n docs per stratum
     //      (lang), ranked by content hash — the reproducible stratified
     //      subsample a training pipeline takes (same rows on every
@@ -779,6 +798,35 @@ object Curation {
       .orderBy(col("n_occurrences").desc, col("span"))
       .limit(topK)
       .select("span", "n_occurrences", "n_docs")
+  }
+
+  /** Per-document n-gram novelty (q94): the share of a doc's DISTINCT
+    * word n-grams that appear in no other document — 1.0 = fully novel
+    * text, near 0.0 = everything it says is said elsewhere (template
+    * pages, mirrors, aggregator chrome). The per-document complement of
+    * [[repeatedSpans]]: q90 surfaces the shared spans themselves, novelty
+    * scores each doc by how little it shares — a standard crawl-curation
+    * ranking signal.
+    *
+    * Scale shape: one shingle explosion behind a lazy localCheckpoint
+    * (two consumers: the document-frequency aggregate and the join back),
+    * a vocab-sized df table after map-side combine, one join shuffled on
+    * the shingle, one per-doc aggregate. All-integer counts; the ratio
+    * rounds once at the end — deterministic on any engine. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+    val sh = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))"))).as("sh"))
+      .localCheckpoint(eager = false)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 6).as("novelty"))
   }
 
   /** Corpus-weighted adjacent character-pair frequencies over the word

@@ -187,9 +187,10 @@ object Dedup {
 
     // ---- APPLY the dedup: the kept corpus after dropping every
     //      non-keeper cluster member — the materialization step a dedup
-    //      pipeline actually ships (detect → cluster → apply). Anti-join
-    //      against the (tiny) non-keeper set, so the corpus streams
-    //      through with one broadcast-sized membership probe. ----
+    //      pipeline actually ships (detect → cluster → apply). Unhinted
+    //      anti-join: AQE broadcasts the dropped set when it is small and
+    //      shuffles both sides when a crawl-scale dup rate makes it huge
+    //      (see dedupApply's scaladoc). ----
     "q91_dedup_apply" -> QueryDef.sql(
       """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
         |           FROM documents),
@@ -222,6 +223,50 @@ object Dedup {
       val docs = Tables.documents(s, dir)
       dedupApply(docs, duplicateClusters(exactJaccardPairs(docs, 0.6)))
         .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- cluster-aware train/valid/test split: near-dup cluster members
+    //      must land in the SAME split, or held-out examples leak into
+    //      training through their near-duplicates — the contamination bug
+    //      near-dup detection exists to prevent. Split assignment hashes
+    //      the GROUP key (cluster id, or the doc's own id when
+    //      unclustered) through md5 and buckets the two leading hex chars
+    //      lexicographically (~90/5/5) — deterministic on any engine with
+    //      md5, no RNG to coordinate across workers or runs. ----
+    "q93_cluster_split" -> QueryDef.sql(
+      """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM com
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |  WHERE r.a != e.b),
+        |members AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |labels AS (SELECT m.doc_id, least(m.doc_id, min(r.b)) AS cluster_id
+        |           FROM members m JOIN reach r ON r.a = m.doc_id
+        |           GROUP BY m.doc_id),
+        |g AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_id
+        |      FROM documents d LEFT JOIN labels l USING (doc_id))
+        |SELECT doc_id, group_id,
+        |  CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |       WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 2) < 'f3' THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM g ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      clusterSplit(docs, duplicateClusters(exactJaccardPairs(docs, 0.6)))
         .orderBy("doc_id")
     },
 
@@ -527,6 +572,27 @@ object Dedup {
     docs.join(
       clusters.filter(!col("is_keeper")).select("doc_id"),
       Seq("doc_id"), "left_anti")
+
+  /** Contamination-safe train/valid/test split (q93): every document in a
+    * near-dup cluster inherits the CLUSTER's split, so a held-out example
+    * can never leak into training via a near-duplicate. Unclustered docs
+    * group by their own id. Assignment is a deterministic hash bucket —
+    * the two leading hex chars of md5(group id), compared
+    * lexicographically ('e6' ≈ 89.8% train, 'f3' ≈ +5.1% valid, rest
+    * test) — identical on every engine/run/cluster size, no seeded RNG to
+    * coordinate. Scale shape: one join of the corpus against the (small)
+    * cluster membership — unhinted, AQE broadcasts it when it fits — and
+    * the hash is computed in-row; no extra shuffle beyond the join. */
+  def clusterSplit(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val h = substring(md5(col("group_id").cast("string")), 1, 2)
+    docs.select("doc_id")
+      .join(clusters.select("doc_id", "cluster_id"), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("group_id"),
+        when(h < lit("e6"), "train")
+          .when(h < lit("f3"), "valid")
+          .otherwise("test").as("split"))
+  }
 
   /** Connected components by alternating large-star/small-star (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the

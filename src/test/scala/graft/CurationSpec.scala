@@ -260,6 +260,28 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.forall(r => !r._1.contains("whatsoever")))
   }
 
+  test("n-gram novelty: unique docs score 1.0, a verbatim mirror scores 0.0, partial overlap in between") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, shared),                           // mirrored by doc 2 → novelty 0
+      (2L, shared),
+      (3L, "one two three four five six"),    // fully novel → 1.0
+      // shares its first 3-gram window with nothing, but 4/4 of doc 4's
+      // grams also appear in doc 5's prefix
+      (4L, "red orange yellow green blue sky"),
+      (5L, "red orange yellow green blue sky extra tail words here")
+    ).toDF("doc_id", "text")
+    val got = Curation.ngramNovelty(docs, n = 3)
+      .select("doc_id", "n_shingles", "n_unique", "novelty")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m(1L)._4 == 0.0 && m(2L)._4 == 0.0, s"mirror pair must be 0-novel: $got")
+    assert(m(3L)._4 == 1.0, s"unique doc must be fully novel: $got")
+    assert(m(4L)._4 == 0.0, "every gram of the prefix doc appears in the longer doc")
+    // doc 5: 8 grams, the first 4 shared with doc 4, the last 4 unique
+    assert(m(5L)._2 == 8L && m(5L)._3 == 4L && m(5L)._4 == 0.5, s"$got")
+  }
+
   test("hashed repeated spans equal the exact form (planted corpus and real data)") {
     val boiler = "this content is provided under the standard license terms"
     val planted = Seq(

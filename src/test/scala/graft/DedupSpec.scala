@@ -223,6 +223,27 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("cluster split: near-dup cluster members always share a split, assignment is deterministic") {
+    val clusters = Dedup.duplicateClusters(Dedup.exactJaccardPairs(docs, 0.6))
+    val split = Dedup.clusterSplit(docs, clusters)
+      .select("doc_id", "group_id", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(split.map(_._1) == docs.select("doc_id").as[Long].collect().sorted.toSeq,
+      "every document gets exactly one split row")
+    // members of one cluster inherit the cluster's group → identical split
+    val byGroup = split.groupBy(_._2).values
+    byGroup.foreach(g => assert(g.map(_._3).distinct.size == 1,
+      s"cluster straddles splits: $g"))
+    // the planted 0/1 exact-dup pair specifically
+    val m = split.map(r => r._1 -> r._3).toMap
+    assert(m(0L) == m(1L), "exact dups must train/test together")
+    // deterministic: a second run assigns identically
+    val again = Dedup.clusterSplit(docs, clusters)
+      .select("doc_id", "group_id", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(again == split)
+  }
+
   test("duplicate clusters merge transitive chains to one keeper") {
     // chain: 10~11 and 11~12 are edges, 10~12 is not — one component {10,11,12}
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("d1", "d2")
