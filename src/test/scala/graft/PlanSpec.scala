@@ -266,7 +266,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q86_hybrid_retrieval_rrf", 4, 9),
       ("q90_repeated_spans",       1, 3),
       ("q91_dedup_apply",          1, 2),
-      ("q92_repeated_spans_hashed", 1, 2))
+      ("q92_repeated_spans_hashed", 1, 2),
+      // r9-new queries: q93's corpus side reads parquet once and hashes
+      // in-row; q94's shingle frame hides behind its barrier (scans=0)
+      ("q93_cluster_split",        1, 2),
+      ("q94_ngram_novelty",        0, 4))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
