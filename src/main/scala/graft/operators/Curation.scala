@@ -284,6 +284,30 @@ object Curation {
       repeatedSpansHashed(Tables.documents(s, dir), n = 8, minDocs = 2, topK = 100)
     },
 
+    // ---- boilerplate STRIP (the apply step for q90's detection): fold
+    //      replace() over the broadcast top-span array in-row; audit
+    //      columns only, corpus never shuffles. ----
+    "q95_boilerplate_strip" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sp AS (SELECT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)]) AS span
+        |       FROM w WHERE len(ws) >= 8),
+        |agg AS (SELECT span, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |        FROM sp GROUP BY 1),
+        |top AS (SELECT span FROM agg WHERE n_docs >= 2
+        |        ORDER BY n_occurrences DESC, span LIMIT 20),
+        |spans AS (SELECT coalesce(list_sort(list(span)), []) AS spans FROM top),
+        |stripped AS (SELECT d.doc_id, d.text,
+        |    list_reduce(list_prepend(d.text, s.spans), (acc, x) -> replace(acc, x, ' ')) AS st
+        |  FROM documents d CROSS JOIN spans s)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(st) AS BIGINT) AS n_chars_stripped,
+        |  length(st) != length(text) AS changed
+        |FROM stripped ORDER BY doc_id""") { (s, dir) =>
+      boilerplateStrip(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // ---- per-document n-gram novelty: share of a doc's distinct
     //      3-grams appearing in no other document — the per-doc
     //      complement of q90's repeated spans, used to down-rank
@@ -798,6 +822,28 @@ object Curation {
       .orderBy(col("n_occurrences").desc, col("span"))
       .limit(topK)
       .select("span", "n_occurrences", "n_docs")
+  }
+
+  /** APPLY step for boilerplate detection (q95): strip the corpus's top
+    * repeated spans ([[repeatedSpans]]) from every document — the
+    * detect→apply pair for spans, as q91 is for duplicate clusters. The
+    * winning spans collapse to ONE sorted array row that broadcasts to
+    * every document; each doc then folds `replace(acc, span, ' ')` over
+    * the array IN-ROW — zero shuffle on the corpus side, and the sorted
+    * fold order makes nested-replacement outcomes engine-independent.
+    * Returns per-doc before/after char counts + a changed flag (the
+    * audit record a strip job emits; the cleaned text itself is the same
+    * expression minus the length()). */
+  def boilerplateStrip(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+      topK: Int = 20): DataFrame = {
+    val spansOneRow = repeatedSpans(docs, n, minDocs, topK)
+      .agg(sort_array(collect_list(col("span"))).as("spans"))
+    docs.crossJoin(broadcast(spansOneRow))
+      .withColumn("st", expr("aggregate(spans, text, (acc, s) -> replace(acc, s, ' '))"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(col("st")).cast("long").as("n_chars_stripped"),
+        (length(col("st")) =!= length(col("text"))).as("changed"))
   }
 
   /** Per-document n-gram novelty (q94): the share of a doc's DISTINCT

@@ -282,6 +282,27 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(m(5L)._2 == 8L && m(5L)._3 == 4L && m(5L)._4 == 0.5, s"$got")
   }
 
+  test("boilerplate strip removes planted spans and leaves clean docs untouched") {
+    val boiler = "this content is provided under the standard license terms today"
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, "totally unrelated text with no shared spans whatsoever in here")
+    ).toDF("doc_id", "text")
+    val got = Curation.boilerplateStrip(docs, n = 8, minDocs = 2, topK = 10)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m(1L)._4 && m(2L)._4, s"boilerplate docs must change: $got")
+    assert(!m(3L)._4 && m(3L)._2 == m(3L)._3, s"clean doc must not change: $got")
+    // three overlapping 8-token windows of the 10-token boilerplate are
+    // detected; the fold replaces the lexicographically FIRST (tokens
+    // 1..8, "content is ... terms") with one space, which destroys the
+    // other two — so each doc shrinks by exactly len(that window) - 1
+    val replaced = boiler.split(" ").slice(1, 9).mkString(" ")
+    assert(m(1L)._2 - m(1L)._3 == replaced.length - 1, s"$got")
+    assert(m(2L)._2 - m(2L)._3 == replaced.length - 1, s"$got")
+  }
+
   test("hashed repeated spans equal the exact form (planted corpus and real data)") {
     val boiler = "this content is provided under the standard license terms"
     val planted = Seq(

@@ -270,7 +270,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // r9-new queries: q93's corpus side reads parquet once and hashes
       // in-row; q94's shingle frame hides behind its barrier (scans=0)
       ("q93_cluster_split",        1, 2),
-      ("q94_ngram_novelty",        0, 4))
+      ("q94_ngram_novelty",        0, 4),
+      // q95: corpus scans once (broadcast-probe side), span detection is
+      // the second scan; winners ride a one-row BroadcastExchange
+      ("q95_boilerplate_strip",    2, 4))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
