@@ -160,9 +160,16 @@ object Bench {
     // non-zero, so a broken query reads as broken, not as a speedup
     def time(name: String, dir: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+      // barrier scope per run: blocks from run N are gone before run N+1
+      // starts, so repeated runs measure the plan, not storage pressure
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, dir).write.mode("overwrite").format("noop").save(); None }
+        try {
+          Barriers.withBarrierScope(spark) {
+            fn(spark, dir).write.mode("overwrite").format("noop").save()
+          }
+          None
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed at $dir: ${e.getMessage}")
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")

@@ -26,9 +26,13 @@ object Verify {
         SparkEntry.queries.view.filterKeys(want).toMap
       case None => SparkEntry.queries
     }
+    // each query's barrier blocks are released once its parquet is written
+    // — the 95-query dump holds at most one query's blocks at a time
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try Barriers.withBarrierScope(spark) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
