@@ -477,6 +477,87 @@ object Curation {
         |FROM j GROUP BY label ORDER BY label""") { (s, dir) =>
       labelQualityProfile(Tables.documents(s, dir), Tables.embeddings(s, dir))
         .orderBy("label")
+    },
+
+    // ---- source-overlap matrix: for every ordered source pair (A, B),
+    //      the share of A's distinct word 8-grams that also occur in B —
+    //      the corpus-composition audit that finds mirrored/scraped
+    //      sources BEFORE they skew dedup and mixing decisions. ----
+    "q96_source_overlap" -> QueryDef.sql(
+      """WITH w AS (SELECT source, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)]) AS sh
+        |       FROM w WHERE len(ws) >= 8),
+        |tot AS (SELECT source, count(*) AS n_a FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source != b.source
+        |          GROUP BY 1, 2)
+        |SELECT t1.source AS src_a, t2.source AS src_b, t1.n_a,
+        |  coalesce(p.n_common, 0) AS n_common,
+        |  round(CAST(coalesce(p.n_common, 0) AS DOUBLE) / t1.n_a, 6) AS overlap_frac
+        |FROM tot t1 JOIN tot t2 ON t1.source != t2.source
+        |LEFT JOIN pairs p ON p.src_a = t1.source AND p.src_b = t2.source
+        |ORDER BY src_a, src_b""") { (s, dir) =>
+      sourceOverlapMatrix(Tables.documents(s, dir)).orderBy("src_a", "src_b")
+    },
+
+    // ---- curation funnel: the end-to-end composition face — exact dedup
+    //      → per-source quality gate → benchmark decontamination, with
+    //      per-stage surviving doc/token counts (the run report a corpus
+    //      build emits). Bench set: the md5-prefix convention (q74). ----
+    "q97_curation_funnel" -> QueryDef.sql(
+      """WITH tok AS (SELECT doc_id,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_tokens
+        |  FROM documents),
+        |s1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+        |f AS (
+        |  SELECT d.doc_id, d.source,
+        |    length(d.text) AS n_chars,
+        |    len(list_filter(string_split(trim(d.text),' '), x -> x != '')) AS n_words,
+        |    len(regexp_extract_all(d.text, '[^A-Za-z0-9 ]')) AS n_punct,
+        |    len(list_filter(string_split(trim(d.text),' '),
+        |        x -> list_contains(['the','a','and','of','to','is','in'], x))) AS n_stop
+        |  FROM documents d JOIN s1 USING (doc_id)),
+        |q AS (SELECT doc_id, source,
+        |  round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |        * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
+        |        * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / nullif(n_words, 0) * 5.0, 1.0)), 6) AS quality
+        |  FROM f),
+        |r AS (SELECT doc_id,
+        |        round(percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id), 6) AS pr
+        |      FROM q),
+        |s2 AS (SELECT doc_id FROM r WHERE pr <= 0.8),
+        |w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |      FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)]) AS sh
+        |       FROM w WHERE len(ws) >= 8),
+        |bench AS (SELECT doc_id FROM documents WHERE substring(md5(text), 1, 1) = '0'),
+        |bsh AS (SELECT DISTINCT s.sh, s.doc_id AS b_doc FROM sh s JOIN bench b USING (doc_id)),
+        |sh2 AS (SELECT s.doc_id, s.sh FROM sh s JOIN s2 USING (doc_id)),
+        |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM sh2 GROUP BY 1),
+        |hits AS (SELECT DISTINCT c.doc_id, c.sh FROM sh2 c JOIN bsh b
+        |         ON c.sh = b.sh AND c.doc_id != b.b_doc),
+        |shared AS (SELECT doc_id, count(*) AS n_shared FROM hits GROUP BY 1),
+        |bad AS (SELECT c.doc_id FROM cnt c JOIN shared s USING (doc_id)
+        |        WHERE s.n_shared * 2 >= c.n_shingles),
+        |s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |stats AS (
+        |  SELECT '0_raw' AS stage, count(*) AS n_docs,
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM tok
+        |  UNION ALL SELECT '1_exact_dedup', count(*),
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM tok JOIN s1 USING (doc_id)
+        |  UNION ALL SELECT '2_quality_gate', count(*),
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM tok JOIN s2 USING (doc_id)
+        |  UNION ALL SELECT '3_decontaminated', count(*),
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM tok JOIN s3 USING (doc_id))
+        |SELECT stage, n_docs, n_tokens FROM stats ORDER BY stage""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      curationFunnel(docs,
+        docs.filter(substring(md5(col("text")), 1, 1) === "0")
+          .select(col("doc_id").as("bench_id")))
+        .orderBy("stage")
     }
   )
 
@@ -923,6 +1004,87 @@ object Curation {
   def mergeVocabSketches(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("source")
       .agg(expr("hll_union_agg(sketch)").as("sketch"))
+
+  /** Source-overlap matrix (q96): for every ordered pair of sources
+    * (A, B), the count and share of A's distinct word n-grams that also
+    * occur in B — the corpus-composition audit that surfaces mirrored or
+    * scraped-from-each-other sources before they skew dedup thresholds
+    * and mixing weights. Output: (src_a, src_b, n_a, n_common,
+    * overlap_frac), the full off-diagonal matrix including zero rows.
+    *
+    * Scale shape: the distinct (source, shingle) frame is built ONCE
+    * behind a lazy barrier (two consumers: per-source totals + the pair
+    * counts). Pairs come from a per-shingle `collect_set(source)` — one
+    * map-side-combined aggregation by shingle, then an in-row ordered-pair
+    * explode — so per-shingle work is bounded by (sources containing
+    * it)², never a corpus-sized self-join; a shingle present in every
+    * source costs sources² rows, independent of corpus size. The final
+    * matrix assembly cross-joins two source-count-sized frames (hundreds
+    * of rows at 100 TB — a bounded broadcast, same class as q80's one-row
+    * total). */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 8): DataFrame = {
+    val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+    val srcSh = docs.select(col("source"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("source"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))"))).as("sh"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val totals = srcSh.groupBy("source").agg(count(lit(1)).as("n_a"))
+    val pairs = srcSh.groupBy("sh").agg(collect_set(col("source")).as("srcs"))
+      .select(explode(expr(
+        "flatten(transform(srcs, a -> transform(filter(srcs, b -> b != a), " +
+          "b -> struct(a AS src_a, b AS src_b))))")).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    totals.select(col("source").as("src_a"), col("n_a"))
+      .crossJoin(broadcast(totals.select(col("source").as("src_b"))))
+      .filter(col("src_a") =!= col("src_b"))
+      .join(pairs, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") / col("n_a"), 6)
+          .as("overlap_frac"))
+  }
+
+  /** Curation funnel (q97): the end-to-end composition face chaining the
+    * repo's own gates — exact content dedup (q50 semantics: keep the
+    * min-doc_id copy), per-source quality percentile gate (q81), and
+    * benchmark decontamination (q74: drop docs with >= 50% of their
+    * 8-grams shared with a bench doc) — emitting per-stage surviving
+    * doc and token counts: the four-row run report a corpus build job
+    * ships with its output.
+    *
+    * Scale shape: only ID SETS cross stage boundaries — each survivor
+    * set is a doc_id-only frame behind a lazy barrier (8 bytes/row; the
+    * full-text corpus is never materialized between stages, each stage's
+    * branch re-reads the pruned parquet scan and semi-joins the id set).
+    * The quality gate here is the exact window form to match the oracle;
+    * a 100 TB run swaps in [[qualityThresholdFilterApprox]] (q81's
+    * documented scale path) without touching the funnel shape. Bench
+    * shingles come from the ORIGINAL corpus (the eval set is external to
+    * the funnel — a doc dropped at stage 1 still contaminates). */
+  def curationFunnel(docs: DataFrame, benchIds: DataFrame,
+      keepFrac: Double = 0.8): DataFrame = {
+    def stat(stage: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(words(col("text"))).cast("long")), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    val s1Ids = docs.groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      .localCheckpoint(eager = false)
+    val s1 = docs.join(s1Ids, Seq("doc_id"), "left_semi")
+    val s2Ids = qualityPercentileFilter(s1, keepFrac).select("doc_id")
+      .localCheckpoint(eager = false)
+    val s2 = docs.join(s2Ids, Seq("doc_id"), "left_semi")
+    val bad = decontaminationScanAgainst(s2, benchShingleSet(docs, benchIds))
+      .filter(col("contaminated")).select("doc_id")
+    val s3 = s2.join(bad, Seq("doc_id"), "left_anti")
+    stat("0_raw", docs)
+      .unionAll(stat("1_exact_dedup", s1))
+      .unionAll(stat("2_quality_gate", s2))
+      .unionAll(stat("3_decontaminated", s3))
+  }
 
   /** Distinct word n-gram shingles, one row per (doc_id, sh). Complex
     * generator child on purpose — see graft.operators.Dedup.shingles on

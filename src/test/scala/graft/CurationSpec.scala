@@ -303,6 +303,49 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(m(2L)._2 - m(2L)._3 == replaced.length - 1, s"$got")
   }
 
+  test("source overlap matrix counts shared 8-grams exactly on a planted corpus") {
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8", "A"),            // 1 shingle
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 b9", "B"),         // 2 shingles, 1 shared w/ A
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8", "C")             // 1 shingle, disjoint
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.sourceOverlapMatrix(docs)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.size == 6, s"full off-diagonal matrix: $got")
+    assert(got(("A", "B")) == ((1L, 1L, 1.0)), s"$got")
+    assert(got(("B", "A")) == ((2L, 1L, 0.5)), s"$got")
+    assert(got(("A", "C")) == ((1L, 0L, 0.0)), s"$got")
+    assert(got(("C", "A")) == ((1L, 0L, 0.0)), s"$got")
+    assert(got(("B", "C")) == ((2L, 0L, 0.0)), s"$got")
+    assert(got(("C", "B")) == ((1L, 0L, 0.0)), s"$got")
+  }
+
+  test("curation funnel drops the planted dup, low-quality, and contaminated docs in order") {
+    val t1 = "the quick brown fox jumps over a lazy dog today"
+    val bench = "the bench document holds nine distinct words exactly here" // 9 words
+    val docs = Seq(
+      (1L, t1, "s"),                                      // keeper of the dup pair
+      (2L, t1, "s"),                                      // exact dup -> stage 1 drop
+      (3L, "another unique document with plenty of the good words inside it today", "s"),
+      (4L, "bad!!! doc??? with### lots$$$ of!!! punct%%%", "s"), // worst quality -> stage 2 drop
+      (5L, s"$bench extra", "s"),                         // 2 of 3 shingles from bench -> stage 3 drop
+      (6L, bench, "s")                                    // the bench doc itself: keeps
+    ).toDF("doc_id", "text", "source")
+    val benchIds = Seq(6L).toDF("bench_id")
+    val got = Curation.curationFunnel(docs, benchIds, keepFrac = 0.8)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    def toks(ids: Long*): Long = docs.filter(col("doc_id").isin(ids: _*))
+      .select(col("text")).as[String].collect()
+      .map(_.trim.split("\\s+").length.toLong).sum
+    assert(got.map(_._1).toSeq ==
+      Seq("0_raw", "1_exact_dedup", "2_quality_gate", "3_decontaminated"))
+    assert(got(0) == (("0_raw", 6L, toks(1, 2, 3, 4, 5, 6))), s"$got")
+    assert(got(1) == (("1_exact_dedup", 5L, toks(1, 3, 4, 5, 6))), s"$got")
+    assert(got(2) == (("2_quality_gate", 4L, toks(1, 3, 5, 6))), s"$got")
+    assert(got(3) == (("3_decontaminated", 3L, toks(1, 3, 6))), s"$got")
+  }
+
   test("hashed repeated spans equal the exact form (planted corpus and real data)") {
     val boiler = "this content is provided under the standard license terms"
     val planted = Seq(

@@ -273,7 +273,14 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q94_ngram_novelty",        0, 4),
       // q95: corpus scans once (broadcast-probe side), span detection is
       // the second scan; winners ride a one-row BroadcastExchange
-      ("q95_boilerplate_strip",    2, 4))
+      ("q95_boilerplate_strip",    2, 4),
+      // q96: the (source, shingle) frame hides behind its barrier
+      // (scans=0); pairs are one agg by shingle + one by pair
+      ("q96_source_overlap",       0, 5),
+      // q97: six pruned corpus scans — one per stage branch (4 stats +
+      // bench shingles + stage-3 corpus side); survivor ID SETS ride
+      // ExistingRDD barriers, never a re-derived subtree
+      ("q97_curation_funnel",      6, 10))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
