@@ -241,6 +241,16 @@ object Curation {
         .orderBy("source")
     },
 
+    // ---- q96's mergeable-sketch scale face (the q89 pattern applied to
+    //      the overlap matrix): per-source HLL sketches of the 8-gram
+    //      sets + inclusion-exclusion pairwise estimates. Rows-only —
+    //      gated vs the exact q96 matrix and merge==full pinned in
+    //      CurationSpec; golden-digested. ----
+    "q98_source_overlap_sketch" -> QueryDef.rowsOnly { (s, dir) =>
+      sourceOverlapSketched(sourceShingleSketches(Tables.documents(s, dir)))
+        .orderBy("src_a", "src_b")
+    },
+
     // ---- cross-document repeated spans (boilerplate detection — the
     //      Spark-shaped cousin of suffix-array substring dedup, Lee et
     //      al. 2022 "Deduplicating Training Data Makes LMs Better"):
@@ -1004,6 +1014,67 @@ object Curation {
   def mergeVocabSketches(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("source")
       .agg(expr("hll_union_agg(sketch)").as("sketch"))
+
+  /** Per-source HLL sketches of the distinct word n-gram sets — the
+    * incremental half of [[sourceOverlapSketched]] (q98), built exactly
+    * like [[vocabSketches]] (q89): persist the per-source sketch table
+    * (one ~2^lgK-byte binary per source), sketch ONLY each new batch,
+    * and [[mergeSourceShingleSketches]] it in — union is exactly
+    * associative, so nightly overlap audits never re-read the corpus.
+    * No distinct() before the agg: HLL absorbs duplicates by
+    * construction, so the explode feeds the sketch directly (one
+    * map-side-combined shuffle of sketch bytes, never shingle rows). */
+  def sourceShingleSketches(docs: DataFrame, n: Int = 8, lgK: Int = 12): DataFrame = {
+    val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+    docs.select(col("source"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))")).as("sh"))
+      .groupBy("source").agg(expr(s"hll_sketch_agg(sh, $lgK)").as("sketch"))
+  }
+
+  /** Merge two per-source shingle-sketch tables (the persisted corpus
+    * table and a fresh batch's). Estimates after merge equal the
+    * full-recompute estimates EXACTLY (register-wise max is associative
+    * and commutative) — CurationSpec pins the equality. */
+  def mergeSourceShingleSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("source")
+      .agg(expr("hll_union_agg(sketch)").as("sketch"))
+
+  /** Approximate source-overlap matrix (q98) from a sketch table: for
+    * every ordered source pair, inclusion-exclusion estimates
+    * |A ∩ B| ≈ |A| + |B| − |A ∪ B| with the union estimated via the
+    * scalar `hll_union` — output (src_a, src_b, n_a_approx,
+    * n_common_approx, overlap_frac_approx), clamped at 0 (the
+    * difference of estimates can dip negative on disjoint sets).
+    *
+    * Scale shape: the input is sources² pairs of ~2^lgK-byte binaries —
+    * a broadcast cross join of two source-count-sized frames, zero
+    * corpus access. Exactly the audit loop a 100 TB deployment runs
+    * daily from persisted sketches while the exact q96 matrix runs
+    * monthly. Accuracy: each estimate carries the standard
+    * ±~1.6%/sqrt(2^lgK / 4096) HLL band; the intersection DIFFERENCE
+    * amplifies relative error on near-disjoint pairs, so the ScalaTest
+    * gate bounds absolute overlap-fraction error vs exact q96, not
+    * relative. */
+  def sourceOverlapSketched(sketches: DataFrame): DataFrame = {
+    // sources-sized frame, TWO consumers (both sides of the cross join):
+    // the barrier keeps a from-docs input from sketching the corpus twice
+    val sk = sketches.localCheckpoint(eager = false)
+    val a = sk.select(col("source").as("src_a"), col("sketch").as("sk_a"))
+    val b = sk.select(col("source").as("src_b"), col("sketch").as("sk_b"))
+    a.crossJoin(broadcast(b)).filter(col("src_a") =!= col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr("hll_sketch_estimate(sk_a)").as("est_a"),
+        expr("hll_sketch_estimate(sk_b)").as("est_b"),
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").as("est_u"))
+      .select(col("src_a"), col("src_b"),
+        round(col("est_a"), 3).as("n_a_approx"),
+        round(greatest(col("est_a") + col("est_b") - col("est_u"), lit(0.0)), 3)
+          .as("n_common_approx"),
+        round(greatest(col("est_a") + col("est_b") - col("est_u"), lit(0.0))
+          / col("est_a"), 6).as("overlap_frac_approx"))
+  }
 
   /** Source-overlap matrix (q96): for every ordered pair of sources
     * (A, B), the count and share of A's distinct word n-grams that also

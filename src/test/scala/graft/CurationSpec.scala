@@ -321,6 +321,50 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(("C", "B")) == ((1L, 0L, 0.0)), s"$got")
   }
 
+  test("sketched source overlap tracks the exact matrix; merge equals full recompute") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val exact = Curation.sourceOverlapMatrix(docs)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._5))).toMap
+    val approx = Curation.sourceOverlapSketched(Curation.sourceShingleSketches(docs))
+      .as[(String, String, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._5))).toMap
+    assert(approx.keySet == exact.keySet, "same pair coverage")
+    val cardErr = exact.map { case (k, (nA, _)) =>
+      math.abs(approx(k)._1 / nA - 1.0) }.max
+    val fracErr = exact.map { case (k, (_, f)) =>
+      math.abs(approx(k)._2 - f) }.max
+    info(f"max |n_a_approx/n_a - 1| = $cardErr%.4f, max |frac - exact| = $fracErr%.4f")
+    assert(cardErr <= 0.05, f"per-source cardinality estimate off by $cardErr%.4f")
+    assert(fracErr <= 0.08, f"overlap fraction off by $fracErr%.4f")
+    // incremental: sketch two disjoint batches, merge, estimate — the
+    // matrix must equal the full-corpus recompute EXACTLY (union is
+    // register-wise max: associative, commutative, duplicate-absorbing)
+    val h1 = Curation.sourceShingleSketches(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val h2 = Curation.sourceShingleSketches(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    val merged = Curation.sourceOverlapSketched(
+        Curation.mergeSourceShingleSketches(h1, h2))
+      .as[(String, String, Double, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    val full = Curation.sourceOverlapSketched(Curation.sourceShingleSketches(docs))
+      .as[(String, String, Double, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(merged.toSeq == full.toSeq, "merged-batch estimates must equal full recompute")
+  }
+
+  test("sketched source overlap separates a planted mirror from a disjoint source") {
+    val base = (1 to 40).map(i => s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h w${i}i")
+    val docs = (
+      base.zipWithIndex.map { case (t, i) => (i.toLong, t, "A") } ++
+      base.zipWithIndex.map { case (t, i) => (100L + i, t, "B") } ++          // mirror of A
+      (1 to 40).map(i => (200L + i, s"z${i}a z${i}b z${i}c z${i}d z${i}e z${i}f z${i}g z${i}h z${i}i", "C"))
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.sourceOverlapSketched(Curation.sourceShingleSketches(docs))
+      .as[(String, String, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(got(("A", "B")) >= 0.9 && got(("B", "A")) >= 0.9, s"mirror must read ~1: $got")
+    assert(got(("A", "C")) <= 0.1 && got(("C", "A")) <= 0.1, s"disjoint must read ~0: $got")
+    assert(got(("B", "C")) <= 0.1 && got(("C", "B")) <= 0.1, s"disjoint must read ~0: $got")
+  }
+
   test("curation funnel drops the planted dup, low-quality, and contaminated docs in order") {
     val t1 = "the quick brown fox jumps over a lazy dog today"
     val bench = "the bench document holds nine distinct words exactly here" // 9 words

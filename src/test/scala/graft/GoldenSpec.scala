@@ -39,7 +39,7 @@ object GoldenSpec {
   val queries: Seq[String] = Seq(
     "q52_minhash_lsh_pairs", "q53_simhash_pairs", "q55b_cosine_pairs_lsh",
     "q56_ann_lsh_topk", "q65_ivf_topk", "q66_quantized_topk",
-    "q89_vocab_sketch")
+    "q89_vocab_sketch", "q98_source_overlap_sketch")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -60,7 +60,9 @@ object GoldenSpec {
     ("q66_quantized_topk", "sf0.001") -> "74936c4d9c4cfe63",
     ("q66_quantized_topk", "sf0.01") -> "ade62389b8ada8c1",
     ("q89_vocab_sketch", "sf0.001") -> "f712f22729cd3975",
-    ("q89_vocab_sketch", "sf0.01") -> "0f9dae0a317bac27")
+    ("q89_vocab_sketch", "sf0.01") -> "0f9dae0a317bac27",
+    ("q98_source_overlap_sketch", "sf0.001") -> "27294e7f9d4d8c7a",
+    ("q98_source_overlap_sketch", "sf0.01") -> "d5b74604f2ecc187")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

@@ -280,7 +280,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q97: six pruned corpus scans — one per stage branch (4 stats +
       // bench shingles + stage-3 corpus side); survivor ID SETS ride
       // ExistingRDD barriers, never a re-derived subtree
-      ("q97_curation_funnel",      6, 10))
+      ("q97_curation_funnel",      6, 10),
+      // q98: the sketch table hides behind its barrier (scans=0); one
+      // sketch-bytes aggregation + a broadcast pair cross join
+      ("q98_source_overlap_sketch", 0, 2))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
