@@ -251,6 +251,34 @@ object Curation {
         .orderBy("src_a", "src_b")
     },
 
+    // ---- per-source corpus profile (the dataset datasheet): doc/token
+    //      totals, token-count and quality percentiles, language mix —
+    //      the summary table a corpus release ships and a mixing run
+    //      reads. One in-row projection + one bounded aggregation. ----
+    "q99_source_profile" -> QueryDef.sql(
+      """WITH f AS (SELECT source, lang,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+        |    len(list_filter(string_split(trim(text),' '),
+        |        x -> list_contains(['the','a','and','of','to','is','in'], x))) AS n_stop
+        |  FROM documents),
+        |t AS (SELECT source, lang, n_chars, n_words AS n_tokens,
+        |  round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |        * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
+        |        * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / nullif(n_words, 0) * 5.0, 1.0)), 6) AS quality
+        |  FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(quantile_cont(n_tokens, 0.5), 6) AS tokens_p50,
+        |  round(quantile_cont(n_tokens, 0.95), 6) AS tokens_p95,
+        |  round(quantile_cont(quality, 0.5), 6) AS quality_p50,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+        |  round(CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) / count(*), 6) AS frac_en
+        |FROM t GROUP BY source ORDER BY source""") { (s, dir) =>
+      sourceProfile(Tables.documents(s, dir)).orderBy("source")
+    },
+
     // ---- cross-document repeated spans (boilerplate detection — the
     //      Spark-shaped cousin of suffix-array substring dedup, Lee et
     //      al. 2022 "Deduplicating Training Data Makes LMs Better"):
@@ -673,24 +701,30 @@ object Curation {
     * (doc_id, source, n_chars, quality) — quality rounded to 6 places,
     * the form the decimal-exact aggregations downstream depend on. */
   def qualityScored(docs: DataFrame): DataFrame = {
-    val stopArr = array(Seq("the", "a", "and", "of", "to", "is", "in").map(lit): _*)
-    val f = docs.select(
-      col("doc_id"), col("source"),
+    docs.select(col("doc_id"), col("source"),
       length(col("text")).cast("long").as("n_chars"),
-      size(words(col("text"))).cast("long").as("n_words"),
-      expr("regexp_count(text, '[^A-Za-z0-9 ]')").cast("long").as("n_punct"),
-      size(filter(words(col("text")), w => array_contains(stopArr, w))).cast("long").as("n_stop"))
-    // nullif guards: empty/whitespace-only docs (n_chars or n_words = 0)
-    // must score NULL in BOTH engines — Spark's non-ANSI divide gives
-    // NULL where DuckDB's double divide gives inf/NaN, so the guard goes
-    // in the operator AND the q81/q83 oracle SQL (ADVICE r7)
-    f.select(col("doc_id"), col("source"), col("n_chars"),
-      round(
-        least(col("n_words").cast("double") / 20.0, lit(1.0))
-          * (lit(1.0) - col("n_punct").cast("double") / nullif(col("n_chars"), lit(0L)))
-          * (lit(0.5) + lit(0.5) *
-              least(col("n_stop").cast("double") / nullif(col("n_words"), lit(0L)) * 5.0, lit(1.0))),
-        6).as("quality"))
+      qualityExpr(col("text")).as("quality"))
+  }
+
+  /** The q41/q81 quality score as a reusable column expression over the
+    * raw text — in-row, codegen'd, shared by [[qualityScored]] and
+    * [[sourceProfile]] so the formula exists once. nullif guards:
+    * empty/whitespace-only docs (n_chars or n_words = 0) must score NULL
+    * in BOTH engines — Spark's non-ANSI divide gives NULL where DuckDB's
+    * double divide gives inf/NaN, so the guard goes in the operator AND
+    * the q81/q83 oracle SQL (ADVICE r7). */
+  private def qualityExpr(text: Column): Column = {
+    val stopArr = array(Seq("the", "a", "and", "of", "to", "is", "in").map(lit): _*)
+    val nChars = length(text).cast("long")
+    val nWords = size(words(text)).cast("long")
+    val nPunct = regexp_count(text, lit("[^A-Za-z0-9 ]")).cast("long")
+    val nStop = size(filter(words(text), w => array_contains(stopArr, w))).cast("long")
+    round(
+      least(nWords.cast("double") / 20.0, lit(1.0))
+        * (lit(1.0) - nPunct.cast("double") / nullif(nChars, lit(0L)))
+        * (lit(0.5) + lit(0.5) *
+            least(nStop.cast("double") / nullif(nWords, lit(0L)) * 5.0, lit(1.0))),
+      6)
   }
 
   /** Greedy per-source token-budget fill in deterministic hash order:
@@ -1014,6 +1048,33 @@ object Curation {
   def mergeVocabSketches(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("source")
       .agg(expr("hll_union_agg(sketch)").as("sketch"))
+
+  /** Per-source corpus profile (q99) — the dataset datasheet: doc and
+    * token totals, token-count and quality percentiles, mean length,
+    * language mix. One in-row projection (shuffle-free per row, reusing
+    * the q41/q81 quality expression) and one aggregation by source.
+    *
+    * Scale note: `percentile` here is the EXACT interpolated form, safe
+    * at 100 TB because both percentile domains have bounded cardinality —
+    * Spark's implementation aggregates a (value → count) map, so state is
+    * O(distinct values): token counts (thousands of distinct values) and
+    * 6-decimal quality scores (≤10^6), never O(rows). For an unbounded
+    * domain (raw doubles), swap in percentile_approx — the q81 exact/
+    * approx pairing. */
+  def sourceProfile(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        qualityExpr(col("text")).as("quality"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(expr("percentile(n_tokens, 0.5D)"), 6).as("tokens_p50"),
+        round(expr("percentile(n_tokens, 0.95D)"), 6).as("tokens_p95"),
+        round(expr("percentile(quality, 0.5D)"), 6).as("quality_p50"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+        round(sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("frac_en"))
 
   /** Per-source HLL sketches of the distinct word n-gram sets — the
     * incremental half of [[sourceOverlapSketched]] (q98), built exactly

@@ -321,6 +321,35 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(("C", "B")) == ((1L, 0L, 0.0)), s"$got")
   }
 
+  test("source profile computes exact percentiles, totals, and language mix on planted docs") {
+    def doc(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc(10), "en", "A"),
+      (2L, doc(20), "en", "A"),
+      (3L, doc(100), "de", "A"),
+      (4L, doc(50), "fr", "B")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Curation.sourceProfile(docs)
+      .as[(String, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val a = got("A")
+    assert(a._2 == 3L && a._3 == 130L, s"$a")
+    assert(a._4 == 20.0, s"p50 of (10,20,100) is 20: $a")
+    // p95 at rank 0.95*(3-1)=1.9 -> 20 + 0.9*(100-20) = 92
+    assert(a._5 == 92.0, s"interpolated p95: $a")
+    // quality_p50 of 3 docs = the middle doc's quality (doc 2 here:
+    // quality is monotone in n_words for these no-punct no-stop texts)
+    val q2 = Curation.qualityScored(docs.filter(col("doc_id") === 2))
+      .select("quality").as[Double].head()
+    assert(a._6 == q2, s"quality p50 must be doc 2's score $q2: $a")
+    // avg_chars integer-sum-then-divide; frac_en = 2/3
+    val chars = Seq(doc(10), doc(20), doc(100)).map(_.length.toLong).sum
+    assert(a._7 == math.round(chars.toDouble / 3 * 1e6) / 1e6, s"$a")
+    assert(a._8 == math.round(2.0 / 3 * 1e6) / 1e6, s"$a")
+    val b = got("B")
+    assert(b._2 == 1L && b._3 == 50L && b._4 == 50.0 && b._5 == 50.0 && b._8 == 0.0, s"$b")
+  }
+
   test("sketched source overlap tracks the exact matrix; merge equals full recompute") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val exact = Curation.sourceOverlapMatrix(docs)

@@ -283,7 +283,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q97_curation_funnel",      6, 10),
       // q98: the sketch table hides behind its barrier (scans=0); one
       // sketch-bytes aggregation + a broadcast pair cross join
-      ("q98_source_overlap_sketch", 0, 2))
+      ("q98_source_overlap_sketch", 0, 2),
+      // q99: one pruned scan, partial (value->count map) agg before the
+      // by-source shuffle, plus the output sort's range exchange
+      ("q99_source_profile",       1, 2))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
