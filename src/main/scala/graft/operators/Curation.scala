@@ -251,6 +251,22 @@ object Curation {
         .orderBy("src_a", "src_b")
     },
 
+    // ---- sliding-window token chunking (the RAG/embedding-prep face;
+    //      complements q82's concat-and-pack: packing concatenates docs
+    //      into fixed sequences, chunking SPLITS each doc into
+    //      overlapping windows). Pure in-row explode, corpus never
+    //      shuffles. ----
+    "q100_chunk_windows" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 32)) AS tok_start FROM w)
+        |SELECT doc_id, tok_start // 32 AS chunk_id, tok_start,
+        |  CAST(len(list_slice(ws, tok_start + 1, tok_start + 64)) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(ws, tok_start + 1, tok_start + 64), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""") { (s, dir) =>
+      chunkWindows(Tables.documents(s, dir)).orderBy("doc_id", "chunk_id")
+    },
+
     // ---- per-source corpus profile (the dataset datasheet): doc/token
     //      totals, token-count and quality percentiles, language mix —
     //      the summary table a corpus release ships and a mixing run
@@ -1048,6 +1064,33 @@ object Curation {
   def mergeVocabSketches(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("source")
       .agg(expr("hll_union_agg(sketch)").as("sketch"))
+
+  /** Sliding-window token chunking (q100): split every document into
+    * overlapping windows of `chunkTokens` tokens advancing by `stride` —
+    * the retrieval/embedding-prep transform (each chunk is what gets
+    * embedded and indexed; q82's packing is the training-side dual that
+    * CONCATENATES docs instead). Output one row per (doc_id, chunk_id)
+    * with the token span and chunk text; every window start < the doc's
+    * token count emits, so short tails appear (and embed) rather than
+    * silently dropping.
+    *
+    * Scale shape: pure in-row generate — one pruned corpus scan, zero
+    * shuffle, whole-stage codegen'd; output size is rows ×
+    * ceil(tokens/stride), the irreducible chunk count. */
+  def chunkWindows(docs: DataFrame, chunkTokens: Int = 64,
+      stride: Int = 32): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), size(col("ws")).cast("long") - 1L,
+          lit(stride.toLong))).as("tok_start"))
+      .select(col("doc_id"),
+        (col("tok_start") / stride).cast("long").as("chunk_id"),
+        col("tok_start"),
+        size(slice(col("ws"), col("tok_start").cast("int") + 1, lit(chunkTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("ws"), col("tok_start").cast("int") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
 
   /** Per-source corpus profile (q99) — the dataset datasheet: doc and
     * token totals, token-count and quality percentiles, mean length,

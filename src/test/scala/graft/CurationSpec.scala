@@ -321,6 +321,28 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(("C", "B")) == ((1L, 0L, 0.0)), s"$got")
   }
 
+  test("chunk windows split docs into overlapping spans covering every token") {
+    val t70 = (1 to 70).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, t70),
+      (2L, (1 to 10).map(i => s"s$i").mkString(" ")),
+      (3L, "   ")                                       // no tokens -> no rows
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkWindows(docs, chunkTokens = 64, stride = 32)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 64L), (1L, 32L, 38L), (2L, 64L, 6L)), s"${d1.toSeq}")
+    assert(d1(0)._5 == (1 to 64).map(i => s"t$i").mkString(" "))
+    assert(d1(2)._5 == (65 to 70).map(i => s"t$i").mkString(" "))
+    // coverage: the union of [tok_start, tok_start + n_chunk_tokens)
+    // spans of a doc must cover every token exactly through the end
+    assert(d1.map(c => c._3 + c._4).max == 70L)
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.map(c => (c._2, c._3, c._4)).toSeq == Seq((0L, 0L, 10L)), s"${d2.toSeq}")
+    assert(!got.exists(_._1 == 3L), "empty doc emits no chunks")
+  }
+
   test("source profile computes exact percentiles, totals, and language mix on planted docs") {
     def doc(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
     val docs = Seq(

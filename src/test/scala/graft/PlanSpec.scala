@@ -286,7 +286,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q98_source_overlap_sketch", 0, 2),
       // q99: one pruned scan, partial (value->count map) agg before the
       // by-source shuffle, plus the output sort's range exchange
-      ("q99_source_profile",       1, 2))
+      ("q99_source_profile",       1, 2),
+      // q100: pure in-row generate — one scan, the only exchange is the
+      // output sort's range partitioning
+      ("q100_chunk_windows",       1, 1))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
