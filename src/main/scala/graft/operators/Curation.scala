@@ -182,6 +182,40 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // ---- fuzzy decontamination: best per-benchmark-doc Jaccard with
+    //      attribution (WHICH eval item leaked) — q74's overlap-share
+    //      scan can't answer that. Same broadcast-bench inverted-index
+    //      shape; candidate pairs, never all-pairs. ----
+    "q101_fuzzy_decontamination" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)]) AS sh
+        |       FROM w WHERE len(ws) >= 8),
+        |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |bench AS (SELECT doc_id FROM documents WHERE substring(md5(text), 1, 1) = '0'),
+        |bsh AS (SELECT s.sh, s.doc_id AS b_doc FROM sh s JOIN bench b USING (doc_id)),
+        |nb AS (SELECT b_doc, count(*) AS n_bench FROM bsh GROUP BY 1),
+        |inter AS (SELECT c.doc_id, b.b_doc, count(*) AS n_inter FROM sh c JOIN bsh b
+        |          ON c.sh = b.sh AND c.doc_id != b.b_doc GROUP BY 1, 2),
+        |j AS (SELECT i.doc_id, i.b_doc,
+        |        CAST(n_inter AS DOUBLE) / (c.n_shingles + nb.n_bench - n_inter) AS jac
+        |      FROM inter i JOIN cnt c USING (doc_id) JOIN nb USING (b_doc)),
+        |best AS (SELECT doc_id, b_doc, jac,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, b_doc) AS rn
+        |         FROM j)
+        |SELECT c.doc_id, c.n_shingles, b.b_doc AS best_bench,
+        |  round(coalesce(b.jac, 0.0), 6) AS best_jaccard,
+        |  coalesce(b.jac, 0.0) >= 0.5 AS contaminated_near
+        |FROM cnt c LEFT JOIN (SELECT doc_id, b_doc, jac FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      fuzzyDecontaminationScan(docs,
+        docs.filter(substring(md5(col("text")), 1, 1) === "0")
+          .select(col("doc_id").as("bench_id")))
+        .orderBy("doc_id")
+    },
+
     // ---- corpus-self-trained bigram LM quality score (the CCNet-shaped
     //      perplexity gate, Wenzek et al. 2019, with the LM trained on
     //      the corpus itself instead of an external model): per-doc mean
@@ -859,6 +893,71 @@ object Curation {
         round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6)
           .as("contamination"),
         (coalesce(col("n_shared"), lit(0L)) * 2 >= col("n_shingles")).as("contaminated"))
+  }
+
+  /** Fuzzy benchmark decontamination (q101): q74 flags docs by the share
+    * of their OWN shingles found anywhere in the benchmark set; this is
+    * the per-benchmark-doc Jaccard form — for every corpus doc, the best
+    * (highest-Jaccard) single benchmark doc over distinct word n-gram
+    * shingle sets, flagged at `threshold`. The distinction matters in
+    * practice: a long corpus doc that embeds one short benchmark item
+    * verbatim has LOW q74 overlap share but its q101 Jaccard against
+    * that one item can still clear a pair-similarity gate, and the
+    * attribution (`best_bench`) names WHICH eval item leaked — the
+    * audit-trail question q74 cannot answer.
+    *
+    * Output: (doc_id, n_shingles, best_bench, best_jaccard,
+    * contaminated_near) for every doc with ≥ n tokens; docs with no
+    * shared shingle keep best_bench null / jaccard 0. Ties on Jaccard
+    * resolve to the smallest bench doc_id; the flag compares the
+    * unrounded Jaccard (an exact integer-ratio double in both engines).
+    *
+    * Scale shape: the corpus shingle frame is exploded once behind the
+    * same lazy barrier as q74 (two consumers: per-doc counts + the bench
+    * join); the bench side — shingles AND per-bench-doc set sizes — is
+    * broadcast (eval suites are tiny against a 100 TB corpus), so the
+    * only corpus-sized shuffles carry (doc_id, b_doc, count) triples
+    * bounded by the candidate-pair count, never shingle text. The
+    * all-pairs Jaccard this replaces is exactly the q51→q74 asymmetry:
+    * one side is small, so the inverted index degenerates to a map-side
+    * join. */
+  def fuzzyDecontaminationScan(docs: DataFrame, benchIds: DataFrame,
+      n: Int = 8, threshold: Double = 0.5): DataFrame =
+    // the bench shingle set has TWO consumers here (the broadcast join
+    // and the per-bench-doc set sizes); without a barrier each re-runs
+    // the semi-join's full corpus scan — the q51 failure mode, on the
+    // side of the plan that exists to be cheap
+    fuzzyDecontaminationScanAgainst(docs,
+      benchShingleSet(docs, benchIds, n).localCheckpoint(eager = false),
+      n, threshold)
+
+  /** [[fuzzyDecontaminationScan]] against a prebuilt (possibly persisted)
+    * benchmark shingle relation (b_sh, b_doc) — the per-benchmark-release
+    * precompute entry point, mirroring [[decontaminationScanAgainst]]. */
+  def fuzzyDecontaminationScanAgainst(docs: DataFrame, benchShingles: DataFrame,
+      n: Int = 8, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh0 = shinglesN(docs, n)
+    val freqOk = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDocFreq).select("sh")
+    val sh = sh0.join(freqOk, "sh").localCheckpoint(eager = false)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // bench-side set sizes: bench-doc-count rows — broadcast like the
+    // shingles themselves
+    val nb = benchShingles.groupBy("b_doc").agg(count(lit(1)).as("n_bench"))
+    val inter = sh.join(broadcast(benchShingles),
+        col("sh") === col("b_sh") && col("doc_id") =!= col("b_doc"))
+      .groupBy("doc_id", "b_doc").agg(count(lit(1)).as("n_inter"))
+    val jac = inter.join(cnt, "doc_id").join(broadcast(nb), "b_doc")
+      .withColumn("jac", col("n_inter").cast("double") /
+        (col("n_shingles") + col("n_bench") - col("n_inter")))
+    val w = Window.partitionBy("doc_id").orderBy(col("jac").desc, col("b_doc"))
+    val best = jac.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("b_doc").as("best_bench"), col("jac"))
+    cnt.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"), col("best_bench"),
+        round(coalesce(col("jac"), lit(0.0)), 6).as("best_jaccard"),
+        (coalesce(col("jac"), lit(0.0)) >= threshold).as("contaminated_near"))
   }
 
   /** Per-doc mean negative log probability under a corpus-self-trained

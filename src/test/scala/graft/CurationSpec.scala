@@ -321,6 +321,37 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(("C", "B")) == ((1L, 0L, 0.0)), s"$got")
   }
 
+  test("fuzzy decontamination computes exact best-bench jaccard with attribution and ties") {
+    def toks(ws: Seq[String]): String = ws.mkString(" ")
+    val w12 = (1 to 12).map(i => s"w$i")
+    val docs = Seq(
+      // bench pair: 10 and 20 are exact duplicates of each other
+      (10L, toks(w12)),
+      (20L, toks(w12)),
+      // near-copy of the bench text: last token changed -> 4 of 5
+      // shingles shared, union 6, jaccard 4/6
+      (1L, toks(w12.init :+ "x")),
+      // shares exactly the first 8-gram -> inter 1, union 9
+      (2L, toks(w12.take(8) ++ Seq("y1", "y2", "y3", "y4"))),
+      // >= 8 tokens, disjoint -> row with null attribution
+      (3L, toks((1 to 9).map(i => s"z$i"))),
+      // < 8 tokens -> no shingles, no row
+      (4L, "a b c")
+    ).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") >= 10L).select(col("doc_id").as("bench_id"))
+    val got = Curation.fuzzyDecontaminationScan(docs, bench)
+      .as[(Long, Long, Option[Long], Double, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 10L, 20L))
+    // doc 1: ties 10 and 20 at 4/6 -> attribution resolves to min id 10
+    assert(got(0) == ((1L, 5L, Some(10L), 0.666667, true)))
+    assert(got(1) == ((2L, 5L, Some(10L), 0.111111, false)))
+    assert(got(2) == ((3L, 2L, None, 0.0, false)))
+    // bench docs score against the OTHER bench doc (never themselves):
+    // exact duplicates -> jaccard 1.0
+    assert(got(3) == ((10L, 5L, Some(20L), 1.0, true)))
+    assert(got(4) == ((20L, 5L, Some(10L), 1.0, true)))
+  }
+
   test("chunk windows split docs into overlapping spans covering every token") {
     val t70 = (1 to 70).map(i => s"t$i").mkString(" ")
     val docs = Seq(

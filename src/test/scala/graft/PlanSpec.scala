@@ -289,7 +289,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q99_source_profile",       1, 2),
       // q100: pure in-row generate — one scan, the only exchange is the
       // output sort's range partitioning
-      ("q100_chunk_windows",       1, 1))
+      ("q100_chunk_windows",       1, 1),
+      // q101: corpus shingles AND the bench shingle set each hide behind
+      // a barrier (scans=0 — a lost barrier on the bench side re-runs a
+      // full corpus semi-join scan per consumer); exchanges: cnt + nb +
+      // inter aggs, the jaccard join, the argmax window, the output sort
+      ("q101_fuzzy_decontamination", 0, 7))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
