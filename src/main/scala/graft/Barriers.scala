@@ -52,4 +52,18 @@ object Barriers {
     * scope guarantees to restore (test hook + session-health probe). */
   def persistentRddCount(spark: SparkSession): Int =
     spark.sparkContext.getPersistentRDDs.size
+
+  /** Release the blocks behind an eagerly checkpointed DataFrame NOW —
+    * the in-loop complement of [[withBarrierScope]] for iterative
+    * operators that supersede a barrier every round (BPE training, the
+    * CC loops): without it a 30-round loop holds 30 vocab-sized pinned
+    * copies until scope exit. The frame must not be read again — its
+    * lineage was truncated by the checkpoint, so the blocks are the only
+    * copy. No-op on frames without a LogicalRDD leaf. */
+  def release(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

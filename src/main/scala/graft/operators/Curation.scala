@@ -263,6 +263,15 @@ object Curation {
       bpePairCounts(Tables.documents(s, dir), topK = 100)
     },
 
+    // ---- full BPE training (the loop whose single step is q88): 30
+    //      ordered merges. No SQL oracle — per-round argmax + in-word
+    //      greedy replacement is iterative, not relational; CurationSpec
+    //      pins hand-computed merge tables (incl. the Sennrich corpus
+    //      shape) and GoldenSpec digests the full output at both SFs. ----
+    "q102_bpe_train_merges" -> QueryDef.rowsOnly { (s, dir) =>
+      bpeTrainMerges(Tables.documents(s, dir)).orderBy("merge_rank")
+    },
+
     // ---- per-source vocab cardinality via mergeable HLL sketches: the
     //      incremental corpus-stats shape (sketch the batch, union with
     //      the stored sketches — never re-read the corpus). No SQL
@@ -1136,6 +1145,90 @@ object Curation {
       .agg(sum(col("wc")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("l"), col("r"))
       .limit(topK)
+
+  /** Full BPE tokenizer training (q102): iterate q88's pair-count step —
+    * each round picks the highest-frequency adjacent symbol pair (count
+    * desc, then (l, r) lexicographic: the deterministic tie-break) and
+    * merges it greedily left-to-right inside every vocabulary word
+    * (Sennrich et al. 2016). Returns the ordered merge table
+    * (merge_rank, l, r, pair_count) — the artifact BPE training exists
+    * to produce; rounds after pair exhaustion emit nothing.
+    *
+    * The greedy merge is an in-row fold: append each symbol unless the
+    * accumulator's last element is `l` and the symbol is `r`, in which
+    * case replace the last element with `l‖r`. This IS greedy
+    * left-to-right replacement: a just-merged element equals `l‖r`,
+    * which can never equal `l` (r is non-empty), so a merge result is
+    * never consumed as the left half of an overlapping merge —
+    * "aaa" → [aa, a], not [aa, aa].
+    *
+    * Scale shape: the corpus is read ONCE, for the word-frequency
+    * vocabulary — the only corpus-sized aggregation. Every round after
+    * that runs on the vocabulary table (distinct words: millions of
+    * rows at 100 TB, not billions) with symbol arrays held in-row; the
+    * per-round shuffle is the symbol-pair count table (vocab-of-pairs
+    * sized). The argmax is a 1-row eagerly pinned frame broadcast back
+    * onto the vocab — never collected to the driver — and each round's
+    * vocab is an eager localCheckpoint (plan stays round-sized, the
+    * q62 loop discipline) whose predecessor is released immediately via
+    * [[graft.Barriers.release]], so live state is ≤2 vocab copies
+    * regardless of round count. A round with no pairs left selects the
+    * empty-string sentinel (it loses to any real pair, and no symbol is
+    * ever the empty string), making the round a no-op filtered from the
+    * output. */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = docs.select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("wc"))
+      .localCheckpoint(eager = true)
+    val merges = Seq.newBuilder[DataFrame]
+    (1 to nMerges).foreach { k =>
+      val best = bpeRoundPairs(vocab)
+        .unionByName(spark.range(1).select(lit("").as("l"), lit("").as("r"),
+          lit(-1L).as("pair_count")))
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(1)
+        .localCheckpoint(eager = true) // 1 row: pins this round's argmax
+      merges += best.select(lit(k.toLong).as("merge_rank"), col("l"), col("r"),
+        col("pair_count"))
+      val next = vocab.crossJoin(broadcast(best.select(col("l"), col("r"))))
+        .select(expr(
+          """aggregate(syms, slice(syms, 1, 0),
+            |  (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = l AND x = r
+            |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))
+            |    ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"),
+          col("wc"))
+        .localCheckpoint(eager = true)
+      graft.Barriers.release(vocab)
+      vocab = next
+    }
+    // the merge table is nMerges 1-row pinned frames — materialize it,
+    // then release the final vocab AND the per-round argmax pins (the
+    // merge list, not the vocab, is this operator's product;
+    // tokenization APPLIES merges to new text)
+    val perRound = merges.result()
+    val out = perRound.reduce(_.unionByName(_))
+      .filter(col("pair_count") > 0)
+      .localCheckpoint(eager = true)
+    graft.Barriers.release(vocab)
+    perRound.foreach(graft.Barriers.release)
+    out
+  }
+
+  /** One BPE round's pair-count aggregation over a (syms, wc) vocabulary
+    * — extracted so PlanSpec can budget the LOOP BODY (the final q102
+    * plan is the pinned merge table and hides it): zero scans off a
+    * checkpointed vocab, one map-side-combined shuffle of (l, r, count)
+    * rows — vocab-of-pairs sized, never corpus-sized. */
+  private[graft] def bpeRoundPairs(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("syms")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS l, syms[i] AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("wc")).as("pair_count"))
 
   /** Per-source distinct-token cardinality as MERGEABLE HLL sketches
     * (Apache DataSketches via Spark's hll_sketch_agg) — the incremental

@@ -61,4 +61,18 @@ class BarriersSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     assert(Barriers.persistentRddCount(spark) == before)
   }
+
+  test("release frees a superseded eager checkpoint immediately, incl. through derived frames") {
+    val before = Barriers.persistentRddCount(spark)
+    val pinned = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
+    assert(Barriers.persistentRddCount(spark) == before + 1)
+    // release through a DERIVED frame — the loop records projections of
+    // its per-round pins, never the pinned frame itself
+    val derived = pinned.filter($"x" > 1).selectExpr("x * 2 AS y")
+    Barriers.release(derived)
+    assert(Barriers.persistentRddCount(spark) == before)
+    // no-op on frames with no LogicalRDD leaf
+    Barriers.release(Seq(1).toDF("x"))
+    assert(Barriers.persistentRddCount(spark) == before)
+  }
 }

@@ -321,6 +321,51 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(("C", "B")) == ((1L, 0L, 0.0)), s"$got")
   }
 
+  test("BPE training reproduces the hand-computed merge table on the Sennrich corpus") {
+    // low x5, lower x2, newest x6, widest x3 — the classic BPE example.
+    // Hand-derived rounds (count desc, then (l, r) lexicographic ties):
+    //   1: (e,s)=9 ties (s,t)=9 -> e < s     2: (es,t)=9
+    //   3: (l,o)=7 ties (o,w)=7 -> l < o     4: (lo,w)=7
+    //   5: (n,e)=(e,w)=(w,est)=6 -> (e,w)
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ") + " lower lower"),
+      (2L, Seq.fill(6)("newest").mkString(" ") + " widest widest widest")
+    ).toDF("doc_id", "text")
+    val got = Curation.bpeTrainMerges(docs, nMerges = 5)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L), (3L, "l", "o", 7L),
+      (4L, "lo", "w", 7L), (5L, "e", "w", 6L)))
+  }
+
+  test("BPE merge replacement is greedy left-to-right and exhaustion rounds emit nothing") {
+    // "aaa" x2: round 1 counts BOTH adjacent (a,a) positions (4 total)
+    // and merges greedily -> [aa, a], NOT [aa, aa]; round 2 then sees
+    // (aa,a)=2. A double-merge bug changes both rows.
+    val aaa = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val gotA = Curation.bpeTrainMerges(aaa, nMerges = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(gotA.toSeq == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L)))
+    // pair exhaustion: "ab" collapses after one merge; the remaining
+    // rounds hit the sentinel and are filtered from the output
+    val ab = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val gotB = Curation.bpeTrainMerges(ab, nMerges = 5)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(gotB.toSeq == Seq((1L, "a", "b", 3L)))
+  }
+
+  test("BPE training releases every per-round barrier it pins") {
+    val docs = Seq((1L, "low lower newest widest word words wording")).toDF("doc_id", "text")
+    val before = Barriers.persistentRddCount(spark)
+    val out = Curation.bpeTrainMerges(docs, nMerges = 4)
+    out.collect()
+    // only the result's own pin may remain beyond the entry state
+    assert(Barriers.persistentRddCount(spark) <= before + 1,
+      s"BPE loop leaked barriers: ${Barriers.persistentRddCount(spark)} vs $before")
+    Barriers.release(out)
+    assert(Barriers.persistentRddCount(spark) <= before)
+  }
+
   test("fuzzy decontamination computes exact best-bench jaccard with attribution and ties") {
     def toks(ws: Seq[String]): String = ws.mkString(" ")
     val w12 = (1 to 12).map(i => s"w$i")

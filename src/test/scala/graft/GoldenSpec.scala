@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Golden-result pins for the 7 `no_oracle` queries (VERDICT r8 #6): their
+/** Golden-result pins for the `no_oracle` queries (VERDICT r8 #6): their
   * outputs are deterministic given params and data (partition independence
   * is proven by tools/determinism.py), so run-over-run exactness is
   * checkable WITHOUT DuckDB — the committed hash below is the canonical
@@ -39,7 +39,7 @@ object GoldenSpec {
   val queries: Seq[String] = Seq(
     "q52_minhash_lsh_pairs", "q53_simhash_pairs", "q55b_cosine_pairs_lsh",
     "q56_ann_lsh_topk", "q65_ivf_topk", "q66_quantized_topk",
-    "q89_vocab_sketch", "q98_source_overlap_sketch")
+    "q89_vocab_sketch", "q98_source_overlap_sketch", "q102_bpe_train_merges")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -62,7 +62,9 @@ object GoldenSpec {
     ("q89_vocab_sketch", "sf0.001") -> "f712f22729cd3975",
     ("q89_vocab_sketch", "sf0.01") -> "0f9dae0a317bac27",
     ("q98_source_overlap_sketch", "sf0.001") -> "27294e7f9d4d8c7a",
-    ("q98_source_overlap_sketch", "sf0.01") -> "d5b74604f2ecc187")
+    ("q98_source_overlap_sketch", "sf0.01") -> "d5b74604f2ecc187",
+    ("q102_bpe_train_merges", "sf0.001") -> "e2652369fc3f0f11",
+    ("q102_bpe_train_merges", "sf0.01") -> "6a0f9649e6c3b7af")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

@@ -321,11 +321,17 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .localCheckpoint(true)
     val labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint(true)
+    val vocab = Seq((Seq("l", "o", "w"), 5L), (Seq("n", "e", "w"), 2L))
+      .toDF("syms", "wc").localCheckpoint(true)
     val rounds = Seq(
       ("labelPropRound (q62)",
         graft.operators.Dedup.labelPropRound(edges, labels), 4),
       ("starRound (q67)",
-        graft.operators.Dedup.starRound(edges), 9))
+        graft.operators.Dedup.starRound(edges), 9),
+      // q102: one map-side-combined shuffle of pair counts per round —
+      // a regression here multiplies by nMerges
+      ("bpeRoundPairs (q102)",
+        graft.operators.Curation.bpeRoundPairs(vocab), 1))
     rounds.foreach { case (name, df, maxExchanges) =>
       val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
