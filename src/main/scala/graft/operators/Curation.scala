@@ -272,6 +272,16 @@ object Curation {
       bpeTrainMerges(Tables.documents(s, dir)).orderBy("merge_rank")
     },
 
+    // ---- BPE apply (q102's tokenize face, the q90/q95 detect/apply
+    //      pattern): train on the corpus, then tokenize it and report
+    //      per-doc fertility. Merge table broadcast as one ordered
+    //      array row; tokenization is an in-row nested fold — zero
+    //      shuffle over the corpus. ----
+    "q103_bpe_tokenize" -> QueryDef.rowsOnly { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      bpeTokenize(docs, bpeTrainMerges(docs)).orderBy("doc_id")
+    },
+
     // ---- per-source vocab cardinality via mergeable HLL sketches: the
     //      incremental corpus-stats shape (sketch the batch, union with
     //      the stored sketches — never re-read the corpus). No SQL
@@ -1215,6 +1225,50 @@ object Curation {
     graft.Barriers.release(vocab)
     perRound.foreach(graft.Barriers.release)
     out
+  }
+
+  /** BPE tokenization (q103) — the APPLY face of [[bpeTrainMerges]] (the
+    * q90/q95 detect/apply pattern): run the ordered merge table over
+    * every word of every document and report per-doc subword counts
+    * (n_words, n_subwords, subwords_per_word — the fertility statistic
+    * that decides whether a tokenizer fits a corpus). Merges apply in
+    * training order (rank ascending), each with the same greedy
+    * left-to-right fold the trainer uses — train and apply CANNOT
+    * disagree on merge semantics because they share the fold shape.
+    *
+    * Scale shape: the merge table is tokenizer-sized (dozens to ~100k
+    * rows), collapsed to ONE row holding the rank-ordered merge array
+    * and broadcast; tokenization is then a pure in-row nested fold over
+    * the corpus scan — zero shuffle, no per-word join against a
+    * vocabulary (a word→subwords map join would shuffle corpus tokens;
+    * re-deriving per occurrence is branch-free columnar work instead). */
+  def bpeTokenize(docs: DataFrame, mergeTable: DataFrame): DataFrame =
+    bpeTokenizeSubwords(docs, mergeTable)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(sub, CAST(0 AS BIGINT), (s, a) -> s + size(a))").as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6)
+          .as("subwords_per_word"))
+
+  /** (doc_id, ws, sub): per-word subword arrays under the merge table —
+    * the inner face of [[bpeTokenize]], exposed for the reconstruction
+    * property (concatenating a word's subwords must reproduce the word:
+    * merges rearrange boundaries, never characters). */
+  private[graft] def bpeTokenizeSubwords(docs: DataFrame,
+      mergeTable: DataFrame): DataFrame = {
+    val mergeArr = mergeTable.agg(expr(
+      "transform(array_sort(collect_list(struct(merge_rank, l, r))), m -> struct(m.l AS l, m.r AS r))")
+      .as("merges"))
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .crossJoin(broadcast(mergeArr))
+      .select(col("doc_id"), col("ws"), expr(
+        """transform(ws, w -> aggregate(merges,
+          |  transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+          |  (syms, m) -> aggregate(syms, slice(syms, 1, 0),
+          |    (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = m.l AND x = m.r
+          |      THEN concat(slice(acc, 1, size(acc) - 1), array(concat(m.l, m.r)))
+          |      ELSE concat(acc, array(x)) END)))""".stripMargin).as("sub"))
   }
 
   /** One BPE round's pair-count aggregation over a (syms, wc) vocabulary

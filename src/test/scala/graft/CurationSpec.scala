@@ -366,6 +366,47 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Barriers.persistentRddCount(spark) <= before)
   }
 
+  test("BPE tokenize applies merges in rank order and reports exact fertility") {
+    val merges = Seq((1L, "e", "s", 9L), (2L, "es", "t", 9L))
+      .toDF("merge_rank", "l", "r", "pair_count")
+    val docs = Seq(
+      (1L, "newest widest"), // n,e,w,est (4) + w,i,d,est (4)
+      (2L, "low"),           // untouched: l,o,w (3)
+      (3L, "est set")        // est -> e,s,t ->(e,s)-> es,t ->(es,t)-> est (1); set -> s,et? no: s,e,t ->(e,s) no adjacent e,s? s-e, e-t -> no merge applies except... (e,s) needs l=e,r=s adjacent; "set" = s,e,t: pairs (s,e),(e,t) -> no merge; stays 3
+    ).toDF("doc_id", "text")
+    val got = Curation.bpeTokenize(docs, merges)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 8L, 4.0), (2L, 1L, 3L, 3.0), (3L, 2L, 4L, 2.0)))
+    // subword-level exactness incl. rank ORDER mattering: (e,s) must run
+    // before (es,t) for "est" to collapse to one token
+    val sub = Curation.bpeTokenizeSubwords(docs, merges)
+      .select(col("doc_id"), col("sub"))
+      .as[(Long, Seq[Seq[String]])].collect().sortBy(_._1).toMap
+    assert(sub(1L) == Seq(Seq("n", "e", "w", "est"), Seq("w", "i", "d", "est")))
+    assert(sub(3L) == Seq(Seq("est"), Seq("s", "e", "t")))
+  }
+
+  test("BPE train->tokenize roundtrip: subwords reconstruct every word exactly") {
+    val docs = Seq(
+      (1L, "low low low lower lowest newest newest widest wide widely"),
+      (2L, "tokenize tokens token tokenizer")
+    ).toDF("doc_id", "text")
+    val merges = Curation.bpeTrainMerges(docs, nMerges = 8)
+    val bad = Curation.bpeTokenizeSubwords(docs, merges)
+      .select(expr(
+        "size(filter(zip_with(ws, transform(sub, a -> concat_ws('', a)), (w, j) -> w = j), ok -> NOT ok))")
+        .as("n_bad"))
+      .agg(sum(col("n_bad"))).as[Long].collect().head
+    assert(bad == 0L, "some word's subwords no longer concatenate to the word")
+    // fertility must not exceed word length and must be >= 1 token/word
+    val fert = Curation.bpeTokenize(docs, merges)
+      .as[(Long, Long, Long, Double)].collect()
+    fert.foreach { case (_, nw, ns, spw) =>
+      assert(ns >= nw && spw >= 1.0, s"fertility out of range: $nw $ns $spw")
+    }
+  }
+
   test("fuzzy decontamination computes exact best-bench jaccard with attribution and ties") {
     def toks(ws: Seq[String]): String = ws.mkString(" ")
     val w12 = (1 to 12).map(i => s"w$i")

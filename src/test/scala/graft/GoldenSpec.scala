@@ -39,7 +39,8 @@ object GoldenSpec {
   val queries: Seq[String] = Seq(
     "q52_minhash_lsh_pairs", "q53_simhash_pairs", "q55b_cosine_pairs_lsh",
     "q56_ann_lsh_topk", "q65_ivf_topk", "q66_quantized_topk",
-    "q89_vocab_sketch", "q98_source_overlap_sketch", "q102_bpe_train_merges")
+    "q89_vocab_sketch", "q98_source_overlap_sketch", "q102_bpe_train_merges",
+    "q103_bpe_tokenize")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -64,7 +65,9 @@ object GoldenSpec {
     ("q98_source_overlap_sketch", "sf0.001") -> "27294e7f9d4d8c7a",
     ("q98_source_overlap_sketch", "sf0.01") -> "d5b74604f2ecc187",
     ("q102_bpe_train_merges", "sf0.001") -> "e2652369fc3f0f11",
-    ("q102_bpe_train_merges", "sf0.01") -> "6a0f9649e6c3b7af")
+    ("q102_bpe_train_merges", "sf0.01") -> "6a0f9649e6c3b7af",
+    ("q103_bpe_tokenize", "sf0.001") -> "4d19e644f80046f1",
+    ("q103_bpe_tokenize", "sf0.01") -> "4fe939d18d97e96c")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

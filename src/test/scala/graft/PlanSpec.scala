@@ -294,7 +294,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // a barrier (scans=0 — a lost barrier on the bench side re-runs a
       // full corpus semi-join scan per consumer); exchanges: cnt + nb +
       // inter aggs, the jaccard join, the argmax window, the output sort
-      ("q101_fuzzy_decontamination", 0, 7))
+      ("q101_fuzzy_decontamination", 0, 7),
+      // q103: ONE corpus scan feeding the in-row nested fold; exchanges
+      // are the one-row merge-array agg and the output sort — a corpus
+      // shuffle appearing here means tokenization stopped being in-row
+      ("q103_bpe_tokenize",          1, 2))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
