@@ -1236,39 +1236,48 @@ object Curation {
     * left-to-right fold the trainer uses — train and apply CANNOT
     * disagree on merge semantics because they share the fold shape.
     *
-    * Scale shape: the merge table is tokenizer-sized (dozens to ~100k
-    * rows), collapsed to ONE row holding the rank-ordered merge array
-    * and broadcast; tokenization is then a pure in-row nested fold over
-    * the corpus scan — zero shuffle, no per-word join against a
-    * vocabulary (a word→subwords map join would shuffle corpus tokens;
-    * re-deriving per occurrence is branch-free columnar work instead). */
-  def bpeTokenize(docs: DataFrame, mergeTable: DataFrame): DataFrame =
-    bpeTokenizeSubwords(docs, mergeTable)
-      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
-        expr("aggregate(sub, CAST(0 AS BIGINT), (s, a) -> s + size(a))").as("n_subwords"))
+    * Scale shape: the fold runs once per DISTINCT word — what every
+    * real tokenizer does (a per-word cache) — then the per-word subword
+    * counts join back onto the token stream and collapse to per-doc
+    * rows with a map-side partial agg. The join is UNHINTED: AQE
+    * broadcasts the vocab when it is small and shuffles when a 100 TB
+    * crawl's garbage tokens make it huge (the q91 lesson — never force
+    * the broadcast). Measured: the previous per-occurrence in-row fold
+    * was zero-shuffle but re-tokenized every duplicate occurrence —
+    * 84 s at sf0.1 vs ~6 s for this shape (SCALING.md); Heaps' law
+    * only widens that gap with corpus size. */
+  def bpeTokenize(docs: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val vocabSub = bpeVocabSubwords(docs, mergeTable)
+      .select(col("w"), size(col("sub")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .join(vocabSub, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
       .select(col("doc_id"), col("n_words"), col("n_subwords"),
         round(col("n_subwords").cast("double") / col("n_words"), 6)
           .as("subwords_per_word"))
+  }
 
-  /** (doc_id, ws, sub): per-word subword arrays under the merge table —
-    * the inner face of [[bpeTokenize]], exposed for the reconstruction
-    * property (concatenating a word's subwords must reproduce the word:
-    * merges rearrange boundaries, never characters). */
-  private[graft] def bpeTokenizeSubwords(docs: DataFrame,
+  /** (w, sub): the subword array for every DISTINCT corpus word under
+    * the merge table — [[bpeTokenize]]'s per-word cache, exposed for the
+    * reconstruction property (concatenating a word's subwords must
+    * reproduce the word: merges rearrange boundaries, never characters).
+    * The merge table is tokenizer-sized, collapsed to ONE row holding
+    * the rank-ordered merge array and broadcast. */
+  private[graft] def bpeVocabSubwords(docs: DataFrame,
       mergeTable: DataFrame): DataFrame = {
     val mergeArr = mergeTable.agg(expr(
       "transform(array_sort(collect_list(struct(merge_rank, l, r))), m -> struct(m.l AS l, m.r AS r))")
       .as("merges"))
-    docs.select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) > 0)
+    docs.select(explode(words(col("text"))).as("w")).distinct()
       .crossJoin(broadcast(mergeArr))
-      .select(col("doc_id"), col("ws"), expr(
-        """transform(ws, w -> aggregate(merges,
+      .select(col("w"), expr(
+        """aggregate(merges,
           |  transform(sequence(1, length(w)), i -> substring(w, i, 1)),
           |  (syms, m) -> aggregate(syms, slice(syms, 1, 0),
           |    (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = m.l AND x = m.r
           |      THEN concat(slice(acc, 1, size(acc) - 1), array(concat(m.l, m.r)))
-          |      ELSE concat(acc, array(x)) END)))""".stripMargin).as("sub"))
+          |      ELSE concat(acc, array(x)) END))""".stripMargin).as("sub"))
   }
 
   /** One BPE round's pair-count aggregation over a (syms, wc) vocabulary

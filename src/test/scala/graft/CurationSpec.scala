@@ -380,11 +380,13 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
       (1L, 2L, 8L, 4.0), (2L, 1L, 3L, 3.0), (3L, 2L, 4L, 2.0)))
     // subword-level exactness incl. rank ORDER mattering: (e,s) must run
     // before (es,t) for "est" to collapse to one token
-    val sub = Curation.bpeTokenizeSubwords(docs, merges)
-      .select(col("doc_id"), col("sub"))
-      .as[(Long, Seq[Seq[String]])].collect().sortBy(_._1).toMap
-    assert(sub(1L) == Seq(Seq("n", "e", "w", "est"), Seq("w", "i", "d", "est")))
-    assert(sub(3L) == Seq(Seq("est"), Seq("s", "e", "t")))
+    val sub = Curation.bpeVocabSubwords(docs, merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(sub("newest") == Seq("n", "e", "w", "est"))
+    assert(sub("widest") == Seq("w", "i", "d", "est"))
+    assert(sub("est") == Seq("est"))
+    assert(sub("set") == Seq("s", "e", "t"))
+    assert(sub("low") == Seq("l", "o", "w"))
   }
 
   test("BPE train->tokenize roundtrip: subwords reconstruct every word exactly") {
@@ -393,11 +395,8 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
       (2L, "tokenize tokens token tokenizer")
     ).toDF("doc_id", "text")
     val merges = Curation.bpeTrainMerges(docs, nMerges = 8)
-    val bad = Curation.bpeTokenizeSubwords(docs, merges)
-      .select(expr(
-        "size(filter(zip_with(ws, transform(sub, a -> concat_ws('', a)), (w, j) -> w = j), ok -> NOT ok))")
-        .as("n_bad"))
-      .agg(sum(col("n_bad"))).as[Long].collect().head
+    val bad = Curation.bpeVocabSubwords(docs, merges)
+      .filter(expr("concat_ws('', sub) != w")).count()
     assert(bad == 0L, "some word's subwords no longer concatenate to the word")
     // fertility must not exceed word length and must be >= 1 token/word
     val fert = Curation.bpeTokenize(docs, merges)

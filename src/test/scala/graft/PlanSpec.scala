@@ -295,10 +295,13 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // full corpus semi-join scan per consumer); exchanges: cnt + nb +
       // inter aggs, the jaccard join, the argmax window, the output sort
       ("q101_fuzzy_decontamination", 0, 7),
-      // q103: ONE corpus scan feeding the in-row nested fold; exchanges
-      // are the one-row merge-array agg and the output sort — a corpus
-      // shuffle appearing here means tokenization stopped being in-row
-      ("q103_bpe_tokenize",          1, 2))
+      // q103: two pruned corpus scans (distinct-vocab branch + token
+      // stream); exchanges: vocab distinct, one-row merge-array agg,
+      // per-doc agg, output sort. The fold itself must stay on the
+      // vocab branch — a third scan or extra corpus-sized exchange
+      // means per-occurrence tokenization crept back (84 s at sf0.1
+      // vs ~6 s, SCALING.md)
+      ("q103_bpe_tokenize",          2, 5))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
