@@ -40,30 +40,51 @@ object Retrieval {
     * of negative scores. */
   def bm25TopK(docs: DataFrame, isQuery: Column, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = docs.select(col("doc_id"), words(col("text")).as("ws"))
     // postings with the doc length IN the grouping key: one shuffle of
     // the tokenized corpus builds tf AND carries dl to the scorer
-    // localCheckpoint barrier: the index has two consumers (the df
-    // aggregate and the probe join) and without it the tokenize+shuffle
-    // subtree runs twice — AQE replaces the exchanges per-consumer so
-    // ReuseExchange never fires (the q51 failure mode). Persisting IS
-    // the operator's semantics here: build the inverted index once,
-    // probe it per query set.
-    val tf = w.select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
-        explode(col("ws")).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // corpus stats: one row (exact integer sums under the divide)
-    val stats = w.agg(count(lit(1)).as("n_docs"),
-      avg(size(col("ws")).cast("long")).as("avgdl"))
-    // query terms (distinct per query doc) + their df: tiny — broadcast
-    // onto the postings, so the index is probed, never re-shuffled
+    // localCheckpoint barrier: the index has THREE consumers (the df
+    // aggregate, the corpus stats, and the probe join) and without it
+    // the tokenize+shuffle subtree runs per consumer — AQE replaces the
+    // exchanges per-consumer so ReuseExchange never fires (the q51
+    // failure mode). Persisting IS the operator's semantics here: build
+    // the inverted index once, probe it per query set.
+    val tf = bm25Postings(docs).localCheckpoint(eager = false)
     val q = docs.filter(isQuery)
       .select(col("doc_id").as("qid"),
         explode(array_distinct(words(col("text")))).as("term"))
-    val qdf = q.join(dfreq, "term").crossJoin(broadcast(stats))
+    bm25TopKAgainst(tf, q, k, k1, b)
+  }
+
+  /** The inverted index as a standalone persistable relation
+    * (doc_id, dl, term, tf) — [[bm25TopKAgainst]]'s input, and the ONLY
+    * state retrieval needs: document frequencies and the corpus stats
+    * both derive from it without touching the corpus. Build once per
+    * corpus snapshot, write as parquet (partition/bucket by term for
+    * probe locality), and every query batch after that is an
+    * index-probe job that never re-tokenizes a document — the
+    * benchShingleSet precompute pattern applied to retrieval. */
+  def bm25Postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+  /** Okapi BM25 probe of a prebuilt (possibly persisted) postings
+    * relation by a (qid, term) query-term relation — distinct terms per
+    * query. Document frequencies and corpus stats (n_docs, avgdl)
+    * derive from the postings themselves: df = postings rows per term
+    * over distinct docs (each (doc, term) appears once), n_docs/avgdl
+    * from the distinct (doc_id, dl) pairs — so a persisted index is
+    * self-contained. Query terms + df are tiny and broadcast onto the
+    * postings; the index is probed, never re-shuffled. */
+  def bm25TopKAgainst(postings: DataFrame, queryTerms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus stats: one row (exact integer sums under the divide)
+    val stats = postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qdf = queryTerms.join(dfreq, "term").crossJoin(broadcast(stats))
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
     val tfPart = (col("tf").cast("double") * (k1 + 1.0)) /
@@ -72,7 +93,7 @@ object Retrieval {
     // round each contribution to DECIMAL(18,9) BEFORE summing: the sum
     // becomes exact integer arithmetic — same value on any engine, any
     // partitioning, any add order
-    val contrib = tf.join(broadcast(qdf), "term")
+    val contrib = postings.join(broadcast(qdf), "term")
       .filter(col("doc_id") =!= col("qid"))
       .select(col("qid"), col("doc_id"),
         round(idf * tfPart, 9).cast("decimal(18,9)").as("c"))
@@ -136,7 +157,7 @@ object Retrieval {
         |       FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w)
         |       GROUP BY 1, 2, 3),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w WHERE len(ws) > 0),
         |q AS (SELECT DISTINCT doc_id AS qid, unnest(ws) AS term FROM w WHERE doc_id < 10),
         |contrib AS (
         |  SELECT q.qid, tf.doc_id,
@@ -172,7 +193,7 @@ object Retrieval {
         |       FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w)
         |       GROUP BY 1, 2, 3),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w WHERE len(ws) > 0),
         |q AS (SELECT DISTINCT doc_id AS qid, unnest(ws) AS term FROM w WHERE doc_id < 10),
         |contrib AS (
         |  SELECT q.qid, tf.doc_id,

@@ -60,6 +60,29 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("persisted postings probe equals the one-shot form, stats self-contained from the index") {
+    // empty doc proves stats derive from the INDEX (Lucene convention):
+    // a doc with no tokens has no postings, contributes to nothing, and
+    // both faces must agree on n_docs/avgdl without seeing it
+    val docs = corpus.unionByName(Seq((9L, "   ")).toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Retrieval.bm25Postings(docs).write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    val q = docs.filter(col("doc_id") === 0)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(expr("filter(split(trim(text), ' '), w -> w != '')"))).as("term"))
+    val viaIndex = Retrieval.bm25TopKAgainst(persisted, q, k = 4)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect().toSeq
+    val oneShot = Retrieval.bm25TopK(docs, col("doc_id") === 0, k = 4)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(viaIndex == oneShot, s"index probe drifted: $viaIndex vs $oneShot")
+    // the probe plan must scan the persisted index, never documents:
+    // its only scans are parquet reads of the index path
+    val plan = Retrieval.bm25TopKAgainst(persisted, q, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents"), "probe re-read the corpus")
+  }
+
   test("rrf fusion: both-list docs outrank single-list docs at comparable ranks") {
     val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
       .toDF("qid", "doc_id", "rank")
