@@ -182,6 +182,31 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // ---- quality-weighted importance sampling: the soft quality gate
+    //      (keep with p = 0.1 + 0.9·quality, weight survivors 1/p).
+    //      Deterministic multiplicative-hash coin, in-row, zero shuffle
+    //      beyond the output sort. ----
+    "q104_importance_sample" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+        |    len(list_filter(string_split(trim(text),' '),
+        |        x -> list_contains(['the','a','and','of','to','is','in'], x))) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |    round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |          * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
+        |          * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / nullif(n_words, 0) * 5.0, 1.0)), 6) AS quality,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+        |  FROM f),
+        |p AS (SELECT doc_id, quality, u, 0.1 + 0.9 * quality AS p_keep FROM q)
+        |SELECT doc_id, quality, p_keep, 1.0 / p_keep AS weight
+        |FROM p WHERE u < p_keep ORDER BY doc_id""") { (s, dir) =>
+      importanceSample(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // ---- fuzzy decontamination: best per-benchmark-doc Jaccard with
     //      attribution (WHICH eval item leaked) — q74's overlap-share
     //      scan can't answer that. Same broadcast-bench inverted-index
@@ -794,6 +819,37 @@ object Curation {
         * (lit(0.5) + lit(0.5) *
             least(nStop.cast("double") / nullif(nWords, lit(0L)) * 5.0, lit(1.0))),
       6)
+  }
+
+  /** Quality-weighted importance sampling (q104) — the SOFT quality
+    * filter modern web pipelines use instead of a hard threshold: keep
+    * each doc with probability p = floor + (1−floor)·quality, and give
+    * survivors weight 1/p so any downstream weighted statistic stays
+    * unbiased (Horvitz–Thompson). Hard filters (q81) discard the
+    * mid-quality mass entirely; this keeps a calibrated sample of it.
+    * The "coin flip" is a Knuth multiplicative hash of doc_id
+    * ((doc_id · 2654435761) mod 2³² / 2³²) — pure integer arithmetic,
+    * identical on any engine, reproducible run to run, RNG-free (the
+    * q93 determinism discipline). Degenerate docs (NULL quality) have
+    * NULL p and are never kept, matching q81's gate semantics.
+    *
+    * Scale shape: one pruned corpus scan, everything in-row, zero
+    * shuffle except the output sort — the filter pushes to scan speed
+    * at any corpus size. */
+  def importanceSample(docs: DataFrame, floor: Double = 0.1): DataFrame = {
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+      .cast("double") / lit(4294967296.0)
+    docs.select(col("doc_id"), qualityExpr(col("text")).as("quality"),
+        u.as("u"))
+      .withColumn("p_keep", lit(floor) + lit(1.0 - floor) * col("quality"))
+      .filter(col("u") < col("p_keep"))
+      // p_keep and weight stay UNROUNDED: 0.1 + 0.9·quality has exactly
+      // 7 decimal digits, so round(·, 6) hits half-boundaries where
+      // engine double-rounding disagrees (measured: 4 rows at sf0.1);
+      // the raw values are single IEEE ops on identical inputs —
+      // bit-equal everywhere — so rounding adds risk, not determinism
+      .select(col("doc_id"), col("quality"), col("p_keep"),
+        (lit(1.0) / col("p_keep")).as("weight"))
   }
 
   /** Greedy per-source token-budget fill in deterministic hash order:

@@ -406,6 +406,36 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("importance sample keeps exactly the hash-predicted docs with 1/p weights") {
+    // quality 1.0 by construction: >= 20 words, no punctuation, all
+    // stopwords; quality 0.025: one non-stop word; NULL: whitespace-only
+    val perfect = Seq.fill(20)("the").mkString(" ")
+    val docs = (1L to 40L).map { id =>
+      (id, if (id <= 20L) perfect else if (id <= 39L) "zzz" else "   ")
+    }.toDF("doc_id", "text")
+    def u(id: Long): Double = ((id * 2654435761L) % 4294967296L).toDouble / 4294967296.0
+    val pLow = 0.1 + 0.9 * 0.025 // same IEEE ops as the operator
+    val expected = (1L to 40L).flatMap { id =>
+      if (id <= 20L) Some(id -> 1.0)                      // p = 1.0, u < 1 always
+      else if (id <= 39L && u(id) < pLow) Some(id -> pLow)
+      else None                                           // dropped or NULL quality
+    }.toMap
+    val got = Curation.importanceSample(docs)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSet == expected.keySet, s"kept set: ${got.map(_._1).toSeq}")
+    // some low-quality docs must survive (soft filter, not a hard gate)
+    assert(got.exists(_._1 > 20L), "no low-quality doc survived — hash or p broken")
+    got.foreach { case (id, q, p, w) =>
+      assert(p == expected(id), s"doc $id p_keep $p != ${expected(id)}")
+      assert(w == 1.0 / p, s"doc $id weight not 1/p")
+      assert(q == (if (id <= 20L) 1.0 else 0.025))
+    }
+    // Horvitz–Thompson: the weighted count estimates the population of
+    // scorable docs (39 here). Deterministic given the fixed hash.
+    val ht = got.map(_._4).sum
+    assert(math.abs(ht - 39.0) / 39.0 < 0.5, s"HT estimate $ht far from 39")
+  }
+
   test("fuzzy decontamination computes exact best-bench jaccard with attribution and ties") {
     def toks(ws: Seq[String]): String = ws.mkString(" ")
     val w12 = (1 to 12).map(i => s"w$i")

@@ -306,7 +306,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // vocab branch — a third scan or extra corpus-sized exchange
       // means per-occurrence tokenization crept back (84 s at sf0.1
       // vs ~6 s, SCALING.md)
-      ("q103_bpe_tokenize",          2, 5))
+      ("q103_bpe_tokenize",          2, 5),
+      // q104: in-row soft quality gate — one scan, the only exchange is
+      // the output sort
+      ("q104_importance_sample",     1, 1))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
