@@ -268,6 +268,46 @@ object Curation {
       lmBigramScore(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // ---- CCNet-style perplexity bucketing (Wenzek et al. 2019, the
+    //      apply face of q87): the bigram LM trains on a REFERENCE
+    //      slice only (the md5-prefix convention, ≈25% of docs — the
+    //      stand-in for "Wikipedia-quality" text), every doc is scored
+    //      against it (unseen histories fall back to the uniform
+    //      smoothed mass), and docs split head/middle/tail per source
+    //      by NLL tertile. Head-bucket text "looks like the reference";
+    //      tail is the gibberish CCNet drops. Tertile boundaries are
+    //      integer rank arithmetic — no float thresholds to drift
+    //      between engines. ----
+    "q105_perplexity_buckets" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, source, substring(md5(text), 1, 1) <= '3' AS is_ref,
+        |             list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |bi AS (SELECT doc_id, source, is_ref,
+        |         unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS b
+        |       FROM w WHERE len(ws) >= 2),
+        |bb AS (SELECT doc_id, source, is_ref, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bb WHERE is_ref GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bb WHERE is_ref GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS v FROM bb WHERE is_ref),
+        |contrib AS (SELECT bb.doc_id, bb.source,
+        |    CAST(round(-ln((coalesce(c12, 0) + 0.5) / (coalesce(c1, 0) + 0.5 * v)), 9)
+        |      AS DECIMAL(18,9)) AS nll
+        |  FROM bb LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+        |scored AS (SELECT doc_id, source, count(*) AS n_bigrams,
+        |    round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS lm_nll
+        |  FROM contrib GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY source ORDER BY lm_nll, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM scored)
+        |SELECT doc_id, source, n_bigrams, lm_nll,
+        |  CASE WHEN (rn - 1) * 3 < n THEN 'head'
+        |       WHEN (rn - 1) * 3 < 2 * n THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""") { (s, dir) =>
+      perplexityBuckets(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // ---- BPE merge-pair counts (the map-reduce inner loop of BPE
     //      tokenizer training, Sennrich et al. 2016): corpus-weighted
     //      frequencies of adjacent character pairs over the word
@@ -1068,6 +1108,58 @@ object Curation {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("lm_nll"))
+  }
+
+  /** CCNet-style perplexity bucketing (q105): [[lmBigramScore]]'s model
+    * trained on a reference slice only (`substring(md5(text),1,1) <= '3'`,
+    * the deterministic ≈25% stand-in for a curated reference corpus),
+    * then EVERY doc scored against it. Bigrams with histories/pairs the
+    * reference never saw take `c12 = c1 = 0` — the add-k fallback
+    * `k/(k·V) = 1/V`, the uniform mass CCNet's KenLM gives OOV — via
+    * LEFT joins + coalesce. Per source, docs split head/middle/tail by
+    * ascending NLL: bucket boundaries are `(rank-1)·3 < n` / `< 2n` on
+    * the exact integer (row_number, count) pair, so tertiles are
+    * reproducible on any engine with no float threshold.
+    *
+    * Scale shape: identical to q87 (one barrier over the exploded bigram
+    * frame — FOUR consumers here; vocab-sized count tables from the
+    * reference slice; one (w1,w2) shuffle for scoring) plus one narrow
+    * shuffle of (doc_id, source, lm_nll) for the per-source window —
+    * per-key window state is two integers. Docs under 2 tokens have no
+    * bigrams and are absent, as in q87. */
+  def perplexityBuckets(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = docs.select(col("doc_id"), col("source"),
+        (substring(md5(col("text")), 1, 1) <= "3").as("is_ref"),
+        words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"), col("is_ref"), explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("source"), col("is_ref"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(eager = false)
+    val ref = bi.filter(col("is_ref"))
+    val c12 = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = ref.agg(countDistinct(col("w2")).as("v"))
+    val scored = bi.join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("source"),
+        round(-log((coalesce(col("c12"), lit(0L)) + lit(k))
+            / (coalesce(col("c1"), lit(0L)) + lit(k) * col("v"))), 9)
+          .cast("decimal(18,9)").as("nll"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("lm_nll"))
+    val w = Window.partitionBy("source").orderBy(col("lm_nll"), col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("doc_id"), col("source"), col("n_bigrams"), col("lm_nll"),
+        when((col("rn") - 1) * 3 < col("n"), "head")
+          .when((col("rn") - 1) * 3 < col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
   }
 
   /** Verbatim n-token spans repeated across >= minDocs distinct docs,

@@ -787,4 +787,59 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"unexpected join strategy:\n$plan")
   }
+
+  test("perplexity buckets match brute force and split exact tertiles per source") {
+    // Varied texts so the md5-prefix reference slice is a non-trivial
+    // mix; brute force reimplements the full contract (reference-only
+    // counts, add-k fallback for unseen histories, decimal rounding,
+    // integer-tertile buckets) and the comparison is exact.
+    val texts = (0L until 30L).map { i =>
+      val filler = Seq("alpha", "beta", "gamma", "delta")(i.toInt % 4)
+      (i, if (i % 2 == 0) "s1" else "s2",
+        s"the quick $filler fox number $i jumps over the lazy dog again")
+    }
+    val docs = texts.toDF("doc_id", "source", "text")
+    val got = Curation.perplexityBuckets(docs)
+      .select("doc_id", "source", "n_bigrams", "lm_nll", "bucket")
+      .as[(Long, String, Long, Double, String)].collect().sortBy(_._1)
+
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def toks(s: String) = s.trim.split(" ").filter(_.nonEmpty).toSeq
+    val isRef = texts.map { case (id, _, t) => id -> (md5hex(t).head <= '3') }.toMap
+    assert(isRef.values.exists(identity) && !isRef.values.forall(identity),
+      s"planted corpus must mix ref and non-ref docs: $isRef")
+    val allBi = texts.flatMap { case (id, src, t) =>
+      toks(t).sliding(2).filter(_.size == 2).map(p => (id, src, p(0), p(1)))
+    }
+    val refBi = allBi.filter(b => isRef(b._1))
+    val c12 = refBi.groupBy(b => (b._3, b._4)).view.mapValues(_.size).toMap
+    val c1 = refBi.groupBy(_._3).view.mapValues(_.size).toMap
+    val v = refBi.map(_._4).distinct.size
+    val scored = allBi.groupBy(b => (b._1, b._2)).map { case ((id, src), bs) =>
+      val s = bs.map { case (_, _, w1, w2) =>
+        BigDecimal(-math.log((c12.getOrElse((w1, w2), 0) + 0.5) / (c1.getOrElse(w1, 0) + 0.5 * v)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (id, src, bs.size.toLong,
+        BigDecimal(s.toDouble / bs.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    val expected = scored.groupBy(_._2).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._1))
+      val n = ordered.size
+      ordered.zipWithIndex.map { case ((id, src, nb, nll), i) =>
+        val bucket = if (i * 3 < n) "head" else if (i * 3 < 2 * n) "middle" else "tail"
+        (id, src, nb, nll, bucket)
+      }
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected,
+      s"got:\n${got.toSeq.mkString("\n")}\nexpected:\n${expected.mkString("\n")}")
+    // each source's buckets are (ceil) tertiles of its doc count
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val byBucket = rows.groupBy(_._5).view.mapValues(_.length).toMap
+      val n = rows.length
+      val head = n - (2 * n / 3) // #ranks with (rn-1)*3 < n
+      assert(byBucket.getOrElse("head", 0) == head, s"$src tertiles off: $byBucket")
+    }
+  }
 }

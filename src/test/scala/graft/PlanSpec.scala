@@ -309,7 +309,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q103_bpe_tokenize",          2, 5),
       // q104: in-row soft quality gate — one scan, the only exchange is
       // the output sort
-      ("q104_importance_sample",     1, 1))
+      ("q104_importance_sample",     1, 1),
+      // q105: the bigram frame hides behind its barrier (scans=0 — four
+      // consumers otherwise re-run tokenize+explode); exchanges: c12 +
+      // c1 + v reference aggs, the (w1,w2) scoring join, per-doc agg,
+      // the per-source tertile window, the output sort
+      ("q105_perplexity_buckets",    0, 7))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
