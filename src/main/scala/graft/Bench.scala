@@ -235,19 +235,29 @@ object Bench {
     // plans still shuffle exactly what they did when pinned; any breach
     // fails the run loudly below.
     val atPinnedSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
-    val deltas = results.flatMap { case (k, _, _, _, (_, wr, _)) =>
+    // a query that errored shuffled 0 bytes because it DID NOT RUN — its
+    // pin entry must read "did_not_run", never a vacuous 0.00 that a
+    // summary could quote as "plan unchanged" (r9 ADVICE)
+    val deltas = results.flatMap { case (k, _, _, err, (_, wr, _)) =>
       pinnedShuffleWriteMb.get(k).filter(_ => atPinnedSf).map { pin =>
         val mb = wr / 1e6
         val diff = mb - pin
-        val breach = math.abs(diff) > math.max(0.2, 0.2 * pin)
-        (k, if (breach) diff / math.max(pin, 0.1) else 0.0, breach, mb)
+        val ran = err.isEmpty
+        val breach = ran && math.abs(diff) > math.max(0.2, 0.2 * pin)
+        (k, if (breach) diff / math.max(pin, 0.1) else 0.0, breach, mb, ran)
       }
     }
     val deltaJson =
       if (deltas.isEmpty) ""
       else "," + "\"shuffle_delta_vs_pinned\":" + deltas.map {
-        case (k, d, _, _) => "\"" + k + f"\":$d%.2f"
-      }.mkString("{", ",", "}")
+        case (k, d, _, _, ran) =>
+          "\"" + k + "\":" + (if (ran) f"$d%.2f" else "\"did_not_run\"")
+      }.mkString("{", ",", "}") +
+        ",\"shuffle_pin_status\":" + deltas.map {
+          case (k, _, breach, _, ran) =>
+            val st = if (!ran) "did_not_run" else if (breach) "breach" else "match"
+            "\"" + k + "\":\"" + st + "\""
+        }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // pre-r8 12-query total from the same run's medians — cross-round
     // continuity across the documented r8 headline break; only emitted
@@ -258,7 +268,7 @@ object Bench {
       else ""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"shuffle":$shuffles$deltaJson,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
     var anyFailed = results.exists(_._4.isDefined)
-    deltas.filter(_._3).foreach { case (k, d, _, mb) =>
+    deltas.filter(_._3).foreach { case (k, d, _, mb, _) =>
       System.err.println(f"[bench] SHUFFLE REGRESSION $k: $mb%.1f MB written vs " +
         f"pinned ${pinnedShuffleWriteMb(k)}%.1f MB (delta ${d * 100}%.0f%%) — " +
         "plan changed; fix it or update the pin in the same commit")
@@ -298,6 +308,12 @@ object Bench {
       }.mkString("{", ",", "}")
       println(s"""{"metric":"scaling_slopes","slopes":$slopes,"seconds_by_sf":$perSf,"runs_per_query":$runsPerQuery}""")
     }
+    // the LAST line is a compact restatement of the headline numbers —
+    // the committed artifact is a bounded tail capture of this output, so
+    // whatever prints last is what survives. r9 lost its per-query medians
+    // because the one full line outgrew the capture window; this line is
+    // small (medians + errors only) and prints after everything else.
+    println(f"""{"metric":"medians_final","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs$legacyTotal,"sf":"$sfDir"}""")
     spark.stop()
     if (anyFailed) sys.exit(1)
   }

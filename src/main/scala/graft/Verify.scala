@@ -27,14 +27,24 @@ object Verify {
       case None => SparkEntry.queries
     }
     // each query's barrier blocks are released once its parquet is written
-    // — the 95-query dump holds at most one query's blocks at a time
-    selected.foreach { case (name, fn) =>
-      try Barriers.withBarrierScope(spark) {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+    // — the 95-query dump holds at most one query's blocks at a time.
+    // Failures are FIRST-CLASS: every selected query lands in errors.json
+    // (null on success), so a query that errors shows up as an explicit
+    // failing row in the artifact rather than a silent absence that only a
+    // cross-round diff would reveal.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        Barriers.withBarrierScope(spark) {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
+        errors(name) = None
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) =
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -53,6 +63,14 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, e) => s"${q(k)}: ${e.map(q).getOrElse("null")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    // exit 0 even on per-query failure: the driver's DuckDB comparison of
+    // the partial dump must still run (errors.json + stderr carry the
+    // failure signal as first-class rows; a non-zero rc here could cost
+    // the whole round's correctness artifact)
   }
 }

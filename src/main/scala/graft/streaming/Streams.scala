@@ -406,10 +406,23 @@ object Streams {
         col("f.sha256").as("new_sha256"))
 
   /** Streaming read of the events table shape from a parquet directory
-    * (real deployments point this at an arriving-file landing zone). */
+    * (real deployments point this at an arriving-file landing zone).
+    *
+    * Normalizes `ts` to session-zoned TimestampType exactly like the batch
+    * loader ([[Tables.events]]) — the driver's testdata has shipped both
+    * int64-nanos and timestamp[us] encodings, and the streaming face must
+    * absorb the same drift the batch face does (r9 regression class). */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events stream ts has unsupported physical type $other")
+    }
   }
 
   /** Batch-expressible window queries for the oracle gate: the same

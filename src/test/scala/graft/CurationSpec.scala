@@ -389,6 +389,120 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sub("low") == Seq("l", "o", "w"))
   }
 
+  // ---- independent reference BPE (r9 verdict #3): a from-scratch
+  //      Sennrich-style implementation on plain Scala collections — no
+  //      Spark, no shared code with Curation — asserted merge-for-merge
+  //      and subword-for-subword equal to the distributed result on a few
+  //      hundred real fixture words. The q51/q78 "two independent faces
+  //      must agree" pattern applied to the one family whose queries/
+  //      goldens were previously self-referential. ----
+
+  /** UTF-8 binary string order — Spark compares strings as UTF-8 bytes;
+    * the reference must tie-break the same way. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Split into code-point symbols (Spark substring counts code points). */
+  private def codePoints(w: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b.result()
+  }
+
+  /** The same greedy left-to-right single-pair merge the engine's in-row
+    * fold performs, restated as a plain fold. */
+  private def greedyMerge(syms: Vector[String], l: String, r: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+      else acc :+ x
+    }
+
+  /** Reference BPE trainer (Sennrich et al. 2016): corpus-weighted
+    * adjacent-pair counts over the word vocabulary; each round merges the
+    * (count desc, then (l, r) UTF-8-lexicographic) argmax. */
+  private def referenceBpe(texts: Seq[String], nMerges: Int)
+      : (Seq[(Long, String, String, Long)], Map[String, Vector[String]]) = {
+    // replicate Text.words: trim spaces, split on single-space regex,
+    // drop empties
+    val ws = texts.flatMap(t =>
+      t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        .split(" ").filter(_.nonEmpty))
+    var vocab: Map[Vector[String], Long] =
+      ws.groupBy(identity).map { case (w, g) => codePoints(w) -> g.size.toLong }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    val ranked = Vector.newBuilder[(String, String)]
+    for (k <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.size) {
+          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), cnt) = counts.toSeq.reduceLeft { (a, b) =>
+          val ((al, ar), ac) = a; val ((bl, br), bc) = b
+          if (bc > ac) b
+          else if (bc < ac) a
+          else if (utf8Lt(bl, al) || (bl == al && utf8Lt(br, ar))) b
+          else a
+        }
+        merges += ((k.toLong, l, r, cnt))
+        ranked += ((l, r))
+        vocab = vocab.toSeq
+          .map { case (syms, c) => greedyMerge(syms, l, r) -> c }
+          .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+      }
+    }
+    val mergeList = ranked.result()
+    val subwords = ws.distinct.map { w =>
+      w -> mergeList.foldLeft(codePoints(w)) { case (syms, (l, r)) =>
+        greedyMerge(syms, l, r)
+      }
+    }.toMap
+    (merges.result(), subwords)
+  }
+
+  test("distributed BPE equals an independent reference implementation " +
+      "merge-for-merge on real fixture text") {
+    val docs = Tables.documents(spark, sf001).filter(col("doc_id") <= 20)
+      .select("doc_id", "text")
+    val texts = docs.select("text").as[String].collect().toSeq
+    assert(texts.map(_.split(" ").count(_.nonEmpty)).sum > 300,
+      "fixture too small to be a meaningful cross-check")
+
+    val (refMerges, refSubwords) = referenceBpe(texts, nMerges = 30)
+    val merges = Curation.bpeTrainMerges(docs, nMerges = 30)
+    val gotMerges = merges
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(gotMerges == refMerges,
+      s"merge tables disagree:\n got=$gotMerges\n ref=$refMerges")
+
+    // apply face: every distinct word's subword split must agree too
+    val gotSub = Curation.bpeVocabSubwords(docs, merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(gotSub.keySet == refSubwords.keySet)
+    val disagree = gotSub.collect {
+      case (w, s) if s.toVector != refSubwords(w) => (w, s, refSubwords(w))
+    }
+    assert(disagree.isEmpty, s"subword splits disagree: ${disagree.take(5)}")
+    Barriers.release(merges)
+  }
+
   test("BPE train->tokenize roundtrip: subwords reconstruct every word exactly") {
     val docs = Seq(
       (1L, "low low low lower lowest newest newest widest wide widely"),

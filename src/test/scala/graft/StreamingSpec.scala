@@ -99,6 +99,48 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(spark.table("file_stream_out").schema.fieldNames.contains("window_start"))
   }
 
+  test("tumbling and sliding streaming faces run green directly against the " +
+      "µs-typed testdata source and agree with the batch aggregation") {
+    // r9 regression class: the driver's events.parquet is now timestamp[us];
+    // the STREAMING read path must normalize ts exactly like Tables.events.
+    // The file-stream source needs a DIRECTORY, so byte-copy the real file
+    // into one — raw copy, no Spark rewrite, same physical encoding.
+    val dir = java.nio.file.Files.createTempDirectory("evus").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = Streams.readEventsStream(spark, dir)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val qT = Streams.tumblingCounts(stream, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("evus_tumbling")
+      .outputMode("append").start()
+    try qT.processAllAvailable() finally qT.stop()
+    val qS = Streams.slidingCounts(Streams.readEventsStream(spark, dir),
+        "1 hour", "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("evus_sliding")
+      .outputMode("append").start()
+    try qS.processAllAvailable() finally qS.stop()
+
+    // append mode emits watermark-closed windows; every emitted row must
+    // match the batch face exactly (subset because the tail windows past
+    // the final watermark never close)
+    val batch = Tables.events(spark, sf001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val streamed = spark.table("evus_tumbling")
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    assert(streamed.nonEmpty, "no tumbling windows closed")
+    streamed.foreach { case (ws, et, n) =>
+      assert(batch.get((ws, et)).contains(n),
+        s"streamed window ($ws, $et, $n) disagrees with batch ${batch.get((ws, et))}")
+    }
+    assert(spark.table("evus_sliding").count() > 0, "no sliding windows closed")
+  }
+
   test("session_window groups events separated by less than the gap") {
     val input = MemoryStream[Event](spark)
     val out = Streams.sessionWindowCounts(input.toDF(), gap = "10 minutes",
