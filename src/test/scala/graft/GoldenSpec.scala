@@ -40,7 +40,14 @@ object GoldenSpec {
     "q52_minhash_lsh_pairs", "q53_simhash_pairs", "q55b_cosine_pairs_lsh",
     "q56_ann_lsh_topk", "q65_ivf_topk", "q66_quantized_topk",
     "q89_vocab_sketch", "q98_source_overlap_sketch", "q102_bpe_train_merges",
-    "q103_bpe_tokenize")
+    "q103_bpe_tokenize",
+    // the seven events-backed queries (r9 verdict #5): oracle-checked by
+    // the driver, but ALSO golden-pinned here so the next environmental
+    // drift (e.g. a testdata timestamp-encoding change) fails the repo's
+    // own suite instead of silently dropping queries from the driver diff
+    "q19_json_funcs", "q33_watermark_batch_dedup", "q36_tumbling_window",
+    "q37_sliding_window", "q70_asof_join", "q71_range_join_binned",
+    "q75_session_window")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -67,7 +74,21 @@ object GoldenSpec {
     ("q102_bpe_train_merges", "sf0.001") -> "e2652369fc3f0f11",
     ("q102_bpe_train_merges", "sf0.01") -> "6a0f9649e6c3b7af",
     ("q103_bpe_tokenize", "sf0.001") -> "4d19e644f80046f1",
-    ("q103_bpe_tokenize", "sf0.01") -> "4fe939d18d97e96c")
+    ("q103_bpe_tokenize", "sf0.01") -> "4fe939d18d97e96c",
+    ("q19_json_funcs", "sf0.001") -> "225b47f7c09907e4",
+    ("q19_json_funcs", "sf0.01") -> "5ae5e2fba67795f0",
+    ("q33_watermark_batch_dedup", "sf0.001") -> "91dbfbf99ff4eb22",
+    ("q33_watermark_batch_dedup", "sf0.01") -> "5ba348554c2f1126",
+    ("q36_tumbling_window", "sf0.001") -> "4921d45ed75f1842",
+    ("q36_tumbling_window", "sf0.01") -> "3651ea03d561bf23",
+    ("q37_sliding_window", "sf0.001") -> "826df40c92531ac2",
+    ("q37_sliding_window", "sf0.01") -> "22c5dc54e66ea3b0",
+    ("q70_asof_join", "sf0.001") -> "3e40fe9860ced4a9",
+    ("q70_asof_join", "sf0.01") -> "cc767e6eefc72ad1",
+    ("q71_range_join_binned", "sf0.001") -> "ca7be040e4927e2d",
+    ("q71_range_join_binned", "sf0.01") -> "6861399190a9b073",
+    ("q75_session_window", "sf0.001") -> "f98d9d5167482d31",
+    ("q75_session_window", "sf0.01") -> "29a047ffb0d764df")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */
