@@ -207,6 +207,31 @@ object Curation {
       importanceSample(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // ---- temperature-scaled source mixing: rebalance the corpus so the
+    //      mixture follows p_s ∝ n_s^α (α=0.5 upweights small sources)
+    //      under a 50% total budget — the mT5/UNIMAX sampling step.
+    //      Per-source rates via a broadcast sources-sized table; the
+    //      same deterministic hash coin as q104. ----
+    "q107_temperature_mix" -> QueryDef.sql(
+      """WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+        |sc AS (SELECT source, n_source,
+        |         CAST(round(pow(CAST(n_source AS DOUBLE), 0.5), 9) AS DECIMAL(18,9)) AS s
+        |       FROM c),
+        |tot AS (SELECT sum(s) AS s_tot, sum(n_source) AS n_total FROM sc),
+        |r AS (SELECT source, n_source,
+        |        least(1.0, round(
+        |          floor(CAST(n_total AS DOUBLE) * 0.5)
+        |            * (CAST(s AS DOUBLE) / CAST(s_tot AS DOUBLE))
+        |            / CAST(n_source AS DOUBLE), 6)) AS rate
+        |      FROM sc CROSS JOIN tot),
+        |k AS (SELECT d.doc_id, d.source, r.n_source, r.rate,
+        |        CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+        |      FROM documents d JOIN r USING (source))
+        |SELECT doc_id, source, n_source, rate, 1.0 / rate AS weight
+        |FROM k WHERE u < rate ORDER BY doc_id""") { (s, dir) =>
+      temperatureMix(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // ---- fuzzy decontamination: best per-benchmark-doc Jaccard with
     //      attribution (WHICH eval item leaked) — q74's overlap-share
     //      scan can't answer that. Same broadcast-bench inverted-index
@@ -847,7 +872,7 @@ object Curation {
     * in BOTH engines — Spark's non-ANSI divide gives NULL where DuckDB's
     * double divide gives inf/NaN, so the guard goes in the operator AND
     * the q81/q83 oracle SQL (ADVICE r7). */
-  private def qualityExpr(text: Column): Column = {
+  private[operators] def qualityExpr(text: Column): Column = {
     val stopArr = array(Seq("the", "a", "and", "of", "to", "is", "in").map(lit): _*)
     val nChars = length(text).cast("long")
     val nWords = size(words(text)).cast("long")
@@ -890,6 +915,54 @@ object Curation {
       // bit-equal everywhere — so rounding adds risk, not determinism
       .select(col("doc_id"), col("quality"), col("p_keep"),
         (lit(1.0) / col("p_keep")).as("weight"))
+  }
+
+  /** Temperature-scaled source mixing (q107) — the multilingual/multi-
+    * source rebalancing step (mT5/UNIMAX-style): sample source s at a
+    * rate making the mixture follow p_s ∝ n_s^α (α < 1 upweights small
+    * sources) under a total budget of `budgetFrac`·N docs. Rates cap at
+    * 1.0 — a source too small to meet its target keeps everything (the
+    * standard degenerate case; budget under-fills rather than
+    * oversampling). Survivors carry weight 1/rate (Horvitz–Thompson,
+    * the q104 convention).
+    *
+    * Engine determinism: n_s^α values round to 9 places and sum as
+    * DECIMAL(18,9) — double summation order differs between engines
+    * (q84/q87 discipline); every later step is a single IEEE op on
+    * identical doubles. The per-doc coin is the q104 multiplicative
+    * hash — integer arithmetic, no RNG.
+    *
+    * Scale shape: one corpus scan for per-source counts (map-side
+    * combined), a sources-sized rate table broadcast back, the coin
+    * in-row — no corpus shuffle at all beyond the count aggregate. */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.5,
+      budgetFrac: Double = 0.5): DataFrame = {
+    // barrier on the sources-sized stats table: three consumers (tot,
+    // rates, and rates again through tot's cross join) would otherwise
+    // each re-run the corpus-wide count aggregate — 3 corpus scans for a
+    // table of a few dozen rows (released by the caller's barrier scope)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+      .withColumn("s",
+        round(pow(col("n_source").cast("double"), lit(alpha)), 9)
+          .cast("decimal(18,9)"))
+      .localCheckpoint(eager = false)
+    val tot = counts.agg(sum(col("s")).as("s_tot"),
+      sum(col("n_source")).as("n_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_source"),
+        least(lit(1.0), round(
+          floor(col("n_total").cast("double") * lit(budgetFrac))
+            * (col("s").cast("double") / col("s_tot").cast("double"))
+            / col("n_source").cast("double"), 6)).as("rate"))
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+      .cast("double") / lit(4294967296.0)
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .filter(u < col("rate"))
+      // weight stays unrounded: 1/rate is one IEEE op on an identical
+      // double — bit-equal everywhere (the q104 lesson)
+      .select(col("doc_id"), col("source"), col("n_source"), col("rate"),
+        (lit(1.0) / col("rate")).as("weight"))
   }
 
   /** Greedy per-source token-budget fill in deterministic hash order:

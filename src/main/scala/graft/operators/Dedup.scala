@@ -305,6 +305,64 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- quality-aware dedup apply: keep each near-dup cluster's BEST
+    //      member (q41 quality, tie → lowest doc_id) instead of q91's
+    //      min-id keeper — the form production dedup actually wants
+    //      ("of these 5 near-copies, keep the cleanest"). Unclustered
+    //      docs are their own singleton group and always survive.
+    //      Aggregation is max(struct(quality, -doc_id)) — a map-side-
+    //      combined argmax, no per-group window sort. ----
+    "q106_dedup_keep_best" -> QueryDef.sql(
+      """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM com
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |  WHERE r.a != e.b),
+        |members AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |labels AS (SELECT m.doc_id, least(m.doc_id, min(r.b)) AS cluster_id
+        |           FROM members m JOIN reach r ON r.a = m.doc_id
+        |           GROUP BY m.doc_id),
+        |g AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_id
+        |      FROM documents d LEFT JOIN labels l USING (doc_id)),
+        |f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+        |    len(list_filter(string_split(trim(text),' '),
+        |        x -> list_contains(['the','a','and','of','to','is','in'], x))) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |    round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |          * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
+        |          * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / nullif(n_words, 0) * 5.0, 1.0)), 6) AS quality
+        |  FROM f),
+        |r AS (SELECT g.doc_id, g.group_id, q.quality,
+        |        row_number() OVER (PARTITION BY group_id
+        |          ORDER BY coalesce(quality, -1.0) DESC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY group_id) AS n_members
+        |      FROM g JOIN q USING (doc_id))
+        |SELECT doc_id, group_id, n_members, quality
+        |FROM r WHERE rn = 1 ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      dedupKeepBest(docs, duplicateClusters(exactJaccardPairs(docs, 0.6)))
+        .orderBy("doc_id")
+    },
+
     // ---- MinHash + LSH candidate pairs (no SQL oracle — sketch internals
     //      are engine-specific; DedupSpec checks recall against q51's exact
     //      pairs instead) ----
@@ -593,6 +651,33 @@ object Dedup {
           .when(h < lit("f3"), "valid")
           .otherwise("test").as("split"))
   }
+
+  /** Quality-aware dedup apply (q106): keep each near-dup cluster's BEST
+    * member by q41 quality (tie → lowest doc_id) instead of [[dedupApply]]'s
+    * min-id keeper — near-copies usually differ in boilerplate/truncation,
+    * and production dedup wants the cleanest copy, not the lowest id.
+    * Unclustered docs form singleton groups and always survive.
+    *
+    * Scale shape: quality is an in-row projection; group assignment is one
+    * unhinted join of the corpus against the (small) cluster membership
+    * (AQE broadcasts when it fits); the per-group argmax is
+    * max(struct(quality, -doc_id)) — a map-side-combined aggregate, one
+    * shuffle by group_id, no per-group window sort. NULL quality
+    * (degenerate docs) competes as −1 so a singleton degenerate doc still
+    * survives, but any real-quality member beats it. */
+  def dedupKeepBest(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        Curation.qualityExpr(col("text")).as("quality"))
+      .join(clusters.select("doc_id", "cluster_id"), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(coalesce(col("quality"), lit(-1.0)).as("q"),
+          (-col("doc_id")).as("nid"))).as("best"))
+      .select((-col("best.nid")).as("doc_id"), col("group_id"),
+        col("n_members"),
+        when(col("best.q") === lit(-1.0), lit(null).cast("double"))
+          .otherwise(col("best.q")).as("quality"))
 
   /** Connected components by alternating large-star/small-star (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the

@@ -520,6 +520,42 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("temperature mix: rates match brute force, small sources upweighted, " +
+      "tiny sources cap at keep-everything") {
+    // 90/10/2 source split — α=0.5 must upweight "small" relative to
+    // "big", and "rare" is too small to meet its target so its rate caps
+    // at 1.0 (keep everything, budget under-fills)
+    val docs = (1L to 102L).map { id =>
+      val src = if (id <= 90) "big" else if (id <= 100) "small" else "rare"
+      (id, src, "plain words " * 4)
+    }.toDF("doc_id", "source", "text")
+    val out = Curation.temperatureMix(docs) // alpha 0.5, budgetFrac 0.5
+      .as[(Long, String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+
+    // independent brute force with the same decimal discipline
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val n = Map("big" -> 90L, "small" -> 10L, "rare" -> 2L)
+    val s = n.map { case (k, v) => k -> r9(math.pow(v.toDouble, 0.5)) }
+    val tot = s.values.sum
+    val budget = math.floor(102 * 0.5)
+    val rate = n.map { case (k, v) =>
+      k -> math.min(1.0,
+        BigDecimal(budget * (s(k).toDouble / tot.toDouble) / v)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    def u(id: Long) = ((id * 2654435761L) % 4294967296L).toDouble / 4294967296.0
+    val expect = (1L to 102L).flatMap { id =>
+      val src = if (id <= 90) "big" else if (id <= 100) "small" else "rare"
+      if (u(id) < rate(src)) Some((id, src, n(src), rate(src), 1.0 / rate(src)))
+      else None
+    }
+    assert(out == expect, s"got=${out.take(5)} want=${expect.take(5)}")
+    // α<1 upweights small sources; the 2-doc source keeps everything
+    assert(rate("small") > rate("big"))
+    assert(rate("rare") == 1.0)
+    assert(out.count(_._2 == "rare") == 2)
+  }
+
   test("importance sample keeps exactly the hash-predicted docs with 1/p weights") {
     // quality 1.0 by construction: >= 20 words, no punctuation, all
     // stopwords; quality 0.025: one non-stop word; NULL: whitespace-only

@@ -244,6 +244,38 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(again == split)
   }
 
+  test("keep-best dedup keeps the highest-quality cluster member, not the min id") {
+    val corpus = Seq(
+      (10L, "!!! ??? ### $$$ %%%"), // low quality, min id of its cluster
+      (11L, "the quick brown fox jumps over the lazy dog and runs to the " +
+        "river bank in the morning light today again and again"), // high quality
+      (12L, ""), // degenerate singleton: NULL quality (n_chars=0), must survive
+      (13L, "an unclustered normal document about data"),
+      (20L, "same words here exactly"), // tie cluster: identical text
+      (21L, "same words here exactly")
+    ).toDF("doc_id", "text")
+    val clusters = Seq(
+      (10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false)
+    ).toDF("doc_id", "cluster_id", "is_keeper")
+    val kept = Dedup.dedupKeepBest(corpus, clusters)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(kept.map(_._1) == Seq(11L, 12L, 13L, 20L), s"kept=$kept")
+    val m = kept.map(r => r._1 -> r).toMap
+    // cluster {10,11}: 11 wins on quality despite the larger id — the
+    // exact case where dedupApply's min-id keeper ships the worse copy
+    assert(m(11L)._2 == 10L && m(11L)._3 == 2L)
+    // tie cluster {20,21}: equal quality → lowest doc_id
+    assert(m(20L)._2 == 20L && m(20L)._3 == 2L)
+    // NULL-quality singleton survives and stays NULL (not the −1 sentinel)
+    assert(m(12L)._4.isEmpty && m(12L)._3 == 1L)
+    assert(m(13L)._4.nonEmpty)
+    // contrast with min-id apply: it would keep 10, not 11
+    val minId = Dedup.dedupApply(corpus, clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId.contains(10L) && !minId.contains(11L))
+  }
+
   test("duplicate clusters merge transitive chains to one keeper") {
     // chain: 10~11 and 11~12 are edges, 10~12 is not — one component {10,11,12}
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("d1", "d2")

@@ -314,7 +314,15 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // consumers otherwise re-run tokenize+explode); exchanges: c12 +
       // c1 + v reference aggs, the (w1,w2) scoring join, per-doc agg,
       // the per-source tertile window, the output sort
-      ("q105_perplexity_buckets",    0, 7))
+      ("q105_perplexity_buckets",    0, 7),
+      // q106: corpus scans once (quality in-row); the cluster membership
+      // rides its own CC barriers; per-group argmax is a map-side-combined
+      // agg (NO window sort) + the output sort
+      ("q106_dedup_keep_best",       1, 3),
+      // q107: corpus scans once; the sources-sized stats table hides
+      // behind its barrier (a lost barrier = 3 corpus scans); rate table
+      // broadcasts back; exchanges: count agg + output sort
+      ("q107_temperature_mix",       1, 2))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
