@@ -47,7 +47,10 @@ object GoldenSpec {
     // own suite instead of silently dropping queries from the driver diff
     "q19_json_funcs", "q33_watermark_batch_dedup", "q36_tumbling_window",
     "q37_sliding_window", "q70_asof_join", "q71_range_join_binned",
-    "q75_session_window")
+    "q75_session_window",
+    // r10: unigram-LM tokenizer faces (no SQL oracle — Viterbi; the
+    // independent reference EM lives in UnigramSpec)
+    "q108_unigram_train", "q109_unigram_tokenize")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -88,7 +91,11 @@ object GoldenSpec {
     ("q71_range_join_binned", "sf0.001") -> "ca7be040e4927e2d",
     ("q71_range_join_binned", "sf0.01") -> "6861399190a9b073",
     ("q75_session_window", "sf0.001") -> "f98d9d5167482d31",
-    ("q75_session_window", "sf0.01") -> "29a047ffb0d764df")
+    ("q75_session_window", "sf0.01") -> "29a047ffb0d764df",
+    ("q108_unigram_train", "sf0.001") -> "795fdae689839537",
+    ("q108_unigram_train", "sf0.01") -> "3048e729d6eacbab",
+    ("q109_unigram_tokenize", "sf0.001") -> "a08e25427c75d139",
+    ("q109_unigram_tokenize", "sf0.01") -> "bd5bea0ca0486751")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

@@ -322,7 +322,15 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q107: corpus scans once; the sources-sized stats table hides
       // behind its barrier (a lost barrier = 3 corpus scans); rate table
       // broadcasts back; exchanges: count agg + output sort
-      ("q107_temperature_mix",       1, 2))
+      ("q107_temperature_mix",       1, 2),
+      // q108: the trained piece table is pinned — the final plan is its
+      // barrier read + the rank sort; the EM loop body is budgeted
+      // separately in the iterative-rounds gate
+      ("q108_unigram_train",         0, 1),
+      // q109: two pruned corpus scans (distinct-word DP branch + token
+      // stream, the q103 shape); exchanges: vocab distinct, per-doc agg,
+      // join, output sort
+      ("q109_unigram_tokenize",      2, 4))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
@@ -359,7 +367,17 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q102: one map-side-combined shuffle of pair counts per round —
       // a regression here multiplies by nMerges
       ("bpeRoundPairs (q102)",
-        graft.operators.Curation.bpeRoundPairs(vocab), 1))
+        graft.operators.Curation.bpeRoundPairs(vocab), 1),
+      // q108: one EM round's E step — the one-row logp map broadcasts
+      // into the in-row DP; the word vocab reads its barrier, zero
+      // shuffles (the M-step re-count is the round's only exchange and
+      // is piece-vocab-sized)
+      ("unigram segmented (q108)",
+        graft.operators.Unigram.segmented(
+          Seq(("low", 5L), ("new", 2L)).toDF("w", "wc").localCheckpoint(true),
+          graft.operators.Unigram.pieceLogProbs(
+            Seq(("l", 3L), ("o", 3L), ("w", 3L), ("n", 2L), ("e", 2L), ("lo", 2L))
+              .toDF("piece", "cnt").localCheckpoint(true))), 1))
     rounds.foreach { case (name, df, maxExchanges) =>
       val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
