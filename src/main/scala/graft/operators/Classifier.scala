@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering (q110/q111) — the classifier face of the
+  * quality family (heuristic q41 → self-trained LM q87/q105 → THIS): a
+  * logistic regression over hashed bag-of-words features, trained to
+  * separate a reference slice from the rest of the corpus, then scoring
+  * every document with p(reference-like). This is the GPT-3/CCNet-shaped
+  * "quality classifier" step (Brown et al. 2020 §A; Wenzek et al. 2019):
+  * label 1 = the md5-prefix reference slice (the q105 convention — the
+  * stand-in for "Wikipedia-quality" text), label 0 = everything else.
+  *
+  * Training (q110), batch gradient descent:
+  *  - FEATURES ONCE: per doc, term frequencies over hashed token dims
+  *    (polynomial-31 hash mod [[dims]] — implementable identically in
+  *    plain Scala for the in-suite reference); stored as an in-row
+  *    dim-sorted array, pinned behind a barrier. The corpus is read once;
+  *    every round runs on the feature frame.
+  *  - Per round: margin = in-row dot(w, feats) under a ONE-ROW broadcast
+  *    weight array (no join); residual = sigmoid(margin) − y; per-dim
+  *    gradient contributions round to DECIMAL(18,9) BEFORE the sum (the
+  *    q87 discipline — double summation order differs across
+  *    partitionings) and aggregate map-side to [[dims]] rows; the new
+  *    weight vector collapses to one row and broadcasts into the next
+  *    round. Plan budget: ONE shuffle per round, feature-frame-sized
+  *    input, dims-sized output.
+  *
+  * Scoring (q111): sigmoid(dot(w, feats)) per doc under the trained
+  * weights — in-row, zero shuffle beyond the output sort.
+  *
+  * No SQL oracle (iterative optimization isn't relational): golden-pinned
+  * digests + an independent plain-Scala reference LR in ClassifierSpec
+  * asserted weight-for-weight and score-for-score (the q102/q108
+  * two-faces pattern), plus the separation property (reference docs
+  * score higher in aggregate than non-reference docs).
+  *
+  * Scale shape: feature extraction is the only corpus-sized work; rounds
+  * cost one map-side-combined shuffle each; weights are dims-sized
+  * (1-row broadcast). At 100 TB the feature frame persists like the BM25
+  * postings (build once per corpus snapshot); gradient rounds are
+  * embarrassingly parallel over it.
+  */
+object Classifier {
+  private def words(c: Column): Column = Text.words(c)
+
+  /** Hashed feature dimensionality — small enough that the golden digest
+    * stays readable, large enough that planted vocabularies don't fully
+    * collide. */
+  val dims = 256
+
+  /** Gradient-descent hyperparameters: fixed, part of the declared
+    * contract (determinism over tunability). */
+  val learningRate = 0.5
+  val rounds = 5
+
+  def defs: Map[String, QueryDef] = Map(
+    // ---- quality-classifier training: final per-dim weights after 5
+    //      batch GD rounds on reference-vs-rest labels. ----
+    "q110_quality_classifier_train" -> QueryDef.rowsOnly { (s, dir) =>
+      classifierTrain(Tables.documents(s, dir)).orderBy("dim")
+    },
+
+    // ---- classifier scoring: p(reference-like) per doc under the
+    //      trained weights — the model-based quality gate. ----
+    "q111_quality_classifier_score" -> QueryDef.rowsOnly { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      classifierScore(docs, classifierTrain(docs)).orderBy("doc_id")
+    }
+  )
+
+  /** Polynomial-31 token hash mod [[dims]] — the classic string hash,
+    * reproducible in any language (Java Long wrap semantics on both
+    * sides). */
+  private def dimExpr: String =
+    s"CAST(pmod(aggregate(sequence(1, length(t)), CAST(0 AS BIGINT), (h, i) -> h * 31 + ascii(substring(t, i, 1))), $dims) AS INT)"
+
+  /** (doc_id, y, feats array<struct<dim int, tf double>> dim-sorted):
+    * hashed term frequencies + the reference label, one corpus scan.
+    * tf = count(dim)/n_tokens keeps margins bounded regardless of doc
+    * length. Dim-sorted array = one fixed double-summation order for
+    * the in-row dot product on any partitioning. */
+  private[graft] def features(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        (substring(md5(col("text")), 1, 1) <= "3").cast("double").as("y"),
+        words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("y"), expr(
+        s"""concat(
+           |  transform(
+           |    array_sort(map_entries(
+           |      aggregate(transform(ws, t -> $dimExpr),
+           |        CAST(map() AS MAP<INT, BIGINT>),
+           |        (m, d) -> map_concat(map_filter(m, (k, v) -> k != d),
+           |                             map(d, coalesce(element_at(m, d), CAST(0 AS BIGINT)) + 1))))),
+           |    e -> struct(e.key AS dim, CAST(e.value AS DOUBLE) / size(ws) AS tf)),
+           |  array(struct(CAST($dims AS INT) AS dim, CAST(1.0 AS DOUBLE) AS tf)))"""
+          .stripMargin).as("feats"))
+
+  /** One-row weight frame (w: array<double>, index = dim; slot [[dims]]
+    * is the intercept). */
+  private def weightRow(weights: DataFrame): DataFrame =
+    weights.agg(collect_list(struct(col("dim"), col("weight"))).as("dw"))
+      .select(expr(
+        s"""transform(sequence(0, $dims),
+           |  d -> coalesce(element_at(map_from_entries(array_sort(dw)), d), CAST(0.0 AS DOUBLE)))"""
+          .stripMargin).as("w"))
+
+  /** margin = Σ w[dim]·tf over the doc's dim-sorted feature array —
+    * in-row, fixed order. (`w` is 0-indexed by dim via element_at+1.) */
+  private def marginExpr: String =
+    "aggregate(feats, CAST(0.0 AS DOUBLE), (acc, f) -> acc + element_at(w, f.dim + 1) * f.tf)"
+
+  /** One GD round over a pinned feature frame: returns the dims-sized
+    * (dim, weight) table, stepping by the MEAN gradient (sum/n — the
+    * batch-GD normalization that keeps the step size corpus-size-
+    * independent). Gradient contributions round to DECIMAL(18,9)
+    * pre-sum; dims with no contributions keep their previous weight; n
+    * rides a one-row broadcast, never a driver-side count. */
+  private[graft] def gdRound(feats: DataFrame, wRow: DataFrame,
+      prevWeights: DataFrame): DataFrame = {
+    val nRow = feats.agg(count(lit(1)).cast("double").as("n"))
+    val grads = feats.crossJoin(broadcast(wRow))
+      .select(col("y"), col("feats"), expr(marginExpr).as("m"))
+      .select(col("feats"),
+        (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("r"))
+      .select(explode(col("feats")).as("f"), col("r"))
+      .select(col("f.dim").as("dim"),
+        round((col("r") * col("f.tf")).cast("double"), 9)
+          .cast("decimal(18,9)").as("g"))
+      .groupBy("dim").agg(sum(col("g")).as("grad"))
+    prevWeights.join(grads, Seq("dim"), "left")
+      .crossJoin(broadcast(nRow))
+      .select(col("dim"),
+        (col("weight") - lit(learningRate) *
+          coalesce(col("grad").cast("double") / col("n"), lit(0.0))).as("weight"))
+  }
+
+  /** Full training loop → (dim, weight) with weight rounded to 9 places
+    * for the stable artifact (the raw weights feed [[classifierScore]]
+    * through the same rounding, so train and score agree exactly). */
+  def classifierTrain(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val feats = features(docs).localCheckpoint(eager = true)
+    var weights = spark.range(0, dims + 1) // slot `dims` = intercept
+      .select(col("id").cast("int").as("dim"), lit(0.0).as("weight"))
+      .localCheckpoint(eager = true)
+    (1 to rounds).foreach { _ =>
+      val next = gdRound(feats, weightRow(weights), weights)
+        .localCheckpoint(eager = true)
+      graft.Barriers.release(weights)
+      weights = next
+    }
+    val out = weights
+      .select(col("dim"), round(col("weight"), 9).as("weight"))
+      .localCheckpoint(eager = true)
+    graft.Barriers.release(weights)
+    graft.Barriers.release(feats)
+    out
+  }
+
+  /** p(reference-like) per doc under a trained weight table — in-row dot
+    * + sigmoid, zero shuffle beyond the caller's sort. */
+  def classifierScore(docs: DataFrame, weights: DataFrame): DataFrame =
+    features(docs).crossJoin(broadcast(weightRow(weights)))
+      .select(col("doc_id"),
+        col("y").cast("boolean").as("is_reference"),
+        round(lit(1.0) / (lit(1.0) + exp(-expr(marginExpr))), 6).as("score"))
+      .withColumn("predicted_reference", col("score") >= 0.5)
+}

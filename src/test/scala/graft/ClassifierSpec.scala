@@ -1,0 +1,160 @@
+package graft
+
+import graft.operators.Classifier
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent verification for the model-based quality classifier
+  * (q110/q111): a from-scratch plain-Scala batch-GD logistic regression
+  * (same hash, same decimal gradient discipline, shared NOTHING with the
+  * operator) asserted weight-for-weight and score-for-score on real
+  * fixture text, plus a planted-signal corpus where the classifier must
+  * actually separate the classes it was trained on.
+  */
+class ClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def r9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def bd9(x: Double): BigDecimal =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def tokens(t: String): Seq[String] =
+    t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      .split(" ").filter(_.nonEmpty).toSeq
+
+  private def dimOf(t: String): Int = {
+    var h = 0L
+    t.codePoints().forEach(cp => h = h * 31 + cp)
+    val m = h % Classifier.dims
+    (if (m < 0) m + Classifier.dims else m).toInt
+  }
+
+  /** Reference LR mirroring the DOCUMENTED semantics: tf features over
+    * hashed dims + intercept, label = md5 prefix, 5 mean-gradient GD
+    * rounds with per-contribution 9-decimal rounding. Returns
+    * (weights by dim incl. intercept slot, per-doc scores). */
+  private def referenceLr(docs: Seq[(Long, String)])
+      : (Map[Int, Double], Seq[(Long, Boolean, Double, Boolean)]) = {
+    val D = Classifier.dims
+    case class Doc(id: Long, y: Double, feats: Seq[(Int, Double)])
+    val fdocs = docs.flatMap { case (id, text) =>
+      val ws = tokens(text)
+      if (ws.isEmpty) None
+      else {
+        val y = if (md5hex(text).substring(0, 1) <= "3") 1.0 else 0.0
+        val tf = ws.groupBy(dimOf).toSeq
+          .map { case (d, g) => (d, g.size.toDouble / ws.size) }
+          .sortBy(_._1) :+ (D, 1.0)
+        Some(Doc(id, y, tf))
+      }
+    }
+    var w = Array.fill(D + 1)(0.0)
+    val n = fdocs.size.toDouble
+    def margin(f: Seq[(Int, Double)]): Double =
+      f.foldLeft(0.0) { case (acc, (d, tf)) => acc + w(d) * tf }
+    for (_ <- 1 to Classifier.rounds) {
+      val grad = scala.collection.mutable.Map.empty[Int, BigDecimal]
+      fdocs.foreach { doc =>
+        val r = 1.0 / (1.0 + math.exp(-margin(doc.feats))) - doc.y
+        doc.feats.foreach { case (d, tf) =>
+          grad(d) = grad.getOrElse(d, BigDecimal(0)) + bd9(r * tf)
+        }
+      }
+      val w2 = w.clone()
+      grad.foreach { case (d, g) =>
+        w2(d) = w(d) - Classifier.learningRate * (g.toDouble / n)
+      }
+      w = w2
+    }
+    val rounded = w.zipWithIndex.map { case (v, d) => d -> r9(v) }.toMap
+    // scoring runs under the ROUNDED table (what q111 consumes)
+    val wr = Array.tabulate(D + 1)(rounded)
+    val scores = fdocs.map { doc =>
+      val m = doc.feats.foldLeft(0.0) { case (acc, (d, tf)) => acc + wr(d) * tf }
+      val s = r6(1.0 / (1.0 + math.exp(-m)))
+      (doc.id, doc.y == 1.0, s, s >= 0.5)
+    }
+    (rounded, scores)
+  }
+
+  test("distributed LR equals the plain-Scala reference weight-for-weight " +
+      "and score-for-score on real fixture text") {
+    val docsDf = Tables.documents(spark, sf001).filter(col("doc_id") <= 150)
+      .select("doc_id", "text")
+    val docs = docsDf.as[(Long, String)].collect().toSeq
+
+    val (refW, refScores) = referenceLr(docs)
+    val table = Classifier.classifierTrain(docsDf)
+    val gotW = table.as[(Int, Double)].collect().toMap
+    assert(gotW.size == Classifier.dims + 1)
+    val wDiff = gotW.collect {
+      case (d, v) if v != refW(d) => (d, v, refW(d))
+    }
+    assert(wDiff.isEmpty, s"weights disagree: ${wDiff.take(5)}")
+
+    val gotScores = Classifier.classifierScore(docsDf, table)
+      .as[(Long, Boolean, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(gotScores == refScores.sortBy(_._1),
+      s"scores disagree:\n got=${gotScores.take(3)}\n ref=${refScores.take(3)}")
+    Barriers.release(table)
+  }
+
+  test("classifier separates planted class-correlated vocabulary") {
+    // rejection-sample docs so the md5-derived label CORRELATES with the
+    // vocabulary: 'reference' docs (label 1) draw from one word set,
+    // crawl docs (label 0) from a disjoint one. The synthetic testdata
+    // has no real label signal (labels hash the text), so the planted
+    // corpus is where "the classifier actually classifies" is provable.
+    val refWords = Seq("curated", "encyclopedia", "citation", "verified",
+      "reviewed", "edited", "published", "archive")
+    val crawlWords = Seq("clickbait", "spam", "adsense", "casino",
+      "viagra", "lottery", "crypto", "giveaway")
+    val rnd = new scala.util.Random(7)
+    def mk(ws: Seq[String]): String =
+      (1 to 12).map(_ => ws(rnd.nextInt(ws.size))).mkString(" ")
+    val refDocs = Iterator.continually(mk(refWords))
+      .filter(t => md5hex(t).substring(0, 1) <= "3").take(25).toSeq
+    val crawlDocs = Iterator.continually(mk(crawlWords))
+      .filter(t => md5hex(t).substring(0, 1) > "3").take(25).toSeq
+    val corpus = (refDocs ++ crawlDocs).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    val table = Classifier.classifierTrain(corpus)
+    val scores = Classifier.classifierScore(corpus, table)
+      .as[(Long, Boolean, Double, Boolean)].collect()
+    val (ref, crawl) = scores.partition(_._2)
+    assert(ref.nonEmpty && crawl.nonEmpty)
+    val mRef = ref.map(_._3).sum / ref.size
+    val mCrawl = crawl.map(_._3).sum / crawl.size
+    // 5 fixed mean-gradient rounds take bounded steps, so the mean gap
+    // is modest; the load-bearing assertion is the per-doc disjointness
+    // below (measured gap ≈ 0.044 at these hyperparameters)
+    assert(mRef > mCrawl + 0.03,
+      s"no separation on planted signal: ref=$mRef crawl=$mCrawl")
+    // every reference doc must outscore every crawl doc on a corpus
+    // with fully disjoint vocabularies
+    assert(ref.map(_._3).min > crawl.map(_._3).max,
+      s"score ranges overlap: ref min ${ref.map(_._3).min}, " +
+        s"crawl max ${crawl.map(_._3).max}")
+    Barriers.release(table)
+  }
+
+  test("training releases every per-round barrier it pins") {
+    val docs = Tables.documents(spark, sf001).filter(col("doc_id") <= 30)
+      .select("doc_id", "text")
+    val before = Barriers.persistentRddCount(spark)
+    val table = Classifier.classifierTrain(docs)
+    table.collect()
+    assert(Barriers.persistentRddCount(spark) <= before + 1,
+      s"classifier loop leaked barriers: ${Barriers.persistentRddCount(spark)} vs $before")
+    Barriers.release(table)
+    assert(Barriers.persistentRddCount(spark) <= before)
+  }
+}

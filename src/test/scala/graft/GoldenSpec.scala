@@ -49,8 +49,10 @@ object GoldenSpec {
     "q37_sliding_window", "q70_asof_join", "q71_range_join_binned",
     "q75_session_window",
     // r10: unigram-LM tokenizer faces (no SQL oracle — Viterbi; the
-    // independent reference EM lives in UnigramSpec)
-    "q108_unigram_train", "q109_unigram_tokenize")
+    // independent reference EM lives in UnigramSpec) and the quality
+    // classifier (reference LR in ClassifierSpec)
+    "q108_unigram_train", "q109_unigram_tokenize",
+    "q110_quality_classifier_train", "q111_quality_classifier_score")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -95,7 +97,11 @@ object GoldenSpec {
     ("q108_unigram_train", "sf0.001") -> "795fdae689839537",
     ("q108_unigram_train", "sf0.01") -> "3048e729d6eacbab",
     ("q109_unigram_tokenize", "sf0.001") -> "a08e25427c75d139",
-    ("q109_unigram_tokenize", "sf0.01") -> "bd5bea0ca0486751")
+    ("q109_unigram_tokenize", "sf0.01") -> "bd5bea0ca0486751",
+    ("q110_quality_classifier_train", "sf0.001") -> "d3d88204a3851a01",
+    ("q110_quality_classifier_train", "sf0.01") -> "fa5ec9532846bc34",
+    ("q111_quality_classifier_score", "sf0.001") -> "b7cc007ff1ee17f5",
+    ("q111_quality_classifier_score", "sf0.01") -> "105c45328c918dc8")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

@@ -330,7 +330,14 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q109: two pruned corpus scans (distinct-word DP branch + token
       // stream, the q103 shape); exchanges: vocab distinct, per-doc agg,
       // join, output sort
-      ("q109_unigram_tokenize",      2, 4))
+      ("q109_unigram_tokenize",      2, 4),
+      // q110: the trained weight table is pinned — final plan is its
+      // barrier read + rank sort; the GD round body is budgeted in the
+      // iterative-rounds gate
+      ("q110_quality_classifier_train", 0, 1),
+      // q111: one corpus scan (features in-row), weights broadcast,
+      // dot+sigmoid in-row; exchanges: the output sort
+      ("q111_quality_classifier_score", 1, 2))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
@@ -377,7 +384,23 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
           Seq(("low", 5L), ("new", 2L)).toDF("w", "wc").localCheckpoint(true),
           graft.operators.Unigram.pieceLogProbs(
             Seq(("l", 3L), ("o", 3L), ("w", 3L), ("n", 2L), ("e", 2L), ("lo", 2L))
-              .toDF("piece", "cnt").localCheckpoint(true))), 1))
+              .toDF("piece", "cnt").localCheckpoint(true))), 1),
+      // q110: one GD round — margin in-row under the one-row broadcast
+      // weights, per-dim gradient agg (map-side combined, dims-sized
+      // output), left join back onto the dims-sized weight table
+      ("classifier gdRound (q110)", {
+        val feats = graft.operators.Classifier.features(
+          Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"))
+            .toDF("doc_id", "text")).localCheckpoint(true)
+        val w0 = spark.range(0, graft.operators.Classifier.dims + 1)
+          .select(col("id").cast("int").as("dim"),
+            org.apache.spark.sql.functions.lit(0.0).as("weight"))
+          .localCheckpoint(true)
+        graft.operators.Classifier.gdRound(feats,
+          spark.range(1).select(org.apache.spark.sql.functions.expr(
+            s"transform(sequence(0, ${graft.operators.Classifier.dims}), d -> CAST(0.0 AS DOUBLE))").as("w")),
+          w0)
+      }, 4))
     rounds.foreach { case (name, df, maxExchanges) =>
       val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
