@@ -101,6 +101,33 @@ class TablesSpec extends AnyFunSpec with Matchers with SparkSessionTestWrapper {
       e.getMessage should include("unsupported physical type")
     }
 
+    it("every testdata table loads with its expected column set") {
+      // name-level schema pin for ALL tables (the general form of the
+      // events lesson): physical TYPES may drift — adapting is the
+      // loader's job — but a dropped/renamed column is catastrophic and
+      // must fail HERE with a readable diff, not as a deep analysis
+      // error in whichever query touches it first
+      val expected = Map(
+        "region" -> Set("r_regionkey", "r_name"),
+        "nation" -> Set("n_nationkey", "n_name", "n_regionkey"),
+        "customer" -> Set("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        "supplier" -> Set("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        "part" -> Set("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+        "orders" -> Set("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+        "lineitem" -> Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate"),
+        "events" -> Set("event_id", "ts", "user_id", "event_type", "value", "props"),
+        "documents" -> Set("doc_id", "text", "lang", "source", "n_chars"),
+        "embeddings" -> Set("vec_id", "embedding", "label"))
+      Tables.names.foreach { t =>
+        val got = Tables.load(spark, sf001, t).schema.fieldNames.toSet
+        val want = expected(t)
+        assert(want.subsetOf(got),
+          s"table $t lost columns ${want -- got} (has: $got) — testdata drift")
+      }
+    }
+
     it("matches the real testdata (now timestamp[us]) against the same " +
         "instants DuckDB sees: hour-truncation agrees with the q36 oracle") {
       // smoke: the loaded ts must groupBy(hour) without analysis errors and
