@@ -11,8 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * fixture text, plus a planted-signal corpus where the classifier must
   * actually separate the classes it was trained on.
   */
+object ClassifierSpec {
+  case class Doc(doc_id: Long, text: String)
+}
+
 class ClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
   import spark.implicits._
+  import ClassifierSpec.Doc
 
   private def r9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -143,6 +148,37 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ref.map(_._3).min > crawl.map(_._3).max,
       s"score ranges overlap: ref min ${ref.map(_._3).min}, " +
         s"crawl max ${crawl.map(_._3).max}")
+    Barriers.release(table)
+  }
+
+  test("streaming score face: micro-batches score identically to the batch face") {
+    // at-ingest model-based quality gate: score arriving docs under
+    // PERSISTED weights (train offline, apply on the stream — the
+    // nearDupSinkQuery pattern for the classifier). classifierScore is
+    // pure in-row work + a broadcast stream-static join, so the same
+    // code path serves both faces — asserted, not assumed.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docsDf = Tables.documents(spark, sf001).filter(col("doc_id") <= 60)
+      .select("doc_id", "text")
+    val table = Classifier.classifierTrain(docsDf)
+    val batch = Classifier.classifierScore(docsDf, table)
+      .as[(Long, Boolean, Double, Boolean)].collect().sortBy(_._1).toSeq
+
+    val input = MemoryStream[Doc](spark)
+    val q = Classifier.classifierScore(input.toDF(), table)
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").start()
+    try {
+      val rows = docsDf.as[(Long, String)].collect().map(r => Doc(r._1, r._2))
+      input.addData(rows.take(30).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(30).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clf_stream")
+        .as[(Long, Boolean, Double, Boolean)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"stream and batch scores diverge:\n s=${streamed.take(3)}\n b=${batch.take(3)}")
+    } finally q.stop()
     Barriers.release(table)
   }
 
