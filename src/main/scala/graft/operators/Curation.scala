@@ -232,6 +232,42 @@ object Curation {
       temperatureMix(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // ---- T5-style span corruption: the denoising-objective data prep
+    //      (Raffel et al. 2020 §3.1.4) — mask ~15% of tokens in fixed
+    //      3-token spans, one span per 20-token segment, span offsets
+    //      from the q104 hash (pure integer arithmetic, RNG-free);
+    //      emit (masked input, sentinel-delimited target). ----
+    "q112_span_corruption" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |p AS (SELECT doc_id, ws, len(ws) AS n, len(ws) // 20 AS k FROM w),
+        |s AS (SELECT doc_id, ws, n, k,
+        |        CASE WHEN k > 0 THEN
+        |          [CAST((i - 1) * (n // k) + 1
+        |             + ((doc_id * 2654435761 + i * 40503) % 4294967296) % ((n // k) - 2) AS BIGINT)
+        |           for i in range(1, k + 1)]
+        |        ELSE [] END AS sp
+        |      FROM p),
+        |o AS (SELECT doc_id, n, k, sp, ws,
+        |        array_to_string(list_filter(
+        |          [CASE WHEN len(list_filter(sp, x -> pos >= x AND pos <= x + 2)) > 0
+        |                THEN CASE WHEN coalesce(list_position(sp, CAST(pos AS BIGINT)), 0) > 0
+        |                          THEN '<extra_id_' || CAST(list_position(sp, CAST(pos AS BIGINT)) AS VARCHAR) || '>'
+        |                          ELSE NULL END
+        |                ELSE ws[pos] END
+        |           for pos in range(1, n + 1)], x -> x IS NOT NULL), ' ') AS input_text,
+        |        array_to_string(flatten(
+        |          [list_concat(['<extra_id_' || CAST(i AS VARCHAR) || '>'], ws[sp[i]:sp[i]+2])
+        |           for i in range(1, k + 1)]), ' ') AS target_text
+        |      FROM s)
+        |SELECT doc_id, n AS n_tokens, k AS n_spans,
+        |  CAST(3 * k AS BIGINT) AS n_masked,
+        |  round(CAST(3 * k AS DOUBLE) / nullif(n, 0), 6) AS mask_frac,
+        |  input_text, target_text
+        |FROM o ORDER BY doc_id""") { (s, dir) =>
+      spanCorruption(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // ---- fuzzy decontamination: best per-benchmark-doc Jaccard with
     //      attribution (WHICH eval item leaked) — q74's overlap-share
     //      scan can't answer that. Same broadcast-bench inverted-index
@@ -964,6 +1000,49 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_source"), col("rate"),
         (lit(1.0) / col("rate")).as("weight"))
   }
+
+  /** T5-style span corruption (q112) — the denoising-objective prep
+    * (Raffel et al. 2020 §3.1.4): mask ~15% of tokens as fixed 3-token
+    * spans, emitting the sentinel-masked input and the sentinel-
+    * delimited target a seq2seq denoiser trains on. Span placement is
+    * RNG-free: one span per 20-token segment, offset within the segment
+    * from the q104 multiplicative hash of (doc_id, span index) — pure
+    * integer arithmetic, identical on any engine/run/partitioning, and
+    * segments make overlap impossible by construction. Docs under 20
+    * tokens pass through unmasked (no spans, empty target).
+    *
+    * Scale shape: one pruned corpus scan, everything in-row (token
+    * array ops + two string folds), zero shuffle beyond the output
+    * sort — corruption runs at scan speed at any corpus size. */
+  def spanCorruption(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("k", expr("n div 20"))
+      .withColumn("sp", expr(
+        """CASE WHEN k > 0 THEN transform(sequence(1L, k),
+          |  i -> (i - 1) * (n div k) + 1
+          |    + pmod((doc_id * 2654435761 + i * 40503) % 4294967296, (n div k) - 2))
+          |ELSE array() END""".stripMargin))
+      .select(col("doc_id"),
+        col("n").as("n_tokens"), col("k").as("n_spans"),
+        (lit(3L) * col("k")).as("n_masked"),
+        round(lit(3.0) * col("k") / nullif(col("n"), lit(0L)), 6).as("mask_frac"),
+        expr(
+          """CASE WHEN n = 0 THEN '' ELSE
+            |concat_ws(' ', filter(transform(sequence(1L, n),
+            |  p -> CASE WHEN exists(sp, x -> p >= x AND p <= x + 2)
+            |    THEN CASE WHEN array_position(sp, p) > 0
+            |      THEN concat('<extra_id_', CAST(array_position(sp, p) AS STRING), '>')
+            |      ELSE NULL END
+            |    ELSE element_at(ws, CAST(p AS INT)) END),
+            |  x -> x IS NOT NULL)) END""".stripMargin).as("input_text"),
+        expr(
+          """CASE WHEN k = 0 THEN '' ELSE
+            |concat_ws(' ', flatten(transform(sequence(1, CAST(k AS INT)),
+            |  i -> concat(
+            |    array(concat('<extra_id_', CAST(i AS STRING), '>')),
+            |    slice(ws, CAST(element_at(sp, i) AS INT), 3))))) END""".stripMargin)
+          .as("target_text"))
 
   /** Greedy per-source token-budget fill in deterministic hash order:
     * running token sum per source, keep a doc iff the running total

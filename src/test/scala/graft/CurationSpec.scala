@@ -520,6 +520,46 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("span corruption: input + target reconstruct the original exactly; " +
+      "spans are disjoint 3-token runs at the declared density") {
+    val docs = Tables.documents(spark, sf001).filter(col("doc_id") <= 100)
+      .select("doc_id", "text")
+    val orig = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.split(" ").filter(_.nonEmpty).toSeq }
+      .toMap
+    val out = Curation.spanCorruption(docs)
+      .as[(Long, Long, Long, Long, Option[Double], String, String)].collect()
+    assert(out.length == orig.size)
+    val sentinel = "<extra_id_(\\d+)>".r
+    out.foreach { case (id, n, k, nMasked, frac, inp, tgt) =>
+      assert(n == orig(id).size && k == n / 20 && nMasked == 3 * k)
+      if (n > 0) assert(frac.contains(
+        BigDecimal(3.0 * k / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      // parse target into span-index -> 3 tokens
+      val tgtToks = tgt.split(" ").filter(_.nonEmpty).toSeq
+      val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      var cur = -1
+      tgtToks.foreach {
+        case sentinel(i) => cur = i.toInt; spans(cur) = Vector.empty
+        case t => spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.keySet == (1 to k.toInt).toSet, s"doc $id sentinels: ${spans.keySet}")
+      spans.values.foreach(s => assert(s.size == 3, s"doc $id span not 3 tokens: $s"))
+      // splicing the spans back into the input reproduces the original
+      val rebuilt = inp.split(" ").filter(_.nonEmpty).toSeq.flatMap {
+        case sentinel(i) => spans(i.toInt)
+        case t => Seq(t)
+      }
+      assert(rebuilt == orig(id), s"doc $id does not reconstruct")
+    }
+    // masked fraction across the corpus is ~15% (3 of every 20 tokens,
+    // minus sub-20-token remainders)
+    val totTok = out.map(_._2).sum.toDouble
+    val totMask = out.map(_._4).sum.toDouble
+    assert(totMask / totTok > 0.10 && totMask / totTok <= 0.15,
+      s"corpus mask rate off: ${totMask / totTok}")
+  }
+
   test("temperature mix: rates match brute force, small sources upweighted, " +
       "tiny sources cap at keep-everything") {
     // 90/10/2 source split — α=0.5 must upweight "small" relative to

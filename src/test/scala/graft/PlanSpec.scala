@@ -337,7 +337,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q110_quality_classifier_train", 0, 1),
       // q111: one corpus scan (features in-row), weights broadcast,
       // dot+sigmoid in-row; exchanges: the output sort
-      ("q111_quality_classifier_score", 1, 2))
+      ("q111_quality_classifier_score", 1, 2),
+      // q112: pure in-row denoising prep — one scan, only the output
+      // sort's range exchange (the q100 shape)
+      ("q112_span_corruption",          1, 1))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
