@@ -139,25 +139,60 @@ object Classifier {
           coalesce(col("grad").cast("double") / col("n"), lit(0.0))).as("weight"))
   }
 
+  /** `k` GD rounds from `init` over a pinned feature frame. Rounds
+    * supersede their predecessor immediately (≤2 pinned weight tables
+    * live, the q102 discipline); `releaseInit` guards the FIRST release
+    * so a caller-owned starting table (the warm-start path) is never
+    * freed out from under the caller. */
+  private def gdLoop(feats: DataFrame, init: DataFrame, k: Int,
+      releaseInit: Boolean): DataFrame = {
+    var weights = init
+    var canRelease = releaseInit
+    (1 to k).foreach { _ =>
+      val next = gdRound(feats, weightRow(weights), weights)
+        .localCheckpoint(eager = true)
+      if (canRelease) graft.Barriers.release(weights)
+      canRelease = true
+      weights = next
+    }
+    weights
+  }
+
   /** Full training loop → (dim, weight) with weight rounded to 9 places
     * for the stable artifact (the raw weights feed [[classifierScore]]
     * through the same rounding, so train and score agree exactly). */
   def classifierTrain(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val feats = features(docs).localCheckpoint(eager = true)
-    var weights = spark.range(0, dims + 1) // slot `dims` = intercept
+    val init = spark.range(0, dims + 1) // slot `dims` = intercept
       .select(col("id").cast("int").as("dim"), lit(0.0).as("weight"))
       .localCheckpoint(eager = true)
-    (1 to rounds).foreach { _ =>
-      val next = gdRound(feats, weightRow(weights), weights)
-        .localCheckpoint(eager = true)
-      graft.Barriers.release(weights)
-      weights = next
-    }
-    val out = weights
+    val trained = gdLoop(feats, init, rounds, releaseInit = true)
+    val out = trained
       .select(col("dim"), round(col("weight"), 9).as("weight"))
       .localCheckpoint(eager = true)
-    graft.Barriers.release(weights)
+    graft.Barriers.release(trained)
+    graft.Barriers.release(feats)
+    out
+  }
+
+  /** Incremental refresh (the nearDup/sketch/postings pattern applied to
+    * the classifier): resume GD from a PERSISTED weight table on a new
+    * batch — the nightly "fold today's crawl into the quality model"
+    * step that never re-reads yesterday's corpus. Starts from the
+    * 9-dp-rounded checkpoint (exactly what a persisted artifact holds),
+    * so a warm-start is reproducible from the stored table alone. The
+    * input table is left untouched. */
+  def classifierContinue(newDocs: DataFrame, weights: DataFrame,
+      gdRounds: Int = rounds): DataFrame = {
+    val feats = features(newDocs).localCheckpoint(eager = true)
+    val start = weights.select(col("dim"), col("weight"))
+      .localCheckpoint(eager = true) // own pinned copy; caller's frame untouched
+    val cont = gdLoop(feats, start, gdRounds, releaseInit = true)
+    val out = cont
+      .select(col("dim"), round(col("weight"), 9).as("weight"))
+      .localCheckpoint(eager = true)
+    graft.Barriers.release(cont)
     graft.Barriers.release(feats)
     out
   }

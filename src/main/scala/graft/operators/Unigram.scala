@@ -166,6 +166,11 @@ object Unigram {
       pieces = next
     }
     import org.apache.spark.sql.expressions.Window
+    // global (single-partition) rank window — deliberate: it runs on the
+    // FINAL piece table, which is tokenizer-sized (vocabSize + alphabet,
+    // hundreds of rows) regardless of corpus size, never on corpus data.
+    // The no-global-window discipline (q80/q85) is about corpus-sized
+    // frames; a tokenizer artifact is the exception that proves it.
     val byRank = Window.orderBy(col("cnt").desc, col("piece"))
     val out = pieces
       .crossJoin(broadcast(pieces.agg(sum(col("cnt")).as("tot"))))

@@ -45,7 +45,8 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     * hashed dims + intercept, label = md5 prefix, 5 mean-gradient GD
     * rounds with per-contribution 9-decimal rounding. Returns
     * (weights by dim incl. intercept slot, per-doc scores). */
-  private def referenceLr(docs: Seq[(Long, String)])
+  private def referenceLr(docs: Seq[(Long, String)],
+      init: Map[Int, Double] = Map.empty)
       : (Map[Int, Double], Seq[(Long, Boolean, Double, Boolean)]) = {
     val D = Classifier.dims
     case class Doc(id: Long, y: Double, feats: Seq[(Int, Double)])
@@ -60,7 +61,7 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
         Some(Doc(id, y, tf))
       }
     }
-    var w = Array.fill(D + 1)(0.0)
+    var w = Array.tabulate(D + 1)(d => init.getOrElse(d, 0.0))
     val n = fdocs.size.toDouble
     def margin(f: Seq[(Int, Double)]): Double =
       f.foldLeft(0.0) { case (acc, (d, tf)) => acc + w(d) * tf }
@@ -149,6 +150,32 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"score ranges overlap: ref min ${ref.map(_._3).min}, " +
         s"crawl max ${crawl.map(_._3).max}")
     Barriers.release(table)
+  }
+
+  test("warm-start continuation equals the reference resuming from the " +
+      "persisted table, and leaves the caller's table intact") {
+    // the incremental face: train on batch A, persist, fold batch B in
+    // later WITHOUT re-reading A — resumed exactly from the 9-dp-rounded
+    // checkpoint, the only thing a stored artifact has
+    val all = Tables.documents(spark, sf001).select("doc_id", "text")
+    val dfA = all.filter(col("doc_id") <= 80)
+    val dfB = all.filter(col("doc_id") > 80 && col("doc_id") <= 160)
+    val docsA = dfA.as[(Long, String)].collect().toSeq
+    val docsB = dfB.as[(Long, String)].collect().toSeq
+
+    val tableA = Classifier.classifierTrain(dfA)
+    val (refA, _) = referenceLr(docsA)
+    val tableCont = Classifier.classifierContinue(dfB, tableA)
+    val (refCont, _) = referenceLr(docsB, init = refA)
+    val gotCont = tableCont.as[(Int, Double)].collect().toMap
+    val diff = gotCont.collect {
+      case (d, v) if v != refCont(d) => (d, v, refCont(d))
+    }
+    assert(diff.isEmpty, s"warm-start weights disagree: ${diff.take(5)}")
+    // continuation must not free or mutate the caller's persisted table
+    assert(tableA.as[(Int, Double)].collect().toMap == refA,
+      "classifierContinue damaged the input weight table")
+    Barriers.release(tableA); Barriers.release(tableCont)
   }
 
   test("streaming score face: micro-batches score identically to the batch face") {
