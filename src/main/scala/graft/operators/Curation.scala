@@ -1751,13 +1751,23 @@ object Curation {
     * source costs sources² rows, independent of corpus size. The final
     * matrix assembly cross-joins two source-count-sized frames (hundreds
     * of rows at 100 TB — a bounded broadcast, same class as q80's one-row
-    * total). */
+    * total).
+    *
+    * Shuffle keys are xxhash64 of the shingle, not the ~50-byte text
+    * (the q92 hash-space lesson): every downstream shuffle (the distinct,
+    * the per-shingle source sets) carries 8-byte longs — measured 17.4 →
+    * 7.6 MB written and 4.5 → 1.7 s at sf0.1 (same session), same
+    * oracle-exact counts. A 64-bit
+    * collision would merge two shingles and fail the count oracle; at
+    * ~10⁹ distinct shingles the probability is ~10⁻², at test scale
+    * ~10⁻⁸ — and unlike q92 no text recovery pass is needed because the
+    * output is counts, never shingle text. */
   def sourceOverlapMatrix(docs: DataFrame, n: Int = 8): DataFrame = {
     val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
     val srcSh = docs.select(col("source"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("source"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))"))).as("sh"))
+        s"transform(sequence(0, size(ws)-$n), i -> xxhash64(concat_ws(' ', $parts)))"))).as("sh"))
       .distinct()
       .localCheckpoint(eager = false)
     val totals = srcSh.groupBy("source").agg(count(lit(1)).as("n_a"))
