@@ -380,9 +380,16 @@ object Dedup {
 
   /** Exact word-3-gram Jaccard pairs >= threshold via the shingle inverted
     * index: explode → equi-join on shingle → count common → combine with
-    * per-doc shingle counts. No cross join anywhere — the scalable form. */
+    * per-doc shingle counts. No cross join anywhere — the scalable form.
+    *
+    * The index carries xxhash64(shingle) — 8-byte shuffle/join keys
+    * instead of ~25-byte text (the q92/q96 hash-space move). Counts, and
+    * therefore jaccard values, are unchanged unless two of a corpus's
+    * distinct shingles collide in 64 bits (~10⁻⁸ at test scale); a
+    * collision would inflate an intersection count and fail the DuckDB
+    * oracle, which computes on text. */
   def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs)
+    val sh = shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDocFreq).select("sh")
     // Materialize the capped shingle frame ONCE. Three consumers read it
@@ -506,10 +513,15 @@ object Dedup {
     val prefixLen =
       (col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
     order match {
+      // both orders emit xxhash64(sh) as the join key — candidates join
+      // on 8-byte longs, not shingle text. STRICTLY safe here (unlike
+      // q51/q96): a collision only admits an extra candidate pair, and
+      // the verify phase recomputes the true intersection on the string
+      // arrays, so the result cannot change
       case "hash" =>
         arr.withColumn("p", prefixLen)
           .select(col("doc_id"), col("n"), posexplode(expr(
-            "transform(slice(array_sort(transform(shs, s -> struct(xxhash64(s) AS h, s AS sh))), 1, p), x -> x.sh)")))
+            "transform(slice(array_sort(transform(shs, s -> struct(xxhash64(s) AS h, s AS sh))), 1, p), x -> x.h)")))
           .select(col("doc_id"), col("col").as("sh"), col("n"),
             (col("pos") + 1).as("pos"))
       case "df" =>
@@ -520,7 +532,7 @@ object Dedup {
           .withColumn("pos", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
           .filter(col("pos") <= col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1))
-          .select(col("doc_id"), col("sh"), col("n"), col("pos"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("sh"), col("n"), col("pos"))
       case other => throw new IllegalArgumentException(
         s"unknown prefix order '$other' (expected hash|df)")
     }
