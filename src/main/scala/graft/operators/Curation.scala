@@ -791,6 +791,80 @@ object Curation {
         docs.filter(substring(md5(col("text")), 1, 1) === "0")
           .select(col("doc_id").as("bench_id")))
         .orderBy("stage")
+    },
+
+    // ---- fractional-epoch upsampling (q107's other half): q107 caps
+    //      rates at 1.0 and DOWN-samples; the data-mix step real training
+    //      runs (GPT-3 Table 2.2, LLaMA Table 1) also UP-samples small
+    //      high-value sources past one epoch. Per-source token mass m_s,
+    //      target share p_s ∝ m_s^α (α=0.5), epochs e_s = m_total·p_s/m_s;
+    //      each doc emits floor(e_s) full copies plus one more when the
+    //      q104 hash coin lands under the fractional part. ----
+    "q113_epoch_mix" -> QueryDef.sql(
+      """WITH f AS (SELECT doc_id, source,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_words
+        |  FROM documents),
+        |m AS (SELECT source, CAST(sum(n_words) AS BIGINT) AS m_source FROM f GROUP BY 1),
+        |sc AS (SELECT source, m_source,
+        |    CAST(round(pow(CAST(m_source AS DOUBLE), 0.5), 9) AS DECIMAL(18,9)) AS s FROM m),
+        |tot AS (SELECT sum(s) AS s_tot, CAST(sum(m_source) AS BIGINT) AS m_total FROM sc),
+        |e AS (SELECT source, m_source,
+        |    round(CAST(m_total AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(s_tot AS DOUBLE))
+        |          / CAST(m_source AS DOUBLE), 6) AS epochs
+        |  FROM sc CROSS JOIN tot),
+        |k AS (SELECT f.doc_id, f.source, e.epochs,
+        |    CAST(floor(e.epochs) AS BIGINT)
+        |      + CASE WHEN CAST((f.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+        |              < e.epochs - floor(e.epochs) THEN 1 ELSE 0 END AS n_copies
+        |  FROM f JOIN e USING (source))
+        |SELECT doc_id, source, epochs, n_copies,
+        |  unnest(range(1, n_copies + 1)) AS copy_idx
+        |FROM k WHERE n_copies > 0 ORDER BY doc_id, copy_idx""") { (s, dir) =>
+      epochMix(Tables.documents(s, dir)).orderBy("doc_id", "copy_idx")
+    },
+
+    // ---- PMI collocation mining (Church & Hanks 1990): the phrase/
+    //      multi-word-expression statistic a tokenizer-vocab or quality
+    //      pipeline computes over the corpus — pointwise mutual
+    //      information of adjacent word pairs with a min-count floor.
+    //      Counts are exact integers; ln is one IEEE op (q87 discipline). ----
+    "q114_pmi_collocations" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |tok AS (SELECT unnest(ws) AS w FROM w),
+        |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+        |bi AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS b
+        |       FROM w WHERE len(ws) >= 2),
+        |c12 AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS pair_count FROM bi GROUP BY 1, 2)
+        |SELECT c12.w1, c12.w2, pair_count, u1.c AS c1, u2.c AS c2,
+        |  round(ln(CAST(pair_count AS DOUBLE) * n_tokens
+        |           / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+        |FROM c12 JOIN uni u1 ON c12.w1 = u1.w JOIN uni u2 ON c12.w2 = u2.w CROSS JOIN t
+        |WHERE pair_count >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 100""") { (s, dir) =>
+      pmiCollocations(Tables.documents(s, dir))
+    },
+
+    // ---- deterministic interleaved training order: the seeded-shuffle
+    //      step a training loader needs — every doc gets a unique,
+    //      RNG-free, resumable order key that round-robins sources
+    //      (hash-ranked within source, so the order is a shuffle, not
+    //      corpus order). Sorting by the key IS the training order;
+    //      keys are strictly monotone in (src_rank, source), exact
+    //      round-robin when sources are equal-sized. ----
+    "q115_training_order" -> QueryDef.sql(
+      """WITH s AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS src_rank FROM s),
+        |idx AS (SELECT source, row_number() OVER (ORDER BY source) AS src_idx
+        |        FROM (SELECT DISTINCT source FROM s)),
+        |ns AS (SELECT count(*) AS n_sources FROM idx)
+        |SELECT doc_id, r.source, src_rank,
+        |  CAST((src_rank - 1) * n_sources + src_idx AS BIGINT) AS order_key
+        |FROM r JOIN idx ON r.source = idx.source CROSS JOIN ns
+        |ORDER BY order_key""") { (s, dir) =>
+      trainingOrder(Tables.documents(s, dir)).orderBy("order_key")
     }
   )
 
@@ -999,6 +1073,130 @@ object Curation {
       // double — bit-equal everywhere (the q104 lesson)
       .select(col("doc_id"), col("source"), col("n_source"), col("rate"),
         (lit(1.0) / col("rate")).as("weight"))
+  }
+
+  /** Fractional-epoch upsampling (q113) — the mixing step q107 cannot
+    * express: real data mixes (GPT-3 Table 2.2, LLaMA Table 1) run small
+    * high-value sources for MORE than one epoch while large crawls run
+    * under one. Per-source token mass m_s; target share p_s ∝ m_s^α
+    * (α < 1 flattens the mix toward uniform); epochs e_s = B·p_s/m_s
+    * where B = budgetFactor·m_total tokens. Each doc emits floor(e_s)
+    * full copies, plus one more iff the q104 multiplicative-hash coin
+    * lands under frac(e_s) — so realized per-source token counts
+    * concentrate tightly around the target with zero RNG state.
+    *
+    * Engine determinism: m_s^α rounds to 9 places and sums as
+    * DECIMAL(18,9) (q107 discipline); e_s rounds to 6 places BEFORE
+    * floor/frac, so both engines split the same integer/fraction.
+    *
+    * Scale shape: one corpus scan for per-source masses (map-side
+    * combined), the sources-sized epoch table broadcast back, the
+    * copy explosion in-row (`sequence` + `explode` — a narrow op whose
+    * fan-out is bounded by ceil(max epochs)). The corpus never
+    * shuffles; output size is the training plan's own size. */
+  def epochMix(docs: DataFrame, alpha: Double = 0.5,
+      budgetFactor: Double = 1.0): DataFrame = {
+    val f = docs.select(col("doc_id"), col("source"),
+      size(words(col("text"))).cast("long").as("n_words"))
+    // barrier on the sources-sized mass table: two consumers (tot and the
+    // epoch table through tot's cross join) would otherwise each re-run
+    // the corpus-wide sum for a table of a few dozen rows
+    val m = f.groupBy("source").agg(sum("n_words").as("m_source"))
+      .withColumn("s",
+        round(pow(col("m_source").cast("double"), lit(alpha)), 9)
+          .cast("decimal(18,9)"))
+      .localCheckpoint(eager = false)
+    val tot = m.agg(sum(col("s")).as("s_tot"), sum("m_source").as("m_total"))
+    val epochs = m.crossJoin(broadcast(tot))
+      .select(col("source"),
+        round(col("m_total").cast("double") * lit(budgetFactor)
+            * (col("s").cast("double") / col("s_tot").cast("double"))
+            / col("m_source").cast("double"), 6).as("epochs"))
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+      .cast("double") / lit(4294967296.0)
+    f.join(broadcast(epochs), "source")
+      .withColumn("n_copies", floor(col("epochs")) +
+        when(u < (col("epochs") - floor(col("epochs"))), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("epochs"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+  }
+
+  /** PMI collocation mining (q114) — Church & Hanks 1990: adjacent word
+    * pairs scored by pointwise mutual information
+    * ln(c₁₂·N / (c₁·c₂)), floored at `minCount` co-occurrences (PMI is
+    * unstable on rare pairs), top-k by score. The statistic phrase
+    * mining and tokenizer-vocab construction compute corpus-wide.
+    *
+    * All counts are exact integers; the PMI itself is one IEEE ln on
+    * identical doubles (q87 discipline), rounded to 6 for the contract.
+    *
+    * Scale shape: the tokenized base frame is computed once behind a
+    * barrier and consumed by both the unigram and the bigram aggregate
+    * (without it each re-runs tokenize+explode over the corpus). Both
+    * aggregates are map-side combined; the `minCount` floor prunes the
+    * pair table BEFORE the two vocab-sized unigram joins; N rides a
+    * one-row broadcast; top-k is TakeOrdered, never a global sort. */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5,
+      topK: Int = 100): DataFrame = {
+    val w = docs.select(words(col("text")).as("ws"))
+      .localCheckpoint(eager = false)
+    val uni = w.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").cast("long").as("n_tokens"))
+    val bi = w.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val u1 = uni.select(col("w").as("w1"), col("c").as("c1"))
+    val u2 = uni.select(col("w").as("w2"), col("c").as("c2"))
+    bi.join(u1, "w1").join(u2, "w2").crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("pair_count"), col("c1"), col("c2"),
+        round(log(col("pair_count").cast("double") * col("n_tokens")
+          / (col("c1").cast("double") * col("c2").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Deterministic interleaved training order (q115) — the seeded-
+    * shuffle step a training loader runs over the final mix: every doc
+    * gets a unique, RNG-free, resumable order key such that sorting by
+    * it round-robins the sources in content-hash order (a shuffle, not
+    * corpus order — adjacent docs in the same source land far apart).
+    * key = (src_rank − 1)·S + src_idx: strictly monotone in
+    * (src_rank, source), collision-free, and exactly contiguous
+    * 1..N when sources are equal-sized (gaps appear only past a
+    * smaller source's exhaustion — resumability keys on the ORDER, not
+    * on dense numbering).
+    *
+    * Scale shape: one corpus scan; the only corpus-sized movement is
+    * the per-source rank window (one hash shuffle by source — the same
+    * exchange any per-source op pays). The deliberate alternative to a
+    * global `row_number() OVER (ORDER BY …)`, which collapses the
+    * corpus onto a single partition; the source-index map is
+    * sources-sized and broadcast (its single-partition window is over
+    * dozens of rows, not the corpus). */
+  def trainingOrder(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .withColumn("src_rank",
+        row_number().over(
+          Window.partitionBy("source").orderBy(col("h"), col("doc_id"))).cast("long"))
+    // n_sources folds into the same sources-sized window pass — a
+    // separate count aggregate would re-run the distinct's corpus scan
+    // for one number
+    val idx = docs.select("source").distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy("source")).cast("long"))
+      .withColumn("n_sources",
+        count(lit(1)).over(Window.partitionBy(lit(1))).cast("long"))
+    ranked.join(broadcast(idx), "source")
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        ((col("src_rank") - 1) * col("n_sources") + col("src_idx"))
+          .as("order_key"))
   }
 
   /** T5-style span corruption (q112) — the denoising-objective prep

@@ -1032,4 +1032,110 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(byBucket.getOrElse("head", 0) == head, s"$src tertiles off: $byBucket")
     }
   }
+
+  test("epoch mix: copies match brute force, small sources run past one epoch") {
+    // token masses 900 vs 40 — α=0.5 must push the small source past
+    // one epoch (upsampling: docs emit MULTIPLE copies) while the big
+    // source runs under one
+    val docs = (1L to 100L).map { id =>
+      if (id <= 90) (id, "big", ("w " * 10).trim)   // 90 docs x 10 tokens
+      else (id, "small", ("w " * 4).trim)           //  10 docs x 4 tokens
+    }.toDF("doc_id", "source", "text")
+    val out = Curation.epochMix(docs)
+      .as[(Long, String, Double, Long, Long)].collect()
+      .sortBy(r => (r._1, r._5)).toSeq
+
+    // independent brute force with the same decimal discipline
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = Map("big" -> 900L, "small" -> 40L)
+    val s = m.map { case (k, v) => k -> r9(math.pow(v.toDouble, 0.5)) }
+    val sTot = s.values.sum
+    val epochs = m.map { case (k, v) =>
+      k -> r6(940.0 * (s(k).toDouble / sTot.toDouble) / v.toDouble)
+    }
+    def u(id: Long) = ((id * 2654435761L) % 4294967296L).toDouble / 4294967296.0
+    val expect = (1L to 100L).flatMap { id =>
+      val src = if (id <= 90) "big" else "small"
+      val e = epochs(src)
+      val copies = math.floor(e).toLong +
+        (if (u(id) < e - math.floor(e)) 1L else 0L)
+      (1L to copies).map(c => (id, src, e, copies, c))
+    }
+    assert(out == expect, s"got=${out.take(5)} want=${expect.take(5)}")
+    assert(epochs("small") > 1.0, s"small source must upsample: $epochs")
+    assert(epochs("big") < 1.0, s"big source must downsample: $epochs")
+    // upsampling is real: some small-source doc emits >= 2 copies
+    assert(out.exists(r => r._2 == "small" && r._4 >= 2L), s"no multi-copy doc")
+    // realized token mass tracks the per-source target within the
+    // +/-1-copy-per-doc coin granularity
+    val smallTokens = out.count(_._2 == "small") * 4L
+    val target = 940.0 * (s("small").toDouble / sTot.toDouble)
+    assert(math.abs(smallTokens - target) <= 10 * 4,
+      s"realized small-source tokens $smallTokens vs target $target")
+  }
+
+  test("PMI collocations match brute force and rank a planted collocation first") {
+    // "alpha beta" always co-occur (collocation); "noise" is frequent but
+    // pairs uniformly (independence -> PMI ~ 0); floor excludes rare pairs
+    val phrase = Seq.fill(6)("alpha beta").mkString(" ")
+    val docs = (1L to 10L).map { id =>
+      (id, if (id <= 5) phrase else "noise " + (s"w$id noise " * 5).trim)
+    }.toDF("doc_id", "text")
+    val got = Curation.pmiCollocations(docs, minCount = 3, topK = 20)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+
+    // independent brute force, same ops
+    val texts = (1L to 10L).map { id =>
+      if (id <= 5) phrase else "noise " + (s"w$id noise " * 5).trim
+    }
+    val toks = texts.map(_.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = uni.values.sum
+    val bi = toks.flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = bi.toSeq.collect {
+      case ((w1, w2), c12) if c12 >= 3 =>
+        val pmi = BigDecimal(math.log(c12.toDouble * n / (uni(w1).toDouble * uni(w2).toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (w1, w2, c12, uni(w1), uni(w2), pmi)
+    }.sortBy(r => (-r._6, r._1, r._2)).take(20)
+    assert(got == expect, s"got:\n${got.mkString("\n")}\nwant:\n${expect.mkString("\n")}")
+    // the planted collocation outranks the independent pair
+    assert(got.head._1 == "alpha" && got.head._2 == "beta", s"top: ${got.head}")
+    val noisePmi = got.find(r => r._1 == "noise" && r._2 == "noise").map(_._6)
+    assert(noisePmi.forall(_ < got.head._6), s"noise-noise $noisePmi not below top")
+  }
+
+  test("training order: unique resumable keys, exact round-robin on equal sources, " +
+      "stable under repartitioning") {
+    val docs = (1L to 60L).map { id =>
+      (id, s"src${id % 3}", s"text of document number $id")
+    }.toDF("doc_id", "source", "text")
+    val out = Curation.trainingOrder(docs)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._4).toSeq
+    assert(out.map(_._1).sorted == (1L to 60L), "every doc exactly once")
+    // equal-sized sources: keys are contiguous 1..N and sources
+    // round-robin in blocks of S
+    assert(out.map(_._4) == (1L to 60L), s"keys not contiguous: ${out.map(_._4).take(9)}")
+    out.grouped(3).foreach { block =>
+      assert(block.map(_._2).sorted == Seq("src0", "src1", "src2"),
+        s"block not a source round-robin: $block")
+    }
+    // the order is a shuffle, not doc_id order: within a source, rank
+    // follows md5(text), which decorrelates from doc_id
+    val firstSrc0 = out.find(_._2 == "src0").get
+    assert(out.map(_._1) != (1L to 60L).toSeq, "order must not be corpus order")
+    assert(firstSrc0._3 == 1L)
+    // deterministic under input partitioning
+    val out2 = Curation.trainingOrder(docs.repartition(7))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._4).toSeq
+    assert(out2 == out, "order not partitioning-invariant")
+    // unequal sources: keys stay unique and strictly ordered
+    val skew = docs.filter(col("doc_id") <= 50) // src0:16 src1:17 src2:17
+    val o3 = Curation.trainingOrder(skew)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._4).toSeq
+    assert(o3.map(_._4).distinct.size == 50, "keys must stay unique")
+    assert(o3.map(_._1).sorted == (1L to 50L))
+  }
 }

@@ -340,7 +340,21 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q111_quality_classifier_score", 1, 2),
       // q112: pure in-row denoising prep — one scan, only the output
       // sort's range exchange (the q100 shape)
-      ("q112_span_corruption",          1, 1))
+      ("q112_span_corruption",          1, 1),
+      // q113: corpus scans once; the sources-sized mass table hides
+      // behind its barrier; epochs broadcast back; copy explosion is
+      // in-row — exchanges: tot agg + output sort (the q107 shape)
+      ("q113_epoch_mix",                1, 2),
+      // q114: the tokenized base frame hides behind its barrier
+      // (scans=0 — unigram AND bigram aggregates re-tokenize without
+      // it); exchanges: uni + bi + total aggs and the unigram-join
+      // sides; top-k is TakeOrdered, never a sort exchange
+      ("q114_pmi_collocations",         0, 6),
+      // q115: two pruned scans (rank branch + the source-column-only
+      // distinct); exchanges: per-source rank window + distinct agg
+      // (the sources-sized src_idx/n_sources window is single-partition
+      // by design — dozens of rows) + output sort
+      ("q115_training_order",           2, 4))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
