@@ -846,6 +846,34 @@ object Curation {
       pmiCollocations(Tables.documents(s, dir))
     },
 
+    // ---- interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    //      the smoothing KenLM-backed filters like CCNet actually run,
+    //      where q87's add-k is the classroom baseline): discounted ML
+    //      estimate backed off to the CONTINUATION probability — how
+    //      many distinct histories a word follows, not how often it
+    //      occurs ("Francisco" is frequent but predictable). ----
+    "q116_kneser_ney_score" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |bi AS (SELECT doc_id, unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS b
+        |       FROM w WHERE len(ws) >= 2),
+        |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f FROM c12 GROUP BY 1),
+        |cb AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY 1),
+        |ty AS (SELECT count(*) AS types FROM c12),
+        |contrib AS (SELECT bb.doc_id,
+        |    CAST(round(-ln(
+        |      (c12.c12 - 0.75) / c1.c1
+        |      + (0.75 * c1.n1f / c1.c1) * (CAST(cb.n1b AS DOUBLE) / types)
+        |    ), 9) AS DECIMAL(18,9)) AS nll
+        |  FROM bb JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN cb USING (w2) CROSS JOIN ty)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS kn_nll
+        |FROM contrib GROUP BY 1 ORDER BY doc_id""") { (s, dir) =>
+      knBigramScore(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // ---- deterministic interleaved training order: the seeded-shuffle
     //      step a training loader needs — every doc gets a unique,
     //      RNG-free, resumable order key that round-robins sources
@@ -1458,6 +1486,59 @@ object Curation {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("lm_nll"))
+  }
+
+  /** Interpolated Kneser-Ney bigram scoring (q116) — the smoothing the
+    * production LM filters (KenLM, hence CCNet) actually use, where
+    * [[lmBigramScore]]'s add-k is the baseline:
+    *
+    *   P(w2|w1) = (c12 − d)/c1 + (d·N1+(w1·)/c1) · N1+(·w2)/types
+    *
+    * The backoff mass goes to the CONTINUATION count N1+(·w2) — how many
+    * distinct histories w2 follows — not raw frequency: a word that is
+    * frequent only inside one fixed phrase gets a low continuation
+    * probability, which is the distinction add-k cannot make. Scoring
+    * the training corpus itself keeps every c12 ≥ 1, so the discounted
+    * term is ≥ (1−d)/c1 > 0 and no max(·,0)/OOV clamp is needed (the
+    * reference-slice variant in [[perplexityBuckets]] shows the
+    * unseen-history handling).
+    *
+    * Engine determinism: all five statistics are exact integers derived
+    * from ONE c12 table; the probability is a short chain of IEEE ops in
+    * the same order both engines evaluate; per-bigram NLL rounds to 9
+    * places and sums as DECIMAL(18,9) (q87 discipline).
+    *
+    * Scale shape: q87's exactly — the exploded bigram frame behind one
+    * barrier (two consumers), c1/n1f/n1b/types all derived from the
+    * vocab²-bounded c12 table behind a second barrier (four consumers —
+    * without it each statistic re-runs the corpus-wide pair count), one
+    * (w1,w2) shuffle to score, map-side-combined per-doc mean. */
+  def knBigramScore(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val bb = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(eager = false)
+    val c12 = bb.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = false)
+    val c1 = c12.groupBy("w1")
+      .agg(sum("c12").cast("long").as("c1"), count(lit(1)).as("n1f"))
+    val cb = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val types = c12.agg(count(lit(1)).as("types"))
+    bb.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(cb, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"),
+        round(-log(
+          (col("c12") - lit(discount)) / col("c1")
+            + (lit(discount) * col("n1f") / col("c1"))
+              * (col("n1b").cast("double") / col("types"))), 9)
+          .cast("decimal(18,9)").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("kn_nll"))
   }
 
   /** CCNet-style perplexity bucketing (q105): [[lmBigramScore]]'s model

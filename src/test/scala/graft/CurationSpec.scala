@@ -1033,6 +1033,54 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("Kneser-Ney score matches brute force; continuation counts separate " +
+      "a rigid-phrase word from a diverse-history word at equal frequency") {
+    // "francisco" appears 4x, ALWAYS after "san" (continuation count 1);
+    // "thing" appears 4x after 4 DISTINCT words (continuation count 4).
+    // Raw frequency ties; KN's backoff mass must differ.
+    val docs = Seq(
+      (1L, "san francisco san francisco"),
+      (2L, "san francisco and san francisco"),
+      (3L, "good thing bad thing odd thing new thing"),
+      (4L, "and good and bad and odd and new")
+    ).toDF("doc_id", "text")
+    val got = Curation.knBigramScore(docs)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+
+    // independent brute force with the same decimal discipline
+    val texts = Map(
+      1L -> "san francisco san francisco",
+      2L -> "san francisco and san francisco",
+      3L -> "good thing bad thing odd thing new thing",
+      4L -> "and good and bad and odd and new")
+    val bigrams = texts.view.mapValues { t =>
+      val ws = t.split(" ").toSeq; ws.zip(ws.tail)
+    }.toMap
+    val all = bigrams.values.flatten.toSeq
+    val c12 = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1f = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1b = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val types = c12.size.toLong
+    def nll(b: (String, String)): BigDecimal = {
+      val p = (c12(b) - 0.75) / c1(b._1) +
+        (0.75 * n1f(b._1) / c1(b._1)) * (n1b(b._2).toDouble / types)
+      BigDecimal(-math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expect = bigrams.toSeq.map { case (id, bs) =>
+      val s = bs.map(nll).sum
+      (id, bs.size.toLong,
+        BigDecimal(s.toDouble / bs.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got == expect, s"got=$got want=$expect")
+    // the KN-vs-add-k distinction: equal raw frequency (both occur 4x as
+    // a bigram continuation), different continuation diversity
+    assert(all.count(_._2 == "francisco") == 4 && all.count(_._2 == "thing") == 4,
+      "fixture drifted: frequencies no longer tie")
+    assert(n1b("francisco") == 1L && n1b("thing") == 4L,
+      s"continuation counts: francisco=${n1b("francisco")} thing=${n1b("thing")}")
+  }
+
   test("epoch mix: copies match brute force, small sources run past one epoch") {
     // token masses 900 vs 40 — α=0.5 must push the small source past
     // one epoch (upsampling: docs emit MULTIPLE copies) while the big

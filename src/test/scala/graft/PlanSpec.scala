@@ -354,7 +354,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // distinct); exchanges: per-source rank window + distinct agg
       // (the sources-sized src_idx/n_sources window is single-partition
       // by design — dozens of rows) + output sort
-      ("q115_training_order",           2, 4))
+      ("q115_training_order",           2, 4),
+      // q116: bigram frame AND the c12 table each hide behind a barrier
+      // (scans=0; a lost c12 barrier re-runs the corpus-wide pair count
+      // for each of its four consumer statistics); exchanges: c12 + c1 +
+      // cb aggs, the (w1,w2) scoring join, per-doc agg + output sort
+      ("q116_kneser_ney_score",         0, 5))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
