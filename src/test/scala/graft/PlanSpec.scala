@@ -359,7 +359,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // (scans=0; a lost c12 barrier re-runs the corpus-wide pair count
       // for each of its four consumer statistics); exchanges: c12 + c1 +
       // cb aggs, the (w1,w2) scoring join, per-doc agg + output sort
-      ("q116_kneser_ney_score",         0, 5))
+      ("q116_kneser_ney_score",         0, 5),
+      // q117: one corpus scan; the k×dim sign matrix assembles from two
+      // `range`s (no scan) into a one-row broadcast; projection is an
+      // in-row fold — exchanges: the two matrix-assembly aggs (k-row +
+      // 1-row) and the output sort; the corpus never shuffles
+      ("q117_jl_projection",            1, 3))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

@@ -219,4 +219,54 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     val frac = same.toDouble / exact.size
     assert(frac >= 0.6, s"LSH cluster agreement $frac below 0.6")
   }
+
+  test("JL projection matches brute force and preserves pairwise distances") {
+    // deterministic pseudo-random 8-dim vectors (hash-derived, no RNG)
+    def v(id: Long): Array[Float] = Array.tabulate(8) { j =>
+      ((((id * 31 + j) * 2654435761L) % 1000L) / 500.0f) - 1.0f
+    }
+    val n = 30
+    val df = (0L until n.toLong).map(id => (id, v(id))).toDF("vec_id", "embedding")
+    val got = Similarity.jlProject(df, dim = 8, k = 4)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+    // independent brute force with the same md5 signs + decimal discipline
+    def sign(i: Int, j: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_$j".getBytes("UTF-8"))
+      if (((md(0) >> 4) & 0xf) <= 7) 1 else -1
+    }
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expect = (0L until n.toLong).flatMap { id =>
+      val e = v(id)
+      (0 until 4).map { i =>
+        val s = (0 until 8).map(j => r9(e(j).toDouble * sign(i, j))).sum
+        (id, i.toLong,
+          BigDecimal(s.toDouble / math.sqrt(4.0))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    assert(got == expect, s"got=${got.take(4)} want=${expect.take(4)}")
+
+    // the JL property on the projected values: pairwise distances track
+    // the originals (rank correlation positive and strong); k=4 on 8 dims
+    // is a coarse sketch, so gate loosely but meaningfully
+    val proj = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    def d(a: Array[Float], b: Array[Float]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    def dp(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val pairs = for (a <- 0 until n; b <- a + 1 until n) yield
+      (d(v(a), v(b)), dp(proj(a), proj(b)))
+    val (xs, ys) = pairs.unzip
+    def rank(s: Seq[Double]) = s.zipWithIndex.sortBy(_._1).map(_._2)
+      .zipWithIndex.sortBy(_._1).map(_._2.toDouble)
+    val (rx, ry) = (rank(xs), rank(ys))
+    val mx = rx.sum / rx.size; val my = ry.sum / ry.size
+    val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val sx = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum)
+    val sy = math.sqrt(ry.map(b => (b - my) * (b - my)).sum)
+    val spearman = cov / (sx * sy)
+    assert(spearman > 0.5, s"projected distances decorrelated: spearman=$spearman")
+  }
 }
