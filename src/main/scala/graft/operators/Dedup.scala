@@ -375,6 +375,53 @@ object Dedup {
     "q53_simhash_pairs" -> QueryDef.rowsOnly { (s, dir) =>
       simhashPairs(Tables.documents(s, dir), maxHamming = 6)
         .orderBy("d1", "d2")
+    },
+
+    // ---- hard-negative contrastive triples (DPR/SimCSE-style mining):
+    //      for every near-dup cluster member, emit (anchor, positive =
+    //      smallest co-cluster member, hard negative = the most
+    //      lexically-similar doc OUTSIDE the cluster). The training-pair
+    //      generation step an embedding-model pipeline runs over the
+    //      curated corpus — easy negatives are useless, and the hardest
+    //      ones are exactly the near-misses the dedup index already
+    //      surfaces. ----
+    "q118_contrastive_pairs" -> QueryDef.sql(
+      """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM com
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE r.a != e.b),
+        |members AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |clus AS (SELECT m.doc_id, least(m.doc_id, min(r.b)) AS cluster_id
+        |         FROM members m JOIN reach r ON r.a = m.doc_id GROUP BY m.doc_id),
+        |pos AS (SELECT x.doc_id AS anchor_id, min(y.doc_id) AS positive_id
+        |        FROM clus x JOIN clus y ON x.cluster_id = y.cluster_id AND x.doc_id != y.doc_id
+        |        GROUP BY 1),
+        |com2 AS (SELECT d1 AS a, d2 AS b, c FROM com UNION ALL SELECT d2, d1, c FROM com),
+        |cand AS (SELECT c2.a AS anchor_id, c2.b AS cand_id, c2.c
+        |         FROM com2 c2 JOIN clus x ON x.doc_id = c2.a
+        |         LEFT JOIN clus y ON y.doc_id = c2.b
+        |         WHERE y.doc_id IS NULL OR y.cluster_id != x.cluster_id),
+        |neg AS (SELECT anchor_id, cand_id, c,
+        |          row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, cand_id) AS rn
+        |        FROM cand)
+        |SELECT p.anchor_id, p.positive_id, n.cand_id AS negative_id, n.c AS n_shared_neg
+        |FROM pos p LEFT JOIN (SELECT anchor_id, cand_id, c FROM neg WHERE rn = 1) n USING (anchor_id)
+        |ORDER BY anchor_id""") { (s, dir) =>
+      contrastivePairs(Tables.documents(s, dir), threshold = 0.6)
+        .orderBy("anchor_id")
     }
   )
 
@@ -690,6 +737,63 @@ object Dedup {
         col("n_members"),
         when(col("best.q") === lit(-1.0), lit(null).cast("double"))
           .otherwise(col("best.q")).as("quality"))
+
+  /** Hard-negative contrastive triples (q118) — DPR/SimCSE-style mining:
+    * for every near-dup cluster member (anchor), emit the smallest
+    * co-cluster member as the POSITIVE and the most lexically-similar
+    * doc OUTSIDE the cluster as the HARD NEGATIVE (most shared 3-gram
+    * shingles; ties → min doc_id; no overlap → null). The training-pair
+    * generation step an embedding-model pipeline runs over the curated
+    * corpus: easy negatives teach nothing, and the hardest ones are
+    * exactly the near-misses the dedup index already surfaces — so the
+    * triples fall out of machinery the pipeline has ALREADY paid for.
+    *
+    * Scale shape: ONE shingle inverted-index pass (hashed keys, df-
+    * capped, the q51 shape) feeds both the cluster graph and the
+    * negative candidates — the `common` pair-count frame sits behind a
+    * barrier with three consumers (threshold pairs + both directions of
+    * the candidate expansion); without it the index self-join re-runs
+    * per consumer. The per-anchor argmax is a map-side-combined
+    * max(struct(c, −cand)) — no window sort; candidate volume is the
+    * SAME pair set the dedup join already materializes, never all-pairs. */
+  def contrastivePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDocFreq).select("sh")
+    val shF = sh.join(freqOk, "sh").localCheckpoint(eager = false)
+    val cnt = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = shF.as("a")
+      .join(shF.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val j = col("c").cast("double") / (col("ca.n") + col("cb.n") - col("c"))
+    val pairs = common
+      .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+      .filter(j >= threshold)
+      .select(col("d1"), col("d2"))
+    // cluster table: four consumers (both sides of pos, both of cand)
+    val clus = duplicateClusters(pairs).select("doc_id", "cluster_id")
+      .localCheckpoint(eager = false)
+    val pos = clus.as("x")
+      .join(clus.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("anchor_id"))
+      .agg(min(col("y.doc_id")).as("positive_id"))
+    val com2 = common.select(col("d1").as("a"), col("d2").as("b"), col("c"))
+      .union(common.select(col("d2").as("a"), col("d1").as("b"), col("c")))
+    val cand = com2.join(clus.as("x"), col("a") === col("x.doc_id"))
+      .join(clus.as("y"), col("b") === col("y.doc_id"), "left")
+      .filter(col("y.doc_id").isNull || col("y.cluster_id") =!= col("x.cluster_id"))
+      .select(col("a").as("anchor_id"), col("b").as("cand_id"), col("c"))
+    val neg = cand.groupBy("anchor_id")
+      .agg(max(struct(col("c"), (-col("cand_id")).as("nid"))).as("m"))
+      .select(col("anchor_id"), (-col("m.nid")).as("negative_id"),
+        col("m.c").as("n_shared_neg"))
+    pos.join(neg, Seq("anchor_id"), "left")
+  }
 
   /** Connected components by alternating large-star/small-star (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the

@@ -430,4 +430,28 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
         s" only full:        ${(full -- incremental).take(5)}")
     assert(incremental.nonEmpty, "testdata should have cross-batch hamming<=6 pairs")
   }
+
+  test("contrastive triples: positive from the cluster, hard negative the " +
+      "best out-of-cluster overlap, null when nothing overlaps") {
+    // cluster {1,2} (jaccard 7/9); doc 3 shares exactly the 3-shingle
+    // prefix with both (sub-threshold -> hard negative, c=3);
+    // cluster {5,6} (jaccard 3/5 = 0.6, boundary-inclusive); doc 4
+    // overlaps doc 5 on one shingle ("p q r") but doc 6 on none
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),
+      (3L, "a b c d e x y z w v"),
+      (4L, "p q r s t u"),
+      (5L, "m n o p q r"),
+      (6L, "m n o p q s")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contrastivePairs(docs, threshold = 0.6)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, Some(3L), Some(3L)),
+      (2L, 1L, Some(3L), Some(3L)),
+      (5L, 6L, Some(4L), Some(1L)),
+      (6L, 5L, None, None)),
+      s"got=$got")
+  }
 }

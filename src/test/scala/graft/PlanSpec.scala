@@ -364,7 +364,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // `range`s (no scan) into a one-row broadcast; projection is an
       // in-row fold — exchanges: the two matrix-assembly aggs (k-row +
       // 1-row) and the output sort; the corpus never shuffles
-      ("q117_jl_projection",            1, 3))
+      ("q117_jl_projection",            1, 3),
+      // q118: everything behind barriers — shingle index, the common
+      // pair-count frame (3 consumers), the cluster table (4 consumers);
+      // cluster-round plans are budgeted by the iterative-CC gate.
+      // Exchanges: pos agg + neg argmax agg + output sort
+      ("q118_contrastive_pairs",        0, 4))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
