@@ -52,7 +52,10 @@ object GoldenSpec {
     // independent reference EM lives in UnigramSpec) and the quality
     // classifier (reference LR in ClassifierSpec)
     "q108_unigram_train", "q109_unigram_tokenize",
-    "q110_quality_classifier_train", "q111_quality_classifier_score")
+    "q110_quality_classifier_train", "q111_quality_classifier_score",
+    // r10 continuation: WordPiece faces (no SQL oracle — iterative
+    // argmax; the independent reference lives in WordpieceSpec)
+    "q119_wordpiece_train", "q120_wordpiece_tokenize")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -101,7 +104,11 @@ object GoldenSpec {
     ("q110_quality_classifier_train", "sf0.001") -> "d3d88204a3851a01",
     ("q110_quality_classifier_train", "sf0.01") -> "fa5ec9532846bc34",
     ("q111_quality_classifier_score", "sf0.001") -> "b7cc007ff1ee17f5",
-    ("q111_quality_classifier_score", "sf0.01") -> "105c45328c918dc8")
+    ("q111_quality_classifier_score", "sf0.01") -> "105c45328c918dc8",
+    ("q119_wordpiece_train", "sf0.001") -> "aa2cf7161b66d7ca",
+    ("q119_wordpiece_train", "sf0.01") -> "11bbe2b0b6cadd61",
+    ("q120_wordpiece_tokenize", "sf0.001") -> "d389acfd646ca42d",
+    ("q120_wordpiece_tokenize", "sf0.01") -> "d6c406757519aa84")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

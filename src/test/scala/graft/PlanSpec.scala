@@ -369,7 +369,16 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // pair-count frame (3 consumers), the cluster table (4 consumers);
       // cluster-round plans are budgeted by the iterative-CC gate.
       // Exchanges: pos agg + neg argmax agg + output sort
-      ("q118_contrastive_pairs",        0, 4))
+      ("q118_contrastive_pairs",        0, 4),
+      // q119: the trained merge table is pinned — the final plan is its
+      // barrier read + the rank sort (the q108 shape); the round body is
+      // budgeted in the iterative-rounds gate
+      ("q119_wordpiece_train",          0, 1),
+      // q120: ONE corpus scan — the token stream; the distinct-word
+      // branch hides behind its barrier AND supplies the alphabet units
+      // (a standalone vocab build would re-scan); exchanges: word
+      // distinct, two vocab distincts, per-doc agg, output sort
+      ("q120_wordpiece_tokenize",       1, 5))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
@@ -417,6 +426,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
           graft.operators.Unigram.pieceLogProbs(
             Seq(("l", 3L), ("o", 3L), ("w", 3L), ("n", 2L), ("e", 2L), ("lo", 2L))
               .toDF("piece", "cnt").localCheckpoint(true))), 1),
+      // q119: one WordPiece round — pair counts + symbol counts (both
+      // map-side combined over the barriered vocab) joined and scored;
+      // the joins are symbol-vocab-sized
+      ("wordpieceRoundScores (q119)",
+        graft.operators.Wordpiece.wordpieceRoundScores(vocab), 6),
       // q110: one GD round — margin in-row under the one-row broadcast
       // weights, per-dim gradient agg (map-side combined, dims-sized
       // output), left join back onto the dims-sized weight table
