@@ -846,6 +846,35 @@ object Curation {
       pmiCollocations(Tables.documents(s, dir))
     },
 
+    // ---- shard manifest: assign every doc a fixed-token-budget shard
+    //      id in training order (the file layout a training run reads —
+    //      "shard k holds tokens [k·B, (k+1)·B)"). The global running
+    //      sum is computed HIERARCHICALLY (within-bucket window +
+    //      bucket-offset table), never as a single-partition global
+    //      window; the oracle's global window proves the decomposition
+    //      exact. ----
+    "q121_shard_manifest" -> QueryDef.sql(
+      """WITH s AS (SELECT doc_id, source, md5(text) AS h,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS src_rank FROM s),
+        |idx AS (SELECT source, row_number() OVER (ORDER BY source) AS src_idx
+        |        FROM (SELECT DISTINCT source FROM s)),
+        |ns AS (SELECT count(*) AS n_sources FROM idx),
+        |k AS (SELECT doc_id, r.source, n_tokens,
+        |    CAST((src_rank - 1) * n_sources + src_idx AS BIGINT) AS order_key
+        |  FROM r JOIN idx ON r.source = idx.source CROSS JOIN ns),
+        |c AS (SELECT doc_id, order_key, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY order_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM k)
+        |SELECT doc_id, order_key, n_tokens, cum_before,
+        |  cum_before // 512 AS shard_id
+        |FROM c ORDER BY order_key""") { (s, dir) =>
+      shardManifest(Tables.documents(s, dir)).orderBy("order_key")
+    },
+
     // ---- interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
     //      the smoothing KenLM-backed filters like CCNet actually run,
     //      where q87's add-k is the classroom baseline): discounted ML
@@ -1486,6 +1515,63 @@ object Curation {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("lm_nll"))
+  }
+
+  /** Shard manifest (q121) — every doc assigned a shard id such that
+    * shard k holds the training-order token interval [k·B, (k+1)·B):
+    * the file layout a training job reads sequentially, derived from
+    * [[trainingOrder]]'s keys plus an EXACT global exclusive prefix sum
+    * of token counts.
+    *
+    * The prefix sum is the interesting scale problem: the naive form is
+    * `sum() OVER (ORDER BY order_key)` — a window with no partition,
+    * which collapses the corpus onto ONE partition (the q115 global-
+    * row_number trap, now for sums). This computes it HIERARCHICALLY
+    * instead (the classic two-level scan decomposition): an exclusive
+    * running sum WITHIN each fixed-size order-key bucket (a partitioned
+    * window — one hash shuffle), plus an exclusive bucket-offset table
+    * (corpus/bucketSize rows — ITS single-partition window is over the
+    * small table, and a third level would bound even that). The
+    * oracle's global window proves the decomposition exact; integer
+    * sums, so no rounding discipline is needed.
+    *
+    * Scale shape: one corpus scan into the rank window (the q115
+    * exchange) behind a barrier with two consumers (the within-bucket
+    * window and the bucket totals — without it the rank window re-runs
+    * per consumer); bucket offsets broadcast back. */
+  def shardManifest(docs: DataFrame, shardTokens: Long = 512,
+      bucketSize: Long = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    val ranked = base.withColumn("src_rank",
+      row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))).cast("long"))
+    val idx = docs.select("source").distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy("source")).cast("long"))
+      .withColumn("n_sources",
+        count(lit(1)).over(Window.partitionBy(lit(1))).cast("long"))
+    val keyed = ranked.join(broadcast(idx), "source")
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("src_rank") - 1) * col("n_sources") + col("src_idx"))
+          .as("order_key"))
+      .withColumn("bucket", expr(s"(order_key - 1) div $bucketSize"))
+      .localCheckpoint(eager = false)
+    val within = keyed.withColumn("cum_in_bucket",
+      coalesce(sum("n_tokens").over(
+        Window.partitionBy("bucket").orderBy("order_key")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = keyed.groupBy("bucket").agg(sum("n_tokens").as("bt"))
+      .withColumn("bucket_offset",
+        coalesce(sum("bt").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bucket", "bucket_offset")
+    within.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("order_key"), col("n_tokens"),
+        (col("bucket_offset") + col("cum_in_bucket")).as("cum_before"))
+      .withColumn("shard_id", expr(s"cum_before div $shardTokens"))
   }
 
   /** Interpolated Kneser-Ney bigram scoring (q116) — the smoothing the

@@ -1033,6 +1033,38 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("shard manifest: hierarchical prefix sum equals the sequential scan, " +
+      "invariant to bucket size, shards respect the token budget") {
+    val docs = (1L to 97L).map { id =>
+      (id, s"src${id % 5}", ("w " * (3 + (id % 11)).toInt).trim)
+    }.toDF("doc_id", "source", "text")
+    val got = Curation.shardManifest(docs, shardTokens = 50, bucketSize = 16)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+
+    // brute force: sort by the training-order key, running sum
+    val byKey = got.map(r => (r._1, r._2, r._3)).sortBy(_._2)
+    var cum = 0L
+    val expect = byKey.map { case (id, key, n) =>
+      val row = (id, key, n, cum, cum / 50); cum += n; row
+    }
+    assert(got == expect, s"got=${got.take(4)} want=${expect.take(4)}")
+    // the decomposition must not depend on the bucket size
+    val other = Curation.shardManifest(docs, shardTokens = 50, bucketSize = 7)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(other == got, "bucketSize must not change the result")
+    // budget property: a shard's tokens stay under budget + its last doc
+    got.groupBy(_._5).foreach { case (shard, rows) =>
+      val tokens = rows.map(_._3).sum
+      val lastDoc = rows.maxBy(_._2)._3
+      assert(tokens < 50 + lastDoc, s"shard $shard holds $tokens tokens")
+    }
+    // partitioning invariance
+    val rep = Curation.shardManifest(docs.repartition(13), shardTokens = 50,
+      bucketSize = 16).as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._2).toSeq
+    assert(rep == got, "manifest not partitioning-invariant")
+  }
+
   test("Kneser-Ney score matches brute force; continuation counts separate " +
       "a rigid-phrase word from a diverse-history word at equal frequency") {
     // "francisco" appears 4x, ALWAYS after "san" (continuation count 1);

@@ -378,7 +378,13 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // branch hides behind its barrier AND supplies the alphabet units
       // (a standalone vocab build would re-scan); exchanges: word
       // distinct, two vocab distincts, per-doc agg, output sort
-      ("q120_wordpiece_tokenize",       1, 5))
+      ("q120_wordpiece_tokenize",       1, 5),
+      // q121: the keyed frame (rank window + order keys) hides behind
+      // its barrier with two consumers; exchanges: within-bucket window
+      // shuffle, bucket-totals agg (+ its small single-partition
+      // window), output sort — NEVER a global-window single-partition
+      // collapse of the corpus
+      ("q121_shard_manifest",           0, 4))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
