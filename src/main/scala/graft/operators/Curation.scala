@@ -875,6 +875,34 @@ object Curation {
       shardManifest(Tables.documents(s, dir)).orderBy("order_key")
     },
 
+    // ---- per-source KL divergence from the corpus unigram mix: the
+    //      domain-shift/drift statistic (which source's word
+    //      distribution diverges, and WHICH word drives it) a corpus
+    //      audit pairs with q96's shingle-overlap matrix — q96 finds
+    //      verbatim mirrors, this finds topical outliers. ----
+    "q122_source_kl_divergence" -> QueryDef.sql(
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split(trim(text),' '), x -> x != '')) AS w
+        |           FROM documents),
+        |cs AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s, count(*) AS v_s FROM cs GROUP BY 1),
+        |cq AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM cs GROUP BY 1),
+        |nt AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM cq),
+        |contrib AS (SELECT cs.source, cs.w,
+        |    CAST(round((CAST(cs.c AS DOUBLE) / n_s)
+        |      * ln((CAST(cs.c AS DOUBLE) / n_s) / (CAST(cq.cw AS DOUBLE) / n)), 9)
+        |      AS DECIMAL(18,9)) AS ct
+        |  FROM cs JOIN ns USING (source) JOIN cq USING (w) CROSS JOIN nt),
+        |kl AS (SELECT source, round(CAST(sum(ct) AS DOUBLE), 6) AS kl_to_corpus FROM contrib GROUP BY 1),
+        |top AS (SELECT source, w AS top_word, ct,
+        |        row_number() OVER (PARTITION BY source ORDER BY ct DESC, w) AS rn FROM contrib)
+        |SELECT k.source, n_s AS n_tokens, v_s AS vocab_size, kl_to_corpus,
+        |  t.top_word, round(CAST(t.ct AS DOUBLE), 6) AS top_contrib
+        |FROM kl k JOIN ns USING (source)
+        |JOIN (SELECT source, top_word, ct FROM top WHERE rn = 1) t USING (source)
+        |ORDER BY source""") { (s, dir) =>
+      sourceKlDivergence(Tables.documents(s, dir)).orderBy("source")
+    },
+
     // ---- interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
     //      the smoothing KenLM-backed filters like CCNet actually run,
     //      where q87's add-k is the classroom baseline): discounted ML
@@ -1515,6 +1543,57 @@ object Curation {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("lm_nll"))
+  }
+
+  /** Per-source KL divergence from the corpus unigram mix (q122) —
+    * KL(p_s ‖ q) = Σ_w p_s(w)·ln(p_s(w)/q(w)) with p_s the source's and
+    * q the whole corpus's word distribution, plus the argmax word (the
+    * drift attribution: WHICH word makes the source an outlier). Every
+    * source word exists in the corpus, so q(w) > 0 and the sum is
+    * finite by construction; per-term contributions round to 9 places
+    * and sum as DECIMAL (q87 discipline — summation order), so both the
+    * divergence and the argmax are engine- and partitioning-exact.
+    *
+    * The audit pairing: q96's shingle-overlap matrix finds verbatim
+    * mirrors between sources; this finds TOPICAL outliers no verbatim
+    * overlap would reveal.
+    *
+    * Scale shape: one corpus scan into the (source, word) counts, which
+    * sit behind a barrier with three consumers (per-source totals, the
+    * corpus marginal, the scoring join); everything downstream is
+    * sources×vocab-bounded; the corpus total rides a one-row broadcast;
+    * the per-source argmax window runs on the vocab-sized contribution
+    * frame (second barrier — the KL sum and the argmax both read it),
+    * never the corpus. */
+  def sourceKlDivergence(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cs = docs.select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val ns = cs.groupBy("source")
+      .agg(sum("c").cast("long").as("n_s"), count(lit(1)).as("v_s"))
+    val cq = cs.groupBy("w").agg(sum("c").cast("long").as("cw"))
+    val nt = cq.agg(sum("cw").cast("long").as("n"))
+    val p = col("c").cast("double") / col("n_s")
+    val q = col("cw").cast("double") / col("n")
+    val contrib = cs.join(ns, "source").join(cq, "w")
+      .crossJoin(broadcast(nt))
+      .select(col("source"), col("w"),
+        round((p * log(p / q)), 9).cast("decimal(18,9)").as("ct"))
+      .localCheckpoint(eager = false)
+    val kl = contrib.groupBy("source")
+      .agg(round(sum(col("ct")).cast("double"), 6).as("kl_to_corpus"))
+    val top = contrib.withColumn("rn",
+        row_number().over(
+          Window.partitionBy("source").orderBy(col("ct").desc, col("w"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("w").as("top_word"),
+        round(col("ct").cast("double"), 6).as("top_contrib"))
+    kl.join(ns.select("source", "n_s", "v_s"), "source")
+      .join(top, "source")
+      .select(col("source"), col("n_s").as("n_tokens"),
+        col("v_s").as("vocab_size"), col("kl_to_corpus"),
+        col("top_word"), col("top_contrib"))
   }
 
   /** Shard manifest (q121) — every doc assigned a shard id such that

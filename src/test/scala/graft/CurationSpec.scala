@@ -1065,6 +1065,56 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rep == got, "manifest not partitioning-invariant")
   }
 
+  test("source KL divergence matches brute force and attributes the drift " +
+      "to the planted outlier word") {
+    // three sources share a common vocabulary; "drift" additionally
+    // hammers a private word — its KL must dominate and the argmax must
+    // name that word
+    val docs = Seq(
+      (1L, "plain", "the cat sat on the mat"),
+      (2L, "plain", "the dog sat on the rug"),
+      (3L, "mixed", "the cat ran on the rug"),
+      (4L, "mixed", "the dog ran on the mat"),
+      (5L, "drift", "zebra zebra zebra zebra the cat"),
+      (6L, "drift", "zebra zebra zebra zebra on mat")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.sourceKlDivergence(docs)
+      .as[(String, Long, Long, Double, String, Double)].collect()
+      .sortBy(_._1).toSeq
+
+    // independent brute force with the same rounding discipline
+    val texts = Seq(
+      ("plain", "the cat sat on the mat"), ("plain", "the dog sat on the rug"),
+      ("mixed", "the cat ran on the rug"), ("mixed", "the dog ran on the mat"),
+      ("drift", "zebra zebra zebra zebra the cat"),
+      ("drift", "zebra zebra zebra zebra on mat"))
+    val cs = texts.flatMap { case (s, t) => t.split(" ").map(w => (s, w)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nS = cs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val vS = cs.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val cw = cs.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cw.values.sum
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val contribs = cs.map { case ((s, w), c) =>
+      val p = c.toDouble / nS(s); val q = cw(w).toDouble / n
+      (s, w) -> r9(p * math.log(p / q))
+    }
+    val expect = nS.keys.toSeq.sorted.map { s =>
+      val mine = contribs.collect { case ((`s`, w), ct) => (w, ct) }.toSeq
+      val kl = r6(mine.map(_._2).sum.toDouble)
+      val (tw, tc) = mine.minBy { case (w, ct) => (-ct, w) }
+      (s, nS(s), vS(s), kl, tw, r6(tc.toDouble))
+    }
+    assert(got == expect, s"got=$got\nwant=$expect")
+    val byName = got.map(r => r._1 -> r).toMap
+    // the pooled corpus mix absorbs part of zebra's mass, so the margin
+    // is ~1.6x, not unbounded — deterministic on this fixed fixture
+    assert(byName("drift")._4 > 1.5 * byName("plain")._4,
+      s"planted drift source must dominate: $got")
+    assert(byName("drift")._5 == "zebra", s"attribution: ${byName("drift")}")
+  }
+
   test("Kneser-Ney score matches brute force; continuation counts separate " +
       "a rigid-phrase word from a diverse-history word at equal frequency") {
     // "francisco" appears 4x, ALWAYS after "san" (continuation count 1);

@@ -384,7 +384,13 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // shuffle, bucket-totals agg (+ its small single-partition
       // window), output sort — NEVER a global-window single-partition
       // collapse of the corpus
-      ("q121_shard_manifest",           0, 4))
+      ("q121_shard_manifest",           0, 4),
+      // q122: the (source, word) counts AND the contribution frame each
+      // hide behind a barrier (scans=0; consumers: totals/marginal/
+      // scoring join, then the KL sum + the argmax); exchanges: cq agg,
+      // the scoring join's, per-source window, output sort — all on
+      // vocab-bounded frames
+      ("q122_source_kl_divergence",     0, 4))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
