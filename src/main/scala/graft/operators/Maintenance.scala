@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-maintenance operators: the jobs a training-data pipeline runs
+  * BETWEEN crawls — reconcile a new snapshot against the previous one
+  * (q124), normalize raw text before any downstream hashing or
+  * tokenization (q125), and audit per-source lexical diversity for the
+  * dataset datasheet (q129).
+  *
+  * Reference context: the reference's sync loop re-fetches sources and
+  * appends only new artifacts (dedup-append keyed on content sha256 —
+  * run_capture.py's provenance contract); q124 is that reconciliation
+  * generalized to a whole-corpus diff, q125 is the canonicalization it
+  * applies before hashing (canonical JSON — here canonical text).
+  *
+  * Scale design:
+  *  - q124 joins the two snapshots on the 8-byte doc_id carrying ONLY
+  *    32-byte sha256 digests — never text — so the shuffle is
+  *    ~40 B/row regardless of document size; no side is assumed small
+  *    (both are corpus-sized → sort-merge is the correct shape).
+  *  - q125 is a pure per-row column expression chain (regexp_replace
+  *    folds): shuffle-free, fully codegen'd, streams at scan speed.
+  *  - q129 tokenizes once behind a barrier (two consumers: unigram and
+  *    bigram aggregations — the q51 subtree-recompute guard) and
+  *    shuffles (source, token) pairs; counts are exact (the datasheet
+  *    face); a 100 TB run swaps count_distinct for HLL the way
+  *    q98 does vs q96.
+  */
+object Maintenance {
+
+  private def words(c: Column): Column = Text.words(c)
+
+  // ---------------------------------------------------------------------
+  // q124 snapshot diff
+  // ---------------------------------------------------------------------
+
+  /** Changeset between two corpus snapshots keyed by doc_id: rows are
+    * 'added' (key only in `newDf`), 'removed' (key only in `oldDf`), or
+    * 'changed' (both, content digest differs); unchanged rows are
+    * dropped. Digests travel instead of text, so the join shuffle is
+    * fixed-width per row. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val a = oldDf.select(col("doc_id"), sha2(col("text"), 256).as("old_digest"))
+    val b = newDf.select(col("doc_id"), sha2(col("text"), 256).as("new_digest"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_digest").isNull, "added")
+          .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") =!= col("new_digest"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"), col("old_digest"), col("new_digest"))
+  }
+
+  /** Deterministic stand-in for "the next crawl" so the diff has a fixed
+    * oracle on one physical snapshot: docs whose md5(text) starts 'f'
+    * are dropped (~1/16 removals), docs with doc_id % 7 = 0 get ' rev2'
+    * appended (edits), and docs with doc_id % 13 = 0 spawn a new doc at
+    * doc_id + 1000000 with ' new' appended (additions; the offset is
+    * far above any testdata doc_id). Both engines construct the
+    * byte-identical snapshot — the q72 planted-data discipline. */
+  private def derivedSnapshot(docs: DataFrame): DataFrame = {
+    val kept = docs.filter(substring(md5(col("text")), 1, 1) =!= "f")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    val added = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" new")).as("text"))
+    kept.unionByName(added)
+  }
+
+  // ---------------------------------------------------------------------
+  // q125 text normalization
+  // ---------------------------------------------------------------------
+
+  /** Canonical text: strip C0 control chars + DEL (keeping \t \r \n,
+    * which are then mapped to spaces), collapse space runs, trim. The
+    * class lists are shared with the oracle-SQL builder below so the two
+    * sides cannot drift. */
+  private val ctrlClass = """[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"""
+  private val wsClass = """[\t\r\n]"""
+
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(regexp_replace(c, ctrlClass, ""), wsClass, " "),
+      " {2,}", " "))
+
+  private def normalizeSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(regexp_replace($e, '$ctrlClass', '', 'g'), '$wsClass', ' ', 'g'), ' {2,}', ' ', 'g'))"
+
+  /** Planted noise, a pure function of doc_id (q72 discipline): tab+space
+    * prefix (%3), doubled inner spaces (%2), trailing BEL+VT (%5), CRLF
+    * suffix (%7). Every planted byte is exactly what [[normalizeText]]
+    * removes, so the cleaned text must round-trip to the original —
+    * which the spec asserts row-for-row. */
+  private def noisyText(): Column = concat(
+    when(col("doc_id") % 3 === 0, lit("\t ")).otherwise(""),
+    when(col("doc_id") % 2 === 0, regexp_replace(col("text"), " ", "  "))
+      .otherwise(col("text")),
+    when(col("doc_id") % 5 === 0, concat(lit(" "), lit("\u0007\u000B"))).otherwise(""),
+    when(col("doc_id") % 7 === 0, lit("\r\n")).otherwise(""))
+
+  private val noisyTextSql: String =
+    """concat(CASE WHEN doc_id % 3 = 0 THEN chr(9) || ' ' ELSE '' END,
+      |      CASE WHEN doc_id % 2 = 0 THEN replace(text, ' ', '  ') ELSE text END,
+      |      CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(7) || chr(11) ELSE '' END,
+      |      CASE WHEN doc_id % 7 = 0 THEN chr(13) || chr(10) ELSE '' END)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q129 per-source lexical diversity
+  // ---------------------------------------------------------------------
+
+  /** Per-source type-token ratio and distinct-bigram ratio — the
+    * standard diversity audit for synthetic/generated data (low distinct
+    * n-gram share = template collapse). Exact counts; the 100 TB path
+    * swaps count_distinct for the q98 HLL sketch. */
+  def sourceDiversity(docs: DataFrame): DataFrame = {
+    // one tokenize, two consumers (unigram + bigram aggregations)
+    val tok = docs.select(col("source"), words(col("text")).as("ws"))
+      .localCheckpoint(eager = false)
+    val uni = tok.select(col("source"), explode(col("ws")).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_types"))
+    val big = tok.filter(size(col("ws")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))")).as("b"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("b")).as("n_distinct_bigrams"))
+    uni.join(big, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        col("n_bigrams"), col("n_distinct_bigrams"),
+        round(col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6)
+          .as("bigram_diversity"))
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- corpus snapshot reconciliation: the changeset a re-crawl
+    //      produces against the previous snapshot (added / removed /
+    //      changed), computed from content digests so the corpus-sized
+    //      join never moves text. ----
+    "q124_snapshot_diff" -> QueryDef.sql(
+      """WITH a AS (SELECT doc_id, sha256(text) AS old_digest FROM documents),
+        |b0 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        |       FROM documents WHERE substring(md5(text), 1, 1) != 'f'
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, text || ' new' FROM documents WHERE doc_id % 13 = 0),
+        |b AS (SELECT doc_id, sha256(text) AS new_digest FROM b0),
+        |d AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, old_digest, new_digest,
+        |        CASE WHEN a.doc_id IS NULL THEN 'added'
+        |             WHEN b.doc_id IS NULL THEN 'removed'
+        |             WHEN old_digest != new_digest THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status, old_digest, new_digest FROM d
+        |WHERE status != 'unchanged' ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      snapshotDiff(docs, derivedSnapshot(docs)).orderBy("doc_id")
+    },
+
+    // ---- text normalization: strip control chars, unify whitespace,
+    //      collapse runs, trim — the canonicalization that must run
+    //      before any content hashing (q50/q124) or tokenization, since
+    //      two byte-different renderings of the same text would
+    //      otherwise defeat exact dedup. Planted noise round-trips to
+    //      the original text (spec-asserted). ----
+    "q125_normalize_text" -> QueryDef.sql(
+      s"""WITH n AS (SELECT doc_id, text,
+        |    $noisyTextSql
+        |    AS noisy
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(noisy) AS n_chars_noisy,
+        |  ${normalizeSql("noisy")} AS clean,
+        |  length(${normalizeSql("noisy")}) AS n_chars_clean,
+        |  ${normalizeSql("noisy")} = text AS roundtrip
+        |FROM n ORDER BY doc_id""") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), noisyText().as("noisy"))
+        .select(col("doc_id"),
+          length(col("noisy")).cast("long").as("n_chars_noisy"),
+          normalizeText(col("noisy")).as("clean"),
+          length(normalizeText(col("noisy"))).cast("long").as("n_chars_clean"),
+          (normalizeText(col("noisy")) === col("text")).as("roundtrip"))
+        .orderBy("doc_id")
+    },
+
+    // ---- per-source lexical diversity: TTR + distinct-bigram ratio,
+    //      the datasheet signal that catches template-collapsed or
+    //      machine-generated sources (near-1.0 bigram diversity = fresh
+    //      text; low = boilerplate). ----
+    "q129_source_diversity" -> QueryDef.sql(
+      """WITH w AS (SELECT source, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |t AS (SELECT source, unnest(ws) AS w FROM w),
+        |ts AS (SELECT source, count(*) AS n_tokens, count(DISTINCT w) AS n_types
+        |       FROM t GROUP BY 1),
+        |bg AS (SELECT source, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS b
+        |       FROM w WHERE len(ws) >= 2),
+        |bs AS (SELECT source, count(*) AS n_bigrams, count(DISTINCT b) AS n_distinct_bigrams
+        |       FROM bg GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+        |  n_bigrams, n_distinct_bigrams,
+        |  round(CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6) AS bigram_diversity
+        |FROM ts JOIN bs USING (source) ORDER BY source""") { (s, dir) =>
+      sourceDiversity(Tables.documents(s, dir)).orderBy("source")
+    })
+}

@@ -390,7 +390,20 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // scoring join, then the KL sum + the argmax); exchanges: cq agg,
       // the scoring join's, per-source window, output sort — all on
       // vocab-bounded frames
-      ("q122_source_kl_divergence",     0, 4))
+      ("q122_source_kl_divergence",     0, 4),
+      // q124: three scans only because the harness derives snapshot B
+      // from the same file (old + kept + added legs); the generic
+      // two-directory face pays one per snapshot. Exchanges: the
+      // full-outer join's two sides + the output sort — digests only,
+      // never text.
+      ("q124_snapshot_diff",            3, 3),
+      // q125: pure per-row regexp fold — one scan, the only exchange is
+      // the output sort's range partitioning
+      ("q125_normalize_text",           1, 1),
+      // q129: tokenize barrier (0 scans), then two count-distinct aggs
+      // (2 exchanges each at worst), the source join + output sort ride
+      // source-cardinality frames
+      ("q129_source_diversity",         0, 5))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
