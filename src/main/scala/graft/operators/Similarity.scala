@@ -105,6 +105,40 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // ---- margin-based nearest-neighbor scoring (the bitext-mining /
+    //      parallel-data selection criterion, Artetxe & Schwenk 2019):
+    //      a raw cosine is not comparable across vectors whose
+    //      neighborhoods differ in density, so each vector's top-1
+    //      similarity is normalized by the mean of its own and its
+    //      neighbor's k-NN similarities. margin >> 1 = a genuinely
+    //      isolated match; margin ≈ 1 = a hub vector that is "close" to
+    //      everything. Exact all-pairs face is the declared O(n²) oracle
+    //      baseline (the q55 pattern); the 100 TB path feeds
+    //      [[marginScoresFrom]] with LSH-candidate kNN (q56), which the
+    //      spec exercises. ----
+    "q126_margin_topk" -> QueryDef.sql(
+      s"""WITH p AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    round(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE))
+        |      / (sqrt(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)))
+        |         * sqrt(sum(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS cos_sim
+        |  FROM embeddings a, embeddings b, (SELECT unnest(range(1, 4097)) AS i) i
+        |  WHERE a.vec_id != b.vec_id AND i.i <= len(a.embedding)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT qid, nid, cos_sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+        |      FROM p),
+        |m AS (SELECT qid, round(CAST(sum(CAST(cos_sim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS knn_mean
+        |      FROM r WHERE rank <= 4 GROUP BY 1),
+        |t1 AS (SELECT qid, nid, cos_sim FROM r WHERE rank = 1)
+        |SELECT t1.qid AS qid, t1.nid AS nid, t1.cos_sim AS cos_sim,
+        |  mq.knn_mean AS knn_mean_q, mn.knn_mean AS knn_mean_n,
+        |  round(t1.cos_sim / ((mq.knn_mean + mn.knn_mean) / 2), 6) AS margin
+        |FROM t1 JOIN m mq ON t1.qid = mq.qid JOIN m mn ON t1.nid = mn.qid
+        |ORDER BY t1.qid""") { (s, dir) =>
+      marginScores(Tables.embeddings(s, dir), k = 4).orderBy("qid")
+    },
+
     // ---- LSH-bucketed approximate top-k (the 100 TB path; no SQL oracle —
     //      SimilaritySpec measures recall against q54's exact result).
     //      Multi-probe (2 weakest-margin bit flips per band) lifts top-1
@@ -206,6 +240,39 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Margin scores from a precomputed kNN relation (qid, nid, cos_sim,
+    * rank) — rank 1 = nearest. For each vector's top-1 neighbor:
+    * margin = cos / ((mean kNN cos of q + mean kNN cos of n) / 2).
+    * Works identically over the exact kNN (q54 machinery) or LSH
+    * candidates (q56) — candidate generation is the only thing that
+    * changes at 100 TB. Determinism: the kNN mean sums 6-dp-rounded
+    * cosines through DECIMAL (exact, order-free), and the margin divides
+    * already-rounded doubles, so both engines see identical IEEE inputs.
+    *
+    * Scale shape: one barrier on the kNN frame (two consumers: means +
+    * top-1); the mean/top-1 frames are n-row (one per vector), so the
+    * joins shuffle fixed-width rows bounded by the corpus vector count. */
+  def marginScoresFrom(knn: DataFrame, k: Int): DataFrame = {
+    val pinned = knn.localCheckpoint(eager = false)
+    val means = pinned.filter(col("rank") <= k).groupBy("qid")
+      .agg(round(sum(col("cos_sim").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("knn_mean"))
+    val top1 = pinned.filter(col("rank") === 1).select("qid", "nid", "cos_sim")
+    top1.join(means, Seq("qid"))
+      .withColumnRenamed("knn_mean", "knn_mean_q")
+      .join(means.select(col("qid").as("nid"), col("knn_mean").as("knn_mean_n")),
+        Seq("nid"))
+      .select(col("qid"), col("nid"), col("cos_sim"),
+        col("knn_mean_q"), col("knn_mean_n"),
+        round(col("cos_sim") / ((col("knn_mean_q") + col("knn_mean_n")) / 2), 6)
+          .as("margin"))
+  }
+
+  /** Exact-kNN face of [[marginScoresFrom]]: every vector is a query
+    * against the whole corpus — the O(n²) oracle baseline. */
+  def marginScores(embeddings: DataFrame, k: Int): DataFrame =
+    marginScoresFrom(cosineTopK(embeddings, lit(true), k), k)
 
   /** Int8 scalar quantization of the embedding column: per-vector
     * symmetric scale (max|x| / 127), elements stored as TINYINT. At 100 TB

@@ -403,7 +403,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q129: tokenize barrier (0 scans), then two count-distinct aggs
       // (2 exchanges each at worst), the source join + output sort ride
       // source-cardinality frames
-      ("q129_source_diversity",         0, 5))
+      ("q129_source_diversity",         0, 5),
+      // q126: kNN barrier (0 scans — the O(n²) pair subtree is pinned
+      // once for its two consumers), then means/top-1 joins + sort on
+      // n-row fixed-width frames
+      ("q126_margin_topk",              0, 5))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

@@ -269,4 +269,58 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     val spearman = cov / (sx * sy)
     assert(spearman > 0.5, s"projected distances decorrelated: spearman=$spearman")
   }
+
+  test("q126 margin scores match an independent local reference") {
+    val emb = Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val k = 4
+    val knn = emb.keys.map { q =>
+      q -> emb.keys.filter(_ != q)
+        .map(n => (n, cos(emb(q), emb(n)))).toSeq
+        .sortBy { case (n, c) => (-c, n) }.take(k)
+    }.toMap
+    // kNN mean over 6-dp values as exact decimal arithmetic (mirror the
+    // engine's CAST(cos AS DECIMAL(18,6)): snap each double to its 6-dp
+    // decimal before summing), then margin
+    val mean = knn.view.mapValues { s =>
+      round6((s.map { case (_, c) =>
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP) }.sum
+        / s.size).toDouble)
+    }.toMap
+    val expected = knn.map { case (q, s) =>
+      val (n, c) = s.head
+      q -> (n, c, mean(q), mean(n), round6(c / ((mean(q) + mean(n)) / 2)))
+    }
+    val got = SparkEntry.all("q126_margin_topk").fn(spark, sf001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (q, v) => assert(v === expected(q), s"qid=$q") }
+  }
+
+  test("q126 margin logic runs unchanged over LSH-candidate kNN (100 TB path)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val lshKnn = Similarity.annLshTopK(emb, nQueries = 500, k = 4,
+      planesPerBand = 6, bands = 16, probes = 2)
+    val m = Similarity.marginScoresFrom(lshKnn, k = 4).collect()
+    assert(m.length > 400, s"LSH margin rows: ${m.length}")
+    // margins are finite, positive, and a hub-free corpus centers near 1
+    val margins = m.map(_.getDouble(5))
+    assert(margins.forall(x => !x.isNaN && !x.isInfinite))
+    assert(margins.count(_ > 0) == margins.length)
+  }
 }
