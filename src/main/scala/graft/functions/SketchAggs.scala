@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded-memory mergeable summaries as typed `Aggregator`s (SURVEY.md
+  * §2.10 extension surface, the [[MinHashAgg]] pattern): each map task
+  * folds its partition into a FIXED-SIZE buffer and only those buffers
+  * cross the wire — the shapes that turn full-corpus shuffles into
+  * O(partitions × capacity) merges at 100 TB.
+  */
+object SketchAggs {
+
+  /** Misra–Gries frequent-items summary with `capacity` counters.
+    *
+    * Classic guarantee (Misra & Gries 1982; merge rule from Agarwal et
+    * al. PODS'12 "Mergeable Summaries"): after summarizing N items, every
+    * item with true frequency > N / (capacity + 1) is PRESENT in the
+    * summary, and each kept counter underestimates by at most
+    * N / (capacity + 1). It is a candidate GENERATOR — a second exact
+    * pass over the candidates (a broadcast semi-join, corpus-shuffle
+    * bounded by capacity × partitions) yields exact heavy hitters, which
+    * is how [[graft.operators.Sketches]] uses it.
+    *
+    * reduce: increment if tracked; insert if space; else decrement every
+    * counter by 1 (dropping zeros). merge: sum counters, then if over
+    * capacity subtract the (capacity+1)-th largest value and drop ≤0 —
+    * the mergeable-summaries rule that preserves the error bound. */
+  class MisraGriesAgg(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(buf: Map[String, Long], t: String): Map[String, Long] =
+      buf.get(t) match {
+        case Some(c) => buf.updated(t, c + 1)
+        case None if buf.size < capacity => buf.updated(t, 1L)
+        case None =>
+          buf.collect { case (k, v) if v > 1 => k -> (v - 1) }
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, 0L) + v)
+      }
+      if (sum.size <= capacity) sum
+      else {
+        // subtract the (capacity+1)-th largest count from everything
+        val thresh = sum.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+        sum.collect { case (k, v) if v > thresh => k -> (v - thresh) }
+      }
+    }
+
+    override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Exact bottom-k per group over (group, sortKey, id) rows: keeps the k
+    * lexicographically smallest (sortKey, id) pairs. The
+    * map-side-combining alternative to a per-group row_number window —
+    * each partial buffer is ≤ k rows, so a group's shuffle traffic is
+    * k × partitions rows instead of the group's full row count, and
+    * nothing ever sorts the corpus (the window form's per-group sort is
+    * the part that breaks on a skewed 100 TB group).
+    *
+    * Buffer is an insertion-sorted Seq (k is small); merge is a bounded
+    * merge of two sorted runs. */
+  class MinKAgg(k: Int)
+      extends Aggregator[(String, String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+
+    private val ord = Ordering.Tuple2[String, Long]
+
+    override def zero: Seq[(String, Long)] = Vector.empty
+
+    override def reduce(buf: Seq[(String, Long)], row: (String, String, Long)): Seq[(String, Long)] = {
+      val x = (row._2, row._3)
+      if (buf.size >= k && ord.gteq(x, buf.last)) buf
+      else {
+        val i = buf.indexWhere(ord.gt(_, x)) match { case -1 => buf.size; case n => n }
+        val withX = (buf.take(i) :+ x) ++ buf.drop(i)
+        if (withX.size > k) withX.take(k) else withX
+      }
+    }
+
+    override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
+      (a ++ b).sorted(ord).take(k)
+
+    override def finish(buf: Seq[(String, Long)]): Seq[(String, Long)] = buf
+
+    override def bufferEncoder: Encoder[Seq[(String, Long)]] =
+      ExpressionEncoder[Seq[(String, Long)]]()
+    override def outputEncoder: Encoder[Seq[(String, Long)]] =
+      ExpressionEncoder[Seq[(String, Long)]]()
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.SketchAggs.{MinKAgg, MisraGriesAgg}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory sketch operators whose FINAL answers are exact — the
+  * two-pass pattern: a mergeable fixed-size summary prunes the corpus to
+  * a small candidate set, then an exact pass over the candidates produces
+  * the answer a direct (but unscalable-by-memory or unscalable-by-sort)
+  * query would. Because the answers are exact, both carry a plain-SQL
+  * DuckDB oracle — the sketch is invisible in the result, only in the
+  * plan (the q92 hashed-face discipline, applied to aggregation).
+  *
+  *  - q127 exact heavy-hitter tokens: Misra–Gries candidates (capacity
+  *    counters per partition buffer) + an exact broadcast-semi-join
+  *    rescore. The direct form's groupBy shuffles every distinct token;
+  *    this form's corpus-sized aggregation is capped at capacity entries
+  *    per map task regardless of vocabulary size.
+  *  - q128 exact per-source bottom-k sample: a min-k Aggregator whose
+  *    partial buffers are ≤ k rows — the shuffle carries k × partitions
+  *    rows per source instead of the whole corpus, and no per-source
+  *    sort ever happens (the row_number window face — also implemented,
+  *    and pinned equal in the spec — sorts every group).
+  */
+object Sketches {
+
+  private def words(c: Column): Column = Text.words(c)
+
+  /** Exact tokens with frequency share > phi, found via Misra–Gries
+    * candidate pruning + exact rescore. Requires phi > 1/(capacity+1)
+    * (the MG completeness bound — every token above the threshold is
+    * guaranteed to be a candidate, so the rescored result is EXACT). */
+  def mgHeavyHitters(docs: DataFrame, phi: Double = 0.03,
+      capacity: Int = 64): DataFrame = {
+    require(phi > 1.0 / (capacity + 1),
+      s"phi=$phi below MG completeness bound for capacity=$capacity")
+    val toks = docs.select(explode(words(col("text"))).as("w"))
+    // pass 1: candidates + the total count from ONE corpus scan
+    val mgUdaf = udaf(new MisraGriesAgg(capacity))
+    val summary = toks.agg(mgUdaf(col("w")).as("summary"),
+      count(lit(1)).as("n"))
+    val pinned = summary.localCheckpoint(eager = false) // 2 consumers
+    val cands = pinned.select(explode(map_keys(col("summary"))).as("w"))
+    val nRow = pinned.select(col("n"))
+    // pass 2: exact counts over candidates only — the per-token shuffle
+    // is bounded by capacity, not vocabulary
+    toks.join(broadcast(cands), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(nRow))
+      .filter(col("c") > lit(phi) * col("n"))
+      .select(col("w"), col("c"),
+        round(col("c").cast("double") / col("n"), 6).as("share"))
+  }
+
+  /** Deterministic exact bottom-k sample per source, ordered by
+    * (md5(doc_id), doc_id) — the engine-agnostic hash coin the sampling
+    * family uses (q76/q107), but with an EXACT per-group size. */
+  def minKSamplePerSource(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col("source"),
+        md5(col("doc_id").cast("string")).as("skey"), col("doc_id"))
+      .as[(String, String, Long)]
+    keyed.groupByKey(_._1)
+      .agg(new MinKAgg(k).toColumn.name("picks"))
+      .toDF("source", "picks")
+      .select(col("source"), posexplode(col("picks")).as(Seq("pos", "pick")))
+      .select(col("source"), col("pick._2").as("doc_id"),
+        (col("pos") + 1).cast("long").as("sample_rank"))
+  }
+
+  /** The window face of [[minKSamplePerSource]] — same rows by
+    * construction; exists so the spec can pin agreement and PlanSpec can
+    * document the shape difference (per-group sort vs bounded buffers). */
+  def windowSamplePerSource(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("source"), col("doc_id"),
+        row_number().over(w).cast("long").as("sample_rank"))
+      .filter(col("sample_rank") <= k)
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- exact heavy-hitter tokens via Misra–Gries + rescore. The
+    //      oracle is the direct group-by-having — the sketch must be
+    //      invisible in the result. ----
+    "q127_heavy_hitters" -> QueryDef.sql(
+      """WITH w AS (SELECT list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |t AS (SELECT unnest(ws) AS w FROM w),
+        |n AS (SELECT count(*) AS n FROM t)
+        |SELECT t.w AS w, count(*) AS c,
+        |  round(CAST(count(*) AS DOUBLE) / n.n, 6) AS share
+        |FROM t, n GROUP BY t.w, n.n HAVING count(*) > 0.03 * n.n
+        |ORDER BY w""") { (s, dir) =>
+      mgHeavyHitters(Tables.documents(s, dir), phi = 0.03, capacity = 64)
+        .orderBy("w")
+    },
+
+    // ---- exact per-source bottom-k sample (deterministic hash order)
+    //      via the min-k Aggregator; oracle is the window form. ----
+    "q128_mink_sample" -> QueryDef.sql(
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 10
+        |ORDER BY source, sample_rank""") { (s, dir) =>
+      minKSamplePerSource(Tables.documents(s, dir), k = 10)
+        .orderBy("source", "sample_rank")
+    })
+}

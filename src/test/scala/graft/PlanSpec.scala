@@ -407,7 +407,13 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q126: kNN barrier (0 scans — the O(n²) pair subtree is pinned
       // once for its two consumers), then means/top-1 joins + sort on
       // n-row fixed-width frames
-      ("q126_margin_topk",              0, 5))
+      ("q126_margin_topk",              0, 5),
+      // q127: two corpus passes (MG summary+N, then the candidate
+      // rescore); candidate + N frames ride broadcasts
+      ("q127_heavy_hitters",            2, 3),
+      // q128: one scan into the min-k ObjectHashAggregate (partial
+      // buffers ≤ k rows) + the output sort
+      ("q128_mink_sample",              1, 3))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
@@ -518,5 +524,16 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val p = executedPlan("q01_pricing_summary")
     assert(p.contains("partial_sum"), s"map-side combine missing: $p")
     assert(p.contains("functions=[sum("), s"final aggregate missing: $p")
+  }
+
+  test("q128 min-k face aggregates with bounded buffers — no per-group sort/window") {
+    // the whole point of the Aggregator face: the window form sorts every
+    // group; this form must show a partial ObjectHashAggregate and no
+    // Window or corpus Sort before the aggregation
+    val p = plan("q128_mink_sample")
+    assert(p.contains("ObjectHashAggregate"), s"typed Aggregator path missing: $p")
+    assert(p.contains("partial_minkagg") || p.toLowerCase.contains("partial"),
+      s"map-side combine missing: $p")
+    assert(!p.contains("Window"), s"window crept into the min-k face: $p")
   }
 }

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.Sketches
+import graft.functions.SketchAggs.MisraGriesAgg
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the exact-answer sketch operators (q127/q128): the MG
+  * theoretical guarantees on planted skew, face-equality pins (sketch
+  * path == direct path), and partition-count independence of the
+  * mergeable buffers. */
+class SketchesSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  // Planted Zipf-ish stream: token t_i appears ceil(600 / i) times —
+  // real skew, unlike the near-uniform synthetic corpus.
+  private lazy val zipf: Seq[String] =
+    (1 to 40).flatMap(i => Seq.fill((600 + i - 1) / i)(s"t$i"))
+  private lazy val trueCounts: Map[String, Long] =
+    zipf.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("Misra-Gries keeps every item above N/(capacity+1) at tight capacity") {
+    val cap = 8
+    val n = zipf.size.toLong
+    val bound = n.toDouble / (cap + 1)
+    // shuffle deterministically so heavy items are interleaved, then
+    // aggregate across several partitions to exercise merge()
+    val stream = zipf.sortBy(s => (s.hashCode * 2654435761L).toHexString)
+    val mg = udaf(new MisraGriesAgg(cap))
+    val summary = stream.toDS().repartition(7)
+      .select(mg(col("value")).as("s"))
+      .as[Map[String, Long]].head()
+    assert(summary.size <= cap, s"summary exceeded capacity: ${summary.size}")
+    val mustKeep = trueCounts.filter(_._2 > bound).keySet
+    assert(mustKeep.subsetOf(summary.keySet),
+      s"MG dropped guaranteed-frequent items: ${mustKeep -- summary.keySet}")
+    // each kept counter underestimates by at most the bound
+    summary.foreach { case (t, c) =>
+      assert(c <= trueCounts(t), s"$t overcounted: $c > ${trueCounts(t)}")
+      assert(trueCounts(t) - c <= bound.ceil.toLong,
+        s"$t undercount ${trueCounts(t) - c} exceeds bound $bound")
+    }
+  }
+
+  test("Misra-Gries summary is independent of partitioning") {
+    val cap = 8
+    val mg = udaf(new MisraGriesAgg(cap))
+    def run(parts: Int): Map[String, Long] =
+      zipf.toDS().repartition(parts, col("value"))
+        .select(mg(col("value")).as("s"))
+        .as[Map[String, Long]].head()
+    // hash-partitioned by value: each token's occurrences are co-located,
+    // so the merge order may differ but the result set must still cover
+    // the guaranteed-frequent items identically
+    val n = zipf.size.toLong
+    val bound = n.toDouble / (cap + 1)
+    val mustKeep = trueCounts.filter(_._2 > bound).keySet
+    Seq(1, 3, 8).foreach { p =>
+      val s = run(p)
+      assert(mustKeep.subsetOf(s.keySet), s"parts=$p dropped $mustKeep -- ${s.keySet}")
+    }
+  }
+
+  test("q127 heavy hitters equal the direct group-by-having result") {
+    val docs = Tables.documents(spark, sf001)
+    val toks = docs.select(explode(expr("filter(split(trim(text), ' '), x -> x != '')")).as("w"))
+    val n = toks.count()
+    val direct = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") > lit(0.03) * lit(n))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.all("q127_heavy_hitters").fn(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === direct)
+    assert(got.nonEmpty, "phi chosen so the result is non-trivial")
+    // and non-total: the threshold must actually exclude something
+    val vocab = toks.distinct().count()
+    assert(got.size < vocab, "heavy-hitter set must be a strict subset")
+  }
+
+  test("q127 planted-skew pipeline is exact under a tight capacity") {
+    val docs = zipf.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    val got = Sketches.mgHeavyHitters(docs, phi = 0.12, capacity = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = zipf.size
+    val expected = trueCounts.filter { case (_, c) => c > 0.12 * n }
+    assert(got === expected)
+  }
+
+  test("q128 min-k sample equals the window face and ranks are contiguous") {
+    val docs = Tables.documents(spark, sf001)
+    val a = Sketches.minKSamplePerSource(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Sketches.windowSamplePerSource(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    val bySource = a.groupBy(_._1)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_._3).toSeq.sorted === (1L to rows.size).toSeq, src)
+    }
+  }
+
+  test("q128 result is independent of input partitioning") {
+    val docs = Tables.documents(spark, sf001)
+    val base = Sketches.minKSamplePerSource(docs, k = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    Seq(1, 13).foreach { p =>
+      val got = Sketches.minKSamplePerSource(docs.repartition(p), k = 7)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === base, s"parts=$p")
+    }
+  }
+}
