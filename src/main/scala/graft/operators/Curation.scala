@@ -302,6 +302,19 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // ---- Bloom-filter decontamination: the zero-corpus-shuffle face of
+    //      q74 — bench shingles → one-row broadcast bit array, corpus
+    //      probes in-row. rows-only (the bit array is engine-internal);
+    //      CurationSpec pins the superset guarantee + measured FPR
+    //      against the exact scan, GoldenSpec pins the digests. ----
+    "q123_bloom_decontamination" -> QueryDef.rowsOnly { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      bloomDecontaminationScan(docs,
+        docs.filter(substring(md5(col("text")), 1, 1) === "0")
+          .select(col("doc_id").as("bench_id")))
+        .orderBy("doc_id")
+    },
+
     // ---- corpus-self-trained bigram LM quality score (the CCNet-shaped
     //      perplexity gate, Wenzek et al. 2019, with the LM trained on
     //      the corpus itself instead of an external model): per-doc mean
@@ -2279,5 +2292,75 @@ object Curation {
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))"))).as("sh"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q123: Bloom-filter decontamination (zero-corpus-shuffle face)
+  // ---------------------------------------------------------------------
+
+  /** Kirsch–Mitzenmacher double hashing: position j = (h1 + j·h2) mod m
+    * with h1 = xxhash64, h2 = murmur3 — the standard way to derive h
+    * independent-enough Bloom probes from two base hashes. ONE generator
+    * emits the SQL for both the build and probe sides, so they cannot
+    * disagree on the hash family (the q72 generated-oracle discipline,
+    * applied engine-internally). */
+  private def bloomPositionsSql(sym: String, mBits: Int, h: Int): String =
+    s"transform(sequence(0, ${h - 1}), j -> " +
+      s"pmod(xxhash64($sym) + j * CAST(hash($sym) AS BIGINT), $mBits))"
+
+  /** One-row relation (bits: array<bigint>, mBits/64 words) holding the
+    * Bloom filter of the `sh` column. Fully distributed and mergeable:
+    * per-partition partial bit_or aggregation, a word-indexed sparse
+    * frame bounded by mBits/64 rows, then one dense assembly. */
+  def shingleBloom(shingles: DataFrame, mBits: Int = 1 << 17, h: Int = 5): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    val nWords = mBits / 64
+    shingles
+      .select(explode(expr(bloomPositionsSql("sh", mBits, h))).as("p"))
+      .select(expr("CAST(p div 64 AS INT)").as("wi"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("mask"))
+      .groupBy("wi").agg(expr("bit_or(mask)").as("word"))
+      .agg(map_from_arrays(collect_list(col("wi")), collect_list(col("word")))
+        .as("m"))
+      .select(expr(
+        s"transform(sequence(0, ${nWords - 1}), i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))")
+        .as("bits"))
+  }
+
+  /** Benchmark decontamination against a broadcast Bloom filter of the
+    * bench shingle set — the 100 TB face of q74. The exact scan
+    * shuffles corpus shingles into a join; this face probes each doc's
+    * shingles IN-ROW against a one-row broadcast bit array, so the
+    * corpus never shuffles at all (the only exchanges build the
+    * bench-sized filter). One-sided error: every truly-shared shingle
+    * probes positive (no false negatives — the flag is a guaranteed
+    * superset of q74's), and false positives are bounded by the load
+    * factor ((1-e^{-hn/m})^h ≈ 4e-8 at the test scale; CurationSpec
+    * measures it). Unlike q74, a bench doc counts its own shingles (the
+    * filter carries no doc identity) — the upper-bound semantics.
+    *
+    * Output: (doc_id, n_shingles, n_maybe, contamination_ub,
+    * contaminated_ub) for docs with ≥ n tokens. */
+  def bloomDecontaminationScan(docs: DataFrame, benchIds: DataFrame,
+      n: Int = 8, mBits: Int = 1 << 17, h: Int = 5): DataFrame = {
+    val bits = shingleBloom(
+      benchShingleSet(docs, benchIds, n).select(col("b_sh").as("sh")), mBits, h)
+    val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+    val probe =
+      s"""size(filter(shs, s0 -> forall(${bloomPositionsSql("s0", mBits, h)},
+         |  p -> (shiftright(element_at(bits, CAST(p div 64 AS INT) + 1),
+         |        CAST(p % 64 AS INT)) & CAST(1 AS BIGINT)) = 1)))""".stripMargin
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))"))
+        .as("shs"))
+      .crossJoin(broadcast(bits))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
+        expr(probe).cast("long").as("n_maybe"))
+      .select(col("doc_id"), col("n_shingles"), col("n_maybe"),
+        round(col("n_maybe").cast("double") / col("n_shingles"), 6)
+          .as("contamination_ub"),
+        (col("n_maybe") * 2 >= col("n_shingles")).as("contaminated_ub"))
   }
 }

@@ -1268,4 +1268,50 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(o3.map(_._4).distinct.size == 50, "keys must stay unique")
     assert(o3.map(_._1).sorted == (1L to 50L))
   }
+
+  test("q123 bloom face: no false negatives vs the exact bench-membership count, tiny FPR") {
+    val docs = Tables.documents(spark, sf001)
+    val benchIds = docs.filter(substring(md5(col("text")), 1, 1) === "0")
+      .select(col("doc_id").as("bench_id"))
+    // exact per-doc count of distinct shingles present in the GLOBAL
+    // bench shingle set (self-inclusive — the bloom's semantics)
+    val bench = Curation.benchShingleSet(docs, benchIds)
+      .select(col("b_sh").as("sh")).distinct()
+    val sh = docs.select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(filter(split(trim(text),' '), x -> x != ''))-8), " +
+            "i -> concat_ws(' ', slice(filter(split(trim(text),' '), x -> x != ''), i+1, 8)))")))
+          .as("sh"))
+    val exact = sh.join(bench, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.all("q123_bloom_decontamination").fn(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // one-sided error: n_maybe >= exact membership for every doc
+    got.foreach { case (id, (_, maybe)) =>
+      assert(maybe >= exact.getOrElse(id, 0L), s"false negative on doc $id")
+    }
+    exact.keys.foreach(id => assert(got.contains(id)))
+    // measured FPR over all non-member probes
+    val fp = got.map { case (id, (_, maybe)) => maybe - exact.getOrElse(id, 0L) }.sum
+    val nonMembers = got.map { case (id, (n, _)) => n - exact.getOrElse(id, 0L) }.sum
+    assert(nonMembers > 0)
+    val fpr = fp.toDouble / nonMembers
+    assert(fpr < 0.01, s"bloom FPR too high: $fpr ($fp / $nonMembers)")
+  }
+
+  test("q123 flags a planted verbatim benchmark copy") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, bench),                                   // the benchmark item
+      (2L, s"pre $bench post"), // embeds it verbatim (majority of its shingles shared)
+      (3L, "totally unrelated content with enough words to form shingles ok yes")
+    ).toDF("doc_id", "text")
+    val out = Curation.bloomDecontaminationScan(docs,
+        Seq(1L).toDF("bench_id"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(1L), "bench doc itself probes positive (self-inclusive)")
+    assert(out(2L), "embedding doc must be flagged")
+    assert(!out(3L), "clean doc must not be flagged")
+  }
 }

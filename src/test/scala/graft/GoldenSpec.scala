@@ -55,7 +55,10 @@ object GoldenSpec {
     "q110_quality_classifier_train", "q111_quality_classifier_score",
     // r10 continuation: WordPiece faces (no SQL oracle — iterative
     // argmax; the independent reference lives in WordpieceSpec)
-    "q119_wordpiece_train", "q120_wordpiece_tokenize")
+    "q119_wordpiece_train", "q120_wordpiece_tokenize",
+    // r10 continuation: bloom decontamination (bit array is
+    // engine-internal; CurationSpec pins superset-of-exact + FPR)
+    "q123_bloom_decontamination")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -108,7 +111,9 @@ object GoldenSpec {
     ("q119_wordpiece_train", "sf0.001") -> "aa2cf7161b66d7ca",
     ("q119_wordpiece_train", "sf0.01") -> "11bbe2b0b6cadd61",
     ("q120_wordpiece_tokenize", "sf0.001") -> "d389acfd646ca42d",
-    ("q120_wordpiece_tokenize", "sf0.01") -> "d6c406757519aa84")
+    ("q120_wordpiece_tokenize", "sf0.01") -> "d6c406757519aa84",
+    ("q123_bloom_decontamination", "sf0.001") -> "4ea004286d83c7aa",
+    ("q123_bloom_decontamination", "sf0.01") -> "287a03990cb67968")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

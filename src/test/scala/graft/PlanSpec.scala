@@ -413,7 +413,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q127_heavy_hitters",            2, 3),
       // q128: one scan into the min-k ObjectHashAggregate (partial
       // buffers ≤ k rows) + the output sort
-      ("q128_mink_sample",              1, 3))
+      ("q128_mink_sample",              1, 3),
+      // q123: the corpus side is ONE scan with zero shuffle (in-row
+      // probe against the broadcast bit array + output sort); the other
+      // two scans and all remaining exchanges build the bench-sized
+      // bloom (semi-join + sparse bit_or + dense assembly)
+      ("q123_bloom_decontamination",    3, 4))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
