@@ -422,6 +422,18 @@ object Dedup {
         |ORDER BY anchor_id""") { (s, dir) =>
       contrastivePairs(Tables.documents(s, dir), threshold = 0.6)
         .orderBy("anchor_id")
+    },
+
+    // ---- weighted PageRank over the near-dup graph: link-analysis
+    //      centrality as a curation signal (hub/canonical detection) —
+    //      5 float iterations, still oracle-exact via the decimal
+    //      rounding discipline and an unrolled per-round CTE oracle. ----
+    "q130_pagerank" -> QueryDef.sql(
+      pageRankOracleSql(threshold = 0.3, damping = 0.85, iters = 5)) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      pageRank(docs, exactJaccardPairs(docs, threshold = 0.3),
+        damping = 0.85, iters = 5)
+        .orderBy("doc_id")
     }
   )
 
@@ -656,6 +668,106 @@ object Dedup {
       .localCheckpoint(eager = true)
     labels.unpersist(); edges.unpersist(); p.unpersist()
     result
+  }
+
+  /** Weighted PageRank (Brin & Page 1998) over the near-duplicate
+    * similarity graph — link-analysis centrality as a curation signal: a
+    * doc whose similarity mass concentrates (a template hub, a canonical
+    * page mirrored with variations) accumulates rank, while docs with
+    * only incidental overlap stay near the teleport floor. Rank-ordered
+    * output feeds "keep the canonical variant" / "audit the hubs"
+    * decisions the binary dup-cluster view (q62/q67) can't express.
+    *
+    * Determinism (the q87/q104 decimal discipline): edge shares and
+    * per-round contributions round to 9 dp, sums run through
+    * DECIMAL(18,9) (exact, order-free), and every double op is performed
+    * identically by the oracle's unrolled SQL — so 5 rounds of float
+    * iteration still hash-match DuckDB.
+    *
+    * Scale shape: per round = one shuffle join (edge × rank on u) + one
+    * aggregate (contributions by v) + the node left-join — all on the
+    * edge/node frames; edges and nodes sit behind barriers built once;
+    * round frames are eagerly checkpointed and the superseded one
+    * released immediately (the BPE loop discipline), so live state is
+    * ≤ 2 rank copies regardless of iteration count. The loop body is
+    * extracted as [[pageRankRound]] for the per-round PlanSpec budget
+    * (a regression there multiplies by `iters`). */
+  def pageRank(docs: DataFrame, pairs: DataFrame, damping: Double = 0.85,
+      iters: Int = 5): DataFrame = {
+    val nodes = docs.select(col("doc_id")).localCheckpoint(eager = false)
+    val nDf = nodes.agg(count(lit(1)).as("n_total")).localCheckpoint(eager = false)
+    val e0 = pairs.select(col("d1").as("u"), col("d2").as("v"), col("jaccard").as("w"))
+    val both = e0.unionByName(
+      e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val wsum = both.groupBy("u")
+      .agg(sum(col("w").cast("decimal(18,6)")).as("wu"))
+    val edges = both.join(wsum, "u")
+      .select(col("u"), col("v"),
+        round(col("w") / col("wu").cast("double"), 9).as("share"))
+      .localCheckpoint(eager = false)
+    var ranks = nodes.crossJoin(broadcast(nDf))
+      .select(col("doc_id"), round(lit(1.0) / col("n_total"), 9).as("rank"))
+      .localCheckpoint(eager = true)
+    (1 to iters).foreach { _ =>
+      val next = pageRankRound(edges, ranks, nodes, nDf, damping)
+        .localCheckpoint(eager = true)
+      graft.Barriers.release(ranks)
+      ranks = next
+    }
+    ranks
+  }
+
+  /** One PageRank round — the loop body of [[pageRank]], exposed for the
+    * per-round plan budget: r'(v) = (1−d)/N + d·Σ_u share(u,v)·r(u),
+    * contributions 9-dp-rounded pre-sum. */
+  private[graft] def pageRankRound(edges: DataFrame, ranks: DataFrame,
+      nodes: DataFrame, nDf: DataFrame, damping: Double): DataFrame = {
+    val contrib = edges
+      .join(ranks.withColumnRenamed("doc_id", "u_id"), col("u") === col("u_id"))
+      .select(col("v"),
+        round(col("share") * col("rank"), 9).cast("decimal(18,9)").as("c"))
+    val sums = contrib.groupBy(col("v").as("doc_id")).agg(sum(col("c")).as("s"))
+    nodes.join(sums, Seq("doc_id"), "left")
+      .crossJoin(broadcast(nDf))
+      .select(col("doc_id"),
+        round(lit(1.0 - damping) / col("n_total")
+          + lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 9)
+          .as("rank"))
+  }
+
+  /** Unrolled DuckDB oracle for [[pageRank]]: one CTE per round, each
+    * mirroring the Spark round's arithmetic op-for-op. */
+  private def pageRankOracleSql(threshold: Double, damping: Double,
+      iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT d.doc_id AS doc_id,
+         |    round(${1.0 - damping} / n.n + $damping * coalesce(CAST(s.s AS DOUBLE), 0), 9) AS rank
+         |  FROM documents d CROSS JOIN n LEFT JOIN (
+         |    SELECT e.v AS doc_id, sum(CAST(round(e.share * r.rank, 9) AS DECIMAL(18,9))) AS s
+         |    FROM e JOIN r${i - 1} r ON e.u = r.doc_id GROUP BY 1) s
+         |  ON d.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+       |           FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+       |       FROM w WHERE len(ws) >= 3),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |p AS (SELECT d1, d2, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jac
+       |      FROM com JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+       |      WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= $threshold),
+       |edges AS (SELECT d1 AS u, d2 AS v, jac AS w FROM p
+       |          UNION ALL SELECT d2, d1, jac FROM p),
+       |wsum AS (SELECT u, sum(CAST(w AS DECIMAL(18,6))) AS wu FROM edges GROUP BY 1),
+       |e AS (SELECT edges.u AS u, edges.v AS v, round(w / CAST(wu AS DOUBLE), 9) AS share
+       |      FROM edges JOIN wsum USING (u)),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |r0 AS (SELECT doc_id, round(1.0 / n.n, 9) AS rank FROM documents, n),
+       |$rounds
+       |SELECT doc_id, rank FROM r$iters ORDER BY doc_id""".stripMargin
   }
 
   /** One min-label-propagation round — q62's loop body, exposed so

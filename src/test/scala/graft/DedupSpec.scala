@@ -454,4 +454,48 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       (6L, 5L, None, None)),
       s"got=$got")
   }
+
+  test("q130 pagerank: star hub dominates, leaves tie, mass ≈ 1") {
+    val docs = (0L to 4L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // star: hub 0 connected to 1..4 with equal weight
+    val pairs = (1L to 4L).map(i => (0L, i, 0.5)).toDF("d1", "d2", "jaccard")
+    val out = Dedup.pageRank(docs, pairs, damping = 0.85, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(0L) > out(1L) * 2, s"hub must dominate: $out")
+    assert((1L to 4L).map(out).distinct.size == 1, s"leaves must tie: $out")
+    assert(math.abs(out.values.sum - 1.0) < 1e-6, s"mass: ${out.values.sum}")
+  }
+
+  test("q130 pagerank matches an independent local reference on real data") {
+    val docs = Tables.documents(spark, sf001)
+    val pairs = Dedup.exactJaccardPairs(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nodeIds = docs.select("doc_id").collect().map(_.getLong(0))
+    val n = nodeIds.length
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mirror the engine op-for-op: decimal(18,6) weight sums, 9-dp share,
+    // 9-dp contributions summed as exact decimals, 9-dp rank update
+    val both = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val wu = both.groupBy(_._1).view.mapValues(es =>
+      es.map { case (_, _, w) =>
+        BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP) }.sum).toMap
+    val edges = both.map { case (u, v, w) => (u, v, round9(w / wu(u).toDouble)) }
+    val d = 0.85
+    var rank: Map[Long, Double] = nodeIds.map(_ -> round9(1.0 / n)).toMap
+    (1 to 5).foreach { _ =>
+      val sums = edges.groupBy(_._2).view.mapValues(es =>
+        es.map { case (u, _, share) =>
+          BigDecimal(round9(share * rank(u)))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP) }.sum).toMap
+      rank = nodeIds.map { v =>
+        v -> round9((1.0 - d) / n + d * sums.get(v).map(_.toDouble).getOrElse(0.0))
+      }.toMap
+    }
+    val got = SparkEntry.all("q130_pagerank").fn(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === rank)
+    // the graph is non-trivial: someone must sit above the teleport floor
+    assert(got.values.max > round9((1.0 - d) / n) * 1.5)
+  }
 }

@@ -486,7 +486,19 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
           spark.range(1).select(org.apache.spark.sql.functions.expr(
             s"transform(sequence(0, ${graft.operators.Classifier.dims}), d -> CAST(0.0 AS DOUBLE))").as("w")),
           w0)
-      }, 4))
+      }, 4),
+      // q130: one PageRank round — edge×rank join (by u), contribution
+      // agg (by v), node left-join + the one-row N broadcast; all frames
+      // are edge/node-sized barriers, never the corpus
+      ("pageRankRound (q130)", {
+        val prEdges = Seq((1L, 2L, 0.5), (2L, 1L, 0.5))
+          .toDF("u", "v", "share").localCheckpoint(true)
+        val prNodes = Seq(1L, 2L, 3L).toDF("doc_id").localCheckpoint(true)
+        val prRanks = prNodes.withColumn("rank",
+          org.apache.spark.sql.functions.lit(1.0 / 3)).localCheckpoint(true)
+        val prN = Seq(3L).toDF("n_total").localCheckpoint(true)
+        graft.operators.Dedup.pageRankRound(prEdges, prRanks, prNodes, prN, 0.85)
+      }, 5))
     rounds.foreach { case (name, df, maxExchanges) =>
       val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
