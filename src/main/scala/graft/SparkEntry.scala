@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Curation.defs ++ operators.Retrieval.defs ++
       operators.Unigram.defs ++ operators.Classifier.defs ++
       operators.Wordpiece.defs ++ operators.Maintenance.defs ++
-      operators.Sketches.defs ++ streaming.Streams.defs
+      operators.Sketches.defs ++ operators.EventAnalytics.defs ++
+      streaming.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the event-sequence analytics operators (q131/q132): planted
+  * event streams with hand-computed answers (ordering edge cases the
+  * oracle's aggregate view can't isolate), plus brute-force parity
+  * against the real sf0.001 events table. */
+class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import operators.EventAnalytics
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def eventsDf(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (u, t, at) => (u, t, ts(s"2024-01-$at")) }
+      .toDF("user_id", "event_type", "ts")
+  }
+
+  test("q131 funnel: strictly-after ordering decides each stage") {
+    // u1: view->click->purchase in order (full funnel)
+    // u2: click BEFORE its only view — click never counts
+    // u3: view only
+    // u4: click at EXACTLY the first-view timestamp — strictly-after excludes
+    // u5: purchase before click (but after view) — purchase never counts
+    // u6: no view at all — enters no stage even with click+purchase
+    val ev = eventsDf(Seq(
+      (1L, "view", "01 10:00:00"), (1L, "click", "01 11:00:00"), (1L, "purchase", "01 12:00:00"),
+      (2L, "click", "02 09:00:00"), (2L, "view", "02 10:00:00"),
+      (3L, "view", "03 10:00:00"),
+      (4L, "view", "04 10:00:00"), (4L, "click", "04 10:00:00"),
+      (5L, "view", "05 10:00:00"), (5L, "purchase", "05 11:00:00"), (5L, "click", "05 12:00:00"),
+      (6L, "click", "06 10:00:00"), (6L, "purchase", "06 11:00:00")))
+    val got = EventAnalytics.eventFunnel(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("1_view", 5L, 1.0, 1.0),
+      ("2_click", 2L, 0.4, 0.4), // u1 and u5 (u5's click is after its view)
+      ("3_purchase", 1L, 0.2, 0.5))) // only u1; u5's purchase precedes its click
+  }
+
+  test("q131 funnel matches a brute-force replay on real sf0.001 events") {
+    val rows = Tables.events(spark, sf001)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = rows.groupBy(_._1)
+    def stageTimes(u: Long): (Option[Long], Option[Long], Option[Long]) = {
+      val es = byUser(u)
+      val t1 = es.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(t => es.filter(e => e._2 == "click" && e._3 > t).map(_._3).minOption)
+      val t3 = t2.flatMap(t => es.filter(e => e._2 == "purchase" && e._3 > t).map(_._3).minOption)
+      (t1, t2, t3)
+    }
+    val times = byUser.keys.map(stageTimes).toSeq
+    val exp = Seq(times.count(_._1.isDefined), times.count(_._2.isDefined),
+      times.count(_._3.isDefined)).map(_.toLong)
+    val got = EventAnalytics.eventFunnel(Tables.events(spark, sf001))
+      .collect().map(_.getLong(1)).toSeq
+    assert(got === exp)
+  }
+
+  test("q132 retention: planted cohort matrix is exact") {
+    // cohort 01: u1 active days 1,2,4; u2 active day 1 only
+    // cohort 02: u3 active days 2,3 (two events day 2 — still one active)
+    val ev = eventsDf(Seq(
+      (1L, "view", "01 08:00:00"), (1L, "click", "02 08:00:00"), (1L, "view", "04 08:00:00"),
+      (2L, "view", "01 09:00:00"),
+      (3L, "view", "02 09:00:00"), (3L, "click", "02 10:00:00"), (3L, "view", "03 09:00:00")))
+    val got = EventAnalytics.retentionCohorts(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5),
+      ("2024-01-01", 3L, 1L, 2L, 0.5),
+      ("2024-01-02", 0L, 1L, 1L, 1.0),
+      ("2024-01-02", 1L, 1L, 1L, 1.0)))
+  }
+
+  test("q132 retention matches a brute-force replay on real sf0.001 events") {
+    val rows = Tables.events(spark, sf001)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toLocalDateTime.toLocalDate))
+    val act = rows.distinct
+    val first = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val exp = act.groupBy { case (u, d) =>
+      (first(u), java.time.temporal.ChronoUnit.DAYS.between(first(u), d))
+    }.view.mapValues(_.size.toLong).toMap
+    val sizes = first.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = EventAnalytics.retentionCohorts(Tables.events(spark, sf001)).collect()
+    assert(got.length === exp.size)
+    got.foreach { r =>
+      val key = (r.getDate(0).toLocalDate, r.getLong(1))
+      assert(exp(key) === r.getLong(2), s"cell $key")
+      assert(sizes(r.getDate(0).toLocalDate) === r.getLong(3), s"size $key")
+    }
+  }
+}

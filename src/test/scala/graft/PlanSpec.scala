@@ -418,7 +418,17 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // probe against the broadcast bit array + output sort); the other
       // two scans and all remaining exchanges build the bench-sized
       // bloom (semi-join + sparse bit_or + dense assembly)
-      ("q123_bloom_decontamination",    3, 4))
+      ("q123_bloom_decontamination",    3, 4),
+      // q131: the three stage frames hide behind lazy barriers (each has
+      // two consumers: its count + the next stage's join); exchanges:
+      // per-stage min-agg + join shuffles and the three one-row count
+      // aggs — NEVER a per-user event-sequence collect
+      ("q131_event_funnel",             0, 9),
+      // q132: everything downstream of the distinct (user, day) barrier
+      // runs on the ≤ users×days frame; exchanges: first-day agg,
+      // cohort-size agg, cell agg + joins + output sort over
+      // cohort-cardinality frames
+      ("q132_retention_cohorts",        0, 3))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
