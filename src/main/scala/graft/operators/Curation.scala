@@ -315,6 +315,52 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // ---- Gopher-rule document filter (Rae et al. 2021, Appendix A):
+    //      the published heuristic gate with PER-RULE attribution — each
+    //      rule is its own boolean column, so a corpus audit can report
+    //      WHICH rule rejects how many docs (q41's composite score can't
+    //      say). Published thresholds kept verbatim; the required-word
+    //      LIST is the corpus's own stopword inventory (see
+    //      gopherRequiredWords scaladoc — the English list would
+    //      constant-fail this vocabulary). Every rule compares the
+    //      ROUNDED statistic, so boundary docs land identically in both
+    //      engines. Pure in-row expressions — one pruned scan, zero
+    //      shuffle beyond the output sort, streams at scan speed. ----
+    "q133_gopher_rules" -> QueryDef.sql(
+      s"""WITH f AS (SELECT doc_id, text,
+        |    list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(ws) AS n_words,
+        |    list_sum(list_transform(ws, w -> length(w))) AS char_sum,
+        |    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        |    len(list_filter([${requiredWordsSqlList(corpusRequiredWords)}], r -> list_contains(ws, r))) AS n_required
+        |  FROM f),
+        |m AS (SELECT doc_id, n_words,
+        |    round(CAST(char_sum AS DOUBLE) / nullif(n_words, 0), 6) AS mean_word_len,
+        |    round(CAST(n_sym AS DOUBLE) / nullif(n_words, 0), 6) AS symbol_word_ratio,
+        |    round(CAST(n_alpha AS DOUBLE) / nullif(n_words, 0), 6) AS alpha_word_frac,
+        |    n_required
+        |  FROM s),
+        |r AS (SELECT *,
+        |    n_words BETWEEN 50 AND 100000 AS r_word_count,
+        |    coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false) AS r_mean_word_len,
+        |    coalesce(symbol_word_ratio <= 0.1, false) AS r_symbol_ratio,
+        |    coalesce(alpha_word_frac >= 0.8, false) AS r_alpha_words,
+        |    n_required >= 2 AS r_required_words
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+        |  alpha_word_frac, n_required, r_word_count, r_mean_word_len,
+        |  r_symbol_ratio, r_alpha_words, r_required_words,
+        |  5 - (CAST(r_word_count AS INT) + CAST(r_mean_word_len AS INT)
+        |     + CAST(r_symbol_ratio AS INT) + CAST(r_alpha_words AS INT)
+        |     + CAST(r_required_words AS INT)) AS n_failed,
+        |  r_word_count AND r_mean_word_len AND r_symbol_ratio
+        |    AND r_alpha_words AND r_required_words AS keep
+        |FROM r ORDER BY doc_id""") { (s, dir) =>
+      gopherRules(Tables.documents(s, dir), corpusRequiredWords).orderBy("doc_id")
+    },
+
     // ---- corpus-self-trained bigram LM quality score (the CCNet-shaped
     //      perplexity gate, Wenzek et al. 2019, with the LM trained on
     //      the corpus itself instead of an external model): per-doc mean
@@ -2292,6 +2338,66 @@ object Curation {
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))"))).as("sh"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q133: Gopher-rule document filter
+  // ---------------------------------------------------------------------
+
+  /** Gopher's required words (Rae et al. 2021, Appendix A1.1): a doc must
+    * contain at least 2 of these to pass the stopword rule — the face's
+    * default. The DECLARED q133 instead passes [[corpusRequiredWords]]:
+    * the synthetic vocabulary contains only 'the' and 'a' from English
+    * function words (measured — Gopher's list would constant-fail every
+    * doc and make `keep` degenerate), so the query keeps the published
+    * rule STRUCTURE with the corpus's own stopword inventory. Both lists
+    * feed the oracle-SQL builder, so the two sides cannot drift. */
+  private[graft] val gopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The function words that actually occur in the synthetic corpus. */
+  private[graft] val corpusRequiredWords: Seq[String] = Seq("the", "a")
+
+  private def requiredWordsSqlList(req: Seq[String]): String =
+    req.map(w => s"'$w'").mkString(", ")
+
+  /** Per-doc Gopher rule flags + stats. Every rule compares the ROUNDED
+    * (6 dp) statistic so boundary docs land identically in both engines;
+    * ratio rules on empty docs (NULL statistic) coalesce to false in
+    * both. Pure in-row column expressions — nothing here shuffles. */
+  def gopherRules(docs: DataFrame,
+      requiredWords: Seq[String] = gopherRequiredWords): DataFrame = {
+    val reqArr = array(requiredWords.map(lit): _*)
+    val s = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_words"),
+      expr("aggregate(filter(split(trim(text), ' '), x -> x != ''), CAST(0 AS BIGINT), (a, w) -> a + length(w))")
+        .as("char_sum"),
+      regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long").as("n_sym"),
+      size(filter(words(col("text")), w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      size(filter(reqArr, r => array_contains(words(col("text")), r))).cast("long")
+        .as("n_required"))
+    val m = s.select(col("doc_id"), col("n_words"),
+      round(col("char_sum").cast("double") / nullif(col("n_words"), lit(0L)), 6)
+        .as("mean_word_len"),
+      round(col("n_sym").cast("double") / nullif(col("n_words"), lit(0L)), 6)
+        .as("symbol_word_ratio"),
+      round(col("n_alpha").cast("double") / nullif(col("n_words"), lit(0L)), 6)
+        .as("alpha_word_frac"),
+      col("n_required"))
+    val r = m
+      .withColumn("r_word_count", col("n_words").between(50, 100000))
+      .withColumn("r_mean_word_len",
+        coalesce(col("mean_word_len").between(3.0, 10.0), lit(false)))
+      .withColumn("r_symbol_ratio",
+        coalesce(col("symbol_word_ratio") <= 0.1, lit(false)))
+      .withColumn("r_alpha_words",
+        coalesce(col("alpha_word_frac") >= 0.8, lit(false)))
+      .withColumn("r_required_words", col("n_required") >= 2)
+    val ruleCols = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_alpha_words", "r_required_words")
+    r.withColumn("n_failed",
+        lit(5) - ruleCols.map(c => col(c).cast("int")).reduce(_ + _))
+      .withColumn("keep", ruleCols.map(col).reduce(_ && _))
   }
 
   // ---------------------------------------------------------------------

@@ -1314,4 +1314,53 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out(2L), "embedding doc must be flagged")
     assert(!out(3L), "clean doc must not be flagged")
   }
+
+  test("q133 gopher rules: each planted doc fails exactly its targeted rule") {
+    // 58 filler words + 'the a' = 60 words, mean length in range
+    def filler(w: String, n: Int): String = Seq.fill(n)(w).mkString(" ")
+    val docs = Seq(
+      // passes every rule
+      (1L, filler("word", 58) + " the a"),
+      // 10 words: fails word-count only
+      (2L, filler("word", 8) + " the a"),
+      // mean word length (58*12+4)/60 = 11.67 > 10: fails mean-len only
+      (3L, filler("aaaaaaaaaaaa", 58) + " the a"),
+      // 10 '#' in 60 words = 0.167 > 0.1: fails symbol-ratio only
+      // ('#' words still count as words; alpha 50/60 = 0.833 passes)
+      (4L, filler("word", 48) + " the a " + filler("#", 10)),
+      // 20 numeric words: alpha 40/60 = 0.667 < 0.8, fails alpha only
+      (5L, filler("word", 38) + " the a " + filler("123", 20)),
+      // only 1 required word present: fails required-words only
+      (6L, filler("word", 59) + " the"),
+      // empty doc: word-count + required fail; ratio rules coalesce false
+      (7L, ""),
+      // boundaries land inclusive: exactly 50 words, symbol ratio
+      // exactly 5/50 = 0.1 — both pass
+      (8L, filler("word", 43) + " the a " + filler("#", 5)))
+      .toDF("doc_id", "text")
+    val got = Curation.gopherRules(docs, Seq("the", "a")).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        r.getBoolean(9), r.getBoolean(10), r.getInt(11), r.getBoolean(12))).toMap
+    assert(got(1L) === ((true, true, true, true, true, 0, true)))
+    assert(got(2L) === ((false, true, true, true, true, 1, false)))
+    assert(got(3L) === ((true, false, true, true, true, 1, false)))
+    assert(got(4L) === ((true, true, false, true, true, 1, false)))
+    assert(got(5L) === ((true, true, true, false, true, 1, false)))
+    assert(got(6L) === ((true, true, true, true, false, 1, false)))
+    assert(got(7L) === ((false, false, false, false, false, 5, false)))
+    assert(got(8L) === ((true, true, true, true, true, 0, true)))
+  }
+
+  test("q133 gopher rules: default required-word list is the published one") {
+    // the face defaults to Gopher's English list; '...' counts as a
+    // symbol alongside '#' (both halves of the published symbol rule)
+    val docs = Seq((1L,
+      Seq.fill(46)("word").mkString(" ") + " the be to of ... ... ... ... ... ... ..."))
+      .toDF("doc_id", "text")
+    val r = Curation.gopherRules(docs).collect().head
+    assert(r.getLong(5) === 4L, "n_required counts the/be/to/of")
+    // 7 '...' words in 57 words = 0.1228 > 0.1 — symbol rule fails
+    assert(!r.getBoolean(8), "ellipsis tokens trip the symbol rule")
+    assert(r.getBoolean(10), "4 >= 2 required words pass")
+  }
 }

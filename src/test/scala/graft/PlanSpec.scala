@@ -419,6 +419,9 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // two scans and all remaining exchanges build the bench-sized
       // bloom (semi-join + sparse bit_or + dense assembly)
       ("q123_bloom_decontamination",    3, 4),
+      // q133: pure per-row rule expressions — one pruned scan, the only
+      // exchange is the output sort's range partitioning
+      ("q133_gopher_rules",             1, 1),
       // q131: the three stage frames hide behind lazy barriers (each has
       // two consumers: its count + the next stage's join); exchanges:
       // per-stage min-agg + join shuffles and the three one-row count
