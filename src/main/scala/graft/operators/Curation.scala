@@ -361,6 +361,45 @@ object Curation {
       gopherRules(Tables.documents(s, dir), corpusRequiredWords).orderBy("doc_id")
     },
 
+    // ---- DSIR importance weights (Xie et al. 2023): per-doc log
+    //      likelihood ratio of the hashed-unigram bag under target
+    //      (reference slice) vs raw multinomials, + per-source top-25%
+    //      selection. The model-light cousin of the q110 classifier:
+    //      no training loop, just two smoothed count vectors — the
+    //      selection method the paper showed competitive with trained
+    //      filters. Per-step-mod polynomial hash (overflow-safe, engine-
+    //      identical); DECIMAL(18,9) contributions; integer-rank
+    //      selection per source. ----
+    "q134_dsir_weights" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, source, substring(md5(text), 1, 1) <= '3' AS is_ref,
+        |             list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |tok AS (SELECT doc_id, source, is_ref, unnest(ws) AS t FROM w),
+        |tb AS (SELECT doc_id, source, is_ref,
+        |         list_reduce([ord(substring(t, i, 1)) for i in range(1, length(t)+1)],
+        |                     (h, c) -> (h*31 + c) % 1048576) % 512 AS b
+        |       FROM tok),
+        |st AS (SELECT b, count(*) FILTER (WHERE is_ref) AS ct,
+        |         count(*) FILTER (WHERE NOT is_ref) AS cr FROM tb GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM st),
+        |lp AS (SELECT b, ln((ct + 0.5) / (nt + 256.0)) - ln((cr + 0.5) / (nr + 256.0)) AS diff
+        |       FROM st CROSS JOIN tot),
+        |db AS (SELECT doc_id, source, b, count(*) AS c FROM tb GROUP BY 1, 2, 3),
+        |contrib AS (SELECT doc_id, source, c,
+        |    CAST(round(c * diff, 9) AS DECIMAL(18,9)) AS lw
+        |  FROM db JOIN lp USING (b)),
+        |scored AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    round(CAST(sum(lw) AS DOUBLE), 6) AS log_weight
+        |  FROM contrib GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY source ORDER BY log_weight DESC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM scored)
+        |SELECT doc_id, source, n_tokens, log_weight, (rn - 1) * 4 < n AS selected
+        |FROM r ORDER BY doc_id""") { (s, dir) =>
+      dsirWeights(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
     // ---- corpus-self-trained bigram LM quality score (the CCNet-shaped
     //      perplexity gate, Wenzek et al. 2019, with the LM trained on
     //      the corpus itself instead of an external model): per-doc mean
@@ -2338,6 +2377,65 @@ object Curation {
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))"))).as("sh"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q134: DSIR hashed-n-gram importance weights
+  // ---------------------------------------------------------------------
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by the log likelihood ratio of its hashed-unigram bag under a
+    * target-distribution model (the md5-prefix reference slice — the
+    * q105/q110 convention) vs a raw-distribution model (the rest), then
+    * select the per-source top quarter by weight. Both multinomials are
+    * add-half smoothed over [[buckets]] hashed dims.
+    *
+    * Determinism: the token→bucket hash is the classifier's
+    * polynomial-31 — computed with a PER-STEP mod so it can never
+    * overflow (DuckDB raises on BIGINT overflow where the JVM wraps;
+    * per-step mod keeps both engines in range and identical). Per-(doc,
+    * bucket) contributions round to DECIMAL(18,9) pre-sum (the q87
+    * discipline); selection is integer rank arithmetic per source (the
+    * q105 shape — a GLOBAL top-k window would collapse the corpus onto
+    * one partition, the q115 trap).
+    *
+    * Scale shape: one corpus scan; the exploded token frame sits behind
+    * a lazy barrier (two consumers: bucket stats + per-doc counts);
+    * everything else is bucket-sized (≤ [[buckets]] rows, broadcast) or
+    * rides the per-source window's hash shuffle. */
+  def dsirWeights(docs: DataFrame, buckets: Int = 512,
+      isRef: Column = substring(md5(col("text")), 1, 1) <= "3"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bExpr = "aggregate(sequence(1, length(t)), CAST(0 AS BIGINT), " +
+      s"(h, i) -> (h*31 + ascii(substring(t, i, 1))) % 1048576) % $buckets"
+    val tb = docs.select(col("doc_id"), col("source"),
+        isRef.as("is_ref"),
+        explode(words(col("text"))).as("t"))
+      .select(col("doc_id"), col("source"), col("is_ref"), expr(bExpr).as("b"))
+      .localCheckpoint(eager = false)
+    val st = tb.groupBy("b").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_ref"), 0L).otherwise(1L)).as("cr"))
+    val tot = st.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val lp = st.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + 0.5) / (col("nt") + buckets * 0.5)) -
+          log((col("cr") + 0.5) / (col("nr") + buckets * 0.5))).as("diff"))
+    val db = tb.groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val contrib = db.join(broadcast(lp), Seq("b"))
+      .select(col("doc_id"), col("source"), col("c"),
+        round(col("c") * col("diff"), 9).cast("decimal(18,9)").as("lw"))
+    val scored = contrib.groupBy("doc_id", "source")
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum(col("lw")).cast("double"), 6).as("log_weight"))
+    val bySrc = Window.partitionBy("source")
+    val win = bySrc.orderBy(col("log_weight").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(win))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("log_weight"),
+        ((col("rn") - 1) * 4 < col("n")).as("selected"))
   }
 
   // ---------------------------------------------------------------------

@@ -1363,4 +1363,69 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!r.getBoolean(8), "ellipsis tokens trip the symbol rule")
     assert(r.getBoolean(10), "4 >= 2 required words pass")
   }
+
+  test("q134 dsir: target-vocabulary crawl docs outweigh crawl-vocabulary ones") {
+    // reference slice speaks {alpha beta gamma}; crawl docs 100-103 speak
+    // the target vocabulary, 104-107 speak {zeta eta theta}. DSIR's whole
+    // point: the target-sounding crawl docs must carry the higher weights
+    // and win the per-source top-25% selection.
+    val ref = (0L until 8L).map(i => (i, s"alpha beta gamma alpha beta gamma", "src"))
+    val target = (100L to 103L).map(i => (i, "alpha beta gamma alpha beta gamma", "src"))
+    val offTopic = (104L to 115L).map(i => (i, "zeta eta theta zeta eta theta", "src"))
+    val docs = (ref ++ target ++ offTopic).toDF("doc_id", "text", "source")
+    val got = Curation.dsirWeights(docs, buckets = 512,
+        isRef = col("doc_id") < 100).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    val tgtW = (100L to 103L).map(got(_)._1)
+    val offW = (104L to 115L).map(got(_)._1)
+    assert(tgtW.min > offW.max,
+      s"every target-vocab crawl doc must outweigh every off-topic one: $got")
+    // 24 docs in 'src' → top 6 selected: the 4 target crawl docs compete
+    // with the 8 identical ref docs on the doc_id tie-break; all
+    // off-topic docs must be unselected
+    assert((104L to 115L).forall(!got(_)._2), "off-topic docs never selected")
+  }
+
+  test("q134 dsir matches an independent plain-Scala reference on the rounded contract") {
+    val docs = Seq(
+      (1L, "key agg row the scan", "s0"), (2L, "table value part a", "s0"),
+      (3L, "window sort merge key", "s0"), (4L, "the a key value", "s1"),
+      (5L, "scan scan scan batch", "s1"), (6L, "agg window the part", "s1"),
+      (7L, "row row value sort a", "s1"), (8L, "merge batch key table", "s1"))
+      .toDF("doc_id", "text", "source")
+    val isRefIds = Set(1L, 4L, 5L) // arbitrary slice, injected as a Column
+    val got = Curation.dsirWeights(docs, buckets = 64,
+        isRef = col("doc_id").isin(isRefIds.toSeq: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+
+    // independent reference: same hash, same smoothing, same rounding
+    def bucket(t: String): Int = {
+      var h = 0L
+      t.foreach(c => h = (h * 31 + c.toInt) % 1048576)
+      (h % 64).toInt
+    }
+    val rows = Seq(
+      (1L, "key agg row the scan"), (2L, "table value part a"),
+      (3L, "window sort merge key"), (4L, "the a key value"),
+      (5L, "scan scan scan batch"), (6L, "agg window the part"),
+      (7L, "row row value sort a"), (8L, "merge batch key table"))
+    val toks = rows.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).map(bucket).toSeq
+    }.toMap
+    val refToks = toks.filter(kv => isRefIds(kv._1)).values.flatten.toSeq
+    val rawToks = toks.filterNot(kv => isRefIds(kv._1)).values.flatten.toSeq
+    val ct = refToks.groupBy(identity).view.mapValues(_.size).toMap
+    val cr = rawToks.groupBy(identity).view.mapValues(_.size).toMap
+    val (nt, nr) = (refToks.size, rawToks.size)
+    val expected = toks.map { case (id, bs) =>
+      val lw = bs.groupBy(identity).map { case (b, occ) =>
+        val diff = math.log((ct.getOrElse(b, 0) + 0.5) / (nt + 32.0)) -
+          math.log((cr.getOrElse(b, 0) + 0.5) / (nr + 32.0))
+        BigDecimal(occ.size * diff).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (id, bs.size.toLong,
+        BigDecimal(lw.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === expected)
+  }
 }

@@ -422,6 +422,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q133: pure per-row rule expressions — one pruned scan, the only
       // exchange is the output sort's range partitioning
       ("q133_gopher_rules",             1, 1),
+      // q134: the exploded token frame hides behind its barrier (two
+      // consumers: bucket stats + per-doc counts; scans=0); exchanges:
+      // st agg + tot agg on bucket-sized frames, db agg, per-doc agg,
+      // the per-source window shuffle + output sort — the lp table and
+      // totals ride broadcasts
+      ("q134_dsir_weights",             0, 7),
       // q131: the three stage frames hide behind lazy barriers (each has
       // two consumers: its count + the next stage's join); exchanges:
       // per-stage min-agg + join shuffles and the three one-row count
