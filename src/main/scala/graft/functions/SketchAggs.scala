@@ -97,4 +97,40 @@ object SketchAggs {
     override def outputEncoder: Encoder[Seq[(String, Long)]] =
       ExpressionEncoder[Seq[(String, Long)]]()
   }
+
+  /** [[MinKAgg]] with a payload column carried through the buffer —
+    * rows are (group, sortKey, id, payload), kept by smallest (sortKey,
+    * id). Same bounded-buffer contract: partial buffers are ≤ k rows, so
+    * weighted sampling never sorts a group. */
+  class MinKRowAgg(k: Int)
+      extends Aggregator[(String, String, Long, Long),
+        Seq[(String, Long, Long)], Seq[(String, Long, Long)]] {
+
+    private val ord =
+      Ordering.by[(String, Long, Long), (String, Long)](t => (t._1, t._2))
+
+    override def zero: Seq[(String, Long, Long)] = Vector.empty
+
+    override def reduce(buf: Seq[(String, Long, Long)],
+        row: (String, String, Long, Long)): Seq[(String, Long, Long)] = {
+      val x = (row._2, row._3, row._4)
+      if (buf.size >= k && ord.gteq(x, buf.last)) buf
+      else {
+        val i = buf.indexWhere(ord.gt(_, x)) match { case -1 => buf.size; case n => n }
+        val withX = (buf.take(i) :+ x) ++ buf.drop(i)
+        if (withX.size > k) withX.take(k) else withX
+      }
+    }
+
+    override def merge(a: Seq[(String, Long, Long)],
+        b: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] =
+      (a ++ b).sorted(ord).take(k)
+
+    override def finish(buf: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] = buf
+
+    override def bufferEncoder: Encoder[Seq[(String, Long, Long)]] =
+      ExpressionEncoder[Seq[(String, Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
+      ExpressionEncoder[Seq[(String, Long, Long)]]()
+  }
 }

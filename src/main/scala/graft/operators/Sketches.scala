@@ -83,7 +83,86 @@ object Sketches {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Efraimidis–Spirakis weighted sample without replacement (2006):
+    * the exact top-k per source by key u^(1/w), where u is the q104
+    * multiplicative-hash coin and w the document's weight (chars here) —
+    * heavier docs win proportionally more often, which is the weighted
+    * counterpart of q128's uniform sample.
+    *
+    * Determinism: the key rounds to DECIMAL(18,9) (pow's last-ulp can
+    * differ across libm implementations — the q107 n^α discipline) and
+    * ties break on doc_id. The bounded aggregator buffers order by the
+    * FIXED-WIDTH "%.9f" rendering of (1 − key): values lie in [0, 1], so
+    * the lexicographic string order IS the numeric order, ascending
+    * (1 − key) = descending key — [[graft.functions.SketchAggs.MinKRowAgg]]
+    * reused unchanged. Zero-weight docs are excluded (their key is
+    * pow(u, ∞) → ill-defined; E–S assigns them probability 0 anyway). */
+  def weightedSamplePerSource(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = esKeyed(docs)
+      .select(col("source"),
+        // DECIMAL-to-string keeps the full scale ("0.123456789"), so the
+        // string is fixed-width past "0." and lexicographic = numeric
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,9)") - col("es_key"))
+          .cast("string").as("skey"),
+        col("doc_id"), col("w"))
+      .as[(String, String, Long, Long)]
+    keyed.groupByKey(_._1)
+      .agg(new graft.functions.SketchAggs.MinKRowAgg(k).toColumn.name("picks"))
+      .toDF("source", "picks")
+      .select(col("source"), posexplode(col("picks")).as(Seq("pos", "pick")))
+      .select(col("source"), col("pick._2").as("doc_id"),
+        col("pick._3").as("weight"),
+        round(lit(1.0) - col("pick._1").cast("double"), 9).as("es_key"),
+        (col("pos") + 1).cast("long").as("sample_rank"))
+  }
+
+  /** The window face of [[weightedSamplePerSource]] — same rows by
+    * construction (spec-pinned); the per-group sort shape the oracle SQL
+    * mirrors. */
+  def windowWeightedSamplePerSource(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("es_key").desc, col("doc_id"))
+    esKeyed(docs)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col("source"), col("doc_id"), col("w").as("weight"),
+        col("es_key").cast("double").as("es_key"), col("sample_rank"))
+  }
+
+  /** (source, doc_id, w, es_key DECIMAL(18,9)) — shared by both faces. */
+  private def esKeyed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("w"),
+        (((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).cast("double")
+          / lit(4294967296.0)).as("u"))
+      .filter(col("w") > 0)
+      .select(col("source"), col("doc_id"), col("w"),
+        round(pow(col("u"), lit(1.0) / col("w")), 9).cast("decimal(18,9)")
+          .as("es_key"))
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- weighted sample without replacement: exact per-source top-k
+    //      by the E–S key, via the bounded min-k aggregator (never a
+    //      per-group sort); the oracle is the window form. ----
+    "q135_weighted_sample" -> QueryDef.sql(
+      """WITH f AS (SELECT doc_id, source, length(text) AS w,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, source, w,
+        |    CAST(round(pow(u, 1.0 / w), 9) AS DECIMAL(18,9)) AS es_key
+        |  FROM f WHERE w > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY es_key DESC, doc_id) AS rn FROM k)
+        |SELECT source, doc_id, w AS weight, CAST(es_key AS DOUBLE) AS es_key,
+        |  rn AS sample_rank
+        |FROM r WHERE rn <= 10 ORDER BY source, sample_rank""") { (s, dir) =>
+      weightedSamplePerSource(Tables.documents(s, dir), k = 10)
+        .orderBy("source", "sample_rank")
+    },
 
     // ---- exact heavy-hitter tokens via Misra–Gries + rescore. The
     //      oracle is the direct group-by-having — the sketch must be

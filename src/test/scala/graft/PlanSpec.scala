@@ -414,6 +414,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q128: one scan into the min-k ObjectHashAggregate (partial
       // buffers ≤ k rows) + the output sort
       ("q128_mink_sample",              1, 3),
+      // q135: one scan into the weighted min-k aggregate (same bounded
+      // buffers, E–S key computed in-row) + the output sort — never a
+      // per-group sort of the corpus
+      ("q135_weighted_sample",          1, 3),
       // q123: the corpus side is ONE scan with zero shuffle (in-row
       // probe against the broadcast bit array + output sort); the other
       // two scans and all remaining exchanges build the bench-sized

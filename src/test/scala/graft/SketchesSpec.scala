@@ -111,4 +111,47 @@ class SketchesSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(got === base, s"parts=$p")
     }
   }
+
+  private def wsRow(r: org.apache.spark.sql.Row) =
+    (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+
+  test("q135 aggregator face equals the window face row-for-row") {
+    val docs = Tables.documents(spark, sf001)
+    val a = Sketches.weightedSamplePerSource(docs, k = 10).collect().map(wsRow).toSet
+    val b = Sketches.windowWeightedSamplePerSource(docs, k = 10).collect().map(wsRow).toSet
+    assert(a === b)
+  }
+
+  test("q135 matches an independent plain-Scala E-S reference and prefers heavy docs") {
+    import spark.implicits._
+    // one source: doc 7 carries 500x the weight of its 40 siblings
+    val docs = ((1L to 40L).map(i => (i, "x" * 10, "s")) :+ (7L, "y" * 5000, "s"))
+      .groupBy(_._1).map(_._2.last).toSeq // doc 7 replaced, not duplicated
+      .toDF("doc_id", "text", "source")
+    val got = Sketches.weightedSamplePerSource(docs, k = 5).collect().map(wsRow)
+      .sortBy(_._5)
+
+    def esKey(id: Long, w: Long): BigDecimal = {
+      val u = (((id * 2654435761L) % 4294967296L).toDouble) / 4294967296.0
+      BigDecimal(math.pow(u, 1.0 / w)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val all = ((1L to 40L).map(i => (i, 10L)).filterNot(_._1 == 7L) :+ (7L, 5000L))
+    val expected = all.map { case (id, w) => (id, w, esKey(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(5)
+    assert(got.map(_._2).toSeq === expected.map(_._1))
+    assert(got.map(_._3).toSeq === expected.map(_._2))
+    assert(got.map(_._4).toSeq === expected.map(_._3.toDouble))
+    // the 500x doc must be in the sample — its key u^(1/5000) ≈ 1
+    assert(got.exists(_._2 == 7L), s"heavy doc must win a slot: ${got.toSeq}")
+  }
+
+  test("q135 result is independent of input partitioning") {
+    val docs = Tables.documents(spark, sf001)
+    val base = Sketches.weightedSamplePerSource(docs, k = 6).collect().map(wsRow).toSet
+    Seq(1, 13).foreach { p =>
+      val got = Sketches.weightedSamplePerSource(docs.repartition(p), k = 6)
+        .collect().map(wsRow).toSet
+      assert(got === base, s"parts=$p")
+    }
+  }
 }
