@@ -105,6 +105,16 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // ---- SemDeDup: k-means-bounded semantic dedup with the paper's
+    //      farthest-from-centroid keep rule. rows-only (the iterative
+    //      k-means isn't relational); SimilaritySpec gates the groups as
+    //      refinements of the exact q79 clusters and measures edge
+    //      recall; GoldenSpec pins the digests. ----
+    "q136_semdedup_kmeans" -> QueryDef.rowsOnly { (s, dir) =>
+      semDedupKmeans(Tables.embeddings(s, dir), threshold = 0.4,
+        k = 8, iters = 2).orderBy("vec_id")
+    },
+
     // ---- margin-based nearest-neighbor scoring (the bitext-mining /
     //      parallel-data selection criterion, Artetxe & Schwenk 2019):
     //      a raw cosine is not comparable across vectors whose
@@ -511,6 +521,65 @@ object Similarity {
     Dedup.connectedComponentsStar(
         pairs.select(col("v1").as("d1"), col("v2").as("d2")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_keeper"))
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup with K-MEANS-BOUNDED
+    * candidate generation — the published production method for
+    * embedding-level dedup at web scale. Pipeline: deterministic k-means
+    * (the q65 coarse quantizer), within-cluster exact-cosine edges at
+    * `threshold`, connected components, then the paper's keep rule: each
+    * semantic group keeps the member FARTHEST from its cluster centroid
+    * (lowest centroid dot; tie → min vec_id) — the peripheral exemplar,
+    * which the paper measured best for downstream training (vs q79's
+    * min-id keeper and q106's quality argmax).
+    *
+    * Approximation contract: candidates are pairs sharing at least one
+    * of their `probes` nearest clusters, so edges are a SUBSET of the
+    * exact q79 graph — groups can only split, never merge wrongly (the
+    * LSH face's safe direction, spec-gated the same way). Pair volume is
+    * Σ (probed-cluster size)² ≈ (n·probes)²/k on balanced clusters;
+    * (k, probes) dial recall vs cost exactly like (nClusters, nProbe)
+    * for IVF — measured at the shipped config: pair recall 0.98 at
+    * sf0.001 vs 0.29 single-probe (boundary pairs straddle clusters).
+    *
+    * Output (members of qualifying groups only, the q79 contract):
+    * (vec_id, group_id, cos_to_centroid, is_keeper) — cos_to_centroid
+    * and the keep rule always use the TOP-1 cluster. */
+  def semDedupKmeans(embeddings: DataFrame, threshold: Double,
+      k: Int, iters: Int = 3, probes: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, k, iters)
+    val e = withNorm(embeddings)
+      .select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb"))
+    // three consumers (both pair sides + the keep rule) → lazy barrier
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cluster_id"))
+    val ranked = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("emb"), col("cluster_id"),
+        dot("emb", "cemb").as("c_cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= probes)
+      .localCheckpoint(eager = false)
+    val a = ranked.select(col("cluster_id"), col("vec_id").as("v1"),
+      col("emb").as("emb1"))
+    val b = ranked.select(col("cluster_id"), col("vec_id").as("v2"),
+      col("emb").as("emb2"))
+    val edges = a.join(b, Seq("cluster_id")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), round(dot("emb1", "emb2"), 6).as("cos_sim"))
+      .distinct() // a pair sharing several probed clusters edges once
+      .filter(col("cos_sim") >= threshold)
+    val comps = Dedup.connectedComponentsStar(
+        edges.select(col("v1").as("d1"), col("v2").as("d2")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("group_id"))
+    val withCos = comps
+      .join(ranked.filter(col("rn") === 1).select(col("vec_id"), col("c_cos")),
+        Seq("vec_id"))
+      .localCheckpoint(eager = false) // consumers: keeper argmin + output
+    val keepers = withCos.groupBy("group_id")
+      .agg(min(struct(col("c_cos"), col("vec_id"))).as("kp"))
+      .select(col("group_id"), col("kp.vec_id").as("keeper"))
+    withCos.join(keepers, Seq("group_id")) // unhinted: AQE broadcasts when small
+      .select(col("vec_id"), col("group_id"),
+        round(col("c_cos"), 6).as("cos_to_centroid"),
+        (col("vec_id") === col("keeper")).as("is_keeper"))
+  }
 
   /** The PERSISTABLE LSH index rows: (vec_id, band, key), one row per
     * (vector, band). A key depends only on the row's own vector (the

@@ -58,7 +58,10 @@ object GoldenSpec {
     "q119_wordpiece_train", "q120_wordpiece_tokenize",
     // r10 continuation: bloom decontamination (bit array is
     // engine-internal; CurationSpec pins superset-of-exact + FPR)
-    "q123_bloom_decontamination")
+    "q123_bloom_decontamination",
+    // r10 continuation: SemDeDup (iterative k-means; SimilaritySpec
+    // gates refinement-of-exact + recall + the keep rule)
+    "q136_semdedup_kmeans")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -113,7 +116,9 @@ object GoldenSpec {
     ("q120_wordpiece_tokenize", "sf0.001") -> "d389acfd646ca42d",
     ("q120_wordpiece_tokenize", "sf0.01") -> "d6c406757519aa84",
     ("q123_bloom_decontamination", "sf0.001") -> "4ea004286d83c7aa",
-    ("q123_bloom_decontamination", "sf0.01") -> "287a03990cb67968")
+    ("q123_bloom_decontamination", "sf0.01") -> "287a03990cb67968",
+    ("q136_semdedup_kmeans", "sf0.001") -> "ac3170b81e68255f",
+    ("q136_semdedup_kmeans", "sf0.01") -> "5db1cb8fede3444f")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

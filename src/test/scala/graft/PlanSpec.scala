@@ -418,6 +418,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // buffers, E–S key computed in-row) + the output sort — never a
       // per-group sort of the corpus
       ("q135_weighted_sample",          1, 3),
+      // q136: everything expensive hides behind barriers/checkpoints
+      // (k-means result, the multi-probe ranked frame, the CC output);
+      // exchanges: keeper argmin agg + its join + output sort — the
+      // within-cluster pair join rides the barriered frames; CC rounds
+      // are budgeted by the iterative gate
+      ("q136_semdedup_kmeans",          0, 4),
       // q123: the corpus side is ONE scan with zero shuffle (in-row
       // probe against the broadcast bit array + output sort); the other
       // two scans and all remaining exchanges build the bench-sized

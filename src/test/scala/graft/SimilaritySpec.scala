@@ -323,4 +323,61 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(margins.forall(x => !x.isNaN && !x.isInfinite))
     assert(margins.count(_ > 0) == margins.length)
   }
+
+  test("q136 semdedup groups refine the exact clusters at high recall") {
+    val emb = Tables.embeddings(spark, sf001)
+    val got = Similarity.semDedupKmeans(emb, threshold = 0.4, k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = Similarity.semanticDedupClusters(emb, threshold = 0.4)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // refinement: any two co-grouped vecs are co-clustered exactly —
+    // the kmeans face may SPLIT exact clusters, never merge them
+    val exactOf = exact.toMap
+    got.groupBy(_._2).values.foreach { members =>
+      assert(members.map(m => exactOf(m._1)).distinct.size == 1,
+        s"group ${members.map(_._1)} spans exact clusters")
+    }
+    // recall gates at the shipped config (measured 1.00 / 0.92)
+    assert(got.size >= (exact.size * 95) / 100,
+      s"member recall: ${got.size}/${exact.size}")
+    def pairsOf(m: Seq[(Long, Long)]): Set[(Long, Long)] =
+      m.groupBy(_._2).values.flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+      }.toSet
+    val (pe, pk) = (pairsOf(exact), pairsOf(got))
+    assert((pk -- pe).isEmpty, "no false co-grouping")
+    assert(pk.size * 100 >= pe.size * 85, s"pair recall ${pk.size}/${pe.size}")
+  }
+
+  test("q136 keeper is the group member farthest from its centroid") {
+    // k=1 makes the centroid the mean of ALL unit vectors — computable
+    // locally — and candidates all-pairs, so only the keep rule is under
+    // test. v3 (orthogonal outlier) joins no group but still pulls the
+    // centroid; v2 sits farthest from the resulting mean among {0,1,2}.
+    val raw = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.8f, 0.2f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semDedupKmeans(raw, threshold = 0.4, k = 1,
+      iters = 2, probes = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.map(_._1).toSet === Set(0L, 1L, 2L), "outlier joins no group")
+    assert(got.map(_._2).distinct.size === 1, "one semantic group")
+    // local reference: unit vectors, centroid = their mean, keeper = min dot
+    val unit = Seq(
+      Array(1.0, 0.0, 0.0), Array(0.9, 0.1, 0.0), Array(0.8, 0.2, 0.0),
+      Array(0.0, 0.0, 1.0)).map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val m = (0 until 3).map(d => unit.map(_(d)).sum / unit.size)
+    val dots = unit.take(3).map(u => (0 until 3).map(d => u(d) * m(d)).sum)
+    val expKeeper = dots.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+    assert(expKeeper === 2, "sanity: v2 is the peripheral member")
+    got.foreach { case (id, _, _, isKeeper) =>
+      assert(isKeeper === (id == expKeeper), s"vec $id")
+    }
+  }
 }
