@@ -122,6 +122,50 @@ object EventAnalytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Trailing-window anomaly detection: z-score of each (event_type,
+    * hour) count against the mean/stddev of that type's counts over the
+    * PRECEDING `trailHours` hours (a true RANGE frame on the integer
+    * hour index, so gaps in the stream don't silently stretch the
+    * baseline the way a ROWS frame would). Rows with fewer than
+    * `minTrail` trailing buckets emit null statistics.
+    *
+    * Determinism: the frame aggregates are INTEGER sums (count, count²)
+    * — mean, sample variance, and z derive from them in a fixed handful
+    * of IEEE operations (one division, one sqrt — both correctly
+    * rounded), so both engines produce bit-identical doubles; never a
+    * built-in stddev, whose incremental formula is engine-specific.
+    * Scale shape: one corpus-sized agg to hourly buckets; the window
+    * runs on the bucket frame (types × hours rows). */
+  def eventAnomaly(events: DataFrame, trailHours: Int = 24,
+      minTrail: Int = 12, zThresh: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hr", (unix_timestamp(col("hour")) / 3600L).cast("long"))
+    val tw = Window.partitionBy("event_type").orderBy("hr")
+      .rangeBetween(-trailHours, -1)
+    val wdw = hourly
+      .withColumn("sum_c", sum(col("c")).over(tw))
+      .withColumn("sum_c2", sum(col("c") * col("c")).over(tw))
+      .withColumn("n_trail", count(lit(1)).over(tw))
+    val ok = col("n_trail") >= minTrail
+    // nullif on every denominator: boolean AND below does not
+    // short-circuit, so these expressions run on empty-frame rows too —
+    // ANSI mode would otherwise raise DIVIDE_BY_ZERO
+    val m = col("sum_c").cast("double") / nullif(col("n_trail"), lit(0L))
+    val sd = sqrt((col("n_trail") * col("sum_c2") - col("sum_c") * col("sum_c"))
+      .cast("double") / nullif(col("n_trail") * (col("n_trail") - 1), lit(0L)))
+    val z = (col("c").cast("double") - m) / nullif(sd, lit(0.0))
+    wdw.select(col("event_type"), col("hour").cast("timestamp_ntz").as("hour"),
+        col("c"), col("n_trail"),
+        when(ok, round(m, 6)).as("trail_mean"),
+        when(ok, round(sd, 6)).as("trail_sd"),
+        when(ok, round(z, 6)).as("z"),
+        coalesce(ok && abs(round(z, 6)) >= zThresh, lit(false)).as("anomaly"))
+      .orderBy("event_type", "hour")
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- ordered funnel conversion: how many users did view, then
@@ -130,6 +174,37 @@ object EventAnalytics {
     //      min-aggregates — never a per-user sequence collect. ----
     "q131_event_funnel" -> QueryDef.sql(funnelOracleSql) { (s, dir) =>
       eventFunnel(Tables.events(s, dir))
+    },
+
+    // ---- trailing-window anomaly detection: per-(type, hour) count
+    //      z-scores against the preceding 24 hours — integer frame sums
+    //      so both engines derive identical statistics; a RANGE frame on
+    //      the hour index, so stream gaps can't stretch the baseline. ----
+    "q137_event_anomaly" -> QueryDef.sql(
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+        |    event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |wdw AS (SELECT *,
+        |    sum(c) OVER tw AS sum_c,
+        |    sum(c * c) OVER tw AS sum_c2,
+        |    count(*) OVER tw AS n_trail
+        |  FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+        |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |st AS (SELECT event_type, hour, c, n_trail,
+        |    CAST(sum_c AS DOUBLE) / n_trail AS m,
+        |    sqrt(CAST(n_trail * sum_c2 - sum_c * sum_c AS DOUBLE)
+        |         / (n_trail * (n_trail - 1))) AS sd
+        |  FROM wdw)
+        |SELECT event_type, hour, c, n_trail,
+        |  CASE WHEN n_trail >= 12 THEN round(m, 6) END AS trail_mean,
+        |  CASE WHEN n_trail >= 12 THEN round(sd, 6) END AS trail_sd,
+        |  CASE WHEN n_trail >= 12 THEN round((CAST(c AS DOUBLE) - m) / nullif(sd, 0.0), 6) END AS z,
+        |  coalesce(n_trail >= 12
+        |    AND abs(round((CAST(c AS DOUBLE) - m) / nullif(sd, 0.0), 6)) >= 2.0,
+        |    false) AS anomaly
+        |FROM st ORDER BY event_type, hour""") { (s, dir) =>
+      eventAnomaly(Tables.events(s, dir))
     },
 
     // ---- day-cohort retention: the (cohort_day × day_offset) active-

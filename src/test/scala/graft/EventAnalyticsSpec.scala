@@ -79,6 +79,48 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("2024-01-02", 1L, 1L, 1L, 1.0)))
   }
 
+  test("q137 anomaly: spike z-score matches hand-computed frame statistics") {
+    // 'click': 24 baseline hours alternating 1/3 events, then a 9-event
+    // spike at hour 24. Trailing stats at the spike: n=24, sum=48,
+    // sum2 = 12*1 + 12*9 = 120 → mean 2, var = (24*120-48²)/(24*23)
+    val base = (0 until 24).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 3
+      (0 until n).map(i => (100L + i, "click", f"0${1 + h / 24}%s ${h % 24}%02d:15:00"))
+    }
+    val spike = (0 until 9).map(i => (200L + i, "click", "02 00:30:00"))
+    val got = EventAnalytics.eventAnomaly(eventsDf(base ++ spike))
+      .collect().map(r => (r.get(1).toString, r.getLong(2), r.getLong(3),
+        Option(r.get(6)).map(_.asInstanceOf[Double]), r.getBoolean(7))).toSeq
+    val m = 48.0 / 24
+    val sd = math.sqrt((24.0 * 120 - 48.0 * 48) / (24 * 23))
+    val expZ = BigDecimal((9.0 - m) / sd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spikeRow = got.find(_._1.startsWith("2024-01-02T00:00")).get
+    assert(spikeRow._2 === 9L && spikeRow._3 === 24L)
+    assert(spikeRow._4 === Some(expZ) && spikeRow._5, s"spike row: $spikeRow")
+    // warm-up rows (fewer than 12 trailing buckets) carry null stats
+    assert(got.count(_._4.isEmpty) === 12)
+  }
+
+  test("q137 anomaly: constant baseline (sd=0) never flags, and gaps empty the frame") {
+    // 'view': exactly 2 events every hour for 30h — sd = 0, z must be
+    // null (never a division blow-up), nothing flagged
+    val flat = (0 until 30).flatMap(h =>
+      Seq((1L, "view", f"0${1 + h / 24}%s ${h % 24}%02d:00:00"),
+        (2L, "view", f"0${1 + h / 24}%s ${h % 24}%02d:30:00")))
+    // 'error': 14 early buckets, then a 26-hour gap — the RANGE frame at
+    // the late bucket is EMPTY (a ROWS frame would wrongly reuse the old
+    // buckets across the gap)
+    val gapped = (0 until 14).map(h => (3L, "error", f"01 $h%02d:00:00")) :+
+      ((3L, "error", "02 16:00:00"))
+    val got = EventAnalytics.eventAnomaly(eventsDf(flat ++ gapped))
+      .collect().map(r => (r.getString(0), r.get(1).toString,
+        Option(r.get(6)), r.getBoolean(7)))
+    val views = got.filter(_._1 == "view")
+    assert(views.forall(v => v._3.isEmpty && !v._4), "sd=0 rows: null z, unflagged")
+    val late = got.find(r => r._1 == "error" && r._2.startsWith("2024-01-02T16")).get
+    assert(late._3.isEmpty && !late._4, s"empty frame after gap: $late")
+  }
+
   test("q132 retention matches a brute-force replay on real sf0.001 events") {
     val rows = Tables.events(spark, sf001)
       .select("user_id", "ts").collect()

@@ -443,6 +443,9 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // per-stage min-agg + join shuffles and the three one-row count
       // aggs — NEVER a per-user event-sequence collect
       ("q131_event_funnel",             0, 9),
+      // q137: one corpus scan into the hourly agg; the RANGE-frame
+      // window + output sort run on the types×hours bucket frame
+      ("q137_event_anomaly",            1, 3),
       // q132: everything downstream of the distinct (user, day) barrier
       // runs on the ≤ users×days frame; exchanges: first-day agg,
       // cohort-size agg, cell agg + joins + output sort over
