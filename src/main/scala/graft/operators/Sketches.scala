@@ -143,7 +143,47 @@ object Sketches {
         round(pow(col("u"), lit(1.0) / col("w")), 9).cast("decimal(18,9)")
           .as("es_key"))
 
+  /** Label-balanced undersampling: every label keeps exactly
+    * min-class-count rows, picked in deterministic (md5(vec_id), vec_id)
+    * hash order — the class-balancing step before training a classifier
+    * on skewed labels (the q128 sampling discipline, with the per-group
+    * quota DERIVED from the data instead of fixed).
+    *
+    * Scale shape: one bounded agg for class counts (labels-sized, its
+    * min on a one-row broadcast), one per-label window shuffle for the
+    * ranks. The quota isn't known until runtime, so the bounded min-k
+    * aggregator (fixed k) doesn't apply — at 100 TB the window's
+    * per-label sort is the cost, and a two-pass form (rank threshold via
+    * distributed selection) would replace it if a single label dominated
+    * the corpus. */
+  def labelBalancedSample(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mn = embeddings.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("mn"))
+    val w = Window.partitionBy("label")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    embeddings.select(col("vec_id"), col("label"))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(mn))
+      .filter(col("pick_rank") <= col("mn"))
+      .select(col("vec_id"), col("label"), col("pick_rank"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- label-balanced undersample: every class down to the smallest
+    //      class's count, deterministic hash order. ----
+    "q138_label_balance" -> QueryDef.sql(
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |m AS (SELECT min(n) AS mn FROM c),
+        |r AS (SELECT vec_id, label,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
+        |  FROM embeddings)
+        |SELECT vec_id, label, pick_rank FROM r CROSS JOIN m
+        |WHERE pick_rank <= mn ORDER BY vec_id""") { (s, dir) =>
+      labelBalancedSample(Tables.embeddings(s, dir)).orderBy("vec_id")
+    },
 
     // ---- weighted sample without replacement: exact per-source top-k
     //      by the E–S key, via the bounded min-k aggregator (never a

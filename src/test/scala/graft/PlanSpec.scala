@@ -418,6 +418,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // buffers, E–S key computed in-row) + the output sort — never a
       // per-group sort of the corpus
       ("q135_weighted_sample",          1, 3),
+      // q138: two pruned scans (class counts + the ranked frame);
+      // exchanges: labels-sized count agg + its 1-row min, the
+      // per-label window shuffle, output sort
+      ("q138_label_balance",            2, 4),
       // q136: everything expensive hides behind barriers/checkpoints
       // (k-means result, the multi-probe ranked frame, the CC output);
       // exchanges: keeper argmin agg + its join + output sort — the

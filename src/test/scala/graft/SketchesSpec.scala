@@ -145,6 +145,26 @@ class SketchesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.exists(_._2 == 7L), s"heavy doc must win a slot: ${got.toSeq}")
   }
 
+  test("q138 label balance: every class keeps exactly the min class count") {
+    import spark.implicits._
+    // labels 0/1/2 with 7/3/5 members — quota must be 3 for every class
+    val emb = ((1L to 7L).map((_, 0)) ++ (8L to 10L).map((_, 1)) ++
+      (11L to 15L).map((_, 2))).toDF("vec_id", "label")
+    val got = Sketches.labelBalancedSample(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.groupBy(_._2).view.mapValues(_.length).toMap ===
+      Map(0 -> 3, 1 -> 3, 2 -> 3))
+    // ranks contiguous per class; picks = hash-order bottom-3, verified
+    // against a local md5 reference
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect0 = (1L to 7L).sortBy(id => (md5hex(id.toString), id)).take(3).toSet
+    assert(got.filter(_._2 == 0).map(_._1).toSet === expect0)
+    got.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+  }
+
   test("q135 result is independent of input partitioning") {
     val docs = Tables.documents(spark, sf001)
     val base = Sketches.weightedSamplePerSource(docs, k = 6).collect().map(wsRow).toSet
