@@ -2371,7 +2371,7 @@ object Curation {
   /** Distinct word n-gram shingles, one row per (doc_id, sh). Complex
     * generator child on purpose — see graft.operators.Dedup.shingles on
     * InferFiltersFromGenerate. */
-  private def shinglesN(docs: DataFrame, n: Int): DataFrame = {
+  private[operators] def shinglesN(docs: DataFrame, n: Int): DataFrame = {
     val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
     docs.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= n)

@@ -74,6 +74,61 @@ object Maintenance {
   }
 
   // ---------------------------------------------------------------------
+  // q139 fuzzy snapshot diff
+  // ---------------------------------------------------------------------
+
+  /** The near-dup layer over [[snapshotDiff]]: for every doc the exact
+    * diff reports as 'added' or 'changed', the best-Jaccard match in the
+    * OLD snapshot (distinct word 8-grams), with attribution. The exact
+    * diff says THAT content changed; this says HOW MUCH and WHAT an
+    * "added" doc is actually a near-copy of — the recrawl-with-small-
+    * edits detector a corpus reconciliation runs before counting
+    * additions as new data.
+    *
+    * Scale shape: the changed/added set is semi-filtered BEFORE
+    * shingling (the q101 lesson — never explode the whole new snapshot
+    * to score a small changeset); the old-snapshot shingle index joins
+    * by SHUFFLE on the shingle key (both sides corpus-sized — broadcast
+    * is q101's luxury, not available here) with the standard df cap as
+    * the skew guard; the argmax is a map-side max(struct), never a
+    * window. Self-pairs (same doc_id across snapshots) are the POINT:
+    * a 'changed' doc's best match is usually its old self. */
+  def snapshotFuzzyDiff(oldDf: DataFrame, newDf: DataFrame,
+      n: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val st = snapshotDiff(oldDf, newDf)
+      .filter(col("status").isin("added", "changed"))
+      .select(col("doc_id"), col("status"))
+      .localCheckpoint(eager = false) // consumers: semi filter + output join
+    val bSh = Curation.shinglesN(
+        newDf.join(st.select(col("doc_id")), Seq("doc_id"), "left_semi"), n)
+      .select(col("doc_id").as("b_id"), col("sh"))
+      .localCheckpoint(eager = false) // consumers: sizes + index join
+    val aSh = Curation.shinglesN(oldDf, n)
+      .select(col("doc_id").as("a_id"), col("sh"))
+      .localCheckpoint(eager = false) // consumers: sizes + index join
+    val na = aSh.groupBy("a_id").agg(count(lit(1)).as("n_a"))
+    val nb = bSh.groupBy("b_id").agg(count(lit(1)).as("n_b"))
+    val inter = aSh.join(bSh, Seq("sh"))
+      .groupBy("b_id", "a_id").agg(count(lit(1)).as("n_inter"))
+    // raw-double jaccard for the argmax (integer ratio — one correctly-
+    // rounded division, engine-identical; the q101 argmax discipline),
+    // rounded only in the output
+    val jac = inter.join(nb, Seq("b_id")).join(na, Seq("a_id"))
+      .select(col("b_id"), col("a_id"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jac"))
+    val best = jac
+      .groupBy("b_id")
+      .agg(max(struct(col("jac"), (-col("a_id")).as("neg"))).as("m"))
+      .select(col("b_id").as("doc_id"), (-col("m.neg")).as("best_match"),
+        col("m.jac").as("jac"))
+    st.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"), col("best_match"),
+        round(col("jac"), 6).as("best_jaccard"),
+        coalesce(col("jac") >= threshold, lit(false)).as("near_dup"))
+  }
+
+  // ---------------------------------------------------------------------
   // q125 text normalization
   // ---------------------------------------------------------------------
 
@@ -163,6 +218,48 @@ object Maintenance {
         |WHERE status != 'unchanged' ORDER BY doc_id""") { (s, dir) =>
       val docs = Tables.documents(s, dir)
       snapshotDiff(docs, derivedSnapshot(docs)).orderBy("doc_id")
+    },
+
+    // ---- fuzzy snapshot reconciliation: the near-dup layer over q124 —
+    //      best old-snapshot Jaccard match for every added/changed doc
+    //      (how much did it change; what is an "added" doc a copy of). ----
+    "q139_snapshot_fuzzy_diff" -> QueryDef.sql(
+      """WITH b0 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        |       FROM documents WHERE substring(md5(text), 1, 1) != 'f'
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, text || ' new' FROM documents WHERE doc_id % 13 = 0),
+        |ad AS (SELECT doc_id, sha256(text) AS dg FROM documents),
+        |bd AS (SELECT doc_id, sha256(text) AS dg FROM b0),
+        |st AS (SELECT b.doc_id,
+        |         CASE WHEN a.doc_id IS NULL THEN 'added' ELSE 'changed' END AS status
+        |       FROM bd b LEFT JOIN ad a ON a.doc_id = b.doc_id
+        |       WHERE a.doc_id IS NULL OR a.dg != b.dg),
+        |wA AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |       FROM documents),
+        |aSh AS (SELECT DISTINCT doc_id AS a_id,
+        |          unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)]) AS sh
+        |        FROM wA WHERE len(ws) >= 8),
+        |wB AS (SELECT b0.doc_id, list_filter(string_split(trim(b0.text),' '), x -> x != '') AS ws
+        |       FROM b0 JOIN st USING (doc_id)),
+        |bSh AS (SELECT DISTINCT doc_id AS b_id,
+        |          unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)]) AS sh
+        |        FROM wB WHERE len(ws) >= 8),
+        |na AS (SELECT a_id, count(*) AS n_a FROM aSh GROUP BY 1),
+        |nb AS (SELECT b_id, count(*) AS n_b FROM bSh GROUP BY 1),
+        |inter AS (SELECT b_id, a_id, count(*) AS n_inter FROM aSh JOIN bSh USING (sh) GROUP BY 1, 2),
+        |j AS (SELECT b_id, a_id, CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jac
+        |      FROM inter JOIN nb USING (b_id) JOIN na USING (a_id)),
+        |best AS (SELECT b_id, a_id, jac,
+        |           row_number() OVER (PARTITION BY b_id ORDER BY jac DESC, a_id) AS rn
+        |         FROM j)
+        |SELECT st.doc_id, st.status, b.a_id AS best_match,
+        |  round(b.jac, 6) AS best_jaccard,
+        |  coalesce(b.jac >= 0.5, false) AS near_dup
+        |FROM st LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON st.doc_id = b.b_id
+        |ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      snapshotFuzzyDiff(docs, derivedSnapshot(docs)).orderBy("doc_id")
     },
 
     // ---- text normalization: strip control chars, unify whitespace,

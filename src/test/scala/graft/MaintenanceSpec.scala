@@ -37,6 +37,45 @@ class MaintenanceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got === expected.toMap)
   }
 
+  test("q139 fuzzy diff attributes edits and near-copies, and leaves novel docs unmatched") {
+    import spark.implicits._
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val tA = words("alpha", 12); val tB = words("beta", 12)
+    val old = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, tA + " edited"),        // changed: near-dup of old self
+      (2L, tB),                    // unchanged: absent from output
+      (3L, tB + " mirrored"),      // added: near-copy of doc 2
+      (4L, words("gamma", 12)))    // added: genuinely novel, no match
+      .toDF("doc_id", "text")
+    val got = operators.Maintenance.snapshotFuzzyDiff(old, nw).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)),
+        Option(r.get(3)), r.getBoolean(4))).toMap
+    assert(got.keySet === Set(1L, 3L, 4L))
+    // doc 1: 12 words → 5 shingles; +1 word → 6; intersection 5 →
+    // jaccard 5/(5+6-5) = 5/6
+    assert(got(1L)._1 === "changed" && got(1L)._2 === Some(1L) && got(1L)._4)
+    assert(got(1L)._3 === Some(BigDecimal(5.0 / 6).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got(3L)._1 === "added" && got(3L)._2 === Some(2L) && got(3L)._4,
+      s"near-copy attributes to its source: ${got(3L)}")
+    assert(got(4L) === (("added", None, None, false)), "novel doc unmatched")
+  }
+
+  test("q139 on real data: every derived 'added' doc attributes to its source doc") {
+    // the derived snapshot's additions are source docs with ' new'
+    // appended at doc_id + 1000000 — attribution must find the original
+    val full = SparkEntry.all("q139_snapshot_fuzzy_diff").fn(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+    val added = full.filter(r => r._1 >= 1000000L)
+    assert(added.nonEmpty)
+    added.foreach { case (id, st, best, near) =>
+      assert(st === "added" && best === Some(id - 1000000L) && near,
+        s"derived copy $id must attribute to ${id - 1000000L}: got $best")
+    }
+  }
+
   test("q124 generic face covers all four statuses on an in-memory pair") {
     val s = spark; import s.implicits._
     val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")

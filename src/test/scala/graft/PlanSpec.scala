@@ -418,6 +418,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // buffers, E–S key computed in-row) + the output sort — never a
       // per-group sort of the corpus
       ("q135_weighted_sample",          1, 3),
+      // q139: all three frames (changeset, both shingle sets) hide
+      // behind lazy barriers (scans=0); exchanges: size aggs, the
+      // shingle-key index join, pair agg + argmax, output sort
+      ("q139_snapshot_fuzzy_diff",      0, 6),
       // q138: two pruned scans (class counts + the ranked frame);
       // exchanges: labels-sized count agg + its 1-row min, the
       // per-label window shuffle, output sort
