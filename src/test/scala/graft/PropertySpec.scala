@@ -212,4 +212,56 @@ class PropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(salted == plain, s"buckets=$buckets")
     }
   }
+
+  test("property: funnel stage counts are monotone non-increasing for arbitrary streams") {
+    import java.sql.Timestamp
+    val evGen = Gen.zip(Gen.choose(1L, 9L),
+      Gen.oneOf("view", "click", "purchase", "other"),
+      Gen.choose(0L, 96L))
+    samples(Gen.listOfN(80, evGen), 3, seed = 101L).foreach { evs =>
+      val df = evs.map { case (u, t, h) =>
+        (u, t, new Timestamp(1704067200000L + h * 3600000L))
+      }.toDF("user_id", "event_type", "ts")
+      val counts = operators.EventAnalytics.eventFunnel(df)
+        .collect().map(_.getLong(1)).toSeq
+      assert(counts.size == 3 &&
+        counts.sliding(2).forall(p => p(0) >= p(1)),
+        s"funnel must be monotone: $counts for $evs")
+    }
+  }
+
+  test("property: weighted sample size and membership bounds for arbitrary corpora") {
+    val docGen = Gen.zip(Gen.choose(1L, 500L), Gen.choose(1, 40),
+      Gen.oneOf("s0", "s1"))
+    Seq(2, 5, 11).zipWithIndex.foreach { case (k, i) =>
+      val rows = samples(docGen, 50, seed = 211L + i)
+        .map { case (id, w, s) => (id, "x" * w, s) }
+        .groupBy(_._1).map(_._2.head).toSeq // unique doc ids
+      val df = rows.toDF("doc_id", "text", "source")
+      val picks = operators.Sketches.weightedSamplePerSource(df, k).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+      // per-source: at most k rows, ranks contiguous from 1, picks ⊆ docs
+      picks.groupBy(_._1).foreach { case (src, g) =>
+        val n = rows.count(_._3 == src)
+        assert(g.size == math.min(k, n), s"k=$k src=$src")
+        assert(g.map(_._3).sorted.toSeq == (1L to g.size).toSeq)
+      }
+      assert(picks.map(_._2).toSet.subsetOf(rows.map(_._1).toSet))
+    }
+  }
+
+  test("property: label balance emits identical per-class counts for arbitrary skews") {
+    val skews = Seq(Seq(3, 9, 4), Seq(1, 20, 5), Seq(7, 7, 7))
+    skews.foreach { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, lbl) =>
+        (1 to n).map(i => (lbl * 1000L + i, lbl))
+      }
+      val got = operators.Sketches.labelBalancedSample(rows.toDF("vec_id", "label"))
+        .collect().map(r => r.getInt(1))
+      val quota = sizes.min
+      assert(got.groupBy(identity).values.map(_.length).toSet == Set(quota),
+        s"sizes=$sizes")
+      assert(got.length == quota * sizes.size)
+    }
+  }
 }
