@@ -361,6 +361,39 @@ object Curation {
       gopherRules(Tables.documents(s, dir), corpusRequiredWords).orderBy("doc_id")
     },
 
+    // ---- UniMax epoch-capped allocation (Chung et al. 2023): uniform
+    //      budget split with small sources capped at one epoch and the
+    //      leftover redistributed — the waterfall in closed form, its
+    //      capped flag pure integer arithmetic. ----
+    "q140_unimax_allocation" -> QueryDef.sql(
+      """WITH t AS (SELECT source,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS nt
+        |  FROM documents),
+        |m AS (SELECT source, CAST(sum(nt) AS BIGINT) AS m FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(m) AS BIGINT) AS m_total FROM m),
+        |r AS (SELECT source, m, m AS cap, m_total,
+        |        row_number() OVER (ORDER BY m, source) AS i,
+        |        count(*) OVER () AS s_total,
+        |        coalesce(sum(m) OVER (ORDER BY m, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM m CROSS JOIN tot),
+        |f AS (SELECT *,
+        |        cap * (s_total - i + 1) * 10 < m_total * 9 - cum * 10 AS capped
+        |      FROM r),
+        |cs AS (SELECT CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT) AS cap_sum,
+        |         CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+        |       FROM f)
+        |SELECT source, m AS n_tokens, cap AS capacity, capped,
+        |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+        |        ELSE CAST(m_total * 9 - cap_sum * 10 AS DOUBLE)
+        |             / (10 * (s_total - n_capped)) END, 6) AS allocated,
+        |  round(CASE WHEN capped THEN 1.0
+        |        ELSE CAST(m_total * 9 - cap_sum * 10 AS DOUBLE)
+        |             / (10 * (s_total - n_capped)) / m END, 6) AS epochs
+        |FROM f CROSS JOIN cs ORDER BY source""") { (s, dir) =>
+      unimaxAllocation(Tables.documents(s, dir))
+    },
+
     // ---- DSIR importance weights (Xie et al. 2023): per-doc log
     //      likelihood ratio of the hashed-unigram bag under target
     //      (reference slice) vs raw multinomials, + per-source top-25%
@@ -2377,6 +2410,67 @@ object Curation {
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))"))).as("sh"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q140: UniMax epoch-capped budget allocation
+  // ---------------------------------------------------------------------
+
+  /** UniMax (Chung et al. 2023): allocate a token budget uniformly
+    * across sources with a per-source epoch cap — small sources are
+    * capped at `maxEpochs` passes and their leftover redistributes
+    * uniformly among the rest. The third mixing policy beside
+    * temperature scaling (q107) and fractional-epoch targets (q113);
+    * the paper's result is that this beats tuned temperatures at scale.
+    *
+    * The iterative waterfall has a CLOSED FORM over capacity-ascending
+    * sources: source i is capped iff cap_i·(S−i+1) < B − Σ_{j<i} cap_j
+    * (once the condition fails it fails for every later source — the
+    * fair share only shrinks relative to the growing caps), so one
+    * window pass + one aggregate replace the loop. With B expressed as
+    * the exact fraction budgetNum/budgetDen of total tokens, the capped
+    * flag is ALL-INTEGER arithmetic (scale both sides by budgetDen);
+    * the final fair share is one correctly-rounded division of exact
+    * integers — bit-identical across engines.
+    *
+    * Scale shape: one corpus scan to per-source masses; everything else
+    * is sources-sized (the single-partition window is dozens of rows —
+    * the documented q115 exemption). */
+  def unimaxAllocation(docs: DataFrame, maxEpochs: Int = 1,
+      budgetNum: Int = 9, budgetDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = docs
+      .select(col("source"), size(words(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("m"))
+    val tot = m.agg(sum(col("m")).as("m_total"))
+    val ord = Window.orderBy(col("cap"), col("source"))
+    val ranked = m.crossJoin(broadcast(tot))
+      .withColumn("cap", col("m") * maxEpochs)
+      .withColumn("i", row_number().over(ord))
+      .withColumn("s_total", count(lit(1)).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("cum", coalesce(sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // cap·(S−i+1) < B − cum, both sides × budgetDen: all-integer
+      .withColumn("capped",
+        col("cap") * (col("s_total") - col("i") + 1) * budgetDen <
+          col("m_total") * budgetNum - col("cum") * budgetDen)
+      .localCheckpoint(eager = false) // consumers: cap stats + output
+    val capStats = ranked.agg(
+      sum(when(col("capped"), col("cap")).otherwise(0L)).as("cap_sum"),
+      sum(when(col("capped"), 1L).otherwise(0L)).as("n_capped"))
+    ranked.crossJoin(broadcast(capStats))
+      .select(col("source"), col("m").as("n_tokens"), col("cap").as("capacity"),
+        col("capped"),
+        round(when(col("capped"), col("cap").cast("double"))
+          .otherwise((col("m_total") * budgetNum - col("cap_sum") * budgetDen)
+            .cast("double") / ((col("s_total") - col("n_capped")) * budgetDen)), 6)
+          .as("allocated"),
+        round(when(col("capped"), lit(maxEpochs.toDouble))
+          .otherwise((col("m_total") * budgetNum - col("cap_sum") * budgetDen)
+            .cast("double") / ((col("s_total") - col("n_capped")) * budgetDen)
+            / col("m")), 6).as("epochs"))
+      .orderBy("source")
   }
 
   // ---------------------------------------------------------------------

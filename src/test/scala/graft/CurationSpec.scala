@@ -1364,6 +1364,35 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r.getBoolean(10), "4 >= 2 required words pass")
   }
 
+  test("q140 unimax: hand-computed waterfall with capped and uniform sources") {
+    // masses A=10 B=20 C=100 D=110, budget = 9/10 · 240 = 216.
+    // Ascending: A capped (10·4 < 216), B capped (20·3 < 206),
+    // C not (100·2 = 200 ≥ 186) → fair share (216−30)/2 = 93
+    def doc(id: Long, n: Int, src: String) =
+      (id, Seq.fill(n)("w").mkString(" "), src)
+    val docs = Seq(doc(1, 10, "A"), doc(2, 20, "B"),
+      doc(3, 60, "C"), doc(4, 40, "C"), doc(5, 110, "D"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.unimaxAllocation(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got("A") === ((10L, true, 10.0, 1.0)))
+    assert(got("B") === ((20L, true, 20.0, 1.0)))
+    assert(got("C") === ((100L, false, 93.0, 0.93)))
+    assert(got("D") === ((110L, false, 93.0,
+      BigDecimal(93.0 / 110).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // the waterfall conserves the budget
+    assert(math.abs(got.values.map(_._3).sum - 216.0) < 1e-6)
+  }
+
+  test("q140 unimax: equal sources split uniformly with nobody capped") {
+    val docs = (1L to 4L).map(i => (i, Seq.fill(50)("w").mkString(" "), s"s$i"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.unimaxAllocation(docs).collect()
+      .map(r => (r.getBoolean(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.forall(r => !r._1 && r._2 === 45.0 && r._3 === 0.9))
+  }
+
   test("q134 dsir: target-vocabulary crawl docs outweigh crawl-vocabulary ones") {
     // reference slice speaks {alpha beta gamma}; crawl docs 100-103 speak
     // the target vocabulary, 104-107 speak {zeta eta theta}. DSIR's whole

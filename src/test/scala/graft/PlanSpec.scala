@@ -418,6 +418,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // buffers, E–S key computed in-row) + the output sort — never a
       // per-group sort of the corpus
       ("q135_weighted_sample",          1, 3),
+      // q140: one corpus scan folds into per-source masses behind the
+      // ranked frame's barrier (scans=0 in the final plan); exchanges:
+      // the mass agg + cap-stats agg — window and joins ride
+      // sources-sized frames
+      ("q140_unimax_allocation",        0, 3),
       // q139: all three frames (changeset, both shingle sets) hide
       // behind lazy barriers (scans=0); exchanges: size aggs, the
       // shingle-key index join, pair agg + argmax, output sort
