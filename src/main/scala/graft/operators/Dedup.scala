@@ -434,8 +434,101 @@ object Dedup {
       pageRank(docs, exactJaccardPairs(docs, threshold = 0.3),
         damping = 0.85, iters = 5)
         .orderBy("doc_id")
+    },
+
+    // ---- triangle counts + clustering coefficients over the near-dup
+    //      graph: cohesion audit complementing q130's centrality —
+    //      coefficient ≈ 1 marks a true duplicate clique, high degree at
+    //      low coefficient marks template CHAINING (docs that bridge
+    //      unrelated near-dup groups, exactly where transitive-closure
+    //      dedup over-merges). Spark runs degree-ordered compact-forward
+    //      enumeration; the oracle enumerates id-ordered — triangles are
+    //      orientation-independent, so the faces must agree exactly. ----
+    "q141_triangle_cohesion" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM com
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.3),
+        |deg AS (SELECT v, count(*) AS deg FROM (
+        |          SELECT d1 AS v FROM pairs UNION ALL SELECT d2 FROM pairs) GROUP BY 1),
+        |tri AS (SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+        |        FROM pairs e1 JOIN pairs e2 ON e1.d2 = e2.d1
+        |        JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+        |pn AS (SELECT v, count(*) AS triangles FROM (
+        |         SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        |         UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT deg.v AS doc_id, deg.deg, coalesce(pn.triangles, 0) AS triangles,
+        |  CASE WHEN deg.deg >= 2 THEN
+        |    round(2.0 * coalesce(pn.triangles, 0) / (deg.deg * (deg.deg - 1)), 6)
+        |  END AS clustering_coeff
+        |FROM deg LEFT JOIN pn ON pn.v = deg.v
+        |ORDER BY doc_id""") { (s, dir) =>
+      triangleCohesion(Tables.documents(s, dir), threshold = 0.3)
+        .orderBy("doc_id")
     }
   )
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * near-dup graph at `threshold` (see the q141 entry for semantics).
+    *
+    * Enumeration is DEGREE-ORDERED compact-forward (Latapy 2008): each
+    * edge orients from its lower-(degree, id) endpoint, every triangle
+    * then has exactly ONE node with two out-edges, and the wedge join's
+    * per-node work is bounded by out-degree² ≤ O(m) total on any graph —
+    * the orientation that keeps a power-law hub (a boilerplate template
+    * shared by thousands of docs) from generating degree² wedge
+    * candidates at a single reducer. The oracle's naive id-ordered
+    * enumeration proves the orientation exact. */
+  def triangleCohesion(docs: DataFrame, threshold: Double): DataFrame =
+    triangleCohesionFromPairs(
+      exactJaccardPairs(docs, threshold).select("d1", "d2"))
+
+  /** [[triangleCohesion]] over a caller-supplied (d1, d2) edge relation
+    * (d1 < d2, no duplicates) — the planted-graph spec entry point. */
+  def triangleCohesionFromPairs(edgePairs: DataFrame): DataFrame = {
+    val pairs = edgePairs
+      .localCheckpoint(eager = false) // consumers: degrees + both orientations
+    val deg = pairs.select(col("d1").as("v"))
+      .unionAll(pairs.select(col("d2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false) // consumers: orientation join + output
+    // orient each edge from its lower-(deg, id) endpoint; carry the head's
+    // (deg, id) so the wedge join can order its two heads without a re-join
+    val e = pairs
+      .join(deg.select(col("v").as("d1"), col("deg").as("g1")), Seq("d1"))
+      .join(deg.select(col("v").as("d2"), col("deg").as("g2")), Seq("d2"))
+      .select(
+        when(struct(col("g1"), col("d1")) < struct(col("g2"), col("d2")),
+          struct(col("d1").as("u"), col("d2").as("v"), col("g2").as("gv")))
+          .otherwise(struct(col("d2").as("u"), col("d1").as("v"), col("g1").as("gv")))
+          .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.gv").as("gv"))
+      .localCheckpoint(eager = false) // consumers: two wedge legs + the close
+    val x = e.select(col("u"), col("v").as("v1"), col("gv").as("gv1"))
+    val y = e.select(col("u"), col("v").as("v2"), col("gv").as("gv2"))
+    val wedges = x.join(y, Seq("u"))
+      .filter(struct(col("gv1"), col("v1")) < struct(col("gv2"), col("v2")))
+    // the closing edge is oriented v1 -> v2 ((deg,id) order is transitive)
+    val tri = wedges.join(
+      e.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6)).as("clustering_coeff"))
+  }
 
   /** Exact word-3-gram Jaccard pairs >= threshold via the shingle inverted
     * index: explode → equi-join on shingle → count common → combine with

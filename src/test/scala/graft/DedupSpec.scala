@@ -498,4 +498,29 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the graph is non-trivial: someone must sit above the teleport floor
     assert(got.values.max > round9((1.0 - d) / n) * 1.5)
   }
+
+  test("q141 triangle cohesion on a planted graph: clique, chain, and hub") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4}; chain 5-6-7; hub 8 over {9,10,11} with one
+    // closing edge 9-10 (degrees deliberately skewed so the
+    // degree-ordered orientation actually reorders edges)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L),
+      (8L, 9L), (8L, 10L), (8L, 11L), (9L, 10L))
+      .toDF("d1", "d2")
+    val got = operators.Dedup.triangleCohesionFromPairs(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // clique: deg 3, 3 triangles each, coefficient 1
+    Seq(1L, 2L, 3L, 4L).foreach(v =>
+      assert(got(v) === ((3L, 3L, Some(1.0))), s"clique node $v"))
+    // chain: no triangles; middle node coeff 0, endpoints null (deg 1)
+    assert(got(6L) === ((2L, 0L, Some(0.0))))
+    assert(got(5L) === ((1L, 0L, None)) && got(7L) === ((1L, 0L, None)))
+    // hub: deg 3, one triangle (8,9,10), coeff 2·1/(3·2) = 1/3
+    assert(got(8L) === ((3L, 1L, Some(0.333333))))
+    assert(got(9L) === ((2L, 1L, Some(1.0))) && got(10L) === ((2L, 1L, Some(1.0))))
+    assert(got(11L) === ((1L, 0L, None)))
+  }
 }

@@ -418,6 +418,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // buffers, E–S key computed in-row) + the output sort — never a
       // per-group sort of the corpus
       ("q135_weighted_sample",          1, 3),
+      // q141: the pair graph, degree table, and oriented edge set each
+      // hide behind a barrier (scans=0); exchanges: degree agg, the
+      // orientation joins, wedge + closing joins, per-node agg + sort —
+      // all on graph-sized frames
+      ("q141_triangle_cohesion",        0, 8),
       // q140: one corpus scan folds into per-source masses behind the
       // ranked frame's barrier (scans=0 in the final plan); exchanges:
       // the mass agg + cap-stats agg — window and joins ride
