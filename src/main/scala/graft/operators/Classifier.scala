@@ -56,11 +56,74 @@ object Classifier {
   val learningRate = 0.5
   val rounds = 5
 
+  /** Calibration (reliability-diagram) audit of the q41 heuristic as a
+    * predictor of reference-slice membership: docs bucket into
+    * value-based quality deciles; each bin reports its mean predicted
+    * quality vs the empirical reference rate, and the |gap| between
+    * them — the per-bin ECE contribution before the n/N weighting. The
+    * model-eval face of the quality family: q41 scores, q110/q111
+    * learn, THIS measures whether the scores mean anything.
+    *
+    * Determinism: quality is already 6-dp rounded — it sums exactly as
+    * DECIMAL(18,9); every output is one correctly-rounded double
+    * division of exact quantities. NULL-quality (degenerate) docs are
+    * excluded, matching the q81/q104 gate semantics. One pruned corpus
+    * scan, one bins-sized aggregation. */
+  def qualityCalibration(docs: DataFrame, bins: Int = 10,
+      isRef: Column = substring(md5(col("text")), 1, 1) <= "3"): DataFrame = {
+    val q = docs.select(Curation.qualityExpr(col("text")).as("q"),
+        isRef.as("is_ref"))
+      .filter(col("q").isNotNull)
+      .select(least(floor(col("q") * bins), lit(bins - 1)).cast("long").as("bin"),
+        col("q").cast("decimal(18,9)").as("qd"), col("is_ref"))
+    q.groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(col("qd")).as("qsum"))
+      .select(col("bin"), col("n"), col("n_ref"),
+        round(col("qsum").cast("double") / col("n"), 6).as("mean_quality"),
+        round(col("n_ref").cast("double") / col("n"), 6).as("ref_rate"),
+        round(abs(col("qsum").cast("double") / col("n")
+          - col("n_ref").cast("double") / col("n")), 6).as("gap"))
+      .orderBy("bin")
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // ---- quality-classifier training: final per-dim weights after 5
     //      batch GD rounds on reference-vs-rest labels. ----
     "q110_quality_classifier_train" -> QueryDef.rowsOnly { (s, dir) =>
       classifierTrain(Tables.documents(s, dir)).orderBy("dim")
+    },
+
+    // ---- calibration audit: quality-decile reliability diagram vs the
+    //      reference slice. ----
+    "q142_quality_calibration" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT md5(text) AS h,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+        |    len(list_filter(string_split(trim(text),' '),
+        |        x -> list_contains(['the','a','and','of','to','is','in'], x))) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT substring(h, 1, 1) <= '3' AS is_ref,
+        |    round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |          * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
+        |          * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / nullif(n_words, 0) * 5.0, 1.0)), 6) AS q
+        |  FROM f),
+        |b AS (SELECT CAST(least(floor(q * 10), 9) AS BIGINT) AS bin,
+        |        CAST(q AS DECIMAL(18,9)) AS qd, is_ref
+        |      FROM q WHERE q IS NOT NULL),
+        |g AS (SELECT bin, count(*) AS n,
+        |        CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |        sum(qd) AS qsum
+        |      FROM b GROUP BY 1)
+        |SELECT bin, n, n_ref,
+        |  round(CAST(qsum AS DOUBLE) / n, 6) AS mean_quality,
+        |  round(CAST(n_ref AS DOUBLE) / n, 6) AS ref_rate,
+        |  round(abs(CAST(qsum AS DOUBLE) / n - CAST(n_ref AS DOUBLE) / n), 6) AS gap
+        |FROM g ORDER BY bin""") { (s, dir) =>
+      qualityCalibration(Tables.documents(s, dir))
     },
 
     // ---- classifier scoring: p(reference-like) per doc under the

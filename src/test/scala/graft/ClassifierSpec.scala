@@ -220,4 +220,28 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     Barriers.release(table)
     assert(Barriers.persistentRddCount(spark) <= before)
   }
+
+  test("q142 calibration bins match hand-computed means, rates, and gaps") {
+    import spark.implicits._
+    // quality is a pure function of the text; these texts land in two
+    // bins with known stats. 25 stopword-free words → quality
+    // 1.0·1.0·0.5 = 0.5 (bin 5); 25 words incl. enough stopwords for a
+    // saturated stop factor → 1.0 (bin 9, since least(floor(10.0), 9)).
+    val lowText = Seq.fill(25)("word").mkString(" ")            // q = 0.5
+    val hiText = (Seq.fill(15)("word") ++ Seq.fill(10)("the")).mkString(" ") // q = 1.0
+    val docs = Seq(
+      (1L, lowText), (2L, lowText), (3L, lowText), (4L, hiText), (5L, hiText),
+      (6L, ""))                                                // NULL quality: excluded
+      .toDF("doc_id", "text")
+    val got = Classifier.qualityCalibration(docs,
+        isRef = col("doc_id").isin(1L, 4L, 5L)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet === Set(5L, 9L))
+    // bin 5: three docs at q=0.5, one is ref → mean 0.5, rate 1/3
+    assert(got(5L) === ((3L, 1L, 0.5, 0.333333,
+      BigDecimal(0.5 - 1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // bin 9 (top bin absorbs q = 1.0): two docs, both ref → gap 0
+    assert(got(9L) === ((2L, 2L, 1.0, 1.0, 0.0)))
+  }
 }

@@ -418,6 +418,9 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // buffers, E–S key computed in-row) + the output sort — never a
       // per-group sort of the corpus
       ("q135_weighted_sample",          1, 3),
+      // q142: one pruned scan, quality + binning in-row; exchanges: the
+      // bins-sized agg + output sort
+      ("q142_quality_calibration",      1, 2),
       // q141: the pair graph, degree table, and oriented edge set each
       // hide behind a barrier (scans=0); exchanges: degree agg, the
       // orientation joins, wedge + closing joins, per-node agg + sort —
