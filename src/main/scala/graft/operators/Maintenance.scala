@@ -129,6 +129,72 @@ object Maintenance {
   }
 
   // ---------------------------------------------------------------------
+  // q143 per-source snapshot drift
+  // ---------------------------------------------------------------------
+
+  /** Per-source unigram-distribution drift between two snapshots:
+    * KL(p_new ‖ p_old) with add-half smoothing over each source's UNION
+    * vocabulary (new words have no old count — smoothing is what makes
+    * the divergence finite), plus the argmax drift word. The monitoring
+    * face of the snapshot family: q124 says WHICH docs changed, q139
+    * what they're copies of, THIS whether a source's language shifted —
+    * the audit that catches a domain pivot or spam flood between crawls
+    * even when every individual diff looks routine. q122 is the same
+    * statistic ACROSS sources within one snapshot.
+    *
+    * Determinism: counts are exact integers; each term is a fixed
+    * sequence of correctly-rounded double ops rounded to DECIMAL(18,9)
+    * pre-sum (the q105/q122 discipline). Scale shape: two corpus scans
+    * (one per snapshot) collapse to (source, word) counts; the
+    * full-outer union-vocab join and everything after are
+    * sources×vocab-bounded; the count frame sits behind a barrier for
+    * its two consumers (totals + contributions). */
+  def snapshotDrift(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(col("source"), explode(words(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as(as))
+    val j = counts(oldDf, "c_a").join(counts(newDf, "c_b"),
+        Seq("source", "w"), "full_outer")
+      .select(col("source"), col("w"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .localCheckpoint(eager = false) // consumers: totals + contributions
+    val tot = j.groupBy("source").agg(
+      sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
+      count(lit(1)).as("v"))
+    val pB = (col("c_b") + 0.5) / (col("n_b") + col("v") * 0.5)
+    val pA = (col("c_a") + 0.5) / (col("n_a") + col("v") * 0.5)
+    val con = j.join(tot, Seq("source"))
+      .select(col("source"), col("w"),
+        round(pB * log(pB / pA), 9).cast("decimal(18,9)").as("ct"))
+      .localCheckpoint(eager = false) // consumers: KL sum + argmax
+    val kl = con.groupBy("source")
+      .agg(round(sum(col("ct")).cast("double"), 6).as("kl_drift"))
+    val top = con.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("ct").desc, col("w"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("w").as("top_word"),
+        round(col("ct").cast("double"), 6).as("top_contrib"))
+    kl.join(tot, Seq("source")).join(top, Seq("source"))
+      .select(col("source"), col("n_a").as("n_tokens_old"),
+        col("n_b").as("n_tokens_new"), col("v").as("union_vocab"),
+        col("kl_drift"), col("top_word"), col("top_contrib"))
+  }
+
+  /** [[derivedSnapshot]] with the source column retained — q143 needs
+    * per-source attribution; additions inherit their origin's source. */
+  private def derivedSnapshotWithSource(docs: DataFrame): DataFrame = {
+    val kept = docs.filter(substring(md5(col("text")), 1, 1) =!= "f")
+      .select(col("source"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    val added = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("source"), concat(col("text"), lit(" new")).as("text"))
+    kept.unionByName(added)
+  }
+
+  // ---------------------------------------------------------------------
   // q125 text normalization
   // ---------------------------------------------------------------------
 
@@ -260,6 +326,46 @@ object Maintenance {
         |ORDER BY doc_id""") { (s, dir) =>
       val docs = Tables.documents(s, dir)
       snapshotFuzzyDiff(docs, derivedSnapshot(docs)).orderBy("doc_id")
+    },
+
+    // ---- per-source snapshot drift: KL(new ‖ old) of each source's
+    //      unigram distribution across the recrawl, with argmax-word
+    //      attribution — the language-shift monitor between crawls. ----
+    "q143_snapshot_drift" -> QueryDef.sql(
+      """WITH b0 AS (SELECT source,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        |       FROM documents WHERE substring(md5(text), 1, 1) != 'f'
+        |       UNION ALL
+        |       SELECT source, text || ' new' FROM documents WHERE doc_id % 13 = 0),
+        |ta AS (SELECT source, unnest(list_filter(string_split(trim(text),' '), x -> x != '')) AS w
+        |       FROM documents),
+        |tb AS (SELECT source, unnest(list_filter(string_split(trim(text),' '), x -> x != '')) AS w
+        |       FROM b0),
+        |ca AS (SELECT source, w, count(*) AS c_a FROM ta GROUP BY 1, 2),
+        |cb AS (SELECT source, w, count(*) AS c_b FROM tb GROUP BY 1, 2),
+        |j AS (SELECT source, w, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |      FROM ca FULL JOIN cb USING (source, w)),
+        |tot AS (SELECT source, CAST(sum(c_a) AS BIGINT) AS n_a,
+        |          CAST(sum(c_b) AS BIGINT) AS n_b, count(*) AS v
+        |        FROM j GROUP BY 1),
+        |con AS (SELECT j.source, j.w,
+        |    CAST(round(((c_b + 0.5) / (n_b + 0.5 * v))
+        |      * ln(((c_b + 0.5) / (n_b + 0.5 * v)) / ((c_a + 0.5) / (n_a + 0.5 * v))), 9)
+        |      AS DECIMAL(18,9)) AS ct
+        |  FROM j JOIN tot USING (source)),
+        |kl AS (SELECT source, round(CAST(sum(ct) AS DOUBLE), 6) AS kl_drift
+        |       FROM con GROUP BY 1),
+        |top AS (SELECT source, w, ct,
+        |          row_number() OVER (PARTITION BY source ORDER BY ct DESC, w) AS rn
+        |        FROM con)
+        |SELECT source, n_a AS n_tokens_old, n_b AS n_tokens_new, v AS union_vocab,
+        |  kl_drift, t.w AS top_word, round(CAST(t.ct AS DOUBLE), 6) AS top_contrib
+        |FROM kl JOIN tot USING (source)
+        |JOIN (SELECT source, w, ct FROM top WHERE rn = 1) t USING (source)
+        |ORDER BY source""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      snapshotDrift(docs.select(col("source"), col("text")),
+        derivedSnapshotWithSource(docs)).orderBy("source")
     },
 
     // ---- text normalization: strip control chars, unify whitespace,

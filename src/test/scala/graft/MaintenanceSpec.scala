@@ -76,6 +76,35 @@ class MaintenanceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q143 drift: identical source pins KL to zero; a word flood is detected and attributed") {
+    import spark.implicits._
+    val stable = "alpha beta gamma alpha beta"
+    val oldDf = Seq(("s1", stable), ("s2", "one two three four five"))
+      .toDF("source", "text")
+    val newDf = Seq(("s1", stable),
+      ("s2", "one two three four five " + Seq.fill(20)("spam").mkString(" ")))
+      .toDF("source", "text")
+    val got = operators.Maintenance.snapshotDrift(oldDf, newDf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5))).toMap
+    // identical distributions: every contribution is round(p·ln(1), 9) = 0
+    assert(got("s1") === ((5L, 5L, 3L, 0.0, got("s1")._5)))
+    // flooded source: positive drift, attributed to the flooded word
+    val (na, nb, v, kl, topw) = got("s2")
+    assert(na === 5L && nb === 25L && v === 6L)
+    assert(topw === "spam", s"drift must attribute the flood: $topw")
+    // local reference on the same rounded contract
+    val counts = Seq(("one", 1, 1), ("two", 1, 1), ("three", 1, 1),
+      ("four", 1, 1), ("five", 1, 1), ("spam", 0, 20))
+    val expected = counts.map { case (_, ca, cb) =>
+      val pB = (cb + 0.5) / (25 + 6 * 0.5)
+      val pA = (ca + 0.5) / (5 + 6 * 0.5)
+      BigDecimal(pB * math.log(pB / pA)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    assert(kl === BigDecimal(expected.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("q124 generic face covers all four statuses on an in-memory pair") {
     val s = spark; import s.implicits._
     val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")

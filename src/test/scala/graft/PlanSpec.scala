@@ -418,6 +418,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // buffers, E–S key computed in-row) + the output sort — never a
       // per-group sort of the corpus
       ("q135_weighted_sample",          1, 3),
+      // q143: the union-vocab count frame and the contribution frame
+      // each hide behind a barrier (scans=0); exchanges: totals agg,
+      // per-source window, the output joins + sort — all
+      // sources×vocab-bounded
+      ("q143_snapshot_drift",           0, 4),
       // q142: one pruned scan, quality + binning in-row; exchanges: the
       // bins-sized agg + output sort
       ("q142_quality_calibration",      1, 2),
