@@ -64,7 +64,32 @@ object Plans {
     "q109_unigram_tokenize",      // broadcast logp map, in-row Viterbi DP
     "q110_quality_classifier_train", // batch-GD LR (pinned weight table)
     "q111_quality_classifier_score", // broadcast weights, in-row dot+sigmoid
-    "q112_span_corruption")          // in-row T5 denoising prep, zero shuffle
+    "q112_span_corruption",          // in-row T5 denoising prep, zero shuffle
+    "q113_epoch_mix",             // broadcast epoch table, in-row copy explode
+    "q114_pmi_collocations",      // barriered token base, TakeOrdered top-k
+    "q115_training_order",        // per-source rank window + broadcast src map
+    "q116_kneser_ney_score",      // one c12 table, four consumer statistics
+    "q117_jl_projection",         // one-row sign matrix, in-row decimal fold
+    "q118_contrastive_pairs",     // shared shingle graph, map-side argmaxes
+    "q120_wordpiece_tokenize",    // broadcast vocab map, greedy in-row match
+    "q121_shard_manifest",        // hierarchical exclusive prefix sum
+    "q122_source_kl_divergence",  // vocab-bounded contributions + argmax
+    "q123_bloom_decontamination", // one-row broadcast bit array, in-row probe
+    "q126_margin_topk",           // kNN barrier, margin normalization joins
+    "q127_heavy_hitters",         // MG summary + broadcast rescore
+    "q128_mink_sample",           // bounded min-k ObjectHashAggregate
+    "q130_pagerank",              // checkpointed rounds, decimal contributions
+    "q131_event_funnel",          // min-agg cascade, one-row count BNLJ
+    "q132_retention_cohorts",     // distinct (user,day) barrier, bounded cells
+    "q134_dsir_weights",          // barriered token frame, broadcast bucket lp
+    "q135_weighted_sample",       // E-S keys in-row, bounded min-k buffers
+    "q136_semdedup_kmeans",       // multi-probe candidates, barriered subtrees
+    "q137_event_anomaly",         // RANGE-frame window on hourly buckets
+    "q139_snapshot_fuzzy_diff",   // semi-filtered changeset, shuffle index join
+    "q140_unimax_allocation",     // closed-form waterfall, sources-sized frames
+    "q141_triangle_cohesion",     // degree-ordered compact-forward wedges
+    "q142_quality_calibration",   // in-row binning, bins-sized agg
+    "q143_snapshot_drift")        // union-vocab join, decimal contributions
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
