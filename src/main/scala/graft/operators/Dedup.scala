@@ -436,6 +436,28 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- per-source unique-data accounting under global exact dedup:
+    //      the datasheet metric for marginal source value. ----
+    "q146_unique_accounting" -> QueryDef.sql(
+      """WITH b AS (SELECT doc_id, source,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS nt,
+        |    md5(text) AS h
+        |  FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keep_id FROM b GROUP BY 1),
+        |f AS (SELECT source, nt, b.doc_id = k.keep_id AS kept
+        |      FROM b JOIN k USING (h)),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_unique,
+        |        CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS n_tokens_unique
+        |      FROM f GROUP BY 1)
+        |SELECT source, n_docs, n_docs_unique, n_tokens, n_tokens_unique,
+        |  round(1.0 - CAST(n_docs_unique AS DOUBLE) / n_docs, 6) AS doc_dup_rate,
+        |  round(1.0 - CAST(n_tokens_unique AS DOUBLE) / nullif(n_tokens, 0), 6) AS token_dup_rate
+        |FROM g ORDER BY source""") { (s, dir) =>
+      uniqueTokenAccounting(Tables.documents(s, dir))
+    },
+
     // ---- triangle counts + clustering coefficients over the near-dup
     //      graph: cohesion audit complementing q130's centrality —
     //      coefficient ≈ 1 marks a true duplicate clique, high degree at
@@ -528,6 +550,39 @@ object Dedup {
         when(col("deg") >= 2,
           round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
             (col("deg") * (col("deg") - 1)), 6)).as("clustering_coeff"))
+  }
+
+  /** Per-source unique-data accounting under GLOBAL exact dedup (q146):
+    * total vs surviving docs and token mass per source, with doc- and
+    * token-level duplication rates — the datasheet answer to "how much
+    * unique data do I actually have, and which sources are mostly
+    * copies". Dedup is global (md5 content key, keep-min doc_id — the
+    * q50 contract), so a source whose docs lose to earlier copies in
+    * OTHER sources shows its true marginal contribution. One corpus
+    * scan behind a barrier (two consumers: the keeper table + the
+    * flagged join); shuffles carry 16-byte digests + counts, never
+    * text. */
+  def uniqueTokenAccounting(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+        size(Text.words(col("text"))).cast("long").as("nt"),
+        md5(col("text")).as("h"))
+      .localCheckpoint(eager = false)
+    val keepers = base.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+    val flagged = base.join(keepers, Seq("h"))
+      .select(col("source"), col("nt"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+    flagged.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_docs_unique"),
+        sum(when(col("kept"), col("nt")).otherwise(0L)).as("n_tokens_unique"))
+      .select(col("source"), col("n_docs"), col("n_docs_unique"),
+        col("n_tokens"), col("n_tokens_unique"),
+        round(lit(1.0) - col("n_docs_unique").cast("double") / col("n_docs"), 6)
+          .as("doc_dup_rate"),
+        round(lit(1.0) - col("n_tokens_unique").cast("double")
+          / nullif(col("n_tokens"), lit(0L)), 6).as("token_dup_rate"))
+      .orderBy("source")
   }
 
   /** Exact word-3-gram Jaccard pairs >= threshold via the shingle inverted

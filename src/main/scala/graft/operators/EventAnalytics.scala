@@ -166,7 +166,89 @@ object EventAnalytics {
       .orderBy("event_type", "hour")
   }
 
+  /** Per-user event-type transition matrix: counts and row-normalized
+    * shares of consecutive (prev_type → type) transitions in each
+    * user's time-ordered stream — the behavior-pattern complement of
+    * the fixed-stage funnel (q131 asks "did the canonical path happen";
+    * this shows which paths actually happen). Ordering ties break on
+    * event_id so the lag sequence is total and engine-identical.
+    * Scale shape: one per-user window shuffle (the q105 partitioned
+    * shape), then a transitions-bounded (types²) aggregation. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // consumers: row totals + output
+    val rowTot = trans.groupBy("prev_type").agg(sum(col("n")).as("row_n"))
+    trans.join(rowTot, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("row_n"), 6).as("share"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Conversion-lag distribution for the q131 funnel: per converting
+    * user, hours from first view to first qualifying purchase; reported
+    * as count / mean / exact median / p90. The user-count frame is
+    * bounded, so exact `percentile` is safe (the q99 argument); mean
+    * sums DECIMAL(18,6) hours so engine summation order cannot drift. */
+  def conversionLag(events: DataFrame): DataFrame = {
+    val frames = stageFrames(events)
+    val lags = frames.head.withColumnRenamed("t", "t1")
+      .join(frames.last.withColumnRenamed("t", "t3"), Seq("user_id"))
+      .select((col("t3").cast("double") - col("t1").cast("double"))
+        .divide(lit(3600.0)).as("hours"))
+      .select(round(col("hours"), 6).as("hours"))
+    lags.agg(
+      count(lit(1)).as("n_converted"),
+      round(sum(col("hours").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("mean_hours"),
+      round(expr("percentile(hours, 0.5)"), 6).as("median_hours"),
+      round(expr("percentile(hours, 0.9)"), 6).as("p90_hours"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- event-type transition matrix: which consecutive paths
+    //      actually happen, row-normalized. ----
+    "q144_event_transitions" -> QueryDef.sql(
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT prev_type, sum(n) AS row_n FROM t GROUP BY 1)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / row_n, 6) AS share
+        |FROM t JOIN rt USING (prev_type)
+        |ORDER BY prev_type, next_type""") { (s, dir) =>
+      eventTransitions(Tables.events(s, dir))
+    },
+
+    // ---- conversion lag: hours from first view to first qualifying
+    //      purchase across the strict funnel, distribution stats. ----
+    "q145_conversion_lag" -> QueryDef.sql(
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v p
+        |      ON e.user_id = p.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > p.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c q
+        |      ON e.user_id = q.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > q.t2 GROUP BY 1),
+        |l AS (SELECT round((epoch(t3) - epoch(v.t1)) / 3600.0, 6) AS hours
+        |      FROM p JOIN v ON p.user_id = v.user_id)
+        |SELECT count(*) AS n_converted,
+        |  round(CAST(sum(CAST(hours AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_hours,
+        |  round(quantile_cont(hours, 0.5), 6) AS median_hours,
+        |  round(quantile_cont(hours, 0.9), 6) AS p90_hours
+        |FROM l""") { (s, dir) =>
+      conversionLag(Tables.events(s, dir))
+    },
 
     // ---- ordered funnel conversion: how many users did view, then
     //      click strictly after their first view, then purchase

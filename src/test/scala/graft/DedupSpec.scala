@@ -499,6 +499,22 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.values.max > round9((1.0 - d) / n) * 1.5)
   }
 
+  test("q146 unique accounting: cross-source duplicates charge the later source") {
+    import spark.implicits._
+    // doc 1 (X, 4 tokens) duplicated as doc 10 (Y) — Y's copy loses to
+    // the global min-id keeper; docs 2 (X) and 11 (Y) are unique
+    val docs = Seq(
+      (1L, "a b c d", "X"), (2L, "e f", "X"),
+      (10L, "a b c d", "Y"), (11L, "g h i", "Y"))
+      .toDF("doc_id", "text", "source")
+    val got = operators.Dedup.uniqueTokenAccounting(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got("X") === ((2L, 2L, 6L, 6L, 0.0, 0.0)))
+    assert(got("Y") === ((2L, 1L, 7L, 3L, 0.5,
+      BigDecimal(1.0 - 3.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("q141 triangle cohesion on a planted graph: clique, chain, and hub") {
     import spark.implicits._
     // 4-clique {1,2,3,4}; chain 5-6-7; hub 8 over {9,10,11} with one

@@ -121,6 +121,38 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(late._3.isEmpty && !late._4, s"empty frame after gap: $late")
   }
 
+  test("q144 transitions: planted matrix is exact and ties order by event_id") {
+    import spark.implicits._
+    // u1: A B B C → (A,B) (B,B) (B,C); u2: B A → (B,A)
+    // u2's two events share a timestamp — event_id must break the tie
+    val ev = Seq(
+      (1L, 1L, "A", "01 10:00:00"), (2L, 1L, "B", "01 11:00:00"),
+      (3L, 1L, "B", "01 12:00:00"), (4L, 1L, "C", "01 13:00:00"),
+      (5L, 2L, "B", "02 10:00:00"), (6L, 2L, "A", "02 10:00:00"))
+      .map { case (e, u, t, at) => (e, u, t, ts(s"2024-01-$at")) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics.eventTransitions(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      ("A", "B") -> ((1L, 1.0)),
+      ("B", "B") -> ((1L, 0.333333)),
+      ("B", "C") -> ((1L, 0.333333)),
+      ("B", "A") -> ((1L, 0.333333))))
+  }
+
+  test("q145 conversion lag: hand-computed distribution over planted funnels") {
+    // u1 converts in 5h, u2 in 26h, u3 never purchases
+    val ev = eventsDf(Seq(
+      (1L, "view", "01 00:00:00"), (1L, "click", "01 01:00:00"), (1L, "purchase", "01 05:00:00"),
+      (2L, "view", "02 00:00:00"), (2L, "click", "02 02:00:00"), (2L, "purchase", "03 02:00:00"),
+      (3L, "view", "04 00:00:00"), (3L, "click", "04 01:00:00")))
+    val r = EventAnalytics.conversionLag(ev).collect().head
+    assert(r.getLong(0) === 2L)
+    assert(r.getDouble(1) === 15.5) // mean of 5 and 26
+    assert(r.getDouble(2) === 15.5) // interpolated median
+    assert(r.getDouble(3) === 23.9) // 5 + 0.9·21
+  }
+
   test("q132 retention matches a brute-force replay on real sf0.001 events") {
     val rows = Tables.events(spark, sf001)
       .select("user_id", "ts").collect()

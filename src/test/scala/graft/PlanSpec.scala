@@ -418,6 +418,17 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // buffers, E–S key computed in-row) + the output sort — never a
       // per-group sort of the corpus
       ("q135_weighted_sample",          1, 3),
+      // q144: the transition-count frame hides behind its barrier
+      // (scans=0); exchanges: the per-user lag window shuffle collapses
+      // into the types²-sized agg, + row-total agg/join + sort
+      ("q144_event_transitions",        0, 3),
+      // q145: stage frames barriered (the q131 shapes); exchange: the
+      // one-row stats agg over the converting-users frame
+      ("q145_conversion_lag",           0, 2),
+      // q146: corpus scan behind a barrier (two consumers: keeper table
+      // + flagged join — digests travel, never text); exchanges: keeper
+      // agg, the h-join, per-source agg + sort
+      ("q146_unique_accounting",        0, 4),
       // q143: the union-vocab count frame and the contribution frame
       // each hide behind a barrier (scans=0); exchanges: totals agg,
       // per-source window, the output joins + sort — all
