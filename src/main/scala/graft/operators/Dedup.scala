@@ -436,6 +436,49 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- split-leakage audit: proves q93's guarantee as data —
+    //      clustered pairs cross splits exactly zero times; weak pairs
+    //      cross at the background rate the fractions imply. ----
+    "q147_split_leakage" -> QueryDef.sql(
+      """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |jp AS (SELECT d1, d2, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jac
+        |       FROM com JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |       WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.02),
+        |pairs AS (SELECT d1, d2 FROM jp WHERE jac >= 0.6),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |  WHERE r.a != e.b),
+        |members AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |labels AS (SELECT m.doc_id, least(m.doc_id, min(r.b)) AS cluster_id
+        |           FROM members m JOIN reach r ON r.a = m.doc_id
+        |           GROUP BY m.doc_id),
+        |g AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_id
+        |      FROM documents d LEFT JOIN labels l USING (doc_id)),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |              WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 2) < 'f3' THEN 'valid'
+        |              ELSE 'test' END AS split
+        |       FROM g),
+        |aud AS (SELECT CASE WHEN jac >= 0.6 THEN 'clustered' ELSE 'weak' END AS band,
+        |          s1.split != s2.split AS cross_split
+        |        FROM jp JOIN sp s1 ON s1.doc_id = jp.d1 JOIN sp s2 ON s2.doc_id = jp.d2)
+        |SELECT band, cross_split, count(*) AS n_pairs
+        |FROM aud GROUP BY 1, 2 ORDER BY band, cross_split""") { (s, dir) =>
+      splitLeakageAudit(Tables.documents(s, dir))
+    },
+
     // ---- per-source unique-data accounting under global exact dedup:
     //      the datasheet metric for marginal source value. ----
     "q146_unique_accounting" -> QueryDef.sql(
@@ -550,6 +593,40 @@ object Dedup {
         when(col("deg") >= 2,
           round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
             (col("deg") * (col("deg") - 1)), 6)).as("clustering_coeff"))
+  }
+
+  /** Split-leakage audit (q147): does q93's cluster-aware split actually
+    * prevent near-duplicate leakage across train/valid/test? For every
+    * similar pair, banded by strength — 'clustered' (≥ the split's own
+    * cluster threshold) vs 'weak' (below it, above `weakThreshold`) —
+    * count pairs whose endpoints landed in DIFFERENT splits. The
+    * invariant under audit: clustered pairs cross-split EXACTLY zero
+    * times (members inherit the cluster's split by construction); weak
+    * pairs cross at the background rate the split fractions imply —
+    * which is precisely the residual risk a leakage report must state.
+    * A doc-id-hash split (no clustering) fails this audit; q93 passes
+    * it — the query turns the guarantee into a checkable artifact.
+    *
+    * Scale shape: the pair frame is computed once at the WEAK threshold
+    * behind a barrier; splits join onto both endpoints by doc_id; the
+    * output is a ≤ 2×2-row matrix. */
+  def splitLeakageAudit(docs: DataFrame, clusterThreshold: Double = 0.6,
+      weakThreshold: Double = 0.02): DataFrame = {
+    val pairs = exactJaccardPairs(docs, weakThreshold)
+      .localCheckpoint(eager = false) // consumers: clusters + the audit join
+    val strong = pairs.filter(col("jaccard") >= clusterThreshold)
+    val split = clusterSplit(docs, duplicateClusters(strong))
+      .select(col("doc_id"), col("split"))
+      .localCheckpoint(eager = false) // consumers: both endpoint joins
+    pairs
+      .join(split.select(col("doc_id").as("d1"), col("split").as("s1")), Seq("d1"))
+      .join(split.select(col("doc_id").as("d2"), col("split").as("s2")), Seq("d2"))
+      .select(
+        when(col("jaccard") >= clusterThreshold, "clustered")
+          .otherwise("weak").as("band"),
+        (col("s1") =!= col("s2")).as("cross_split"))
+      .groupBy("band", "cross_split").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("band", "cross_split")
   }
 
   /** Per-source unique-data accounting under GLOBAL exact dedup (q146):

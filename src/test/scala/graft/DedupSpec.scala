@@ -499,6 +499,41 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.values.max > round9((1.0 - d) / n) * 1.5)
   }
 
+  test("q147 split leakage: clustered pairs never cross where a naive id split would") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def naiveSplit(id: Long) = {
+      val h = md5hex(id.toString).take(2)
+      if (h < "e6") "train" else if (h < "f3") "valid" else "test"
+    }
+    // find a doc-id pair a NAIVE per-doc hash split would separate
+    val (idA, idB) = (1L to 500L).flatMap(a =>
+      (a + 1 to a + 50).find(b => naiveSplit(a) != naiveSplit(b)).map((a, _))).head
+    val dupText = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((idA, dupText), (idB, dupText),
+      // an unrelated doc sharing ONE 3-gram with the dup text: a weak pair
+      (9999L, "tok1 tok2 tok3 zzz yyy xxx www vvv uuu ttt sss rrr"))
+      .toDF("doc_id", "text")
+    val got = operators.Dedup.splitLeakageAudit(docs).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    // the identical pair is clustered and does NOT cross — though the
+    // naive split would have separated exactly these two ids
+    assert(got(("clustered", false)) === 1L)
+    assert(!got.contains(("clustered", true)))
+    // the weak pairs exist and appear in the matrix (crossing or not —
+    // their split follows the md5 of their own singleton group ids)
+    assert(got.keys.count(_._1 == "weak") >= 1)
+  }
+
+  test("q147 split leakage on real data: the clustered band has zero crossings") {
+    val got = SparkEntry.all("q147_split_leakage").fn(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(got.contains(("clustered", false)), "clustered pairs exist")
+    assert(!got.contains(("clustered", true)), s"LEAKAGE: $got")
+    assert(got.keys.exists(_._1 == "weak"), "background band is non-vacuous")
+  }
+
   test("q146 unique accounting: cross-source duplicates charge the later source") {
     import spark.implicits._
     // doc 1 (X, 4 tokens) duplicated as doc 10 (Y) — Y's copy loses to

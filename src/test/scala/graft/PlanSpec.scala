@@ -418,6 +418,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // buffers, E–S key computed in-row) + the output sort — never a
       // per-group sort of the corpus
       ("q135_weighted_sample",          1, 3),
+      // q147: pair frame + split table behind barriers (scans=0; the
+      // CC rounds run under the iterative gate); exchanges: the
+      // endpoint joins collapse into the ≤4-row matrix agg + sort
+      ("q147_split_leakage",            0, 3),
       // q144: the transition-count frame hides behind its barrier
       // (scans=0); exchanges: the per-user lag window shuffle collapses
       // into the types²-sized agg, + row-total agg/join + sort
