@@ -211,7 +211,108 @@ object EventAnalytics {
       round(expr("percentile(hours, 0.9)"), 6).as("p90_hours"))
   }
 
+  /** Kaplan–Meier time-to-conversion curve with right-censoring: for
+    * every user who entered the funnel (a first view), the hours until
+    * their first qualifying purchase (the q131 strict chain); users who
+    * never converted are CENSORED at the hours they were observed (the
+    * window end minus their entry) rather than dropped — the estimator
+    * conversion analysis actually needs, vs q145's converters-only
+    * stats, which survivorship-bias the lag downward.
+    *
+    * S(t) = Π_{h ≤ t, conv_h > 0} (1 − conv_h / at_risk_h), with
+    * at-risk = funnel entrants whose observed time (conversion or
+    * censor) ≥ h.
+    *
+    * Determinism: event times collapse to integer hour offsets; each
+    * factor's ln rounds to DECIMAL(18,9) before the cumulative window
+    * sum (engine-identical), then one exp + round. Scale shape: the
+    * stage frames are the q131 min-agg cascades; everything after the
+    * per-user offsets is a ≤ window-hours frame (its single-partition
+    * cumulative windows are bounded — the documented q115 exemption). */
+  def conversionSurvival(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = stageFrames(events)
+    val entry = frames.head.withColumnRenamed("t", "t1")
+    val conv = frames.last.withColumnRenamed("t", "t3")
+    val winEnd = events.agg(max(col("ts")).as("w_end"))
+    val obs = entry.join(conv, Seq("user_id"), "left")
+      .crossJoin(broadcast(winEnd))
+      .select(
+        floor(when(col("t3").isNotNull,
+          col("t3").cast("double") - col("t1").cast("double"))
+          .otherwise(col("w_end").cast("double") - col("t1").cast("double"))
+          / 3600.0).cast("long").as("t"),
+        col("t3").isNotNull.as("converted"))
+    // per-offset conversions/censors; at-risk via reverse cumulative sum
+    val byT = obs.groupBy("t").agg(
+      sum(when(col("converted"), 1L).otherwise(0L)).as("deaths"),
+      sum(when(col("converted"), 0L).otherwise(1L)).as("censored"))
+    val ord = Window.orderBy(col("t"))
+    val atRisk = byT.withColumn("at_risk",
+      sum(col("deaths") + col("censored")).over(
+        ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    // deaths == at_risk zeroes the factor: survival is EXACTLY 0 from
+    // that offset on (ln would blow up — the absorbing case is tracked
+    // as a cumulative flag instead)
+    val lnf = atRisk
+      .withColumn("lnf",
+        when(col("deaths") > 0 && col("deaths") < col("at_risk"),
+          round(log(lit(1.0) - col("deaths").cast("double") / col("at_risk")), 9)
+            .cast("decimal(18,9)"))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,9)")))
+      .withColumn("zeroed", max((col("deaths") === col("at_risk")).cast("int"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    lnf.withColumn("surv",
+        when(col("zeroed") === 1, lit(0.0)).otherwise(
+          round(exp(sum(col("lnf")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")), 6)))
+      .select(col("t").as("hour_offset"), col("at_risk"),
+        col("deaths").as("conversions"), col("censored"), col("surv"))
+      .orderBy("hour_offset")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- Kaplan–Meier time-to-conversion with right-censoring: the
+    //      estimator that doesn't survivorship-bias the lag (q145's
+    //      converters-only stats do). ----
+    "q148_survival_curve" -> QueryDef.sql(
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v p
+        |      ON e.user_id = p.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > p.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c q
+        |      ON e.user_id = q.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > q.t2 GROUP BY 1),
+        |w AS (SELECT max(ts) AS w_end FROM events),
+        |obs AS (SELECT
+        |    CAST(floor((CASE WHEN t3 IS NOT NULL THEN epoch(t3) - epoch(t1)
+        |                ELSE epoch(w_end) - epoch(t1) END) / 3600.0) AS BIGINT) AS t,
+        |    t3 IS NOT NULL AS converted
+        |  FROM v LEFT JOIN p USING (user_id) CROSS JOIN w),
+        |byt AS (SELECT t,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS deaths,
+        |    CAST(sum(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS censored
+        |  FROM obs GROUP BY 1),
+        |ar AS (SELECT *, CAST(sum(deaths + censored) OVER (ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk
+        |  FROM byt),
+        |lf AS (SELECT *,
+        |    CASE WHEN deaths > 0 AND deaths < at_risk
+        |         THEN CAST(round(ln(1.0 - CAST(deaths AS DOUBLE) / at_risk), 9) AS DECIMAL(18,9))
+        |         ELSE CAST(0 AS DECIMAL(18,9)) END AS lnf,
+        |    max(CASE WHEN deaths = at_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+        |  FROM ar)
+        |SELECT t AS hour_offset, at_risk, deaths AS conversions, censored,
+        |  CASE WHEN zeroed = 1 THEN 0.0 ELSE
+        |    round(exp(CAST(sum(lnf) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) END AS surv
+        |FROM lf ORDER BY hour_offset""") { (s, dir) =>
+      conversionSurvival(Tables.events(s, dir))
+    },
 
     // ---- event-type transition matrix: which consecutive paths
     //      actually happen, row-normalized. ----

@@ -153,6 +153,31 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r.getDouble(3) === 23.9) // 5 + 0.9·21
   }
 
+  test("q148 survival: hand-computed KM curve with censoring between events") {
+    // u1 converts at 2h, u2 at 5h, u3 censored at 10h (window ends 12:00,
+    // its view was 02:00); u9's stray event only extends the window
+    val ev = eventsDf(Seq(
+      (1L, "view", "01 00:00:00"), (1L, "click", "01 01:00:00"), (1L, "purchase", "01 02:00:00"),
+      (2L, "view", "01 00:00:00"), (2L, "click", "01 01:00:00"), (2L, "purchase", "01 05:00:00"),
+      (3L, "view", "01 02:00:00"), (3L, "click", "01 03:00:00"),
+      (9L, "error", "01 12:00:00")))
+    val got = EventAnalytics.conversionSurvival(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (2L, 3L, 1L, 0L, 0.666667),  // S = 1 - 1/3
+      (5L, 2L, 1L, 0L, 0.333333),  // S = 2/3 · 1/2
+      (10L, 1L, 0L, 1L, 0.333333))) // censoring leaves S unchanged
+  }
+
+  test("q148 survival: full conversion hits the absorbing zero exactly") {
+    val ev = eventsDf(Seq(
+      (1L, "view", "01 00:00:00"), (1L, "click", "01 01:00:00"), (1L, "purchase", "01 03:00:00"),
+      (2L, "view", "01 00:00:00"), (2L, "click", "01 01:00:00"), (2L, "purchase", "01 03:00:00")))
+    val got = EventAnalytics.conversionSurvival(ev).collect()
+      .map(r => (r.getLong(0), r.getDouble(4)))
+    assert(got.toSeq === Seq((3L, 0.0)), s"deaths==at_risk must zero survival: ${got.toSeq}")
+  }
+
   test("q132 retention matches a brute-force replay on real sf0.001 events") {
     val rows = Tables.events(spark, sf001)
       .select("user_id", "ts").collect()

@@ -418,6 +418,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // buffers, E–S key computed in-row) + the output sort — never a
       // per-group sort of the corpus
       ("q135_weighted_sample",          1, 3),
+      // q148: stage frames barriered; one scan (the window-end max);
+      // exchanges: the entrant/conversion joins collapse into the
+      // ≤ window-hours offset frame, whose single-partition cumulative
+      // windows are the documented bounded exemption
+      ("q148_survival_curve",           1, 5),
       // q147: pair frame + split table behind barriers (scans=0; the
       // CC rounds run under the iterative gate); exchanges: the
       // endpoint joins collapse into the ≤4-row matrix agg + sort
