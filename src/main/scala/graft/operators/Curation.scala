@@ -361,6 +361,29 @@ object Curation {
       gopherRules(Tables.documents(s, dir), corpusRequiredWords).orderBy("doc_id")
     },
 
+    // ---- padding-waste audit: arrival vs length-sorted batching at a
+    //      fixed batch size; hierarchical ranks, oracle's global
+    //      windows prove them exact. ----
+    "q149_padding_waste" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS nt
+        |  FROM documents),
+        |a AS (SELECT 'arrival' AS strategy,
+        |        (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS bid, nt FROM t
+        |      UNION ALL
+        |      SELECT 'sorted',
+        |        (row_number() OVER (ORDER BY nt, doc_id) - 1) // 32, nt FROM t),
+        |b AS (SELECT strategy, bid, count(*) AS cnt, max(nt) AS mx, sum(nt) AS sm
+        |      FROM a GROUP BY 1, 2)
+        |SELECT strategy, CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |  count(*) AS n_batches,
+        |  CAST(sum(sm) AS BIGINT) AS token_sum,
+        |  CAST(sum(mx * cnt) AS BIGINT) AS slot_sum,
+        |  round(1.0 - CAST(sum(sm) AS DOUBLE) / sum(mx * cnt), 6) AS waste_frac
+        |FROM b GROUP BY 1 ORDER BY strategy""") { (s, dir) =>
+      paddingWaste(Tables.documents(s, dir))
+    },
+
     // ---- UniMax epoch-capped allocation (Chung et al. 2023): uniform
     //      budget split with small sources capped at one epoch and the
     //      leftover redistributed — the waterfall in closed form, its
@@ -2410,6 +2433,63 @@ object Curation {
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))"))).as("sh"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q149: batch padding-waste audit
+  // ---------------------------------------------------------------------
+
+  /** Padding-waste comparison between ARRIVAL-order batching and
+    * LENGTH-SORTED batching at a fixed batch size: each strategy
+    * assigns docs to batches of `batchSize` in its order, pads every
+    * row to the batch max, and reports the padded-slot fraction — the
+    * training-efficiency audit that justifies length bucketing
+    * (sequence packing, q82, is the aggressive alternative; this
+    * measures what plain batching leaves on the table).
+    *
+    * The global ranks are computed HIERARCHICALLY (the q121/q115
+    * discipline): within-bucket row_number + an exclusive bucket-offset
+    * table — never a no-partition window that collapses the corpus onto
+    * one partition. Sorted-order buckets are the token-length VALUES
+    * (bounded domain); arrival buckets are doc_id ranges. The oracle's
+    * global windows prove both decompositions exact. All-integer until
+    * the final division. */
+  def paddingWaste(docs: DataFrame, batchSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("nt"))
+      .localCheckpoint(eager = false) // consumers: both strategies
+    def hierRank(df: DataFrame, bucket: Column, order: Seq[Column]): DataFrame = {
+      val withB = df.withColumn("bkt", bucket)
+      val rnIn = withB.withColumn("rn_in",
+        row_number().over(Window.partitionBy("bkt").orderBy(order: _*)))
+      val offsets = withB.groupBy("bkt").agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum(col("n")).over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bkt"), col("off"))
+      rnIn.join(offsets, Seq("bkt"))
+        .withColumn("rank", col("off") + col("rn_in"))
+    }
+    val arrival = hierRank(t, (col("doc_id") / 4096L).cast("long"),
+      Seq(col("doc_id"))).withColumn("strategy", lit("arrival"))
+    val sorted = hierRank(t, col("nt"), Seq(col("doc_id")))
+      .withColumn("strategy", lit("sorted"))
+    val batches = arrival.unionByName(sorted)
+      .select(col("strategy"), ((col("rank") - 1) / batchSize).cast("long").as("bid"),
+        col("nt"))
+      .groupBy("strategy", "bid")
+      .agg(count(lit(1)).as("cnt"), max(col("nt")).as("mx"), sum(col("nt")).as("sm"))
+    batches.groupBy("strategy").agg(
+        sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum(col("sm")).as("token_sum"),
+        sum(col("mx") * col("cnt")).as("slot_sum"))
+      .select(col("strategy"), col("n_docs"), col("n_batches"),
+        col("token_sum"), col("slot_sum"),
+        round(lit(1.0) - col("token_sum").cast("double") / col("slot_sum"), 6)
+          .as("waste_frac"))
+      .orderBy("strategy")
   }
 
   // ---------------------------------------------------------------------

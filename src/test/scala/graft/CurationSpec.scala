@@ -1364,6 +1364,27 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r.getBoolean(10), "4 >= 2 required words pass")
   }
 
+  test("q149 padding waste: hand-computed batches and the sorted-wins invariant") {
+    // B=2; lengths by doc_id: 1→10, 2→1, 3→10, 4→1, 5→10, 6→1
+    // arrival batches (1,2)(3,4)(5,6): slots 20+20+20=60, tokens 33 → waste 27/60
+    // sorted by len: (2,4)(6,1)(3,5): slots 2+20+20... order (nt, id):
+    //   ids 2,4,6 (len 1), then 1,3,5 (len 10) → batches (2,4)(6,1)(3,5)
+    //   slots 2 + 20 + 20 = 42 → waste 9/42
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+    val docs = Seq(doc(1, 10), doc(2, 1), doc(3, 10), doc(4, 1), doc(5, 10), doc(6, 1))
+      .toDF("doc_id", "text")
+    val got = Curation.paddingWaste(docs, batchSize = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(got("arrival") === ((6L, 3L, 33L, 60L,
+      BigDecimal(27.0 / 60).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got("sorted") === ((6L, 3L, 33L, 42L,
+      BigDecimal(9.0 / 42).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // invariants: token mass is strategy-independent; sorting never loses
+    assert(got("arrival")._3 === got("sorted")._3)
+    assert(got("sorted")._5 <= got("arrival")._5)
+  }
+
   test("q140 unimax: hand-computed waterfall with capped and uniform sources") {
     // masses A=10 B=20 C=100 D=110, budget = 9/10 · 240 = 216.
     // Ascending: A capped (10·4 < 216), B capped (20·3 < 206),

@@ -451,6 +451,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // orientation joins, wedge + closing joins, per-node agg + sort —
       // all on graph-sized frames
       ("q141_triangle_cohesion",        0, 8),
+      // q149: the (doc_id, nt) frame hides behind its barrier with both
+      // strategies as consumers (scans=0); exchanges: per-strategy
+      // bucket windows + offset joins + batch/strategy aggs — ranks are
+      // hierarchical, never a no-partition window over the corpus
+      ("q149_padding_waste",            0, 9),
       // q140: one corpus scan folds into per-source masses behind the
       // ranked frame's barrier (scans=0 in the final plan); exchanges:
       // the mass agg + cap-stats agg — window and joins ride
