@@ -145,7 +145,99 @@ object Retrieval {
     rrfFusion(lex, sem, k)
   }
 
+  /** Retrieval-quality evaluation with FREE ground truth (q150): query
+    * the corpus with EDITED copies of its own documents (the q124
+    * derived snapshot's 'changed' docs — text + ' rev2') and measure
+    * whether BM25 finds each edit's original: recall@1, recall@k, and
+    * MRR. No human labels, no circularity — the relevance judgment is
+    * the identity mapping the edit construction defines. This is the
+    * regression gate a retrieval stack runs when anything upstream
+    * (tokenizer, index params, scoring) changes.
+    *
+    * Query ids ride at +1000000 so the probe's more-like-this
+    * self-exclusion (doc_id != qid) can never mask the target. Per-query
+    * reciprocal ranks round to DECIMAL(18,9) pre-sum (the q87
+    * discipline); misses contribute zero. Scale shape: the postings
+    * barrier + broadcast query terms are q84's; the metric collapse is
+    * hits-sized. */
+  def retrievalSelfEval(docs: DataFrame, k: Int = 10): DataFrame = {
+    val queries = docs
+      .filter(col("doc_id") % 7 === 0 &&
+        substring(md5(col("text")), 1, 1) =!= "f")
+      .select((col("doc_id") + 1000000L).as("qid"),
+        concat(col("text"), lit(" rev2")).as("qtext"))
+    val qTerms = queries.select(col("qid"),
+      explode(array_distinct(words(col("qtext")))).as("term"))
+    val ranked = bm25TopKAgainst(
+      bm25Postings(docs).localCheckpoint(eager = false), qTerms, k)
+    val hits = ranked.filter(col("doc_id") === col("qid") - 1000000L)
+      .select(col("rank"))
+    val nQ = queries.agg(count(lit(1)).as("n_queries"))
+    val h = hits.agg(
+      sum(when(col("rank") === 1, 1L).otherwise(0L)).as("h1"),
+      count(lit(1)).as("hk"),
+      sum(round(lit(1.0) / col("rank"), 9).cast("decimal(18,9)")).as("rr"))
+    nQ.crossJoin(broadcast(h))
+      .select(col("n_queries"),
+        coalesce(col("h1"), lit(0L)).as("hits_at_1"),
+        coalesce(col("hk"), lit(0L)).as("hits_at_k"),
+        round(coalesce(col("h1"), lit(0L)).cast("double")
+          / nullif(col("n_queries"), lit(0L)), 6).as("recall_at_1"),
+        round(coalesce(col("hk"), lit(0L)).cast("double")
+          / nullif(col("n_queries"), lit(0L)), 6).as("recall_at_k"),
+        round(coalesce(col("rr").cast("double"), lit(0.0))
+          / nullif(col("n_queries"), lit(0L)), 6).as("mrr"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- retrieval self-evaluation: edited copies as queries, the
+    //      original as ground truth — recall@1/@k and MRR. ----
+    "q150_retrieval_self_eval" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w)
+        |       GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w WHERE len(ws) > 0),
+        |qd AS (SELECT doc_id + 1000000 AS qid, text || ' rev2' AS qtext
+        |       FROM documents
+        |       WHERE doc_id % 7 = 0 AND substring(md5(text), 1, 1) != 'f'),
+        |q AS (SELECT DISTINCT qid,
+        |        unnest(list_filter(string_split(trim(qtext),' '), x -> x != '')) AS term
+        |      FROM qd),
+        |contrib AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    CAST(round(
+        |      ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+        |      9) AS DECIMAL(18,9)) AS c
+        |  FROM q
+        |  JOIN tf ON tf.term = q.term AND tf.doc_id != q.qid
+        |  JOIN dfreq ON dfreq.term = q.term
+        |  CROSS JOIN stats),
+        |scores AS (SELECT qid, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+        |           FROM contrib GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+        |      FROM scores),
+        |hits AS (SELECT rank FROM r WHERE rank <= 10 AND doc_id = qid - 1000000),
+        |nq AS (SELECT count(*) AS n_queries FROM qd),
+        |h AS (SELECT CAST(sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |        count(*) AS hk,
+        |        sum(CAST(round(1.0 / rank, 9) AS DECIMAL(18,9))) AS rr
+        |      FROM hits)
+        |SELECT n_queries,
+        |  coalesce(h1, 0) AS hits_at_1,
+        |  coalesce(hk, 0) AS hits_at_k,
+        |  round(CAST(coalesce(h1, 0) AS DOUBLE) / nullif(n_queries, 0), 6) AS recall_at_1,
+        |  round(CAST(coalesce(hk, 0) AS DOUBLE) / nullif(n_queries, 0), 6) AS recall_at_k,
+        |  round(coalesce(CAST(rr AS DOUBLE), 0.0) / nullif(n_queries, 0), 6) AS mrr
+        |FROM nq CROSS JOIN h""") { (s, dir) =>
+      retrievalSelfEval(Tables.documents(s, dir))
+    },
 
     // ---- BM25 top-k retrieval: first 10 docs are the query set,
     //      scored against the rest of the corpus (more-like-this /

@@ -423,6 +423,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // ≤ window-hours offset frame, whose single-partition cumulative
       // windows are the documented bounded exemption
       ("q148_survival_curve",           1, 5),
+      // q150: two pruned scans (query derivation + the one feeding the
+      // postings barrier); exchanges: q84's probe shapes (postings agg,
+      // df/stats, score agg, rank window) + the hits/metric collapse
+      ("q150_retrieval_self_eval",      2, 7),
       // q147: pair frame + split table behind barriers (scans=0; the
       // CC rounds run under the iterative gate); exchanges: the
       // endpoint joins collapse into the ≤4-row matrix agg + sort

@@ -128,4 +128,31 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .orderBy("qid", "rank").collect()
     assert(a.toSeq == b.toSeq, "decimal-sum contract must be run-deterministic")
   }
+
+  test("q150 self-eval: disjoint-vocabulary corpus retrieves every original at rank 1") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // every doc speaks its own vocabulary — an edited copy can only
+    // match its original, so recall@1 and MRR must be exactly 1
+    val texts = (0L to 13L).map(i => i -> (1 to 10).map(j => s"u${i}w$j").mkString(" "))
+    val docs = texts.toDF("doc_id", "text")
+    val expectedQ = texts.count { case (i, t) =>
+      i % 7 == 0 && !md5hex(t).startsWith("f")
+    }
+    val r = Retrieval.retrievalSelfEval(docs).collect().head
+    assert(r.getLong(0) === expectedQ.toLong && expectedQ >= 1)
+    assert(r.getLong(1) === expectedQ.toLong, "every query hits at rank 1")
+    assert(r.getDouble(3) === 1.0 && r.getDouble(4) === 1.0 && r.getDouble(5) === 1.0)
+  }
+
+  test("q150 self-eval: an empty query set degrades to null rates, not an error") {
+    import spark.implicits._
+    // no doc_id divisible by 7 → zero queries; counts are 0 and every
+    // rate is NULL (the nullif guard), never a division blow-up
+    val docs = (1L to 6L).map(i => (i, s"w${i}a w${i}b w${i}c")).toDF("doc_id", "text")
+    val r = Retrieval.retrievalSelfEval(docs).collect().head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 0L && r.getLong(2) === 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
 }
