@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket affinity over the order/lineitem star: which items
+  * co-occur in the same basket more often than chance (support,
+  * lift) — the classic co-occurrence analysis a pipeline landing
+  * transactional streams is asked for, and the same shape that mines
+  * co-occurring n-grams or co-cited documents in a training corpus.
+  *
+  * Scale design: pair generation is a SELF-JOIN OF THE (basket, item)
+  * FRAME ON THE BASKET KEY — co-partitioned on l_orderkey, so the join
+  * is shuffle-once and never buffers a basket in memory (no
+  * collect_list). The quadratic blowup a single hot basket would cause
+  * is bounded up front: baskets with more than `maxBasket` distinct
+  * items are excluded (the standard MBA guard — a 10k-item basket
+  * contributes 50M pairs and no signal). The (basket, item) frame
+  * feeds four consumers, so it sits behind one lazy barrier; the
+  * basket total rides a one-row broadcast (the q80 pattern), item
+  * frequencies join pair counts on the pair frame (≤ items² rows,
+  * support-pruned first). Lift divides exact integers once, so both
+  * engines see identical doubles.
+  */
+object Affinity {
+
+  /** Pairwise basket lift: items = distinct parts per order; for every
+    * unordered pair co-occurring in ≥ `minSupport` baskets, the
+    * support and lift vs independence; top-`topK` by (lift DESC,
+    * part_a, part_b) — a total order, so the cut is deterministic. */
+  def basketLift(lineitem: DataFrame, minSupport: Long = 2, topK: Int = 100,
+      maxBasket: Int = 100): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(eager = false) // consumers: sizes + filtered frame
+    val sizes = items.groupBy("okey").agg(count(lit(1)).as("bsz"))
+    val ok = items.join(sizes.filter(col("bsz") <= maxBasket), Seq("okey"))
+      .select("okey", "pk")
+      .localCheckpoint(eager = false) // consumers: total, item counts, 2 join sides
+    val nOrders = ok.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
+    val itemN = ok.groupBy("pk").agg(count(lit(1)).as("n_item"))
+    val pairs = ok.as("a")
+      .join(ok.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+    pairs
+      .join(itemN.select(col("pk").as("part_a"), col("n_item").as("n_a")),
+        Seq("part_a"))
+      .join(itemN.select(col("pk").as("part_b"), col("n_item").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_pair"), col("n_a"),
+        col("n_b"),
+        round(col("n_pair").cast("double") / col("n_orders"), 6).as("support"),
+        round((col("n_pair") * col("n_orders")).cast("double")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- market-basket pair lift: support-pruned co-occurrence with
+    //      lift vs independence, hot baskets excluded up front. ----
+    "q152_basket_lift" -> QueryDef.sql(
+      """WITH it AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+        |            FROM lineitem),
+        |sz AS (SELECT okey, count(*) AS bsz FROM it GROUP BY 1),
+        |ok AS (SELECT it.okey, it.pk FROM it JOIN sz USING (okey)
+        |       WHERE bsz <= 100),
+        |n AS (SELECT count(DISTINCT okey) AS n_orders FROM ok),
+        |itn AS (SELECT pk, count(*) AS n_item FROM ok GROUP BY 1),
+        |p AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
+        |      FROM ok a JOIN ok b ON a.okey = b.okey AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_pair, na.n_item AS n_a, nb.n_item AS n_b,
+        |  round(CAST(n_pair AS DOUBLE) / n_orders, 6) AS support,
+        |  round(CAST(n_pair * n_orders AS DOUBLE) / (na.n_item * nb.n_item), 6) AS lift
+        |FROM p
+        |JOIN itn na ON na.pk = part_a
+        |JOIN itn nb ON nb.pk = part_b
+        |CROSS JOIN n
+        |ORDER BY lift DESC, part_a, part_b LIMIT 100""") { (s, dir) =>
+      basketLift(Tables.lineitem(s, dir))
+    })
+}

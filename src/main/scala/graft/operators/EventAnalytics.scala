@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over the `events` stream table — the two
@@ -272,7 +272,208 @@ object EventAnalytics {
       .orderBy("hour_offset")
   }
 
+  /** CDC → SCD2: collapse each user's time-ordered event stream to
+    * change-point intervals of consecutive distinct `event_type` —
+    * (state, valid_from, valid_to, version, is_current), the classic
+    * slowly-changing-dimension build from a landed change stream.
+    * Ordering ties break on event_id (total order, engine-identical);
+    * consecutive repeats of the same state collapse into one interval.
+    * Scale shape: both windows share the user_id partitioning — ONE
+    * per-user shuffle, no global window anywhere. */
+  def scdIntervals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").cast("timestamp_ntz").as("valid_from"),
+        col("valid_to").cast("timestamp_ntz").as("valid_to"),
+        col("version"), col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** RFM segmentation over the purchase stream: per purchasing user,
+    * recency (days from last purchase to the window end), frequency
+    * (purchase count), monetary (DECIMAL(18,2) sum of `value`), each
+    * mapped to a 1–5 score by GLOBAL rank — computed hierarchically
+    * (within-bucket row_number + exclusive bucket offsets, the
+    * q121/q149 discipline; buckets are the metric VALUES, a bounded
+    * domain) — never a no-partition window over the user frame. The
+    * scores are all-integer: s = 1 + (5·(rank−1)) div n (recency flips:
+    * 5 = most recent), so both engines derive identical digits; the
+    * oracle's global row_number windows prove the decomposition exact. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winEnd = events.agg(max(col("ts")).as("w_end"))
+    val m = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,2)")).as("monetary"))
+      .crossJoin(broadcast(winEnd))
+      .select(col("user_id"),
+        floor((col("w_end").cast("double") - col("last_ts").cast("double"))
+          / 86400.0).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+      .localCheckpoint(eager = false) // consumers: three rank passes + n
+    val n = m.agg(count(lit(1)).as("n"))
+    def hierRank(df: DataFrame, bucket: Column, order: Seq[Column],
+        rankName: String): DataFrame = {
+      val withB = df.withColumn("bkt", bucket)
+      val rnIn = withB.withColumn("rn_in",
+        row_number().over(Window.partitionBy("bkt").orderBy(order: _*)))
+      val offsets = withB.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bkt"), col("off"))
+      rnIn.join(offsets, Seq("bkt"))
+        .withColumn(rankName, col("off") + col("rn_in"))
+        .drop("bkt", "rn_in")
+    }
+    val rr = hierRank(m, col("recency_days"),
+      Seq(col("recency_days"), col("user_id")), "rr")
+      .select("user_id", "rr")
+    val rf = hierRank(m, col("frequency"),
+      Seq(col("frequency"), col("user_id")), "rf")
+      .select("user_id", "rf")
+    val rm = hierRank(m, floor(col("monetary")).cast("long"),
+      Seq(col("monetary"), col("user_id")), "rm")
+      .select("user_id", "rm")
+    m.join(rr, Seq("user_id")).join(rf, Seq("user_id")).join(rm, Seq("user_id"))
+      .crossJoin(broadcast(n))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        round(col("monetary").cast("double"), 2).as("monetary"),
+        (lit(5L) - expr("(5 * (rr - 1)) div n")).as("r_score"),
+        (lit(1L) + expr("(5 * (rf - 1)) div n")).as("f_score"),
+        (lit(1L) + expr("(5 * (rm - 1)) div n")).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+      .orderBy("user_id")
+  }
+
+  /** Session path mining: sessionize each user's stream by a `gapSec`
+    * inactivity gap (the q75 semantics, derived here with an explicit
+    * running sum so the batch oracle can replay it), render each
+    * session's first `maxLen` events as an ordered `a>b>c` path string,
+    * and report the top-`topK` paths by session count with share.
+    *
+    * Determinism: ordering ties break on event_id; the gap compares
+    * µs-exact second diffs (timestamp cast double — the q145
+    * equivalence); top-k orders on (n_sessions DESC, path), a total
+    * order. Scale shape: the per-user windows share ONE shuffle; the
+    * per-session buffer is capped at `maxLen` BEFORE the collect (a
+    * bot's million-event session costs maxLen slots, not a megarow);
+    * the path aggregation is bounded by the distinct-path count and
+    * the final top-k is a TakeOrdered, never a global sort. */
+  def sessionPaths(events: DataFrame, gapSec: Long = 1800,
+      maxLen: Int = 20, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("pts").isNull ||
+          col("ts").cast("double") - col("pts").cast("double") > gapSec.toDouble,
+          1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+    val w2 = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    val paths = sess
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= maxLen)
+      .groupBy("user_id", "sess")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type))), s -> s.event_type), '>')")
+        .as("path"))
+      .localCheckpoint(eager = false) // consumers: path counts + total
+    val tot = paths.agg(count(lit(1)).as("tot"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(broadcast(tot))
+      .select(col("path"), col("n_sessions"),
+        round(col("n_sessions").cast("double") / col("tot"), 6).as("share"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- CDC → SCD2 state intervals: change points of each user's
+    //      event-type stream as versioned validity ranges. ----
+    "q151_scd2_intervals" -> QueryDef.sql(
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM o
+        |      WHERE prev_type IS NULL OR prev_type != event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  row_number() OVER w AS version,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""") { (s, dir) =>
+      scdIntervals(Tables.events(s, dir))
+    },
+
+    // ---- RFM segmentation: quintile scores from hierarchical global
+    //      ranks; the oracle's global windows prove them exact. ----
+    "q153_rfm_segments" -> QueryDef.sql(
+      """WITH p AS (SELECT user_id, max(ts) AS last_ts,
+        |    count(*) AS frequency,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |w AS (SELECT max(ts) AS w_end FROM events),
+        |m AS (SELECT user_id,
+        |    CAST(floor((epoch(w_end) - epoch(last_ts)) / 86400.0) AS BIGINT) AS recency_days,
+        |    frequency, monetary FROM p CROSS JOIN w),
+        |n AS (SELECT count(*) AS n FROM m),
+        |r AS (SELECT m.*, n.n,
+        |    row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+        |    row_number() OVER (ORDER BY frequency, user_id) AS rf,
+        |    row_number() OVER (ORDER BY monetary, user_id) AS rm
+        |  FROM m CROSS JOIN n)
+        |SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+        |  round(CAST(monetary AS DOUBLE), 2) AS monetary,
+        |  5 - (5 * (rr - 1)) // n AS r_score,
+        |  1 + (5 * (rf - 1)) // n AS f_score,
+        |  1 + (5 * (rm - 1)) // n AS m_score,
+        |  CAST(5 - (5 * (rr - 1)) // n AS VARCHAR)
+        |    || CAST(1 + (5 * (rf - 1)) // n AS VARCHAR)
+        |    || CAST(1 + (5 * (rm - 1)) // n AS VARCHAR) AS segment
+        |FROM r ORDER BY user_id""") { (s, dir) =>
+      rfmSegments(Tables.events(s, dir))
+    },
+
+    // ---- session path mining: top event-type sequences per inactivity
+    //      session, capped per-session buffer, TakeOrdered top-k. ----
+    "q154_session_paths" -> QueryDef.sql(
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |s AS (SELECT *, sum(CASE WHEN pts IS NULL
+        |      OR epoch(ts) - epoch(pts) > 1800.0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |    ORDER BY ts, event_id) AS rn FROM s),
+        |p AS (SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM r WHERE rn <= 20 GROUP BY 1, 2),
+        |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1),
+        |t AS (SELECT count(*) AS tot FROM p)
+        |SELECT path, n_sessions,
+        |  round(CAST(n_sessions AS DOUBLE) / tot, 6) AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY n_sessions DESC, path LIMIT 50""") { (s, dir) =>
+      sessionPaths(Tables.events(s, dir))
+    },
 
     // ---- Kaplan–Meier time-to-conversion with right-censoring: the
     //      estimator that doesn't survivorship-bias the lag (q145's

@@ -232,8 +232,130 @@ object Similarity {
         |  round(CAST(sum(contrib) AS DOUBLE) / 4.0, 6) AS value
         |FROM c GROUP BY 1, 2 ORDER BY vec_id, proj_dim""") { (s, dir) =>
       jlProject(Tables.embeddings(s, dir)).orderBy("vec_id", "proj_dim")
+    },
+
+    // ---- prototypicality pruning (Sorscher et al. 2022): cosine to the
+    //      per-label mean vector ranks examples easy→hard; the bottom
+    //      fifth (least prototypical = likely noise/outliers) is flagged.
+    //      All sums ride DECIMAL(18,9) so both engines derive identical
+    //      scores; rank ties break on vec_id. ----
+    "q155_prototype_prune" -> QueryDef.sql(
+      s"""WITH $protoOracleCte,
+         |s AS (SELECT vec_id, label,
+         |        round(dvc / (sqrt(dvv) * sqrt(dcc)), 6) AS proto FROM d),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY label ORDER BY proto, vec_id) AS rk,
+         |        count(*) OVER (PARTITION BY label) AS n_label FROM s)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label, proto,
+         |  CAST(rk AS BIGINT) AS rk, CAST(n_label AS BIGINT) AS n_label,
+         |  rk * 5 <= n_label AS prune
+         |FROM r ORDER BY label, rk""") { (s, dir) =>
+      prototypePrune(Tables.embeddings(s, dir))
+    },
+
+    // ---- per-label embedding dispersion: mean squared distance to the
+    //      label centroid in CLOSED FORM (‖x‖² − 2⟨x,μ⟩ + ‖μ‖² per row,
+    //      then one mean) — the diversity audit that never builds a
+    //      pairwise join. ----
+    "q156_embedding_dispersion" -> QueryDef.sql(
+      s"""WITH $protoOracleCte,
+         |sq AS (SELECT vec_id, label,
+         |         round(dvv - 2 * dvc + dcc, 9) AS sq FROM d)
+         |SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+         |  round(CAST(sum(CAST(sq AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+         |    AS dispersion,
+         |  round(sqrt(max(d2.dcc)), 6) AS centroid_norm
+         |FROM sq JOIN (SELECT label AS l2, max(dcc) AS dcc FROM d GROUP BY 1) d2
+         |  ON d2.l2 = sq.label
+         |GROUP BY sq.label ORDER BY label""") { (s, dir) =>
+      embeddingDispersion(Tables.embeddings(s, dir))
     }
   )
+
+  /** Shared DuckDB CTE chain for the prototype family: per-(label, dim)
+    * DECIMAL(18,9) centroid means, then per-vector decimal dot products
+    * against the centroid (dvc), itself (dvv), and the centroid's own
+    * norm² (dcc). Mirrors [[protoBase]] operation-for-operation. */
+  private val protoOracleCte =
+    """x AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+      |        unnest(embedding) AS v FROM embeddings),
+      |cent AS (SELECT label, j,
+      |    round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE)
+      |      / count(*), 9) AS c
+      |  FROM x GROUP BY 1, 2),
+      |d AS (SELECT x.vec_id, x.label,
+      |    CAST(sum(CAST(round(CAST(x.v AS DOUBLE) * c.c, 9) AS DECIMAL(18,9))) AS DOUBLE) AS dvc,
+      |    CAST(sum(CAST(round(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE) AS dvv,
+      |    CAST(sum(CAST(round(c.c * c.c, 9) AS DECIMAL(18,9))) AS DOUBLE) AS dcc
+      |  FROM x JOIN cent c ON c.label = x.label AND c.j = x.j
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Per-vector frame (vec_id, label, dvv, dvc, dcc) against the
+    * per-label DECIMAL-mean centroid.
+    *
+    * Scale shape: the centroid build is the ONLY corpus explode —
+    * posexplode → groupBy(label, dim) collapses to labels × dim cells
+    * under map-side combine; scoring then joins the labels-sized
+    * centroid table broadcast and folds IN-ROW (zip_with + decimal
+    * aggregate), so the corpus itself never explodes or re-shuffles.
+    * Determinism: every sum is an order-free DECIMAL(18,9) fold of
+    * 9-dp-rounded terms (the q117 discipline); divisions and sqrt are
+    * single correctly-rounded IEEE ops. */
+  private def protoBase(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .localCheckpoint(eager = false) // consumers: centroid build + scoring
+    val decSum9 = (terms: String) =>
+      s"CAST(aggregate($terms, CAST(0 AS DECIMAL(28,9)), (acc, t) -> CAST(acc + t AS DECIMAL(28,9))) AS DOUBLE)"
+    val cent = e.select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(sum(expr("CAST(round(v, 9) AS DECIMAL(18,9))")).cast("double")
+        / count(lit(1)), 9).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+        .as("cemb"))
+      .withColumn("dcc", expr(
+        decSum9("zip_with(cemb, cemb, (x, y) -> CAST(round(x * y, 9) AS DECIMAL(18,9)))")))
+    e.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        expr(decSum9(
+          "zip_with(emb, cemb, (x, y) -> CAST(round(x * y, 9) AS DECIMAL(18,9)))"))
+          .as("dvc"),
+        expr(decSum9(
+          "zip_with(emb, emb, (x, y) -> CAST(round(x * y, 9) AS DECIMAL(18,9)))"))
+          .as("dvv"),
+        col("dcc"))
+  }
+
+  /** Prototypicality pruning: per-label cosine to the label centroid,
+    * ranked ascending (least prototypical first); `prune` flags the
+    * bottom 1/5 via all-integer arithmetic (rk·5 ≤ n). */
+  def prototypePrune(embeddings: DataFrame): DataFrame = {
+    val w = Window.partitionBy("label").orderBy(col("proto"), col("vec_id"))
+    protoBase(embeddings)
+      .select(col("vec_id"), col("label"),
+        round(col("dvc") / (sqrt(col("dvv")) * sqrt(col("dcc"))), 6).as("proto"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_label",
+        count(lit(1)).over(Window.partitionBy("label")).cast("long"))
+      .withColumn("prune", col("rk") * 5 <= col("n_label"))
+      .orderBy("label", "rk")
+  }
+
+  /** Per-label dispersion: mean squared distance to the label centroid,
+    * assembled per row from the three dot products (closed form — no
+    * pairwise join), then one DECIMAL mean per label. */
+  def embeddingDispersion(embeddings: DataFrame): DataFrame =
+    protoBase(embeddings)
+      .select(col("label"),
+        round(col("dvv") - lit(2) * col("dvc") + col("dcc"), 9).as("sq"),
+        col("dcc"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sq").cast("decimal(18,9)")).cast("double")
+          / count(lit(1)), 6).as("dispersion"),
+        round(sqrt(max(col("dcc"))), 6).as("centroid_norm"))
+      .orderBy("label")
 
   /** Exact brute-force cosine top-k: rows of `embeddings` matching
     * `isQuery` are ranked against the whole corpus. The query side is

@@ -178,6 +178,80 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === Seq((3L, 0.0)), s"deaths==at_risk must zero survival: ${got.toSeq}")
   }
 
+  test("q151 SCD2: repeats collapse, ties order by event_id, last interval open") {
+    import spark.implicits._
+    // u1: A A B B A → A[t1,t3) B[t3,t5) A[t5,∞); u2: X,Y at the SAME ts —
+    // event_id decides the version order and X's interval is empty
+    val ev = Seq(
+      (1L, 1L, "A", "01 10:00:00"), (2L, 1L, "A", "01 11:00:00"),
+      (3L, 1L, "B", "01 12:00:00"), (4L, 1L, "B", "01 13:00:00"),
+      (5L, 1L, "A", "01 14:00:00"),
+      (6L, 2L, "X", "02 09:00:00"), (7L, 2L, "Y", "02 09:00:00"))
+      .map { case (e, u, t, at) => (e, u, t, ts(s"2024-01-$at")) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = operators.EventAnalytics.scdIntervals(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.get(2).toString, Option(r.get(3)).map(_.toString),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq === Seq(
+      (1L, "A", "2024-01-01T10:00", Some("2024-01-01T12:00"), 1L, false),
+      (1L, "B", "2024-01-01T12:00", Some("2024-01-01T14:00"), 2L, false),
+      (1L, "A", "2024-01-01T14:00", None, 3L, true),
+      (2L, "X", "2024-01-02T09:00", Some("2024-01-02T09:00"), 1L, false),
+      (2L, "Y", "2024-01-02T09:00", None, 2L, true)))
+  }
+
+  test("q153 RFM: planted quintiles — scores are exact ranks at n=5") {
+    import spark.implicits._
+    def p(u: Long, v: Double, at: String) = (u, "purchase", v, ts(s"2024-01-$at"))
+    val rows = Seq(
+      p(1L, 100.0, "09 10:00:00"), p(1L, 100.0, "09 11:00:00"), p(1L, 100.0, "09 12:00:00"),
+      p(2L, 100.0, "07 00:00:00"), p(2L, 100.0, "08 00:00:00"),
+      p(3L, 500.0, "07 00:00:00"),
+      p(4L, 10.0, "05 00:00:00"), p(4L, 10.0, "05 01:00:00"), p(4L, 10.0, "05 02:00:00"),
+      p(4L, 10.0, "05 03:00:00"), p(4L, 10.0, "04 23:00:00"),
+      p(5L, 25.0, "01 00:00:00"), p(5L, 25.0, "01 01:00:00"),
+      p(5L, 25.0, "01 02:00:00"), p(5L, 25.0, "01 03:00:00"),
+      // window-end anchor: a non-purchase event at 01-10 00:00 (u99
+      // never purchases, so it contributes only w_end)
+      (99L, "error", 0.0, ts("2024-01-10 00:00:00")))
+    val ev = rows.toDF("user_id", "event_type", "value", "ts")
+    val got = operators.EventAnalytics.rfmSegments(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 3L, 300.0, 5L, 3L, 4L, "534"),
+      (2L, 2L, 2L, 200.0, 4L, 2L, 3L, "423"),
+      (3L, 3L, 1L, 500.0, 3L, 1L, 5L, "315"),
+      (4L, 4L, 5L, 50.0, 2L, 5L, 1L, "251"),
+      (5L, 8L, 4L, 100.0, 1L, 4L, 2L, "142")))
+  }
+
+  test("q154 paths: gap boundary is strict, sessions cap at maxLen, ties order by event_id") {
+    import spark.implicits._
+    // u1: gap of EXACTLY 1800 s stays in-session; 1801 s opens a new one
+    val u1 = Seq(
+      (1L, 1L, "A", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "B", ts("2024-01-01 10:30:00")),
+      (3L, 1L, "C", ts("2024-01-01 11:00:01")))
+    // u2: 25 events 1 s apart — one session, path capped at the first 20
+    val u2 = (0 until 25).map(i =>
+      (10L + i, 2L, if (i % 2 == 0) "A" else "B",
+        new Timestamp(ts("2024-01-02 08:00:00").getTime + i * 1000L)))
+    // u3: same-ts pair — event_id orders the path
+    val u3 = Seq(
+      (50L, 3L, "Y", ts("2024-01-03 09:00:00")),
+      (51L, 3L, "X", ts("2024-01-03 09:00:00")))
+    val ev = (u1 ++ u2 ++ u3).toDF("event_id", "user_id", "event_type", "ts")
+    val got = operators.EventAnalytics.sessionPaths(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val cap20 = (0 until 20).map(i => if (i % 2 == 0) "A" else "B").mkString(">")
+    val exp = Seq(
+      ("A>B", 1L, 0.25), (cap20, 1L, 0.25), ("C", 1L, 0.25), ("Y>X", 1L, 0.25))
+      .sortBy(_._1)
+    assert(got.sortBy(_._1) === exp)
+  }
+
   test("q132 retention matches a brute-force replay on real sf0.001 events") {
     val rows = Tables.events(spark, sf001)
       .select("user_id", "ts").collect()

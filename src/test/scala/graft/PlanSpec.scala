@@ -505,7 +505,26 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // runs on the ≤ users×days frame; exchanges: first-day agg,
       // cohort-size agg, cell agg + joins + output sort over
       // cohort-cardinality frames
-      ("q132_retention_cohorts",        0, 3))
+      ("q132_retention_cohorts",        0, 3),
+      // q151: one events scan; both SCD2 windows share the user_id
+      // partitioning (1 exchange) + the output range sort
+      ("q151_scd2_intervals",           1, 2),
+      // q152: the (basket, item) frame sits behind its barrier; the
+      // self-join reuses its okey partitioning; pair agg + two item-count
+      // joins + one-row broadcast + TakeOrdered
+      ("q152_basket_lift",              0, 5),
+      // q153: the per-user metric frame is barriered; each of the three
+      // hierarchical rank passes costs a bucket window + offset agg +
+      // offset window + join-back, all on the users-sized frame
+      ("q153_rfm_segments",             0, 11),
+      // q154: session/path windows share the user_id partitioning behind
+      // the barrier; path counts + TakeOrdered on the path frame
+      ("q154_session_paths",            0, 2),
+      // q155/q156: centroid explode collapses to labels×dims under
+      // map-side combine; scoring joins the broadcast centroid table and
+      // folds in-row — the corpus never re-shuffles
+      ("q155_prototype_prune",          0, 4),
+      ("q156_embedding_dispersion",     0, 4))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

@@ -380,4 +380,69 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(isKeeper === (id == expKeeper), s"vec $id")
     }
   }
+
+  /** Plain-Scala reference for the q155/q156 decimal chain: 9-dp-rounded
+    * terms, exact BigDecimal sums, correctly-rounded divisions — the
+    * independent-implementation cross-check the oracle can't give the
+    * intermediate values. */
+  private def protoRef(vecs: Seq[(Long, Int, Array[Float])])
+      : Map[Long, (Double, Double)] = {
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byLabel = vecs.groupBy(_._2)
+    byLabel.flatMap { case (_, vs) =>
+      val d = vs.head._3.length
+      val cent = (0 until d).map { j =>
+        val s = vs.map(v => r9(v._3(j).toDouble)).sum
+        r9(s.toDouble / vs.size).toDouble
+      }
+      val dcc = cent.map(c => r9(c * c)).sum.toDouble
+      vs.map { case (id, _, emb) =>
+        val e = emb.map(_.toDouble)
+        val dvc = (0 until d).map(j => r9(e(j) * cent(j))).sum.toDouble
+        val dvv = (0 until d).map(j => r9(e(j) * e(j))).sum.toDouble
+        val proto = r6(dvc / (math.sqrt(dvv) * math.sqrt(dcc)))
+        val sq = r9(dvv - 2 * dvc + dcc).toDouble
+        id -> ((proto, sq))
+      }
+    }
+  }
+
+  test("q155 prototype prune: scores match the plain-Scala decimal reference; bottom fifth pruned") {
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(1.0f, 0.2f)),
+      (2L, 0, Array(1.0f, 0.4f)), (3L, 0, Array(1.0f, 0.6f)),
+      (4L, 0, Array(0.0f, 1.0f)), // the off-axis outlier
+      (5L, 1, Array(3.0f, 0.0f)), (6L, 1, Array(3.0f, 0.0f)))
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val ref = protoRef(vecs)
+    val got = Similarity.prototypePrune(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    got.foreach { case (id, _, proto, _, _, _) =>
+      assert(proto === ref(id)._1, s"vec $id proto")
+    }
+    // label 0 has 5 members: exactly rank 1 (the outlier v4) is pruned
+    val l0 = got.filter(_._2 == 0L)
+    assert(l0.find(_._1 == 4L).get._4 === 1L, "outlier ranks least prototypical")
+    assert(l0.filter(_._6).map(_._1).toSeq === Seq(4L))
+    // label 1: identical vectors share proto 1.0; n=2 → rk·5 ≤ 2 never
+    val l1 = got.filter(_._2 == 1L)
+    assert(l1.forall(r => r._3 === 1.0 && !r._6))
+  }
+
+  test("q156 dispersion: identical vectors → 0; the (1,0)/(0,1) pair → exactly 0.5") {
+    val vecs = Seq(
+      (0L, 0, Array(2.0f, 0.0f)), (1L, 0, Array(2.0f, 0.0f)),
+      (2L, 1, Array(1.0f, 0.0f)), (3L, 1, Array(0.0f, 1.0f)))
+    val got = Similarity.embeddingDispersion(vecs.toDF("vec_id", "label", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // label 1: centroid (0.5, 0.5); each row ‖x−μ‖² = 0.5; ‖μ‖ = √0.5
+    assert(got.toSeq === Seq(
+      (0L, 2L, 0.0, 2.0),
+      (1L, 2L, 0.5, 0.707107)))
+    // closed form agrees with the per-row reference sq values
+    val ref = protoRef(vecs)
+    assert(ref(2L)._2 === 0.5 && ref(3L)._2 === 0.5 && ref(0L)._2 === 0.0)
+  }
 }
