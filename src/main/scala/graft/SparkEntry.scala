@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Unigram.defs ++ operators.Classifier.defs ++
       operators.Wordpiece.defs ++ operators.Maintenance.defs ++
       operators.Sketches.defs ++ operators.EventAnalytics.defs ++
-      operators.Affinity.defs ++
+      operators.Affinity.defs ++ operators.Tokenizers.defs ++
+      operators.ImageHash.defs ++
       streaming.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -361,6 +361,30 @@ object Curation {
       gopherRules(Tables.documents(s, dir), corpusRequiredWords).orderBy("doc_id")
     },
 
+    // ---- token-mass concentration: per-source Gini + top-decile share
+    //      from the length HISTOGRAM in closed form — the oracle's
+    //      per-row rank windows prove the decomposition exact. ----
+    "q157_token_gini" -> QueryDef.sql(
+      """WITH t AS (SELECT source, doc_id,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS nt
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY source) AS n_src FROM t),
+        |f AS (SELECT source, nt, rk, n_src,
+        |        rk > n_src - n_src // 10 AS is_top FROM r),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(nt) AS BIGINT) AS token_sum,
+        |        CAST(sum(rk * nt) AS BIGINT) AS s1,
+        |        CAST(sum(CASE WHEN is_top THEN nt ELSE 0 END) AS BIGINT) AS top_sum
+        |      FROM f GROUP BY 1)
+        |SELECT source, n_docs, token_sum,
+        |  round(2.0 * s1 / CAST(n_docs * token_sum AS DOUBLE)
+        |    - CAST(n_docs + 1 AS DOUBLE) / n_docs, 6) AS gini,
+        |  round(CAST(top_sum AS DOUBLE) / token_sum, 6) AS top_decile_share
+        |FROM g ORDER BY source""") { (s, dir) =>
+      tokenGini(Tables.documents(s, dir))
+    },
+
     // ---- padding-waste audit: arrival vs length-sorted batching at a
     //      fixed batch size; hierarchical ranks, oracle's global
     //      windows prove them exact. ----
@@ -2490,6 +2514,57 @@ object Curation {
         round(lit(1.0) - col("token_sum").cast("double") / col("slot_sum"), 6)
           .as("waste_frac"))
       .orderBy("strategy")
+  }
+
+  // ---------------------------------------------------------------------
+  // q157: token-mass concentration (Gini / top-decile share)
+  // ---------------------------------------------------------------------
+
+  /** Per-source token-mass concentration: the Gini coefficient of doc
+    * token counts plus the share of tokens held by the top decile of
+    * docs — the "is this source a few megadocs or many small pages"
+    * audit that decides chunking and sampling policy per source.
+    *
+    * Everything derives from the per-source LENGTH HISTOGRAM in closed
+    * form — never a per-row rank window (which would collapse each
+    * source onto one partition; the q149 lesson taken one step
+    * further): for a bucket of `cnt` docs of length `v` starting after
+    * `off` smaller docs, Σ rank·v = v·(off·cnt + cnt(cnt+1)/2), and the
+    * top-decile take is clamp(k − rows_above, 0, cnt) walking buckets
+    * from the largest value down. Both are exact integer sums — ties
+    * don't matter because equal values contribute identically under any
+    * tie order, which is also why the oracle's per-row row_number
+    * windows (its ranks tie-break on doc_id) prove the decomposition
+    * exact. G = 2·Σrank·x/(n·Σx) − (n+1)/n; all-integer until two
+    * correctly-rounded divisions. */
+  def tokenGini(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = docs
+      .select(col("source"), size(words(col("text"))).cast("long").as("nt"))
+      .groupBy("source", "nt").agg(count(lit(1)).as("cnt"))
+    val wAsc = Window.partitionBy("source").orderBy("nt")
+    val b = h
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src",
+        sum(col("cnt")).over(Window.partitionBy("source")))
+      .withColumn("above", col("n_src") - col("off") - col("cnt"))
+      .withColumn("take",
+        greatest(lit(0L), least(col("cnt"),
+          expr("n_src div 10") - col("above"))))
+    b.groupBy("source").agg(
+        sum(col("cnt")).as("n_docs"),
+        sum(col("nt") * col("cnt")).as("token_sum"),
+        sum(col("nt") * (col("off") * col("cnt")
+          + expr("(cnt * (cnt + 1)) div 2"))).as("s1"),
+        sum(col("nt") * col("take")).as("top_sum"))
+      .select(col("source"), col("n_docs"), col("token_sum"),
+        round(lit(2.0) * col("s1")
+          / (col("n_docs") * col("token_sum")).cast("double")
+          - (col("n_docs") + 1).cast("double") / col("n_docs"), 6).as("gini"),
+        round(col("top_sum").cast("double") / col("token_sum"), 6)
+          .as("top_decile_share"))
+      .orderBy("source")
   }
 
   // ---------------------------------------------------------------------

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image hashing + near-duplicate detection (q159): the
+  * multimodal counterpart of MinHash/SimHash text dedup. Each image's
+  * luminance plane average-pools to a 9×8 grid and the 64 horizontal
+  * neighbor comparisons pack into one BIGINT — the classic dHash
+  * (difference hash): re-encodes, resizes, and small edits preserve most
+  * gradient signs, so near-duplicate images land within a few bits.
+  *
+  * Scale design: decode + hash is a NARROW mapPartitions over the asset
+  * scan (the [[Multimodal]] discipline — binary payloads never shuffle;
+  * only 16-byte (id, hash) rows flow onward). Candidate generation is
+  * banded exactly like SimHash (q53): the 64-bit hash splits into 4
+  * 16-bit bands, pairs join per band — by pigeonhole any pair within
+  * Hamming distance 3 shares at least one band, so at `maxDist` ≤ 3 the
+  * banded join is EXACT, not approximate. Verification is columnar
+  * (`bit_count(h1 ^ h2)`), bands dedupe with one distinct.
+  *
+  * All arithmetic is integer (floor-division pooling, cross-multiplied
+  * mean comparison), so hashes are bit-identical on any platform and
+  * partitioning.
+  */
+object ImageHash {
+
+  import Multimodal.MediaAsset
+
+  /** dHash of one decoded luminance plane: pool to (gw+1)×gh cells with
+    * floor-division box boundaries, set bit (y·gw + x) iff the right
+    * cell's mean exceeds its left neighbor's — compared exactly via
+    * cross-multiplication, never a float division. */
+  private[graft] def dhash(w: Int, h: Int, luma: Array[Int],
+      gw: Int = 8, gh: Int = 8): Long = {
+    val cols = gw + 1
+    val sums = new Array[Long](cols * gh)
+    val cnts = new Array[Long](cols * gh)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(y * gh / h, gh - 1)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(x * cols / w, cols - 1)
+        sums(gy * cols + gx) += luma(y * w + x)
+        cnts(gy * cols + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        val l = gy * cols + gx
+        val r = l + 1
+        // mean_r > mean_l ⇔ sum_r·cnt_l > sum_l·cnt_r (all counts > 0
+        // whenever w ≥ cols, h ≥ gh; empty cells compare as 0)
+        val bit = sums(r) * math.max(cnts(l), 1L) > sums(l) * math.max(cnts(r), 1L)
+        if (bit) hash |= 1L << (gy * gw + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** (asset_id, dhash) for every decodable asset — narrow, no shuffle. */
+  def imageHashes(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        Multimodal.PnmCodec.decodeLuma(a.bytes).map { case (w, h, luma) =>
+          (a.asset_id, dhash(w, h, luma))
+        }
+      }
+    }.toDF("asset_id", "dhash")
+  }
+
+  /** Near-duplicate image pairs within `maxDist` Hamming bits via the
+    * 4×16-bit banded join (exact for maxDist ≤ 3). */
+  def nearDupImagePairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    val banded = hashes.select(col("asset_id"), col("dhash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(dhash, b * 16) & 65535 AS v))"))
+          .as("bv"))
+      .select(col("asset_id"), col("dhash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+      .localCheckpoint(eager = false) // consumers: both sides of the band join
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("a1"), col("b.asset_id").as("a2"),
+        col("a.dhash").as("h1"), col("b.dhash").as("h2"))
+      .distinct() // a pair can match in several bands
+      .select(col("a1"), col("a2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("a1", "a2")
+  }
+
+  /** Deterministic PNM corpus derived from the documents table: one
+    * 18×16 P5 image per doc (raster = 18 chained md5 blocks of the
+    * text), plus, for every 10th doc, a SIBLING with the last raster
+    * block regenerated — a small localized edit whose pooled means move
+    * a handful of gradient signs, the planted near-duplicate the pair
+    * query must recover. Assembly is pure column ops (concat/unhex);
+    * the bytes then flow through the REAL P5 decoder. */
+  def syntheticPnm(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    def raster(salt: String): org.apache.spark.sql.Column =
+      unhex(concat((1 to 18).map { i =>
+        if (i == 18 && salt.nonEmpty) md5(concat(col("text"), lit(salt)))
+        else md5(concat(col("text"), lit(s"#$i")))
+      }: _*))
+    val header = lit("P5 18 16 255\n").cast("binary")
+    val originals = docs.select((col("doc_id") * 2).as("asset_id"),
+      lit("image/x-portable-graymap").as("mime"),
+      concat(header, raster("")).as("bytes"))
+    val siblings = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") * 2 + 1).as("asset_id"),
+        lit("image/x-portable-graymap").as("mime"),
+        concat(header, raster("~edit")).as("bytes"))
+    originals.unionByName(siblings).as[MediaAsset]
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- perceptual-hash image near-dup: planted edited siblings over
+    //      real P5 decode; banded Hamming join, exact at maxDist ≤ 3.
+    //      No SQL oracle (byte-level decode); ImageHashSpec carries a
+    //      plain-Scala reference dHash and the pair-recovery gate, and
+    //      the result is golden-pinned. ----
+    "q159_image_dhash_pairs" -> QueryDef.rowsOnly { (s, dir) =>
+      nearDupImagePairs(imageHashes(syntheticPnm(Tables.documents(s, dir))))
+    })
+}

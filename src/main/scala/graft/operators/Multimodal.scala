@@ -106,6 +106,51 @@ object Multimodal {
         (w, h, feature)
       }
     }
+
+    /** Pixel-level decode for the perceptual-hash family (q159): the
+      * same header/raster contract as [[decodeImage]], returning the
+      * full-resolution integer luminance plane (BT.601 integer weights,
+      * floor division — bit-exact on any platform) instead of pooled
+      * features. */
+    private[graft] def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (bytes.length < 10 || bytes(0) != 'P' ||
+          (bytes(1) != '5' && bytes(1) != '6')) return None
+      val rgb = bytes(1) == '6'
+      var pos = 2
+      def nextInt(): Option[Int] = {
+        while (pos < bytes.length &&
+          (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+          if (bytes(pos) == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        val start = pos
+        while (pos < bytes.length && bytes(pos).toChar.isDigit) pos += 1
+        if (pos == start || pos - start > 9) None
+        else Some(new String(bytes, start, pos - start).toInt)
+      }
+      for {
+        w <- nextInt()
+        h <- nextInt()
+        maxval <- nextInt()
+        if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+        if pos < bytes.length && bytes(pos).toChar.isWhitespace
+        raster = pos + 1
+        channels = if (rgb) 3 else 1
+        if bytes.length - raster >= w.toLong * h * channels
+      } yield {
+        val luma = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          val off = raster + i * channels
+          val r = bytes(off) & 0xff
+          val g = if (rgb) bytes(off + 1) & 0xff else r
+          val b = if (rgb) bytes(off + 2) & 0xff else r
+          luma(i) = ((r * 299L + g * 587L + b * 114L) / 1000L).toInt
+          i += 1
+        }
+        (w, h, luma)
+      }
+    }
   }
 
   /** Decoded audio features. */

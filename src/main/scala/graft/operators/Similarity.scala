@@ -269,6 +269,13 @@ object Similarity {
          |  ON d2.l2 = sq.label
          |GROUP BY sq.label ORDER BY label""") { (s, dir) =>
       embeddingDispersion(Tables.embeddings(s, dir))
+    },
+
+    // ---- k-center greedy coreset: maximally-diverse exemplar selection
+    //      (farthest-point rounds); iterative — plain-Scala replay in
+    //      SimilaritySpec + golden pins stand in for a SQL oracle. ----
+    "q160_kcenter_coreset" -> QueryDef.rowsOnly { (s, dir) =>
+      kcenterCoreset(Tables.embeddings(s, dir))
     }
   )
 
@@ -356,6 +363,55 @@ object Similarity {
           / count(lit(1)), 6).as("dispersion"),
         round(sqrt(max(col("dcc"))), 6).as("centroid_norm"))
       .orderBy("label")
+
+  /** K-center greedy (farthest-point) coreset selection — Gonzalez 1985,
+    * the diversity-maximizing complement of prototypicality pruning
+    * (q155 keeps the typical; this keeps the SPREAD): seed with the
+    * lowest vec_id, then `k`−1 rounds each select the point farthest
+    * (squared euclidean) from the chosen set. The classic 2-approximate
+    * k-center cover, used to pick maximally-diverse exemplars or
+    * evaluation probes from an embedded corpus.
+    *
+    * Scale shape: the canonical algorithm is inherently k rounds; each
+    * round is ONE narrow pass over the barrier-pinned corpus (chosen
+    * set rides a one-row broadcast array, min-distance is an in-row
+    * fold) plus a one-row argmax — never a pairwise join, never
+    * driver-side vectors. State after round i is i rows, eagerly
+    * checkpointed so lineage stays flat. Determinism: in-row folds run
+    * in fixed array order, `least`/`max` are order-free, the argmax
+    * tie-breaks on vec_id via the struct max, distances round to 6
+    * before comparison. No SQL oracle (iterative); SimilaritySpec
+    * replays the greedy in plain Scala, and the result is golden-pinned. */
+  def kcenterCoreset(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .localCheckpoint(eager = false) // consumers: seed + k−1 scoring passes
+    var chosen = e.orderBy("vec_id").limit(1)
+      .select(lit(1L).as("sel_round"), col("vec_id"), col("emb").as("cemb"),
+        lit(0.0).as("sq_dist"))
+      .localCheckpoint(eager = true)
+    val d2 =
+      "aggregate(zip_with(emb, c.cemb, (x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t)"
+    (2 to k).foreach { i =>
+      val cs = chosen.agg(
+        sort_array(collect_list(struct(col("vec_id"), col("cemb")))).as("cs"))
+      val next = e.crossJoin(broadcast(cs))
+        // chosen points sit at distance 0 but must never be re-picked —
+        // when every remaining point is a duplicate of the set (max d =
+        // 0), the argmax must still land on an UNCHOSEN point
+        .filter(expr("not exists(cs, c -> c.vec_id = vec_id)"))
+        .select(col("vec_id"), col("emb"), expr(
+          s"round(aggregate(cs, CAST('Infinity' AS DOUBLE), (acc, c) -> least(acc, $d2)), 6)")
+          .as("d"))
+        .agg(max(struct(col("d"), (-col("vec_id")).as("nid"),
+          col("vec_id").as("vid"), col("emb").as("vemb"))).as("m"))
+        .select(lit(i.toLong).as("sel_round"), col("m.vid").as("vec_id"),
+          col("m.vemb").as("cemb"), col("m.d").as("sq_dist"))
+      chosen = chosen.unionByName(next).localCheckpoint(eager = true)
+    }
+    chosen.select(col("sel_round"), col("vec_id"), col("sq_dist"))
+      .orderBy("sel_round")
+  }
 
   /** Exact brute-force cosine top-k: rows of `embeddings` matching
     * `isQuery` are ranked against the whole corpus. The query side is

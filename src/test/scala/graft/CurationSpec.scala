@@ -1478,4 +1478,47 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }.toSeq.sortBy(_._1)
     assert(got.toSeq === expected)
   }
+
+  test("q157 gini: uniform source → 0; planted 1..10 ramp → exactly 0.3") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("w").mkString(" "))
+    val uniform = (1 to 4).map(i => doc(i.toLong, "a", 1))
+    val ramp = (1 to 10).map(i => doc(10L + i, "b", i))
+    val docs = (uniform ++ ramp).toDF("doc_id", "source", "text")
+    val got = operators.Curation.tokenGini(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    // source b: Σ rank·x over sorted 1..10 = Σ i² = 385;
+    // G = 2·385/(10·55) − 11/10 = 0.3; top decile = 1 doc (len 10) of 55
+    assert(got.toSeq === Seq(
+      ("a", 4L, 4L, 0.0, 0.0), // n=4 → top-decile k=0
+      ("b", 10L, 55L, 0.3, 0.181818)))
+  }
+
+  test("q157 gini: histogram closed form matches a per-row rank replay on sf0.001") {
+    val docs = Tables.documents(spark, sf001)
+    val rows = docs.selectExpr("source",
+        "CAST(size(filter(split(trim(text), ' '), w -> w != '')) AS LONG) AS nt",
+        "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = rows.groupBy(_._1).map { case (src, ds) =>
+      val sorted = ds.sortBy(d => (d._2, d._3)).map(_._2)
+      val n = sorted.size
+      val s0 = sorted.sum
+      val s1 = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val gini = BigDecimal(2.0 * s1 / (n.toLong * s0).toDouble - (n + 1).toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val top = sorted.takeRight(n / 10).sum
+      val share = BigDecimal(top.toDouble / s0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      src -> ((n.toLong, s0, gini, share))
+    }
+    val got = operators.Curation.tokenGini(docs).collect()
+    assert(got.length === exp.size)
+    got.foreach { r =>
+      val (n, s0, gini, share) = exp(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+        === ((n, s0, gini, share)), s"source ${r.getString(0)}")
+    }
+  }
 }

@@ -61,7 +61,14 @@ object GoldenSpec {
     "q123_bloom_decontamination",
     // r10 continuation: SemDeDup (iterative k-means; SimilaritySpec
     // gates refinement-of-exact + recall + the keep rule)
-    "q136_semdedup_kmeans")
+    "q136_semdedup_kmeans",
+    // r10 third wave: tokenizer bake-off (aggregates of the three
+    // already-cross-checked families) and perceptual image near-dup
+    // (byte-level decode; reference dHash in ImageHashSpec)
+    "q158_tokenizer_audit", "q159_image_dhash_pairs",
+    // r10 third wave: k-center greedy coreset (iterative farthest-point;
+    // plain-Scala replay in SimilaritySpec)
+    "q160_kcenter_coreset")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -118,7 +125,13 @@ object GoldenSpec {
     ("q123_bloom_decontamination", "sf0.001") -> "4ea004286d83c7aa",
     ("q123_bloom_decontamination", "sf0.01") -> "287a03990cb67968",
     ("q136_semdedup_kmeans", "sf0.001") -> "ac3170b81e68255f",
-    ("q136_semdedup_kmeans", "sf0.01") -> "5db1cb8fede3444f")
+    ("q136_semdedup_kmeans", "sf0.01") -> "5db1cb8fede3444f",
+    ("q158_tokenizer_audit", "sf0.001") -> "6435e92f04a41548",
+    ("q158_tokenizer_audit", "sf0.01") -> "ca4cc02f554c14a7",
+    ("q159_image_dhash_pairs", "sf0.001") -> "118234f792dae49e",
+    ("q159_image_dhash_pairs", "sf0.01") -> "a481e985f45deef2",
+    ("q160_kcenter_coreset", "sf0.001") -> "17526ab5fb792b27",
+    ("q160_kcenter_coreset", "sf0.01") -> "dc99c75c0c163a3e")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */
@@ -132,7 +145,10 @@ object GoldenHashes {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- GoldenSpec.queries; (sfName, dir) <- GoldenSpec.sfDirs) {
+    // optional args narrow the regeneration to the named queries
+    val wanted = if (args.isEmpty) GoldenSpec.queries
+      else GoldenSpec.queries.filter(args.contains)
+    for (q <- wanted; (sfName, dir) <- GoldenSpec.sfDirs) {
       val h = GoldenSpec.goldenHash(SparkEntry.all(q).fn(spark, dir))
       println(s"""GOLDEN ("$q", "$sfName") -> "$h",""")
     }

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for perceptual image hashing (q159): a plain-Scala reference
+  * dHash against the operator's integer implementation, real-codec
+  * near-dup recovery on planted edits, and the banded join's exactness
+  * contract at maxDist ≤ 3. */
+class ImageHashSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import operators.{ImageHash, Multimodal}
+  import Multimodal.MediaAsset
+
+  private def p5(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+    (s"P5 $w $h 255\n".getBytes("US-ASCII").toSeq ++ px.map(_.toByte)).toArray
+
+  /** Independent reference: double-valued cell means over the same
+    * floor-division boxes, plain > comparison. Counts are equal for the
+    * grid-aligned sizes used here, so mean compare ≡ the operator's
+    * cross-multiplied integer compare. */
+  private def refDhash(w: Int, h: Int, luma: Array[Int]): Long = {
+    val cols = 9
+    val cells = Array.tabulate(8, cols) { (gy, gx) =>
+      val ys = (0 until h).filter(y => math.min(y * 8 / h, 7) == gy)
+      val xs = (0 until w).filter(x => math.min(x * cols / w, cols - 1) == gx)
+      val vs = for (y <- ys; x <- xs) yield luma(y * w + x).toDouble
+      if (vs.isEmpty) 0.0 else vs.sum / vs.size
+    }
+    (for (gy <- 0 until 8; gx <- 0 until 8
+          if cells(gy)(gx + 1) > cells(gy)(gx))
+      yield 1L << (gy * 8 + gx)).sum
+  }
+
+  test("q159 dhash matches the double-mean reference; constant image hashes to 0") {
+    val rnd = new scala.util.Random(7)
+    val px = Array.fill(18 * 16)(rnd.nextInt(256))
+    val Some((w, h, luma)) = Multimodal.PnmCodec.decodeLuma(p5(18, 16, px))
+    assert((w, h) === ((18, 16)))
+    assert(luma.toSeq === px.toSeq, "P5 luma is the raw plane")
+    assert(ImageHash.dhash(w, h, luma) === refDhash(w, h, luma))
+    val flat = Array.fill(18 * 16)(128)
+    val Some((_, _, luF)) = Multimodal.PnmCodec.decodeLuma(p5(18, 16, flat))
+    assert(ImageHash.dhash(18, 16, luF) === 0L)
+  }
+
+  test("q159 decodeLuma: P6 uses BT.601 integer weights") {
+    // one red pixel: luma = 255·299/1000 = 76 (floor)
+    val bytes = ("P6 1 1 255\n".getBytes("US-ASCII").toSeq ++
+      Seq(255, 0, 0).map(_.toByte)).toArray
+    val Some((w, h, l)) = Multimodal.PnmCodec.decodeLuma(bytes)
+    assert((w, h) === ((1, 1)))
+    assert(l.toSeq === Seq(76))
+  }
+
+  test("q159 pairs: a one-cell edit is recovered, an inverted image is not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val px = Array.fill(18 * 16)(rnd.nextInt(256))
+    // edit: brighten ONE pooled cell (pixels (0,0)-(1,1)) to the extreme —
+    // flips at most the 2 gradient bits that touch the cell
+    val edited = px.clone()
+    for (y <- 0 until 2; x <- 0 until 2) edited(y * 18 + x) = 255
+    val inverted = px.map(255 - _)
+    val assets = Seq(
+      MediaAsset(1L, "image/x-portable-graymap", p5(18, 16, px)),
+      MediaAsset(2L, "image/x-portable-graymap", p5(18, 16, edited)),
+      MediaAsset(3L, "image/x-portable-graymap", p5(18, 16, inverted)),
+      MediaAsset(4L, "image/jpeg", Array[Byte](1, 2, 3))). // undecodable: dropped
+      toDS()
+    val pairs = ImageHash.nearDupImagePairs(ImageHash.imageHashes(assets))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    assert(pairs.head._3 <= 3L)
+  }
+
+  test("q159 banding: distance-3 pairs always surface; distance-4 pairs are cut") {
+    import spark.implicits._
+    // d(1,2) = 3 (bits 0,1,2 — all in band 0; bands 1-3 still match);
+    // d(1,3) = 4 spread across bands — every band differs? no: bits
+    // 0,16,32,48 hit ALL four bands, so the banded join yields no
+    // candidate — and exactness is still honored because 4 > maxDist
+    val hashes = Seq(
+      (1L, 0L),
+      (2L, 7L),
+      (3L, (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)))
+      .toDF("asset_id", "dhash")
+    val got = ImageHash.nearDupImagePairs(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 3L)))
+  }
+
+  test("q159 synthetic corpus: every planted sibling pair within 3 bits is recovered, nothing else") {
+    val docs = Tables.documents(spark, sf001)
+    val hashes = ImageHash.imageHashes(ImageHash.syntheticPnm(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exp = hashes.keys.filter(id => id % 2 == 0 && hashes.contains(id + 1))
+      .map(id => (id, id + 1,
+        java.lang.Long.bitCount(hashes(id) ^ hashes(id + 1)).toLong))
+      .filter(_._3 <= 3).toSeq.sorted
+    val got = operators.ImageHash.nearDupImagePairs(
+        ImageHash.imageHashes(ImageHash.syntheticPnm(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // non-sibling collisions are possible in principle; on this corpus the
+    // recovered set IS the sibling set (checked exactly, not ⊆)
+    assert(got === exp)
+    assert(exp.nonEmpty, "sf0.001 must plant at least one recoverable sibling")
+  }
+}

@@ -524,7 +524,16 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // map-side combine; scoring joins the broadcast centroid table and
       // folds in-row — the corpus never re-shuffles
       ("q155_prototype_prune",          0, 4),
-      ("q156_embedding_dispersion",     0, 4))
+      ("q156_embedding_dispersion",     0, 4),
+      // q157: one corpus scan to the (source, length) histogram; the
+      // windows + final aggs run on the histogram frame
+      ("q157_token_gini",               1, 3),
+      // q159: the banded-hash frame hides behind its barrier; band join
+      // reuses its partitioning; pair distinct + output sort
+      ("q159_image_dhash_pairs",        0, 2),
+      // q160: final plan reads the k eagerly-checkpointed selection rows
+      // + the output sort; the per-round pass is a narrow barrier read
+      ("q160_kcenter_coreset",          0, 1))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

@@ -431,6 +431,62 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(l1.forall(r => r._3 === 1.0 && !r._6))
   }
 
+  test("q160 k-center: planted line — hand-computed farthest-point order") {
+    // positions on the x-axis: id0→0, id1→10, id2→4, id3→1, id4→7.
+    // seed id0; then farthest-from-set: id1 (d²=100), id2 (16), id4 (9),
+    // id3 (1)
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 0.0f)),
+      (2L, Array(4.0f, 0.0f)), (3L, Array(1.0f, 0.0f)),
+      (4L, Array(7.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kcenterCoreset(df, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0.0), (2L, 1L, 100.0), (3L, 2L, 16.0),
+      (4L, 4L, 9.0), (5L, 3L, 1.0)))
+  }
+
+  test("q160 k-center: duplicate-point ties pick the lower vec_id; distances never increase") {
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(5.0f, 0.0f)),
+      (2L, Array(5.0f, 0.0f)), (3L, Array(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kcenterCoreset(df, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq === Seq(0L, 1L, 3L, 2L))
+    val dists = got.drop(1).map(_._3)
+    assert(dists.zip(dists.drop(1)).forall { case (a, b) => b <= a },
+      s"farthest distances must be non-increasing: ${dists.toSeq}")
+    assert(got.last._3 === 0.0, "the duplicate joins at distance 0")
+  }
+
+  test("q160 k-center matches a plain-Scala greedy replay on sf0.001") {
+    val rows = Tables.embeddings(spark, sf001)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE))")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = rows.toMap
+    var chosen = Vector(rows.map(_._1).min)
+    var exp = Vector((1L, chosen.head, 0.0))
+    (2 to 8).foreach { i =>
+      val scored = rows.map { case (id, v) =>
+        (id, r6(chosen.map(c => d2(v, byId(c))).min))
+      }
+      val (id, d) = scored.maxBy { case (id, d) => (d, -id) }
+      chosen :+= id
+      exp :+= ((i.toLong, id, d))
+    }
+    val got = Similarity.kcenterCoreset(Tables.embeddings(spark, sf001))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === exp)
+  }
+
   test("q156 dispersion: identical vectors → 0; the (1,0)/(0,1) pair → exactly 0.5") {
     val vecs = Seq(
       (0L, 0, Array(2.0f, 0.0f)), (1L, 0, Array(2.0f, 0.0f)),
