@@ -402,7 +402,111 @@ object EventAnalytics {
       .limit(topK)
   }
 
+  /** Rolling active users: DAU/WAU/MAU per day — each (user, active-day)
+    * pair EXPANDS to the `w` window days it covers (w ∈ {1, 7, 30}),
+    * collapses to distinct (user, window-day), and counts per day. The
+    * standard distributed shape for distinct-over-sliding-window: the
+    * explosion multiplies the DISTINCT (user, day) frame (≤ users×days
+    * rows) by ≤ 30 — never the raw event stream — and every step is a
+    * map-side-combined aggregation. Days with zero 30-day actives (a
+    * >30-day gap) have no row; the reported range clips to the observed
+    * [min, max] day so trailing windows don't run past the data. */
+  def rollingActiveUsers(events: DataFrame): DataFrame = {
+    val act = events.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .localCheckpoint(eager = false) // consumers: 3 expansions + bounds
+    val bounds = act.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    def winCount(w: Int, name: String): DataFrame = act
+      .select(col("user_id"),
+        explode(expr(s"sequence(0, ${w - 1})")).as("i"), col("d"))
+      .select(col("user_id"), expr("date_add(d, i)").as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as(name))
+    winCount(30, "mau")
+      .join(winCount(7, "wau"), Seq("day"), "left")
+      .join(winCount(1, "dau"), Seq("day"), "left")
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") >= col("d0") && col("day") <= col("d1"))
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"), col("mau"))
+      .orderBy("day")
+  }
+
+  /** Last-touch attribution: each purchase's value attributes to the
+    * user's most recent PRECEDING non-purchase event type (the
+    * "channel"); purchases with no prior touch land on 'none'. One
+    * per-user window pass (ignore-nulls last over the preceding frame,
+    * ties on event_id), then a types-sized aggregation; the value total
+    * rides a one-row broadcast so shares divide in-engine. Values sum
+    * through DECIMAL(18,2) — engine summation order cannot drift. */
+  def lastTouchAttribution(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val purchases = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("touch"), lit("none")).as("touch_type"),
+        col("value"))
+    val byTouch = purchases.groupBy("touch_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).as("v"))
+      .localCheckpoint(eager = false) // consumers: total + output
+    val total = byTouch.agg(sum(col("v")).as("vt"))
+    byTouch.crossJoin(broadcast(total))
+      .select(col("touch_type"), col("n_purchases"),
+        round(col("v").cast("double"), 2).as("attributed_value"),
+        round(col("v").cast("double") / col("vt").cast("double"), 6)
+          .as("value_share"))
+      .orderBy("touch_type")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- rolling DAU/WAU/MAU: sliding distinct-user windows via
+    //      bounded expansion of the distinct (user, day) frame. ----
+    "q161_rolling_active_users" -> QueryDef.sql(
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM act),
+        |m AS (SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS day
+        |      FROM act, unnest(range(0, 30)) t(i)),
+        |w AS (SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS day
+        |      FROM act, unnest(range(0, 7)) t(i)),
+        |mau AS (SELECT day, count(*) AS mau FROM m GROUP BY 1),
+        |wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1),
+        |dau AS (SELECT d AS day, count(*) AS dau FROM act GROUP BY 1)
+        |SELECT day, coalesce(dau, 0) AS dau, coalesce(wau, 0) AS wau, mau
+        |FROM mau LEFT JOIN wau USING (day) LEFT JOIN dau USING (day)
+        |CROSS JOIN b
+        |WHERE day >= d0 AND day <= d1
+        |ORDER BY day""") { (s, dir) =>
+      rollingActiveUsers(Tables.events(s, dir))
+    },
+
+    // ---- last-touch attribution: purchase value credited to the most
+    //      recent preceding non-purchase event type per user. ----
+    "q162_last_touch_attribution" -> QueryDef.sql(
+      """WITH o AS (SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events),
+        |p AS (SELECT coalesce(touch, 'none') AS touch_type,
+        |        CAST(value AS DECIMAL(18,2)) AS v
+        |      FROM o WHERE event_type = 'purchase'),
+        |g AS (SELECT touch_type, count(*) AS n_purchases, sum(v) AS v
+        |      FROM p GROUP BY 1),
+        |t AS (SELECT sum(v) AS vt FROM g)
+        |SELECT touch_type, n_purchases,
+        |  round(CAST(v AS DOUBLE), 2) AS attributed_value,
+        |  round(CAST(v AS DOUBLE) / CAST(vt AS DOUBLE), 6) AS value_share
+        |FROM g CROSS JOIN t ORDER BY touch_type""") { (s, dir) =>
+      lastTouchAttribution(Tables.events(s, dir))
+    },
 
     // ---- CDC → SCD2 state intervals: change points of each user's
     //      event-type stream as versioned validity ranges. ----

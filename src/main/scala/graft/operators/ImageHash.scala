@@ -127,6 +127,63 @@ object ImageHash {
     originals.unionByName(siblings).as[MediaAsset]
   }
 
+  /** Energy-delta hash of one window-energy vector (the audio dHash):
+    * bit i set iff window i+1 carries strictly more energy than window
+    * i — re-encodes and small edits preserve most energy gradients,
+    * exactly as image gradients survive resizes. All-integer. */
+  private[graft] def energyHash(energy: Array[Long]): Long = {
+    var hash = 0L
+    var i = 0
+    while (i < energy.length - 1) {
+      if (energy(i + 1) > energy(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** (asset_id, dhash) for every decodable WAV asset — narrow, no
+    * shuffle; shares [[nearDupImagePairs]]'s banded Hamming join (the
+    * pair machinery is modality-blind: any 64-bit perceptual hash). */
+  def audioEnergyHashes(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        Multimodal.WavCodec.decodeEnergyWindows(a.bytes)
+          .map(e => (a.asset_id, energyHash(e)))
+      }
+    }.toDF("asset_id", "dhash")
+  }
+
+  /** Deterministic WAV corpus from the documents table — the audio twin
+    * of [[syntheticPnm]]: a constant canonical 44-byte PCM header (16 kHz
+    * mono 16-bit, 144 frames) + 18 md5 blocks of the text as raster;
+    * every 10th doc gets a SIBLING with the last block regenerated. */
+  def syntheticWav(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    val dataLen = 288
+    def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val header: Array[Byte] =
+      ("RIFF".getBytes("US-ASCII").toSeq ++ le32(36 + dataLen) ++
+        "WAVE".getBytes("US-ASCII").toSeq ++
+        "fmt ".getBytes("US-ASCII").toSeq ++ le32(16) ++
+        le16(1) ++ le16(1) ++ le32(16000) ++ le32(32000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes("US-ASCII").toSeq ++ le32(dataLen)).toArray
+    def raster(salt: String): org.apache.spark.sql.Column =
+      unhex(concat((1 to 18).map { i =>
+        if (i == 18 && salt.nonEmpty) md5(concat(col("text"), lit(salt)))
+        else md5(concat(col("text"), lit(s"@$i")))
+      }: _*))
+    val originals = docs.select((col("doc_id") * 2).as("asset_id"),
+      lit("audio/wav").as("mime"), concat(lit(header), raster("")).as("bytes"))
+    val siblings = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") * 2 + 1).as("asset_id"),
+        lit("audio/wav").as("mime"),
+        concat(lit(header), raster("~edit")).as("bytes"))
+    originals.unionByName(siblings).as[MediaAsset]
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- perceptual-hash image near-dup: planted edited siblings over
@@ -136,5 +193,11 @@ object ImageHash {
     //      the result is golden-pinned. ----
     "q159_image_dhash_pairs" -> QueryDef.rowsOnly { (s, dir) =>
       nearDupImagePairs(imageHashes(syntheticPnm(Tables.documents(s, dir))))
+    },
+
+    // ---- audio near-dup: energy-delta fingerprints over the real WAV
+    //      decoder, same banded join; planted edited siblings. ----
+    "q164_audio_fingerprint_pairs" -> QueryDef.rowsOnly { (s, dir) =>
+      nearDupImagePairs(audioEnergyHashes(syntheticWav(Tables.documents(s, dir))))
     })
 }

@@ -255,6 +255,62 @@ object Multimodal {
         (sampleRate.toFloat / (sampleRate + 48000f)))
       Some((sampleRate.toInt, channels, nFrames, feature))
     }
+
+    /** Sample-level decode for the perceptual-hash family (q164): the
+      * same RIFF walk as [[decodeAudio]], returning per-temporal-window
+      * INTEGER energy sums (mono-averaged squares, floor-division window
+      * boundaries — bit-exact on any platform). Requires at least
+      * `nWindows` frames so no window is empty. */
+    private[graft] def decodeEnergyWindows(bytes: Array[Byte],
+        nWindows: Int = 65): Option[Array[Long]] = {
+      def str(off: Int, n: Int): String =
+        if (off + n <= bytes.length) new String(bytes, off, n, "US-ASCII") else ""
+      def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def le32(off: Int): Long = (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      if (bytes.length < 44 || str(0, 4) != "RIFF" || str(8, 4) != "WAVE") return None
+      var pos = 12
+      var audioFormat = -1; var channels = 0; var sampleRate = 0L; var bits = 0
+      var dataOff = -1; var dataLen = 0L
+      var walking = true
+      while (walking && pos + 8 <= bytes.length) {
+        val id = str(pos, 4)
+        val size = le32(pos + 4)
+        val body = pos + 8
+        id match {
+          case "fmt " if body + 16 <= bytes.length =>
+            audioFormat = le16(body); channels = le16(body + 2)
+            sampleRate = le32(body + 4); bits = le16(body + 14)
+          case "data" =>
+            dataOff = body; dataLen = math.min(size, (bytes.length - body).toLong)
+          case _ =>
+        }
+        val next = body.toLong + size + (size & 1L)
+        if (next <= pos || next > bytes.length) walking = false
+        else pos = next.toInt
+      }
+      if (audioFormat != 1 || bits != 16 || channels < 1 ||
+          sampleRate <= 0 || sampleRate > 4000000L || dataOff < 0) return None
+      val bytesPerFrame = 2 * channels
+      val nFrames = dataLen / bytesPerFrame
+      if (nFrames < nWindows) return None
+      val energy = new Array[Long](nWindows)
+      var f = 0L
+      while (f < nFrames) {
+        val off = dataOff + (f * bytesPerFrame).toInt
+        var acc = 0L
+        var c = 0
+        while (c < channels) {
+          acc += le16(off + 2 * c).toShort
+          c += 1
+        }
+        val mono = acc / channels
+        val w = math.min(nWindows - 1, (f * nWindows / nFrames).toInt)
+        energy(w) += mono * mono
+        f += 1
+      }
+      Some(energy)
+    }
   }
 
   /** Deterministic fake audio decode for formats without a lib-free

@@ -19,7 +19,48 @@ object TextAnalysis {
 
   private val stopwordsEn = Seq("the", "a", "and", "of", "to", "is", "in")
 
+  /** Per-doc character-level Shannon entropy (nats): the gibberish /
+    * degenerate-text signal the word-level quality heuristics (q41) and
+    * repetition stats can't see — base64 blobs score high, single-char
+    * floods score ~0. H = ln N − (Σ n_c·ln n_c)/N over exact integer
+    * character counts; each n·ln n term rounds to DECIMAL(18,9) before
+    * the order-free sum (the q116/q143 ln discipline), so both engines
+    * derive identical digits. Scale shape: one explode to (doc, char)
+    * cells that collapses under map-side combine — the per-doc state is
+    * the doc's distinct-char histogram, never its text. */
+  def charEntropy(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cells = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+    cells.groupBy("doc_id").agg(
+        sum(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("CAST(round(n * ln(n), 9) AS DECIMAL(18,9))")).as("t"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        round(log(col("n_chars")) - col("t").cast("double") / col("n_chars"), 6)
+          .as("entropy_nats"))
+      .orderBy("doc_id")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- char-level Shannon entropy: the degenerate-text detector;
+    //      exact integer histograms, decimal-summed ln terms. ----
+    "q163_char_entropy" -> QueryDef.sql(
+      """WITH cells AS (
+        |  SELECT doc_id, c, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |  WHERE c != '' GROUP BY 1, 2),
+        |g AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+        |        count(*) AS n_distinct,
+        |        sum(CAST(round(n * ln(n), 9) AS DECIMAL(18,9))) AS t
+        |      FROM cells GROUP BY 1)
+        |SELECT doc_id, n_chars, n_distinct,
+        |  round(ln(n_chars) - CAST(t AS DOUBLE) / n_chars, 6) AS entropy_nats
+        |FROM g ORDER BY doc_id""") { (s, dir) =>
+      charEntropy(Tables.documents(s, dir))
+    },
 
     // ---- token counting: whitespace tokens + a BPE-ish regex token count
     //      (word pieces and punctuation as separate tokens) ----

@@ -178,6 +178,53 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === Seq((3L, 0.0)), s"deaths==at_risk must zero survival: ${got.toSeq}")
   }
 
+  test("q161 rolling actives: planted window counts, zero-DAU days included") {
+    // u1 active 01-01; u2 active 01-01 AND 01-03 (distinct-user check);
+    // u3 active 01-09 — exercises zero-DAU days and WAU aging-out
+    val ev = eventsDf(Seq(
+      (1L, "view", "01 10:00:00"),
+      (2L, "view", "01 11:00:00"), (2L, "click", "03 09:00:00"),
+      (3L, "view", "09 12:00:00")))
+    val got = operators.EventAnalytics.rollingActiveUsers(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = Seq(
+      ("2024-01-01", 2L, 2L, 2L),
+      ("2024-01-02", 0L, 2L, 2L),
+      ("2024-01-03", 1L, 2L, 2L), // u2 again — DISTINCT users stay 2
+      ("2024-01-04", 0L, 2L, 2L),
+      ("2024-01-05", 0L, 2L, 2L),
+      ("2024-01-06", 0L, 2L, 2L),
+      ("2024-01-07", 0L, 2L, 2L), // u1/u2's 01-01 still in the 7-day window
+      ("2024-01-08", 0L, 1L, 2L), // 01-01 aged out of WAU; u2's 01-03 remains
+      ("2024-01-09", 1L, 2L, 3L)) // u3 arrives; WAU = {u2, u3}
+    assert(got.toSeq === exp)
+  }
+
+  test("q162 attribution: last preceding touch wins; no-touch purchases land on none") {
+    import spark.implicits._
+    val rows = Seq(
+      // u1: view → click → purchase 10 (click credited), then purchase 5
+      // with the same click still the last touch
+      (1L, 1L, "view", 0.0, "01 09:00:00"),
+      (2L, 1L, "click", 0.0, "01 10:00:00"),
+      (3L, 1L, "purchase", 10.0, "01 11:00:00"),
+      (4L, 1L, "purchase", 5.0, "01 12:00:00"),
+      // u2: purchase with NO prior event → 'none'
+      (5L, 2L, "purchase", 7.5, "02 09:00:00"),
+      // u3: view at the SAME ts as the purchase but a LOWER event_id —
+      // it precedes in the total order, so it IS the touch
+      (6L, 3L, "view", 0.0, "03 09:00:00"),
+      (7L, 3L, "purchase", 2.5, "03 09:00:00"))
+    val ev = rows.map { case (e, u, t, v, at) => (e, u, t, v, ts(s"2024-01-$at")) }
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val got = operators.EventAnalytics.lastTouchAttribution(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("click", 2L, 15.0, 0.6),
+      ("none", 1L, 7.5, 0.3),
+      ("view", 1L, 2.5, 0.1)))
+  }
+
   test("q151 SCD2: repeats collapse, ties order by event_id, last interval open") {
     import spark.implicits._
     // u1: A A B B A → A[t1,t3) B[t3,t5) A[t5,∞); u2: X,Y at the SAME ts —

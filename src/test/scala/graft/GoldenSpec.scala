@@ -67,8 +67,9 @@ object GoldenSpec {
     // (byte-level decode; reference dHash in ImageHashSpec)
     "q158_tokenizer_audit", "q159_image_dhash_pairs",
     // r10 third wave: k-center greedy coreset (iterative farthest-point;
-    // plain-Scala replay in SimilaritySpec)
-    "q160_kcenter_coreset")
+    // plain-Scala replay in SimilaritySpec) and the audio fingerprint
+    // (byte-level decode; reference energy hash in ImageHashSpec)
+    "q160_kcenter_coreset", "q164_audio_fingerprint_pairs")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -131,7 +132,9 @@ object GoldenSpec {
     ("q159_image_dhash_pairs", "sf0.001") -> "118234f792dae49e",
     ("q159_image_dhash_pairs", "sf0.01") -> "a481e985f45deef2",
     ("q160_kcenter_coreset", "sf0.001") -> "17526ab5fb792b27",
-    ("q160_kcenter_coreset", "sf0.01") -> "dc99c75c0c163a3e")
+    ("q160_kcenter_coreset", "sf0.01") -> "dc99c75c0c163a3e",
+    ("q164_audio_fingerprint_pairs", "sf0.001") -> "f16ece109da5ceb7",
+    ("q164_audio_fingerprint_pairs", "sf0.01") -> "5bf01afeec64c725")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

@@ -89,6 +89,59 @@ class ImageHashSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === Seq((1L, 2L, 3L)))
   }
 
+  private def wav(samples: Array[Int], channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    (("RIFF".getBytes("US-ASCII").toSeq ++ le32(36 + dataLen) ++
+      "WAVE".getBytes("US-ASCII").toSeq ++
+      "fmt ".getBytes("US-ASCII").toSeq ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(16000) ++ le32(16000 * 2 * channels) ++
+      le16(2 * channels) ++ le16(16) ++
+      "data".getBytes("US-ASCII").toSeq ++ le32(dataLen)) ++
+      samples.flatMap(s => le16(s & 0xffff))).toArray
+  }
+
+  test("q164 energy windows: silence hashes to 0, a rising ramp to all-ones") {
+    import operators.ImageHash.energyHash
+    val silent = Multimodal.WavCodec.decodeEnergyWindows(wav(Array.fill(130)(0)))
+    assert(silent.isDefined && energyHash(silent.get) === 0L)
+    // amplitude grows every 2-sample window → every adjacent energy
+    // comparison is a strict increase → all 64 bits set
+    val ramp = Multimodal.WavCodec.decodeEnergyWindows(
+      wav(Array.tabulate(130)(i => i * 10)))
+    assert(energyHash(ramp.get) === -1L)
+    // fewer frames than windows: decode refuses (no empty windows)
+    assert(Multimodal.WavCodec.decodeEnergyWindows(wav(Array.fill(64)(1))).isEmpty)
+  }
+
+  test("q164 energy windows: hand-computed sums on a 65-window-aligned signal") {
+    // 130 frames → exactly 2 per window; energy(w) = s(2w)² + s(2w+1)²
+    val samples = Array.tabulate(130)(i => if (i % 2 == 0) 3 else -4)
+    val Some(e) = Multimodal.WavCodec.decodeEnergyWindows(wav(samples))
+    assert(e.length === 65 && e.forall(_ === 25L))
+    // stereo: channels average to mono before squaring — (3,-4) → 0 each
+    val stereo = Array.tabulate(260)(i => if (i % 2 == 0) 3 else -4)
+    val Some(es) = Multimodal.WavCodec.decodeEnergyWindows(wav(stereo, channels = 2))
+    assert(es.forall(_ === 0L), "mono average of (3,-4) floors to 0")
+  }
+
+  test("q164 synthetic corpus: planted audio siblings within 3 bits recovered exactly") {
+    val docs = Tables.documents(spark, sf001)
+    val hashes = ImageHash.audioEnergyHashes(ImageHash.syntheticWav(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exp = hashes.keys.filter(id => id % 2 == 0 && hashes.contains(id + 1))
+      .map(id => (id, id + 1,
+        java.lang.Long.bitCount(hashes(id) ^ hashes(id + 1)).toLong))
+      .filter(_._3 <= 3).toSeq.sorted
+    val got = ImageHash.nearDupImagePairs(
+        ImageHash.audioEnergyHashes(ImageHash.syntheticWav(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === exp)
+    assert(exp.nonEmpty, "sf0.001 must plant at least one recoverable audio sibling")
+  }
+
   test("q159 synthetic corpus: every planted sibling pair within 3 bits is recovered, nothing else") {
     val docs = Tables.documents(spark, sf001)
     val hashes = ImageHash.imageHashes(ImageHash.syntheticPnm(docs))

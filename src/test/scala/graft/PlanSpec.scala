@@ -533,7 +533,18 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q159_image_dhash_pairs",        0, 2),
       // q160: final plan reads the k eagerly-checkpointed selection rows
       // + the output sort; the per-round pass is a narrow barrier read
-      ("q160_kcenter_coreset",          0, 1))
+      ("q160_kcenter_coreset",          0, 1),
+      // q161: three window expansions off the distinct-(user,day) barrier
+      // (distinct + count each) + joins + sort, all on day-sized frames
+      ("q161_rolling_active_users",     0, 8),
+      // q162: one per-user window shuffle; touch agg barriered, total via
+      // one-row broadcast
+      ("q162_last_touch_attribution",   0, 2),
+      // q163: one corpus scan exploding to (doc, char) cells with
+      // map-side combine; per-doc agg + output sort
+      ("q163_char_entropy",             1, 3),
+      // q164: same shape as q159 — banded-hash barrier + pair distinct
+      ("q164_audio_fingerprint_pairs",  0, 2))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

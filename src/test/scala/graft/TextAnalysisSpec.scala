@@ -180,4 +180,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"wide langId must stream at scan speed:\n$plan")
   }
+
+  test("q163 entropy: single-char flood → 0; planted strings match the decimal reference") {
+    // reference replays the exact chain: integer char histogram,
+    // n·ln(n) rounded to 9 before the sum, one final round to 6
+    def ref(text: String): (Long, Long, Double) = {
+      val counts = text.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = counts.values.sum
+      val t = counts.values.map(c =>
+        BigDecimal(c * math.log(c.toDouble)).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      val h = BigDecimal(math.log(n.toDouble) - t.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n, counts.size.toLong, h)
+    }
+    val texts = Seq(
+      (1L, "aaaa"),            // zero entropy
+      (2L, "ab"),              // ln 2
+      (3L, "a a"),             // the space is a character: {a:2, ' ':1}
+      (4L, "the quick brown fox"))
+    val docs = texts.toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) === ref(t), s"doc $id '$t'")
+    }
+    assert(got(1L)._3 === 0.0)
+    assert(got(2L)._3 === 0.693147)
+  }
 }
