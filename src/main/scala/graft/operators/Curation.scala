@@ -361,6 +361,26 @@ object Curation {
       gopherRules(Tables.documents(s, dir), corpusRequiredWords).orderBy("doc_id")
     },
 
+    // ---- Heaps-law vocabulary growth: new-word arrivals per ingestion
+    //      bucket with cumulative docs/vocab. ----
+    "q165_vocab_growth" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(trim(text),' '), x -> x != '')) AS w
+        |  FROM documents),
+        |fd AS (SELECT w, min(doc_id) AS fd FROM t GROUP BY 1),
+        |nw AS (SELECT fd // 100 AS bucket, count(*) AS n_new_words FROM fd GROUP BY 1),
+        |dc AS (SELECT doc_id // 100 AS bucket, count(*) AS n_docs
+        |       FROM documents GROUP BY 1)
+        |SELECT bucket, n_docs,
+        |  coalesce(n_new_words, 0) AS n_new_words,
+        |  CAST(sum(n_docs) OVER cw AS BIGINT) AS cum_docs,
+        |  CAST(sum(coalesce(n_new_words, 0)) OVER cw AS BIGINT) AS cum_vocab
+        |FROM dc LEFT JOIN nw USING (bucket)
+        |WINDOW cw AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""") { (s, dir) =>
+      vocabGrowth(Tables.documents(s, dir))
+    },
+
     // ---- token-mass concentration: per-source Gini + top-decile share
     //      from the length HISTOGRAM in closed form — the oracle's
     //      per-row rank windows prove the decomposition exact. ----
@@ -2514,6 +2534,42 @@ object Curation {
         round(lit(1.0) - col("token_sum").cast("double") / col("slot_sum"), 6)
           .as("waste_frac"))
       .orderBy("strategy")
+  }
+
+  // ---------------------------------------------------------------------
+  // q165: vocabulary-growth (Heaps-law) curve
+  // ---------------------------------------------------------------------
+
+  /** Vocabulary growth in ingestion order: per `bucketDocs`-doc bucket,
+    * how many NEVER-SEEN-BEFORE words arrive, plus cumulative docs and
+    * vocabulary — the empirical Heaps-law curve that sizes tokenizer
+    * vocabularies and predicts distinct-word cache growth (the q103
+    * lesson quantified as a curve).
+    *
+    * Shape: a word's first appearance is min(doc_id) — one corpus-sized
+    * aggregation with map-side combine; everything after runs on the
+    * (vocab-sized first-doc, then bucket-count-sized) frames. The
+    * cumulative window orders the BUCKET frame (corpus/bucketDocs rows —
+    * the q121 bucket-offset shape; widen bucketDocs as the corpus
+    * grows). All-integer. */
+  def vocabGrowth(docs: DataFrame, bucketDocs: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDoc = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(min(col("doc_id")).as("fd"))
+    val newWords = firstDoc
+      .groupBy(expr(s"fd div $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("n_new_words"))
+    val docCounts = docs
+      .groupBy(expr(s"doc_id div $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docCounts.join(newWords, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_new_words"), lit(0L)).as("n_new_words"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new_words")).over(w))
+      .orderBy("bucket")
   }
 
   // ---------------------------------------------------------------------

@@ -465,7 +465,123 @@ object EventAnalytics {
       .orderBy("touch_type")
   }
 
+  /** Cohort LTV curve: users bucket by first-active day (the q132
+    * cohort); per (cohort, day-offset), purchase revenue and its
+    * running total, plus LTV per cohort user — the lifetime-value
+    * complement of retention (q132 counts WHO comes back, this sums
+    * WHAT they spend). Revenue sums ride DECIMAL(18,2) end-to-end
+    * (the cumulative window included), so engine summation order
+    * cannot drift; the window runs on the cohort×offset frame. */
+  def ltvCurve(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+      .localCheckpoint(eager = false) // consumers: sizes + revenue join
+    val sizes = firstDay.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    val rev = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      .join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+    val w = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(sizes, Seq("cohort_day"))
+      .withColumn("cum_rev", sum(col("rev")).over(w))
+      .select(col("cohort_day"), col("day_offset"),
+        round(col("rev").cast("double"), 2).as("revenue"),
+        round(col("cum_rev").cast("double"), 2).as("cum_revenue"),
+        col("cohort_size"),
+        round(col("cum_rev").cast("double") / col("cohort_size"), 6)
+          .as("ltv_per_user"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Inter-event gap labels in ladder order — shared between the Spark
+    * face and the generated oracle CASE so the buckets cannot drift. */
+  private[graft] val gapBuckets: Seq[(String, Double)] = Seq(
+    "0_lt_1s" -> 1.0, "1_1s_1m" -> 60.0, "2_1m_10m" -> 600.0,
+    "3_10m_1h" -> 3600.0, "4_1h_1d" -> 86400.0)
+  private[graft] val gapLastBucket = "5_ge_1d"
+
+  /** Inter-event gap histogram: consecutive same-user gaps (ties on
+    * event_id) bucketed on a fixed duration ladder, with counts, share,
+    * and a DECIMAL-summed mean per bucket — the arrival-process audit
+    * that picks sessionization gaps (q75/q154's 30-minute parameter is
+    * a read of THIS distribution). One per-user window pass; the
+    * histogram is ladder-sized; total rides a one-row broadcast. */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val caseExpr = gapBuckets.map { case (label, ub) =>
+      s"WHEN gap_s < $ub THEN '$label'"
+    }.mkString("CASE ", " ", s" ELSE '$gapLastBucket' END")
+    val gaps = events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .filter(col("pts").isNotNull)
+      .select((col("ts").cast("double") - col("pts").cast("double")).as("gap_s"))
+      .select(expr(caseExpr).as("bucket"), col("gap_s"))
+    val hist = gaps.groupBy("bucket").agg(
+        count(lit(1)).as("n_gaps"),
+        sum(expr("CAST(round(gap_s, 6) AS DECIMAL(18,6))")).as("gsum"))
+      .localCheckpoint(eager = false) // consumers: total + output
+    val total = hist.agg(sum(col("n_gaps")).as("nt"))
+    hist.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_gaps"),
+        round(col("n_gaps").cast("double") / col("nt"), 6).as("share"),
+        round(col("gsum").cast("double") / col("n_gaps"), 6).as("mean_gap_s"))
+      .orderBy("bucket")
+  }
+
+  private def gapOracleSql: String = {
+    val caseSql = gapBuckets.map { case (label, ub) =>
+      s"WHEN gap_s < $ub THEN '$label'"
+    }.mkString("CASE ", " ", s" ELSE '$gapLastBucket' END")
+    s"""WITH o AS (SELECT user_id, ts, event_id,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+       |  FROM events),
+       |g AS (SELECT epoch(ts) - epoch(pts) AS gap_s FROM o WHERE pts IS NOT NULL),
+       |h AS (SELECT $caseSql AS bucket, count(*) AS n_gaps,
+       |        sum(CAST(round(gap_s, 6) AS DECIMAL(18,6))) AS gsum
+       |      FROM g GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS nt FROM h)
+       |SELECT bucket, n_gaps,
+       |  round(CAST(n_gaps AS DOUBLE) / nt, 6) AS share,
+       |  round(CAST(gsum AS DOUBLE) / n_gaps, 6) AS mean_gap_s
+       |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- cohort LTV curve: per-cohort cumulative purchase revenue by
+    //      day offset, DECIMAL end-to-end. ----
+    "q166_ltv_curve" -> QueryDef.sql(
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |           FROM events GROUP BY 1),
+        |sz AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1),
+        |r AS (SELECT cohort_day,
+        |        date_diff('day', cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+        |        sum(CAST(value AS DECIMAL(18,2))) AS rev
+        |      FROM events e JOIN f USING (user_id)
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT *, sum(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |      FROM r)
+        |SELECT cohort_day, day_offset,
+        |  round(CAST(rev AS DOUBLE), 2) AS revenue,
+        |  round(CAST(cum_rev AS DOUBLE), 2) AS cum_revenue,
+        |  cohort_size,
+        |  round(CAST(cum_rev AS DOUBLE) / cohort_size, 6) AS ltv_per_user
+        |FROM c JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""") { (s, dir) =>
+      ltvCurve(Tables.events(s, dir))
+    },
+
+    // ---- inter-event gap histogram: the arrival-process audit behind
+    //      the sessionization gap parameter. ----
+    "q168_interevent_gaps" -> QueryDef.sql(gapOracleSql) { (s, dir) =>
+      interEventGaps(Tables.events(s, dir))
+    },
 
     // ---- rolling DAU/WAU/MAU: sliding distinct-user windows via
     //      bounded expansion of the distinct (user, day) frame. ----

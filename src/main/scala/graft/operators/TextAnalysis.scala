@@ -19,6 +19,68 @@ object TextAnalysis {
 
   private val stopwordsEn = Seq("the", "a", "and", "of", "to", "is", "in")
 
+  /** The q41 heuristic-quality features, shared by every consumer of the
+    * score (q41's oracle face, q167's percentile normalization) so the
+    * formula cannot drift between them. Keeps the input's other columns.
+    *
+    * nullif guards: an empty/whitespace-only doc has n_chars or n_words
+    * = 0, and Spark's non-ANSI divide yields NULL while DuckDB's double
+    * divide yields inf/NaN — nullif in BOTH engines makes the degenerate
+    * rows agree (NULL quality; least() skips the NULL factor identically
+    * on both sides). */
+  private[graft] def qualityFeatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stopArr = array(stopwordsEn.map(lit): _*)
+    docs
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_words", size(words(col("text"))).cast("long"))
+      .withColumn("n_punct", expr("regexp_count(text, '[^A-Za-z0-9 ]')").cast("long"))
+      .withColumn("n_stop",
+        size(filter(words(col("text")), w => array_contains(stopArr, w))).cast("long"))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / nullif(col("n_words"), lit(0L)), 6))
+      .withColumn("quality", round(
+        least(col("n_words").cast("double") / 20.0, lit(1.0))
+          * (lit(1.0) - col("n_punct").cast("double") / nullif(col("n_chars"), lit(0L)))
+          * (lit(0.5) + lit(0.5) *
+              least(col("n_stop").cast("double") / nullif(col("n_words"), lit(0L)) * 5.0, lit(1.0))),
+        6))
+  }
+
+  /** Per-source percentile normalization of the q41 quality score: the
+    * raw heuristic is NOT comparable across sources (a boilerplate-heavy
+    * source's median may outscore a clean source's p90), so curation
+    * thresholds must cut on the WITHIN-SOURCE percentile. Ranks are
+    * hierarchical (within-bucket row_number on floor(quality·50) value
+    * buckets + exclusive per-source offsets — the q121/q149 discipline;
+    * never a per-source global window that collapses a source onto one
+    * partition); pct = (rank−1)/(n−1), one correctly-rounded division.
+    * Degenerate docs (NULL quality) are excluded. The oracle's per-source
+    * percent_rank-style windows prove the decomposition exact. */
+  def qualityPercentileNorm(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = qualityFeatures(docs)
+      .select(col("doc_id"), col("source"), col("quality"))
+      .filter(col("quality").isNotNull)
+      .withColumn("bkt", floor(col("quality") * 50).cast("long"))
+      .localCheckpoint(eager = false) // consumers: ranks + offsets + counts
+    val rnIn = base.withColumn("rn_in", row_number().over(
+      Window.partitionBy("source", "bkt").orderBy("quality", "doc_id")))
+    val offsets = base.groupBy("source", "bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.partitionBy("source").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src",
+        sum(col("cnt")).over(Window.partitionBy("source")))
+      .select(col("source"), col("bkt"), col("off"), col("n_src"))
+    rnIn.join(offsets, Seq("source", "bkt"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        (col("off") + col("rn_in")).as("rk"),
+        when(col("n_src") === 1, lit(0.0)).otherwise(
+          round((col("off") + col("rn_in") - 1).cast("double")
+            / (col("n_src") - 1), 6)).as("pct_rank"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc character-level Shannon entropy (nats): the gibberish /
     * degenerate-text signal the word-level quality heuristics (q41) and
     * repetition stats can't see — base64 blobs score high, single-char
@@ -62,6 +124,33 @@ object TextAnalysis {
       charEntropy(Tables.documents(s, dir))
     },
 
+    // ---- per-source quality percentile normalization: cross-source
+    //      comparable scores via hierarchical within-source ranks. ----
+    "q167_quality_percentile_norm" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+        |    len(list_filter(string_split(trim(text),' '),
+        |        x -> list_contains(['the','a','and','of','to','is','in'], x))) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT doc_id, source,
+        |    round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |      * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
+        |      * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / nullif(n_words, 0) * 5.0, 1.0)), 6) AS quality
+        |  FROM f),
+        |r AS (SELECT doc_id, source, quality,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM q WHERE quality IS NOT NULL)
+        |SELECT doc_id, source, quality, rk,
+        |  CASE WHEN n_src = 1 THEN 0.0
+        |       ELSE round(CAST(rk - 1 AS DOUBLE) / (n_src - 1), 6) END AS pct_rank
+        |FROM r ORDER BY doc_id""") { (s, dir) =>
+      qualityPercentileNorm(Tables.documents(s, dir))
+    },
+
     // ---- token counting: whitespace tokens + a BPE-ish regex token count
     //      (word pieces and punctuation as separate tokens) ----
     "q40_token_stats" -> QueryDef.sql(
@@ -97,26 +186,9 @@ object TextAnalysis {
         |        * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
         |        * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / nullif(n_words, 0) * 5.0, 1.0)), 6) AS quality
         |FROM f ORDER BY doc_id""") { (s, dir) =>
-      val stopArr = array(stopwordsEn.map(lit): _*)
-      val f = Tables.documents(s, dir).select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(words(col("text"))).cast("long").as("n_words"),
-        expr("regexp_count(text, '[^A-Za-z0-9 ]')").cast("long").as("n_punct"),
-        size(filter(words(col("text")), w => array_contains(stopArr, w))).cast("long").as("n_stop"))
-      // nullif guards: an empty/whitespace-only doc has n_chars or
-      // n_words = 0, and Spark's non-ANSI divide yields NULL while
-      // DuckDB's double divide yields inf/NaN — nullif in BOTH engines
-      // makes the degenerate rows agree (NULL quality; least() skips the
-      // NULL factor identically on both sides)
-      f.select(col("doc_id"), col("n_chars"), col("n_words"), col("n_punct"), col("n_stop"),
-          round(col("n_stop").cast("double") / nullif(col("n_words"), lit(0L)), 6).as("stop_ratio"),
-          round(
-            least(col("n_words").cast("double") / 20.0, lit(1.0))
-              * (lit(1.0) - col("n_punct").cast("double") / nullif(col("n_chars"), lit(0L)))
-              * (lit(0.5) + lit(0.5) *
-                  least(col("n_stop").cast("double") / nullif(col("n_words"), lit(0L)) * 5.0, lit(1.0))),
-            6).as("quality"))
+      qualityFeatures(Tables.documents(s, dir))
+        .select("doc_id", "n_chars", "n_words", "n_punct", "n_stop",
+          "stop_ratio", "quality")
         .orderBy("doc_id")
     },
 

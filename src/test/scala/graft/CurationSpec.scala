@@ -1479,6 +1479,21 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === expected)
   }
 
+  test("q165 vocab growth: planted first-occurrences per bucket") {
+    import spark.implicits._
+    // bucket 0 (docs 0-1): words a b c → 3 new; bucket 1 (docs 2-3):
+    // b d → only d is new; bucket 2 (doc 4): all repeats → 0 new
+    val docs = Seq(
+      (0L, "a b"), (1L, "b c"), (2L, "b d"), (3L, "d a"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = operators.Curation.vocabGrowth(docs, bucketDocs = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 3L, 2L, 3L),
+      (1L, 2L, 1L, 4L, 4L),
+      (2L, 1L, 0L, 5L, 4L)))
+  }
+
   test("q157 gini: uniform source → 0; planted 1..10 ramp → exactly 0.3") {
     import spark.implicits._
     def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("w").mkString(" "))

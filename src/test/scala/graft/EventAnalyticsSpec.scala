@@ -178,6 +178,44 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === Seq((3L, 0.0)), s"deaths==at_risk must zero survival: ${got.toSeq}")
   }
 
+  test("q166 LTV: planted cohort — cumulative revenue and per-user value") {
+    import spark.implicits._
+    // cohort 01-01: u1 (buys 10 on day 0, 20 on day 2), u2 (never buys);
+    // cohort 01-02: u3 buys 5 on day 1
+    val rows = Seq(
+      (1L, "view", 0.0, "01 08:00:00"), (1L, "purchase", 10.0, "01 09:00:00"),
+      (1L, "purchase", 20.0, "03 09:00:00"),
+      (2L, "view", 0.0, "01 10:00:00"),
+      (3L, "view", 0.0, "02 10:00:00"), (3L, "purchase", 5.0, "03 10:00:00"))
+    val ev = rows.map { case (u, t, v, at) => (u, t, v, ts(s"2024-01-$at")) }
+      .toDF("user_id", "event_type", "value", "ts")
+    val got = operators.EventAnalytics.ltvCurve(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0L, 10.0, 10.0, 2L, 5.0),
+      ("2024-01-01", 2L, 20.0, 30.0, 2L, 15.0),
+      ("2024-01-02", 1L, 5.0, 5.0, 1L, 5.0)))
+  }
+
+  test("q168 gaps: ladder boundaries are half-open and the shares sum to 1") {
+    import spark.implicits._
+    // u1 gaps: 0.5 s (<1s), exactly 60 s (NOT <60 → the 1m–10m bucket),
+    // 59 s (1s–1m), 86400 s (≥1d)
+    val times = Seq(0.0, 0.5, 60.5, 119.5, 86519.5)
+    val ev = times.zipWithIndex.map { case (t, i) =>
+      (i.toLong, 1L, "view", new Timestamp(
+        ts("2024-01-01 00:00:00").getTime + (t * 1000).toLong))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val got = operators.EventAnalytics.interEventGaps(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("0_lt_1s", 1L, 0.25, 0.5),
+      ("1_1s_1m", 1L, 0.25, 59.0),
+      ("2_1m_10m", 1L, 0.25, 60.0),
+      ("5_ge_1d", 1L, 0.25, 86400.0)))
+  }
+
   test("q161 rolling actives: planted window counts, zero-DAU days included") {
     // u1 active 01-01; u2 active 01-01 AND 01-03 (distinct-user check);
     // u3 active 01-09 — exercises zero-DAU days and WAU aging-out

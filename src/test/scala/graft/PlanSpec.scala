@@ -544,7 +544,20 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // map-side combine; per-doc agg + output sort
       ("q163_char_entropy",             1, 3),
       // q164: same shape as q159 — banded-hash barrier + pair distinct
-      ("q164_audio_fingerprint_pairs",  0, 2))
+      ("q164_audio_fingerprint_pairs",  0, 2),
+      // q165: two corpus scans (first-occurrence agg + doc counts — the
+      // second reads only doc_id, a metadata-cheap projection); bucket
+      // joins/window/sort on bucket-sized frames
+      ("q165_vocab_growth",             2, 4),
+      // q166: one events scan feeding both the cohort agg and revenue
+      // join (the cohort frame is barriered); cohort-frame windows
+      ("q166_ltv_curve",                1, 4),
+      // q167: quality frame barriered; bucket window + offset agg/window
+      // + join-back, all on the doc frame / bucket frames
+      ("q167_quality_percentile_norm",  0, 4),
+      // q168: one per-user window shuffle behind the histogram barrier;
+      // ladder-sized agg + one-row broadcast
+      ("q168_interevent_gaps",          0, 2))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

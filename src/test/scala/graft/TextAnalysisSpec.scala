@@ -181,6 +181,44 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!plan.contains("Exchange"), s"wide langId must stream at scan speed:\n$plan")
   }
 
+  test("q167 percentile norm: hierarchical ranks match a per-source sort replay on sf0.001") {
+    val docs = Tables.documents(spark, sf001)
+    val quality = TextAnalysis.qualityPercentileNorm(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    // replay: plain per-source sort by (quality, doc_id)
+    val bySource = quality.groupBy(_._2)
+    bySource.foreach { case (src, rows) =>
+      val n = rows.length
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r._4 === i + 1L, s"$src doc ${r._1} rank")
+        val exp = if (n == 1) 0.0
+          else BigDecimal(i.toDouble / (n - 1))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r._5 === exp, s"$src doc ${r._1} pct")
+      }
+    }
+    assert(quality.nonEmpty)
+  }
+
+  test("q167 percentile norm: cross-source comparability on a planted skewed pair") {
+    import spark.implicits._
+    // source hi: three long clean docs; source lo: three short ones —
+    // raw qualities don't overlap, percentiles align both to {0, .5, 1}
+    val long = (1 to 30).map(_ => "the").mkString(" ")
+    val docs = Seq(
+      (1L, "hi", long + " alpha"), (2L, "hi", long + " beta gamma"),
+      (3L, "hi", long + " d e f"),
+      (4L, "lo", "x"), (5L, "lo", "x y"), (6L, "lo", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.qualityPercentileNorm(docs).collect()
+      .map(r => (r.getString(1), r.getDouble(4)))
+    assert(got.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._2).sorted.toSeq == Seq(0.0, 0.5, 1.0)
+    }, s"both sources must span {0, 0.5, 1}: ${got.toSeq}")
+  }
+
   test("q163 entropy: single-char flood → 0; planted strings match the decimal reference") {
     // reference replays the exact chain: integer char histogram,
     // n·ln(n) rounded to 9 before the sum, one final round to 6
