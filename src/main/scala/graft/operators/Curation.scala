@@ -361,6 +361,46 @@ object Curation {
       gopherRules(Tables.documents(s, dir), corpusRequiredWords).orderBy("doc_id")
     },
 
+    // ---- Poisson-bootstrap CI on per-source mean quality: error bars
+    //      from deterministic hash-coin resample weights. ----
+    "q171_bootstrap_quality_ci" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+        |    len(list_filter(string_split(trim(text),' '),
+        |        x -> list_contains(['the','a','and','of','to','is','in'], x))) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT doc_id, source,
+        |    round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |      * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
+        |      * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / nullif(n_words, 0) * 5.0, 1.0)), 6) AS quality
+        |  FROM f),
+        |base AS (SELECT * FROM q WHERE quality IS NOT NULL),
+        |pt AS (SELECT source, count(*) AS n_docs,
+        |         round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
+        |       FROM base GROUP BY 1),
+        |r AS (SELECT source, doc_id, quality, CAST(i AS BIGINT) AS b
+        |      FROM base, unnest(range(1, 51)) t(i)),
+        |wts AS (SELECT source, b, quality,
+        |    CASE WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1
+        |         WHEN u < 0.919698603 THEN 2 ELSE 3 END AS w
+        |  FROM (SELECT *, CAST(((doc_id * 131071 + b) * 2654435761) % 4294967296 AS DOUBLE)
+        |          / 4294967296.0 AS u FROM r)),
+        |rep AS (SELECT source, b,
+        |    round(CAST(sum(CAST(w * quality AS DECIMAL(18,6))) AS DOUBLE)
+        |      / nullif(CAST(sum(w) AS BIGINT), 0), 6) AS rep_mean
+        |  FROM wts GROUP BY 1, 2),
+        |ci AS (SELECT source,
+        |    round(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
+        |    round(quantile_cont(rep_mean, 0.975), 6) AS ci_hi
+        |  FROM rep GROUP BY 1)
+        |SELECT source, n_docs, mean_quality, ci_lo, ci_hi
+        |FROM pt JOIN ci USING (source) ORDER BY source""") { (s, dir) =>
+      bootstrapQualityCi(Tables.documents(s, dir))
+    },
+
     // ---- Heaps-law vocabulary growth: new-word arrivals per ingestion
     //      bucket with cumulative docs/vocab. ----
     "q165_vocab_growth" -> QueryDef.sql(
@@ -2534,6 +2574,65 @@ object Curation {
         round(lit(1.0) - col("token_sum").cast("double") / col("slot_sum"), 6)
           .as("waste_frac"))
       .orderBy("strategy")
+  }
+
+  // ---------------------------------------------------------------------
+  // q171: Poisson-bootstrap confidence intervals
+  // ---------------------------------------------------------------------
+
+  /** Per-source mean-quality estimate with a Poisson-bootstrap 95% CI —
+    * the error bars every corpus-quality dashboard (q99, q142) should
+    * carry. The bootstrap is the DISTRIBUTED variant (Poisson(1)
+    * resample weights per (doc, replicate) instead of multinomial draws
+    * — the standard trick, since a per-row independent weight needs no
+    * global coordination), and the "randomness" is the q104
+    * deterministic multiplicative-hash coin keyed on (doc_id,
+    * replicate) — the replicate folds into the key BEFORE the Knuth
+    * multiply, so consecutive b values land ~0.618 apart in [0,1)
+    * (an additive post-multiply term would move u by only ~1e-5 per
+    * replicate and collapse every replica onto one draw): pure
+    * integer arithmetic, identical on any engine and
+    * partitioning, RNG-free. Weights land in {0,1,2,3} via fixed
+    * cumulative-Poisson(1) thresholds (e⁻¹, 2e⁻¹, 2.5e⁻¹ — literals
+    * shared with the oracle).
+    *
+    * Replica means sum DECIMAL(18,6), round to 6, and the CI takes
+    * exact percentiles over the B-sized replica frame (the q145
+    * percentile-agreement precedent). Scale shape: the corpus expands
+    * ×B but collapses immediately under map-side combine to
+    * (sources × B) cells — B is the dial; everything after is
+    * sources-sized. */
+  def bootstrapQualityCi(docs: DataFrame, reps: Int = 50): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), qualityExpr(col("text")).as("quality"))
+      .filter(col("quality").isNotNull)
+      .localCheckpoint(eager = false) // consumers: point estimate + replicas
+    val point = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      round(sum(col("quality").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("mean_quality"))
+    val replicas = base
+      .select(col("source"), col("doc_id"), col("quality"),
+        explode(expr(s"sequence(1, $reps)")).as("b"))
+      .withColumn("u",
+        (((col("doc_id") * lit(131071L) + col("b")) * lit(2654435761L))
+          % lit(4294967296L)).cast("double") / lit(4294967296.0))
+      .withColumn("w",
+        when(col("u") < 0.367879441, 0L).when(col("u") < 0.735758882, 1L)
+          .when(col("u") < 0.919698603, 2L).otherwise(3L))
+      .groupBy("source", "b")
+      .agg(sum(col("w")).as("nw"),
+        sum((col("w") * col("quality")).cast("decimal(18,6)")).as("qs"))
+      .select(col("source"),
+        round(col("qs").cast("double") / nullif(col("nw"), lit(0L)), 6)
+          .as("rep_mean"))
+    val ci = replicas.groupBy("source").agg(
+      round(expr("percentile(rep_mean, 0.025)"), 6).as("ci_lo"),
+      round(expr("percentile(rep_mean, 0.975)"), 6).as("ci_hi"))
+    point.join(ci, Seq("source"))
+      .select(col("source"), col("n_docs"), col("mean_quality"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy("source")
   }
 
   // ---------------------------------------------------------------------

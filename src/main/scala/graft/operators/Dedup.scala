@@ -185,6 +185,53 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- duplication-structure audit: component-size histogram of the
+    //      q62 near-dup graph, singletons included — same recursive-CTE
+    //      oracle with a histogram on top. ----
+    "q170_component_size_histogram" -> QueryDef.sql(
+      """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM com
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |  WHERE r.a != e.b),
+        |members AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |clu AS (SELECT m.doc_id, least(m.doc_id, min(r.b)) AS cluster_id
+        |        FROM members m JOIN reach r ON r.a = m.doc_id GROUP BY m.doc_id),
+        |sizes AS (SELECT cluster_id, count(*) AS size FROM clu GROUP BY 1),
+        |hist AS (SELECT size, count(*) AS n_components,
+        |           CAST(size * count(*) AS BIGINT) AS n_docs
+        |         FROM sizes GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM documents),
+        |mem AS (SELECT coalesce(CAST(sum(n_docs) AS BIGINT), 0) AS n_members FROM hist),
+        |full_hist AS (
+        |  SELECT * FROM hist
+        |  UNION ALL
+        |  SELECT 1 AS size, n_total - n_members, n_total - n_members
+        |  FROM tot CROSS JOIN mem)
+        |SELECT size, n_components, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / n_total, 6) AS corpus_share
+        |FROM full_hist CROSS JOIN tot
+        |WHERE n_components > 0
+        |ORDER BY size""") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      componentSizeHistogram(docs,
+        duplicateClusters(exactJaccardPairs(docs, 0.6)))
+    },
+
     // ---- APPLY the dedup: the kept corpus after dropping every
     //      non-keeper cluster member — the materialization step a dedup
     //      pipeline actually ships (detect → cluster → apply). Unhinted
@@ -841,6 +888,36 @@ object Dedup {
     * propagation would return wrong (unconverged) labels — so it hands off
     * to [[connectedComponentsStar]], whose round count is logarithmic in
     * component size instead of linear in diameter. */
+  /** Duplication-structure audit: the component-size histogram of the
+    * near-dup graph — one row per cluster size with component/doc counts
+    * and corpus share, singletons (docs in no cluster) included as the
+    * size-1 row. The "is my dedup threshold sane" read: a giant
+    * component at a low threshold means the threshold chains unrelated
+    * docs; a long size-2 tail means plain re-posts. Everything after
+    * clustering runs on cluster-count-sized frames; totals ride one-row
+    * broadcasts. */
+  def componentSizeHistogram(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("size"))
+    val hist = sizes.groupBy("size").agg(count(lit(1)).as("n_components"))
+      .select(col("size"), col("n_components"),
+        (col("size") * col("n_components")).as("n_docs"))
+      .localCheckpoint(eager = false) // consumers: member total + output
+    val totals = docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(hist.agg(
+        coalesce(sum(col("n_docs")), lit(0L)).as("n_members"))))
+      .localCheckpoint(eager = false) // consumers: singleton row + shares
+    val singletons = totals.select(lit(1L).as("size"),
+      (col("n_total") - col("n_members")).as("n_components"),
+      (col("n_total") - col("n_members")).as("n_docs"))
+    hist.unionByName(singletons)
+      .crossJoin(broadcast(totals.select("n_total")))
+      .filter(col("n_components") > 0)
+      .select(col("size"), col("n_components"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6)
+          .as("corpus_share"))
+      .orderBy("size")
+  }
+
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // cache + materialize the pair computation FIRST: the symmetric union
     // below reads it twice, and every iteration joins against it

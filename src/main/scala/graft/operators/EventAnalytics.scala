@@ -432,6 +432,39 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Mergeable-sketch face of [[rollingActiveUsers]] — the 100 TB shape:
+    * the exact face's window expansion multiplies the distinct
+    * (user, day) frame ×30, which at billions of users is the dominant
+    * shuffle; this face collapses each day to ONE fixed-size HLL sketch
+    * (Apache DataSketches via hll_sketch_agg, the q89 machinery), then
+    * every window estimate is a union of ≤ 30 per-day sketches — state
+    * O(days·2^lgK) bytes, independent of user count, and the per-day
+    * sketch table is exactly what an incremental pipeline persists
+    * (sketch today's partition, union with stored sketches; never
+    * re-read history). Sketching and union are deterministic, so the
+    * result is golden-pinnable; EventAnalyticsSpec gates the estimates
+    * against the exact face (lgK=12 → ~1.6% RSE). */
+  def rollingActiveUsersSketch(events: DataFrame, lgK: Int = 12): DataFrame = {
+    val daily = events.select(to_date(col("ts")).as("d"), col("user_id"))
+      .groupBy("d").agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"))
+      .localCheckpoint(eager = false) // consumers: 3 window unions + bounds
+    val bounds = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    def winEst(w: Int, name: String): DataFrame = daily
+      .select(explode(expr(s"sequence(0, ${w - 1})")).as("i"), col("d"), col("sk"))
+      .select(expr("date_add(d, i)").as("day"), col("sk"))
+      .groupBy("day")
+      .agg(round(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+        .cast("long").as(name))
+    winEst(30, "mau_est")
+      .join(winEst(7, "wau_est"), Seq("day"), "left")
+      .join(winEst(1, "dau_est"), Seq("day"), "left")
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") >= col("d0") && col("day") <= col("d1"))
+      .select(col("day"), coalesce(col("dau_est"), lit(0L)).as("dau_est"),
+        coalesce(col("wau_est"), lit(0L)).as("wau_est"), col("mau_est"))
+      .orderBy("day")
+  }
+
   /** Last-touch attribution: each purchase's value attributes to the
     * user's most recent PRECEDING non-purchase event type (the
     * "channel"); purchases with no prior touch land on 'none'. One
@@ -581,6 +614,14 @@ object EventAnalytics {
     //      the sessionization gap parameter. ----
     "q168_interevent_gaps" -> QueryDef.sql(gapOracleSql) { (s, dir) =>
       interEventGaps(Tables.events(s, dir))
+    },
+
+    // ---- sketch face of q161: per-day HLL sketches, window unions —
+    //      O(days) state at any user count. No SQL oracle (DuckDB's HLL
+    //      is a different implementation); EventAnalyticsSpec gates
+    //      accuracy vs the exact face, golden-pinned. ----
+    "q169_rolling_actives_sketch" -> QueryDef.rowsOnly { (s, dir) =>
+      rollingActiveUsersSketch(Tables.events(s, dir))
     },
 
     // ---- rolling DAU/WAU/MAU: sliding distinct-user windows via

@@ -1479,6 +1479,28 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === expected)
   }
 
+  test("q171 bootstrap CI: degenerate source collapses to the mean; mixed source gets real width") {
+    import spark.implicits._
+    val clean = (1 to 25).map(_ => "the").mkString(" ") // a fixed high-quality text
+    val docs =
+      // source "same": 30 identical docs — every resample has the same
+      // mean, CI width must be exactly 0 at the point estimate
+      (1L to 30L).map(i => (i, "same", clean)) ++
+      // source "mix": half clean, half junk — genuine spread
+      (31L to 45L).map(i => (i, "mix", clean)) ++
+      (46L to 60L).map(i => (i, "mix", "x!"))
+    val got = operators.Curation.bootstrapQualityCi(docs.toDF("doc_id", "source", "text"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    val (nS, mS, loS, hiS) = got("same")
+    assert(nS === 30L && loS === mS && hiS === mS, s"degenerate CI: ${got("same")}")
+    val (nM, mM, loM, hiM) = got("mix")
+    assert(nM === 30L)
+    assert(loM < mM && mM < hiM, s"mixed CI must strictly bracket: ${got("mix")}")
+    assert(hiM - loM > 0.01, "resample weights must actually vary across replicates")
+  }
+
   test("q165 vocab growth: planted first-occurrences per bucket") {
     import spark.implicits._
     // bucket 0 (docs 0-1): words a b c → 3 new; bucket 1 (docs 2-3):

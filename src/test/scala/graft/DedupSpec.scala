@@ -574,4 +574,30 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(9L) === ((2L, 1L, Some(1.0))) && got(10L) === ((2L, 1L, Some(1.0))))
     assert(got(11L) === ((1L, 0L, None)))
   }
+
+  test("q170 histogram: planted clusters — singleton row fills the remainder") {
+    import spark.implicits._
+    // 10 docs; clusters {1,2,3} and {4,5} -> sizes 3 and 2; 5 singletons
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusters = Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false))
+      .toDF("doc_id", "cluster_id", "is_keeper")
+    val got = Dedup.componentSizeHistogram(docs, clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 5L, 5L, 0.5),
+      (2L, 1L, 2L, 0.2),
+      (3L, 1L, 3L, 0.3)))
+  }
+
+  test("q170 histogram: no clusters -> one all-singleton row") {
+    import spark.implicits._
+    val docs = (1L to 4L).map(i => (i, s"d $i")).toDF("doc_id", "text")
+    val clusters = Seq.empty[(Long, Long, Boolean)]
+      .toDF("doc_id", "cluster_id", "is_keeper")
+    val got = Dedup.componentSizeHistogram(docs, clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 4L, 4L, 1.0)))
+  }
 }

@@ -178,6 +178,42 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === Seq((3L, 0.0)), s"deaths==at_risk must zero survival: ${got.toSeq}")
   }
 
+  test("q169 sketch actives: exact at sub-sketch cardinalities on sf0.001") {
+    // 150 users << 2^12 — the HLL stays in exact (sparse) mode, so the
+    // sketch face must REPRODUCE the exact face cell for cell
+    val events = Tables.events(spark, sf001)
+    val exact = operators.EventAnalytics.rollingActiveUsers(events).collect()
+      .map(r => (r.getDate(0).toString, (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val est = operators.EventAnalytics.rollingActiveUsersSketch(events).collect()
+      .map(r => (r.getDate(0).toString, (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (day, e) => assert(e === exact(day), s"day $day") }
+  }
+
+  test("q169 sketch actives: window union equals sketching the expanded frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // merge associativity (the q89/q98 pin): union of per-day sketches
+    // over a window == one sketch of the expanded (user, window-day) rows
+    val ev = eventsDf(Seq(
+      (1L, "view", "01 10:00:00"), (2L, "view", "01 11:00:00"),
+      (2L, "click", "03 09:00:00"), (3L, "view", "09 12:00:00")))
+    val viaUnion = operators.EventAnalytics.rollingActiveUsersSketch(ev)
+      .select("day", "mau_est").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    val expanded = ev.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .select(col("user_id"), explode(expr("sequence(0, 29)")).as("i"), col("d"))
+      .select(col("user_id"), expr("date_add(d, i)").as("day"))
+      .groupBy("day")
+      .agg(round(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))"))
+        .cast("long").as("mau_direct"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    viaUnion.foreach { case (day, v) =>
+      assert(expanded(day) === v, s"day $day: union != direct sketch")
+    }
+  }
+
   test("q166 LTV: planted cohort — cumulative revenue and per-user value") {
     import spark.implicits._
     // cohort 01-01: u1 (buys 10 on day 0, 20 on day 2), u2 (never buys);

@@ -69,7 +69,11 @@ object GoldenSpec {
     // r10 third wave: k-center greedy coreset (iterative farthest-point;
     // plain-Scala replay in SimilaritySpec) and the audio fingerprint
     // (byte-level decode; reference energy hash in ImageHashSpec)
-    "q160_kcenter_coreset", "q164_audio_fingerprint_pairs")
+    "q160_kcenter_coreset", "q164_audio_fingerprint_pairs",
+    // r10 third wave: HLL rolling actives (DuckDB's HLL is a different
+    // implementation; EventAnalyticsSpec gates accuracy vs the exact
+    // q161 face and pins merge associativity)
+    "q169_rolling_actives_sketch")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -134,7 +138,9 @@ object GoldenSpec {
     ("q160_kcenter_coreset", "sf0.001") -> "17526ab5fb792b27",
     ("q160_kcenter_coreset", "sf0.01") -> "dc99c75c0c163a3e",
     ("q164_audio_fingerprint_pairs", "sf0.001") -> "f16ece109da5ceb7",
-    ("q164_audio_fingerprint_pairs", "sf0.01") -> "5bf01afeec64c725")
+    ("q164_audio_fingerprint_pairs", "sf0.01") -> "5bf01afeec64c725",
+    ("q169_rolling_actives_sketch", "sf0.001") -> "b8e127d99cf2809e",
+    ("q169_rolling_actives_sketch", "sf0.01") -> "e26c480c3d7191ea")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

@@ -557,7 +557,16 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q167_quality_percentile_norm",  0, 4),
       // q168: one per-user window shuffle behind the histogram barrier;
       // ladder-sized agg + one-row broadcast
-      ("q168_interevent_gaps",          0, 2))
+      ("q168_interevent_gaps",          0, 2),
+      // q169: three window unions off the per-day sketch barrier + joins
+      // + sort, all on day-sized sketch frames
+      ("q169_rolling_actives_sketch",   0, 5),
+      // q170: cluster/size aggs behind barriers; output assembly only
+      ("q170_component_size_histogram", 0, 1),
+      // q171: point/replica aggs off the quality barrier (the ×B explode
+      // collapses under map-side combine to sources×B cells) + CI agg +
+      // join + sort on sources-sized frames
+      ("q171_bootstrap_quality_ci",     0, 4))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
