@@ -21,7 +21,7 @@ object SparkEntry {
       operators.Wordpiece.defs ++ operators.Maintenance.defs ++
       operators.Sketches.defs ++ operators.EventAnalytics.defs ++
       operators.Affinity.defs ++ operators.Tokenizers.defs ++
-      operators.ImageHash.defs ++
+      operators.ImageHash.defs ++ operators.Skew.defs ++
       streaming.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

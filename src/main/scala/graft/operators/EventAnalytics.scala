@@ -432,6 +432,38 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Exponential-decay fit of the retention curve: pooled OLS of
+    * ln(retention) on day offset over the q132 cells (offset ≥ 1,
+    * retention > 0), in CLOSED FORM from five sufficient statistics —
+    * slope, intercept, and the activity half-life −ln2/slope, the one
+    * number a growth dashboard quotes. Σx/Σx² are exact integers; Σy
+    * and Σxy sum 9-dp-rounded ln terms through DECIMAL (the q116/q143
+    * discipline), so the normal equations see identical inputs on both
+    * engines; a non-negative slope (no decay) yields NULL half-life
+    * instead of a nonsense negative day count. */
+  def retentionHalfLife(events: DataFrame): DataFrame = {
+    val cells = retentionCohorts(events)
+      .filter(col("day_offset") >= 1 && col("retention") > 0)
+      .select(col("day_offset").cast("double").as("x"),
+        round(log(col("retention")), 9).as("y"))
+    val s = cells.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,6)")).as("sx"),
+      sum((col("x") * col("x")).cast("decimal(18,6)")).as("sxx"),
+      sum(col("y").cast("decimal(18,9)")).as("sy"),
+      sum(expr("CAST(round(x * y, 9) AS DECIMAL(18,9))")).as("sxy"))
+    val slope = (col("n") * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double")) /
+      nullif(col("n") * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"), lit(0.0))
+    s.select(col("n").as("n_cells"),
+        round(slope, 6).as("slope"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("n"), 6).as("intercept"),
+        when(slope < 0,
+          round(-log(lit(2.0)) / slope, 6)).as("half_life_days"))
+  }
+
   /** Mergeable-sketch face of [[rollingActiveUsers]] — the 100 TB shape:
     * the exact face's window expansion multiplies the distinct
     * (user, day) frame ×30, which at billions of users is the dominant
@@ -614,6 +646,41 @@ object EventAnalytics {
     //      the sessionization gap parameter. ----
     "q168_interevent_gaps" -> QueryDef.sql(gapOracleSql) { (s, dir) =>
       interEventGaps(Tables.events(s, dir))
+    },
+
+    // ---- retention half-life: closed-form OLS of ln(retention) on day
+    //      offset over the q132 cells; −ln2/slope. ----
+    "q174_retention_halflife" -> QueryDef.sql(
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY 1),
+        |sz AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1),
+        |c AS (SELECT cohort_day, date_diff('day', cohort_day, d) AS day_offset,
+        |        count(*) AS n_active
+        |      FROM act JOIN f USING (user_id) GROUP BY 1, 2),
+        |rc AS (SELECT c.cohort_day, day_offset,
+        |         round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |       FROM c JOIN sz USING (cohort_day)),
+        |cells AS (SELECT CAST(day_offset AS DOUBLE) AS x,
+        |            round(ln(retention), 9) AS y
+        |          FROM rc WHERE day_offset >= 1 AND retention > 0),
+        |s AS (SELECT count(*) AS n,
+        |        sum(CAST(x AS DECIMAL(18,6))) AS sx,
+        |        sum(CAST(x * x AS DECIMAL(18,6))) AS sxx,
+        |        sum(CAST(y AS DECIMAL(18,9))) AS sy,
+        |        sum(CAST(round(x * y, 9) AS DECIMAL(18,9))) AS sxy
+        |      FROM cells),
+        |sl AS (SELECT n,
+        |         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |           / nullif(n * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS slope_raw,
+        |         CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+        |       FROM s)
+        |SELECT n AS n_cells, round(slope_raw, 6) AS slope,
+        |  round((syd - slope_raw * sxd) / n, 6) AS intercept,
+        |  CASE WHEN slope_raw < 0 THEN round(-ln(2.0) / slope_raw, 6) END
+        |    AS half_life_days
+        |FROM sl""") { (s, dir) =>
+      retentionHalfLife(Tables.events(s, dir))
     },
 
     // ---- sketch face of q161: per-day HLL sketches, window unions —

@@ -79,18 +79,23 @@ object ImageHash {
     }.toDF("asset_id", "dhash")
   }
 
-  /** Near-duplicate image pairs within `maxDist` Hamming bits via the
-    * 4×16-bit banded join (exact for maxDist ≤ 3). */
-  def nearDupImagePairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
-    val banded = hashes.select(col("asset_id"), col("dhash"),
+  /** Band-exploded view of a hash table: (asset_id, dhash, band, v)
+    * with the 64-bit hash split into 4 16-bit bands. */
+  private def banded(hashes: DataFrame): DataFrame =
+    hashes.select(col("asset_id"), col("dhash"),
         explode(expr(
           "transform(sequence(0, 3), b -> struct(b AS band, shiftright(dhash, b * 16) & 65535 AS v))"))
           .as("bv"))
       .select(col("asset_id"), col("dhash"),
         col("bv.band").as("band"), col("bv.v").as("v"))
+
+  /** Near-duplicate image pairs within `maxDist` Hamming bits via the
+    * 4×16-bit banded join (exact for maxDist ≤ 3). */
+  def nearDupImagePairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    val b = banded(hashes)
       .localCheckpoint(eager = false) // consumers: both sides of the band join
-    banded.as("a")
-      .join(banded.as("b"),
+    b.as("a")
+      .join(b.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.asset_id") < col("b.asset_id"))
       .select(col("a.asset_id").as("a1"), col("b.asset_id").as("a2"),
@@ -101,6 +106,25 @@ object ImageHash {
       .filter(col("dist") <= maxDist)
       .orderBy("a1", "a2")
   }
+
+  /** Incremental face of [[nearDupImagePairs]]: NEW hashes against a
+    * STORED hash table only (never store × store — those pairs are
+    * already in the pair log). The at-ingest shape: a micro-batch's
+    * assets probe the accumulated index, then append to it. Pairs
+    * normalize to (min, max) so the log's key is orientation-free. */
+  def incrementalNearDupPairs(newHashes: DataFrame, storeHashes: DataFrame,
+      maxDist: Int = 3): DataFrame =
+    banded(newHashes).as("a")
+      .join(banded(storeHashes).as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.asset_id") =!= col("b.asset_id"))
+      .select(least(col("a.asset_id"), col("b.asset_id")).as("a1"),
+        greatest(col("a.asset_id"), col("b.asset_id")).as("a2"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("long")
+          .as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+      .orderBy("a1", "a2")
 
   /** Deterministic PNM corpus derived from the documents table: one
     * 18×16 P5 image per doc (raster = 18 chained md5 blocks of the
@@ -199,5 +223,18 @@ object ImageHash {
     //      decoder, same banded join; planted edited siblings. ----
     "q164_audio_fingerprint_pairs" -> QueryDef.rowsOnly { (s, dir) =>
       nearDupImagePairs(audioEnergyHashes(syntheticWav(Tables.documents(s, dir))))
+    },
+
+    // ---- incremental media dedup: the at-ingest shape — late-arriving
+    //      edited siblings (odd asset ids) probe the stored original
+    //      index (even ids); new × store only, never store × store.
+    //      ImageHashSpec pins equivalence with the full-corpus face;
+    //      Streams.mediaDedupSinkQuery is the streaming wrapper. ----
+    "q172_media_dedup_incremental" -> QueryDef.rowsOnly { (s, dir) =>
+      val hashes = imageHashes(syntheticPnm(Tables.documents(s, dir)))
+        .localCheckpoint(eager = false) // consumers: store + batch sides
+      incrementalNearDupPairs(
+        hashes.filter(col("asset_id") % 2 === 1),
+        hashes.filter(col("asset_id") % 2 === 0))
     })
 }

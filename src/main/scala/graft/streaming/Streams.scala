@@ -242,6 +242,52 @@ object Streams {
     (before, dataFiles)
   }
 
+  /** At-ingest perceptual dedup for MEDIA assets — the multimodal twin
+    * of [[nearDupSinkQuery]]: each micro-batch decodes + dHashes its
+    * images (narrow, bytes never shuffle), flags near-dups against the
+    * accumulated hash store via [[graft.operators.ImageHash.incrementalNearDupPairs]]
+    * (new × store only) AND within the batch, then appends its hashes.
+    * Both appends are anti-join dedups, so replayed batches land
+    * nothing new (the K2 idempotence pattern); the stores compact with
+    * [[compactNearDupStore]] — 16-byte rows, same maintenance contract. */
+  def mediaDedupSinkQuery(
+      assets: DataFrame, hashDir: String, pairsDir: String,
+      maxDist: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    assets.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.{ImageHash, Multimodal}
+        import org.apache.spark.sql.types._
+        val spark = batch.sparkSession
+        import spark.implicits._
+        def readOrEmpty(path: String, schema: StructType): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+        val hashSchema = StructType(Seq(
+          StructField("asset_id", LongType), StructField("dhash", LongType)))
+        val pairSchema = StructType(Seq(
+          StructField("a1", LongType), StructField("a2", LongType),
+          StructField("dist", LongType)))
+        // hash ONCE per batch (decode is the expensive step); the hash
+        // frame feeds three consumers (cross pairs, self pairs, append)
+        val hashes = ImageHash.imageHashes(
+          batch.as[Multimodal.MediaAsset]).localCheckpoint(true)
+        val store = readOrEmpty(hashDir, hashSchema)
+        val pairs = ImageHash.incrementalNearDupPairs(hashes, store, maxDist)
+          .unionByName(ImageHash.nearDupImagePairs(hashes, maxDist))
+          .distinct()
+        pairs.join(readOrEmpty(pairsDir, pairSchema).select("a1", "a2"),
+            Seq("a1", "a2"), "left_anti")
+          .write.mode("append").parquet(pairsDir)
+        hashes.join(store.select("asset_id"), Seq("asset_id"), "left_anti")
+          .write.mode("append").parquet(hashDir)
+        ()
+      }
+
   /** Watermarked stream-stream join: correlate two event streams per user
     * within a bounded interval (right event no earlier than the left, at
     * most `within` later). Both sides carry watermarks so join state is

@@ -178,6 +178,32 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === Seq((3L, 0.0)), s"deaths==at_risk must zero survival: ${got.toSeq}")
   }
 
+  test("q174 half-life: planted halving retention fits slope −ln2, half-life 1 day") {
+    import spark.implicits._
+    // cohort 01-01, 8 users; actives halve daily: 8, 4, 2, 1 →
+    // retention 0.5, 0.25, 0.125 at offsets 1..3 — exactly exponential
+    val rows =
+      (1L to 8L).map(u => (u, "view", "01 08:00:00")) ++
+      (1L to 4L).map(u => (u, "view", "02 08:00:00")) ++
+      (1L to 2L).map(u => (u, "view", "03 08:00:00")) ++
+      Seq((1L, "view", "04 08:00:00"))
+    val got = operators.EventAnalytics.retentionHalfLife(eventsDf(rows)).collect().head
+    // replicate the decimal OLS chain in plain Scala
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cells = Seq(1.0 -> 0.5, 2.0 -> 0.25, 3.0 -> 0.125)
+      .map { case (x, r) => (x, r9(math.log(r)).toDouble) }
+    val n = cells.size
+    val sx = cells.map(_._1).sum; val sxx = cells.map(c => c._1 * c._1).sum
+    val sy = cells.map(c => r9(c._2)).sum.toDouble
+    val sxy = cells.map(c => r9(c._1 * c._2)).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(got.getLong(0) === 3L)
+    assert(got.getDouble(1) === r6(slope))
+    assert(got.getDouble(3) === r6(-math.log(2.0) / slope))
+    assert(math.abs(got.getDouble(3) - 1.0) < 1e-6, "half-life ≈ 1 day")
+  }
+
   test("q169 sketch actives: exact at sub-sketch cardinalities on sf0.001") {
     // 150 users << 2^12 — the HLL stays in exact (sparse) mode, so the
     // sketch face must REPRODUCE the exact face cell for cell

@@ -70,6 +70,10 @@ object GoldenSpec {
     // plain-Scala replay in SimilaritySpec) and the audio fingerprint
     // (byte-level decode; reference energy hash in ImageHashSpec)
     "q160_kcenter_coreset", "q164_audio_fingerprint_pairs",
+    // r10 third wave: incremental media dedup (batch face of the
+    // streaming sink; ImageHashSpec pins equivalence with q159's full
+    // face)
+    "q172_media_dedup_incremental",
     // r10 third wave: HLL rolling actives (DuckDB's HLL is a different
     // implementation; EventAnalyticsSpec gates accuracy vs the exact
     // q161 face and pins merge associativity)
@@ -140,7 +144,13 @@ object GoldenSpec {
     ("q164_audio_fingerprint_pairs", "sf0.001") -> "f16ece109da5ceb7",
     ("q164_audio_fingerprint_pairs", "sf0.01") -> "5bf01afeec64c725",
     ("q169_rolling_actives_sketch", "sf0.001") -> "b8e127d99cf2809e",
-    ("q169_rolling_actives_sketch", "sf0.01") -> "e26c480c3d7191ea")
+    ("q169_rolling_actives_sketch", "sf0.01") -> "e26c480c3d7191ea",
+    // identical to q159's digests BY DESIGN: on this corpus every full-
+    // face pair is an (even original, odd sibling) pair, so the
+    // incremental restriction loses nothing — ImageHashSpec pins the
+    // equivalence explicitly
+    ("q172_media_dedup_incremental", "sf0.001") -> "118234f792dae49e",
+    ("q172_media_dedup_incremental", "sf0.01") -> "a481e985f45deef2")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

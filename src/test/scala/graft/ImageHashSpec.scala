@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Specs for perceptual image hashing (q159): a plain-Scala reference
@@ -140,6 +141,21 @@ class ImageHashSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === exp)
     assert(exp.nonEmpty, "sf0.001 must plant at least one recoverable audio sibling")
+  }
+
+  test("q172 incremental face equals the full face restricted to batch×store pairs") {
+    val docs = Tables.documents(spark, sf001)
+    val hashes = ImageHash.imageHashes(ImageHash.syntheticPnm(docs))
+    val full = ImageHash.nearDupImagePairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(p => p._1 % 2 != p._2 % 2) // one store (even), one batch (odd)
+      .toSet
+    val inc = ImageHash.incrementalNearDupPairs(
+        hashes.filter(col("asset_id") % 2 === 1),
+        hashes.filter(col("asset_id") % 2 === 0)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full, "incremental must equal the restricted full face")
+    assert(inc.nonEmpty)
   }
 
   test("q159 synthetic corpus: every planted sibling pair within 3 bits is recovered, nothing else") {

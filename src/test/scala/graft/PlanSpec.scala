@@ -566,7 +566,16 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q171: point/replica aggs off the quality barrier (the ×B explode
       // collapses under map-side combine to sources×B cells) + CI agg +
       // join + sort on sources-sized frames
-      ("q171_bootstrap_quality_ci",     0, 4))
+      ("q171_bootstrap_quality_ci",     0, 4),
+      // q172: banded batch/store sides off the hash barrier; band join +
+      // pair distinct
+      ("q172_media_dedup_incremental",  0, 2),
+      // q173: one count agg off the barrier; stats ride a one-row
+      // broadcast; the rank window runs on the topN-row limited frame
+      ("q173_key_skew_audit",           0, 1),
+      // q174: the q132 cell chain (distinct + aggs behind its barriers)
+      // + the one-row sufficient-statistics aggregate
+      ("q174_retention_halflife",       0, 3))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

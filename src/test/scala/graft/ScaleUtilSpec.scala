@@ -105,6 +105,19 @@ class ScaleUtilSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(top == ((42L, 201L)))
   }
 
+  test("q173 skew audit: planted hot key — share and x-mean are exact") {
+    // one key with 10 rows + ten keys with 1 row: 11 keys, 20 rows
+    val df = ((1 to 10).map(_ => (99L, "x")) ++
+      (1L to 10L).map(k => (k, "x"))).toDF("user_id", "v")
+    val got = Skew.keySkewAudit(df, "user_id", topN = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.head === ((1L, "99", 10L, 11L, 20L, 0.5, 5.5)))
+    // ties among the 1-row keys break on the key value
+    assert(got.toSeq.drop(1).map(_._2) === Seq("1", "2"))
+    assert(got.forall(_._7 > 0))
+  }
+
   // ---- partition pruning: the other half of "scan only what you need" ----
 
   test("partitioned layout prunes at the directory level") {

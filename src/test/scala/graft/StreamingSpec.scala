@@ -225,6 +225,52 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("media dedup sink: cross-batch image near-dups flagged, replays idempotent") {
+    import graft.operators.Multimodal.MediaAsset
+    val root = java.nio.file.Files.createTempDirectory("mediadedup").toString
+    val (hashDir, pairsDir) = (s"$root/hashes", s"$root/pairs")
+    def p5(px: Array[Int]): Array[Byte] =
+      ("P5 18 16 255\n".getBytes("US-ASCII").toSeq ++ px.map(_.toByte)).toArray
+    val rnd = new scala.util.Random(23)
+    val img = Array.fill(18 * 16)(rnd.nextInt(256))
+    val edited = img.clone()
+    for (y <- 0 until 2; x <- 0 until 2) edited(y * 18 + x) = 255
+    val inverted = img.map(255 - _)
+    val fresh = Array.fill(18 * 16)(rnd.nextInt(256))
+    val input = MemoryStream[MediaAsset](spark)
+    val q = Streams.mediaDedupSinkQuery(input.toDF(), hashDir, pairsDir).start()
+    try {
+      // batch 1: original + edited sibling (within-batch pair) + inverted
+      input.addData(
+        MediaAsset(1L, "image/x-portable-graymap", p5(img)),
+        MediaAsset(2L, "image/x-portable-graymap", p5(edited)),
+        MediaAsset(3L, "image/x-portable-graymap", p5(inverted)))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(pairsDir)
+        .select("a1", "a2").as[(Long, Long)].collect().toSet
+      assert(after1 == Set((1L, 2L)), s"batch-1 pairs: $after1")
+      // batch 2: 10 is an EXACT re-encode of 1 (cross-batch, must match
+      // both 1 and its sibling 2 via the persisted store), 11 is fresh
+      input.addData(
+        MediaAsset(10L, "image/x-portable-graymap", p5(img)),
+        MediaAsset(11L, "image/x-portable-graymap", p5(fresh)))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(pairsDir)
+        .select("a1", "a2").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L), (1L, 10L), (2L, 10L)),
+        s"cross-batch pairs wrong: $pairs")
+      val ids = spark.read.parquet(hashDir).select("asset_id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 10L, 11L), s"hash store: $ids")
+      // replay: resend asset 10 — neither store may grow
+      input.addData(MediaAsset(10L, "image/x-portable-graymap", p5(img)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(hashDir).count() == 5, "replay must not re-index")
+      assert(spark.read.parquet(pairsDir).select("a1", "a2")
+        .as[(Long, Long)].collect().toSet == pairs, "replay must not re-emit pairs")
+    } finally q.stop()
+  }
+
   test("compacted near-dup stores: fewer files, identical flags, sink keeps working") {
     val root = java.nio.file.Files.createTempDirectory("ndcompact").toString
     val (sigDir, pairsDir) = (s"$root/sigs", s"$root/pairs")
