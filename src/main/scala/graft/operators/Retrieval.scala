@@ -104,6 +104,102 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** Dense-vocabulary face of [[bm25TopKAgainst]] — SAME SCORES, different
+    * join geometry. The postings probe materializes one row per
+    * (query term × posting) match; on a corpus whose vocabulary is small
+    * and ubiquitous (every doc carries most terms — this testdata, or
+    * any stopword-dense slice), that degenerates to
+    * |queries|·|docs|·|vocab| exploded rows through a shuffle (measured:
+    * 67 s for q150 at sf0.1). Here each doc's per-term BM25
+    * contributions collapse into ONE dense DECIMAL(18,9) vector over
+    * the ordered vocabulary (contributions are query-independent), each
+    * query into a 0/1 presence vector, and the score is an IN-ROW
+    * zip_with/aggregate dot product over a docs × queries pair frame —
+    * |queries|·|docs| rows, vocab-wide work per row, no match
+    * explosion. Exactness: a term absent from the query multiplies by
+    * 0, a term absent from the doc contributes a 0-valued decimal cell
+    * — both add exact zero to the same order-free decimal sum the
+    * postings face computes, so the two faces are value-identical (the
+    * q51/q78 two-face contract; RetrievalSpec pins it). Use when
+    * vocab ≤ ~10⁴ (the presence vectors must broadcast); the postings
+    * face remains the sparse-vocabulary production path. */
+  def bm25TopKDense(postings: DataFrame, queryTerms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = postings.localCheckpoint(eager = false) // consumers: df/stats/vocab/vectors
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = p.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // ordered vocabulary index (vocab-sized; the single-partition window
+    // is the documented q115 exemption at this cardinality)
+    val vocabIdx = dfreq.select(col("term"))
+      .withColumn("idx", (row_number().over(Window.orderBy("term")) - 1).cast("int"))
+    val vSize = vocabIdx.count().toInt
+    val rankW = Window.partitionBy("qid").orderBy(col("bm25").desc, col("doc_id"))
+    bm25DenseScoresFrom(p, dfreq, stats, vocabIdx, vSize, queryTerms, k1, b)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The dense pair-score kernel shared by [[bm25TopKDense]] and the
+    * self-eval's sort-free rank counting: (qid, doc_id, bm25) for every
+    * matching pair. Each cell is the EXACT per-(term, doc) DECIMAL(18,9)
+    * contribution carried as its ×10⁹ scaled integer (an exact decimal
+    * multiply) in a DOUBLE: every cell and every partial sum stays below
+    * 2⁵³, so the codegen'd `graft_dot` fold is exact integer arithmetic
+    * in disguise, and one exact toDouble + correctly-rounded ÷10⁹
+    * reproduces the postings face's decimal-sum-cast bit for bit
+    * (measured: the BigDecimal zip_with fold ran 52 s at sf0.1; this is
+    * the q54 native-expression path). Pairs with no matching term (an
+    * exact 0 — idf/tf factors are strictly positive, a real match
+    * contributes ≥ ~10⁴ scaled units) are dropped to keep the two faces
+    * row-identical. */
+  private def bm25DenseScoresFrom(p: DataFrame, dfreq: DataFrame,
+      stats: DataFrame, vocabIdx: DataFrame, vSize: Int,
+      queryTerms: DataFrame, k1: Double, b: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(p.sparkSession)
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfPart = (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val docVecs = p
+      .join(broadcast(dfreq.join(vocabIdx, "term").crossJoin(broadcast(stats))), "term")
+      .select(col("doc_id"), col("idx"),
+        (round(idf * tfPart, 9).cast("decimal(18,9)") * lit(1000000000L))
+          .cast("long").cast("double").as("c"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("c")))).as("m"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, ${vSize - 1}), i -> coalesce(m[i], 0D))")
+        .as("cvec"))
+    val qVecs = queryTerms.join(broadcast(vocabIdx), "term")
+      .groupBy("qid")
+      .agg(map_from_entries(collect_list(struct(col("idx"), lit(1.0)))).as("m"))
+      .select(col("qid"), expr(
+        s"transform(sequence(0, ${vSize - 1}), i -> coalesce(m[i], 0D))").as("qvec"))
+    docVecs.crossJoin(broadcast(qVecs))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        round(expr("graft_dot(cvec, qvec)") / 1e9, 6).as("bm25"))
+      .filter(col("bm25") > 0.0)
+  }
+
+  /** Dense scores from raw postings + query terms — the entry the
+    * self-eval uses (no ranking; its ranks come from counting). */
+  private[graft] def bm25DenseScores(postings: DataFrame,
+      queryTerms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = postings.localCheckpoint(eager = false)
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = p.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val vocabIdx = dfreq.select(col("term"))
+      .withColumn("idx", (row_number().over(Window.orderBy("term")) - 1).cast("int"))
+    bm25DenseScoresFrom(p, dfreq, stats, vocabIdx, vocabIdx.count().toInt,
+      queryTerms, k1, b)
+  }
+
   /** Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR'09): fuse a
     * lexical and a semantic ranking into one list per query,
     * score = Σ 1/(rrfK + rank) over the lists that ranked the doc. Both
@@ -168,10 +264,26 @@ object Retrieval {
         concat(col("text"), lit(" rev2")).as("qtext"))
     val qTerms = queries.select(col("qid"),
       explode(array_distinct(words(col("qtext")))).as("term"))
-    val ranked = bm25TopKAgainst(
-      bm25Postings(docs).localCheckpoint(eager = false), qTerms, k)
-    val hits = ranked.filter(col("doc_id") === col("qid") - 1000000L)
-      .select(col("rank"))
+    // dense face: this corpus's vocabulary is ~30 ubiquitous words, so
+    // the postings probe explodes to |queries|·|docs|·|vocab| matched
+    // rows (measured 67 s at sf0.1); the dense dot product computes the
+    // IDENTICAL scores in |queries|·|docs| rows (RetrievalSpec pins the
+    // two faces equal; the DuckDB oracle is the postings formulation).
+    // Ranks come from COUNTING, not sorting: only each query's TARGET
+    // rank feeds the metrics, and rank(target) = 1 + |docs ordered
+    // before it| — a broadcast join + aggregate instead of a full
+    // per-query sort of every score.
+    val scores = bm25DenseScores(bm25Postings(docs), qTerms)
+      .localCheckpoint(eager = false) // consumers: target scores + rank counts
+    val targets = scores.filter(col("doc_id") === col("qid") - 1000000L)
+      .select(col("qid"), col("doc_id").as("tdoc"), col("bm25").as("tscore"))
+    val hits = scores.join(broadcast(targets), Seq("qid"))
+      .filter(col("bm25") > col("tscore") ||
+        (col("bm25") === col("tscore") && col("doc_id") < col("tdoc")))
+      .groupBy("qid").agg(count(lit(1)).as("better"))
+      .join(targets.select(col("qid")), Seq("qid"), "right")
+      .select((coalesce(col("better"), lit(0L)) + 1L).as("rank"))
+      .filter(col("rank") <= k)
     val nQ = queries.agg(count(lit(1)).as("n_queries"))
     val h = hits.agg(
       sum(when(col("rank") === 1, 1L).otherwise(0L)).as("h1"),

@@ -146,6 +146,25 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r.getDouble(3) === 1.0 && r.getDouble(4) === 1.0 && r.getDouble(5) === 1.0)
   }
 
+  test("dense BM25 face equals the postings face row for row on sf0.001") {
+    // the q51/q78 two-face contract: same scores, same ranks, different
+    // join geometry (postings probe vs dense scaled-integer dot product)
+    val docs = Tables.documents(spark, sf001)
+    val qTerms = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("qid"),
+        explode(array_distinct(expr("filter(split(trim(text), ' '), w -> w != '')")))
+          .as("term"))
+    val postings = Retrieval.bm25Postings(docs)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "doc_id", "bm25", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    val viaPostings = canon(Retrieval.bm25TopKAgainst(postings, qTerms, k = 10))
+    val viaDense = canon(Retrieval.bm25TopKDense(postings, qTerms, k = 10))
+    assert(viaDense.length === viaPostings.length)
+    assert(viaDense.toSeq === viaPostings.toSeq)
+  }
+
   test("q150 self-eval: an empty query set degrades to null rates, not an error") {
     import spark.implicits._
     // no doc_id divisible by 7 → zero queries; counts are 0 and every
