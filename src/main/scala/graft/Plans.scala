@@ -89,7 +89,24 @@ object Plans {
     "q140_unimax_allocation",     // closed-form waterfall, sources-sized frames
     "q141_triangle_cohesion",     // degree-ordered compact-forward wedges
     "q142_quality_calibration",   // in-row binning, bins-sized agg
-    "q143_snapshot_drift")        // union-vocab join, decimal contributions
+    "q143_snapshot_drift",        // union-vocab join, decimal contributions
+    "q150_retrieval_self_eval",   // dense scaled-int BM25 + count-based ranks
+    "q151_scd2_intervals",        // one shared user_id window shuffle
+    "q152_basket_lift",           // co-partitioned basket self-join
+    "q153_rfm_segments",          // 3 hierarchical rank passes, barriered
+    "q154_session_paths",         // capped session buffers, TakeOrdered
+    "q155_prototype_prune",       // broadcast centroids, in-row decimal folds
+    "q157_token_gini",            // closed form over the length histogram
+    "q159_image_dhash_pairs",     // banded Hamming join off the hash barrier
+    "q160_kcenter_coreset",       // k-row checkpointed selection
+    "q161_rolling_active_users",  // bounded (user,day) window expansion
+    "q163_char_entropy",          // (doc,char) cells, map-side combine
+    "q165_vocab_growth",          // per-word min(doc_id), bucket frames
+    "q167_quality_percentile_norm", // hierarchical within-source ranks
+    "q169_rolling_actives_sketch", // per-day HLL sketches, window unions
+    "q171_bootstrap_quality_ci",  // sources×B replica cells, hash coin
+    "q173_key_skew_audit",        // count agg + one-row broadcast stats
+    "q174_retention_halflife")    // closed-form OLS sufficient statistics
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

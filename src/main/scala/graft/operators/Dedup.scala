@@ -185,6 +185,38 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- dedup threshold sweep: pair/affected-doc counts per ladder
+    //      rung from one floor-threshold pair materialization. ----
+    "q177_threshold_sweep" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2,
+        |            round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+        |          FROM com
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.05),
+        |lad AS (SELECT unnest([0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+        |pc AS (SELECT threshold, count(*) AS n_pairs
+        |       FROM lad JOIN pairs ON jaccard >= threshold GROUP BY 1),
+        |dm AS (SELECT doc_id, max(jaccard) AS mx FROM (
+        |         SELECT d1 AS doc_id, jaccard FROM pairs
+        |         UNION ALL SELECT d2, jaccard FROM pairs) GROUP BY 1),
+        |dc AS (SELECT threshold, count(*) AS n_docs
+        |       FROM lad JOIN dm ON mx >= threshold GROUP BY 1)
+        |SELECT threshold, coalesce(n_pairs, 0) AS n_pairs,
+        |  coalesce(n_docs, 0) AS n_docs
+        |FROM lad LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)
+        |ORDER BY threshold""") { (s, dir) =>
+      thresholdSweep(Tables.documents(s, dir))
+    },
+
     // ---- duplication-structure audit: component-size histogram of the
     //      q62 near-dup graph, singletons included — same recursive-CTE
     //      oracle with a histogram on top. ----
@@ -888,6 +920,41 @@ object Dedup {
     * propagation would return wrong (unconverged) labels — so it hands off
     * to [[connectedComponentsStar]], whose round count is logarithmic in
     * component size instead of linear in diameter. */
+  /** Dedup-threshold sweep (q177): pair counts and affected-doc counts
+    * at every threshold of a fixed ladder, all from ONE pair
+    * materialization at the ladder floor — the "which threshold should
+    * dedup cut at" audit (q170 shows the cluster structure at one
+    * threshold; this shows how the blast radius moves as the dial
+    * turns). Affected docs per threshold derive from each doc's MAX
+    * pair similarity (a doc is affected at t iff its best pair ≥ t),
+    * so the sweep never re-runs the similarity join: one barrier, a
+    * ladder-bounded explode over pair/doc-max frames, and left joins
+    * that keep zero-count rungs. */
+  def thresholdSweep(docs: DataFrame,
+      ladder: Seq[Double] = Seq(0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = exactJaccardPairs(docs, ladder.min)
+      .localCheckpoint(eager = false) // consumers: pair counts + doc maxima
+    val thrArr = array(ladder.map(lit(_)): _*)
+    val pc = pairs.select(explode(thrArr).as("threshold"), col("jaccard"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val docMax = pairs.select(col("d1").as("doc_id"), col("jaccard"))
+      .unionByName(pairs.select(col("d2").as("doc_id"), col("jaccard")))
+      .groupBy("doc_id").agg(max(col("jaccard")).as("mx"))
+    val dc = docMax.select(explode(thrArr).as("threshold"), col("mx"))
+      .filter(col("mx") >= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+    ladder.toDF("threshold")
+      .join(pc, Seq("threshold"), "left")
+      .join(dc, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold")
+  }
+
   /** Duplication-structure audit: the component-size histogram of the
     * near-dup graph — one row per cluster size with component/doc counts
     * and corpus share, singletons (docs in no cluster) included as the

@@ -432,6 +432,42 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Bot-session detection: sessionize by the q154 inactivity gap, then
+    * flag sessions whose volume AND rate exceed thresholds —
+    * `n ≥ minEvents` and `n·60 > ratePerMin·duration` (the rate test
+    * cross-multiplied so there is no division, and single-event /
+    * zero-duration sessions can never divide by zero; they are only
+    * flaggable through a burst of ≥ minEvents at one timestamp, where
+    * duration 0 makes the inequality trivially true — the most extreme
+    * burst there is). The standard pre-filter before any behavioral
+    * statistic (a scraper's 10k-event session would dominate q131/q132
+    * otherwise). One per-user window pass; per-session stats are plain
+    * aggregates (no buffers); reported rate is null at duration 0. */
+  def botSessions(events: DataFrame, gapSec: Long = 1800,
+      minEvents: Long = 30, ratePerMin: Double = 10.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("pts").isNull ||
+          col("ts").cast("double") - col("pts").cast("double") > gapSec.toDouble,
+          1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+    sess.groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts")).cast("double") - min(col("ts")).cast("double"))
+          .as("dur"))
+      .select(col("user_id"), col("sess"), col("n_events"),
+        round(col("dur"), 6).as("duration_s"),
+        round(col("n_events") * 60.0 / nullif(col("dur"), lit(0.0)), 6)
+          .as("events_per_min"),
+        (col("n_events") >= minEvents &&
+          col("n_events") * 60.0 > lit(ratePerMin) * col("dur")).as("is_bot"))
+      .orderBy("user_id", "sess")
+  }
+
   /** Exponential-decay fit of the retention curve: pooled OLS of
     * ln(retention) on day offset over the q132 cells (offset ≥ 1,
     * retention > 0), in CLOSED FORM from five sufficient statistics —
@@ -646,6 +682,28 @@ object EventAnalytics {
     //      the sessionization gap parameter. ----
     "q168_interevent_gaps" -> QueryDef.sql(gapOracleSql) { (s, dir) =>
       interEventGaps(Tables.events(s, dir))
+    },
+
+    // ---- bot-session detection: volume + cross-multiplied rate gate
+    //      over inactivity sessions. ----
+    "q176_bot_sessions" -> QueryDef.sql(
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |s AS (SELECT *, sum(CASE WHEN pts IS NULL
+        |      OR epoch(ts) - epoch(pts) > 1800.0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o),
+        |g AS (SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events,
+        |        epoch(max(ts)) - epoch(min(ts)) AS dur
+        |      FROM s GROUP BY 1, 2)
+        |SELECT user_id, sess, n_events,
+        |  round(dur, 6) AS duration_s,
+        |  round(n_events * 60.0 / nullif(dur, 0.0), 6) AS events_per_min,
+        |  n_events >= 30 AND n_events * 60.0 > 10.0 * dur AS is_bot
+        |FROM g ORDER BY user_id, sess""") { (s, dir) =>
+      botSessions(Tables.events(s, dir))
     },
 
     // ---- retention half-life: closed-form OLS of ln(retention) on day

@@ -54,6 +54,42 @@ object Sketches {
         round(col("c").cast("double") / col("n"), 6).as("share"))
   }
 
+  /** Map-side top-k per group (q175): the bounded-buffer AGGREGATOR
+    * face of the q09 window pattern — top `k` orders per customer by
+    * (o_totalprice DESC, o_orderkey). The window face shuffles EVERY
+    * row to its group's partition and sorts whole groups; this face
+    * reduces to ≤ k rows per group per input partition before the
+    * exchange (ObjectHashAggregate partials), so shuffle volume is
+    * O(groups·k), not O(rows) — the difference at a 100 TB fact table
+    * with hot customers. Ordering rides the q135 fixed-width-string
+    * trick: skey = zero-padded DECIMAL(18,2) string of (10⁷ − price),
+    * so lexicographic ascending = price descending, ties on o_orderkey
+    * (prices are < 10⁷ here; re-anchor the constant for wider domains).
+    * Output prices come from a join-back on o_orderkey, so values are
+    * byte-identical to the window face (spec-pinned; the oracle is
+    * q09's SQL). */
+  def topKOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val keyed = orders.select(
+        col("o_custkey").cast("string").as("g"),
+        lpad((lit(new java.math.BigDecimal(10000000)).cast("decimal(18,2)")
+          - col("o_totalprice").cast("decimal(18,2)")).cast("string"), 12, "0")
+          .as("skey"),
+        col("o_orderkey"), lit(0L).as("pay"))
+      .as[(String, String, Long, Long)]
+    val picks = keyed.groupByKey(_._1)
+      .agg(new graft.functions.SketchAggs.MinKRowAgg(k).toColumn.name("picks"))
+      .toDF("g", "picks")
+      .select(col("g").cast("long").as("o_custkey"),
+        posexplode(col("picks")).as(Seq("pos", "pick")))
+      .select(col("o_custkey"), col("pick._2").as("o_orderkey"),
+        (col("pos") + 1).cast("long").as("rn"))
+    picks.join(orders.select(col("o_orderkey"), col("o_totalprice")), "o_orderkey")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Deterministic exact bottom-k sample per source, ordered by
     * (md5(doc_id), doc_id) — the engine-agnostic hash coin the sampling
     * family uses (q76/q107), but with an EXACT per-group size. */
@@ -218,6 +254,20 @@ object Sketches {
         |ORDER BY w""") { (s, dir) =>
       mgHeavyHitters(Tables.documents(s, dir), phi = 0.03, capacity = 64)
         .orderBy("w")
+    },
+
+    // ---- map-side top-k per group: the bounded-buffer aggregator face
+    //      of q09 — O(groups·k) shuffle instead of O(rows); the oracle
+    //      is the window formulation. ----
+    "q175_topk_per_group_agg" -> QueryDef.sql(
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""") { (s, dir) =>
+      topKOrdersPerCustomer(Tables.orders(s, dir))
     },
 
     // ---- exact per-source bottom-k sample (deterministic hash order)

@@ -575,6 +575,33 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(11L) === ((1L, 0L, None)))
   }
 
+  test("q177 sweep: rung counts are non-increasing and match per-threshold replays") {
+    import spark.implicits._
+    // near-identical pair (high sim), a mid-sim pair, and unrelated docs
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, a), (2L, a + " extra"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "alpha beta gamma delta epsilon zeta unrelated tail words here"),
+      (5L, "completely different content with nothing shared at all okay"))
+      .toDF("doc_id", "text")
+    val got = Dedup.thresholdSweep(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) === Seq(0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+    // monotone: raising the threshold never adds pairs or docs
+    assert(got.zip(got.drop(1)).forall { case (lo, hi) =>
+      hi._2 <= lo._2 && hi._3 <= lo._3 }, s"non-monotone: $got")
+    // each rung equals an independent exactJaccardPairs run at that rung
+    got.foreach { case (t, nPairs, nDocs) =>
+      val p = Dedup.exactJaccardPairs(docs, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(p.length.toLong === nPairs, s"pairs at $t")
+      assert(p.flatMap(x => Seq(x._1, x._2)).distinct.length.toLong === nDocs,
+        s"docs at $t")
+    }
+    assert(got.head._2 > got.last._2, "planted mid-sim pair must separate rungs")
+  }
+
   test("q170 histogram: planted clusters — singleton row fills the remainder") {
     import spark.implicits._
     // 10 docs; clusters {1,2,3} and {4,5} -> sizes 3 and 2; 5 singletons

@@ -178,6 +178,33 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === Seq((3L, 0.0)), s"deaths==at_risk must zero survival: ${got.toSeq}")
   }
 
+  test("q176 bots: burst flagged, human pace not, zero-duration needs the volume gate") {
+    import spark.implicits._
+    // u1: 30 events in 29 s → 62/min at full volume → bot
+    val bot = (0 until 30).map(i =>
+      (100L + i, 1L, "view", new Timestamp(ts("2024-01-01 10:00:00").getTime + i * 1000L)))
+    // u2: 30 events spread over 29 min → ~1/min → volume passes, rate fails
+    val human = (0 until 30).map(i =>
+      (200L + i, 2L, "view", new Timestamp(ts("2024-01-01 10:00:00").getTime + i * 60000L)))
+    // u3: a single event — duration 0, volume 1 → never a bot, rate null
+    val single = Seq((300L, 3L, "view", ts("2024-01-02 09:00:00")))
+    // u4: 30 events at the SAME timestamp — duration 0 burst → bot
+    val samets = (0 until 30).map(i =>
+      (400L + i, 4L, "view", ts("2024-01-03 09:00:00")))
+    val ev = (bot ++ human ++ single ++ samets)
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = operators.EventAnalytics.botSessions(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), Option(r.get(4)), r.getBoolean(5))).toSeq
+    assert(got === Seq(
+      (1L, 30L, Some(round6(30 * 60.0 / 29.0)), true),
+      (2L, 30L, Some(round6(30 * 60.0 / (29 * 60.0))), false),
+      (3L, 1L, None, false),
+      (4L, 30L, None, true)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("q174 half-life: planted halving retention fits slope −ln2, half-life 1 day") {
     import spark.implicits._
     // cohort 01-01, 8 users; actives halve daily: 8, 4, 2, 1 →

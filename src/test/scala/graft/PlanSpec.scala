@@ -575,7 +575,16 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q173_key_skew_audit",           0, 1),
       // q174: the q132 cell chain (distinct + aggs behind its barriers)
       // + the one-row sufficient-statistics aggregate
-      ("q174_retention_halflife",       0, 3))
+      ("q174_retention_halflife",       0, 3),
+      // q175: the aggregator scan (k-row partial buffers — O(groups·k)
+      // shuffle) + the join-back scan for exact prices + output sort
+      ("q175_topk_per_group_agg",       2, 2),
+      // q176: one events scan into the shared user_id window + the
+      // session agg reuses the partitioning; output sort
+      ("q176_bot_sessions",             1, 2),
+      // q177: pair/doc-max counts off the floor-threshold pair barrier;
+      // ladder joins on rung-sized frames
+      ("q177_threshold_sweep",          0, 7))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

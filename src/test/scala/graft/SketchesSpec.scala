@@ -174,4 +174,37 @@ class SketchesSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(got === base, s"parts=$p")
     }
   }
+
+  test("q175 aggregator top-k equals the q09 window face on real orders") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf001)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val win = orders.select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    val agg = Sketches.topKOrdersPerCustomer(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(agg.toSeq === win.toSeq)
+  }
+
+  test("q175 partial buffers are bounded and ties break on order key") {
+    import spark.implicits._
+    // 6 same-price orders for one customer: the cut must take the 3
+    // LOWEST order keys; a second customer checks group isolation
+    val orders = Seq(
+      (1L, 101L, 50.0), (1L, 105L, 50.0), (1L, 103L, 50.0),
+      (1L, 102L, 50.0), (1L, 104L, 50.0), (1L, 106L, 99.99),
+      (2L, 201L, 10.0))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val got = Sketches.topKOrdersPerCustomer(orders.repartition(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 106L, 1L), (1L, 101L, 2L), (1L, 102L, 3L),
+      (2L, 201L, 1L)))
+  }
 }
