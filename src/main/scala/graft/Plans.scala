@@ -106,7 +106,9 @@ object Plans {
     "q169_rolling_actives_sketch", // per-day HLL sketches, window unions
     "q171_bootstrap_quality_ci",  // sources×B replica cells, hash coin
     "q173_key_skew_audit",        // count agg + one-row broadcast stats
-    "q174_retention_halflife")    // closed-form OLS sufficient statistics
+    "q174_retention_halflife",    // closed-form OLS sufficient statistics
+    "q175_topk_per_group_agg",    // k-row aggregator buffers, join-back
+    "q177_threshold_sweep")       // one pair barrier, ladder explodes
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -361,6 +361,37 @@ object Curation {
       gopherRules(Tables.documents(s, dir), corpusRequiredWords).orderBy("doc_id")
     },
 
+    // ---- Neyman minimum-variance budget allocation: integerized
+    //      largest-remainder — allocations sum to exactly B. ----
+    "q179_neyman_allocation" -> QueryDef.sql(
+      """WITH t AS (SELECT source,
+        |    CAST(len(list_filter(string_split(trim(text),' '), x -> x != '')) AS BIGINT) AS x
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx FROM t GROUP BY 1),
+        |w AS (SELECT source, n,
+        |    CASE WHEN n > 1 THEN round(sqrt(
+        |      CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)), 6) ELSE 0.0 END AS sd
+        |  FROM s),
+        |wi AS (SELECT *, CAST(CAST(round(n * sd, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS w_int
+        |       FROM w),
+        |tot AS (SELECT CAST(sum(w_int) AS BIGINT) AS w_tot FROM wi),
+        |b AS (SELECT wi.*, w_tot,
+        |    CASE WHEN w_tot > 0 THEN (10000 * w_int) // w_tot ELSE 0 END AS base,
+        |    CASE WHEN w_tot > 0 THEN (10000 * w_int) % w_tot ELSE 0 END AS rem
+        |  FROM wi CROSS JOIN tot),
+        |k AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS k FROM b),
+        |r AS (SELECT b.*, k.k,
+        |        row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |      FROM b CROSS JOIN k)
+        |SELECT source, n AS n_docs, sd,
+        |  round(CAST(w_int AS DOUBLE) / 1e6, 6) AS weight,
+        |  CAST(base + CASE WHEN rk <= k THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY source""") { (s, dir) =>
+      neymanAllocation(Tables.documents(s, dir))
+    },
+
     // ---- Poisson-bootstrap CI on per-source mean quality: error bars
     //      from deterministic hash-coin resample weights. ----
     "q171_bootstrap_quality_ci" -> QueryDef.sql(
@@ -2574,6 +2605,62 @@ object Curation {
         round(lit(1.0) - col("token_sum").cast("double") / col("slot_sum"), 6)
           .as("waste_frac"))
       .orderBy("strategy")
+  }
+
+  // ---------------------------------------------------------------------
+  // q179: Neyman minimum-variance sampling allocation
+  // ---------------------------------------------------------------------
+
+  /** Neyman allocation (1934): split a fixed sampling budget across
+    * sources ∝ n_s·σ_s — the minimum-variance stratified design for
+    * estimating corpus-level statistics (proportional allocation
+    * oversamples homogeneous strata; q76's stratified sample is the
+    * proportional baseline this improves on). σ_s is the exact sample
+    * sd of doc token counts from integer sufficient statistics
+    * (n, Σx, Σx² — the q137 discipline; products ride DECIMAL(38,0) so
+    * a 100 TB source's Σx² cannot overflow), rounded to 6; singleton
+    * sources get weight 0.
+    *
+    * The integerized largest-remainder method makes allocations EXACT
+    * and engine-identical: weights scale to ×10⁶ integers, each source
+    * takes floor(B·w/W) with integer div/mod, and the leftover
+    * (B − Σ floor) goes to the largest remainders (ties by source) —
+    * allocations always sum to exactly B, with zero float thresholds.
+    * Everything after the one corpus scan is sources-sized. */
+  def neymanAllocation(docs: DataFrame, budget: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val s = docs
+      .select(col("source"), size(words(col("text"))).cast("long").as("x"))
+      .groupBy("source").agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val sd = when(col("n") > 1,
+      round(sqrt((d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
+        .cast("double") / (d38(col("n")) * d38(col("n") - 1)).cast("double")), 6))
+      .otherwise(lit(0.0))
+    val w = s.withColumn("sd", sd)
+      .withColumn("w_int",
+        (round(col("n") * col("sd"), 6).cast("decimal(18,6)") * lit(1000000L))
+          .cast("long"))
+      .localCheckpoint(eager = false) // consumers: totals + allocation
+    val tot = w.agg(sum(col("w_int")).as("w_tot"))
+    val withBase = w.crossJoin(broadcast(tot))
+      .withColumn("base",
+        when(col("w_tot") > 0, expr(s"($budget * w_int) div w_tot"))
+          .otherwise(lit(0L)))
+      .withColumn("rem",
+        when(col("w_tot") > 0, expr(s"($budget * w_int) % w_tot"))
+          .otherwise(lit(0L)))
+      .localCheckpoint(eager = false) // consumers: leftover + output
+    val leftover = withBase.agg((lit(budget) - sum(col("base"))).as("k"))
+    withBase.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long")) // sources-sized
+      .select(col("source"), col("n").as("n_docs"), col("sd"),
+        round(col("w_int").cast("double") / 1e6, 6).as("weight"),
+        (col("base") + when(col("rk") <= col("k"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("source")
   }
 
   // ---------------------------------------------------------------------

@@ -39,18 +39,25 @@ object EventAnalytics {
   private[graft] val funnelStages: Seq[String] = Seq("view", "click", "purchase")
 
   /** Per-user first-completion time of each funnel stage, where stage
-    * k+1 must happen strictly after the user's stage-k time; returns
-    * the per-stage (user_id, t) frames, each behind a lazy barrier
-    * (two consumers: the stage count and the next stage's join). */
-  private def stageFrames(events: DataFrame): Seq[DataFrame] = {
+    * k+1 must happen strictly after the user's stage-k time — and, when
+    * `maxLagSec` is set, within that many seconds of it (the attribution
+    * window q178 adds; None preserves q131's unbounded semantics).
+    * Returns the per-stage (user_id, t) frames, each behind a lazy
+    * barrier (two consumers: the stage count and the next stage's join). */
+  private def stageFrames(events: DataFrame,
+      maxLagSec: Option[Long] = None): Seq[DataFrame] = {
     val first = events.filter(col("event_type") === funnelStages.head)
       .groupBy("user_id").agg(min(col("ts")).as("t"))
       .localCheckpoint(eager = false)
     funnelStages.tail.foldLeft(Seq(first)) { case (acc, stage) =>
       val prev = acc.last
+      val inWindow = maxLagSec match {
+        case Some(s) => col("ts").cast("double") - col("t_prev").cast("double") <= s.toDouble
+        case None => lit(true)
+      }
       val next = events.filter(col("event_type") === stage)
         .join(prev.withColumnRenamed("t", "t_prev"), Seq("user_id"))
-        .filter(col("ts") > col("t_prev"))
+        .filter(col("ts") > col("t_prev") && inWindow)
         .groupBy("user_id").agg(min(col("ts")).as("t"))
         .localCheckpoint(eager = false)
       acc :+ next
@@ -58,9 +65,14 @@ object EventAnalytics {
   }
 
   /** Ordered funnel summary: one row per stage with the surviving user
-    * count and conversion vs the first stage / vs the previous stage. */
-  def eventFunnel(events: DataFrame): DataFrame = {
-    val frames = stageFrames(events)
+    * count and conversion vs the first stage / vs the previous stage.
+    * `maxLagSec` bounds each stage's lag behind the previous one — the
+    * ATTRIBUTION-WINDOW funnel (q178): a purchase three weeks after the
+    * click is organic, not converted, and unbounded funnels overstate
+    * conversion by exactly that tail (same min-agg cascade either way). */
+  def eventFunnel(events: DataFrame,
+      maxLagSec: Option[Long] = None): DataFrame = {
+    val frames = stageFrames(events, maxLagSec)
     // one-row count frames; n1 rides along via broadcast BNLJ so rates
     // divide inside the engine (never a driver-side collect)
     val counts = frames.zipWithIndex.map { case (f, i) =>
@@ -79,13 +91,17 @@ object EventAnalytics {
     rows.reduce(_.unionByName(_)).orderBy("stage")
   }
 
-  private def funnelOracleSql: String = {
+  private def funnelOracleSql: String = funnelOracleSqlWith(None)
+
+  private def funnelOracleSqlWith(maxLagSec: Option[Long]): String = {
     // generated from funnelStages — one CTE per stage, then the summary
+    val lag = maxLagSec
+      .map(s => s" AND epoch(e.ts) - epoch(p.t) <= $s.0").getOrElse("")
     val stageCtes = funnelStages.zipWithIndex.map { case (stage, i) =>
       if (i == 0)
         s"s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = '$stage' GROUP BY 1)"
       else
-        s"s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s$i p ON e.user_id = p.user_id WHERE e.event_type = '$stage' AND e.ts > p.t GROUP BY 1)"
+        s"s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s$i p ON e.user_id = p.user_id WHERE e.event_type = '$stage' AND e.ts > p.t$lag GROUP BY 1)"
     }.mkString(",\n")
     val nSelects = funnelStages.indices
       .map(i => s"(SELECT count(*) FROM s${i + 1}) AS n${i + 1}").mkString(", ")
@@ -682,6 +698,14 @@ object EventAnalytics {
     //      the sessionization gap parameter. ----
     "q168_interevent_gaps" -> QueryDef.sql(gapOracleSql) { (s, dir) =>
       interEventGaps(Tables.events(s, dir))
+    },
+
+    // ---- attribution-window funnel: q131 with each stage bounded to
+    //      24 h behind the previous one — unbounded funnels overstate
+    //      conversion by the organic tail. ----
+    "q178_windowed_funnel" -> QueryDef.sql(
+      funnelOracleSqlWith(Some(86400L))) { (s, dir) =>
+      eventFunnel(Tables.events(s, dir), maxLagSec = Some(86400L))
     },
 
     // ---- bot-session detection: volume + cross-multiplied rate gate

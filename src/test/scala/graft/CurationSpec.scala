@@ -1479,6 +1479,32 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === expected)
   }
 
+  test("q179 Neyman: hand-computed integer allocation; zero-variance strata get nothing") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("w").mkString(" "))
+    val docs = (
+      // a: identical lengths → sd 0 → weight 0, alloc 0
+      Seq(doc(1, "a", 5), doc(2, "a", 5)) ++
+      // b: lengths 0/2/4 → sample sd exactly 2 → weight 6
+      Seq((3L, "b", ""), doc(4, "b", 2), doc(5, "b", 4)) ++
+      // c: lengths 10/10/14/14 → sd √(64/12), weight 4·sd
+      Seq(doc(6, "c", 10), doc(7, "c", 10), doc(8, "c", 14), doc(9, "c", 14)))
+      .toDF("doc_id", "source", "text")
+    val got = operators.Curation.neymanAllocation(docs, budget = 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    val sdC = BigDecimal(math.sqrt(64.0 / 12))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // integer largest-remainder: base b=3 (rem .937·W), c=6 (rem .062·W);
+    // the leftover unit goes to b
+    assert(got.toSeq === Seq(
+      ("a", 2L, 0.0, 0.0, 0L),
+      ("b", 3L, 2.0, 6.0, 4L),
+      ("c", 4L, sdC, BigDecimal(4 * sdC).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, 6L)))
+    assert(got.map(_._5).sum === 10L, "allocations must sum to the budget")
+  }
+
   test("q171 bootstrap CI: degenerate source collapses to the mean; mixed source gets real width") {
     import spark.implicits._
     val clean = (1 to 25).map(_ => "the").mkString(" ") // a fixed high-quality text

@@ -178,6 +178,26 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === Seq((3L, 0.0)), s"deaths==at_risk must zero survival: ${got.toSeq}")
   }
 
+  test("q178 windowed funnel: the attribution boundary is inclusive and cuts the tail") {
+    // u1 clicks exactly 24 h after the view (included), buys in window;
+    // u2 clicks 24 h + 1 s after the view — outside, never converts;
+    // u3 clicks in window but buys 2 days later — purchase outside
+    val ev = eventsDf(Seq(
+      (1L, "view", "01 10:00:00"), (1L, "click", "02 10:00:00"),
+      (1L, "purchase", "02 11:00:00"),
+      (2L, "view", "03 10:00:00"), (2L, "click", "04 10:00:01"),
+      (3L, "view", "05 10:00:00"), (3L, "click", "05 11:00:00"),
+      (3L, "purchase", "07 11:00:01")))
+    val got = operators.EventAnalytics
+      .eventFunnel(ev, maxLagSec = Some(86400L)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("1_view", 3L), ("2_click", 2L), ("3_purchase", 1L)))
+    // the unbounded face counts u2's click and u3's purchase
+    val unbounded = operators.EventAnalytics.eventFunnel(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(unbounded === Seq(("1_view", 3L), ("2_click", 3L), ("3_purchase", 2L)))
+  }
+
   test("q176 bots: burst flagged, human pace not, zero-duration needs the volume gate") {
     import spark.implicits._
     // u1: 30 events in 29 s → 62/min at full volume → bot

@@ -584,7 +584,13 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q176_bot_sessions",             1, 2),
       // q177: pair/doc-max counts off the floor-threshold pair barrier;
       // ladder joins on rung-sized frames
-      ("q177_threshold_sweep",          0, 7))
+      ("q177_threshold_sweep",          0, 7),
+      // q178: the q131 min-agg cascade (stage frames barriered) + the
+      // one-row count BNLJ assembly
+      ("q178_windowed_funnel",          0, 9),
+      // q179: one corpus scan collapses to per-source sufficient stats
+      // behind barriers; allocation runs on the sources frame
+      ("q179_neyman_allocation",        0, 2))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
