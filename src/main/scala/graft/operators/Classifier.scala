@@ -88,7 +88,102 @@ object Classifier {
       .orderBy("bin")
   }
 
+  /** Uncertainty-sampling batch (q181): the `k` docs the trained
+    * classifier is LEAST sure about (|p − 0.5| smallest, ties on
+    * doc_id) — the batch an active-learning loop sends for labels;
+    * confidently-scored docs teach the model nothing. Scoring is the
+    * q111 in-row path; the cut is one TakeOrdered over a total order. */
+  def activeLearningBatch(docs: DataFrame, weights: DataFrame,
+      k: Int = 50): DataFrame =
+    classifierScore(docs, weights)
+      .select(col("doc_id"), col("score"),
+        round(abs(col("score") - 0.5), 6).as("uncertainty"))
+      .orderBy(col("uncertainty"), col("doc_id"))
+      .limit(k)
+
+  /** Isotonic calibration of the q142 reliability bins (q182): the
+    * monotone-nondecreasing probability curve closest (weighted least
+    * squares) to the per-bin reference rates — what turns a raw
+    * heuristic score into a usable probability when the reliability
+    * diagram zig-zags. Computed via the PAVA MINIMAX closed form
+    * f(i) = max_{j≤i} min_{k≥i} wavg(rate, j..k) instead of the
+    * sequential pool-adjacent-violators loop: on the bins-sized frame
+    * the O(bins³) interval enumeration is a few hundred cells of exact
+    * INTEGER sums (Σ n_ref / Σ n per interval, one rounded division),
+    * fully parallel and engine-identical — the same
+    * closed-form-over-a-bounded-frame move as q140's waterfall. */
+  def isotonicCalibration(docs: DataFrame, bins: Int = 10,
+      isRef: Column = substring(md5(col("text")), 1, 1) <= "3"): DataFrame = {
+    val base = qualityCalibration(docs, bins, isRef)
+      .select(col("bin"), col("n"), col("n_ref"), col("mean_quality"),
+        col("ref_rate"))
+      .localCheckpoint(eager = false) // consumers: intervals, members, output
+    val iv = base.select(col("bin").as("j")).as("l")
+      .join(base.select(col("bin").as("k")).as("r"), col("j") <= col("k"))
+      .join(base.select(col("bin").as("m"), col("n"), col("n_ref")),
+        col("m") >= col("j") && col("m") <= col("k"))
+      .groupBy("j", "k")
+      .agg(round(sum(col("n_ref")).cast("double") / sum(col("n")), 9).as("a"))
+    val iso = base.select(col("bin"))
+      .join(iv, col("j") <= col("bin") && col("k") >= col("bin"))
+      .groupBy(col("bin"), col("j")).agg(min(col("a")).as("mja"))
+      .groupBy("bin").agg(round(max(col("mja")), 6).as("iso_rate"))
+    base.join(iso, "bin")
+      .select(col("bin"), col("n"), col("n_ref"), col("mean_quality"),
+        col("ref_rate"), col("iso_rate"))
+      .orderBy("bin")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- active-learning batch: most-uncertain docs under the trained
+    //      classifier; rows-only (the classifier itself is no_oracle),
+    //      golden-pinned, machinery reference-checked in ClassifierSpec. ----
+    "q181_active_learning_batch" -> QueryDef.rowsOnly { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      activeLearningBatch(docs, classifierTrain(docs))
+    },
+
+    // ---- isotonic calibration: monotone probability curve over the
+    //      q142 bins via the PAVA minimax closed form. ----
+    "q182_isotonic_calibration" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT md5(text) AS h,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+        |    len(list_filter(string_split(trim(text),' '),
+        |        x -> list_contains(['the','a','and','of','to','is','in'], x))) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT substring(h, 1, 1) <= '3' AS is_ref,
+        |    round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |          * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
+        |          * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / nullif(n_words, 0) * 5.0, 1.0)), 6) AS q
+        |  FROM f),
+        |b AS (SELECT CAST(least(floor(q * 10), 9) AS BIGINT) AS bin,
+        |        CAST(q AS DECIMAL(18,9)) AS qd, is_ref
+        |      FROM q WHERE q IS NOT NULL),
+        |g AS (SELECT bin, count(*) AS n,
+        |        CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |        sum(qd) AS qsum
+        |      FROM b GROUP BY 1),
+        |base AS (SELECT bin, n, n_ref,
+        |    round(CAST(qsum AS DOUBLE) / n, 6) AS mean_quality,
+        |    round(CAST(n_ref AS DOUBLE) / n, 6) AS ref_rate FROM g),
+        |iv AS (SELECT l.bin AS j, r.bin AS k,
+        |    round(CAST(sum(m.n_ref) AS DOUBLE) / sum(m.n), 9) AS a
+        |  FROM base l JOIN base r ON l.bin <= r.bin
+        |  JOIN base m ON m.bin >= l.bin AND m.bin <= r.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT bin, round(max(mja), 6) AS iso_rate FROM (
+        |    SELECT b2.bin, iv.j, min(iv.a) AS mja
+        |    FROM base b2 JOIN iv ON iv.j <= b2.bin AND iv.k >= b2.bin
+        |    GROUP BY 1, 2) GROUP BY 1)
+        |SELECT base.bin, n, n_ref, mean_quality, ref_rate, iso_rate
+        |FROM base JOIN iso USING (bin) ORDER BY bin""") { (s, dir) =>
+      isotonicCalibration(Tables.documents(s, dir))
+    },
+
     // ---- quality-classifier training: final per-dim weights after 5
     //      batch GD rounds on reference-vs-rest labels. ----
     "q110_quality_classifier_train" -> QueryDef.rowsOnly { (s, dir) =>

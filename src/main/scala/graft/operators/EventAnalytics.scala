@@ -448,6 +448,87 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Per-user feature table (q180) — the feature-engineering export a
+    * churn/LTV model trains on, assembled from shapes this module
+    * already audits: volume (events, active days), recency, purchases
+    * (DECIMAL money), inter-event cadence (DECIMAL mean gap), and a
+    * WEEKLY ACTIVITY TREND — the OLS slope of ACTIVE DAYS PER WEEK over
+    * the user's own week index (days, not raw events — a burst day
+    * shouldn't read as a month of engagement), with EMPTY weeks included
+    * as zeros (drop them and every user trends flat); all five OLS
+    * sufficient sums are exact integers, so the slope is one
+    * engine-identical expression.
+    *
+    * Scale shape: one per-user window pass (gaps), one groupBy (core
+    * stats), and a week expansion bounded by span/7 per user (sequence
+    * + explode — ≤ a few dozen cells per user at any corpus size);
+    * everything joins back on user_id. */
+  def userFeatures(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winEnd = events.agg(max(col("ts")).as("w_end"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val withGap = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+    val core = withGap.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"),
+        max(col("ts")).as("last_ts"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))).as("monetary"),
+        count(col("pts")).as("n_gaps"),
+        sum(expr(
+          "CAST(round(CAST(ts AS DOUBLE) - CAST(pts AS DOUBLE), 6) AS DECIMAL(18,6))"))
+          .as("gap_sum"))
+      .localCheckpoint(eager = false) // consumers: weeks expansion + output
+    val days = events.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .localCheckpoint(eager = false) // consumers: active count + week cells
+    val active = days.groupBy("user_id").agg(count(lit(1)).as("active_days"))
+    // weekly counts over the user's OWN week grid, empty weeks as zeros
+    val grid = core.select(col("user_id"), col("first_day"),
+        explode(expr("sequence(0, CAST(datediff(last_day, first_day) div 7 AS INT))"))
+          .as("wk"))
+    val wkCounts = days
+      .join(core.select("user_id", "first_day"), Seq("user_id"))
+      .groupBy(col("user_id"),
+        expr("datediff(d, first_day) div 7").as("wk"))
+      .agg(count(lit(1)).as("c"))
+    val slope = grid.join(wkCounts, Seq("user_id", "wk"), "left")
+      .select(col("user_id"), col("wk"), coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy("user_id").agg(
+        count(lit(1)).as("nw"), sum(col("wk")).as("sw"),
+        sum(col("wk") * col("wk")).as("sww"), sum(col("c")).as("sc"),
+        sum(col("wk") * col("c")).as("swc"))
+      .select(col("user_id"),
+        when(col("nw") > 1, round(
+          (col("nw") * col("swc") - col("sw") * col("sc")).cast("double")
+            / (col("nw") * col("sww") - col("sw") * col("sw")), 6))
+          .as("weekly_slope"))
+    core.join(active, Seq("user_id"))
+      .join(slope, Seq("user_id"))
+      .crossJoin(broadcast(winEnd))
+      .select(col("user_id"), col("n_events"), col("active_days"),
+        col("first_day"), col("last_day"),
+        floor((col("w_end").cast("double") - col("last_ts").cast("double"))
+          / 86400.0).cast("long").as("recency_days"),
+        col("n_purchases"),
+        round(coalesce(col("monetary"), lit(0).cast("decimal(18,2)"))
+          .cast("double"), 2).as("monetary"),
+        // mean gap via FLOOR-of-microseconds integer division: a 6-dp
+        // decimal sum over n can land exactly on a half (sum ..odd / 2),
+        // where engine double-rounding diverges — integer div cannot
+        when(col("n_gaps") > 0,
+          expr("CAST(gap_sum * 1000000 AS BIGINT) div n_gaps").cast("double")
+            / 1e6).as("mean_gap_s"),
+        col("weekly_slope"))
+      .orderBy("user_id")
+  }
+
   /** Bot-session detection: sessionize by the q154 inactivity gap, then
     * flag sessions whose volume AND rate exceed thresholds —
     * `n ≥ minEvents` and `n·60 > ratePerMin·duration` (the rate test
@@ -698,6 +779,50 @@ object EventAnalytics {
     //      the sessionization gap parameter. ----
     "q168_interevent_gaps" -> QueryDef.sql(gapOracleSql) { (s, dir) =>
       interEventGaps(Tables.events(s, dir))
+    },
+
+    // ---- per-user feature table: volume, recency, money, cadence, and
+    //      a weekly activity trend with empty weeks as zeros. ----
+    "q180_user_features" -> QueryDef.sql(
+      """WITH base AS (SELECT user_id, ts, event_id, event_type, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |w AS (SELECT max(ts) AS w_end FROM events),
+        |core AS (SELECT user_id, count(*) AS n_events,
+        |    min(CAST(ts AS DATE)) AS first_day,
+        |    max(CAST(ts AS DATE)) AS last_day,
+        |    max(ts) AS last_ts,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(18,2)) END) AS monetary,
+        |    count(pts) AS n_gaps,
+        |    sum(CAST(round(epoch(ts) - epoch(pts), 6) AS DECIMAL(18,6))) AS gap_sum
+        |  FROM base GROUP BY 1),
+        |days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |act AS (SELECT user_id, count(*) AS active_days FROM days GROUP BY 1),
+        |grid AS (SELECT user_id, CAST(i AS BIGINT) AS wk
+        |  FROM core, unnest(range(0, date_diff('day', first_day, last_day) // 7 + 1)) t(i)),
+        |wc AS (SELECT days.user_id,
+        |    date_diff('day', first_day, d) // 7 AS wk, count(*) AS c
+        |  FROM days JOIN core USING (user_id) GROUP BY 1, 2),
+        |sl AS (SELECT user_id, count(*) AS nw,
+        |    CAST(sum(wk) AS BIGINT) AS sw, CAST(sum(wk * wk) AS BIGINT) AS sww,
+        |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(wk * c) AS BIGINT) AS swc
+        |  FROM (SELECT grid.user_id, grid.wk, coalesce(wc.c, 0) AS c
+        |        FROM grid LEFT JOIN wc ON wc.user_id = grid.user_id AND wc.wk = grid.wk)
+        |  GROUP BY 1)
+        |SELECT core.user_id, n_events, active_days, first_day, last_day,
+        |  CAST(floor((epoch(w_end) - epoch(last_ts)) / 86400.0) AS BIGINT) AS recency_days,
+        |  n_purchases,
+        |  round(CAST(coalesce(monetary, 0) AS DOUBLE), 2) AS monetary,
+        |  CASE WHEN n_gaps > 0 THEN
+        |    CAST(CAST(gap_sum * 1000000 AS BIGINT) // n_gaps AS DOUBLE) / 1e6 END AS mean_gap_s,
+        |  CASE WHEN nw > 1 THEN round(
+        |    CAST(nw * swc - sw * sc AS DOUBLE) / (nw * sww - sw * sw), 6) END
+        |    AS weekly_slope
+        |FROM core JOIN act USING (user_id) JOIN sl ON sl.user_id = core.user_id
+        |CROSS JOIN w ORDER BY core.user_id""") { (s, dir) =>
+      userFeatures(Tables.events(s, dir))
     },
 
     // ---- attribution-window funnel: q131 with each stage bounded to

@@ -244,4 +244,54 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // bin 9 (top bin absorbs q = 1.0): two docs, both ref → gap 0
     assert(got(9L) === ((2L, 2L, 1.0, 1.0, 0.0)))
   }
+
+  test("q181 active learning: most-uncertain docs first, deterministic cut") {
+    val docs = Tables.documents(spark, sf001)
+    val weights = Classifier.classifierTrain(docs)
+    val scored = Classifier.classifierScore(docs, weights).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val got = Classifier.activeLearningBatch(docs, weights, k = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length === 20)
+    // returned uncertainty matches the score, and the batch IS the
+    // 20 smallest (uncertainty, doc_id) pairs over the full scoring
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (id, sc, u) =>
+      assert(sc === scored(id) && u === r6(math.abs(sc - 0.5)), s"doc $id")
+    }
+    val expected = scored.toSeq
+      .map { case (id, sc) => (r6(math.abs(sc - 0.5)), id) }
+      .sorted.take(20).map(_._2).toSet
+    assert(got.map(_._1).toSet === expected)
+  }
+
+  test("q182 isotonic: matches a plain-Scala PAVA reference and is monotone") {
+    val docs = Tables.documents(spark, sf001)
+    val base = Classifier.qualityCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // classic pool-adjacent-violators on (n, n_ref) weighted rates
+    case class Block(n: Long, ref: Long) { def rate: Double = ref.toDouble / n }
+    var blocks = Vector.empty[(Block, Int)] // block + member count
+    base.foreach { case (_, n, ref) =>
+      blocks :+= ((Block(n, ref), 1))
+      while (blocks.size >= 2 &&
+        blocks(blocks.size - 2)._1.rate >= blocks.last._1.rate) {
+        val (a, ca) = blocks(blocks.size - 2); val (b, cb) = blocks.last
+        blocks = blocks.dropRight(2) :+
+          ((Block(a.n + b.n, a.ref + b.ref), ca + cb))
+      }
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = blocks.flatMap { case (b, c) => Seq.fill(c)(r6(b.rate)) }
+    val got = Classifier.isotonicCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(5))).sortBy(_._1).map(_._2)
+    assert(got.length === ref.length)
+    // PAVA pools unrounded rates; the minimax face rounds interval
+    // means at 9 before min/max — identical to 6 dp on real data
+    got.zip(ref).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g === e, s"bin index $i")
+    }
+    assert(got.zip(got.drop(1)).forall { case (a, b) => b >= a },
+      "calibrated curve must be nondecreasing")
+  }
 }

@@ -178,6 +178,34 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === Seq((3L, 0.0)), s"deaths==at_risk must zero survival: ${got.toSeq}")
   }
 
+  test("q180 features: hand-computed single-user row with empty-week trend") {
+    import spark.implicits._
+    // u1: 3 events across days 01/02 (week 0), 1 event day 15 (week 2);
+    // week 1 is EMPTY → active-days-per-week series (2, 0, 1);
+    // u9 only anchors the window end at 01-20 00:00
+    val rows = Seq(
+      (1L, 1L, "view", 0.0, "01 10:00:00"),
+      (2L, 1L, "purchase", 25.5, "01 11:00:00"),
+      (3L, 1L, "view", 0.0, "02 10:00:00"),
+      (4L, 1L, "purchase", 10.0, "15 10:00:00"),
+      (9L, 9L, "view", 0.0, "20 00:00:00"))
+      .map { case (e, u, t, v, at) => (e, u, t, v, ts(s"2024-01-$at")) }
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val r = operators.EventAnalytics.userFeatures(rows).collect()
+      .find(_.getLong(0) == 1L).get
+    assert(r.getLong(1) === 4L)                       // n_events
+    assert(r.getLong(2) === 3L)                       // active_days
+    assert(r.getDate(3).toString === "2024-01-01")
+    assert(r.getDate(4).toString === "2024-01-15")
+    assert(r.getLong(5) === 4L)                       // recency: 15th 10:00 → 20th 00:00
+    assert(r.getLong(6) === 2L)                       // purchases
+    assert(r.getDouble(7) === 35.5)                   // monetary
+    // gaps: 3600 + 82800 + 1123200 → mean 403200
+    assert(r.getDouble(8) === 403200.0)
+    // series (2,0,1) over weeks (0,1,2): slope = (3·2 − 3·3)/(3·5 − 9) = −0.5
+    assert(r.getDouble(9) === -0.5)
+  }
+
   test("q178 windowed funnel: the attribution boundary is inclusive and cuts the tail") {
     // u1 clicks exactly 24 h after the view (included), buys in window;
     // u2 clicks 24 h + 1 s after the view — outside, never converts;

@@ -77,7 +77,10 @@ object GoldenSpec {
     // r10 third wave: HLL rolling actives (DuckDB's HLL is a different
     // implementation; EventAnalyticsSpec gates accuracy vs the exact
     // q161 face and pins merge associativity)
-    "q169_rolling_actives_sketch")
+    "q169_rolling_actives_sketch",
+    // r10 fourth session: active-learning batch (rides the no-oracle
+    // classifier; ClassifierSpec pins the uncertainty cut)
+    "q181_active_learning_batch")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -150,7 +153,9 @@ object GoldenSpec {
     // incremental restriction loses nothing — ImageHashSpec pins the
     // equivalence explicitly
     ("q172_media_dedup_incremental", "sf0.001") -> "118234f792dae49e",
-    ("q172_media_dedup_incremental", "sf0.01") -> "a481e985f45deef2")
+    ("q172_media_dedup_incremental", "sf0.01") -> "a481e985f45deef2",
+    ("q181_active_learning_batch", "sf0.001") -> "3cb8a21303424ba1",
+    ("q181_active_learning_batch", "sf0.01") -> "3f9a9eaaed87f2df")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

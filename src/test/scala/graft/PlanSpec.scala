@@ -590,7 +590,15 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q178_windowed_funnel",          0, 9),
       // q179: one corpus scan collapses to per-source sufficient stats
       // behind barriers; allocation runs on the sources frame
-      ("q179_neyman_allocation",        0, 2))
+      ("q179_neyman_allocation",        0, 2),
+      // q180: one events scan into the shared user window; core/days
+      // frames barriered; week grid + joins on users-sized frames
+      ("q180_user_features",            1, 6),
+      // q181: one corpus scan (the q111 in-row score path) + TakeOrdered
+      ("q181_active_learning_batch",    1, 1),
+      // q182: bins-sized interval enumeration off the calibration
+      // barrier — bins³ cells at most
+      ("q182_isotonic_calibration",     0, 4))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
