@@ -30,9 +30,41 @@ object Affinity {
     * support and lift vs independence; top-`topK` by (lift DESC,
     * part_a, part_b) — a total order, so the cut is deterministic. */
   def basketLift(lineitem: DataFrame, minSupport: Long = 2, topK: Int = 100,
-      maxBasket: Int = 100): DataFrame = {
-    val items = lineitem
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      maxBasket: Int = 100): DataFrame =
+    basketLiftFrom(
+      lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("pk")),
+      minSupport, topK, maxBasket)
+
+  /** Session-type affinity (q185): [[basketLift]] with SESSIONS as the
+    * baskets and event TYPES as the items — which behaviors co-occur in
+    * one sitting beyond chance (q144's transitions are ordered and
+    * adjacent; this is unordered within-session co-presence). Sessions
+    * come from the q154 inactivity-gap derivation; the basket machinery
+    * is reused verbatim (it is item-type-agnostic — `<` orders strings
+    * as well as part keys). */
+  def sessionTypeAffinity(events: DataFrame, gapSec: Long = 1800,
+      minSupport: Long = 2, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("pts").isNull ||
+          col("ts").cast("double") - col("pts").cast("double") > gapSec.toDouble,
+          1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+      .select(concat(col("user_id").cast("string"), lit(":"),
+        col("sess").cast("string")).as("okey"), col("event_type").as("pk"))
+    basketLiftFrom(sess, minSupport, topK, maxBasket = 100)
+      .withColumnRenamed("part_a", "type_a")
+      .withColumnRenamed("part_b", "type_b")
+  }
+
+  /** The generic core: `items` is any (okey, pk) relation. */
+  private def basketLiftFrom(items0: DataFrame, minSupport: Long, topK: Int,
+      maxBasket: Int): DataFrame = {
+    val items = items0
       .distinct()
       .localCheckpoint(eager = false) // consumers: sizes + filtered frame
     val sizes = items.groupBy("okey").agg(count(lit(1)).as("bsz"))
@@ -86,5 +118,37 @@ object Affinity {
         |CROSS JOIN n
         |ORDER BY lift DESC, part_a, part_b LIMIT 100""") { (s, dir) =>
       basketLift(Tables.lineitem(s, dir))
+    },
+
+    // ---- session-type affinity: basket lift over (session, event type)
+    //      — unordered within-session co-presence vs chance. ----
+    "q185_session_type_affinity" -> QueryDef.sql(
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |s AS (SELECT *, sum(CASE WHEN pts IS NULL
+        |      OR epoch(ts) - epoch(pts) > 1800.0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o),
+        |it AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' ||
+        |         CAST(sess AS VARCHAR) AS okey, event_type AS pk FROM s),
+        |sz AS (SELECT okey, count(*) AS bsz FROM it GROUP BY 1),
+        |ok AS (SELECT it.okey, it.pk FROM it JOIN sz USING (okey)
+        |       WHERE bsz <= 100),
+        |n AS (SELECT count(DISTINCT okey) AS n_orders FROM ok),
+        |itn AS (SELECT pk, count(*) AS n_item FROM ok GROUP BY 1),
+        |p AS (SELECT a.pk AS type_a, b.pk AS type_b, count(*) AS n_pair
+        |      FROM ok a JOIN ok b ON a.okey = b.okey AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT type_a, type_b, n_pair, na.n_item AS n_a, nb.n_item AS n_b,
+        |  round(CAST(n_pair AS DOUBLE) / n_orders, 6) AS support,
+        |  round(CAST(n_pair * n_orders AS DOUBLE) / (na.n_item * nb.n_item), 6) AS lift
+        |FROM p
+        |JOIN itn na ON na.pk = type_a
+        |JOIN itn nb ON nb.pk = type_b
+        |CROSS JOIN n
+        |ORDER BY lift DESC, type_a, type_b LIMIT 100""") { (s, dir) =>
+      sessionTypeAffinity(Tables.events(s, dir))
     })
 }

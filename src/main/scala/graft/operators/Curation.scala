@@ -361,6 +361,95 @@ object Curation {
       gopherRules(Tables.documents(s, dir), corpusRequiredWords).orderBy("doc_id")
     },
 
+    // ---- heavy-tail index: Hill estimator over the top token counts —
+    //      ties at the boundary provably cannot change the answer. ----
+    "q184_tail_index_hill" -> QueryDef.sql(
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(trim(text),' '), x -> x != '')) AS BIGINT) AS nt
+        |  FROM documents),
+        |top AS (SELECT * FROM t WHERE nt > 0
+        |        ORDER BY nt DESC, doc_id LIMIT 101),
+        |x AS (SELECT min(nt) AS x_ref FROM top),
+        |s AS (SELECT x_ref,
+        |    sum(CAST(round(ln(CAST(nt AS DOUBLE) / x_ref), 9) AS DECIMAL(18,9))) AS s
+        |  FROM top CROSS JOIN x GROUP BY x_ref)
+        |SELECT CAST(100 AS BIGINT) AS k, x_ref,
+        |  round(CAST(s AS DOUBLE), 6) AS sum_log,
+        |  round(100.0 / nullif(CAST(s AS DOUBLE), 0.0), 6) AS alpha
+        |FROM s""") { (s, dir) =>
+      tailIndexHill(Tables.documents(s, dir))
+    },
+
+    // ---- filter-agreement audit: pairwise Cohen's kappa between the
+    //      Gopher gate, the quality threshold, and the entropy floor. ----
+    "q183_filter_agreement" -> QueryDef.sql(
+      s"""WITH f AS (SELECT doc_id, text,
+        |    list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(ws) AS n_words,
+        |    list_sum(list_transform(ws, w -> length(w))) AS char_sum,
+        |    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        |    len(list_filter([${requiredWordsSqlList(corpusRequiredWords)}], r -> list_contains(ws, r))) AS n_required
+        |  FROM f),
+        |m AS (SELECT doc_id,
+        |    n_words BETWEEN 50 AND 100000
+        |      AND coalesce(round(CAST(char_sum AS DOUBLE) / nullif(n_words, 0), 6) BETWEEN 3.0 AND 10.0, false)
+        |      AND coalesce(round(CAST(n_sym AS DOUBLE) / nullif(n_words, 0), 6) <= 0.1, false)
+        |      AND coalesce(round(CAST(n_alpha AS DOUBLE) / nullif(n_words, 0), 6) >= 0.8, false)
+        |      AND n_required >= 2 AS gopher
+        |  FROM s),
+        |qf AS (SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_words,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+        |    len(list_filter(string_split(trim(text),' '),
+        |        x -> list_contains(['the','a','and','of','to','is','in'], x))) AS n_stop
+        |  FROM documents),
+        |qq AS (SELECT doc_id,
+        |    coalesce(round(least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+        |      * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
+        |      * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE) / nullif(n_words, 0) * 5.0, 1.0)), 6) >= 0.5,
+        |      false) AS quality
+        |  FROM qf),
+        |cells AS (SELECT doc_id, c, count(*) AS cn FROM (
+        |    SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |  WHERE c != '' GROUP BY 1, 2),
+        |ent AS (SELECT doc_id,
+        |    round(ln(CAST(sum(cn) AS BIGINT))
+        |      - CAST(sum(CAST(round(cn * ln(cn), 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |        / CAST(sum(cn) AS BIGINT), 6) AS h
+        |  FROM cells GROUP BY 1),
+        |flags AS (SELECT m.doc_id, m.gopher, qq.quality,
+        |    coalesce(ent.h >= 3.0, false) AS entropy
+        |  FROM m JOIN qq USING (doc_id) LEFT JOIN ent USING (doc_id)),
+        |pairs(filter_a, filter_b) AS (VALUES ('entropy', 'gopher'),
+        |  ('entropy', 'quality'), ('gopher', 'quality')),
+        |conf AS (SELECT filter_a, filter_b,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM pairs JOIN (
+        |    SELECT doc_id, gopher, quality, entropy FROM flags) fl ON true
+        |  CROSS JOIN LATERAL (SELECT
+        |    CASE filter_a WHEN 'gopher' THEN gopher WHEN 'quality' THEN quality ELSE entropy END AS a,
+        |    CASE filter_b WHEN 'gopher' THEN gopher WHEN 'quality' THEN quality ELSE entropy END AS b) x
+        |  GROUP BY 1, 2)
+        |SELECT filter_a, filter_b, n,
+        |  CAST(n11 + n00 AS BIGINT) AS n_agree,
+        |  round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS agree_rate,
+        |  round(CAST(CAST(n AS HUGEINT) * (n11 + n00)
+        |      - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+        |        + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS DOUBLE)
+        |    / nullif(CAST(CAST(n AS HUGEINT) * n
+        |      - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+        |        + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS DOUBLE), 0.0), 6) AS kappa
+        |FROM conf ORDER BY filter_a, filter_b""") { (s, dir) =>
+      filterAgreement(Tables.documents(s, dir))
+    },
+
     // ---- Neyman minimum-variance budget allocation: integerized
     //      largest-remainder — allocations sum to exactly B. ----
     "q179_neyman_allocation" -> QueryDef.sql(
@@ -2605,6 +2694,99 @@ object Curation {
         round(lit(1.0) - col("token_sum").cast("double") / col("slot_sum"), 6)
           .as("waste_frac"))
       .orderBy("strategy")
+  }
+
+  // ---------------------------------------------------------------------
+  // q184: heavy-tail index (Hill estimator)
+  // ---------------------------------------------------------------------
+
+  /** Hill estimator (1975) of the doc-length tail index: over the top
+    * k+1 token counts, α = k / Σ ln(x_i / x_ref) with x_ref the
+    * (k+1)-th largest — the number that says whether the corpus's long
+    * documents are a power-law tail (α ≈ 1–2: a few megadocs dominate,
+    * size batching/packing policy must assume extremes) or tame. The
+    * complement of q157: Gini measures concentration of the whole mass,
+    * Hill measures how the extreme tail decays.
+    *
+    * Tie subtlety that keeps the estimate well-defined: rows tied with
+    * x_ref contribute ln(1) = 0, so Σ over the whole top-(k+1) frame
+    * equals Σ over any choice of "the top k" — no tie-break policy can
+    * change the answer. TakeOrdered bounds the frame at k+1 rows;
+    * ln terms round to DECIMAL(18,9) pre-sum (the q116 discipline);
+    * α is one division. All-equal lengths → S = 0 → NULL α. */
+  def tailIndexHill(docs: DataFrame, k: Int = 100): DataFrame = {
+    val top = docs
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+      .orderBy(col("nt").desc, col("doc_id")).limit(k + 1)
+      .localCheckpoint(eager = false) // consumers: x_ref + the log sum
+    val xref = top.agg(min(col("nt")).as("x_ref"))
+    top.crossJoin(broadcast(xref))
+      .agg(first(col("x_ref")).as("x_ref"),
+        sum(expr("CAST(round(ln(CAST(nt AS DOUBLE) / x_ref), 9) AS DECIMAL(18,9))"))
+          .as("s"))
+      .select(lit(k.toLong).as("k"), col("x_ref"),
+        round(col("s").cast("double"), 6).as("sum_log"),
+        round(lit(k).cast("double") / nullif(col("s").cast("double"), lit(0.0)), 6)
+          .as("alpha"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q183: filter-agreement audit (Cohen's kappa)
+  // ---------------------------------------------------------------------
+
+  /** Pairwise agreement between three independent quality gates — the
+    * Gopher rule pass (q133), the heuristic-quality threshold (q41 ≥
+    * 0.5), and the char-entropy floor (q163 ≥ 3 nats) — as raw agree
+    * rates AND Cohen's kappa (chance-corrected: two gates that both
+    * pass 95% of docs agree 90%+ by luck alone; kappa subtracts that).
+    * The audit that tells you whether stacked filters are redundant or
+    * actually orthogonal.
+    *
+    * Kappa is computed ALL-INTEGER from the 2×2 confusion counts:
+    * κ = (n·agree − pe_num) / (n² − pe_num) with pe_num = r1·c1 + r0·c0
+    * — products ride DECIMAL(38,0) (n² overflows a long at crawl
+    * scale), one correctly-rounded division per pair. One pass builds
+    * the per-doc flag frame behind a barrier; each pair is a one-row
+    * aggregate over it. */
+  def filterAgreement(docs: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    // the corpus-calibrated required-word list, as in the declared q133
+    // (the English default constant-fails this vocabulary)
+    val g = gopherRules(docs, corpusRequiredWords)
+      .select(col("doc_id"), col("keep").as("gopher"))
+    val q = docs.select(col("doc_id"),
+      coalesce(qualityExpr(col("text")) >= 0.5, lit(false)).as("quality"))
+    val e = TextAnalysis.charEntropy(docs)
+      .select(col("doc_id"), (col("entropy_nats") >= 3.0).as("entropy"))
+    val flags = g.join(q, Seq("doc_id"))
+      .join(e, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("gopher"), col("quality"),
+        coalesce(col("entropy"), lit(false)).as("entropy"))
+      .localCheckpoint(eager = false) // consumers: three pair aggregates
+    val pairs = Seq(("entropy", "gopher"), ("entropy", "quality"),
+      ("gopher", "quality"))
+    pairs.map { case (a, b) =>
+      flags.agg(
+          count(lit(1)).as("n"),
+          sum(when(col(a) && col(b), 1L).otherwise(0L)).as("n11"),
+          sum(when(col(a) && !col(b), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col(a) && col(b), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col(a) && !col(b), 1L).otherwise(0L)).as("n00"))
+        .select(lit(a).as("filter_a"), lit(b).as("filter_b"), col("n"),
+          (col("n11") + col("n00")).as("n_agree"),
+          round((col("n11") + col("n00")).cast("double") / col("n"), 6)
+            .as("agree_rate"),
+          round(
+            (d38(col("n")) * d38(col("n11") + col("n00"))
+              - (d38(col("n11") + col("n10")) * d38(col("n11") + col("n01"))
+                + d38(col("n01") + col("n00")) * d38(col("n10") + col("n00"))))
+              .cast("double")
+              / nullif((d38(col("n")) * d38(col("n"))
+                - (d38(col("n11") + col("n10")) * d38(col("n11") + col("n01"))
+                  + d38(col("n01") + col("n00")) * d38(col("n10") + col("n00"))))
+                .cast("double"), lit(0.0)), 6).as("kappa"))
+    }.reduce(_.unionByName(_)).orderBy("filter_a", "filter_b")
   }
 
   // ---------------------------------------------------------------------

@@ -48,6 +48,23 @@ class AffinitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!got.exists(r => r._1 > 2 || r._2 > 2), "hot-basket pairs leaked")
   }
 
+  test("q185 session affinity: the inactivity gap splits baskets before pairing") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-$s")
+    // u1 morning session {A,B}; u1 EVENING session {A,C} (gap > 30 min
+    // splits them — one unsplit basket would pair B with C); u2 {A,B}
+    val ev = Seq(
+      (1L, 1L, "A", ts("01 09:00:00")), (2L, 1L, "B", ts("01 09:10:00")),
+      (3L, 1L, "A", ts("01 18:00:00")), (4L, 1L, "C", ts("01 18:05:00")),
+      (5L, 2L, "A", ts("02 09:00:00")), (6L, 2L, "B", ts("02 09:01:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = operators.Affinity.sessionTypeAffinity(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(6)))
+    // 3 sessions; only (A,B) reaches support 2: lift = 2·3/(3·2) = 1
+    assert(got.toSeq === Seq(("A", "B", 2L, 1.0)))
+  }
+
   test("q152 top-k cut is a total order (lift desc, then part keys)") {
     // two pairs with IDENTICAL lift — the key tie-break decides the cut
     val rows = Seq(

@@ -1479,6 +1479,63 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === expected)
   }
 
+  test("q183 kappa matches a plain-Scala confusion replay of the three gates") {
+    val docs = Tables.documents(spark, sf001)
+    val g = operators.Curation.gopherRules(docs, operators.Curation.corpusRequiredWords)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val q = operators.TextAnalysis.qualityFeatures(docs)
+      .selectExpr("doc_id", "coalesce(quality >= 0.5, false)").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val e = operators.TextAnalysis.charEntropy(docs)
+      .selectExpr("doc_id", "entropy_nats >= 3.0").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def flag(name: String, id: Long): Boolean = name match {
+      case "gopher" => g(id); case "quality" => q(id)
+      case _ => e.getOrElse(id, false)
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = operators.Curation.filterAgreement(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet === Set(("entropy", "gopher"), ("entropy", "quality"),
+      ("gopher", "quality")))
+    got.foreach { case ((a, b), (n, agree, rate, kappa)) =>
+      val ids = g.keys.toSeq
+      val cells = ids.map(id => (flag(a, id), flag(b, id)))
+      val n11 = cells.count(c => c._1 && c._2).toLong
+      val n10 = cells.count(c => c._1 && !c._2).toLong
+      val n01 = cells.count(c => !c._1 && c._2).toLong
+      val n00 = cells.count(c => !c._1 && !c._2).toLong
+      assert(n === ids.size.toLong && agree === n11 + n00, s"$a/$b counts")
+      assert(rate === r6((n11 + n00).toDouble / n), s"$a/$b rate")
+      val peNum = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+      val expK = r6((n * (n11 + n00) - peNum).toDouble / (n * n - peNum))
+      assert(kappa === expK, s"$a/$b kappa")
+      assert(kappa >= -1.0 - 1e-9 && kappa <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q184 Hill: hand-computed doubling tail; all-equal lengths yield null alpha") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+    // lengths 16, 8, 4, 2, 1: top-4 at k=3 → x_ref 2, S = 6·ln2, α = 3/S
+    val docs = Seq(doc(1, 16), doc(2, 8), doc(3, 4), doc(4, 2), doc(5, 1))
+      .toDF("doc_id", "text")
+    val r = operators.Curation.tailIndexHill(docs, k = 3).collect().head
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s = (r9(math.log(8.0)) + r9(math.log(4.0)) + r9(math.log(2.0)) +
+      r9(math.log(1.0))).toDouble
+    assert(r.getLong(1) === 2L)
+    assert(r.getDouble(2) === r6(s))
+    assert(r.getDouble(3) === r6(3.0 / s))
+    // degenerate: every length equal → sum_log 0 → null alpha
+    val flat = (1L to 10L).map(i => doc(i, 7)).toDF("doc_id", "text")
+    val fr = operators.Curation.tailIndexHill(flat, k = 3).collect().head
+    assert(fr.getDouble(2) === 0.0 && fr.isNullAt(3))
+  }
+
   test("q179 Neyman: hand-computed integer allocation; zero-variance strata get nothing") {
     import spark.implicits._
     def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("w").mkString(" "))

@@ -598,7 +598,14 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q181_active_learning_batch",    1, 1),
       // q182: bins-sized interval enumeration off the calibration
       // barrier — bins³ cells at most
-      ("q182_isotonic_calibration",     0, 4))
+      ("q182_isotonic_calibration",     0, 4),
+      // q183: three pair aggregates off the per-doc flag barrier
+      ("q183_filter_agreement",         0, 3),
+      // q184: TakeOrdered bounds the frame at k+1; the barrier hides the
+      // scan; aggregates are one-row
+      ("q184_tail_index_hill",          0, 0),
+      // q185: session window + the barriered basket machinery
+      ("q185_session_type_affinity",    0, 5))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
