@@ -185,6 +185,41 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- near-dup explanation: the rarest shared shingles per flagged
+    //      pair, as review evidence. ----
+    "q186_neardup_explanation" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2,
+        |            round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+        |          FROM com
+        |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+        |dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+        |shared AS (SELECT p.d1, p.d2, a.sh, dfq.df
+        |           FROM pairs p
+        |           JOIN sh a ON a.doc_id = p.d1
+        |           JOIN sh b ON b.doc_id = p.d2 AND b.sh = a.sh
+        |           JOIN dfq ON dfq.sh = a.sh),
+        |top AS (SELECT d1, d2, sh, rn FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY d1, d2
+        |            ORDER BY df, sh) AS rn FROM shared)
+        |        WHERE rn <= 3),
+        |ev AS (SELECT d1, d2, string_agg(sh, ' | ' ORDER BY rn) AS evidence
+        |       FROM top GROUP BY 1, 2)
+        |SELECT pairs.d1, pairs.d2, jaccard, evidence
+        |FROM pairs JOIN ev ON ev.d1 = pairs.d1 AND ev.d2 = pairs.d2
+        |ORDER BY pairs.d1, pairs.d2""") { (s, dir) =>
+      nearDupExplanation(Tables.documents(s, dir))
+    },
+
     // ---- dedup threshold sweep: pair/affected-doc counts per ladder
     //      rung from one floor-threshold pair materialization. ----
     "q177_threshold_sweep" -> QueryDef.sql(
@@ -920,6 +955,40 @@ object Dedup {
     * propagation would return wrong (unconverged) labels — so it hands off
     * to [[connectedComponentsStar]], whose round count is logarithmic in
     * component size instead of linear in diameter. */
+  /** Near-duplicate EXPLANATION (q186): for every pair the dedup join
+    * flags, the `topShingles` RAREST shared shingles (ascending global
+    * document frequency, then text) rendered as one evidence string —
+    * what a human reviews before trusting a dedup decision: "page
+    * boilerplate" shingles have high df, genuinely-copied content is
+    * rare. Shared-shingle recovery joins the pair list (pair-bounded)
+    * back onto the shingle frame on each side; the per-pair window runs
+    * on shared-shingle-bounded groups; df is one more corpus-shingle
+    * aggregation. Evidence uses TEXT shingles (the q62 oracle's form);
+    * the pair set itself is [[exactJaccardPairs]]'s. */
+  def nearDupExplanation(docs: DataFrame, threshold: Double = 0.6,
+      topShingles: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = exactJaccardPairs(docs, threshold)
+      .localCheckpoint(eager = false) // consumers: shared join + output
+    val sh = shingles(docs)
+      .localCheckpoint(eager = false) // consumers: d1 side, d2 side, df
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val shared = pairs.select("d1", "d2")
+      .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+    val w = Window.partitionBy("d1", "d2").orderBy(col("df").asc, col("sh"))
+    val evidence = shared.join(dfreq, Seq("sh"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topShingles)
+      .groupBy("d1", "d2")
+      .agg(concat_ws(" | ", expr(
+        "transform(array_sort(collect_list(struct(rn, sh))), s -> s.sh)"))
+        .as("evidence"))
+    pairs.join(evidence, Seq("d1", "d2"))
+      .select(col("d1"), col("d2"), col("jaccard"), col("evidence"))
+      .orderBy("d1", "d2")
+  }
+
   /** Dedup-threshold sweep (q177): pair counts and affected-doc counts
     * at every threshold of a fixed ladder, all from ONE pair
     * materialization at the ladder floor — the "which threshold should

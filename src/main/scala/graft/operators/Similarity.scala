@@ -276,6 +276,13 @@ object Similarity {
     //      SimilaritySpec + golden pins stand in for a SQL oracle. ----
     "q160_kcenter_coreset" -> QueryDef.rowsOnly { (s, dir) =>
       kcenterCoreset(Tables.embeddings(s, dir))
+    },
+
+    // ---- cluster-quality audit: purity + NMI of deterministic k-means
+    //      assignments vs labels; no SQL oracle (k-means) — planted
+    //      contingencies reference-checked, golden-pinned. ----
+    "q187_cluster_purity" -> QueryDef.rowsOnly { (s, dir) =>
+      clusterPurity(Tables.embeddings(s, dir))
     }
   )
 
@@ -519,6 +526,56 @@ object Similarity {
     val result = centroids.localCheckpoint(eager = true)
     centroids.unpersist(); e.unpersist()
     result
+  }
+
+  /** Cluster-quality audit (q187): deterministic k-means assignments vs
+    * the label column — PURITY (majority-label mass) and NMI (normalized
+    * mutual information; purity alone is gamed by many tiny clusters,
+    * NMI is not). The eval that says whether embedding clusters mean
+    * anything before they drive curation (q136 SemDeDup, q65 IVF).
+    *
+    * Everything after the contingency aggregation is (k × labels)-sized;
+    * MI/entropy terms are 9-dp-rounded ln expressions summed through
+    * DECIMAL (the q163/q122 discipline) over exact integer counts, so
+    * the statistics are engine-identical given the assignments — which
+    * are themselves deterministic (lowest-id seeds, fixed rounds). No
+    * SQL oracle (k-means); SimilaritySpec pins planted separable and
+    * mixed contingencies against a plain-Scala reference, and the
+    * result is golden-pinned. */
+  def clusterPurity(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(embeddings, k, iters)
+    val unit = withNorm(embeddings)
+      .select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb"))
+    val assigned = assignClusters(unit, cents).select("vec_id", "cluster_id")
+    val cont = assigned
+      .join(embeddings.select(col("vec_id"), col("label").cast("long").as("label")),
+        Seq("vec_id"))
+      .groupBy("cluster_id", "label").agg(count(lit(1)).as("n_cl"))
+      .localCheckpoint(eager = false) // consumers: total/marginals/purity/MI
+    val nTot = cont.agg(sum(col("n_cl")).as("n"))
+    val nC = cont.groupBy("cluster_id").agg(sum(col("n_cl")).as("n_c"))
+      .localCheckpoint(eager = false) // consumers: MI join + entropy
+    val nL = cont.groupBy("label").agg(sum(col("n_cl")).as("n_l"))
+      .localCheckpoint(eager = false)
+    val purity = cont.groupBy("cluster_id").agg(max(col("n_cl")).as("n_major"))
+      .agg(sum(col("n_major")).as("sum_major"))
+    val mi = cont.join(nC, Seq("cluster_id")).join(nL, Seq("label"))
+      .crossJoin(broadcast(nTot))
+      .agg(sum(expr(
+        """CAST(round(CAST(n_cl AS DOUBLE) / n
+          |  * ln(CAST(n_cl AS DOUBLE) * n / (CAST(n_c AS DOUBLE) * n_l)), 9)
+          |AS DECIMAL(18,9))""".stripMargin)).as("mi"))
+    def entropyOf(m: DataFrame, ccol: String, out: String): DataFrame = m
+      .agg(sum(expr(s"CAST(round($ccol * ln($ccol), 9) AS DECIMAL(18,9))")).as("t"),
+        sum(col(ccol)).as("nn"))
+      .select((log(col("nn")) - col("t").cast("double") / col("nn")).as(out))
+    nTot.crossJoin(broadcast(purity)).crossJoin(broadcast(mi))
+      .crossJoin(broadcast(entropyOf(nC, "n_c", "h_c")))
+      .crossJoin(broadcast(entropyOf(nL, "n_l", "h_l")))
+      .select(lit(k.toLong).as("k"), col("n").as("n_points"),
+        round(col("sum_major").cast("double") / col("n"), 6).as("purity"),
+        round(lit(2.0) * col("mi").cast("double")
+          / nullif(col("h_c") + col("h_l"), lit(0.0)), 6).as("nmi"))
   }
 
   /** Nearest-centroid assignment: (vec_id, emb, cluster_id, cos_to_centroid). */

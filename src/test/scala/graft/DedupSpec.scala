@@ -575,6 +575,24 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(11L) === ((1L, 0L, None)))
   }
 
+  test("q186 explanation: rarest shared shingles first, boilerplate last") {
+    import spark.implicits._
+    // d1/d2 near-identical (jaccard 5/6); d3 shares only the lead
+    // 3-gram, making "alpha beta gamma" df=3 — too common for evidence
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta extra"),
+      (3L, "alpha beta gamma unrelated tail")).toDF("doc_id", "text")
+    val got = Dedup.nearDupExplanation(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(got.length === 1)
+    val (d1, d2, j, ev) = got.head
+    assert((d1, d2) === ((1L, 2L)))
+    assert(j === BigDecimal(5.0 / 6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the three df=2 shared shingles in text order; the df=3 one is cut
+    assert(ev === "beta gamma delta | delta epsilon zeta | epsilon zeta eta")
+  }
+
   test("q177 sweep: rung counts are non-increasing and match per-threshold replays") {
     import spark.implicits._
     // near-identical pair (high sim), a mid-sim pair, and unrelated docs

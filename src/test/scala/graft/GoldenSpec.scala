@@ -79,8 +79,10 @@ object GoldenSpec {
     // q161 face and pins merge associativity)
     "q169_rolling_actives_sketch",
     // r10 fourth session: active-learning batch (rides the no-oracle
-    // classifier; ClassifierSpec pins the uncertainty cut)
-    "q181_active_learning_batch")
+    // classifier; ClassifierSpec pins the uncertainty cut) and the
+    // cluster purity/NMI audit (k-means; planted contingencies
+    // reference-checked in SimilaritySpec)
+    "q181_active_learning_batch", "q187_cluster_purity")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -155,7 +157,9 @@ object GoldenSpec {
     ("q172_media_dedup_incremental", "sf0.001") -> "118234f792dae49e",
     ("q172_media_dedup_incremental", "sf0.01") -> "a481e985f45deef2",
     ("q181_active_learning_batch", "sf0.001") -> "3cb8a21303424ba1",
-    ("q181_active_learning_batch", "sf0.01") -> "3f9a9eaaed87f2df")
+    ("q181_active_learning_batch", "sf0.01") -> "3f9a9eaaed87f2df",
+    ("q187_cluster_purity", "sf0.001") -> "f31bdf695801f6d7",
+    ("q187_cluster_purity", "sf0.01") -> "7ccc5eda1cc9ff1d")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

@@ -605,7 +605,13 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // scan; aggregates are one-row
       ("q184_tail_index_hill",          0, 0),
       // q185: session window + the barriered basket machinery
-      ("q185_session_type_affinity",    0, 5))
+      ("q185_session_type_affinity",    0, 5),
+      // q186: shared-shingle recovery off the pair + shingle barriers;
+      // per-pair evidence window on shared-bounded groups
+      ("q186_neardup_explanation",      0, 4),
+      // q187: contingency/marginal aggs behind barriers; everything
+      // after is (k × labels)-sized; k-means rounds under their own gate
+      ("q187_cluster_purity",           0, 11))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

@@ -487,6 +487,52 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === exp)
   }
 
+  /** Reference purity/NMI from a known contingency, replicating the
+    * operator's rounding chain exactly. */
+  private def purityNmiRef(cont: Map[(Int, Long), Long]): (Double, Double) = {
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = cont.values.sum
+    val nC = cont.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nL = cont.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    // keys.toSeq before mapping: a Set would collapse equal per-cluster
+    // maxima and undercount the majority mass
+    val purity = r6(nC.keys.toSeq.map(c =>
+      cont.collect { case ((cc, _), v) if cc == c => v }.max).sum.toDouble / n)
+    val mi = cont.map { case ((c, l), v) =>
+      r9(v.toDouble / n * math.log(v.toDouble * n / (nC(c).toDouble * nL(l))))
+    }.sum.toDouble
+    def h(m: Map[_, Long]) =
+      math.log(n.toDouble) - m.values.map(c => r9(c * math.log(c.toDouble))).sum.toDouble / n
+    (purity, r6(2.0 * mi / (h(nC) + h(nL))))
+  }
+
+  test("q187 purity/NMI: separable planted clusters score 1; mixed labels match the reference") {
+    val near = Seq(
+      (0L, 0, Array(1.0f, 0.05f)), (2L, 0, Array(1.0f, 0.0f)),
+      (3L, 0, Array(0.95f, 0.1f)),
+      (1L, 1, Array(0.05f, 1.0f)), (4L, 1, Array(0.0f, 1.0f)),
+      (5L, 1, Array(0.1f, 0.95f)))
+    val sep = Similarity.clusterPurity(
+        near.toDF("vec_id", "label", "embedding"), k = 2, iters = 2)
+      .collect().head
+    val (pSep, nmiSep) = purityNmiRef(Map((0, 0L) -> 3L, (1, 1L) -> 3L))
+    assert(sep.getLong(1) === 6L)
+    assert(sep.getDouble(2) === pSep && pSep === 1.0)
+    assert(sep.getDouble(3) === nmiSep && math.abs(nmiSep - 1.0) < 2e-6)
+    // same geometry, scrambled labels → contingency [[2,1],[1,2]]
+    val mixedLabels = Map(0L -> 0, 2L -> 0, 3L -> 1, 1L -> 1, 4L -> 0, 5L -> 1)
+    val mixed = near.map { case (id, _, v) => (id, mixedLabels(id), v) }
+    val mx = Similarity.clusterPurity(
+        mixed.toDF("vec_id", "label", "embedding"), k = 2, iters = 2)
+      .collect().head
+    val (pMx, nmiMx) = purityNmiRef(Map(
+      (0, 0L) -> 2L, (0, 1L) -> 1L, (1, 0L) -> 1L, (1, 1L) -> 2L))
+    assert(mx.getDouble(2) === pMx && pMx === 0.666667)
+    assert(mx.getDouble(3) === nmiMx)
+    assert(nmiMx > 0.0 && nmiMx < 0.3, s"weak association: $nmiMx")
+  }
+
   test("q156 dispersion: identical vectors → 0; the (1,0)/(0,1) pair → exactly 0.5") {
     val vecs = Seq(
       (0L, 0, Array(2.0f, 0.0f)), (1L, 0, Array(2.0f, 0.0f)),
