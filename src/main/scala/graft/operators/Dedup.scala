@@ -185,6 +185,13 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- MinHash error audit: estimated vs exact Jaccard over the LSH
+    //      face's surfaced pairs; rows-only (the estimate is
+    //      signature-internal), golden-pinned, DedupSpec planted. ----
+    "q189_minhash_error_audit" -> QueryDef.rowsOnly { (s, dir) =>
+      minhashErrorAudit(Tables.documents(s, dir))
+    },
+
     // ---- near-dup explanation: the rarest shared shingles per flagged
     //      pair, as review evidence. ----
     "q186_neardup_explanation" -> QueryDef.sql(
@@ -955,6 +962,37 @@ object Dedup {
     * propagation would return wrong (unconverged) labels — so it hands off
     * to [[connectedComponentsStar]], whose round count is logarithmic in
     * component size instead of linear in diameter. */
+  /** MinHash estimation-error audit (q189): every pair the LSH face
+    * (q52) surfaces, with its signature-estimated Jaccard compared to
+    * the EXACT Jaccard — the error distribution that justifies (or
+    * indicts) the configured numHashes before anyone trusts est_jaccard
+    * for threshold decisions. Exact values come from the q51 machinery
+    * at a low floor; surfaced pairs whose exact similarity sits below
+    * the floor coalesce to 0, so their reported error is an upper bound
+    * inflated by at most the floor (documented, and the floor is 0.01).
+    * Mean error sums DECIMAL(18,6); everything is pair-bounded. */
+  def minhashErrorAudit(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      exactFloor: Double = 0.01, grossErr: Double = 0.25): DataFrame = {
+    val est = minhashLshPairs(docs, numHashes, bands)
+      .select(col("d1"), col("d2"), col("est_jaccard"))
+    val exact = exactJaccardPairs(docs, exactFloor)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val errs = est.join(exact, Seq("d1", "d2"), "left")
+      .select(round(abs(col("est_jaccard")
+        - coalesce(col("jaccard"), lit(0.0))), 6).as("abs_err"))
+    errs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("abs_err").cast("decimal(18,6)")).as("errsum"),
+        max(col("abs_err")).as("max_abs_err"),
+        sum(when(col("abs_err") > grossErr, 1L).otherwise(0L)).as("n_gross"))
+      .select(col("n_pairs"),
+        round(col("errsum").cast("double") / nullif(col("n_pairs"), lit(0L)), 6)
+          .as("mean_abs_err"),
+        col("max_abs_err"), col("n_gross"),
+        round(col("n_gross").cast("double") / nullif(col("n_pairs"), lit(0L)), 6)
+          .as("gross_share"))
+  }
+
   /** Near-duplicate EXPLANATION (q186): for every pair the dedup join
     * flags, the `topShingles` RAREST shared shingles (ascending global
     * document frequency, then text) rendered as one evidence string —

@@ -473,7 +473,77 @@ object Streams {
 
   /** Batch-expressible window queries for the oracle gate: the same
     * event-time semantics the streaming operators use, checked vs DuckDB. */
+  /** Watermark-lateness audit (q188): for each candidate watermark on a
+    * fixed ladder, how many landed events would be DROPPED because they
+    * arrived later than the watermark allows — the measurement that
+    * picks `withWatermark`'s delay for q33/q36/q75 instead of guessing.
+    * Lateness of an event = (max event-time seen earlier in ARRIVAL
+    * order, i.e. smaller event_id) − its own event time, floored at 0.
+    *
+    * The running maximum is computed HIERARCHICALLY (the q121 exclusive
+    * prefix-sum discipline applied to MAX): within-bucket running max
+    * over event_id-div-B buckets + an exclusive prefix max over the
+    * bucket-max table — never a no-partition window that collapses the
+    * stream onto one partition. The oracle's global window proves the
+    * decomposition exact. Ladder comparisons are on µs-exact second
+    * diffs; everything after the per-bucket windows is ladder-sized. */
+  def watermarkLatenessAudit(events: DataFrame,
+      ladderSec: Seq[Long] = Seq(0L, 10L, 60L, 600L, 3600L, 86400L),
+      bucketSize: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = events.select(col("event_id"), col("ts"))
+      .withColumn("bkt", expr(s"event_id div $bucketSize"))
+    val wIn = Window.partitionBy("bkt").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withinMax = b.withColumn("in_max", max(col("ts")).over(wIn))
+    val bucketMax = b.groupBy("bkt").agg(max(col("ts")).as("bmax"))
+      .withColumn("prior_bmax", max(col("bmax")).over(
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bkt"), col("prior_bmax"))
+    val late = withinMax.join(bucketMax, Seq("bkt"))
+      .select(greatest(lit(0.0),
+        coalesce(greatest(col("in_max"), col("prior_bmax")),
+          col("in_max"), col("prior_bmax")).cast("double")
+          - col("ts").cast("double")).as("late_s"))
+      .localCheckpoint(eager = false) // consumers: ladder counts + total
+    val total = late.agg(count(lit(1)).as("n_events"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ladderDf = ladderSec.toDF("watermark_s")
+    late.select(explode(array(ladderSec.map(lit(_)): _*)).as("watermark_s"),
+        col("late_s"))
+      .filter(col("late_s") > col("watermark_s"))
+      .groupBy("watermark_s").agg(count(lit(1)).as("n_dropped"))
+      .join(ladderDf, Seq("watermark_s"), "right")
+      .crossJoin(broadcast(total))
+      .select(col("watermark_s"), coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        round(coalesce(col("n_dropped"), lit(0L)).cast("double") / col("n_events"), 6)
+          .as("drop_share"))
+      .orderBy("watermark_s")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- watermark-lateness audit: dropped-event counts per candidate
+    //      watermark from the landed stream's arrival order; the
+    //      oracle's global window proves the hierarchical prefix-max. ----
+    "q188_watermark_lateness" -> QueryDef.sql(
+      """WITH o AS (SELECT event_id, ts,
+        |    max(ts) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |  FROM events),
+        |l AS (SELECT greatest(0.0,
+        |        coalesce(epoch(prior_max) - epoch(ts), 0.0)) AS late_s FROM o),
+        |lad AS (SELECT CAST(unnest([0, 10, 60, 600, 3600, 86400]) AS BIGINT) AS watermark_s),
+        |d AS (SELECT watermark_s, count(*) AS n_dropped
+        |      FROM lad JOIN l ON late_s > watermark_s GROUP BY 1),
+        |t AS (SELECT count(*) AS n_events FROM l)
+        |SELECT watermark_s, coalesce(n_dropped, 0) AS n_dropped,
+        |  round(CAST(coalesce(n_dropped, 0) AS DOUBLE) / n_events, 6) AS drop_share
+        |FROM lad LEFT JOIN d USING (watermark_s) CROSS JOIN t
+        |ORDER BY watermark_s""") { (s, dir) =>
+      watermarkLatenessAudit(Tables.events(s, dir))
+    },
 
     "q36_tumbling_window" -> QueryDef.sql(
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -575,6 +575,19 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(11L) === ((1L, 0L, None)))
   }
 
+  test("q189 error audit: identical docs measure zero signature error") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again today okay"
+    val docs = Seq((1L, a), (2L, a),
+      (3L, "completely different content with nothing shared at all here now"))
+      .toDF("doc_id", "text")
+    val r = Dedup.minhashErrorAudit(docs).collect().head
+    assert(r.getLong(0) >= 1L, "the identical pair must surface")
+    assert(r.getDouble(1) === 0.0 && r.getDouble(2) === 0.0,
+      "identical docs: est = exact = 1 → zero error")
+    assert(r.getLong(3) === 0L)
+  }
+
   test("q186 explanation: rarest shared shingles first, boilerplate last") {
     import spark.implicits._
     // d1/d2 near-identical (jaccard 5/6); d3 shares only the lead

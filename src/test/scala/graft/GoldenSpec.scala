@@ -82,7 +82,10 @@ object GoldenSpec {
     // classifier; ClassifierSpec pins the uncertainty cut) and the
     // cluster purity/NMI audit (k-means; planted contingencies
     // reference-checked in SimilaritySpec)
-    "q181_active_learning_batch", "q187_cluster_purity")
+    "q181_active_learning_batch", "q187_cluster_purity",
+    // r10 fourth session: minhash error audit (est_jaccard is
+    // signature-internal; DedupSpec plants the zero-error case)
+    "q189_minhash_error_audit")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -159,7 +162,9 @@ object GoldenSpec {
     ("q181_active_learning_batch", "sf0.001") -> "3cb8a21303424ba1",
     ("q181_active_learning_batch", "sf0.01") -> "3f9a9eaaed87f2df",
     ("q187_cluster_purity", "sf0.001") -> "f31bdf695801f6d7",
-    ("q187_cluster_purity", "sf0.01") -> "7ccc5eda1cc9ff1d")
+    ("q187_cluster_purity", "sf0.01") -> "7ccc5eda1cc9ff1d",
+    ("q189_minhash_error_audit", "sf0.001") -> "d698e2df36d658e5",
+    ("q189_minhash_error_audit", "sf0.01") -> "efbb0fc504d5bfd4")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

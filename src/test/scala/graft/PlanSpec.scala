@@ -611,7 +611,13 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q186_neardup_explanation",      0, 4),
       // q187: contingency/marginal aggs behind barriers; everything
       // after is (k × labels)-sized; k-means rounds under their own gate
-      ("q187_cluster_purity",           0, 11))
+      ("q187_cluster_purity",           0, 11),
+      // q188: per-bucket window + bucket-max table off one events pass;
+      // ladder-sized downstream; lateness frame barriered
+      ("q188_watermark_lateness",       0, 3),
+      // q189: est/exact pair machinery behind its own barriers; the
+      // audit adds a pair-bounded join + one-row aggregate
+      ("q189_minhash_error_audit",      0, 8))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

@@ -225,6 +225,26 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("q188 lateness: planted disorder counts per rung; tiny buckets exercise the hierarchy") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    // arrival (event_id) order with event times: 100, 200, 150 (late 50 s),
+    // 300, 50 (late 250 s), 400 — bucketSize=2 forces the cross-bucket
+    // prior max through the bucket-offset table
+    val ev = Seq(
+      (1L, ts(100)), (2L, ts(200)), (3L, ts(150)),
+      (4L, ts(300)), (5L, ts(50)), (6L, ts(400)))
+      .toDF("event_id", "ts")
+    val got = Streams.watermarkLatenessAudit(ev,
+        ladderSec = Seq(0L, 10L, 60L, 600L), bucketSize = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 0.333333),   // both out-of-order events
+      (10L, 2L, 0.333333),
+      (60L, 1L, 0.166667),  // only the 250 s straggler
+      (600L, 0L, 0.0)))
+  }
+
   test("media dedup sink: cross-batch image near-dups flagged, replays idempotent") {
     import graft.operators.Multimodal.MediaAsset
     val root = java.nio.file.Files.createTempDirectory("mediadedup").toString
