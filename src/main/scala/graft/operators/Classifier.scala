@@ -134,7 +134,57 @@ object Classifier {
       .orderBy("bin")
   }
 
+  /** Split-conformal threshold for the quality classifier (q190):
+    * calibrate τ on one deterministic half of the corpus so that
+    * "score ≥ τ ⇒ reference-like" holds with (1−α) marginal coverage,
+    * then MEASURE the realized coverage on the held-out half — the
+    * distribution-free guarantee (Vovk; Lei et al.) that turns raw
+    * scores into a deployable accept rule. τ is the
+    * ⌊α·(n_cal+1)⌋-th smallest calibration-reference score (so at
+    * least (1−α)(n_cal+1)−1 of them sit at or above τ).
+    *
+    * The exact order statistic never sorts the corpus: 6-dp scores
+    * live in a BOUNDED value domain (≤ 10⁶+1 distinct values), so a
+    * value-histogram CDF (count per score, cumulative over the
+    * value-ordered frame) finds the rank exactly — the q157 histogram
+    * trick as an order-statistic engine. Split/eval are md5-parity
+    * halves of doc_id (deterministic, RNG-free). */
+  def conformalThreshold(docs: DataFrame, weights: DataFrame,
+      alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = classifierScore(docs, weights)
+      .withColumn("cal", substring(md5(col("doc_id").cast("string")), 1, 1) <= "7")
+      .localCheckpoint(eager = false) // consumers: calibration + eval
+    val calRef = scored.filter(col("cal") && col("is_reference"))
+    val nCal = calRef.agg(count(lit(1)).as("n_cal"))
+    // value-histogram CDF over the bounded score domain
+    val hist = calRef.groupBy("score").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy("score").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val tau = hist.crossJoin(broadcast(nCal))
+      .filter(col("cum") >= floor(lit(alpha) * (col("n_cal") + 1)))
+      .agg(min(col("score")).as("tau"))
+    val eval_ = scored.filter(!col("cal") && col("is_reference"))
+      .crossJoin(broadcast(tau))
+      .agg(count(lit(1)).as("n_eval_ref"),
+        sum(when(col("score") >= col("tau"), 1L).otherwise(0L)).as("n_covered"))
+    nCal.crossJoin(broadcast(tau)).crossJoin(broadcast(eval_))
+      .select(lit(alpha).as("alpha"), col("n_cal"), col("tau"),
+        col("n_eval_ref"),
+        round(col("n_covered").cast("double")
+          / nullif(col("n_eval_ref"), lit(0L)), 6).as("coverage"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- split-conformal accept threshold + held-out coverage for the
+    //      classifier; rows-only (scores are no_oracle), golden-pinned,
+    //      order-statistic reference in ClassifierSpec. ----
+    "q190_conformal_threshold" -> QueryDef.rowsOnly { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      conformalThreshold(docs, classifierTrain(docs))
+    },
 
     // ---- active-learning batch: most-uncertain docs under the trained
     //      classifier; rows-only (the classifier itself is no_oracle),

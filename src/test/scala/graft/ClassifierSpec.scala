@@ -265,6 +265,30 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.map(_._1).toSet === expected)
   }
 
+  test("q190 conformal: tau and coverage match an order-statistic replay") {
+    val docs = Tables.documents(spark, sf001)
+    val weights = Classifier.classifierTrain(docs)
+    val scored = Classifier.classifierScore(docs, weights).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2)))
+    def isCal(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(md(0)).charAt(0) <= '7'
+    }
+    val calRef = scored.filter(r => isCal(r._1) && r._2).map(_._3).sorted
+    val m = math.floor(0.1 * (calRef.length + 1)).toInt
+    val tau = if (m == 0) calRef.min else calRef(m - 1)
+    val evalRef = scored.filter(r => !isCal(r._1) && r._2)
+    val covered = evalRef.count(_._3 >= tau)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Classifier.conformalThreshold(docs, weights).collect().head
+    assert(got.getLong(1) === calRef.length.toLong)
+    assert(got.getDouble(2) === tau)
+    assert(got.getLong(3) === evalRef.length.toLong)
+    assert(got.getDouble(4) === r6(covered.toDouble / evalRef.length))
+    assert(got.getDouble(4) >= 0.75, "coverage far below the 0.9 target would be a bug")
+  }
+
   test("q182 isotonic: matches a plain-Scala PAVA reference and is monotone") {
     val docs = Tables.documents(spark, sf001)
     val base = Classifier.qualityCalibration(docs).collect()

@@ -84,8 +84,10 @@ object GoldenSpec {
     // reference-checked in SimilaritySpec)
     "q181_active_learning_batch", "q187_cluster_purity",
     // r10 fourth session: minhash error audit (est_jaccard is
-    // signature-internal; DedupSpec plants the zero-error case)
-    "q189_minhash_error_audit")
+    // signature-internal; DedupSpec plants the zero-error case) and the
+    // conformal threshold (classifier scores; order-statistic replay in
+    // ClassifierSpec)
+    "q189_minhash_error_audit", "q190_conformal_threshold")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -164,7 +166,9 @@ object GoldenSpec {
     ("q187_cluster_purity", "sf0.001") -> "f31bdf695801f6d7",
     ("q187_cluster_purity", "sf0.01") -> "7ccc5eda1cc9ff1d",
     ("q189_minhash_error_audit", "sf0.001") -> "d698e2df36d658e5",
-    ("q189_minhash_error_audit", "sf0.01") -> "efbb0fc504d5bfd4")
+    ("q189_minhash_error_audit", "sf0.01") -> "efbb0fc504d5bfd4",
+    ("q190_conformal_threshold", "sf0.001") -> "532dea5284a7fd36",
+    ("q190_conformal_threshold", "sf0.01") -> "543a2c66213b2684")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

@@ -617,7 +617,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q188_watermark_lateness",       0, 3),
       // q189: est/exact pair machinery behind its own barriers; the
       // audit adds a pair-bounded join + one-row aggregate
-      ("q189_minhash_error_audit",      0, 8))
+      ("q189_minhash_error_audit",      0, 8),
+      // q190: score frame barriered; the CDF window runs on the bounded
+      // score-value histogram; totals ride one-row broadcasts
+      ("q190_conformal_threshold",      0, 8))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
