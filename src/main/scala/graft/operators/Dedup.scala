@@ -185,6 +185,30 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- containment pairs: subset duplicates in threshold-Jaccard's
+    //      structural blind spot, with the contained side named. ----
+    "q192_containment_pairs" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT d1, d2, ca.n AS n1, cb.n AS n2, c,
+        |  round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard,
+        |  round(CAST(c AS DOUBLE) / least(ca.n, cb.n), 6) AS containment,
+        |  CASE WHEN ca.n <= cb.n THEN d1 ELSE d2 END AS contained_doc
+        |FROM com
+        |JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |WHERE CAST(c AS DOUBLE) / least(ca.n, cb.n) >= 0.9
+        |  AND CAST(c AS DOUBLE) / (ca.n + cb.n - c) < 0.6
+        |ORDER BY d1, d2""") { (s, dir) =>
+      containmentPairs(Tables.documents(s, dir))
+    },
+
     // ---- MinHash error audit: estimated vs exact Jaccard over the LSH
     //      face's surfaced pairs; rows-only (the estimate is
     //      signature-internal), golden-pinned, DedupSpec planted. ----
@@ -962,6 +986,41 @@ object Dedup {
     * propagation would return wrong (unconverged) labels — so it hands off
     * to [[connectedComponentsStar]], whose round count is logarithmic in
     * component size instead of linear in diameter. */
+  /** Asymmetric CONTAINMENT pairs (q192) — Broder's other coefficient:
+    * C = |A∩B| / min(|A|, |B|), the share of the SMALLER doc's shingles
+    * inside the larger. A fully-quoted article inside a digest page has
+    * containment ≈ 1 while symmetric Jaccard stays low (the container
+    * dwarfs the intersection), so threshold-Jaccard dedup (q51/q62)
+    * structurally misses subset duplicates — this operator reports
+    * exactly the pairs in that blind spot (containment ≥ the high bar,
+    * Jaccard < the dedup threshold) with the contained side named.
+    * Same freq-capped inverted-index join shape as q51; one extra
+    * integer column per pair. */
+  def containmentPairs(docs: DataFrame, containThreshold: Double = 0.9,
+      jaccardBelow: Double = 0.6): DataFrame = {
+    val sh = shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDocFreq).select("sh")
+    val shF = sh.join(freqOk, "sh").localCheckpoint(eager = false)
+    val cnt = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = shF.as("a")
+      .join(shF.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    val j = col("c").cast("double") / (col("ca.n") + col("cb.n") - col("c"))
+    val cont = col("c").cast("double") / least(col("ca.n"), col("cb.n"))
+    common
+      .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+      .filter(cont >= containThreshold && j < jaccardBelow)
+      .select(col("d1"), col("d2"), col("ca.n").as("n1"), col("cb.n").as("n2"),
+        col("c"), round(j, 6).as("jaccard"),
+        round(cont, 6).as("containment"),
+        when(col("ca.n") <= col("cb.n"), col("d1")).otherwise(col("d2"))
+          .as("contained_doc"))
+      .orderBy("d1", "d2")
+  }
+
   /** MinHash estimation-error audit (q189): every pair the LSH face
     * (q52) surfaces, with its signature-estimated Jaccard compared to
     * the EXACT Jaccard — the error distribution that justifies (or

@@ -529,6 +529,48 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Hash-split A/B conversion test (q191): users split into arms by
+    * the engine-agnostic md5 parity of user_id (the q93/q190 split
+    * discipline), per-arm conversion = purchasing users / users, and a
+    * two-proportion z-test under the pooled rate — the
+    * experimentation-platform primitive, and on a NON-experiment stream
+    * an A/A test whose |z| ≥ 1.96 would flag a broken splitter.
+    * All counts are exact integers; z is a fixed handful of
+    * correctly-rounded IEEE ops (the q137 discipline — never a built-in
+    * variance); significance is a boolean on the ROUNDED z so both
+    * engines gate identically. */
+  def abConversionTest(events: DataFrame): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) <= "7", "A")
+          .otherwise("B"))
+      .localCheckpoint(eager = false) // consumers: per-arm rows + the test
+    val arms = users.groupBy("arm").agg(count(lit(1)).as("n_users"),
+      sum(col("converted")).as("n_converted"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n_users").as("n1"), col("n_converted").as("c1"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n_users").as("n2"), col("n_converted").as("c2"))
+    // nullif on every denominator: ANSI mode raises DIVIDE_BY_ZERO
+    // even for rows a later predicate would drop, and an all-converted
+    // (or empty) arm zeroes the pooled variance
+    val p1 = col("c1").cast("double") / nullif(col("n1"), lit(0L))
+    val p2 = col("c2").cast("double") / nullif(col("n2"), lit(0L))
+    val pPool = (col("c1") + col("c2")).cast("double") /
+      nullif(col("n1") + col("n2"), lit(0L))
+    val z = (p1 - p2) /
+      nullif(sqrt(pPool * (lit(1.0) - pPool)
+        * (lit(1.0) / nullif(col("n1"), lit(0L))
+          + lit(1.0) / nullif(col("n2"), lit(0L)))), lit(0.0))
+    a.crossJoin(broadcast(b))
+      .select(col("n1"), col("c1"), col("n2"), col("c2"),
+        round(p1, 6).as("rate_a"), round(p2, 6).as("rate_b"),
+        round(z, 6).as("z"),
+        coalesce(abs(round(z, 6)) >= 1.96, lit(false)).as("significant_95"))
+  }
+
   /** Bot-session detection: sessionize by the q154 inactivity gap, then
     * flag sessions whose volume AND rate exceed thresholds —
     * `n ≥ minEvents` and `n·60 > ratePerMin·duration` (the rate test
@@ -831,6 +873,37 @@ object EventAnalytics {
     "q178_windowed_funnel" -> QueryDef.sql(
       funnelOracleSqlWith(Some(86400L))) { (s, dir) =>
       eventFunnel(Tables.events(s, dir), maxLagSec = Some(86400L))
+    },
+
+    // ---- hash-split A/B conversion z-test: the experimentation
+    //      primitive; doubles as an A/A splitter check. ----
+    "q191_ab_conversion_test" -> QueryDef.sql(
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+        |         THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS c
+        |      FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    (SELECT n FROM g WHERE arm = 'A') AS n1,
+        |    (SELECT c FROM g WHERE arm = 'A') AS c1,
+        |    (SELECT n FROM g WHERE arm = 'B') AS n2,
+        |    (SELECT c FROM g WHERE arm = 'B') AS c2),
+        |s AS (SELECT *,
+        |    CAST(c1 AS DOUBLE) / nullif(n1, 0) AS p1,
+        |    CAST(c2 AS DOUBLE) / nullif(n2, 0) AS p2,
+        |    CAST(c1 + c2 AS DOUBLE) / nullif(n1 + n2, 0) AS pp
+        |  FROM w),
+        |zz AS (SELECT *,
+        |    round((p1 - p2) / nullif(sqrt(pp * (1.0 - pp)
+        |      * (1.0 / nullif(n1, 0) + 1.0 / nullif(n2, 0))), 0.0), 6) AS z
+        |  FROM s)
+        |SELECT n1, c1, n2, c2,
+        |  round(p1, 6) AS rate_a, round(p2, 6) AS rate_b, z,
+        |  coalesce(abs(z) >= 1.96, false) AS significant_95
+        |FROM zz""") { (s, dir) =>
+      abConversionTest(Tables.events(s, dir))
     },
 
     // ---- bot-session detection: volume + cross-multiplied rate gate

@@ -575,6 +575,26 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(11L) === ((1L, 0L, None)))
   }
 
+  test("q192 containment: a fully-quoted small doc surfaces; Jaccard alone would miss it") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val container = quote + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote), (2L, container),
+      (3L, "completely different content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5), r.getDouble(6),
+        r.getLong(7)))
+    assert(got.length === 1)
+    val (d1, d2, j, c, contained) = got.head
+    assert((d1, d2, contained) === ((1L, 2L, 1L)))
+    assert(c === 1.0, "every shingle of the quote is inside the container")
+    assert(j < 0.6, "symmetric Jaccard sits under the dedup threshold")
+    // and the symmetric dedup face indeed misses the pair
+    assert(Dedup.exactJaccardPairs(docs, 0.6).count() === 0L)
+  }
+
   test("q189 error audit: identical docs measure zero signature error") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog again today okay"

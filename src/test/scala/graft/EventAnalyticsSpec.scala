@@ -178,6 +178,46 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === Seq((3L, 0.0)), s"deaths==at_risk must zero survival: ${got.toSeq}")
   }
 
+  test("q191 A/B: planted arm rates match the z replay; all-converted degenerates to null z") {
+    import spark.implicits._
+    def arm(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if ("%02x".format(md(0)).charAt(0) <= '7') "A" else "B"
+    }
+    // every user views; A users all convert, B users convert iff even id
+    val users = (1L to 40L)
+    val rows = users.flatMap { u =>
+      val base = Seq((u, "view", ts("2024-01-01 10:00:00")))
+      val conv = if (arm(u) == "A" || u % 2 == 0)
+        Seq((u, "purchase", ts("2024-01-01 11:00:00"))) else Seq.empty
+      base ++ conv
+    }
+    val got = operators.EventAnalytics.abConversionTest(
+        rows.toDF("user_id", "event_type", "ts")).collect().head
+    val n1 = users.count(arm(_) == "A").toLong
+    val n2 = users.count(arm(_) == "B").toLong
+    val c1 = n1
+    val c2 = users.count(u => arm(u) == "B" && u % 2 == 0).toLong
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (p1, p2) = (c1.toDouble / n1, c2.toDouble / n2)
+    val pp = (c1 + c2).toDouble / (n1 + n2)
+    val z = r6((p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2)))
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      === ((n1, c1, n2, c2)))
+    assert(got.getDouble(6) === z)
+    assert(got.getBoolean(7) === (math.abs(z) >= 1.96))
+    assert(n2 > c2, "sanity: arm B must have non-converters")
+    // degenerate: everyone converts → zero pooled variance → null z
+    val allConv = users.flatMap(u => Seq(
+      (u, "view", ts("2024-01-01 10:00:00")),
+      (u, "purchase", ts("2024-01-01 11:00:00"))))
+    val d = operators.EventAnalytics.abConversionTest(
+        allConv.toDF("user_id", "event_type", "ts")).collect().head
+    assert(d.isNullAt(6) && !d.getBoolean(7),
+      "no variance → no test, never a divide-by-zero")
+  }
+
   test("q180 features: hand-computed single-user row with empty-week trend") {
     import spark.implicits._
     // u1: 3 events across days 01/02 (week 0), 1 event day 15 (week 2);

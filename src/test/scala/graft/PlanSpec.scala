@@ -620,7 +620,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q189_minhash_error_audit",      0, 8),
       // q190: score frame barriered; the CDF window runs on the bounded
       // score-value histogram; totals ride one-row broadcasts
-      ("q190_conformal_threshold",      0, 8))
+      ("q190_conformal_threshold",      0, 8),
+      // q191: one per-user agg off the barrier; arms frame is 2 rows
+      ("q191_ab_conversion_test",       0, 2),
+      // q192: the q51 freq-capped index join behind its barrier; pair
+      // aggregates + the two count joins
+      ("q192_containment_pairs",        0, 4))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
