@@ -270,6 +270,53 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Explode-ready array of one-CODE-POINT strings. Spark's
+  * `split(text, '')` splits the UTF-16 Java String at every code-unit
+  * index, so an astral-plane character (emoji, rare CJK) becomes two
+  * lone-surrogate cells — while DuckDB's `string_split(text, '')` (the
+  * oracle) splits on code points (both verified empirically). This walks
+  * the UTF8String's bytes directly: UTF-8 sequence boundaries ARE code
+  * point boundaries, so each slice is one code point, with no String or
+  * codePoints() materialization. Feeds q163 char-entropy (and anything
+  * that histograms characters). */
+case class CodepointChars(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_codepoints"
+
+  def chars(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      cnt += 1
+    }
+    val out = new Array[AnyRef](cnt)
+    i = 0
+    var k = 0
+    while (i < n) {
+      val len = math.min(UTF8String.numBytesForFirstByte(bytes(i)), n - i)
+      out(k) = UTF8String.fromBytes(bytes, i, len)
+      i += len
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    chars(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codepointChars", this, classOf[CodepointChars].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.chars($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CodepointChars =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   /** Encode profiles for the SQL-literal registry form:
@@ -349,6 +396,14 @@ object TextExpressions {
         if (exprs.length != 1) throw new IllegalArgumentException(
           s"graft_simhash64 expects (tokens), got ${exprs.length} argument(s)")
         SimHash64(exprs.head)
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_codepoints"),
+      new ExpressionInfo(classOf[CodepointChars].getName, "graft_codepoints"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"graft_codepoints expects (text), got ${exprs.length} argument(s)")
+        CodepointChars(exprs.head)
       })
   }
 }

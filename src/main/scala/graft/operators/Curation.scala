@@ -370,12 +370,12 @@ object Curation {
         |top AS (SELECT * FROM t WHERE nt > 0
         |        ORDER BY nt DESC, doc_id LIMIT 101),
         |x AS (SELECT min(nt) AS x_ref FROM top),
-        |s AS (SELECT x_ref,
+        |s AS (SELECT x_ref, count(*) AS m,
         |    sum(CAST(round(ln(CAST(nt AS DOUBLE) / x_ref), 9) AS DECIMAL(18,9))) AS s
         |  FROM top CROSS JOIN x GROUP BY x_ref)
-        |SELECT CAST(100 AS BIGINT) AS k, x_ref,
+        |SELECT CAST(m - 1 AS BIGINT) AS k, x_ref,
         |  round(CAST(s AS DOUBLE), 6) AS sum_log,
-        |  round(100.0 / nullif(CAST(s AS DOUBLE), 0.0), 6) AS alpha
+        |  round(CAST(m - 1 AS DOUBLE) / nullif(CAST(s AS DOUBLE), 0.0), 6) AS alpha
         |FROM s""") { (s, dir) =>
       tailIndexHill(Tables.documents(s, dir))
     },
@@ -506,7 +506,8 @@ object Curation {
         |wts AS (SELECT source, b, quality,
         |    CASE WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1
         |         WHEN u < 0.919698603 THEN 2 ELSE 3 END AS w
-        |  FROM (SELECT *, CAST(((doc_id * 131071 + b) * 2654435761) % 4294967296 AS DOUBLE)
+        |  FROM (SELECT *, CAST((((doc_id % 2147483648) * 131071 + b) % 2147483648
+        |            * 2654435761) % 4294967296 AS DOUBLE)
         |          / 4294967296.0 AS u FROM r)),
         |rep AS (SELECT source, b,
         |    round(CAST(sum(CAST(w * quality AS DECIMAL(18,6))) AS DOUBLE)
@@ -2721,14 +2722,18 @@ object Curation {
       .orderBy(col("nt").desc, col("doc_id")).limit(k + 1)
       .localCheckpoint(eager = false) // consumers: x_ref + the log sum
     val xref = top.agg(min(col("nt")).as("x_ref"))
+    // k derives from the rows ACTUALLY in the top frame (count − 1, the
+    // x_ref row being the reference), not the requested k: a corpus with
+    // fewer than k+1 qualifying docs would otherwise overstate α by
+    // dividing a short sum by the full k. m < 2 → NULL α (no tail).
     top.crossJoin(broadcast(xref))
-      .agg(first(col("x_ref")).as("x_ref"),
+      .agg(count(lit(1)).as("m"), first(col("x_ref")).as("x_ref"),
         sum(expr("CAST(round(ln(CAST(nt AS DOUBLE) / x_ref), 9) AS DECIMAL(18,9))"))
           .as("s"))
-      .select(lit(k.toLong).as("k"), col("x_ref"),
+      .select((col("m") - 1L).as("k"), col("x_ref"),
         round(col("s").cast("double"), 6).as("sum_log"),
-        round(lit(k).cast("double") / nullif(col("s").cast("double"), lit(0.0)), 6)
-          .as("alpha"))
+        round((col("m") - 1L).cast("double")
+          / nullif(col("s").cast("double"), lit(0.0)), 6).as("alpha"))
   }
 
   // ---------------------------------------------------------------------
@@ -2861,7 +2866,13 @@ object Curation {
     * (an additive post-multiply term would move u by only ~1e-5 per
     * replicate and collapse every replica onto one draw): pure
     * integer arithmetic, identical on any engine and
-    * partitioning, RNG-free. Weights land in {0,1,2,3} via fixed
+    * partitioning, RNG-free. Overflow discipline: the mixed key is
+    * reduced mod 2³¹ BEFORE the 2654435761 multiply, so the product
+    * stays ≤ (2³¹−1)·2654435761 ≈ 5.7e18 < 2⁶³−1 at ANY doc_id —
+    * without the reduction, doc_id·131071·2654435761 leaves Int64
+    * around doc_id ≈ 26,500, where non-ANSI Spark wraps silently
+    * (collapsing weights to 0) and DuckDB raises. (Reducing mod 2³²
+    * would NOT be enough: 2³²·2654435761 ≈ 1.14e19 still overflows.) Weights land in {0,1,2,3} via fixed
     * cumulative-Poisson(1) thresholds (e⁻¹, 2e⁻¹, 2.5e⁻¹ — literals
     * shared with the oracle).
     *
@@ -2884,7 +2895,8 @@ object Curation {
       .select(col("source"), col("doc_id"), col("quality"),
         explode(expr(s"sequence(1, $reps)")).as("b"))
       .withColumn("u",
-        (((col("doc_id") * lit(131071L) + col("b")) * lit(2654435761L))
+        ((((col("doc_id") % lit(2147483648L)) * lit(131071L) + col("b"))
+          % lit(2147483648L) * lit(2654435761L))
           % lit(4294967296L)).cast("double") / lit(4294967296.0))
       .withColumn("w",
         when(col("u") < 0.367879441, 0L).when(col("u") < 0.735758882, 1L)

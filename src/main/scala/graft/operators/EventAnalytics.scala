@@ -546,13 +546,16 @@ object EventAnalytics {
       .withColumn("arm",
         when(substring(md5(col("user_id").cast("string")), 1, 1) <= "7", "A")
           .otherwise("B"))
-      .localCheckpoint(eager = false) // consumers: per-arm rows + the test
-    val arms = users.groupBy("arm").agg(count(lit(1)).as("n_users"),
-      sum(col("converted")).as("n_converted"))
-    val a = arms.filter(col("arm") === "A")
-      .select(col("n_users").as("n1"), col("n_converted").as("c1"))
-    val b = arms.filter(col("arm") === "B")
-      .select(col("n_users").as("n2"), col("n_converted").as("c2"))
+    // ONE conditional global aggregate, not filter-per-arm + crossJoin:
+    // a global agg yields exactly one row even when an arm (or the whole
+    // input) is empty — sum(when(...)) over zero matching rows is NULL,
+    // matching the oracle's scalar subqueries; the filter+crossJoin form
+    // yielded ZERO rows on an empty arm, a row-count divergence
+    val t = users.agg(
+      sum(when(col("arm") === "A", 1L)).as("n1"),
+      sum(when(col("arm") === "A", col("converted"))).as("c1"),
+      sum(when(col("arm") === "B", 1L)).as("n2"),
+      sum(when(col("arm") === "B", col("converted"))).as("c2"))
     // nullif on every denominator: ANSI mode raises DIVIDE_BY_ZERO
     // even for rows a later predicate would drop, and an all-converted
     // (or empty) arm zeroes the pooled variance
@@ -564,8 +567,7 @@ object EventAnalytics {
       nullif(sqrt(pPool * (lit(1.0) - pPool)
         * (lit(1.0) / nullif(col("n1"), lit(0L))
           + lit(1.0) / nullif(col("n2"), lit(0L)))), lit(0.0))
-    a.crossJoin(broadcast(b))
-      .select(col("n1"), col("c1"), col("n2"), col("c2"),
+    t.select(col("n1"), col("c1"), col("n2"), col("c2"),
         round(p1, 6).as("rate_a"), round(p2, 6).as("rate_b"),
         round(z, 6).as("z"),
         coalesce(abs(round(z, 6)) >= 1.96, lit(false)).as("significant_95"))

@@ -89,10 +89,17 @@ object TextAnalysis {
     * the order-free sum (the q116/q143 ln discipline), so both engines
     * derive identical digits. Scale shape: one explode to (doc, char)
     * cells that collapses under map-side combine — the per-doc state is
-    * the doc's distinct-char histogram, never its text. */
+    * the doc's distinct-char histogram, never its text.
+    *
+    * Characters are CODE POINTS via the native `graft_codepoints`
+    * (built-in `split(text, '')` splits UTF-16 code units, so emoji /
+    * astral CJK would become two lone-surrogate cells and diverge from
+    * the oracle's code-point `string_split` — invisible on ASCII,
+    * wrong on any real crawl). */
   def charEntropy(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
     val cells = docs
-      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .select(col("doc_id"), explode(expr("graft_codepoints(text)")).as("c"))
       .filter(col("c") =!= "")
       .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
     cells.groupBy("doc_id").agg(

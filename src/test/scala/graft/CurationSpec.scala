@@ -1534,6 +1534,15 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val flat = (1L to 10L).map(i => doc(i, 7)).toDF("doc_id", "text")
     val fr = operators.Curation.tailIndexHill(flat, k = 3).collect().head
     assert(fr.getDouble(2) === 0.0 && fr.isNullAt(3))
+    // short corpus: fewer than k+1 qualifying docs → k derives from the
+    // rows actually present (m − 1), never the requested k — dividing a
+    // 2-term sum by k=100 would overstate α by 50×
+    val short3 = Seq(doc(1, 4), doc(2, 2), doc(3, 1)).toDF("doc_id", "text")
+    val sr = operators.Curation.tailIndexHill(short3, k = 100).collect().head
+    val sSum = (r9(math.log(4.0)) + r9(math.log(2.0)) + r9(math.log(1.0))).toDouble
+    assert(sr.getLong(0) === 2L, s"k must be m−1=2, not the requested 100: $sr")
+    assert(sr.getLong(1) === 1L)
+    assert(sr.getDouble(3) === r6(2.0 / sSum))
   }
 
   test("q179 Neyman: hand-computed integer allocation; zero-variance strata get nothing") {
@@ -1582,6 +1591,28 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(nM === 30L)
     assert(loM < mM && mM < hiM, s"mixed CI must strictly bracket: ${got("mix")}")
     assert(hiM - loM > 0.01, "resample weights must actually vary across replicates")
+  }
+
+  test("q171 bootstrap coin survives large doc_ids (no Int64 overflow, no weight collapse)") {
+    import spark.implicits._
+    val clean = (1 to 25).map(_ => "the").mkString(" ")
+    // ids straddle 2^31 and reach past 2^32: the pre-fix coin
+    // (doc_id·131071·2654435761) leaves Int64 around doc_id ≈ 26,500 —
+    // there Spark wraps u negative (every weight 0, replicas all NULL)
+    // while DuckDB raises; the mod-2^31 fold must keep every u in [0,1)
+    val ids = Seq(30000L, 2147483646L, 2147483649L, 4294967297L, 6000000000L) ++
+      (1L to 25L).map(_ + 3000000000L)
+    val docs = ids.zipWithIndex.map { case (id, i) =>
+      (id, "big", if (i % 2 == 0) clean else "x!")
+    }
+    val got = operators.Curation.bootstrapQualityCi(docs.toDF("doc_id", "source", "text"))
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(!r.isNullAt(3) && !r.isNullAt(4),
+      s"overflowed coin collapses all weights to 0 → NULL CI: $r")
+    assert(r.getDouble(3) < r.getDouble(4),
+      s"mixed-quality resamples must yield a real CI width: $r")
   }
 
   test("q165 vocab growth: planted first-occurrences per bucket") {

@@ -216,6 +216,19 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
         allConv.toDF("user_id", "event_type", "ts")).collect().head
     assert(d.isNullAt(6) && !d.getBoolean(7),
       "no variance → no test, never a divide-by-zero")
+    // empty arm: md5("1") starts 'c' → the only user lands in B, arm A is
+    // EMPTY — the result must still be ONE row with NULL A-side counts
+    // (the oracle's scalar subqueries yield exactly that; the old
+    // filter+crossJoin form yielded zero rows)
+    assert(arm(1L) === "B", "fixture: user 1 must hash to arm B")
+    val one = operators.EventAnalytics.abConversionTest(
+      Seq((1L, "purchase", ts("2024-01-01 10:00:00")))
+        .toDF("user_id", "event_type", "ts")).collect()
+    assert(one.length === 1, s"empty arm must not drop the row: ${one.toSeq}")
+    assert(one.head.isNullAt(0) && one.head.isNullAt(1),
+      s"empty arm A → NULL n1/c1: ${one.head}")
+    assert(one.head.getLong(2) === 1L && one.head.getLong(3) === 1L)
+    assert(one.head.isNullAt(6) && !one.head.getBoolean(7))
   }
 
   test("q180 features: hand-computed single-user row with empty-week trend") {

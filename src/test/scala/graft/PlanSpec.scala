@@ -621,8 +621,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q190: score frame barriered; the CDF window runs on the bounded
       // score-value histogram; totals ride one-row broadcasts
       ("q190_conformal_threshold",      0, 8),
-      // q191: one per-user agg off the barrier; arms frame is 2 rows
-      ("q191_ab_conversion_test",       0, 2),
+      // q191: one events scan into the per-user agg, then ONE global
+      // conditional aggregate (no barrier, no per-arm filters — the
+      // single-row contract must hold even with an empty arm)
+      ("q191_ab_conversion_test",       1, 2),
       // q192: the q51 freq-capped index join behind its barrier; pair
       // aggregates + the two count joins
       ("q192_containment_pairs",        0, 4))

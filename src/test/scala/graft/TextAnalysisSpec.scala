@@ -245,4 +245,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(1L)._3 === 0.0)
     assert(got(2L)._3 === 0.693147)
   }
+
+  test("q163 entropy: astral-plane characters count as ONE code point (the oracle's convention)") {
+    import spark.implicits._
+    // 😀 is U+1F600 — two UTF-16 units; a code-unit split would see
+    // {highSurr: 2, lowSurr: 2, a: 2} (n=6, 3 distinct) instead of the
+    // code-point histogram {😀: 2, a: 2} (n=4, 2 distinct, H = ln 2)
+    val docs = Seq((1L, "😀😀aa")).toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(docs).collect().head
+    assert(r.getLong(1) === 4L, s"n_chars must count code points: $r")
+    assert(r.getLong(2) === 2L, s"distinct must be code points: $r")
+    assert(r.getDouble(3) === 0.693147)
+  }
 }
