@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Relational2.defs ++
       operators.Relational3.defs ++ operators.TemporalJoins.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
+      operators.DedupIndex.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++
       operators.Curation.defs ++ operators.Retrieval.defs ++
       operators.Unigram.defs ++ operators.Classifier.defs ++

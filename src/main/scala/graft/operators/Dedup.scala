@@ -52,7 +52,7 @@ object Dedup {
     * — the shingle computation runs 3× per row (measured 2.7× slower on
     * q51/q52 at sf0.1). A COMPLEX generator child dodges the rule, so the
     * array expression stays inline in the Generate. */
-  private def shingles(docs: DataFrame): DataFrame =
+  private[operators] def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -64,7 +64,7 @@ object Dedup {
     * real corpus (a stopword-only shingle would otherwise create a
     * quadratic hot key). The testdata vocabulary is tiny, so the cap is
     * high enough to be a no-op there. */
-  private val maxShingleDocFreq = 1000000
+  private[operators] val maxShingleDocFreq = 1000000
 
   /** Default cap on (band, key) bucket size for the MinHash/SimHash banded
     * self-joins — the LSH analogue of [[maxShingleDocFreq]]. One degenerate
@@ -85,7 +85,7 @@ object Dedup {
     * paths drop EXACTLY the buckets the self-join over the union drops
     * (capping each side alone would keep a bucket whose halves are both
     * under cap while their join still blows up quadratically). */
-  private def overCapBuckets(sides: Seq[DataFrame], keyCols: Seq[String],
+  private[operators] def overCapBuckets(sides: Seq[DataFrame], keyCols: Seq[String],
       cap: Int): DataFrame =
     sides.map(_.select(keyCols.map(col): _*)).reduce(_ union _)
       .groupBy(keyCols.head, keyCols.tail: _*)
@@ -1129,13 +1129,20 @@ object Dedup {
     * docs; a long size-2 tail means plain re-posts. Everything after
     * clustering runs on cluster-count-sized frames; totals ride one-row
     * broadcasts. */
-  def componentSizeHistogram(docs: DataFrame, clusters: DataFrame): DataFrame = {
+  def componentSizeHistogram(docs: DataFrame, clusters: DataFrame): DataFrame =
+    componentSizeHistogramFrom(docs.agg(count(lit(1)).as("n_total")), clusters)
+
+  /** [[componentSizeHistogram]] against a caller-supplied one-row
+    * `(n_total)` frame — the index face (q197) supplies the persisted
+    * corpus count instead of re-scanning documents. */
+  private[operators] def componentSizeHistogramFrom(
+      nTotal: DataFrame, clusters: DataFrame): DataFrame = {
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("size"))
     val hist = sizes.groupBy("size").agg(count(lit(1)).as("n_components"))
       .select(col("size"), col("n_components"),
         (col("size") * col("n_components")).as("n_docs"))
       .localCheckpoint(eager = false) // consumers: member total + output
-    val totals = docs.agg(count(lit(1)).as("n_total"))
+    val totals = nTotal
       .crossJoin(broadcast(hist.agg(
         coalesce(sum(col("n_docs")), lit(0L)).as("n_members"))))
       .localCheckpoint(eager = false) // consumers: singleton row + shares

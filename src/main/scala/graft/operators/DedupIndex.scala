@@ -1,0 +1,434 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Persisted near-duplicate index: the build-once / probe-many face of
+  * the q51 shingle machinery, the `bm25Postings` pattern applied to the
+  * dedup family.
+  *
+  * Every cluster-family query (q62/q67/q91/q93/q106/q118/q147/q170/
+  * q177/q186) derives from the SAME three intermediates — the per-doc
+  * word-3-gram shingle relation, the co-occurrence pair graph, and the
+  * connected-component clusters — yet the standalone forms rebuild them
+  * per query (~12.7 MB of identical shuffle apiece at sf0.1; at 100 TB
+  * that is a full corpus tokenize + the index self-join, the most
+  * expensive step in the whole family, repeated ten times). [[build]]
+  * materializes them ONCE as parquet; the `*Against` faces answer every
+  * family query from the index with ZERO document scans (except where
+  * the query's own OUTPUT carries document columns), byte-equal to the
+  * standalone forms.
+  *
+  * Relations under `dir/` (all parquet):
+  *  - `shingles/` — (doc_id, sh, h): per-doc DISTINCT text shingles with
+  *    their xxhash64. Text is kept because the evidence face (q186)
+  *    reports human-readable shingles; joins use the 8-byte hash.
+  *  - `counts/`   — (doc_id, n): per-doc shingle counts AFTER the
+  *    document-frequency cap (the q51 skew guard) — the denominators of
+  *    every Jaccard.
+  *  - `pairs/`    — (d1, d2, n1, n2, c, jaccard): the FULL co-occurrence
+  *    pair graph (c ≥ 1, d1 < d2, df-capped) — no threshold baked in, so
+  *    one index serves every consumer from the 0.02 leakage floor to the
+  *    0.9 sweep rung. Downstream thresholds filter on the RAW ratio
+  *    c/(n1+n2−c) (never the rounded column), reproducing the standalone
+  *    faces bit-for-bit.
+  *  - `clusters/` — (doc_id, cluster_id, is_keeper) at the build's
+  *    `clusterThreshold` (the family's declared 0.6).
+  *  - `meta/`     — one row (n_docs, cluster_threshold, df_cap).
+  *
+  * Scale shape: the build is exactly ONE run of the q51 machinery plus
+  * one clustering — everything the standalone family pays per query,
+  * paid once per corpus snapshot. The pair graph is the only relation
+  * that can outgrow the corpus and it is df-capped (a hot boilerplate
+  * shingle cannot go quadratic); at a crawl-scale dup rate it is still
+  * the same graph every consumer would have built anyway.
+  * [[update]] maintains the index incrementally for an append-only
+  * corpus: new×(old ∪ new) pairs only — the `incrementalMinhashPairs`
+  * discipline — with the union-side df cap, then a pairs-graph-sized
+  * recluster; the corpus is never rescanned.
+  */
+object DedupIndex {
+
+  /** Loaded index handles. */
+  final case class Index(dir: String, shingles: DataFrame, counts: DataFrame,
+      pairs: DataFrame, clusters: DataFrame, meta: DataFrame)
+
+  val defaultClusterThreshold = 0.6
+
+  // ---------------------------------------------------------------------
+  // build / load / update
+  // ---------------------------------------------------------------------
+
+  /** Build the index at `dir` from scratch (overwrites any previous
+    * build). One corpus shingle pass + one pair self-join + one
+    * clustering — the family's shared cost, paid once. */
+  def build(docs: DataFrame, dir: String,
+      clusterThreshold: Double = defaultClusterThreshold): Unit = {
+    val spark = docs.sparkSession
+    Dedup.shingles(docs)
+      .select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("h"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/shingles")
+    // derive everything downstream from the PERSISTED relation — the
+    // corpus is read exactly once above
+    val shP = spark.read.parquet(s"$dir/shingles")
+    val freqOk = shP.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.maxShingleDocFreq).select("h")
+    val shF = shP.select("doc_id", "h").join(freqOk, "h")
+      .localCheckpoint(eager = false) // consumers: counts + both join sides
+    shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/counts")
+    val cntP = spark.read.parquet(s"$dir/counts")
+    val common = shF.as("a")
+      .join(shF.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    val j = col("c").cast("double") / (col("n1") + col("n2") - col("c"))
+    common
+      .join(cntP.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(cntP.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("n1"), col("n2"), col("c"),
+        round(j, 6).as("jaccard"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/pairs")
+    val pairsP = spark.read.parquet(s"$dir/pairs")
+    Dedup.duplicateClusters(rawThreshold(pairsP, clusterThreshold))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/clusters")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .select(col("n_docs"), lit(clusterThreshold).as("cluster_threshold"),
+        lit(Dedup.maxShingleDocFreq.toLong).as("df_cap"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
+
+  def load(spark: SparkSession, dir: String): Index =
+    Index(dir,
+      shingles = spark.read.parquet(s"$dir/shingles"),
+      counts = spark.read.parquet(s"$dir/counts"),
+      pairs = spark.read.parquet(s"$dir/pairs"),
+      clusters = spark.read.parquet(s"$dir/clusters"),
+      meta = spark.read.parquet(s"$dir/meta"))
+
+  /** Incremental maintenance for an append-only corpus: `newDocs` (ids
+    * disjoint from the indexed corpus) are shingled once, new×(old∪new)
+    * pairs computed via the inverted index with the UNION-side df cap
+    * (the `incrementalMinhashPairs` discipline: capping each side alone
+    * would keep a bucket whose halves are both under cap while their
+    * join still blows up), appended, and the clusters re-derived from
+    * the PAIR GRAPH (pairs-sized, never corpus-sized) with an atomic
+    * aside-write-and-swap. Exact-equal to a full rebuild as long as no
+    * shingle crosses the df cap between snapshots (a crossing means the
+    * hot shingle's old pairs should retroactively disappear — detected
+    * only by a rebuild; same caveat as every incremental LSH store).
+    * Crash note: the appends are not atomic across relations — a crash
+    * mid-update is repaired by re-running [[build]]. */
+  def update(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val oldSh = spark.read.parquet(s"$dir/shingles")
+    val metaRow = spark.read.parquet(s"$dir/meta").collect().head
+    val clusterThreshold = metaRow.getAs[Double]("cluster_threshold")
+    val dfCap = metaRow.getAs[Long]("df_cap")
+    val shNew = Dedup.shingles(newDocs)
+      .select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("h"))
+      .localCheckpoint(eager = false) // consumers: cap count, joins, append
+    val overCap = Dedup.overCapBuckets(
+      Seq(oldSh.select("h"), shNew.select("h")), Seq("h"), dfCap.toInt)
+    val newCapped = shNew.select("doc_id", "h")
+      .join(broadcast(overCap), Seq("h"), "left_anti")
+      .localCheckpoint(eager = false) // consumers: counts + three join sides
+    val oldCapped = oldSh.select("doc_id", "h")
+      .join(broadcast(overCap), Seq("h"), "left_anti")
+    val cntNew = newCapped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // consumers: append + pair denominators
+    val allCnt = spark.read.parquet(s"$dir/counts").unionByName(cntNew)
+    // new×old (either id order) + new×new (d1 < d2 once)
+    val newOld = newCapped.as("a").join(oldCapped.as("b"), col("a.h") === col("b.h"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+    val newNew = newCapped.as("a")
+      .join(newCapped.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val j = col("c").cast("double") / (col("n1") + col("n2") - col("c"))
+    newOld.unionAll(newNew)
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      .join(allCnt.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(allCnt.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("n1"), col("n2"), col("c"),
+        round(j, 6).as("jaccard"))
+      .write.mode(SaveMode.Append).parquet(s"$dir/pairs")
+    shNew.write.mode(SaveMode.Append).parquet(s"$dir/shingles")
+    cntNew.write.mode(SaveMode.Append).parquet(s"$dir/counts")
+    // recluster from the updated pair graph; swap in atomically
+    val pairsP = spark.read.parquet(s"$dir/pairs")
+    swapIn(spark, s"$dir/clusters",
+      Dedup.duplicateClusters(rawThreshold(pairsP, clusterThreshold)))
+    swapIn(spark, s"$dir/meta",
+      newDocs.agg(count(lit(1)).as("nn"))
+        .select((col("nn") + metaRow.getAs[Long]("n_docs")).as("n_docs"),
+          lit(clusterThreshold).as("cluster_threshold"), lit(dfCap).as("df_cap")))
+  }
+
+  /** Aside-write-and-swap (the ProvenanceStore compaction discipline):
+    * readers of `path` see the old or the new relation, never a mix. */
+  private def swapIn(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compact-tmp")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    graft.pipeline.ProvenanceStore.swapCompacted(fs, dir, tmp)
+  }
+
+  // ---------------------------------------------------------------------
+  // apply faces — each byte-equal to its standalone counterpart
+  // ---------------------------------------------------------------------
+
+  /** Pairs at `threshold`, filtered on the RAW ratio (the rounded column
+    * would admit a 0.5999996 pair at 0.6) — [[Dedup.exactJaccardPairs]]'s
+    * exact output contract: (d1, d2, jaccard). */
+  def pairsAt(idx: Index, threshold: Double): DataFrame =
+    rawThreshold(idx.pairs, threshold)
+
+  private def rawThreshold(pairs: DataFrame, threshold: Double): DataFrame = {
+    val j = col("c").cast("double") / (col("n1") + col("n2") - col("c"))
+    pairs.filter(j >= threshold)
+      .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
+  }
+
+  /** q62/q67's output — the persisted clusters, as-is. */
+  def clustersAgainst(idx: Index): DataFrame =
+    idx.clusters.select("doc_id", "cluster_id", "is_keeper")
+
+  /** q91's output (docs scanned once — the output IS document rows). */
+  def applyAgainst(docs: DataFrame, idx: Index): DataFrame =
+    Dedup.dedupApply(docs, idx.clusters)
+
+  /** q93's output (docs scanned once for the full id roster). */
+  def splitAgainst(docs: DataFrame, idx: Index): DataFrame =
+    Dedup.clusterSplit(docs, idx.clusters)
+
+  /** q106's output (docs scanned once for the quality projection). */
+  def keepBestAgainst(docs: DataFrame, idx: Index): DataFrame =
+    Dedup.dedupKeepBest(docs, idx.clusters)
+
+  /** q170's output — zero document scans: the corpus total rides the
+    * index meta. */
+  def histogramAgainst(idx: Index): DataFrame =
+    Dedup.componentSizeHistogramFrom(
+      idx.meta.select(col("n_docs").as("n_total")), idx.clusters)
+
+  /** q177's output — zero document scans: every rung filters the stored
+    * pair graph. Mirrors [[Dedup.thresholdSweep]] exactly: the floor cut
+    * is raw, the rung cuts compare the ROUNDED jaccard. */
+  def sweepAgainst(idx: Index,
+      ladder: Seq[Double] = Seq(0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val spark = idx.pairs.sparkSession
+    import spark.implicits._
+    val pairs = pairsAt(idx, ladder.min)
+      .localCheckpoint(eager = false) // consumers: pair counts + doc maxima
+    val thrArr = array(ladder.map(lit(_)): _*)
+    val pc = pairs.select(explode(thrArr).as("threshold"), col("jaccard"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val docMax = pairs.select(col("d1").as("doc_id"), col("jaccard"))
+      .unionByName(pairs.select(col("d2").as("doc_id"), col("jaccard")))
+      .groupBy("doc_id").agg(max(col("jaccard")).as("mx"))
+    val dc = docMax.select(explode(thrArr).as("threshold"), col("mx"))
+      .filter(col("mx") >= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+    ladder.toDF("threshold")
+      .join(pc, Seq("threshold"), "left")
+      .join(dc, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold")
+  }
+
+  /** q186's output — zero document scans: evidence text comes from the
+    * persisted shingle relation. Mirrors [[Dedup.nearDupExplanation]]. */
+  def explanationAgainst(idx: Index, threshold: Double = 0.6,
+      topShingles: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = pairsAt(idx, threshold)
+      .localCheckpoint(eager = false) // consumers: shared join + output
+    val sh = idx.shingles.select("doc_id", "sh")
+      .localCheckpoint(eager = false) // consumers: d1 side, d2 side, df
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val shared = pairs.select("d1", "d2")
+      .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+    val w = Window.partitionBy("d1", "d2").orderBy(col("df").asc, col("sh"))
+    val evidence = shared.join(dfreq, Seq("sh"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topShingles)
+      .groupBy("d1", "d2")
+      .agg(concat_ws(" | ", expr(
+        "transform(array_sort(collect_list(struct(rn, sh))), s -> s.sh)"))
+        .as("evidence"))
+    pairs.join(evidence, Seq("d1", "d2"))
+      .select(col("d1"), col("d2"), col("jaccard"), col("evidence"))
+      .orderBy("d1", "d2")
+  }
+
+  /** q147's output — zero document scans: split assignment only matters
+    * for pair ENDPOINTS, whose ids the pair graph already carries.
+    * Mirrors [[Dedup.splitLeakageAudit]], including its rounded-jaccard
+    * strong cut (the audit's own convention) and a fresh clustering of
+    * the strong pairs (byte-parity with the standalone form even in
+    * rounding-edge cases where it differs from the build's clusters). */
+  def leakageAgainst(idx: Index, clusterThreshold: Double = 0.6,
+      weakThreshold: Double = 0.02): DataFrame = {
+    val pairs = pairsAt(idx, weakThreshold)
+      .localCheckpoint(eager = false) // consumers: clusters + the audit join
+    val strong = pairs.filter(col("jaccard") >= clusterThreshold)
+    val endpoints = pairs.select(col("d1").as("doc_id"))
+      .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
+    val split = Dedup.clusterSplit(endpoints, Dedup.duplicateClusters(strong))
+      .select(col("doc_id"), col("split"))
+      .localCheckpoint(eager = false) // consumers: both endpoint joins
+    pairs
+      .join(split.select(col("doc_id").as("d1"), col("split").as("s1")), Seq("d1"))
+      .join(split.select(col("doc_id").as("d2"), col("split").as("s2")), Seq("d2"))
+      .select(
+        when(col("jaccard") >= clusterThreshold, "clustered")
+          .otherwise("weak").as("band"),
+        (col("s1") =!= col("s2")).as("cross_split"))
+      .groupBy("band", "cross_split").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("band", "cross_split")
+  }
+
+  /** q118's output — zero document scans: positives from the persisted
+    * clusters, hard negatives from the full co-occurrence graph. Mirrors
+    * [[Dedup.contrastivePairs]] (whose `clus` equals the build's
+    * clusters: same raw-thresholded pair set in, same deterministic
+    * component labels out). */
+  def contrastiveAgainst(idx: Index): DataFrame = {
+    val common = idx.pairs.select("d1", "d2", "c")
+      .localCheckpoint(eager = false) // consumers: both candidate directions
+    val clus = idx.clusters.select("doc_id", "cluster_id")
+    val pos = clus.as("x")
+      .join(clus.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("anchor_id"))
+      .agg(min(col("y.doc_id")).as("positive_id"))
+    val com2 = common.select(col("d1").as("a"), col("d2").as("b"), col("c"))
+      .union(common.select(col("d2").as("a"), col("d1").as("b"), col("c")))
+    val cand = com2.join(clus.as("x"), col("a") === col("x.doc_id"))
+      .join(clus.as("y"), col("b") === col("y.doc_id"), "left")
+      .filter(col("y.doc_id").isNull || col("y.cluster_id") =!= col("x.cluster_id"))
+      .select(col("a").as("anchor_id"), col("b").as("cand_id"), col("c"))
+    val neg = cand.groupBy("anchor_id")
+      .agg(max(struct(col("c"), (-col("cand_id")).as("nid"))).as("m"))
+      .select(col("anchor_id"), (-col("m.nid")).as("negative_id"),
+        col("m.c").as("n_shared_neg"))
+    pos.join(neg, Seq("anchor_id"), "left")
+  }
+
+  /** q141's output — zero document scans: triangles over the stored pair
+    * graph at the standalone threshold. */
+  def trianglesAgainst(idx: Index, threshold: Double = 0.3): DataFrame =
+    Dedup.triangleCohesionFromPairs(pairsAt(idx, threshold).select("d1", "d2"))
+
+  // ---------------------------------------------------------------------
+  // declared queries: build once per (JVM, sfDir), then every face is an
+  // index probe — the composability the standalone family pays for per
+  // query. The driver's Verify/Bench run queries sequentially in one JVM,
+  // so the alphabetically-first index query pays the build and the other
+  // nine ride it (the measured ~3× family win; see SCALING.md).
+  // ---------------------------------------------------------------------
+
+  private val builtFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Index dir for `sfDir`'s documents table, building on first use. */
+  def ensure(spark: SparkSession, sfDir: String): Index = {
+    val dir = builtFor.computeIfAbsent(sfDir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-dedup-index")
+        .toString
+      build(Tables.documents(spark, sfDir), d)
+      d
+    })
+    load(spark, dir)
+  }
+
+  private def oracleOf(name: String): String =
+    Dedup.defs(name).oracle.getOrElse(
+      throw new IllegalStateException(s"no oracle for $name"))
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- index-backed clusters: q62's exact contract, answered from the
+    //      persisted index (oracle shared verbatim). ----
+    "q193_dedupindex_clusters" -> QueryDef.sql(
+      oracleOf("q62_dup_clusters")) { (s, dir) =>
+      clustersAgainst(ensure(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- index-backed dedup apply (q91): the kept corpus; documents
+    //      are scanned once because they ARE the output. ----
+    "q194_dedupindex_apply" -> QueryDef.sql(
+      oracleOf("q91_dedup_apply")) { (s, dir) =>
+      applyAgainst(Tables.documents(s, dir), ensure(s, dir))
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- index-backed contamination-safe split (q93). ----
+    "q195_dedupindex_split" -> QueryDef.sql(
+      oracleOf("q93_cluster_split")) { (s, dir) =>
+      splitAgainst(Tables.documents(s, dir), ensure(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- index-backed keep-best dedup (q106). ----
+    "q196_dedupindex_keep_best" -> QueryDef.sql(
+      oracleOf("q106_dedup_keep_best")) { (s, dir) =>
+      keepBestAgainst(Tables.documents(s, dir), ensure(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- index-backed component histogram (q170): zero corpus scans —
+    //      the total rides the index meta. ----
+    "q197_dedupindex_histogram" -> QueryDef.sql(
+      oracleOf("q170_component_size_histogram")) { (s, dir) =>
+      histogramAgainst(ensure(s, dir))
+    },
+
+    // ---- index-backed threshold sweep (q177): zero corpus scans. ----
+    "q198_dedupindex_sweep" -> QueryDef.sql(
+      oracleOf("q177_threshold_sweep")) { (s, dir) =>
+      sweepAgainst(ensure(s, dir))
+    },
+
+    // ---- index-backed near-dup explanations (q186): zero corpus scans —
+    //      evidence text from the persisted shingles. ----
+    "q199_dedupindex_explanation" -> QueryDef.sql(
+      oracleOf("q186_neardup_explanation")) { (s, dir) =>
+      explanationAgainst(ensure(s, dir))
+    },
+
+    // ---- index-backed split-leakage audit (q147): zero corpus scans. ----
+    "q200_dedupindex_leakage" -> QueryDef.sql(
+      oracleOf("q147_split_leakage")) { (s, dir) =>
+      leakageAgainst(ensure(s, dir))
+    },
+
+    // ---- index-backed contrastive triples (q118): zero corpus scans. ----
+    "q201_dedupindex_contrastive" -> QueryDef.sql(
+      oracleOf("q118_contrastive_pairs")) { (s, dir) =>
+      contrastiveAgainst(ensure(s, dir)).orderBy("anchor_id")
+    },
+
+    // ---- incremental maintenance, oracle-checked the strong way: build
+    //      from the first ~80% of docs, update with the rest, and the
+    //      clusters must hash-match q62's full-corpus oracle — the
+    //      incremental path IS a full rebuild as far as DuckDB can tell. ----
+    "q202_dedupindex_update" -> QueryDef.sql(
+      oracleOf("q62_dup_clusters")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val d = java.nio.file.Files.createTempDirectory("graft-dedup-incr").toString
+      // hash split, not range: interleaves old/new through the id space
+      val isNew = substring(md5(col("doc_id").cast("string")), 1, 1) > lit("c")
+      build(docs.filter(!isNew), d)
+      update(docs.filter(isNew), d)
+      clustersAgainst(load(s, d)).orderBy("doc_id")
+    }
+  )
+}

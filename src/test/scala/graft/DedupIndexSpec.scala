@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{Dedup, DedupIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted dedup index (build → parquet → probe): every apply face
+  * must be BYTE-EQUAL to its standalone counterpart, the incremental
+  * update must be indistinguishable from a full rebuild, and the
+  * index-only faces must never touch the documents table. */
+class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  // planted corpus (the DedupSpec population): 0/1 exact dups, 2/3 and
+  // 5/6 near dups, 4 unrelated, 7 short; + sources for the doc-level faces
+  private val base2 = "spark runs distributed queries over very large datasets " +
+    "with columnar storage and adaptive execution planning across many worker " +
+    "nodes while caching hot partitions in memory"
+  private val base5 = "data pipelines ingest clean filter join aggregate and " +
+    "write results downstream every day with checkpoint recovery watermark " +
+    "tracking and exactly once delivery into warehouse tables"
+  private lazy val docs = Seq(
+    (0L, "a", "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "a", "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "a", base2),
+    (3L, "b", base2.replaceAll("memory$", "ram")),
+    (4L, "b", "completely different content about cooking pasta with tomato sauce and fresh basil herbs"),
+    (5L, "b", base5),
+    (6L, "c", base5.replaceAll("tables$", "marts")),
+    (7L, "c", "tiny doc")
+  ).toDF("doc_id", "source", "text")
+
+  private def tempDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-idx-spec").toString
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def assertFacesEqual(d: DataFrame, idx: DedupIndex.Index): Unit = {
+    val clusters = Dedup.duplicateClusters(Dedup.exactJaccardPairs(d, 0.6))
+    val faces: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("clusters", DedupIndex.clustersAgainst(idx), clusters),
+      ("apply", DedupIndex.applyAgainst(d, idx), Dedup.dedupApply(d, clusters)),
+      ("split", DedupIndex.splitAgainst(d, idx), Dedup.clusterSplit(d, clusters)),
+      ("keepBest", DedupIndex.keepBestAgainst(d, idx), Dedup.dedupKeepBest(d, clusters)),
+      ("histogram", DedupIndex.histogramAgainst(idx), Dedup.componentSizeHistogram(d, clusters)),
+      ("sweep", DedupIndex.sweepAgainst(idx), Dedup.thresholdSweep(d)),
+      ("explanation", DedupIndex.explanationAgainst(idx), Dedup.nearDupExplanation(d)),
+      ("leakage", DedupIndex.leakageAgainst(idx), Dedup.splitLeakageAudit(d)),
+      ("contrastive", DedupIndex.contrastiveAgainst(idx), Dedup.contrastivePairs(d, 0.6)),
+      ("pairs@0.6", DedupIndex.pairsAt(idx, 0.6), Dedup.exactJaccardPairs(d, 0.6)),
+      ("triangles", DedupIndex.trianglesAgainst(idx, 0.3), Dedup.triangleCohesion(d, 0.3)))
+    faces.foreach { case (name, against, standalone) =>
+      assert(rows(against) === rows(standalone), s"face '$name' diverges")
+    }
+  }
+
+  test("every index face is byte-equal to its standalone form (planted corpus)") {
+    val dir = tempDir()
+    DedupIndex.build(docs, dir)
+    assertFacesEqual(docs, DedupIndex.load(spark, dir))
+  }
+
+  test("every index face is byte-equal to its standalone form (sf0.001)") {
+    val d = Tables.documents(spark, sf001)
+    val dir = tempDir()
+    DedupIndex.build(d, dir)
+    assertFacesEqual(d, DedupIndex.load(spark, dir))
+  }
+
+  test("incremental update equals a full rebuild, relation for relation") {
+    // extend the corpus so the update sees BOTH pair kinds: 8/9 are
+    // near-dups of each other (new×new) and 3/6 pair with old docs
+    // (new×old)
+    val extra = Seq(
+      (8L, "d", base2.replaceAll("datasets", "corpora")),
+      (9L, "d", base2.replaceAll("datasets", "corpora").replaceAll("memory$", "ram")))
+      .toDF("doc_id", "source", "text")
+    val all = docs.unionByName(extra)
+    val oldDocs = all.filter(col("doc_id").isin(0L, 2L, 4L, 5L, 7L))
+    val newDocs = all.filter(!col("doc_id").isin(0L, 2L, 4L, 5L, 7L))
+    val full = tempDir(); val incr = tempDir()
+    DedupIndex.build(all, full)
+    DedupIndex.build(oldDocs, incr)
+    DedupIndex.update(newDocs, incr)
+    val fi = DedupIndex.load(spark, full)
+    val ii = DedupIndex.load(spark, incr)
+    assert(rows(ii.shingles) === rows(fi.shingles), "shingles diverge")
+    assert(rows(ii.counts) === rows(fi.counts), "counts diverge")
+    assert(rows(ii.pairs) === rows(fi.pairs), "pairs diverge")
+    assert(rows(ii.clusters) === rows(fi.clusters), "clusters diverge")
+    assert(rows(ii.meta) === rows(fi.meta), "meta diverges")
+    // sanity: the update actually contributed pairs of both kinds
+    val p = ii.pairs.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p.contains((8L, 9L)), "new×new pair missing")
+    assert(p.contains((2L, 3L)), "new×old pair missing")
+    assertFacesEqual(all, ii)
+  }
+
+  test("index-only faces read zero document scans (the build-once contract)") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val idx = DedupIndex.ensure(spark, sf001)
+    val indexOnly: Seq[(String, DataFrame)] = Seq(
+      ("clusters", DedupIndex.clustersAgainst(idx)),
+      ("histogram", DedupIndex.histogramAgainst(idx)),
+      ("sweep", DedupIndex.sweepAgainst(idx)),
+      ("explanation", DedupIndex.explanationAgainst(idx)),
+      ("leakage", DedupIndex.leakageAgainst(idx)),
+      ("contrastive", DedupIndex.contrastiveAgainst(idx)),
+      ("triangles", DedupIndex.trianglesAgainst(idx)))
+    indexOnly.foreach { case (name, df) =>
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("documents.parquet"),
+        s"face '$name' scans the documents table — the index must answer it alone:\n$p")
+    }
+  }
+
+  test("update on a corpus whose ids exceed 2^31 stays exact (hash keys, no id assumptions)") {
+    val big = docs.withColumn("doc_id", col("doc_id") + lit(5000000000L))
+    val full = tempDir(); val incr = tempDir()
+    DedupIndex.build(big, full)
+    DedupIndex.build(big.filter(col("doc_id") % 2 === 0), incr)
+    DedupIndex.update(big.filter(col("doc_id") % 2 === 1), incr)
+    assert(rows(DedupIndex.load(spark, incr).pairs)
+      === rows(DedupIndex.load(spark, full).pairs))
+    assert(rows(DedupIndex.load(spark, incr).clusters)
+      === rows(DedupIndex.load(spark, full).clusters))
+  }
+}
