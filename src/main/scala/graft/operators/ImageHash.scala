@@ -67,12 +67,16 @@ object ImageHash {
     hash
   }
 
-  /** (asset_id, dhash) for every decodable asset — narrow, no shuffle. */
+  /** (asset_id, dhash) for every decodable asset — narrow, no shuffle.
+    * Decode routes through every REAL decoder (PNM, PNG): the hash is
+    * format-invariant, so the same pixels re-encoded as a different
+    * format land at Hamming distance 0 — exactly the re-encode dedup
+    * case perceptual hashing exists for. */
   def imageHashes(assets: Dataset[MediaAsset]): DataFrame = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        Multimodal.PnmCodec.decodeLuma(a.bytes).map { case (w, h, luma) =>
+        Multimodal.decodeLumaAny(a.bytes).map { case (w, h, luma) =>
           (a.asset_id, dhash(w, h, luma))
         }
       }
@@ -151,6 +155,34 @@ object ImageHash {
     originals.unionByName(siblings).as[MediaAsset]
   }
 
+  /** Mixed-format face of [[syntheticPnm]]: SAME asset ids and SAME
+    * pixels, but the originals of even docs re-encode as real PNG
+    * (gray-8, via [[Multimodal.PngCodec.encodeGray]]) — so every
+    * planted sibling pair is CROSS-FORMAT (PNG original vs P5 edit),
+    * the re-encode dedup case perceptual hashing exists for. Because
+    * dHash reads pixels, not containers, the pair set is bit-identical
+    * to the all-PNM corpus — the existing q159/q172 golden pins now
+    * double as a PNG-decoder correctness gate (a decode bug would move
+    * hashes and fail them). P5 gray makes luma == raw pixel exactly
+    * (r=g=b ⇒ (299+587+114)·r/1000 = r), so the trans-code below is
+    * lossless by construction. */
+  def syntheticImages(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    syntheticPnm(docs).map { a =>
+      if (a.asset_id % 4 == 0) {
+        Multimodal.PnmCodec.decodeLuma(a.bytes) match {
+          case Some((w, h, luma)) =>
+            val px = new Array[Byte](w * h)
+            var i = 0
+            while (i < px.length) { px(i) = luma(i).toByte; i += 1 }
+            MediaAsset(a.asset_id, "image/png",
+              Multimodal.PngCodec.encodeGray(w, h, px))
+          case None => a
+        }
+      } else a
+    }
+  }
+
   /** Energy-delta hash of one window-energy vector (the audio dHash):
     * bit i set iff window i+1 carries strictly more energy than window
     * i — re-encodes and small edits preserve most energy gradients,
@@ -211,12 +243,14 @@ object ImageHash {
   def defs: Map[String, QueryDef] = Map(
 
     // ---- perceptual-hash image near-dup: planted edited siblings over
-    //      real P5 decode; banded Hamming join, exact at maxDist ≤ 3.
+    //      real decode of a MIXED P5+PNG corpus (each sibling pair is
+    //      cross-format); banded Hamming join, exact at maxDist ≤ 3.
     //      No SQL oracle (byte-level decode); ImageHashSpec carries a
     //      plain-Scala reference dHash and the pair-recovery gate, and
-    //      the result is golden-pinned. ----
+    //      the result is golden-pinned — pins unchanged from the all-PNM
+    //      corpus, which is the format-invariance proof. ----
     "q159_image_dhash_pairs" -> QueryDef.rowsOnly { (s, dir) =>
-      nearDupImagePairs(imageHashes(syntheticPnm(Tables.documents(s, dir))))
+      nearDupImagePairs(imageHashes(syntheticImages(Tables.documents(s, dir))))
     },
 
     // ---- audio near-dup: energy-delta fingerprints over the real WAV
@@ -231,7 +265,7 @@ object ImageHash {
     //      ImageHashSpec pins equivalence with the full-corpus face;
     //      Streams.mediaDedupSinkQuery is the streaming wrapper. ----
     "q172_media_dedup_incremental" -> QueryDef.rowsOnly { (s, dir) =>
-      val hashes = imageHashes(syntheticPnm(Tables.documents(s, dir)))
+      val hashes = imageHashes(syntheticImages(Tables.documents(s, dir)))
         .localCheckpoint(eager = false) // consumers: store + batch sides
       incrementalNearDupPairs(
         hashes.filter(col("asset_id") % 2 === 1),

@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video as opaque BINARY with typed
   * metadata, processed partition-batch-wise.
   *
-  * The Spark-side plumbing — schema, partition-parallel batch processing,
-  * row shape — is real and tested; the codec itself is STUBBED with a
-  * deterministic fake (this container has no image/audio libraries). On a
-  * real cluster, [[StubCodec]] is the one seam to swap for JavaCV/ffmpeg
-  * bindings; everything else (batching, schema, partitioning) is
-  * production-shaped. Binary payloads never shuffle: decode/feature steps
-  * are narrow mapPartitions over the scan, and only the small extracted
-  * features flow onward.
+  * Decode is REAL for every format a lib-free decoder can cover: PNM
+  * ([[PnmCodec]]), PNG ([[PngCodec]] — JDK zlib inflate + the spec's
+  * unfilter), and WAV ([[WavCodec]]). Only formats that genuinely need
+  * codec libraries this container lacks (JPEG, MP3/OGG, video) fall to
+  * the deterministic [[StubCodec]] — the one seam to swap for
+  * JavaCV/ffmpeg bindings on a real cluster; everything else (batching,
+  * schema, partitioning) is production-shaped. Binary payloads never
+  * shuffle: decode/feature steps are narrow mapPartitions over the scan,
+  * and only the small extracted features flow onward.
   */
 object Multimodal {
 
@@ -39,10 +40,10 @@ object Multimodal {
     * chosen because the format needs zero external libraries, so the
     * decode step is genuinely real in this container. Features: per-
     * channel means, 2×2 luminance-quadrant means, and aspect w/(w+h),
-    * all in [0,1]. JPEG/PNG/video decode plugs in through the same
-    * [[Codec]] seam (JavaCV / TwelveMonkeys on a cluster with media
-    * libs); [[StubCodec]] remains the deterministic fallback for formats
-    * without a decoder here. */
+    * all in [0,1]. PNG decodes for real too ([[PngCodec]]); JPEG/video
+    * plug in through the same [[Codec]] seam (JavaCV / TwelveMonkeys on
+    * a cluster with media libs); [[StubCodec]] remains the deterministic
+    * fallback for formats without a decoder here. */
   object PnmCodec extends Codec {
     def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
       if (bytes.length < 10 || bytes(0) != 'P' ||
@@ -152,6 +153,257 @@ object Multimodal {
       }
     }
   }
+
+  /** REAL decoder for non-interlaced 8-bit-depth PNG (color types 0
+    * gray / 2 RGB / 3 palette / 4 gray+alpha / 6 RGBA) — no external
+    * library: zlib inflate ships in the JDK (`java.util.zip.Inflater`),
+    * and the rest is the spec's chunk walk, per-row unfiltering
+    * (None/Sub/Up/Average/Paeth), and pixel conversion. Puts the most
+    * common web image format on the real-decode path; JPEG/video remain
+    * the [[StubCodec]]'s seam (those genuinely need codec libraries).
+    *
+    * Robustness contract (the PnmCodec discipline): adversarial input —
+    * bad signature, truncated chunks, CRC mismatch, short IDAT, 16-bit
+    * depth, interlace — yields None, never a crash; inflated output is
+    * size-capped (64 MiB) so a zip-bomb IHDR cannot allocate
+    * unboundedly. Alpha is ignored (features/luma read the color
+    * channels as-is — the convention a dedup hash wants: the same image
+    * with a different alpha block is the same image). */
+  object PngCodec extends Codec {
+
+    private val Sig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    private val MaxRaw = 64L << 20
+
+    /** (w, h, channels ∈ {1, 3}, channel-interleaved pixel bytes) with
+      * alpha stripped and palette indices resolved. */
+    private[graft] def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (bytes.length < 8 + 25 || !bytes.take(8).sameElements(Sig)) return None
+      def be32(off: Int): Long =
+        ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+          ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+      // chunk walk: IHDR first, concatenate IDATs, keep PLTE, stop at IEND
+      var pos = 8
+      var ihdr = -1
+      var plte: Array[Byte] = null
+      val idat = new java.io.ByteArrayOutputStream()
+      var seenEnd = false
+      while (!seenEnd) {
+        if (pos + 12 > bytes.length) return None // truncated chunk header
+        val len = be32(pos)
+        if (len > Int.MaxValue - 12 || pos + 12 + len > bytes.length) return None
+        val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, pos + 4, 4 + len.toInt)
+        if (crc.getValue != be32(pos + 8 + len.toInt)) return None // corrupt
+        ctype match {
+          case "IHDR" => if (ihdr < 0) ihdr = pos + 8 else return None
+          case "PLTE" => plte = java.util.Arrays.copyOfRange(
+            bytes, pos + 8, pos + 8 + len.toInt)
+          case "IDAT" => idat.write(bytes, pos + 8, len.toInt)
+          case "IEND" => seenEnd = true
+          case _ => // ancillary chunk — skip
+        }
+        pos += 12 + len.toInt
+      }
+      if (ihdr < 0) return None
+      val w = be32(ihdr); val h = be32(ihdr + 4)
+      val bitDepth = bytes(ihdr + 8) & 0xff
+      val colorType = bytes(ihdr + 9) & 0xff
+      val interlace = bytes(ihdr + 12) & 0xff
+      if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+      val bpp = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      if (colorType == 3 && plte == null) return None
+      val stride = w * bpp + 1
+      val expected = stride * h
+      if (expected > MaxRaw) return None
+      val raw = new Array[Byte](expected.toInt)
+      try {
+        val inf = new java.util.zip.Inflater()
+        try {
+          inf.setInput(idat.toByteArray)
+          var off = 0
+          while (off < raw.length && !inf.finished()) {
+            val n = inf.inflate(raw, off, raw.length - off)
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+            off += n
+          }
+          if (off < raw.length) return None // short IDAT
+        } finally inf.end()
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      // per-row unfilter, in place (left/up neighbors are bpp-strided)
+      val wi = w.toInt; val hi = h.toInt; val si = stride.toInt
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      var y = 0
+      while (y < hi) {
+        val rowOff = y * si
+        val filter = raw(rowOff) & 0xff
+        if (filter > 4) return None
+        var i = 1
+        while (i < si) {
+          val x = raw(rowOff + i) & 0xff
+          val a = if (i > bpp) raw(rowOff + i - bpp) & 0xff else 0
+          val b = if (y > 0) raw(rowOff - si + i) & 0xff else 0
+          val c = if (y > 0 && i > bpp) raw(rowOff - si + i - bpp) & 0xff else 0
+          val v = filter match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 => x + paeth(a, b, c)
+          }
+          raw(rowOff + i) = (v & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      // convert to gray (1ch) or rgb (3ch), dropping alpha / resolving palette
+      val outCh = colorType match { case 0 | 4 => 1; case _ => 3 }
+      val px = new Array[Byte](wi * hi * outCh)
+      var p = 0
+      y = 0
+      while (y < hi) {
+        var x = 0
+        while (x < wi) {
+          val off = y * si + 1 + x * bpp
+          colorType match {
+            case 0 | 4 => px(p) = raw(off); p += 1
+            case 2 | 6 =>
+              px(p) = raw(off); px(p + 1) = raw(off + 1); px(p + 2) = raw(off + 2)
+              p += 3
+            case 3 =>
+              val idx = (raw(off) & 0xff) * 3
+              if (idx + 2 >= plte.length) return None
+              px(p) = plte(idx); px(p + 1) = plte(idx + 1); px(p + 2) = plte(idx + 2)
+              p += 3
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some((wi, hi, outCh, px))
+    }
+
+    /** Same 8-dim feature contract as [[PnmCodec.decodeImage]] (channel
+      * means, 2×2 luminance quadrants, aspect), maxval 255. */
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      decodePixels(bytes).map { case (w, h, ch, px) =>
+        var rSum = 0L; var gSum = 0L; var bSum = 0L
+        val quadLuma = new Array[Long](4)
+        val quadN = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val off = (y * w + x) * ch
+            val r = px(off) & 0xff
+            val g = if (ch == 3) px(off + 1) & 0xff else r
+            val b = if (ch == 3) px(off + 2) & 0xff else r
+            rSum += r; gSum += g; bSum += b
+            val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+            quadLuma(q) += (r * 299L + g * 587L + b * 114L) / 1000L
+            quadN(q) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val m = 255f
+        (w, h, Array(
+          rSum.toFloat / n / m, gSum.toFloat / n / m, bSum.toFloat / n / m,
+          if (quadN(0) > 0) quadLuma(0).toFloat / quadN(0) / m else 0f,
+          if (quadN(1) > 0) quadLuma(1).toFloat / quadN(1) / m else 0f,
+          if (quadN(2) > 0) quadLuma(2).toFloat / quadN(2) / m else 0f,
+          if (quadN(3) > 0) quadLuma(3).toFloat / quadN(3) / m else 0f,
+          w.toFloat / (w + h)))
+      }
+
+    /** Same integer-luminance contract as [[PnmCodec.decodeLuma]]
+      * (BT.601 integer weights, floor division). */
+    private[graft] def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      decodePixels(bytes).map { case (w, h, ch, px) =>
+        val luma = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          val off = i * ch
+          val r = px(off) & 0xff
+          val g = if (ch == 3) px(off + 1) & 0xff else r
+          val b = if (ch == 3) px(off + 2) & 0xff else r
+          luma(i) = ((r * 299L + g * 587L + b * 114L) / 1000L).toInt
+          i += 1
+        }
+        (w, h, luma)
+      }
+
+    /** Minimal deterministic gray-8 encoder for fixtures and the q159
+      * synthetic corpus: filter-0 scanlines in a STORED-block zlib
+      * stream (no Deflater — byte-identical on every JVM forever) with
+      * spec CRCs. The decoder above accepts any conformant producer;
+      * this encoder exists so tests can round-trip hand-built pixels. */
+    private[graft] def encodeGray(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(pixels.length >= w * h, s"need ${w * h} pixels, got ${pixels.length}")
+      val raw = new Array[Byte](h * (w + 1))
+      var y = 0
+      while (y < h) {
+        System.arraycopy(pixels, y * w, raw, y * (w + 1) + 1, w)
+        y += 1
+      }
+      val z = new java.io.ByteArrayOutputStream()
+      z.write(0x78); z.write(0x01) // zlib header, no preset dict
+      var off = 0
+      while (off < raw.length || off == 0) {
+        val len = math.min(65535, raw.length - off)
+        val last = off + len == raw.length
+        z.write(if (last) 1 else 0) // BFINAL | BTYPE=00 (stored)
+        z.write(len & 0xff); z.write((len >> 8) & 0xff)
+        z.write(~len & 0xff); z.write((~len >> 8) & 0xff)
+        z.write(raw, off, len)
+        off += len
+        if (last) off = raw.length + 1 // exit (handles the empty case)
+      }
+      val adler = new java.util.zip.Adler32()
+      adler.update(raw)
+      val a = adler.getValue
+      z.write(((a >> 24) & 0xff).toInt); z.write(((a >> 16) & 0xff).toInt)
+      z.write(((a >> 8) & 0xff).toInt); z.write((a & 0xff).toInt)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Sig, 0, Sig.length)
+      def chunk(ctype: String, data: Array[Byte]): Unit = {
+        def be32(v: Long): Array[Byte] = Array(
+          ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        out.write(be32(data.length.toLong), 0, 4)
+        val tb = ctype.getBytes("US-ASCII")
+        out.write(tb, 0, 4)
+        out.write(data, 0, data.length)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        out.write(be32(crc.getValue), 0, 4)
+      }
+      chunk("IHDR", Array(
+        ((w >> 24) & 0xff).toByte, ((w >> 16) & 0xff).toByte,
+        ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        ((h >> 24) & 0xff).toByte, ((h >> 16) & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+        8, 0, 0, 0, 0)) // depth 8, gray, deflate, adaptive, no interlace
+      chunk("IDAT", z.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+  }
+
+  /** Pixel-level decode across every REAL image decoder (PNM, then
+    * PNG) — the perceptual-hash family's entry point; stub formats
+    * yield None (a fake luminance plane must never enter a dedup hash). */
+  private[graft] def decodeLumaAny(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    PnmCodec.decodeLuma(bytes).orElse(PngCodec.decodeLuma(bytes))
 
   /** Decoded audio features. */
   case class AudioFeatures(asset_id: Long, sample_rate: Int, channels: Int,
@@ -333,7 +585,7 @@ object Multimodal {
 
   /** STUB codec — deterministic fake decode keyed on content bytes, for
     * formats whose decoders need media libraries this container lacks
-    * (JPEG/PNG/video). Never returns None: the deterministic fake stands
+    * (JPEG/video). Never returns None: the deterministic fake stands
     * in so pipeline plumbing stays testable end-to-end. */
   object StubCodec extends Codec {
     def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
@@ -347,11 +599,13 @@ object Multimodal {
     def frameCount(bytes: Array[Byte]): Int = 1 + (bytes.length % 7)
   }
 
-  /** Production routing: real decode where a lib-free decoder exists,
-    * deterministic stub elsewhere. */
+  /** Production routing: real decode where a lib-free decoder exists
+    * (PNM, PNG), deterministic stub elsewhere (JPEG/video). */
   object DefaultCodec extends Codec {
     def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
-      PnmCodec.decodeImage(bytes).orElse(StubCodec.decodeImage(bytes))
+      PnmCodec.decodeImage(bytes)
+        .orElse(PngCodec.decodeImage(bytes))
+        .orElse(StubCodec.decodeImage(bytes))
   }
 
   /** Decode + feature-extract, batch-per-partition (the mapInPandas shape:

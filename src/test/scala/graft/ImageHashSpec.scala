@@ -174,4 +174,28 @@ class ImageHashSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got === exp)
     assert(exp.nonEmpty, "sf0.001 must plant at least one recoverable sibling")
   }
+
+  test("q159 mixed corpus: PNG re-encode is hash-invariant, sibling pairs are cross-format") {
+    val docs = Tables.documents(spark, sf001)
+    val pnmHashes = ImageHash.imageHashes(ImageHash.syntheticPnm(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val mixed = ImageHash.syntheticImages(docs)
+    val mixedHashes = ImageHash.imageHashes(mixed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // the hash reads pixels, not containers: re-encoding every even-doc
+    // original as PNG must not move a single bit — this is what lets the
+    // q159/q172 golden pins double as the PNG decoder's correctness gate
+    assert(mixedHashes === pnmHashes, "PNG trans-code moved a hash")
+    // and the corpus really is mixed, with every sibling pair cross-format
+    val fmts = mixed.collect().map(a => a.asset_id -> a.mime).toMap
+    val pngs = fmts.count(_._2 == "image/png")
+    assert(pngs > 0 && pngs < fmts.size, s"corpus must mix formats: $pngs/${fmts.size}")
+    val siblings = fmts.keys.filter(id => id % 2 == 1).toSeq
+    assert(siblings.nonEmpty)
+    siblings.foreach { sib =>
+      assert(fmts(sib) == "image/x-portable-graymap" &&
+        fmts(sib - 1) == "image/png",
+        s"sibling pair (${sib - 1}, $sib) must be PNG original vs P5 edit")
+    }
+  }
 }

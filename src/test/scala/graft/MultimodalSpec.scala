@@ -192,4 +192,154 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val v3 = frames.filter(_.asset_id == 3L)
     assert(v3.nonEmpty)
   }
+
+  // ---------------------------------------------------------------------
+  // PNG codec
+  // ---------------------------------------------------------------------
+
+  /** Hand-build a PNG: raw = filter-byte-prefixed scanlines (already
+    * filtered by the CALLER), wrapped in a stored-block zlib stream and
+    * spec chunks with real CRCs — so tests control every byte the
+    * decoder sees. */
+  private def buildPng(w: Int, h: Int, colorType: Int, raw: Array[Byte],
+      plte: Array[Byte] = null, bitDepth: Int = 8,
+      interlace: Int = 0): Array[Byte] = {
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(0x78); z.write(0x01)
+    z.write(1) // BFINAL, stored
+    z.write(raw.length & 0xff); z.write((raw.length >> 8) & 0xff)
+    z.write(~raw.length & 0xff); z.write((~raw.length >> 8) & 0xff)
+    z.write(raw, 0, raw.length)
+    val adler = new java.util.zip.Adler32(); adler.update(raw)
+    val a = adler.getValue
+    z.write(((a >> 24) & 0xff).toInt); z.write(((a >> 16) & 0xff).toInt)
+    z.write(((a >> 8) & 0xff).toInt); z.write((a & 0xff).toInt)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(t: String, d: Array[Byte]): Unit = {
+      def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(be32(d.length.toLong), 0, 4)
+      out.write(t.getBytes("US-ASCII"), 0, 4)
+      out.write(d, 0, d.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t.getBytes("US-ASCII")); crc.update(d)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    chunk("IHDR", Array(
+      ((w >> 24) & 0xff).toByte, ((w >> 16) & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      ((h >> 24) & 0xff).toByte, ((h >> 16) & 0xff).toByte,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      bitDepth.toByte, colorType.toByte, 0, 0, interlace.toByte))
+    if (plte != null) chunk("PLTE", plte)
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("PNG codec: encodeGray round-trips and matches the equivalent P5 exactly") {
+    val px = Array.tabulate(18 * 16)(i => ((i * 37 + 11) % 256).toByte)
+    val png = Multimodal.PngCodec.encodeGray(18, 16, px)
+    val Some((w, h, luma)) = Multimodal.PngCodec.decodeLuma(png)
+    assert(w == 18 && h == 16)
+    assert(luma.toSeq == px.map(_ & 0xff).toSeq, "pixel-exact round trip")
+    // the SAME pixels as P5 must produce byte-identical features
+    val p5 = "P5 18 16 255\n".getBytes("US-ASCII") ++ px
+    assert(Multimodal.PngCodec.decodeImage(png).get._3.toSeq
+      == Multimodal.PnmCodec.decodeImage(p5).get._3.toSeq)
+  }
+
+  test("PNG codec: every filter type unfilters exactly (hand-filtered RGB rows)") {
+    // 2x2 RGB, pixels chosen so each filter's reconstruction is checkable:
+    // row0: (10,20,30) (40,60,80); row1: (15,25,35) (70,90,110)
+    val want = Seq(10, 20, 30, 40, 60, 80, 15, 25, 35, 70, 90, 110)
+    def b(i: Int) = i.toByte
+    // filter 0 (None) everywhere
+    val f0 = Array(b(0), b(10), b(20), b(30), b(40), b(60), b(80),
+      b(0), b(15), b(25), b(35), b(70), b(90), b(110))
+    // row0 Sub (x - left), row1 Up (x - above)
+    val f12 = Array(b(1), b(10), b(20), b(30), b(30), b(40), b(50),
+      b(2), b(5), b(5), b(5), b(30), b(30), b(30))
+    // row0 None, row1 Average: x - floor((left + above)/2); first pixel left=0
+    val f3 = Array(b(0), b(10), b(20), b(30), b(40), b(60), b(80),
+      b(3), b(10), b(15), b(20), b(70 - (15 + 40) / 2), b(90 - (25 + 60) / 2),
+      b(110 - (35 + 80) / 2))
+    // row0 None, row1 Paeth: predictor of (left, above, up-left);
+    // first pixel: paeth(0, above, 0) = above
+    val f4 = Array(b(0), b(10), b(20), b(30), b(40), b(60), b(80),
+      b(4), b(15 - 10), b(25 - 20), b(35 - 30),
+      // for pixel 2 of row1: a=15/25/35 (left), b=40/60/80 (above), c=10/20/30
+      // p = a+b-c = 45/65/85 → |p-a|=30, |p-b|=5, |p-c|=35 → predictor = above
+      b(70 - 40), b(90 - 60), b(110 - 80))
+    Seq("none" -> f0, "sub+up" -> f12, "avg" -> f3, "paeth" -> f4).foreach {
+      case (name, raw) =>
+        val Some((w, h, ch, px)) =
+          Multimodal.PngCodec.decodePixels(buildPng(2, 2, 2, raw))
+        assert(w == 2 && h == 2 && ch == 3, name)
+        assert(px.map(_ & 0xff).toSeq == want, s"filter set '$name' mis-decodes")
+    }
+  }
+
+  test("PNG codec: palette resolves, alpha channels are ignored") {
+    // ct3: palette [red, white], indices row-major 0,1,1,0
+    val pal = buildPng(2, 2, 3,
+      Array[Byte](0, 0, 1, 0, 1, 0),
+      plte = Array(255.toByte, 0, 0, 255.toByte, 255.toByte, 255.toByte))
+    val Some((_, _, ch3, px3)) = Multimodal.PngCodec.decodePixels(pal)
+    assert(ch3 == 3)
+    assert(px3.map(_ & 0xff).toSeq ==
+      Seq(255, 0, 0, 255, 255, 255, 255, 255, 255, 255, 0, 0))
+    // ct6 RGBA: alpha dropped, color kept
+    val rgba = buildPng(1, 1, 6, Array[Byte](0, 100, (150 & 0xff).toByte, 200.toByte, 7))
+    assert(Multimodal.PngCodec.decodePixels(rgba).get._4.map(_ & 0xff).toSeq
+      == Seq(100, 150, 200))
+    // ct4 gray+alpha: gray kept
+    val ga = buildPng(1, 1, 4, Array[Byte](0, 123, 45))
+    val Some((_, _, ch1, px1)) = Multimodal.PngCodec.decodePixels(ga)
+    assert(ch1 == 1 && (px1(0) & 0xff) == 123)
+  }
+
+  test("PNG codec: junk, truncation, corruption, and unsupported shapes are None, never a crash") {
+    val good = Multimodal.PngCodec.encodeGray(4, 4, Array.fill[Byte](16)(9))
+    assert(Multimodal.PngCodec.decodeImage(good).isDefined)
+    // truncations at every prefix length must not throw
+    (0 until good.length by 3).foreach { n =>
+      assert(Multimodal.PngCodec.decodeImage(good.take(n)).isEmpty, s"prefix $n")
+    }
+    // flip one IDAT byte → CRC mismatch → None
+    val corrupt = good.clone(); corrupt(good.length - 15) = (corrupt(good.length - 15) ^ 0x1).toByte
+    assert(Multimodal.PngCodec.decodeImage(corrupt).isEmpty, "corruption must fail CRC")
+    // 16-bit depth, interlaced, bad filter type, short IDAT → None
+    val raw = Array[Byte](0, 1, 0, 2)
+    assert(Multimodal.PngCodec.decodePixels(
+      buildPng(2, 2, 0, Array[Byte](0, 1, 2, 0, 3, 4), bitDepth = 16)).isEmpty)
+    assert(Multimodal.PngCodec.decodePixels(
+      buildPng(2, 2, 0, Array[Byte](0, 1, 2, 0, 3, 4), interlace = 1)).isEmpty)
+    assert(Multimodal.PngCodec.decodePixels(
+      buildPng(2, 1, 0, Array[Byte](5, 1, 2))).isEmpty, "filter type 5")
+    assert(Multimodal.PngCodec.decodePixels(
+      buildPng(2, 2, 0, raw)).isEmpty, "short raster")
+    // palette image without PLTE → None
+    assert(Multimodal.PngCodec.decodePixels(
+      buildPng(1, 1, 3, Array[Byte](0, 0))).isEmpty)
+    // random bytes with the right signature prefix → None
+    val rng = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val junk = new Array[Byte](60); rng.nextBytes(junk)
+      System.arraycopy(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte), 0, junk, 0, 8)
+      assert(Multimodal.PngCodec.decodeImage(junk).isEmpty)
+    }
+  }
+
+  test("default codec routes PNG to the real decoder, not the stub") {
+    val px = Array.tabulate(8 * 8)(i => (i * 4).toByte)
+    val png = Multimodal.PngCodec.encodeGray(8, 8, px)
+    val f = Multimodal.imageFeatures(
+      Seq(MediaAsset(30L, "image/png", png)).toDS()).collect().head
+    assert(f.width == 8 && f.height == 8,
+      s"stub would report >= 64x64 fake dims: $f")
+    assert(f.feature.toSeq == Multimodal.PngCodec.decodeImage(png).get._3.toSeq)
+  }
 }
