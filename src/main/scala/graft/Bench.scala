@@ -111,6 +111,27 @@ object Bench {
     "q54_cosine_topk" -> 0.0, "q55b_cosine_pairs_lsh" -> 6.0,
     "q74_decontamination" -> 7.7, "q78_jaccard_prefix_filter" -> 3.9)
 
+  /** Coarse per-query wall-clock budget for the FULL-inventory sweep
+    * (VERDICT r10 #3): medians pinned from a committed sf0.1 run live in
+    * `bench_full_pins.json` (override: SPARK_GRAFT_BENCH_PINS). In
+    * SPARK_GRAFT_BENCH_ALL=1 mode at sf0.1, a query whose median exceeds
+    * max(1 s, 2 × pin) fails the run — so a regression in any of the
+    * ~200 non-headline queries is a machine-readable rc, not a number
+    * only a human diffing SCALING.md prose would catch. Wall-clock is
+    * noisy (unlike the shuffle pins), hence the loose 2× band and the
+    * 1 s floor; an intentional slowdown updates the pin in the same
+    * commit (tools/pin_bench.py regenerates from a BENCH_FULL artifact). */
+  private def loadFullPins(): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PINS", "bench_full_pins.json")
+    val f = new java.io.File(path)
+    if (!f.exists()) Map.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      "\"(q[^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -258,6 +279,26 @@ object Bench {
             val st = if (!ran) "did_not_run" else if (breach) "breach" else "match"
             "\"" + k + "\":\"" + st + "\""
         }.mkString("{", ",", "}")
+    // full-inventory median budget gate (only in BENCH_ALL mode at the
+    // pinned SF — headline runs keep their own tighter shuffle pins)
+    val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
+    val fullPins = if (benchAll && atPinnedSf) loadFullPins() else Map.empty[String, Double]
+    val budget = if (fullPins.isEmpty) Seq.empty else results.map {
+      case (k, m, _, err, _) =>
+        val status =
+          if (err.isDefined) "did_not_run"
+          else fullPins.get(k) match {
+            case None => "unpinned" // new query — pin it with tools/pin_bench.py
+            case Some(pin) if m > math.max(1.0, 2.0 * pin) => "breach"
+            case Some(_) => "match"
+          }
+        (k, status)
+    }
+    val budgetJson =
+      if (budget.isEmpty) ""
+      else ",\"median_budget_status\":" + budget.map {
+        case (k, st) => "\"" + k + "\":\"" + st + "\""
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // pre-r8 12-query total from the same run's medians — cross-round
     // continuity across the documented r8 headline break; only emitted
@@ -266,8 +307,15 @@ object Bench {
       if (legacy12.forall(selected.contains))
         f""","legacy12_total":${results.collect { case (k, m, _, _, _) if legacy12.contains(k) => m }.sum}%.3f"""
       else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"shuffle":$shuffles$deltaJson,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"shuffle":$shuffles$deltaJson$budgetJson,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
     var anyFailed = results.exists(_._4.isDefined)
+    budget.filter(_._2 == "breach").foreach { case (k, _) =>
+      val m = results.find(_._1 == k).map(_._2).getOrElse(0.0)
+      System.err.println(f"[bench] MEDIAN BUDGET BREACH $k: $m%.2f s vs pinned " +
+        f"${fullPins(k)}%.2f s (>2x) — fix the regression or update " +
+        "bench_full_pins.json in the same commit")
+      anyFailed = true
+    }
     deltas.filter(_._3).foreach { case (k, d, _, mb, _) =>
       System.err.println(f"[bench] SHUFFLE REGRESSION $k: $mb%.1f MB written vs " +
         f"pinned ${pinnedShuffleWriteMb(k)}%.1f MB (delta ${d * 100}%.0f%%) — " +

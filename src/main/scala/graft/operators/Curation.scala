@@ -304,10 +304,40 @@ object Curation {
 
     // ---- Bloom-filter decontamination: the zero-corpus-shuffle face of
     //      q74 — bench shingles → one-row broadcast bit array, corpus
-    //      probes in-row. rows-only (the bit array is engine-internal);
-    //      CurationSpec pins the superset guarantee + measured FPR
-    //      against the exact scan, GoldenSpec pins the digests. ----
-    "q123_bloom_decontamination" -> QueryDef.rowsOnly { (s, dir) =>
+    //      probes in-row. ORACLE-CHECKED: the md5-derived Kirsch–
+    //      Mitzenmacher family is engine-agnostic, and the oracle
+    //      expresses the bit array as what it mathematically is — the
+    //      SET of set positions — probing each corpus shingle's 5
+    //      positions against it relationally. CurationSpec additionally
+    //      pins the superset guarantee + measured FPR vs the exact scan. ----
+    "q123_bloom_decontamination" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)]) AS sh
+        |       FROM w WHERE len(ws) >= 8),
+        |bench AS (SELECT doc_id FROM documents WHERE substring(md5(text), 1, 1) = '0'),
+        |bsh AS (SELECT DISTINCT s.sh FROM sh s JOIN bench b USING (doc_id)),
+        |bpos AS (SELECT DISTINCT
+        |           (CAST(('0x' || substr(md5(sh), 1, 14)) AS BIGINT)
+        |            + j * (CAST(('0x' || substr(md5(sh), 15, 14)) AS BIGINT) * 2 + 1))
+        |             % 131072 AS p
+        |         FROM bsh, range(0, 5) t(j)),
+        |cpos AS (SELECT DISTINCT doc_id, sh,
+        |           (CAST(('0x' || substr(md5(sh), 1, 14)) AS BIGINT)
+        |            + j * (CAST(('0x' || substr(md5(sh), 15, 14)) AS BIGINT) * 2 + 1))
+        |             % 131072 AS p
+        |         FROM sh, range(0, 5) t(j)),
+        |hit AS (SELECT doc_id, sh, count(*) AS k,
+        |          sum(CASE WHEN p IN (SELECT p FROM bpos) THEN 1 ELSE 0 END) AS kin
+        |        FROM cpos GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*) AS n_shingles,
+        |          CAST(sum(CASE WHEN kin = k THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe
+        |        FROM hit GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_maybe,
+        |  round(CAST(n_maybe AS DOUBLE) / n_shingles, 6) AS contamination_ub,
+        |  n_maybe * 2 >= n_shingles AS contaminated_ub
+        |FROM agg ORDER BY doc_id""") { (s, dir) =>
       val docs = Tables.documents(s, dir)
       bloomDecontaminationScan(docs,
         docs.filter(substring(md5(col("text")), 1, 1) === "0")
@@ -3187,15 +3217,27 @@ object Curation {
   // q123: Bloom-filter decontamination (zero-corpus-shuffle face)
   // ---------------------------------------------------------------------
 
-  /** Kirsch–Mitzenmacher double hashing: position j = (h1 + j·h2) mod m
-    * with h1 = xxhash64, h2 = murmur3 — the standard way to derive h
-    * independent-enough Bloom probes from two base hashes. ONE generator
-    * emits the SQL for both the build and probe sides, so they cannot
-    * disagree on the hash family (the q72 generated-oracle discipline,
-    * applied engine-internally). */
-  private def bloomPositionsSql(sym: String, mBits: Int, h: Int): String =
-    s"transform(sequence(0, ${h - 1}), j -> " +
-      s"pmod(xxhash64($sym) + j * CAST(hash($sym) AS BIGINT), $mBits))"
+  /** Kirsch–Mitzenmacher double hashing: position j = (h1 + j·h2) mod m,
+    * with h1/h2 the two md5 HALVES (14 hex chars each = 56 bits; h2
+    * forced odd so consecutive probes never degenerate). md5, not
+    * xxhash64/murmur3, because the md5 value is ENGINE-AGNOSTIC (the
+    * q93/q104 coin discipline) — DuckDB computes the identical bit
+    * array, which is what upgrades q123 from golden-pinned to
+    * oracle-checked. Overflow-safe by construction: h1 < 2⁵⁶ and
+    * j·h2 < 4·2⁵⁷, so the sum stays ≤ 6.5e17 ≪ 2⁶³. ONE generator
+    * emits the expression for both the build and probe sides, so they
+    * cannot disagree on the hash family (the q72 generated-oracle
+    * discipline, applied engine-internally); the DuckDB oracle carries
+    * the same formula with its own hex-to-int spelling. The md5-per-
+    * probe cost on the corpus side is the price of cross-engine
+    * checkability — at 100 TB swap [[bloomPositionsSql]] for the
+    * xxhash64 family and re-pin the goldens if that scan ever shows up
+    * in a profile. */
+  private def bloomPositionsSql(sym: String, mBits: Int, h: Int): String = {
+    val h1 = s"CAST(conv(substring(md5($sym), 1, 14), 16, 10) AS BIGINT)"
+    val h2 = s"(CAST(conv(substring(md5($sym), 15, 14), 16, 10) AS BIGINT) * 2 + 1)"
+    s"transform(sequence(0, ${h - 1}), j -> ($h1 + j * $h2) % $mBits)"
+  }
 
   /** One-row relation (bits: array<bigint>, mBits/64 words) holding the
     * Bloom filter of the `sh` column. Fully distributed and mergeable:

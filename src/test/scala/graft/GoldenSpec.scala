@@ -142,7 +142,7 @@ object GoldenSpec {
     ("q120_wordpiece_tokenize", "sf0.001") -> "d389acfd646ca42d",
     ("q120_wordpiece_tokenize", "sf0.01") -> "d6c406757519aa84",
     ("q123_bloom_decontamination", "sf0.001") -> "4ea004286d83c7aa",
-    ("q123_bloom_decontamination", "sf0.01") -> "287a03990cb67968",
+    ("q123_bloom_decontamination", "sf0.01") -> "0c06940b854db909",
     ("q136_semdedup_kmeans", "sf0.001") -> "ac3170b81e68255f",
     ("q136_semdedup_kmeans", "sf0.01") -> "5db1cb8fede3444f",
     ("q158_tokenizer_audit", "sf0.001") -> "6435e92f04a41548",
