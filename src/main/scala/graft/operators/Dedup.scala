@@ -863,10 +863,15 @@ object Dedup {
     * |X| - ceil(t·|X|) + 1 shingles — so only that prefix is indexed for
     * the self-join. Ordering by ascending document frequency puts the
     * RAREST shingles in the prefix, which is what makes the filter
-    * selective: at 100 TB the indexed volume drops by ~1/(1+t) per doc
-    * and hot (stopword-ish) shingles fall out of the prefix entirely,
-    * shrinking both shuffle volume and the worst hot-key bucket vs q51's
-    * full inverted index. Candidates additionally pass the size-ratio
+    * selective: the indexed volume drops by ~1/(1+t) per doc and hot
+    * (stopword-ish) shingles fall out of the prefix entirely, shrinking
+    * both shuffle volume and the worst hot-key bucket vs q51's full
+    * inverted index. MEASURED (DedupPrefixTiming, SCALING.md r11): on a
+    * boilerplate-heavy corpus (35-word footer on 60% of docs,
+    * sf0.1-sized) q51 takes 47.1 s, "hash" 11.9 s, "df" 3.18 s —
+    * 14.8×/3.7×; on the natural corpus the three sit within ~25% and
+    * "hash" wins by skipping the df pass, hence the default. Ship "df"
+    * on template-heavy crawls. Candidates additionally pass the size-ratio
     * bound (t·|B| <= |A| <= |B|/t), then get verified with a true
     * intersection count over the full shingle sets — candidates only, so
     * the verify join is O(candidates × avg doc size), not O(index²).
@@ -972,6 +977,21 @@ object Dedup {
   private[graft] def prefixIndexSize(docs: DataFrame, threshold: Double, order: String = "hash"): Long =
     prefixIndex(shingleArraysOnce(docs).withColumn("n", size(col("shs"))), threshold, order).count()
   private[graft] def fullIndexSize(docs: DataFrame): Long = shingles(docs).count()
+
+  /** Skew-stress hooks (SCALING.md r11): the (band, key) / (tbl, key)
+    * bucket-size distributions the banded joins face, and the shingle
+    * document-frequency head — the measured inputs behind the bucket-cap
+    * defense. */
+  private[graft] def minhashBucketSizes(docs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame =
+    bandedSignatures(minhashSignatures(docs, numHashes), numHashes, bands)
+      .groupBy("band", "key").agg(count(lit(1)).as("n"))
+  private[graft] def simhashBucketSizes(docs: DataFrame, maxHamming: Int): DataFrame =
+    blockKeyedSketches(simhashSketch(docs), maxHamming)
+      .groupBy("tbl", "key").agg(count(lit(1)).as("n"))
+  private[graft] def shingleDfTop(docs: DataFrame, k: Int): DataFrame =
+    shingles(docs).groupBy("sh").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc).limit(k)
 
   /** Connected components over a near-dup pair graph by iterative min-label
     * propagation: every node adopts the smallest label among itself and its
