@@ -423,6 +423,89 @@ object Streams {
     }
   }
 
+  /** q137's streaming twin: trailing-window event anomaly at ingest.
+    * Input is the HOURLY COUNT stream the tested windowed-agg faces
+    * already produce ((event_type, hr, c) — hr = hour index,
+    * unix_seconds/3600); per event type a `MapState[hr → c]` holds
+    * exactly the trailing `trailHours` baseline (evicted past the
+    * newest processed hour, so state is O(trailHours) per key —
+    * RocksDB column families under the hood), and each arriving hour
+    * scores against the hours PRESENT in its [hr−trail, hr−1] window:
+    * gaps empty the baseline, the batch face's exact semantics. All
+    * statistics fold EXACT INTEGER sums (Σc, Σc²) — the q137
+    * discipline — and the mean/sd/z/rounding replay the batch
+    * expressions operation for operation, so StreamingSpec pins the
+    * twin window-for-window EQUAL to [[graft.operators.EventAnalytics
+    * .eventAnomaly]], not merely close. */
+  case class HourlyTypeCount(event_type: String, hr: Long, c: Long)
+  case class AnomalyRow(event_type: String, hr: Long, c: Long, n_trail: Long,
+      trail_mean: Option[Double], trail_sd: Option[Double], z: Option[Double],
+      anomaly: Boolean)
+
+  class AnomalyScorer(trailHours: Int, minTrail: Int, zThresh: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, HourlyTypeCount, AnomalyRow] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long]("hourCounts",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[HourlyTypeCount],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[AnomalyRow] = {
+      // hr-ascending fold: a micro-batch carrying several hours scores
+      // each against exactly the hours before it, as the batch face does
+      val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyRow]
+      var maxHr = Long.MinValue
+      rows.toSeq.sortBy(_.hr).foreach { r =>
+        var sumC = 0L; var sumC2 = 0L; var n = 0L
+        counts.iterator().foreach { case (h, c) =>
+          if (h >= r.hr - trailHours && h <= r.hr - 1) {
+            sumC += c; sumC2 += c * c; n += 1
+          }
+        }
+        val ok = n >= minTrail
+        if (!ok) out += AnomalyRow(key, r.hr, r.c, n, None, None, None, anomaly = false)
+        else {
+          val m = sumC.toDouble / n
+          val sd = math.sqrt((n * sumC2 - sumC * sumC).toDouble / (n * (n - 1)))
+          val z = if (sd == 0.0) None else Some(r6((r.c.toDouble - m) / sd))
+          out += AnomalyRow(key, r.hr, r.c, n, Some(r6(m)), Some(r6(sd)), z,
+            anomaly = z.exists(v => math.abs(v) >= zThresh))
+        }
+        counts.updateValue(r.hr, r.c)
+        maxHr = math.max(maxHr, r.hr)
+      }
+      // evict hours that can never again fall inside a trailing window
+      // (input is hr-monotone per key at the micro-batch level)
+      if (maxHr != Long.MinValue) {
+        counts.keys().toSeq.filter(_ < maxHr - trailHours)
+          .foreach(counts.removeKey)
+      }
+      out.iterator
+    }
+  }
+
+  /** Wire [[AnomalyScorer]] over an hourly-count stream. Same RocksDB +
+    * TimeMode notes as [[contentChanges]]. */
+  def hourlyAnomalyStream(hourly: Dataset[HourlyTypeCount],
+      trailHours: Int = 24, minTrail: Int = 12,
+      zThresh: Double = 2.0): DataFrame = {
+    import hourly.sparkSession.implicits._
+    hourly.groupByKey(_.event_type)
+      .transformWithState(new AnomalyScorer(trailHours, minTrail, zThresh),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Wire [[ChangeDetector]] over a stream of (key, sha256, ts) rows.
     * Requires the RocksDB state store (transformWithState needs column
     * families): set

@@ -581,4 +581,62 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .select("k", "old_sha256", "new_sha256").as[(Long, String, String)].collect()
     assert(out.toSeq == Seq((2L, "bbb", "CHANGED")))
   }
+
+  test("q137 streaming twin: anomaly scores window-for-window equal to the batch face") {
+    val conf = spark.conf
+    val prevProvider = conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Tables.events(spark, sf001)
+      // the ORACLE: the batch face on the real table, keyed (type, hr)
+      val batch = operators.EventAnalytics.eventAnomaly(events)
+        .withColumn("hr",
+          (unix_timestamp(col("hour").cast("timestamp")) / 3600L).cast("long"))
+        .collect().map { r =>
+          (r.getString(0), r.getLong(8)) ->
+            (r.getLong(2), r.getLong(3),
+              if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+              if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+              if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+              r.getBoolean(7))
+        }.toMap
+      // the same hourly counts the windowed-agg faces produce, split into
+      // three hr-ordered micro-batches so state carry-over AND eviction
+      // both run across batch boundaries
+      val hourly = events
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          (unix_timestamp(col("hour")) / 3600L).cast("long").as("hr"),
+          col("c"))
+        .as[Streams.HourlyTypeCount].collect().sortBy(_.hr)
+      val cuts = Seq(hourly.length / 3, 2 * hourly.length / 3, hourly.length)
+      val input = MemoryStream[Streams.HourlyTypeCount](spark)
+      val out = Streams.hourlyAnomalyStream(input.toDS())
+      val q = out.writeStream.format("memory").queryName("anomaly_out")
+        .outputMode("append").start()
+      try {
+        var from = 0
+        cuts.foreach { to =>
+          input.addData(hourly.slice(from, to).toIndexedSeq)
+          q.processAllAvailable()
+          from = to
+        }
+        val got = spark.table("anomaly_out")
+          .as[Streams.AnomalyRow].collect()
+          .map(a => (a.event_type, a.hr) ->
+            (a.c, a.n_trail, a.trail_mean, a.trail_sd, a.z, a.anomaly)).toMap
+        assert(got.keySet === batch.keySet, "twin must emit exactly the batch rows")
+        got.foreach { case (k, v) =>
+          assert(v === batch(k), s"window $k diverges: streaming $v vs batch ${batch(k)}")
+        }
+        // the corpus must actually exercise the scored region
+        assert(batch.values.exists(_._6), "fixture sanity: at least one anomaly")
+        assert(batch.values.exists(_._3.isDefined) && batch.values.exists(_._3.isEmpty),
+          "fixture sanity: both warm-up (short-trail) and scored windows present")
+      } finally q.stop()
+    } finally conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
 }
