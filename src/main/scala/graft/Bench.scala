@@ -120,7 +120,11 @@ object Bench {
     * only a human diffing SCALING.md prose would catch. Wall-clock is
     * noisy (unlike the shuffle pins), hence the loose 2× band and the
     * 1 s floor; an intentional slowdown updates the pin in the same
-    * commit (tools/pin_bench.py regenerates from a BENCH_FULL artifact). */
+    * commit (tools/pin_bench.py regenerates from a BENCH_FULL artifact).
+    * Calibrated for the DEFAULT runs=3 median protocol: at
+    * SPARK_GRAFT_BENCH_RUNS=1 the single sample carries per-query
+    * codegen compilation and sub-second queries can false-breach
+    * (measured: 5/202 at runs=1, 0/202 at runs=3 on the same box). */
   private def loadFullPins(): Map[String, Double] = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PINS", "bench_full_pins.json")
     val f = new java.io.File(path)
