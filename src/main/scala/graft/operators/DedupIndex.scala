@@ -416,6 +416,16 @@ object DedupIndex {
       contrastiveAgainst(ensure(s, dir)).orderBy("anchor_id")
     },
 
+    // ---- index-backed PageRank (q130): centrality over the stored pair
+    //      graph at the q130 threshold; documents scanned once for the
+    //      node roster (every doc holds rank mass, linked or not). ----
+    "q203_dedupindex_pagerank" -> QueryDef.sql(
+      oracleOf("q130_pagerank")) { (s, dir) =>
+      Dedup.pageRank(Tables.documents(s, dir),
+          pairsAt(ensure(s, dir), 0.3), damping = 0.85, iters = 5)
+        .orderBy("doc_id")
+    },
+
     // ---- incremental maintenance, oracle-checked the strong way: build
     //      from the first ~80% of docs, update with the rest, and the
     //      clusters must hash-match q62's full-corpus oracle — the

@@ -209,6 +209,46 @@ object Streams {
         ()
       }
 
+  /** At-ingest maintenance of the persisted [[graft.operators.DedupIndex]]:
+    * the first micro-batch BUILDS the index at `indexDir`, every later
+    * batch runs the incremental [[graft.operators.DedupIndex.update]]
+    * (new×(old∪new) pairs under the union-side df cap, pairs-sized
+    * recluster, atomic swap) — so the cluster family's apply faces stay
+    * queryable against a continuously-ingested corpus without ever
+    * re-shingling it. foreachBatch is at-least-once, so a sink-owned
+    * roster (`indexDir/ingested`, one doc_id column) anti-joins replayed
+    * rows away BEFORE update() sees them — update requires disjoint ids,
+    * and the roster covers shingle-less short docs the index relations
+    * never record. A fully-replayed batch skips the update entirely
+    * (no meta drift, no pointless recluster). */
+  def dedupIndexSinkQuery(
+      docs: DataFrame, indexDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.DedupIndex
+        import org.apache.spark.sql.types._
+        val spark = batch.sparkSession
+        val rosterPath = s"$indexDir/ingested"
+        val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+        val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val b0 = batch.localCheckpoint(true)
+        if (!fs.exists(metaPath)) {
+          DedupIndex.build(b0, indexDir)
+          b0.select("doc_id").write.mode("append").parquet(rosterPath)
+        } else {
+          val roster = spark.read.schema(
+            StructType(Seq(StructField("doc_id", LongType)))).parquet(rosterPath)
+          val fresh = b0.join(roster, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true) // consumers: emptiness probe + update + roster
+          if (!fresh.isEmpty) {
+            DedupIndex.update(fresh, indexDir)
+            fresh.select("doc_id").write.mode("append").parquet(rosterPath)
+          }
+        }
+        ()
+      }
+
   /** Maintenance for the [[nearDupSinkQuery]] stores: every micro-batch
     * appends a few small parquet files to the signature and pair stores
     * forever — at crawl cadence that is thousands of files per day, and

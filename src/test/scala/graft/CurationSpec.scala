@@ -1300,19 +1300,48 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(fpr < 0.01, s"bloom FPR too high: $fpr ($fp / $nonMembers)")
   }
 
-  test("q123 flags a planted verbatim benchmark copy") {
+  test("q123 flags a planted verbatim benchmark copy (both hash families)") {
     val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
       (1L, bench),                                   // the benchmark item
       (2L, s"pre $bench post"), // embeds it verbatim (majority of its shingles shared)
       (3L, "totally unrelated content with enough words to form shingles ok yes")
     ).toDF("doc_id", "text")
-    val out = Curation.bloomDecontaminationScan(docs,
-        Seq(1L).toDF("bench_id"))
-      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
-    assert(out(1L), "bench doc itself probes positive (self-inclusive)")
-    assert(out(2L), "embedding doc must be flagged")
-    assert(!out(3L), "clean doc must not be flagged")
+    Seq("md5", "xxhash64").foreach { family =>
+      val out = Curation.bloomDecontaminationScan(docs,
+          Seq(1L).toDF("bench_id"), family = family)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      assert(out(1L), s"[$family] bench doc itself probes positive (self-inclusive)")
+      assert(out(2L), s"[$family] embedding doc must be flagged")
+      assert(!out(3L), s"[$family] clean doc must not be flagged")
+    }
+  }
+
+  test("q123 fast family (xxhash64): superset guarantee and FPR hold on sf0.001") {
+    // the engine-internal family isn't DuckDB-checkable; the same
+    // one-sided-error gates the oracle-checked md5 face passes must hold
+    val docs = Tables.documents(spark, sf001)
+    val benchIds = docs.filter(substring(md5(col("text")), 1, 1) === "0")
+      .select(col("doc_id").as("bench_id"))
+    val bench = Curation.benchShingleSet(docs, benchIds)
+      .select(col("b_sh").as("sh")).distinct()
+    val sh = docs.select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(filter(split(trim(text),' '), x -> x != ''))-8), " +
+            "i -> concat_ws(' ', slice(filter(split(trim(text),' '), x -> x != ''), i+1, 8)))")))
+          .as("sh"))
+    val exact = sh.join(bench, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Curation.bloomDecontaminationScan(docs, benchIds, family = "xxhash64")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { case (id, (_, maybe)) =>
+      assert(maybe >= exact.getOrElse(id, 0L), s"false negative on doc $id")
+    }
+    val fp = got.map { case (id, (_, maybe)) => maybe - exact.getOrElse(id, 0L) }.sum
+    val nonMembers = got.map { case (id, (n, _)) => n - exact.getOrElse(id, 0L) }.sum
+    assert(nonMembers > 0 && fp.toDouble / nonMembers < 0.01,
+      s"fast-family FPR too high: $fp / $nonMembers")
   }
 
   test("q133 gopher rules: each planted doc fails exactly its targeted rule") {

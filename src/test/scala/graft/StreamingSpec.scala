@@ -582,6 +582,48 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.toSeq == Seq((2L, "bbb", "CHANGED")))
   }
 
+  test("dedup-index sink: build on first batch, incremental update after, replay-idempotent") {
+    import graft.operators.DedupIndex
+    val root = java.nio.file.Files.createTempDirectory("dedupidx-sink").toString
+    val idxDir = s"$root/index"
+    val base = "spark runs distributed queries over very large datasets " +
+      "with columnar storage and adaptive execution planning across many " +
+      "worker nodes while caching hot partitions in memory"
+    val other = "data pipelines ingest clean filter join aggregate and write " +
+      "results downstream every day with checkpoint recovery watermark " +
+      "tracking and exactly once delivery into warehouse tables"
+    val b1 = Seq((1L, base), (2L, "unrelated cooking content with pasta " +
+      "sauce and basil herbs in every line of this page"), (3L, "tiny doc"))
+    val b2 = Seq((4L, base.replaceAll("memory$", "ram")), (5L, other))
+    val b3 = Seq((6L, other.replaceAll("tables$", "marts")))
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.dedupIndexSinkQuery(
+      input.toDF().toDF("doc_id", "text"), idxDir).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()      // builds
+      input.addData(b2: _*); q.processAllAvailable()      // cross-batch pair 1~4
+      input.addData(b3: _*); q.processAllAvailable()      // cross-batch pair 5~6
+      input.addData(b2: _*); q.processAllAvailable()      // full replay: no-op
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      val streamed = DedupIndex.load(spark, idxDir)
+      // the streamed index must equal a one-shot build of the same corpus
+      val oneShot = s"$root/oneshot"
+      DedupIndex.build(all, oneShot)
+      val full = DedupIndex.load(spark, oneShot)
+      assert(rows(streamed.pairs) === rows(full.pairs), "pairs diverge")
+      assert(rows(streamed.clusters) === rows(full.clusters), "clusters diverge")
+      assert(rows(streamed.counts) === rows(full.counts), "counts diverge")
+      assert(rows(streamed.meta) === rows(full.meta),
+        "replay must not inflate meta n_docs")
+      // and the planted cross-batch near-dup pairs actually surfaced
+      val p = streamed.pairs.filter(col("jaccard") >= 0.6)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(p == Set((1L, 4L), (5L, 6L)), s"cross-batch pairs: $p")
+    } finally q.stop()
+  }
+
   test("q137 streaming twin: anomaly scores window-for-window equal to the batch face") {
     val conf = spark.conf
     val prevProvider = conf.get("spark.sql.streaming.stateStore.providerClass",
