@@ -181,6 +181,15 @@ object Similarity {
         .orderBy("qid", "rank")
     },
 
+    // ---- product-quantization ADC top-k (rows-only — the codebook is
+    //      engine-specific; SimilaritySpec gates recall vs the exact
+    //      scan at the AnnSweep-pinned operating point) ----
+    "q204_pq_adc_topk" -> QueryDef.rowsOnly { (s, dir) =>
+      pqTopK(Tables.embeddings(s, dir), nQueries = 50, k = 5,
+        m = 8, ks = 32, refine = 16)
+        .orderBy("qid", "rank")
+    },
+
     // ---- int8-quantized brute-force top-k (rows-only — quantization
     //      noise is engine/format-specific; SimilaritySpec measures top-k
     //      overlap against the exact float path) ----
@@ -636,6 +645,124 @@ object Similarity {
       .join(e.select(col("vec_id").as("nid"), col("emb"), col("norm")), "nid")
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
     cand
+      .select(col("qid"), col("nid"),
+        round(dot("qemb", "emb") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  // ---------------------------------------------------------------------
+  // q204: product-quantization ADC top-k (Jégou, Douze & Schmid,
+  // "Product Quantization for Nearest Neighbor Search", TPAMI 2011)
+  // ---------------------------------------------------------------------
+
+  /** Per-subspace k-means codebook: the 64-dim unit vector splits into
+    * `m` contiguous subvectors; each subspace trains its own `ks`
+    * centroids (deterministic seeds = the lowest vec_ids' subvectors,
+    * L2 assignment, element-wise mean recompute — the
+    * [[kmeansCentroids]] discipline per subspace). Output:
+    * (sub, cid, cvec) — m × ks rows, always broadcastable (the whole
+    * point of PQ: the "index" is m·ks·(dim/m) floats ≈ the size of ONE
+    * batch of vectors, regardless of corpus size). */
+  def pqCodebook(embeddings: DataFrame, m: Int = 8, ks: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val subs = pqSubvectors(withNorm(embeddings)
+      .select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb")), m)
+      .cache()
+    var cb = subs.filter(col("vec_id") < ks)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"),
+        col("sv").as("cvec"))
+      .cache()
+    (1 to iters).foreach { _ =>
+      val assigned = pqAssign(subs, cb)
+      val next = assigned
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
+        .groupBy("sub", "cid", "dim").agg(avg(col("v")).as("v"))
+        .groupBy("sub", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, v))), s -> s.v)")
+          .as("cvec"))
+        .cache()
+      cb.unpersist()
+      cb = next
+    }
+    val result = cb.localCheckpoint(eager = true)
+    cb.unpersist(); subs.unpersist()
+    result
+  }
+
+  /** (vec_id, sub, sv): the m subvector slices of each unit vector. */
+  private def pqSubvectors(unit: DataFrame, m: Int): DataFrame =
+    unit.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}), s -> named_struct('sub', s,
+           |  'sv', slice(emb, s * CAST(size(emb) / $m AS INT) + 1,
+           |              CAST(size(emb) / $m AS INT))))""".stripMargin)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+
+  /** Nearest sub-centroid per (vec_id, sub) by squared L2 — computed as
+    * ∥sv∥² − 2⟨sv,cv⟩ + ∥cv∥² via the codegen'd graft_dot; argmin is a
+    * map-side-combined min(struct(d2, cid)) with the cid tie-break. */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val d2 = expr("graft_dot(sv, sv) - 2 * graft_dot(sv, cvec) + graft_dot(cvec, cvec)")
+    subs.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("sv"), col("cid"), d2.as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"), first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("sub"), col("best.cid").as("cid"), col("sv"))
+  }
+
+  /** PQ-encode the corpus: (vec_id, codes array<int> of length m) —
+    * 4-bit-per-subspace codes at the default ks=16, a 64× compression
+    * of the 64-dim float vectors. */
+  def pqEncode(embeddings: DataFrame, codebook: DataFrame, m: Int = 8): DataFrame = {
+    val unit = withNorm(embeddings)
+      .select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb"))
+    pqAssign(pqSubvectors(unit, m), codebook)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), x -> x.cid)")
+        .as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds an
+    * m×ks lookup table of sub-dot-products against the broadcast
+    * codebook, every corpus vector's approximate cosine is the sum of m
+    * table lookups over its codes (9-dp DECIMAL-rounded terms so the
+    * sum is order-free), the top `k·refine` approximate candidates per
+    * query get EXACT graft_dot re-scoring, and the final top-k ranks on
+    * the exact value — the q55b/q65 candidates-then-exact-re-score
+    * contract at PQ's scan cost (m byte lookups per corpus vector
+    * instead of a dim-wide float dot; the corpus-side state is the
+    * codes column, 8 bytes/vector at the defaults). Output matches
+    * q65's (qid, nid, cos_sim, rank). */
+  def pqTopK(embeddings: DataFrame, nQueries: Int, k: Int, m: Int = 8,
+      ks: Int = 16, refine: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val cb = pqCodebook(embeddings, m, ks, iters)
+    val e = withNorm(embeddings).cache()
+    val unit = e.select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb"))
+    val codes = pqEncode(embeddings, cb, m)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
+    // ADC tables: nQueries × m × ks rows — broadcast
+    val adc = pqSubvectors(unit.filter(col("vec_id") < nQueries), m)
+      .join(cb, Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        expr("CAST(round(graft_dot(sv, cvec), 9) AS DECIMAL(18,9))").as("t"))
+    val approx = codes.join(broadcast(adc), Seq("sub", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("t")).as("approx"))
+    val wa = Window.partitionBy("qid").orderBy(col("approx").desc, col("vec_id"))
+    val cand = approx.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= k * refine)
+      .select(col("qid"), col("vec_id").as("nid"))
+    val qSide = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("norm").as("qnorm"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    cand
+      .join(broadcast(qSide), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("emb"), col("norm")), "nid")
       .select(col("qid"), col("nid"),
         round(dot("qemb", "emb") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -87,7 +87,10 @@ object GoldenSpec {
     // signature-internal; DedupSpec plants the zero-error case) and the
     // conformal threshold (classifier scores; order-statistic replay in
     // ClassifierSpec)
-    "q189_minhash_error_audit", "q190_conformal_threshold")
+    "q189_minhash_error_audit", "q190_conformal_threshold",
+    // r11: PQ-ADC top-k (codebook is engine-internal; SimilaritySpec
+    // gates recall at the AnnSweep operating point + exact re-score)
+    "q204_pq_adc_topk")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -168,7 +171,9 @@ object GoldenSpec {
     ("q189_minhash_error_audit", "sf0.001") -> "d698e2df36d658e5",
     ("q189_minhash_error_audit", "sf0.01") -> "efbb0fc504d5bfd4",
     ("q190_conformal_threshold", "sf0.001") -> "532dea5284a7fd36",
-    ("q190_conformal_threshold", "sf0.01") -> "543a2c66213b2684")
+    ("q190_conformal_threshold", "sf0.01") -> "543a2c66213b2684",
+    ("q204_pq_adc_topk", "sf0.001") -> "a37c5554e87f1fea",
+    ("q204_pq_adc_topk", "sf0.01") -> "450ec6775f740993")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

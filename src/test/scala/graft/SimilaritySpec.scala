@@ -59,6 +59,47 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
         "regenerate the sweep if the trade is intentional")
   }
 
+  test("q204 PQ-ADC: recall@5 holds at the pinned operating point; exact re-score on top") {
+    val emb = Tables.embeddings(spark, sf001)
+    val nQ = 50
+    val exact = Similarity.cosineTopK(emb, col("vec_id") < nQ, k = 5)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    val pq = Similarity.pqTopK(emb, nQueries = nQ, k = 5, m = 8, ks = 32, refine = 16)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    val exactPairs = exact.map(r => (r._1, r._2)).toSet
+    val recall = pq.count(r => exactPairs.contains((r._1, r._2))).toDouble / exact.length
+    val pinned = AnnSweep.operatingPoints(("q204_pq_m8_ks32_refine16", "sf0.001"))
+    assert(recall >= pinned - 1e-9,
+      s"PQ recall@5 $recall below the pinned operating point $pinned — " +
+        "regenerate the sweep if the trade is intentional")
+    // candidates-then-exact contract: every emitted similarity is the
+    // EXACT cosine, not the ADC approximation
+    val exactSim = exact.map(r => (r._1, r._2) -> r._3).toMap
+    pq.filter(r => exactSim.contains((r._1, r._2))).foreach { r =>
+      assert(r._3 === exactSim((r._1, r._2)),
+        s"pair (${r._1},${r._2}) must carry the exact cosine")
+    }
+    // determinism: codebook seeds and assignment tie-breaks are fixed
+    val again = Similarity.pqTopK(emb, nQueries = nQ, k = 5, m = 8, ks = 32, refine = 16)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(pq.sortBy(r => (r._1, r._2)).toSeq === again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("q204 PQ codes: m entries per vector, cid < ks, codebook deterministic") {
+    val emb = Tables.embeddings(spark, sf001)
+    val cb = Similarity.pqCodebook(emb, m = 8, ks = 16, iters = 2)
+      .select("sub", "cid", "cvec").as[(Int, Int, Array[Double])].collect()
+    assert(cb.map(c => (c._1, c._2)).distinct.length == cb.length)
+    assert(cb.forall(c => c._1 >= 0 && c._1 < 8 && c._2 >= 0 && c._2 < 16))
+    assert(cb.forall(_._3.length == 8), "subvector width = dim/m = 8")
+    val codes = Similarity.pqEncode(emb,
+        Similarity.pqCodebook(emb, m = 8, ks = 16, iters = 2), m = 8)
+      .select("vec_id", "codes").as[(Long, Array[Int])].collect()
+    assert(codes.length == emb.count())
+    assert(codes.forall(_._2.length == 8), "one code per subspace")
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
+  }
+
   test("k-means centroids are unit-scale, deterministic, and cover all clusters") {
     val emb = Tables.embeddings(spark, sf001)
     val c1 = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
