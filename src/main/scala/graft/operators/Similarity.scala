@@ -190,6 +190,14 @@ object Similarity {
         .orderBy("qid", "rank")
     },
 
+    // ---- IVF-PQ top-k: coarse quantizer routes, PQ codes score, exact
+    //      re-score on the survivors — the billion-scale layout. ----
+    "q205_ivfpq_topk" -> QueryDef.rowsOnly { (s, dir) =>
+      ivfPqTopK(Tables.embeddings(s, dir), nQueries = 50, k = 5,
+        nClusters = 8, nProbe = 4, m = 8, ks = 32, refine = 16)
+        .orderBy("qid", "rank")
+    },
+
     // ---- int8-quantized brute-force top-k (rows-only — quantization
     //      noise is engine/format-specific; SimilaritySpec measures top-k
     //      overlap against the exact float path) ----
@@ -750,6 +758,73 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("sub"), col("cid"),
         expr("CAST(round(graft_dot(sv, cvec), 9) AS DECIMAL(18,9))").as("t"))
     val approx = codes.join(broadcast(adc), Seq("sub", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("t")).as("approx"))
+    val wa = Window.partitionBy("qid").orderBy(col("approx").desc, col("vec_id"))
+    val cand = approx.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= k * refine)
+      .select(col("qid"), col("vec_id").as("nid"))
+    val qSide = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("norm").as("qnorm"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    cand
+      .join(broadcast(qSide), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("emb"), col("norm")), "nid")
+      .select(col("qid"), col("nid"),
+        round(dot("qemb", "emb") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ top-k (q205) — the two quantizers composed, the standard
+    * billion-scale ANN layout (FAISS IVFPQ): the k-means COARSE
+    * quantizer routes each vector into a posting list (q65's machinery)
+    * and PQ codes stand in for the vectors INSIDE the lists (q204's),
+    * so a query ADC-scores only its `nProbe` lists' candidates and
+    * exact-re-scores the top k·refine survivors. At 100 TB the corpus
+    * side is (cluster_id + m codes) per vector — the float embeddings
+    * are never read after indexing except for the k·refine re-score
+    * rows, and scan cost per query is (corpus·nProbe/nClusters) code
+    * lookups instead of a full ADC pass (q204) or a full float pass
+    * (q54). Residual-free variant (codes quantize the vectors
+    * themselves, not the residuals): simpler, and the exact re-score
+    * step absorbs the accuracy difference the residual trick buys. */
+  def ivfPqTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+      nClusters: Int = 8, nProbe: Int = 3, m: Int = 8, ks: Int = 32,
+      refine: Int = 16, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val e = withNorm(embeddings).cache()
+    val unit = e.select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb"))
+      .localCheckpoint(eager = false) // consumers: posting, codes, probes, ADC
+    val coarse = kmeansCentroids(embeddings, nClusters, iters)
+    val cUnit = coarse
+      .withColumn("cnorm", sqrt(expr("graft_dot(cemb, cemb)")))
+      .filter(col("cnorm") > 0)
+      .select(col("cluster_id"), expr("transform(cemb, x -> x / cnorm)").as("cemb"))
+    val posting = assignClusters(unit, cUnit)
+      .select(col("vec_id"), col("cluster_id"))
+    val cb = pqCodebook(embeddings, m, ks, iters)
+    val codes = pqEncode(embeddings, cb, m)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(posting, Seq("vec_id")) // (vec_id, sub, cid, cluster_id)
+    val probes = unit.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cUnit))
+      .select(col("vec_id").as("qid"), col("cluster_id"),
+        dot("emb", "cemb").as("c_cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("c_cos").desc, col("cluster_id"))))
+      .filter(col("rn") <= nProbe)
+      .select("qid", "cluster_id")
+    val adc = pqSubvectors(unit.filter(col("vec_id") < nQueries), m)
+      .join(cb, Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        expr("CAST(round(graft_dot(sv, cvec), 9) AS DECIMAL(18,9))").as("t"))
+      // attach each query's probed lists: (qid, cluster_id, sub, cid, t) —
+      // still nQueries × nProbe × m × ks, broadcast-sized
+      .join(probes, Seq("qid"))
+    val approx = codes.join(broadcast(adc), Seq("cluster_id", "sub", "cid"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("t")).as("approx"))

@@ -88,9 +88,9 @@ object GoldenSpec {
     // conformal threshold (classifier scores; order-statistic replay in
     // ClassifierSpec)
     "q189_minhash_error_audit", "q190_conformal_threshold",
-    // r11: PQ-ADC top-k (codebook is engine-internal; SimilaritySpec
-    // gates recall at the AnnSweep operating point + exact re-score)
-    "q204_pq_adc_topk")
+    // r11: PQ-ADC top-k and IVF-PQ (codebooks are engine-internal;
+    // SimilaritySpec gates recall at the AnnSweep operating points)
+    "q204_pq_adc_topk", "q205_ivfpq_topk")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -173,7 +173,9 @@ object GoldenSpec {
     ("q190_conformal_threshold", "sf0.001") -> "532dea5284a7fd36",
     ("q190_conformal_threshold", "sf0.01") -> "543a2c66213b2684",
     ("q204_pq_adc_topk", "sf0.001") -> "a37c5554e87f1fea",
-    ("q204_pq_adc_topk", "sf0.01") -> "450ec6775f740993")
+    ("q204_pq_adc_topk", "sf0.01") -> "450ec6775f740993",
+    ("q205_ivfpq_topk", "sf0.001") -> "2929fd0033c04d75",
+    ("q205_ivfpq_topk", "sf0.01") -> "287a3b784979e48f")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

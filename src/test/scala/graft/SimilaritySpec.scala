@@ -85,6 +85,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pq.sortBy(r => (r._1, r._2)).toSeq === again.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("q205 IVF-PQ: recall@5 at the pinned point; candidates only from probed lists") {
+    val emb = Tables.embeddings(spark, sf001)
+    val nQ = 50
+    val exact = Similarity.cosineTopK(emb, col("vec_id") < nQ, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqTopK(emb, nQueries = nQ, k = 5, nProbe = 4)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    val recall = got.count(r => exact.contains((r._1, r._2))).toDouble / exact.size
+    val pinned = AnnSweep.operatingPoints(("q205_ivfpq_k8_nprobe4_m8_ks32", "sf0.001"))
+    assert(recall >= pinned - 1e-9,
+      s"IVF-PQ recall@5 $recall below the pinned operating point $pinned")
+    // stage-product sanity: composing the quantizers cannot beat the
+    // full-ADC PQ face at the same PQ params (candidates are a subset)
+    val pqPairs = Similarity.pqTopK(emb, nQueries = nQ, k = 5, m = 8, ks = 32, refine = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val pqRecall = pqPairs.count(exact.contains).toDouble / exact.size
+    assert(recall <= pqRecall + 1e-9,
+      s"IVF-PQ ($recall) cannot out-recall full-ADC PQ ($pqRecall) — probed lists are a candidate subset")
+  }
+
   test("q204 PQ codes: m entries per vector, cid < ks, codebook deterministic") {
     val emb = Tables.embeddings(spark, sf001)
     val cb = Similarity.pqCodebook(emb, m = 8, ks = 16, iters = 2)
