@@ -136,7 +136,110 @@ object TemporalJoins {
   private def floorDiv(a: Column, b: Column): Column =
     floor(a.cast("decimal(28,6)") / b).cast("long")
 
+  /** Interval×interval OVERLAP join over one interval relation
+    * (id cols + `st`/`en` timestamps): every pair of intervals from
+    * DIFFERENT `partCol` owners satisfying the strict overlap predicate
+    * a.st < b.en AND b.st < a.en, with the overlap window and its
+    * length. The third temporal-join shape (as-of = point lookup, q71 =
+    * interval×point containment, this = interval×interval), and the one
+    * concurrency/abuse analysis needs ("which sessions were live
+    * simultaneously").
+    *
+    * 100 TB shape: both sides explode into fixed-width bins
+    * (`binSeconds`) and the join is an EQUI-join on the bin — any
+    * overlapping pair shares the bin of every instant inside its
+    * overlap, so recall is exactly 1 — with the residual predicate
+    * deciding truth and a distinct collapsing multi-bin matches. Bin
+    * width is the skew/volume dial: per-bin pair work is (concurrent
+    * intervals in bin)², the true output size for that bin. No cross
+    * join, no BNLJ. Overlap length derives from exact integer
+    * microseconds. */
+  def intervalOverlapPairs(intervals: DataFrame, partCol: String,
+      idCols: Seq[String], binSeconds: Long = 3600): DataFrame = {
+    require(binSeconds > 0, s"bin width must be positive, got $binSeconds")
+    val binMicros = binSeconds * 1000000L
+    def binOf(c: Column): Column = floorDiv(unix_micros(c), lit(binMicros))
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(binOf(col("st")), binOf(col("en")))))
+    val aCols = (idCols :+ "st" :+ "en").map(c => col(s"a.$c").as(s"a_$c"))
+    val bCols = (idCols :+ "st" :+ "en").map(c => col(s"b.$c").as(s"b_$c"))
+    binned.as("a")
+      .join(binned.as("b"),
+        col("a.__bin") === col("b.__bin") &&
+          col(s"a.$partCol") < col(s"b.$partCol") &&
+          col("a.st") < col("b.en") && col("b.st") < col("a.en"))
+      .select(aCols ++ bCols: _*)
+      .distinct() // a pair overlaps in every bin its overlap spans
+      .withColumn("o_start", greatest(col("a_st"), col("b_st")))
+      .withColumn("o_end", least(col("a_en"), col("b_en")))
+      .withColumn("overlap_s",
+        round((unix_micros(col("o_end")) - unix_micros(col("o_start")))
+          .cast("double") / 1e6, 6))
+  }
+
+  /** Per-user session intervals by the 1800 s inactivity gap (the
+    * q154/q176 sessionization, reduced to its interval frame):
+    * (user_id, sess, st, en). */
+  def sessionIntervals(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("pts").isNull ||
+          col("ts").cast("double") - col("pts").cast("double") > gapSec.toDouble,
+          1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+      .groupBy("user_id", "sess")
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+  }
+
+  /** Concurrent-session pairs (q206): sessions of DIFFERENT users that
+    * were live simultaneously, with the shared window — the
+    * coordinated-account / load-concurrency primitive. One window pass
+    * sessionizes; the interval frame sits behind a barrier (both join
+    * sides read it); pairs come from the binned overlap equi-join. */
+  def concurrentSessions(events: DataFrame, gapSec: Long = 1800,
+      binSeconds: Long = 3600): DataFrame = {
+    val iv = sessionIntervals(events, gapSec)
+      .localCheckpoint(eager = false) // consumers: both sides of the bin join
+    intervalOverlapPairs(iv, "user_id", Seq("user_id", "sess"), binSeconds)
+      .select(col("a_user_id").as("u1"), col("a_sess").as("s1"),
+        col("b_user_id").as("u2"), col("b_sess").as("s2"),
+        round(unix_micros(col("o_start")).cast("double") / 1e6, 6).as("o_start_s"),
+        round(unix_micros(col("o_end")).cast("double") / 1e6, 6).as("o_end_s"),
+        col("overlap_s"))
+      .orderBy("u1", "s1", "u2", "s2")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- interval×interval overlap join: concurrent sessions across
+    //      users from the binned equi-join (recall exactly 1 — any
+    //      overlapping pair shares the bin of every instant in its
+    //      overlap); the oracle states the same semantics as the naive
+    //      quadratic predicate join. ----
+    "q206_concurrent_sessions" -> QueryDef.sql(
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |s AS (SELECT *, sum(CASE WHEN pts IS NULL
+        |      OR epoch(ts) - epoch(pts) > 1800.0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o),
+        |g AS (SELECT user_id, CAST(sess AS BIGINT) AS sess,
+        |        min(ts) AS st, max(ts) AS en
+        |      FROM s GROUP BY 1, 2)
+        |SELECT a.user_id AS u1, a.sess AS s1, b.user_id AS u2, b.sess AS s2,
+        |  round(CAST(epoch_us(greatest(a.st, b.st)) AS DOUBLE) / 1000000, 6) AS o_start_s,
+        |  round(CAST(epoch_us(least(a.en, b.en)) AS DOUBLE) / 1000000, 6) AS o_end_s,
+        |  round(CAST(epoch_us(least(a.en, b.en))
+        |    - epoch_us(greatest(a.st, b.st)) AS DOUBLE) / 1000000, 6) AS overlap_s
+        |FROM g a JOIN g b
+        |  ON a.user_id < b.user_id AND a.st < b.en AND b.st < a.en
+        |ORDER BY u1, s1, u2, s2""") { (s, dir) =>
+      concurrentSessions(Tables.events(s, dir))
+    },
 
     // ---- as-of join (point-in-time): each click joined to the same
     //      user's latest view at-or-before it. Oracle: window-deduped

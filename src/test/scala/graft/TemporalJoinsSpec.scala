@@ -122,4 +122,57 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .select("iv_id", "p_value").as[(Long, Double)].collect().sorted.toSeq
     assert(run(60L) == run(3600L))
   }
+
+  test("q206 overlap join: planted truth table — partial, containment, touching, cross-bin") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: [10:00, 11:00]; user 2: [10:30, 12:00] (partial overlap),
+    //         [13:00, 13:10] (inside user 3's long session);
+    // user 3: [12:00, 14:00] — TOUCHES user 1's... no: starts exactly at
+    //         user 2's first end (12:00) → strict predicate excludes;
+    //         contains user 2's second fully;
+    // user 4: [20:00, 20:00] zero-length point inside nothing.
+    val iv = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00")),
+      (2L, 1L, t("2024-01-01 10:30:00"), t("2024-01-01 12:00:00")),
+      (2L, 2L, t("2024-01-01 13:00:00"), t("2024-01-01 13:10:00")),
+      (3L, 1L, t("2024-01-01 12:00:00"), t("2024-01-01 14:00:00")),
+      (4L, 1L, t("2024-01-01 20:00:00"), t("2024-01-01 20:00:00")))
+      .toDF("user_id", "sess", "st", "en")
+    val got = TemporalJoins.intervalOverlapPairs(iv, "user_id", Seq("user_id", "sess"))
+      .select(col("a_user_id"), col("a_sess"), col("b_user_id"), col("b_sess"),
+        col("overlap_s"))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2, r._3, r._4))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 1L, 1800.0),   // partial: [10:30, 11:00]
+      (2L, 2L, 3L, 1L, 600.0)),   // containment: the 10-minute session
+      s"got ${got.toSeq}")
+    // touching endpoints (2's first ends 12:00, 3 starts 12:00) excluded
+    assert(!got.exists(r => r._1 == 2L && r._2 == 1L && r._3 == 3L))
+    // bin width is perf-only: 60 s bins agree with 1 h bins
+    val narrow = TemporalJoins.intervalOverlapPairs(iv, "user_id",
+        Seq("user_id", "sess"), binSeconds = 60)
+      .select(col("a_user_id"), col("a_sess"), col("b_user_id"), col("b_sess"),
+        col("overlap_s"))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2, r._3, r._4))
+    assert(narrow.toSeq == got.toSeq)
+    // cross-bin pair emitted ONCE despite sharing many bins (the distinct)
+    assert(got.count(r => r._1 == 1L && r._3 == 2L) == 1)
+  }
+
+  test("q206 session intervals match the q176 sessionization boundaries") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: events at 10:00, 10:20, 11:30 — the 70-min gap splits
+    val ev = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00")),
+      (2L, 1L, t("2024-01-01 10:20:00")),
+      (3L, 1L, t("2024-01-01 11:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    val iv = TemporalJoins.sessionIntervals(ev)
+      .select("user_id", "sess", "st", "en")
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().sortBy(_._2)
+    assert(iv.length == 2)
+    assert(iv(0)._3 == t("2024-01-01 10:00:00") && iv(0)._4 == t("2024-01-01 10:20:00"))
+    assert(iv(1)._3 == t("2024-01-01 11:30:00") && iv(1)._4 == t("2024-01-01 11:30:00"))
+  }
 }
