@@ -653,10 +653,23 @@ object EventAnalytics {
     * re-read history). Sketching and union are deterministic, so the
     * result is golden-pinnable; EventAnalyticsSpec gates the estimates
     * against the exact face (lgK=12 → ~1.6% RSE). */
-  def rollingActiveUsersSketch(events: DataFrame, lgK: Int = 12): DataFrame = {
-    val daily = events.select(to_date(col("ts")).as("d"), col("user_id"))
+  def rollingActiveUsersSketch(events: DataFrame, lgK: Int = 12): DataFrame =
+    rollingActivesFromDaily(
+      dailyActiveSketches(events, lgK)
+        .localCheckpoint(eager = false)) // consumers: 3 window unions + bounds
+
+  /** The per-day sketch table (d, sk) — the ONLY state the rolling
+    * estimates need, and what an incremental pipeline persists
+    * ([[graft.streaming.Streams.activesSketchSinkQuery]] maintains it at
+    * ingest: HLL insertion is idempotent and order-free, so replayed
+    * batches merge to the identical sketch). */
+  def dailyActiveSketches(events: DataFrame, lgK: Int = 12): DataFrame =
+    events.select(to_date(col("ts")).as("d"), col("user_id"))
       .groupBy("d").agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"))
-      .localCheckpoint(eager = false) // consumers: 3 window unions + bounds
+
+  /** [[rollingActiveUsersSketch]] against a caller-supplied (possibly
+    * persisted) per-day sketch table. */
+  def rollingActivesFromDaily(daily: DataFrame): DataFrame = {
     val bounds = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
     def winEst(w: Int, name: String): DataFrame = daily
       .select(explode(expr(s"sequence(0, ${w - 1})")).as("i"), col("d"), col("sk"))

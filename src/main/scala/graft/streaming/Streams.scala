@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -206,6 +206,39 @@ object Streams {
         Dedup.minhashSignatures(b, numHashes)
           .join(store.select("doc_id"), Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(sigDir)
+        ()
+      }
+
+  /** At-ingest maintenance of the q169 per-day HLL sketch table: every
+    * micro-batch sketches its own (day, users) slice and UNIONS into the
+    * persisted table (aside-write + atomic swap — the table stays
+    * days-sized, never appends-forever). HLL insertion is idempotent
+    * and order-free, so at-least-once replays merge to the IDENTICAL
+    * sketch — no roster needed, unlike the dedup-index sink. The rolling
+    * DAU/WAU/MAU estimates then run over the store via
+    * [[graft.operators.EventAnalytics.rollingActivesFromDaily]] without
+    * ever re-reading event history. */
+  def activesSketchSinkQuery(
+      events: DataFrame, sketchDir: String,
+      lgK: Int = 12): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new org.apache.hadoop.fs.Path(sketchDir)
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        val newDaily = graft.operators.EventAnalytics
+          .dailyActiveSketches(batch, lgK)
+        if (!fs.exists(dir)) newDaily.write.parquet(sketchDir)
+        else {
+          val merged = spark.read.parquet(sketchDir)
+            .unionByName(newDaily)
+            .groupBy("d").agg(expr("hll_union_agg(sk)").as("sk"))
+            .localCheckpoint(eager = true) // read fully BEFORE the swap
+          val tmp = new org.apache.hadoop.fs.Path(s"$sketchDir.compact-tmp")
+          merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          graft.pipeline.ProvenanceStore.swapCompacted(fs, dir, tmp)
+        }
         ()
       }
 

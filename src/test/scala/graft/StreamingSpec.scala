@@ -624,6 +624,46 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("q169 actives-sketch sink: streamed daily table reproduces the batch estimates; replay-invariant") {
+    val root = java.nio.file.Files.createTempDirectory("actives-sink").toString
+    val sketchDir = s"$root/daily"
+    val events = Tables.events(spark, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // batch oracle: the declared face over the whole table
+    val want = operators.EventAnalytics.rollingActiveUsersSketch(events)
+      .collect().map(_.toString).sorted.toSeq
+    // stream the SAME events in three ts-ordered slices + a replay
+    val rows = events.orderBy("ts", "event_id")
+      .as[Streams.Event].collect()
+    val cuts = Seq(rows.length / 3, 2 * rows.length / 3, rows.length)
+    val input = MemoryStream[Streams.Event](spark)
+    val q = Streams.activesSketchSinkQuery(input.toDF(), sketchDir).start()
+    try {
+      var from = 0
+      cuts.foreach { to =>
+        input.addData(rows.slice(from, to).toIndexedSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      // replay the middle slice: HLL insertion is idempotent, the store
+      // must not move
+      val before = spark.read.parquet(sketchDir)
+        .select(col("d"), expr("hll_sketch_estimate(sk)").as("e"))
+        .collect().map(_.toString).sorted.toSeq
+      input.addData(rows.slice(cuts(0), cuts(1)).toIndexedSeq)
+      q.processAllAvailable()
+      val after = spark.read.parquet(sketchDir)
+        .select(col("d"), expr("hll_sketch_estimate(sk)").as("e"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(after === before, "replayed batch must merge to identical sketches")
+      val got = operators.EventAnalytics.rollingActivesFromDaily(
+          spark.read.parquet(sketchDir))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want,
+        "rolling estimates from the streamed store must equal the batch face")
+    } finally q.stop()
+  }
+
   test("q137 streaming twin: anomaly scores window-for-window equal to the batch face") {
     val conf = spark.conf
     val prevProvider = conf.get("spark.sql.streaming.stateStore.providerClass",
