@@ -627,7 +627,29 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q191_ab_conversion_test",       1, 2),
       // q192: the q51 freq-capped index join behind its barrier; pair
       // aggregates + the two count joins
-      ("q192_containment_pairs",        0, 4))
+      ("q192_containment_pairs",        0, 4),
+      // q193–q203: index faces — "scans" here are INDEX parquet reads
+      // (documents never appears; DedupIndexSpec pins that separately).
+      // q194/q195/q196 add the one documents scan their output needs.
+      ("q193_dedupindex_clusters",      1, 1),
+      ("q194_dedupindex_apply",         2, 1),
+      ("q195_dedupindex_split",         2, 1),
+      ("q196_dedupindex_keep_best",     2, 2),
+      ("q197_dedupindex_histogram",     0, 1),
+      ("q198_dedupindex_sweep",         0, 4),
+      ("q199_dedupindex_explanation",   0, 3),
+      ("q200_dedupindex_leakage",       0, 2),
+      // q201: the tiny clusters relation is read per consumer (4×) —
+      // parquet re-reads of a membership-sized table, not recompute
+      ("q201_dedupindex_contrastive",   4, 3),
+      ("q203_dedupindex_pagerank",      0, 1),
+      // q204/q205: codebooks/centroids are eagerly-checkpointed k×dim
+      // frames; the corpus scan feeds codes + ADC probes
+      ("q204_pq_adc_topk",              1, 4),
+      ("q205_ivfpq_topk",               1, 7),
+      // q206: sessionization window + bin-join both read the barriered
+      // interval frame; exchanges = session window + output sort
+      ("q206_concurrent_sessions",      0, 2))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
