@@ -284,7 +284,14 @@ object Bench {
             "\"" + k + "\":\"" + st + "\""
         }.mkString("{", ",", "}")
     // full-inventory median budget gate (only in BENCH_ALL mode at the
-    // pinned SF — headline runs keep their own tighter shuffle pins)
+    // pinned SF — headline runs keep their own tighter shuffle pins).
+    // The two artifacts carry DIFFERENT rc gates on purpose: the
+    // byte-exact shuffle pins assume the fresh-session headline protocol
+    // (in a 200-query session, stage metrics can inflate via task
+    // re-attempts — measured: q55b wrote 8.1 MB vs its 6.0 MB pin in one
+    // full sweep while the same day's headline run matched exactly), so
+    // BENCH_ALL reports shuffle deltas informationally and gates rc on
+    // the run-length-calibrated median budgets instead.
     val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val fullPins = if (benchAll && atPinnedSf) loadFullPins() else Map.empty[String, Double]
     val budget = if (fullPins.isEmpty) Seq.empty else results.map {
@@ -323,8 +330,10 @@ object Bench {
     deltas.filter(_._3).foreach { case (k, d, _, mb, _) =>
       System.err.println(f"[bench] SHUFFLE REGRESSION $k: $mb%.1f MB written vs " +
         f"pinned ${pinnedShuffleWriteMb(k)}%.1f MB (delta ${d * 100}%.0f%%) — " +
-        "plan changed; fix it or update the pin in the same commit")
-      anyFailed = true
+        (if (benchAll) "informational in BENCH_ALL (re-attempt inflation; " +
+          "verify with a headline run)"
+        else "plan changed; fix it or update the pin in the same commit"))
+      if (!benchAll) anyFailed = true
     }
 
     // SPARK_GRAFT_BENCH_SCALING=1: rerun the headline at the other scale
