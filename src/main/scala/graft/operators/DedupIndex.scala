@@ -166,6 +166,39 @@ object DedupIndex {
           lit(clusterThreshold).as("cluster_threshold"), lit(dfCap).as("df_cap")))
   }
 
+  /** Maintenance compaction for the APPEND-GROWING relations
+    * (shingles/counts/pairs — [[update]] adds a few files per batch
+    * forever; at crawl cadence that is thousands of files per day and
+    * every face's read degrades O(files)). Rewrites each into
+    * ceil(rows / targetRowsPerFile) files with the atomic
+    * aside-write-and-swap (readers see old or new, never a mix; a
+    * stranded swap restores at entry). Rows are byte-identical before
+    * and after, so every face — and every oracle hash — is too.
+    * Clusters/meta swap whole on every update and never accumulate.
+    * Returns relation → (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String,
+      targetRowsPerFile: Long = 4000000L): Map[String, (Int, Int)] =
+    Seq("shingles", "counts", "pairs").map { rel =>
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      graft.pipeline.ProvenanceStore.restoreIfStranded(fs, path)
+      def dataFiles: Int =
+        if (!fs.exists(path)) 0
+        else fs.listStatus(path).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val before = dataFiles
+      if (before == 0) rel -> (0, 0)
+      else {
+        val df = spark.read.parquet(path.toString)
+        val nFiles = math.max(1L,
+          (df.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+        val tmp = new org.apache.hadoop.fs.Path(s"$path.compact-tmp")
+        df.repartition(nFiles)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        graft.pipeline.ProvenanceStore.swapCompacted(fs, path, tmp)
+        rel -> (before, dataFiles)
+      }
+    }.toMap
+
   /** Aside-write-and-swap (the ProvenanceStore compaction discipline):
     * readers of `path` see the old or the new relation, never a mix. */
   private def swapIn(spark: SparkSession, path: String, df: DataFrame): Unit = {

@@ -116,6 +116,41 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("compact: fewer files, byte-identical relations, faces still answer") {
+    val extra = Seq(
+      (8L, "d", base2.replaceAll("datasets", "corpora")),
+      (9L, "d", base2.replaceAll("datasets", "corpora").replaceAll("memory$", "ram")))
+      .toDF("doc_id", "source", "text")
+    val all = docs.unionByName(extra)
+    val dir = tempDir()
+    DedupIndex.build(docs.filter(col("doc_id") <= 3), dir)
+    // three updates → three append waves per growing relation
+    DedupIndex.update(docs.filter(col("doc_id").isin(4L, 5L)), dir)
+    DedupIndex.update(docs.filter(col("doc_id").isin(6L, 7L)), dir)
+    DedupIndex.update(extra, dir)
+    val before = DedupIndex.load(spark, dir)
+    val pairsBefore = rows(before.pairs)
+    val shinglesBefore = rows(before.shingles)
+    val countsBefore = rows(before.counts)
+    val stats = DedupIndex.compact(spark, dir)
+    stats.foreach { case (rel, (b, a)) =>
+      assert(a <= b, s"$rel: $b -> $a files")
+    }
+    assert(stats("pairs")._1 > stats("pairs")._2,
+      s"three updates must leave compactable pair files: $stats")
+    val after = DedupIndex.load(spark, dir)
+    assert(rows(after.pairs) === pairsBefore, "pairs must be byte-identical")
+    assert(rows(after.shingles) === shinglesBefore)
+    assert(rows(after.counts) === countsBefore)
+    // faces still answer, equal to the standalone forms on the full corpus
+    assertFacesEqual(all, after)
+    // and a post-compaction update still works
+    val more = Seq((10L, "e", "brand new content that matches nothing else " +
+      "in this tiny corpus at all today")).toDF("doc_id", "source", "text")
+    DedupIndex.update(more, dir)
+    assert(DedupIndex.load(spark, dir).counts.filter(col("doc_id") === 10L).count() == 1)
+  }
+
   test("update on a corpus whose ids exceed 2^31 stays exact (hash keys, no id assumptions)") {
     val big = docs.withColumn("doc_id", col("doc_id") + lit(5000000000L))
     val full = tempDir(); val incr = tempDir()
