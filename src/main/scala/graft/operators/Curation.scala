@@ -1264,6 +1264,37 @@ object Curation {
       shardManifest(Tables.documents(s, dir)).orderBy("order_key")
     },
 
+    // ---- physical shard write (q121 made material): partitioned
+    //      parquet per shard; the audit reads the WRITTEN FILES back
+    //      (tokens re-counted from read-back text) and hash-matches the
+    //      oracle's purely-arithmetic audit — the write path under the
+    //      correctness gate. ----
+    "q207_shard_write" -> QueryDef.sql(
+      """WITH s AS (SELECT doc_id, source, md5(text) AS h,
+        |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS src_rank FROM s),
+        |idx AS (SELECT source, row_number() OVER (ORDER BY source) AS src_idx
+        |        FROM (SELECT DISTINCT source FROM s)),
+        |ns AS (SELECT count(*) AS n_sources FROM idx),
+        |k AS (SELECT doc_id, r.source, n_tokens,
+        |    CAST((src_rank - 1) * n_sources + src_idx AS BIGINT) AS order_key
+        |  FROM r JOIN idx ON r.source = idx.source CROSS JOIN ns),
+        |c AS (SELECT doc_id, order_key, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY order_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM k),
+        |audit AS (SELECT cum_before // 512 AS shard_id, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    min(order_key) AS first_key, max(order_key) AS last_key
+        |  FROM c GROUP BY 1)
+        |SELECT shard_id, n_docs, n_tokens, first_key, last_key
+        |FROM audit ORDER BY shard_id""") { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+      writeShards(Tables.documents(s, dir), out)
+    },
+
     // ---- per-source KL divergence from the corpus unigram mix: the
     //      domain-shift/drift statistic (which source's word
     //      distribution diverges, and WHICH word drives it) a corpus
@@ -2040,6 +2071,36 @@ object Curation {
       .select(col("doc_id"), col("order_key"), col("n_tokens"),
         (col("bucket_offset") + col("cum_in_bucket")).as("cum_before"))
       .withColumn("shard_id", expr(s"cum_before div $shardTokens"))
+  }
+
+  /** Materialize the q121 manifest as PHYSICAL training shards (q207) —
+    * the pipeline's last step: each shard lands as its own
+    * `shard_id=N/` parquet partition carrying (order_key, doc_id,
+    * source, text), so a trainer streams shard directories in order and
+    * resumes at a shard boundary. The returned audit is computed FROM
+    * THE WRITTEN FILES — doc counts, token sums (re-tokenized from the
+    * read-back text, proving the payload round-tripped byte-true), and
+    * the order-key range per shard — and hash-matches the same audit
+    * derived purely arithmetically by the DuckDB oracle, so the write
+    * path itself sits under the correctness gate. Scale shape: one
+    * manifest join + a partitioned write (shards are size-bounded by
+    * construction: every shard holds ≤ shardTokens + one overhanging
+    * doc); the audit is one pass over the written files. */
+  def writeShards(docs: DataFrame, outDir: String, shardTokens: Long = 512,
+      bucketSize: Long = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    docs.join(shardManifest(docs, shardTokens, bucketSize), "doc_id")
+      .select(col("shard_id"), col("order_key"), col("doc_id"),
+        col("source"), col("text"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard_id").parquet(outDir)
+    spark.read.parquet(outDir)
+      .select(col("shard_id").cast("long").as("shard_id"), col("order_key"),
+        col("doc_id"), size(words(col("text"))).cast("long").as("nt"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        min(col("order_key")).as("first_key"), max(col("order_key")).as("last_key"))
+      .orderBy("shard_id")
   }
 
   /** Interpolated Kneser-Ney bigram scoring (q116) — the smoothing the

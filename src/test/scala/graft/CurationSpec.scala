@@ -1065,6 +1065,40 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rep == got, "manifest not partitioning-invariant")
   }
 
+  test("q207 shard write: physical partitions match the manifest, text round-trips byte-true") {
+    val docs = (1L to 97L).map { id =>
+      (id, s"src${id % 5}", ("w " * (3 + (id % 11)).toInt).trim)
+    }.toDF("doc_id", "source", "text")
+    val manifest = Curation.shardManifest(docs, shardTokens = 50, bucketSize = 16)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val out = java.nio.file.Files.createTempDirectory("shard-write").toString
+    val audit = Curation.writeShards(docs, out, shardTokens = 50, bucketSize = 16)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // the audit read back from FILES equals the manifest's arithmetic
+    val want = manifest.groupBy(_._5).map { case (sh, rows) =>
+      (sh, rows.length.toLong, rows.map(_._3).sum,
+        rows.map(_._2).min, rows.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    assert(audit.toSeq === want)
+    // one directory per shard on disk
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+    assert(dirs.length == want.length, s"partition dirs: ${dirs.toSeq}")
+    // spot-check payload integrity: a doc's text reads back byte-equal
+    val back = spark.read.parquet(out)
+      .filter(col("doc_id") === 42L).select("text").as[String].collect().head
+    val orig = docs.filter(col("doc_id") === 42L).select("text").as[String]
+      .collect().head
+    assert(back === orig)
+    // trainer contract: shards are order-contiguous (shard N's last key
+    // precedes shard N+1's first)
+    want.sliding(2).foreach {
+      case Seq((_, _, _, _, lastA), (_, _, _, firstB, _)) =>
+        assert(lastA < firstB, "shards must partition the training order")
+      case _ =>
+    }
+  }
+
   test("source KL divergence matches brute force and attributes the drift " +
       "to the planted outlier word") {
     // three sources share a common vocabulary; "drift" additionally
