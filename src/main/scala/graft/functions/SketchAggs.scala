@@ -60,6 +60,51 @@ object SketchAggs {
       ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. RANDOM'02;
+    * unbiased estimator and set-operation forms from Beyer et al.
+    * SIGMOD'07): the buffer holds the k smallest DISTINCT 63-bit hash
+    * values of the items seen. Distinct count estimates as (k−1)/x_k
+    * (x_k = the kth smallest normalized to (0,1)); with fewer than k
+    * distinct items the sketch IS the distinct hash set and estimates
+    * are exact. Unlike HLL, KMV supports a DIRECT intersection
+    * estimator (ρ·D_∪ with ρ the fraction of the union sketch present
+    * in both sides) whose error scales with the intersection itself —
+    * inclusion–exclusion on HLLs amplifies error on near-disjoint
+    * pairs, which is exactly where a source-overlap audit looks.
+    * Deterministic (xxhash64 seed 42), mergeable (merge = sorted-merge
+    * + truncate, associative and commutative), buffer ≤ k longs. */
+  class KmvAgg(k: Int) extends Aggregator[String, Seq[Long], Seq[Long]] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+
+    private def h63(s: String): Long = {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L) &
+        Long.MaxValue
+    }
+
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(buf: Seq[Long], s: String): Seq[Long] = {
+      val h = h63(s)
+      if (buf.size >= k && h >= buf.last) buf
+      else if (buf.contains(h)) buf
+      else {
+        val i = buf.indexWhere(_ > h) match { case -1 => buf.size; case n => n }
+        val withH = (buf.take(i) :+ h) ++ buf.drop(i)
+        if (withH.size > k) withH.take(k) else withH
+      }
+    }
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).distinct.sorted.take(k)
+
+    override def finish(buf: Seq[Long]): Seq[Long] = buf
+
+    override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Exact bottom-k per group over (group, sortKey, id) rows: keeps the k
     * lexicographically smallest (sortKey, id) pairs. The
     * map-side-combining alternative to a per-group row_number window —

@@ -814,6 +814,17 @@ object Curation {
     //      sets + inclusion-exclusion pairwise estimates. Rows-only —
     //      gated vs the exact q96 matrix and merge==full pinned in
     //      CurationSpec; golden-digested. ----
+    // ---- KMV direct-intersection overlap matrix: q98's audit with the
+    //      estimator whose error scales with the INTERSECTION (HLL
+    //      inclusion–exclusion degrades on near-disjoint pairs); exact
+    //      below k distinct shingles per source. rows-only; CurationSpec
+    //      gates error vs exact q96, pins sub-k exactness and merge
+    //      associativity; golden-pinned. ----
+    "q208_source_overlap_kmv" -> QueryDef.rowsOnly { (s, dir) =>
+      sourceOverlapKmv(sourceShingleKmv(Tables.documents(s, dir)))
+        .orderBy("src_a", "src_b")
+    },
+
     "q98_source_overlap_sketch" -> QueryDef.rowsOnly { (s, dir) =>
       sourceOverlapSketched(sourceShingleSketches(Tables.documents(s, dir)))
         .orderBy("src_a", "src_b")
@@ -2627,6 +2638,69 @@ object Curation {
           .as("n_common_approx"),
         round(greatest(col("est_a") + col("est_b") - col("est_u"), lit(0.0))
           / col("est_a"), 6).as("overlap_frac_approx"))
+  }
+
+  /** Per-source KMV sketches of the distinct word n-gram sets — the
+    * DIRECT-intersection alternative to [[sourceShingleSketches]]'s
+    * HLLs (q98's inclusion–exclusion difference amplifies relative
+    * error exactly on the near-disjoint pairs an overlap audit hunts;
+    * KMV's ρ·D_∪ estimator scales its error with the intersection
+    * itself — see [[graft.functions.SketchAggs.KmvAgg]]). Same
+    * persist/sketch-the-batch/merge incremental contract: k longs per
+    * source, merge via [[mergeSourceShingleKmv]] is exactly
+    * associative. */
+  def sourceShingleKmv(docs: DataFrame, n: Int = 8, k: Int = 256): DataFrame = {
+    import docs.sparkSession.implicits._
+    val kmv = udaf(new graft.functions.SketchAggs.KmvAgg(k))
+    val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+    docs.select(col("source"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))")).as("sh"))
+      .groupBy("source").agg(kmv(col("sh")).as("kmv"))
+  }
+
+  /** Merge two per-source KMV tables (persisted corpus + fresh batch):
+    * in-row sorted-merge + truncate of ≤ 2 k-arrays per source —
+    * estimates after merge equal the full-recompute estimates exactly. */
+  def mergeSourceShingleKmv(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame =
+    a.unionByName(b).groupBy("source")
+      .agg(expr(s"slice(array_sort(array_distinct(flatten(collect_list(kmv)))), 1, $k)")
+        .as("kmv"))
+
+  /** Approximate source-overlap matrix (q208) from KMV sketches:
+    * D = (k−1)/x_k per side and for the merged union; intersection via
+    * the DIRECT estimator ρ·D_∪ (ρ = share of the union sketch present
+    * in both sides). Sub-k sketches are the exact distinct hash sets,
+    * so every estimate degrades gracefully to EXACT on small sources —
+    * the property the spec pins. Output mirrors q98 for comparability:
+    * (src_a, src_b, n_a_approx, n_common_approx, overlap_frac_approx).
+    * Scale shape: sources² pairs of k-long arrays, in-row lambda
+    * arithmetic, zero corpus access. */
+  def sourceOverlapKmv(sketches: DataFrame, k: Int = 256): DataFrame = {
+    val sk = sketches.localCheckpoint(eager = false) // both cross-join sides
+    val a = sk.select(col("source").as("src_a"), col("kmv").as("kmv_a"))
+    val b = sk.select(col("source").as("src_b"), col("kmv").as("kmv_b"))
+    // D(sketch): exact size when sub-k, else (k−1)/(x_k/2^63)
+    def dEst(c: String): Column =
+      when(size(col(c)) < k, size(col(c)).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (element_at(col(c), k).cast("double") / lit(9.223372036854775807e18)))
+    a.crossJoin(broadcast(b)).filter(col("src_a") =!= col("src_b"))
+      .withColumn("u", expr(s"slice(array_sort(array_distinct(concat(kmv_a, kmv_b))), 1, $k)"))
+      .withColumn("rho_n",
+        size(expr("array_intersect(array_intersect(u, kmv_a), kmv_b)")))
+      .withColumn("d_a", dEst("kmv_a"))
+      .withColumn("d_u",
+        when(size(col("u")) < k, size(col("u")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("u"), k).cast("double") / lit(9.223372036854775807e18))))
+      .withColumn("d_i",
+        col("rho_n").cast("double") / size(col("u")) * col("d_u"))
+      .select(col("src_a"), col("src_b"),
+        round(col("d_a"), 3).as("n_a_approx"),
+        round(col("d_i"), 3).as("n_common_approx"),
+        round(col("d_i") / col("d_a"), 6).as("overlap_frac_approx"))
   }
 
   /** Source-overlap matrix (q96): for every ordered pair of sources

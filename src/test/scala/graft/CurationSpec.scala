@@ -737,6 +737,52 @@ class CurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(merged.toSeq == full.toSeq, "merged-batch estimates must equal full recompute")
   }
 
+  test("q208 KMV overlap: exact below k, tracks the exact matrix, merge equals full recompute") {
+    // sub-k regime: every source holds < 256 distinct shingles, so the
+    // sketch IS the distinct hash set and every estimate must be EXACT
+    val planted = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8", "A"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 b9", "B"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8", "C")
+    ).toDF("doc_id", "text", "source")
+    val subK = Curation.sourceOverlapKmv(Curation.sourceShingleKmv(planted))
+      .as[(String, String, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(subK(("A", "B")) == ((1.0, 1.0, 1.0)), s"$subK")
+    assert(subK(("B", "A")) == ((2.0, 1.0, 0.5)), s"$subK")
+    assert(subK(("A", "C")) == ((1.0, 0.0, 0.0)), s"$subK")
+    // real corpus: both sketch families vs the exact matrix — record the
+    // error comparison (the KMV direct estimator's selling point is the
+    // near-disjoint regime, where inclusion–exclusion degrades)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val exact = Curation.sourceOverlapMatrix(docs)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3.toDouble, r._5))).toMap
+    val kmv = Curation.sourceOverlapKmv(Curation.sourceShingleKmv(docs))
+      .as[(String, String, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._5))).toMap
+    val hll = Curation.sourceOverlapSketched(Curation.sourceShingleSketches(docs))
+      .as[(String, String, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._5))).toMap
+    assert(kmv.keySet == exact.keySet)
+    val kmvCardErr = exact.map { case (k, (nA, _)) =>
+      math.abs(kmv(k)._1 / nA - 1.0) }.max
+    val kmvFracErr = exact.map { case (k, (_, f)) => math.abs(kmv(k)._2 - f) }.max
+    val hllFracErr = exact.map { case (k, (_, f)) => math.abs(hll(k)._2 - f) }.max
+    info(f"KMV: card err $kmvCardErr%.4f, frac err $kmvFracErr%.4f; HLL frac err $hllFracErr%.4f")
+    assert(kmvCardErr <= 0.15, f"KMV cardinality off by $kmvCardErr%.4f (k=256 ≈ 6%% RSE)")
+    assert(kmvFracErr <= 0.08, f"KMV overlap fraction off by $kmvFracErr%.4f")
+    // incremental contract: disjoint halves, merge — estimates EXACTLY
+    // equal the full recompute (sorted-merge+truncate is associative)
+    val h1 = Curation.sourceShingleKmv(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val h2 = Curation.sourceShingleKmv(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    val merged = Curation.sourceOverlapKmv(Curation.mergeSourceShingleKmv(h1, h2))
+      .as[(String, String, Double, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    val full = Curation.sourceOverlapKmv(Curation.sourceShingleKmv(docs))
+      .as[(String, String, Double, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(merged.toSeq == full.toSeq, "merged-batch KMV must equal full recompute")
+  }
+
   test("sketched source overlap separates a planted mirror from a disjoint source") {
     val base = (1 to 40).map(i => s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h w${i}i")
     val docs = (

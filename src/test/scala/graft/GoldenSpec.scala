@@ -90,7 +90,10 @@ object GoldenSpec {
     "q189_minhash_error_audit", "q190_conformal_threshold",
     // r11: PQ-ADC top-k and IVF-PQ (codebooks are engine-internal;
     // SimilaritySpec gates recall at the AnnSweep operating points)
-    "q204_pq_adc_topk", "q205_ivfpq_topk")
+    "q204_pq_adc_topk", "q205_ivfpq_topk",
+    // r11: KMV direct-intersection overlap (hash-sketch internals;
+    // CurationSpec gates error vs exact q96 + sub-k exactness + merge)
+    "q208_source_overlap_kmv")
 
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
@@ -175,7 +178,9 @@ object GoldenSpec {
     ("q204_pq_adc_topk", "sf0.001") -> "a37c5554e87f1fea",
     ("q204_pq_adc_topk", "sf0.01") -> "450ec6775f740993",
     ("q205_ivfpq_topk", "sf0.001") -> "2929fd0033c04d75",
-    ("q205_ivfpq_topk", "sf0.01") -> "287a3b784979e48f")
+    ("q205_ivfpq_topk", "sf0.01") -> "287a3b784979e48f",
+    ("q208_source_overlap_kmv", "sf0.001") -> "190766e1ed153169",
+    ("q208_source_overlap_kmv", "sf0.01") -> "0a8789c43f8441ac")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */
