@@ -661,9 +661,17 @@ object Streams {
         coalesce(greatest(col("in_max"), col("prior_bmax")),
           col("in_max"), col("prior_bmax")).cast("double")
           - col("ts").cast("double")).as("late_s"))
+    latenessLadder(late, ladderSec)
+  }
+
+  /** The ladder aggregation over a (late_s) frame — shared by the batch
+    * audit above and the streaming tracker's output. */
+  def latenessLadder(late0: DataFrame,
+      ladderSec: Seq[Long] = Seq(0L, 10L, 60L, 600L, 3600L, 86400L)): DataFrame = {
+    val late = late0.select("late_s")
       .localCheckpoint(eager = false) // consumers: ladder counts + total
     val total = late.agg(count(lit(1)).as("n_events"))
-    val spark = events.sparkSession
+    val spark = late0.sparkSession
     import spark.implicits._
     val ladderDf = ladderSec.toDF("watermark_s")
     late.select(explode(array(ladderSec.map(lit(_)): _*)).as("watermark_s"),
@@ -676,6 +684,57 @@ object Streams {
         round(coalesce(col("n_dropped"), lit(0L)).cast("double") / col("n_events"), 6)
           .as("drop_share"))
       .orderBy("watermark_s")
+  }
+
+  /** q188's streaming twin: per-event lateness AT INGEST. One
+    * `ValueState[Long]` holds the running event-time maximum in
+    * microseconds — O(1) state, the same quantity Spark's own watermark
+    * machinery tracks — and every arriving event emits its lateness
+    * against the max BEFORE it (arrival order = micro-batch delivery
+    * order, event_id within a batch, matching the batch audit's
+    * definition on an event_id-ordered feed). The division replays the
+    * batch face's arithmetic exactly (each micros value scales to
+    * double seconds BEFORE the subtraction), so StreamingSpec pins the
+    * streamed ladder EQUAL to [[watermarkLatenessAudit]]. */
+  case class EventLateness(event_id: Long, late_s: Double)
+
+  class LatenessTracker
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, (Long, Long), EventLateness] {
+    @transient private var maxMicros: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      maxMicros = getHandle.getValueState[Long]("maxMicros",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Int,
+        rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[EventLateness] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[EventLateness]
+      rows.toSeq.sortBy(_._1).foreach { case (id, ts) =>
+        val prev = if (maxMicros.exists()) Some(maxMicros.get()) else None
+        val late = prev.fold(0.0)(p => math.max(0.0, p / 1e6 - ts / 1e6))
+        out += EventLateness(id, late)
+        if (prev.forall(_ < ts)) maxMicros.update(ts)
+      }
+      out.iterator
+    }
+  }
+
+  /** Wire [[LatenessTracker]] over an event stream (same RocksDB +
+    * TimeMode notes as [[contentChanges]]). */
+  def latenessStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), unix_micros(col("ts")).as("tsm"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .transformWithState(new LatenessTracker,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF()
   }
 
   def defs: Map[String, QueryDef] = Map(

@@ -649,7 +649,14 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q205_ivfpq_topk",               1, 7),
       // q206: sessionization window + bin-join both read the barriered
       // interval frame; exchanges = session window + output sort
-      ("q206_concurrent_sessions",      0, 2))
+      ("q206_concurrent_sessions",      0, 2),
+      // q207: the audit reads the WRITTEN shard files (one scan) +
+      // per-shard agg + output sort (the manifest write happens before
+      // this plan exists)
+      ("q207_shard_write",              1, 2),
+      // q208: sources-sized KMV cross join behind the sketch barrier;
+      // the one exchange is the sketch agg
+      ("q208_source_overlap_kmv",       0, 1))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

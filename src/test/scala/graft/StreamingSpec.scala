@@ -624,6 +624,49 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("q188 streaming twin: at-ingest lateness ladder equals the batch audit") {
+    val conf = spark.conf
+    val prevProvider = conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // planted DISORDER: ts out of arrival order so lateness is nonzero
+      // (the real events table arrives ordered — the audit's all-zero
+      // answer there is honest but exercises nothing)
+      def ev(id: Long, ts: String) =
+        (id, java.sql.Timestamp.valueOf(ts), id, "view", 0.0, "{}")
+      val rows = Seq(
+        ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"),
+        ev(3, "2024-01-01 10:04:30"),            // 30 s late
+        ev(4, "2024-01-01 09:50:00"),            // 15 min late
+        ev(5, "2024-01-01 10:06:00"),
+        ev(6, "2024-01-01 08:00:00"),            // > 1 h late
+        ev(7, "2024-01-01 10:07:00"))
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val want = Streams.watermarkLatenessAudit(df)
+        .collect().map(_.toString).toSeq
+      val input = MemoryStream[Streams.Event](spark)
+      val out = Streams.latenessStream(input.toDF())
+      val q = out.writeStream.format("memory").queryName("late_out")
+        .outputMode("append").start()
+      try {
+        // two batches split mid-stream: the running max crosses the boundary
+        val evs = df.as[Streams.Event].collect().sortBy(_.event_id)
+        input.addData(evs.take(4).toIndexedSeq); q.processAllAvailable()
+        input.addData(evs.drop(4).toIndexedSeq); q.processAllAvailable()
+        val got = Streams.latenessLadder(spark.table("late_out"))
+          .collect().map(_.toString).toSeq
+        assert(got === want, s"streamed ladder diverges:\n$got\nvs\n$want")
+        // spot-check the per-event values the ladder was built from
+        val perEvent = spark.table("late_out")
+          .as[Streams.EventLateness].collect().map(l => l.event_id -> l.late_s).toMap
+        assert(perEvent(3L) === 30.0 && perEvent(4L) === 900.0)
+        assert(perEvent(6L) > 3600.0 && perEvent(7L) === 0.0)
+      } finally q.stop()
+    } finally conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
   test("q169 actives-sketch sink: streamed daily table reproduces the batch estimates; replay-invariant") {
     val root = java.nio.file.Files.createTempDirectory("actives-sink").toString
     val sketchDir = s"$root/daily"
