@@ -14,6 +14,7 @@ object SparkEntry {
   def all: Map[String, QueryDef] =
     operators.Relational.defs ++ operators.Relational2.defs ++
       operators.Relational3.defs ++ operators.TemporalJoins.defs ++
+      operators.SubstrDupStore.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.DedupIndex.defs ++
       operators.Similarity.defs ++ operators.Multimodal.defs ++

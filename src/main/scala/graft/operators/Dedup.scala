@@ -283,6 +283,46 @@ object Dedup {
       thresholdSweep(Tables.documents(s, dir))
     },
 
+    // ---- exact substring duplication audit (q210): Lee et al. 2021's
+    //      ExactSubstr signal as a distributed window join; the declared
+    //      face shuffles window text (oracle-exact), the byHash face is
+    //      the 8-bytes-per-position production shape (suite-pinned). ----
+    "q210_exact_substring_dup" -> QueryDef.sql(
+      """WITH pos AS (SELECT doc_id, unnest(range(1, length(text) - 38)) AS i, text
+        |             FROM documents WHERE length(text) >= 40),
+        |w AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 40) AS w FROM pos),
+        |d AS (SELECT w, min(doc_id) AS mn, max(doc_id) AS mx FROM w GROUP BY w)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN d.mn <> d.mx THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |  CAST(sum(CASE WHEN d.mn <> d.mx THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS dup_ppm
+        |FROM w JOIN d USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      exactSubstringDup(Tables.documents(s, dir))
+    },
+
+    // ---- substring-dup character coverage (q212): the interval-union
+    //      refinement of q210 — characters inside ≥1 duplicated window,
+    //      exact via the sorted-positions lead() identity. ----
+    "q212_substring_dup_coverage" -> QueryDef.sql(
+      """WITH pos AS (SELECT doc_id, unnest(range(0, length(text) - 39)) AS i, text
+        |             FROM documents WHERE length(text) >= 40),
+        |w AS (SELECT doc_id, i, substr(text, CAST(i + 1 AS INTEGER), 40) AS w FROM pos),
+        |d AS (SELECT w FROM (SELECT w, min(doc_id) AS mn, max(doc_id) AS mx
+        |                     FROM w GROUP BY w) WHERE mn <> mx),
+        |dup AS (SELECT doc_id, i FROM w JOIN d USING (w)),
+        |cov AS (SELECT doc_id,
+        |          least(coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i, 40), 40) AS c
+        |        FROM dup),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_dup_chars FROM cov GROUP BY doc_id)
+        |SELECT dd.doc_id, CAST(length(dd.text) AS BIGINT) AS n_chars,
+        |  coalesce(a.n_dup_chars, 0) AS n_dup_chars,
+        |  coalesce(a.n_dup_chars, 0) * 1000000 // CAST(length(dd.text) AS BIGINT) AS dup_char_ppm
+        |FROM documents dd LEFT JOIN agg a USING (doc_id)
+        |WHERE length(dd.text) >= 40
+        |ORDER BY doc_id""") { (s, dir) =>
+      substringDupCoverage(Tables.documents(s, dir))
+    },
+
     // ---- duplication-structure audit: component-size histogram of the
     //      q62 near-dup graph, singletons included — same recursive-CTE
     //      oracle with a histogram on top. ----
@@ -1041,6 +1081,105 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Exact substring duplication audit (q210): per document, the share
+    * of its fixed-length character windows whose exact content also
+    * appears in ANOTHER document — the ExactSubstr signal of Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models Better"),
+    * whose suffix-array formulation is single-machine; this is the
+    * distributed-join restatement. Every position of every doc emits its
+    * `windowLen`-char window; a window is duplicated iff its content
+    * occurs in ≥ 2 DISTINCT documents (min(doc_id) ≠ max(doc_id) — O(1)
+    * aggregation state, never a per-window distinct set). `dup_ppm` is
+    * integer parts-per-million via scaled-integer floor division (the
+    * q180 lesson: a rounded double ratio of two counts can land exactly
+    * on a rounding half where the engines' double-rounding rules
+    * diverge).
+    *
+    * Scale shape: the window relation is |text| rows per doc, and the
+    * exact face shuffles the WINDOW TEXT (windowLen bytes per position)
+    * into the content groupBy — a documented windowLen× write
+    * amplification that is the price of oracle-exactness. The production
+    * face (`byHash = true`, suite-pinned equal to the exact face)
+    * shuffles xxhash64(window) instead: 8 bytes per position regardless
+    * of windowLen, with 2⁻⁶⁴-per-pair collision odds — the only shape
+    * that fits at 100 TB, and the same bound the paper's released
+    * implementation accepts for its hash-bucketed variant. Both faces
+    * are two exchanges off one barriered window frame (content groupBy,
+    * then the per-doc rollup), with map-side combine collapsing hot
+    * boilerplate windows before the shuffle. Windows are code-point
+    * substrings in BOTH engines (Spark substring and DuckDB substr are
+    * code-point-indexed), so the faces agree beyond ASCII. */
+  /** The (doc_id, w) window relation both substring-dup faces and the
+    * persisted window store share — w is the window text (oracle-exact)
+    * or its xxhash64 (the 8-bytes-per-position production form). */
+  private[operators] def windowRelation(docs: DataFrame, windowLen: Int,
+      byHash: Boolean): DataFrame = {
+    val winBody = s"substring(text, i, $windowLen)"
+    val winExpr = s"transform(sequence(1, length(text) - ${windowLen - 1}), " +
+      s"i -> ${if (byHash) s"xxhash64($winBody)" else winBody})"
+    docs.filter(length(col("text")) >= windowLen)
+      .select(col("doc_id"), explode(expr(winExpr)).as("w"))
+  }
+
+  def exactSubstringDup(docs: DataFrame, windowLen: Int = 40,
+      byHash: Boolean = false): DataFrame = {
+    val wins = windowRelation(docs, windowLen, byHash)
+      .localCheckpoint(eager = false) // consumers: content df + per-doc rollup
+    val dupw = wins.groupBy("w")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .select(col("w"), (col("mn") =!= col("mx")).as("is_dup"))
+    wins.join(dupw, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        expr("div(n_dup_windows * 1000000, n_windows)").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Substring-duplication CHARACTER coverage (q212): per document, how
+    * many of its characters sit inside at least one duplicated window —
+    * the Lee et al. 2021 headline number ("what fraction of the corpus
+    * is duplicated text"), which [[exactSubstringDup]]'s window counts
+    * over-state (overlapping dup windows double-count characters).
+    * Exact interval union without materializing intervals: dup windows
+    * all have length L, so with per-doc dup positions sorted ascending,
+    * position p's fresh contribution is min(next_p − p, L) and the last
+    * contributes L — a per-doc lead() window over dup positions only
+    * (bounded by doc length, never a corpus-wide rank). `dup_char_ppm`
+    * is scaled-integer floor division like q210's. Docs with no
+    * duplicated window report zeros; docs shorter than the window are
+    * absent (no window exists to test). Shares q210's window relation
+    * shape and its byHash production face. */
+  def substringDupCoverage(docs: DataFrame, windowLen: Int = 40,
+      byHash: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winBody = s"substring(text, i + 1, $windowLen)"
+    val winExpr = s"transform(sequence(0, length(text) - $windowLen), " +
+      s"i -> ${if (byHash) s"xxhash64($winBody)" else winBody})"
+    val wins = docs.filter(length(col("text")) >= windowLen)
+      .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("i", "w")))
+      .localCheckpoint(eager = false) // consumers: content df + position join
+    val dupw = wins.groupBy("w")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select("w")
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val covered = wins.join(dupw, Seq("w"))
+      .withColumn("nxt", lead(col("i"), 1).over(byDoc))
+      .select(col("doc_id"),
+        least(coalesce(col("nxt") - col("i"), lit(windowLen)),
+          lit(windowLen)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("n_dup_chars"))
+    docs.filter(length(col("text")) >= windowLen)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_dup_chars"), lit(0L)).as("n_dup_chars"))
+      .select(col("doc_id"), col("n_chars"), col("n_dup_chars"),
+        expr("div(n_dup_chars * 1000000, n_chars)").as("dup_char_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash estimation-error audit (q189): every pair the LSH face
     * (q52) surfaces, with its signature-estimated Jaccard compared to
     * the EXACT Jaccard — the error distribution that justifies (or
@@ -1051,11 +1190,18 @@ object Dedup {
     * inflated by at most the floor (documented, and the floor is 0.01).
     * Mean error sums DECIMAL(18,6); everything is pair-bounded. */
   def minhashErrorAudit(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-      exactFloor: Double = 0.01, grossErr: Double = 0.25): DataFrame = {
-    val est = minhashLshPairs(docs, numHashes, bands)
-      .select(col("d1"), col("d2"), col("est_jaccard"))
-    val exact = exactJaccardPairs(docs, exactFloor)
-      .select(col("d1"), col("d2"), col("jaccard"))
+      exactFloor: Double = 0.01, grossErr: Double = 0.25): DataFrame =
+    minhashErrorAuditFrom(minhashLshPairs(docs, numHashes, bands),
+      exactJaccardPairs(docs, exactFloor), grossErr)
+
+  /** [[minhashErrorAudit]]'s arithmetic over pre-built pair frames —
+    * shared with the index face (q209): `est` is an LSH pair frame
+    * (d1, d2, est_jaccard), `exact` an exact pair frame (d1, d2,
+    * jaccard) at the audit floor. */
+  private[operators] def minhashErrorAuditFrom(est0: DataFrame, exact0: DataFrame,
+      grossErr: Double): DataFrame = {
+    val est = est0.select(col("d1"), col("d2"), col("est_jaccard"))
+    val exact = exact0.select(col("d1"), col("d2"), col("jaccard"))
     val errs = est.join(exact, Seq("d1", "d2"), "left")
       .select(round(abs(col("est_jaccard")
         - coalesce(col("jaccard"), lit(0.0))), 6).as("abs_err"))
@@ -1569,14 +1715,23 @@ object Dedup {
     * `maxBucketSize` are dropped before the self-join (see
     * [[defaultLshBucketCap]]). */
   def minhashLshPairs(docs: DataFrame, numHashes: Int, bands: Int,
-      maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
+      maxBucketSize: Int = defaultLshBucketCap): DataFrame =
+    minhashLshPairsFromShingles(shingles(docs), numHashes, bands, maxBucketSize)
+
+  /** [[minhashLshPairs]] core over an ALREADY-MATERIALIZED shingle
+    * relation (doc_id, sh) — the entry the persisted dedup index probes
+    * (q209) so the audit faces never re-shingle the corpus. Byte-equal to
+    * the docs form because [[minhashSignaturesFrom]]'s min-fold is
+    * order-independent over the same shingle SET. */
+  private[operators] def minhashLshPairsFromShingles(sh: DataFrame, numHashes: Int,
+      bands: Int, maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
     // One barrier, three consumers: the bucket-count aggregate and both
     // self-join sides all read the banded frame, and without the
     // localCheckpoint each re-ran the signature UDAF over the shingles
     // (the r6→r7 repartition-for-reuse never survived AQE — same failure
     // mode as q51's, same fix). Signatures compute once; the persisted
     // blocks are a constant numHashes longs per doc × bands.
-    val banded = bandedSignatures(minhashSignatures(docs, numHashes), numHashes, bands)
+    val banded = bandedSignatures(minhashSignaturesFrom(sh, numHashes), numHashes, bands)
       .localCheckpoint(eager = false)
     val capped = capBuckets(banded, Seq("band", "key"), maxBucketSize)
     val a = capped.as("a")
@@ -1595,9 +1750,12 @@ object Dedup {
     * numHashes independent min() aggregates). PERSISTABLE — write this
     * to parquet and feed it back to [[incrementalMinhashPairs]] to dedup
     * later batches against the corpus without re-shingling it. */
-  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
+    minhashSignaturesFrom(shingles(docs), numHashes)
+
+  private def minhashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
     val mh = udaf(new graft.functions.MinHashAgg(numHashes))
-    shingles(docs).groupBy("doc_id").agg(mh(col("sh")).as("sig"))
+    sh.groupBy("doc_id").agg(mh(col("sh")).as("sig"))
   }
 
   /** Explode signatures into (doc_id, sig, band, key) LSH rows — the

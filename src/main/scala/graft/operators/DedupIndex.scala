@@ -361,6 +361,43 @@ object DedupIndex {
   def trianglesAgainst(idx: Index, threshold: Double = 0.3): DataFrame =
     Dedup.triangleCohesionFromPairs(pairsAt(idx, threshold).select("d1", "d2"))
 
+  /** Cross-source duplicate-provenance matrix (q211): near-dup pair
+    * counts per unordered source pair — the "which feeds are copying
+    * which" audit a multi-source crawl runs before deciding what to
+    * re-ingest. Pairs come from the stored graph; documents are scanned
+    * once, ONLY for the (doc_id, source) projection the output needs.
+    * The endpoint joins are pair-bounded on one side (the pair graph is
+    * ≪ corpus at any real dup rate), so AQE broadcasts the pair side
+    * against the corpus-sized source map; the final matrix is
+    * |sources|²-bounded. */
+  def sourceMatrixAgainst(docs: DataFrame, idx: Index,
+      threshold: Double = defaultClusterThreshold): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairsAt(idx, threshold)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("sa")), Seq("d1"))
+      .join(src.select(col("doc_id").as("d2"), col("source").as("sb")), Seq("d2"))
+      .select(least(col("sa"), col("sb")).as("s1"),
+        greatest(col("sa"), col("sb")).as("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("s1", "s2")
+  }
+
+  /** q189's output — zero document scans: the MinHash estimation-error
+    * audit with BOTH sides answered from the index. The exact side is
+    * the stored pair graph at the audit floor; the estimated side runs
+    * the LSH machinery over the PERSISTED shingle relation (signatures
+    * are an order-independent min-fold, so the persisted set reproduces
+    * the standalone signatures bit-for-bit). At 100 TB this turns the
+    * audit — which the standalone form pays two full corpus tokenizes
+    * for — into a signature pass over the index plus a pair-graph
+    * filter. */
+  def errorAuditAgainst(idx: Index, numHashes: Int = 16, bands: Int = 4,
+      exactFloor: Double = 0.01, grossErr: Double = 0.25): DataFrame =
+    Dedup.minhashErrorAuditFrom(
+      Dedup.minhashLshPairsFromShingles(
+        idx.shingles.select("doc_id", "sh"), numHashes, bands),
+      pairsAt(idx, exactFloor), grossErr)
+
   // ---------------------------------------------------------------------
   // declared queries: build once per (JVM, sfDir), then every face is an
   // index probe — the composability the standalone family pays for per
@@ -457,6 +494,28 @@ object DedupIndex {
       Dedup.pageRank(Tables.documents(s, dir),
           pairsAt(ensure(s, dir), 0.3), damping = 0.85, iters = 5)
         .orderBy("doc_id")
+    },
+
+    // ---- cross-source duplicate-provenance matrix: a NEW face the
+    //      index makes cheap (pairs from the store, documents scanned
+    //      once for the source projection); the oracle recomputes the
+    //      q51 pair set from scratch and joins sources. ----
+    "q211_cross_source_dup_matrix" -> QueryDef.sql(
+      s"""SELECT least(a.source, b.source) AS s1,
+         |  greatest(a.source, b.source) AS s2, count(*) AS n_pairs
+         |FROM (${oracleOf("q51_ngram_jaccard_pairs")}) p
+         |JOIN documents a ON a.doc_id = p.d1
+         |JOIN documents b ON b.doc_id = p.d2
+         |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      sourceMatrixAgainst(Tables.documents(s, dir), ensure(s, dir))
+    },
+
+    // ---- index-backed MinHash error audit (q189): zero corpus scans —
+    //      estimated side from the persisted shingles, exact side from
+    //      the stored pair graph. Rows-only like its standalone twin;
+    //      DedupIndexSpec pins byte-parity with q189. ----
+    "q209_dedupindex_error_audit" -> QueryDef.rowsOnly { (s, dir) =>
+      errorAuditAgainst(ensure(s, dir))
     },
 
     // ---- incremental maintenance, oracle-checked the strong way: build

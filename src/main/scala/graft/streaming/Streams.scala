@@ -242,6 +242,65 @@ object Streams {
         ()
       }
 
+  /** At-ingest maintenance of the q208 per-source KMV sketch table:
+    * every micro-batch sketches its own (source, shingles) slice and
+    * sorted-merge-truncates into the persisted table (aside-write +
+    * atomic swap — the table stays sources-sized, never appends
+    * forever). KMV insertion is a DISTINCT union of hash values, so
+    * at-least-once replays merge to the IDENTICAL sketch — the HLL
+    * sink's idempotence argument, no roster needed — and the merge is
+    * associative, so batch boundaries don't matter either
+    * (StreamingSpec pins streamed == one-shot). The source-overlap
+    * matrix (q208) then runs over the store via
+    * [[graft.operators.Curation.sourceOverlapKmv]] without ever
+    * re-reading ingested text. */
+  def kmvSketchSinkQuery(
+      docs: DataFrame, sketchDir: String,
+      k: Int = 256): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.Curation
+        val spark = batch.sparkSession
+        val dir = new org.apache.hadoop.fs.Path(sketchDir)
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        val fresh = Curation.sourceShingleKmv(batch, k = k)
+        if (!fs.exists(dir)) fresh.write.parquet(sketchDir)
+        else {
+          val merged = Curation.mergeSourceShingleKmv(
+              spark.read.parquet(sketchDir), fresh, k)
+            .localCheckpoint(eager = true) // read fully BEFORE the swap
+          val tmp = new org.apache.hadoop.fs.Path(s"$sketchDir.compact-tmp")
+          merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          graft.pipeline.ProvenanceStore.swapCompacted(fs, dir, tmp)
+        }
+        ()
+      }
+
+  /** At-ingest maintenance of the [[graft.operators.SubstrDupStore]]
+    * window-hash store: the first micro-batch builds, every later batch
+    * appends its (h, mn, mx) wave — so the per-doc substring-duplication
+    * gate (q210's contract via `statsAgainst`) stays answerable against
+    * a continuously-ingested corpus that is never re-windowed. Replays
+    * append duplicate waves, which the min/max fold erases — idempotent
+    * with no roster, like the sketch sinks. Run
+    * [[graft.operators.SubstrDupStore.compact]] between batches to fold
+    * the wave files. */
+  def substrStoreSinkQuery(
+      docs: DataFrame, storeDir: String,
+      windowLen: Int = 40): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.SubstrDupStore
+        val spark = batch.sparkSession
+        val metaPath = new org.apache.hadoop.fs.Path(s"$storeDir/meta")
+        val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(metaPath)) SubstrDupStore.build(batch, storeDir, windowLen)
+        else SubstrDupStore.update(batch, storeDir)
+        ()
+      }
+
   /** At-ingest maintenance of the persisted [[graft.operators.DedupIndex]]:
     * the first micro-batch BUILDS the index at `indexDir`, every later
     * batch runs the incremental [[graft.operators.DedupIndex.update]]

@@ -50,7 +50,8 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("leakage", DedupIndex.leakageAgainst(idx), Dedup.splitLeakageAudit(d)),
       ("contrastive", DedupIndex.contrastiveAgainst(idx), Dedup.contrastivePairs(d, 0.6)),
       ("pairs@0.6", DedupIndex.pairsAt(idx, 0.6), Dedup.exactJaccardPairs(d, 0.6)),
-      ("triangles", DedupIndex.trianglesAgainst(idx, 0.3), Dedup.triangleCohesion(d, 0.3)))
+      ("triangles", DedupIndex.trianglesAgainst(idx, 0.3), Dedup.triangleCohesion(d, 0.3)),
+      ("errorAudit", DedupIndex.errorAuditAgainst(idx), Dedup.minhashErrorAudit(d)))
     faces.foreach { case (name, against, standalone) =>
       assert(rows(against) === rows(standalone), s"face '$name' diverges")
     }
@@ -98,6 +99,15 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assertFacesEqual(all, ii)
   }
 
+  test("q211 source matrix: planted cross-source pairs land in the right cells") {
+    val dir = tempDir()
+    DedupIndex.build(docs, dir)
+    val got = DedupIndex.sourceMatrixAgainst(docs, DedupIndex.load(spark, dir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // pairs at 0.6: (0,1) a/a, (2,3) a/b, (5,6) b/c
+    assert(got === Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "c", 1L)))
+  }
+
   test("index-only faces read zero document scans (the build-once contract)") {
     import org.apache.spark.sql.execution.ExplainMode
     val idx = DedupIndex.ensure(spark, sf001)
@@ -108,7 +118,8 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("explanation", DedupIndex.explanationAgainst(idx)),
       ("leakage", DedupIndex.leakageAgainst(idx)),
       ("contrastive", DedupIndex.contrastiveAgainst(idx)),
-      ("triangles", DedupIndex.trianglesAgainst(idx)))
+      ("triangles", DedupIndex.trianglesAgainst(idx)),
+      ("errorAudit", DedupIndex.errorAuditAgainst(idx)))
     indexOnly.foreach { case (name, df) =>
       val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("documents.parquet"),

@@ -678,4 +678,139 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq === Seq((1L, 4L, 4L, 1.0)))
   }
+
+  /** Independent plain-Scala reference for q210: sliding character
+    * windows, cross-document duplication, integer ppm. */
+  private def substrDupRef(rows: Seq[(Long, String)], L: Int): Seq[(Long, Long, Long, Long)] = {
+    val wins = rows.flatMap { case (id, t) =>
+      if (t.length >= L) t.sliding(L).map(w => (id, w)) else Nil }
+    val docsPerWin = wins.groupBy(_._2).view
+      .mapValues(ws => ws.map(_._1).distinct.size).toMap
+    rows.filter(_._2.length >= L).map { case (id, t) =>
+      val ws = t.sliding(L).toSeq
+      val n = ws.size.toLong
+      val d = ws.count(w => docsPerWin(w) >= 2).toLong
+      (id, n, d, d * 1000000L / n)
+    }.sortBy(_._1)
+  }
+
+  test("q210 exact substring dup matches a plain-Scala sliding-window reference") {
+    // planted: 0/1 identical (all windows dup), 2/3 share a long prefix
+    // (prefix windows dup, suffix windows unique), 4 unrelated, 7 short
+    // (below the window length -> absent from the output)
+    val L = 20
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val want = substrDupRef(rows, L)
+    val got = Dedup.exactSubstringDup(docs, windowLen = L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(0L)._4 == 1000000L, "identical doc: every window duplicated")
+    assert(byId(1L)._4 == 1000000L)
+    assert(byId(4L)._4 == 0L, "unrelated doc: zero duplicated windows")
+    assert(byId(2L)._3 > 0 && byId(2L)._4 < 1000000L, "near dup: partial share")
+    assert(!byId.contains(7L), "doc shorter than the window is absent")
+  }
+
+  /** Independent reference for q212: literal interval union via a BitSet
+    * of covered character offsets — no lead() identity involved. */
+  private def coverageRef(rows: Seq[(Long, String)], L: Int): Seq[(Long, Long, Long, Long)] = {
+    val docsPerWin = rows.flatMap { case (id, t) =>
+      if (t.length >= L) t.sliding(L).map(w => (w, id)) else Nil }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    rows.filter(_._2.length >= L).map { case (id, t) =>
+      val cov = scala.collection.mutable.BitSet.empty
+      (0 to t.length - L).foreach { i =>
+        if (docsPerWin(t.substring(i, i + L)) >= 2) cov ++= (i until i + L)
+      }
+      val n = t.length.toLong
+      (id, n, cov.size.toLong, cov.size.toLong * 1000000L / n)
+    }.sortBy(_._1)
+  }
+
+  test("q212 coverage matches a BitSet interval-union reference; bounded by q210 windows") {
+    val L = 20
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val want = coverageRef(rows, L)
+    val got = Dedup.substringDupCoverage(docs, windowLen = L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(0L)._3 == byId(0L)._2, "identical doc: every char covered")
+    assert(byId(4L)._3 == 0L, "unrelated doc: zero covered chars")
+    // a doc with SOME dup windows covers more chars than windows but at
+    // most windows × L (the union can't exceed the naive sum)
+    val dupWin = Dedup.exactSubstringDup(docs, windowLen = L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, _, cov, _) =>
+      assert(cov <= dupWin(id) * L, s"doc $id union exceeds naive sum")
+      assert(cov >= (if (dupWin(id) > 0) L.toLong else 0L),
+        s"doc $id with a dup window must cover at least one window's chars")
+    }
+  }
+
+  test("q212 on real data matches the reference; byHash face is identical") {
+    val d = Tables.documents(spark, sf001)
+    val rows = d.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(Dedup.substringDupCoverage(d, 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      === coverageRef(rows, 40))
+    assert(Dedup.substringDupCoverage(d, 40, byHash = true).collect()
+      .map(_.toString).toSeq
+      === Dedup.substringDupCoverage(d, 40).collect().map(_.toString).toSeq)
+  }
+
+  test("q213 window store: build+update probe equals one-shot q210; compact preserves; fresh probe works") {
+    import graft.operators.SubstrDupStore
+    val dir = java.nio.file.Files.createTempDirectory("substr-store").toString
+    val L = 20
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val oldDocs = docs.filter(col("doc_id").isin(0L, 2L, 4L, 7L))
+    val newDocs = docs.filter(!col("doc_id").isin(0L, 2L, 4L, 7L))
+    SubstrDupStore.build(oldDocs, dir, windowLen = L)
+    SubstrDupStore.update(newDocs, dir)
+    // the incremental store must answer exactly like the one-shot face
+    val oneShot = rows(Dedup.exactSubstringDup(docs, windowLen = L))
+    assert(rows(SubstrDupStore.statsAgainst(docs, dir)) === oneShot)
+    // a NOT-ingested probe doc that quotes ingested text reports dups
+    // without touching the store
+    val probe = Seq((99L, docs.filter(col("doc_id") === 2L)
+      .select("text").as[String].head())).toDF("doc_id", "text")
+    val p = SubstrDupStore.statsAgainst(probe, dir).collect().head
+    assert(p.getLong(3) == 1000000L, "fully-quoted probe doc must be all-dup")
+    val freshProbe = Seq((99L, "completely novel text never ingested by anyone " +
+      "anywhere with enough length to window")).toDF("doc_id", "text")
+    assert(SubstrDupStore.statsAgainst(freshProbe, dir)
+      .collect().head.getLong(3) == 0L, "novel probe doc must be zero-dup")
+    // replayed update wave folds away
+    SubstrDupStore.update(newDocs, dir)
+    assert(rows(SubstrDupStore.statsAgainst(docs, dir)) === oneShot,
+      "replayed wave must not change the folded answers")
+    // compact: fewer files, identical folded relation and answers
+    val foldedBefore = rows(SubstrDupStore.folded(spark, dir).orderBy("h"))
+    val (b, a) = SubstrDupStore.compact(spark, dir)
+    assert(b > a, s"three waves must compact: $b -> $a files")
+    assert(rows(SubstrDupStore.folded(spark, dir).orderBy("h")) === foldedBefore)
+    assert(rows(SubstrDupStore.statsAgainst(docs, dir)) === oneShot)
+    // and post-compaction updates still fold in
+    SubstrDupStore.update(Seq((100L, docs.filter(col("doc_id") === 4L)
+      .select("text").as[String].head())).toDF("doc_id", "text"), dir)
+    val after = SubstrDupStore.statsAgainst(docs, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(after(4L) == 1000000L,
+      "doc 4 must become all-dup once its copy is ingested")
+  }
+
+  test("q210 on real data matches the reference; byHash face is identical") {
+    val d = Tables.documents(spark, sf001)
+    val rows = d.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val want = substrDupRef(rows, 40)
+    def run(byHash: Boolean) = Dedup.exactSubstringDup(d, 40, byHash).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val exact = run(byHash = false)
+    assert(exact === want)
+    assert(run(byHash = true) === exact,
+      "hash face must reproduce the exact face (8 bytes/position production shape)")
+  }
 }

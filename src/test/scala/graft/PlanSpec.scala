@@ -643,6 +643,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // parquet re-reads of a membership-sized table, not recompute
       ("q201_dedupindex_contrastive",   4, 3),
       ("q203_dedupindex_pagerank",      0, 1),
+      // q209: est side behind the banded barrier, exact side ONE
+      // pairs-parquet scan; audit join + one-row aggregate — half of
+      // q189's standalone budget
+      ("q209_dedupindex_error_audit",   1, 4),
       // q204/q205: codebooks/centroids are eagerly-checkpointed k×dim
       // frames; the corpus scan feeds codes + ADC probes
       ("q204_pq_adc_topk",              1, 4),
@@ -656,7 +660,22 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q207_shard_write",              1, 2),
       // q208: sources-sized KMV cross join behind the sketch barrier;
       // the one exchange is the sketch agg
-      ("q208_source_overlap_kmv",       0, 1))
+      ("q208_source_overlap_kmv",       0, 1),
+      // q210: window frame barriered (one explode feeds both the content
+      // groupBy and the rollup); exchanges = content agg + per-doc
+      // rollup + output sort
+      ("q210_exact_substring_dup",      0, 3),
+      // q211: pairs parquet + the two documents-side source projections;
+      // AQE broadcasts the pair-bounded side, so exchanges are just the
+      // matrix agg + output sort
+      ("q211_cross_source_dup_matrix",  3, 2),
+      // q212: window frame barriered; one docs scan for n_chars; content
+      // agg + per-doc lead window/rollup + output sort
+      ("q212_substring_dup_coverage",   1, 3),
+      // q213: probe docs scan + the folded windows-parquet scan; fold
+      // agg + per-doc rollup + output sort (the probe never re-windows
+      // the ingested corpus)
+      ("q213_substring_dup_incremental", 2, 3))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

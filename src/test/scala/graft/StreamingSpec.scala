@@ -707,6 +707,75 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("q213 substring-store sink: streamed store answers like one-shot q210; replay-invariant") {
+    import graft.operators.{Dedup, SubstrDupStore}
+    val root = java.nio.file.Files.createTempDirectory("substr-sink").toString
+    val storeDir = s"$root/store"
+    val docs = Tables.documents(spark, sf001)
+    val want = Dedup.exactSubstringDup(docs).collect().map(_.toString).toSeq
+    val rows = docs.orderBy("doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val cuts = Seq(rows.length / 3, 2 * rows.length / 3, rows.length)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.substrStoreSinkQuery(
+      input.toDF().toDF("doc_id", "text"), storeDir).start()
+    try {
+      var from = 0
+      cuts.foreach { to =>
+        input.addData(rows.slice(from, to).toIndexedSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      assert(SubstrDupStore.statsAgainst(docs, storeDir)
+        .collect().map(_.toString).toSeq === want,
+        "streamed store must answer exactly like the one-shot face")
+      // replay the middle slice: the folded store must not move
+      val before = SubstrDupStore.folded(spark, storeDir)
+        .orderBy("h").collect().map(_.toString).toSeq
+      input.addData(rows.slice(cuts(0), cuts(1)).toIndexedSeq)
+      q.processAllAvailable()
+      assert(SubstrDupStore.folded(spark, storeDir)
+        .orderBy("h").collect().map(_.toString).toSeq === before,
+        "replayed batch must fold away")
+    } finally q.stop()
+  }
+
+  test("q208 kmv sink: streamed sketch table reproduces the one-shot overlap matrix; replay-invariant") {
+    import graft.operators.Curation
+    val root = java.nio.file.Files.createTempDirectory("kmv-sink").toString
+    val sketchDir = s"$root/kmv"
+    val docs = Tables.documents(spark, sf001)
+    // batch oracle: the q208 matrix over a one-shot sketch of everything
+    val want = Curation.sourceOverlapKmv(Curation.sourceShingleKmv(docs))
+      .orderBy("src_a", "src_b").collect().map(_.toString).toSeq
+    val rows = docs.orderBy("doc_id")
+      .select("source", "text").as[(String, String)].collect()
+    val cuts = Seq(rows.length / 3, 2 * rows.length / 3, rows.length)
+    val input = MemoryStream[(String, String)](spark)
+    val q = Streams.kmvSketchSinkQuery(
+      input.toDF().toDF("source", "text"), sketchDir).start()
+    try {
+      var from = 0
+      cuts.foreach { to =>
+        input.addData(rows.slice(from, to).toIndexedSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      // replay the middle slice: KMV insertion is a distinct union, the
+      // store must not move
+      def store() = spark.read.parquet(sketchDir)
+        .collect().map(_.toString).sorted.toSeq
+      val before = store()
+      input.addData(rows.slice(cuts(0), cuts(1)).toIndexedSeq)
+      q.processAllAvailable()
+      assert(store() === before, "replayed batch must merge to identical sketches")
+      val got = Curation.sourceOverlapKmv(spark.read.parquet(sketchDir))
+        .orderBy("src_a", "src_b").collect().map(_.toString).toSeq
+      assert(got === want,
+        "overlap matrix from the streamed store must equal the one-shot face")
+    } finally q.stop()
+  }
+
   test("q137 streaming twin: anomaly scores window-for-window equal to the batch face") {
     val conf = spark.conf
     val prevProvider = conf.get("spark.sql.streaming.stateStore.providerClass",
