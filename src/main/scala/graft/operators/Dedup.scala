@@ -323,6 +323,68 @@ object Dedup {
       substringDupCoverage(Tables.documents(s, dir))
     },
 
+    // ---- exact substring dedup APPLY (q214): strip every character
+    //      covered by a cut window (duplicated + not the min-doc
+    //      canonical copy); the oracle reconstructs the kept text
+    //      per-character — deliberately naive, no shared shortcut. ----
+    "q214_substring_dedup_apply" -> QueryDef.sql(
+      """WITH pos AS (SELECT doc_id, unnest(range(0, length(text) - 39)) AS i, text
+        |             FROM documents WHERE length(text) >= 40),
+        |w AS (SELECT doc_id, i, substr(text, CAST(i + 1 AS INTEGER), 40) AS w FROM pos),
+        |d AS (SELECT w, min(doc_id) AS mn FROM w GROUP BY w HAVING min(doc_id) <> max(doc_id)),
+        |cut AS (SELECT doc_id, i FROM w JOIN d USING (w) WHERE doc_id <> d.mn),
+        |chars AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS j, text
+        |          FROM documents WHERE length(text) >= 40),
+        |cov AS (SELECT DISTINCT ch.doc_id, ch.j
+        |        FROM chars ch JOIN cut c ON ch.doc_id = c.doc_id AND ch.j BETWEEN c.i + 1 AND c.i + 40),
+        |kept AS (SELECT ch.doc_id,
+        |           coalesce(string_agg(substr(ch.text, CAST(ch.j AS INTEGER), 1), '' ORDER BY ch.j), '') AS text_dedup
+        |         FROM chars ch LEFT JOIN cov ON ch.doc_id = cov.doc_id AND ch.j = cov.j
+        |         WHERE cov.j IS NULL GROUP BY ch.doc_id)
+        |SELECT dd.doc_id, CAST(length(dd.text) AS BIGINT) AS n_chars,
+        |  coalesce(k.text_dedup, '') AS text_dedup,
+        |  CAST(length(dd.text) - length(coalesce(k.text_dedup, '')) AS BIGINT) AS n_removed
+        |FROM documents dd LEFT JOIN kept k USING (doc_id)
+        |WHERE length(dd.text) >= 40
+        |ORDER BY doc_id""") { (s, dir) =>
+      substringDedupApply(Tables.documents(s, dir))
+    },
+
+    // ---- LSH parameter planner (q216): expected FN/FP pair counts per
+    //      (bands, rows) factorization against the OBSERVED similarity
+    //      distribution; the collision-prob arithmetic and the S-curve
+    //      midpoints are generated from one Scala builder into BOTH
+    //      faces (the q168/q178 pattern), in DECIMAL so no libm pow is
+    //      ever consulted. ----
+    "q216_lsh_parameter_plan" -> QueryDef.sql({
+      val cfgSelects = lshConfigs(16).map { case (b, r) =>
+        s"SELECT $b AS b, $r AS r, ${sCurveMidpointSql(b, r)} AS s_half, " +
+          s"jaccard, n, ${collisionProbSql(b, r)} AS p FROM hist"
+      }.mkString("\n        |      UNION ALL ").stripMargin
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+         |           FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+         |       FROM w WHERE len(ws) >= 3),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |pairs AS (SELECT round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+         |          FROM com
+         |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+         |          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.05),
+         |hist AS (SELECT jaccard, count(*) AS n FROM pairs GROUP BY 1),
+         |per AS ($cfgSelects)
+         |SELECT b, r, s_half,
+         |  CAST(coalesce(sum(CASE WHEN jaccard >= 0.6 THEN n END), 0) AS BIGINT) AS n_true,
+         |  CAST(coalesce(sum(CASE WHEN jaccard >= 0.6 THEN n * (1 - p) END), 0) AS DOUBLE) AS exp_fn,
+         |  CAST(coalesce(sum(CASE WHEN jaccard < 0.6 THEN n * p END), 0) AS DOUBLE) AS exp_fp
+         |FROM per GROUP BY 1, 2, 3 ORDER BY b"""
+    }) { (s, dir) =>
+      lshParameterPlan(Tables.documents(s, dir))
+    },
+
     // ---- duplication-structure audit: component-size histogram of the
     //      q62 near-dup graph, singletons included — same recursive-CTE
     //      oracle with a histogram on top. ----
@@ -1178,6 +1240,158 @@ object Dedup {
       .select(col("doc_id"), col("n_chars"), col("n_dup_chars"),
         expr("div(n_dup_chars * 1000000, n_chars)").as("dup_char_ppm"))
       .orderBy("doc_id")
+  }
+
+  /** APPLY step for exact substring duplication (q214) — the removal
+    * Lee et al. 2021 actually perform (their §4 "deduplicating" pass),
+    * completing the detect (q210) / coverage (q212) / store (q213) /
+    * apply (q214) family: every character covered by at least one CUT
+    * window is deleted and the survivors re-concatenate in order. A
+    * window of doc d is cut iff its content appears in ≥ 2 distinct
+    * docs AND d is not the window's canonical keeper (min doc_id) — so
+    * exactly one copy of every duplicated span survives, in the
+    * smallest-id doc, and the keep rule is engine-free arithmetic
+    * (no RNG, the q93 discipline). Within-doc-only repeats are NOT cut
+    * (mn = mx); that refinement needs per-doc occurrence counts and is
+    * the documented difference from the paper's suffix-array form.
+    *
+    * The reconstruction never goes per-character on the Spark side:
+    * cut START positions collect per doc (array bounded by doc length —
+    * the q154 per-doc-bound argument), and one in-row `aggregate` fold
+    * over the sorted starts emits the uncovered gaps with substring
+    * concatenation — interval union and text surgery in a single pass,
+    * O(cuts) per doc. The oracle rebuilds the same text per-character
+    * (positions minus covered positions, string_agg in order) — naive
+    * on purpose, so the two faces share no shortcut to be wrong
+    * together. `byHash` swaps window text for xxhash64 in the content
+    * groupBy (8 bytes/position, the 100 TB shape; suite-pinned equal).
+    * Docs shorter than the window pass through unchanged — nothing to
+    * test, nothing to cut — mirroring the oracle's WHERE. */
+  def substringDedupApply(docs: DataFrame, windowLen: Int = 40,
+      byHash: Boolean = false): DataFrame = {
+    val winBody = s"substring(text, i + 1, $windowLen)"
+    val winExpr = s"transform(sequence(0, length(text) - $windowLen), " +
+      s"i -> ${if (byHash) s"xxhash64($winBody)" else winBody})"
+    val eligible = docs.filter(length(col("text")) >= windowLen)
+    val wins = eligible
+      .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("i", "w")))
+      .localCheckpoint(eager = false) // consumers: content df + cut join
+    val cuts = wins.groupBy("w")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select("w", "mn")
+    val cutArr = wins.join(cuts, Seq("w"))
+      .filter(col("doc_id") =!= col("mn"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("ps"))
+    eligible.select(col("doc_id"), col("text"))
+      .join(cutArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        keptTextExpr(windowLen).as("text_dedup"))
+      .select(col("doc_id"), col("n_chars"), col("text_dedup"),
+        (col("n_chars") - length(col("text_dedup")).cast("long"))
+          .as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** The in-row gap-emitting fold both apply faces share: given `text`
+    * and `ps` (sorted 0-based cut starts, possibly NULL), concatenate
+    * the characters outside the union of [p, p + windowLen) intervals.
+    * Accumulator: (kept-so-far, next position not yet emitted or
+    * covered); each start either opens a gap (emit it) or extends the
+    * covered run; the finish lambda emits the tail. */
+  private[operators] def keptTextExpr(windowLen: Int) = expr(
+    s"""aggregate(coalesce(ps, cast(array() as array<int>)),
+       |  named_struct('kept', '', 'nxt', 0),
+       |  (a, s) -> named_struct(
+       |    'kept', concat(a.kept,
+       |      if(s > a.nxt, substring(text, a.nxt + 1, s - a.nxt), '')),
+       |    'nxt', greatest(a.nxt, s + $windowLen)),
+       |  a -> concat(a.kept,
+       |    if(a.nxt < length(text),
+       |       substring(text, a.nxt + 1, length(text) - a.nxt), '')))
+       |""".stripMargin)
+
+  /** All (bands, rows) factorizations of `numHashes`. */
+  private[operators] def lshConfigs(numHashes: Int): Seq[(Int, Int)] =
+    (1 to numHashes).filter(numHashes % _ == 0).map(b => (b, numHashes / b))
+
+  /** x^n as a chain of DECIMAL multiplies, 12-dp-rounded AND re-cast to
+    * DECIMAL(14,12) per step — exact, engine-free arithmetic (no libm
+    * pow), and the explicit narrow re-cast keeps every intermediate far
+    * from the 38-digit precision cap, where Spark silently REDUCES the
+    * result scale (measured: letting precision grow diverged from
+    * DuckDB by 1e-9 per value). Operands are probabilities in [0, 1],
+    * so 2 integer digits always suffice. */
+  private def mulChain(base: String, n: Int): String =
+    (2 to n).foldLeft(base)((acc, _) =>
+      s"cast(round(($acc) * ($base), 12) as decimal(14,12))")
+
+  /** SQL for the banding collision probability 1 − (1 − J^r)^b over the
+    * 6-dp `jaccard` column, as DECIMAL(18,9); one builder feeds both the
+    * Spark face and the DuckDB oracle so the faces cannot disagree. */
+  private[operators] def collisionProbSql(b: Int, r: Int): String = {
+    val inner = s"cast((1 - ${mulChain("cast(jaccard as decimal(14,12))", r)}) as decimal(14,12))"
+    s"cast(round(1 - ${mulChain(inner, b)}, 9) as decimal(18,9))"
+  }
+
+  /** The S-curve midpoint (1/b)^(1/r), evaluated ONCE in Scala and
+    * injected into both faces as a 6-dp literal — the only
+    * transcendental in the planner, and it never reaches either
+    * engine's libm. */
+  private[operators] def sCurveMidpointSql(b: Int, r: Int): String = {
+    val v = BigDecimal(math.pow(1.0 / b, 1.0 / r))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    s"cast($v as double)"
+  }
+
+  /** LSH parameter planner (q216): for every (bands, rows) factorization
+    * of `numHashes`, the EXPECTED false-negative and false-positive pair
+    * counts of banded MinHash against this corpus's OBSERVED similarity
+    * distribution — the audit that turns "we use 4 bands of 4" from a
+    * default into a decision. A pair with Jaccard J collides in at least
+    * one band with probability p = 1 − (1 − J^r)^b (Broder banding;
+    * signatures are modeled as exact — q189 measures that error
+    * separately). Summing p over observed pairs BELOW the dedup
+    * threshold gives expected candidate noise; summing (1 − p) over
+    * pairs AT/ABOVE it gives expected missed true pairs. The observed
+    * distribution is the exact pair frame (q51 machinery) at a low
+    * floor, collapsed to a (jaccard, n) histogram first — 6-dp Jaccard
+    * values make that bounded, and the probability arithmetic then runs
+    * per DISTINCT value, not per pair. Sub-floor pairs contribute no
+    * noise estimate (documented: their p at any config here is ≤
+    * p(floor), and they are exactly the pairs no threshold in use would
+    * keep). All probability arithmetic is DECIMAL with per-step 12-dp
+    * rounds generated from ONE builder into both faces; sums are exact
+    * DECIMAL (order-independent) cast to double at the edge. At 100 TB
+    * the planner costs one exact-pair materialization it shares with
+    * q177's sweep — or zero corpus work when pointed at the persisted
+    * index's pair graph. */
+  def lshParameterPlan(docs: DataFrame, numHashes: Int = 16,
+      threshold: Double = 0.6, floor: Double = 0.05): DataFrame =
+    lshParameterPlanFromPairs(exactJaccardPairs(docs, floor), numHashes, threshold)
+
+  /** [[lshParameterPlan]] over a pre-built (…, jaccard) pair frame —
+    * the entry the persisted dedup index feeds for zero corpus scans. */
+  private[operators] def lshParameterPlanFromPairs(pairs: DataFrame,
+      numHashes: Int, threshold: Double): DataFrame = {
+    val hist = pairs.groupBy("jaccard").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // one consumer per (b, r) config
+    lshConfigs(numHashes).map { case (b, r) =>
+      hist.select(lit(b).as("b"), lit(r).as("r"),
+        expr(sCurveMidpointSql(b, r)).as("s_half"),
+        col("jaccard"), col("n"), expr(collisionProbSql(b, r)).as("p"))
+    }.reduce(_ union _)
+      .groupBy("b", "r", "s_half")
+      .agg(
+        coalesce(sum(when(col("jaccard") >= threshold, col("n"))), lit(0L))
+          .cast("long").as("n_true"),
+        coalesce(sum(when(col("jaccard") >= threshold,
+            col("n") * (lit(1) - col("p")))), lit(0))
+          .cast("double").as("exp_fn"),
+        coalesce(sum(when(col("jaccard") < threshold,
+            col("n") * col("p"))), lit(0))
+          .cast("double").as("exp_fp"))
+      .orderBy("b")
   }
 
   /** MinHash estimation-error audit (q189): every pair the LSH face

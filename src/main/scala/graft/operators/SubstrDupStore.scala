@@ -100,6 +100,39 @@ object SubstrDupStore {
       .orderBy("doc_id")
   }
 
+  /** q214's APPLY contract answered from the store: strip every
+    * character of `docs` covered by a window whose canonical keeper
+    * (the store's folded mn) is some OTHER doc. Over a fully-ingested
+    * corpus this is BYTE-EQUAL to [[graft.operators.Dedup.substringDedupApply]]
+    * (mn is the global min, so the cut sets coincide — q215 pins that
+    * through q214's DuckDB oracle verbatim). For a NOT-yet-ingested
+    * probe batch the same predicate scrubs the batch against the corpus
+    * at ingest — with the documented asymmetry that the CORPUS copy is
+    * canonical even when the probe id is smaller (min/max-only state
+    * cannot retroactively cut already-ingested text; a rebuild can).
+    * Cut positions collect per doc and one in-row fold re-concatenates
+    * the gaps — O(cuts) per doc, never per-character. */
+  def applyAgainst(docs: DataFrame, dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val wl = windowLenOf(spark, dir)
+    val eligible = docs.filter(length(col("text")) >= wl)
+    val wins = eligible.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, length(text) - $wl), " +
+          s"i -> xxhash64(substring(text, i + 1, $wl)))")).as(Seq("i", "h")))
+    val cutArr = wins.join(folded(spark, dir), Seq("h"))
+      .filter(col("mn") =!= col("doc_id")) // other-doc canonical (mn=mx=d excluded too)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("ps"))
+    eligible.select(col("doc_id"), col("text"))
+      .join(cutArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        Dedup.keptTextExpr(wl).as("text_dedup"))
+      .select(col("doc_id"), col("n_chars"), col("text_dedup"),
+        (col("n_chars") - length(col("text_dedup")).cast("long"))
+          .as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Fold all waves into one and swap atomically; returns
     * (filesBefore, filesAfter). Rows after = distinct window hashes. */
   def compact(spark: SparkSession, dir: String): (Int, Int) = {
@@ -133,6 +166,22 @@ object SubstrDupStore {
       build(docs.filter(!isNew), d)
       update(docs.filter(isNew), d)
       statsAgainst(docs, d)
+    },
+
+    // ---- incremental substring dedup APPLY (q215): the same strong
+    //      oracle pattern — build 80% / update 20% / scrub the FULL
+    //      corpus — must hash-match q214's full-corpus oracle verbatim,
+    //      so the at-ingest scrub is provably indistinguishable from
+    //      the one-shot apply over ingested corpora. ----
+    "q215_substring_dedup_apply_incremental" -> QueryDef.sql(
+      Dedup.defs("q214_substring_dedup_apply").oracle.getOrElse(
+        throw new IllegalStateException("q214 oracle missing"))) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val d = java.nio.file.Files.createTempDirectory("graft-substr-store").toString
+      val isNew = substring(md5(col("doc_id").cast("string")), 1, 1) > lit("c")
+      build(docs.filter(!isNew), d)
+      update(docs.filter(isNew), d)
+      applyAgainst(docs, d)
     }
   )
 }

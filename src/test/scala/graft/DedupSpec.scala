@@ -802,6 +802,95 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "doc 4 must become all-dup once its copy is ingested")
   }
 
+  /** Independent reference for q214: literal per-position cut decision
+    * (window in ≥ 2 distinct docs AND this doc is not the min-id owner),
+    * BitSet interval union, character-by-character surgery — none of the
+    * fold machinery the Spark face uses. */
+  private def applyRef(rows: Seq[(Long, String)], L: Int): Seq[(Long, Long, String, Long)] = {
+    val mn = scala.collection.mutable.Map.empty[String, Long]
+    val mx = scala.collection.mutable.Map.empty[String, Long]
+    rows.foreach { case (id, t) =>
+      if (t.length >= L) t.sliding(L).foreach { w =>
+        mn(w) = math.min(mn.getOrElse(w, Long.MaxValue), id)
+        mx(w) = math.max(mx.getOrElse(w, Long.MinValue), id)
+      }
+    }
+    rows.filter(_._2.length >= L).map { case (id, t) =>
+      val cov = scala.collection.mutable.BitSet.empty
+      (0 to t.length - L).foreach { i =>
+        val w = t.substring(i, i + L)
+        if (mn(w) != mx(w) && mn(w) != id) cov ++= (i until i + L)
+      }
+      val kept = t.zipWithIndex.collect { case (c, i) if !cov(i) => c }.mkString
+      (id, t.length.toLong, kept, (t.length - kept.length).toLong)
+    }.sortBy(_._1)
+  }
+
+  test("q214 apply strips non-canonical duplicated spans; the canonical copy survives") {
+    val L = 20
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val byText = rows.toMap
+    val want = applyRef(rows, L)
+    val got = Dedup.substringDedupApply(docs, windowLen = L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === want)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(0L)._3 == byText(0L), "canonical (min-id) copy unchanged")
+    assert(byId(1L)._3 == "", "exact-dup doc fully stripped")
+    assert(byId(1L)._4 == byId(1L)._2)
+    assert(byId(2L)._3 == byText(2L), "near-dup pair: min-id side unchanged")
+    assert(byId(3L)._4 > 0 && byId(3L)._4 < byId(3L)._2,
+      "near-dup pair: non-canonical side partially stripped")
+    assert(byId(4L)._4 == 0L, "unrelated doc loses nothing")
+    assert(!byId.contains(7L), "doc shorter than the window is absent")
+    // exactly one copy of the duplicated text survives: total corpus
+    // chars removed equals doc 1's full length plus doc 3's/6's cuts
+    assert(got.map(_._4).sum == byId(1L)._2 + byId(3L)._4 + byId(6L)._4)
+  }
+
+  test("q214 on real data matches the reference; byHash face is identical") {
+    val d = Tables.documents(spark, sf001)
+    val rows = d.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    def run(byHash: Boolean) = Dedup.substringDedupApply(d, 40, byHash).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    val exact = run(byHash = false)
+    assert(exact === applyRef(rows, 40))
+    assert(run(byHash = true) === exact,
+      "hash face must reproduce the exact face (8 bytes/position production shape)")
+  }
+
+  test("q215 store-backed apply: ingested parity, at-ingest scrub, corpus-canonical asymmetry") {
+    import graft.operators.SubstrDupStore
+    val dir = java.nio.file.Files.createTempDirectory("substr-apply").toString
+    val L = 20
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    SubstrDupStore.build(docs.filter(col("doc_id") < 4), dir, windowLen = L)
+    SubstrDupStore.update(docs.filter(col("doc_id") >= 4), dir)
+    val oneShot = rows(Dedup.substringDedupApply(docs, windowLen = L))
+    assert(rows(SubstrDupStore.applyAgainst(docs, dir)) === oneShot,
+      "fully-ingested corpus: store apply == one-shot apply")
+    // a NOT-ingested probe quoting ingested text is scrubbed at ingest
+    val quoted = docs.filter(col("doc_id") === 2L).select("text").as[String].head()
+    assert(SubstrDupStore.applyAgainst(
+        Seq((99L, quoted)).toDF("doc_id", "text"), dir)
+      .collect().head.getString(2) == "", "quoted probe doc fully scrubbed")
+    // corpus-canonical asymmetry: even a probe with a SMALLER id than
+    // every ingested doc is scrubbed — the store cannot retroactively
+    // cut already-ingested text (documented min/max-state limitation)
+    assert(SubstrDupStore.applyAgainst(
+        Seq((-5L, quoted)).toDF("doc_id", "text"), dir)
+      .collect().head.getString(2) == "", "corpus copy is canonical regardless of id")
+    // novel probe content passes through untouched
+    assert(SubstrDupStore.applyAgainst(
+        Seq((99L, "totally novel probe content that was never ingested " +
+          "anywhere at all by anything")).toDF("doc_id", "text"), dir)
+      .collect().head.getLong(3) == 0L, "novel probe doc untouched")
+    // replayed update wave folds away
+    SubstrDupStore.update(docs.filter(col("doc_id") >= 4), dir)
+    assert(rows(SubstrDupStore.applyAgainst(docs, dir)) === oneShot,
+      "replayed wave must not change the scrub")
+  }
+
   test("q210 on real data matches the reference; byHash face is identical") {
     val d = Tables.documents(spark, sf001)
     val rows = d.select("doc_id", "text").as[(Long, String)].collect().toSeq

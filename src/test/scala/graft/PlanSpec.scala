@@ -675,7 +675,14 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q213: probe docs scan + the folded windows-parquet scan; fold
       // agg + per-doc rollup + output sort (the probe never re-windows
       // the ingested corpus)
-      ("q213_substring_dup_incremental", 2, 3))
+      ("q213_substring_dup_incremental", 2, 3),
+      // q214: window frame barriered; one docs scan for the text join;
+      // exchanges = content agg + cut-position rollup + output sort
+      // (AQE broadcasts the per-doc cut arrays into the text join)
+      ("q214_substring_dedup_apply",    1, 3),
+      // q215: probe docs scan ×2 (windows + text join) + the folded
+      // windows-parquet scan; fold agg + cut rollup + output sort
+      ("q215_substring_dedup_apply_incremental", 3, 3))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
