@@ -354,12 +354,13 @@ object Dedup {
     //      (bands, rows) factorization against the OBSERVED similarity
     //      distribution; the collision-prob arithmetic and the S-curve
     //      midpoints are generated from one Scala builder into BOTH
-    //      faces (the q168/q178 pattern), in DECIMAL so no libm pow is
-    //      ever consulted. ----
+    //      faces (the q168/q178 pattern), in DECIMAL over an INTEGER
+    //      micro-Jaccard bucket key, so neither libm pow nor any float
+    //      round-tie is ever consulted. ----
     "q216_lsh_parameter_plan" -> QueryDef.sql({
       val cfgSelects = lshConfigs(16).map { case (b, r) =>
         s"SELECT $b AS b, $r AS r, ${sCurveMidpointSql(b, r)} AS s_half, " +
-          s"jaccard, n, ${collisionProbSql(b, r)} AS p FROM hist"
+          s"j6, n, ${collisionProbSql(b, r)} AS p FROM hist"
       }.mkString("\n        |      UNION ALL ").stripMargin
       s"""WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
          |           FROM documents),
@@ -370,16 +371,16 @@ object Dedup {
          |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
          |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |        GROUP BY 1, 2),
-         |pairs AS (SELECT round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
-         |          FROM com
-         |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
-         |          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.05),
-         |hist AS (SELECT jaccard, count(*) AS n FROM pairs GROUP BY 1),
+         |raw AS (SELECT ca.n AS n1, cb.n AS n2, c
+         |        FROM com
+         |        JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2),
+         |pairs AS (SELECT ${microJaccardSql("//")} AS j6 FROM raw),
+         |hist AS (SELECT j6, count(*) AS n FROM pairs WHERE j6 >= 50000 GROUP BY 1),
          |per AS ($cfgSelects)
          |SELECT b, r, s_half,
-         |  CAST(coalesce(sum(CASE WHEN jaccard >= 0.6 THEN n END), 0) AS BIGINT) AS n_true,
-         |  CAST(coalesce(sum(CASE WHEN jaccard >= 0.6 THEN n * (1 - p) END), 0) AS DOUBLE) AS exp_fn,
-         |  CAST(coalesce(sum(CASE WHEN jaccard < 0.6 THEN n * p END), 0) AS DOUBLE) AS exp_fp
+         |  CAST(coalesce(sum(CASE WHEN j6 >= 600000 THEN n END), 0) AS BIGINT) AS n_true,
+         |  CAST(coalesce(sum(CASE WHEN j6 >= 600000 THEN CAST(n AS DECIMAL(14,0)) * (1 - p) END), 0) AS DOUBLE) AS exp_fn,
+         |  CAST(coalesce(sum(CASE WHEN j6 < 600000 THEN CAST(n AS DECIMAL(14,0)) * p END), 0) AS DOUBLE) AS exp_fp
          |FROM per GROUP BY 1, 2, 3 ORDER BY b"""
     }) { (s, dir) =>
       lshParameterPlan(Tables.documents(s, dir))
@@ -946,12 +947,36 @@ object Dedup {
     val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
-    val j = col("c").cast("double") / (col("ca.n") + col("cb.n") - col("c"))
+    val raw = common
+      .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+      .select(col("d1"), col("d2"), col("ca.n").as("n1"),
+        col("cb.n").as("n2"), col("c"))
+    val j = col("c").cast("double") / (col("n1") + col("n2") - col("c"))
+    raw.filter(j >= threshold)
+      .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
+  }
+
+  /** The RAW (d1, d2, n1, n2, c) co-occurrence frame of
+    * [[exactJaccardPairs]] with NO threshold and NO rounding applied —
+    * the q216 planner's input (its arithmetic needs the exact rational
+    * c/(n1+n2−c), not the 6-dp double). Same machinery, same single
+    * corpus scan. */
+  private[operators] def rawJaccardPairFrame(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDocFreq).select("sh")
+    val shF = sh.join(freqOk, "sh").localCheckpoint(eager = false)
+    val cnt = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = shF.as("a")
+      .join(shF.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
     common
       .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
-      .filter(j >= threshold)
-      .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
+      .select(col("d1"), col("d2"), col("ca.n").as("n1"),
+        col("cb.n").as("n2"), col("c"))
   }
 
   /** Exact word-3-gram Jaccard pairs >= threshold with PREFIX FILTERING
@@ -1327,12 +1352,24 @@ object Dedup {
       s"cast(round(($acc) * ($base), 12) as decimal(14,12))")
 
   /** SQL for the banding collision probability 1 − (1 − J^r)^b over the
-    * 6-dp `jaccard` column, as DECIMAL(18,9); one builder feeds both the
-    * Spark face and the DuckDB oracle so the faces cannot disagree. */
+    * INTEGER micro-Jaccard column `j6` (J = j6 · 10⁻⁶, an exact DECIMAL
+    * scale shift — never a float), as DECIMAL(18,9); one builder feeds
+    * both the Spark face and the DuckDB oracle so the faces cannot
+    * disagree. */
   private[operators] def collisionProbSql(b: Int, r: Int): String = {
-    val inner = s"cast((1 - ${mulChain("cast(jaccard as decimal(14,12))", r)}) as decimal(14,12))"
+    val jac = "cast(cast(j6 as decimal(14,6)) * cast(0.000001 as decimal(7,6)) as decimal(14,12))"
+    val inner = s"cast((1 - ${mulChain(jac, r)}) as decimal(14,12))"
     s"cast(round(1 - ${mulChain(inner, b)}, 9) as decimal(18,9))"
   }
+
+  /** SQL for the half-up-rounded micro-Jaccard ⌊(c·10⁶)/(n1+n2−c) + ½⌋,
+    * in pure INTEGER arithmetic (`intDiv`: `div` in Spark, `//` in
+    * DuckDB — identical on non-negative operands). The planner buckets,
+    * thresholds, and derives probabilities from THIS value, so no
+    * engine's float `round` tie behavior can move a pair between
+    * buckets. */
+  private[operators] def microJaccardSql(intDiv: String): String =
+    s"((2*c*1000000 + (n1+n2-c)) $intDiv (2*(n1+n2-c)))"
 
   /** The S-curve midpoint (1/b)^(1/r), evaluated ONCE in Scala and
     * injected into both faces as a 6-dp literal — the only
@@ -1368,28 +1405,41 @@ object Dedup {
     * index's pair graph. */
   def lshParameterPlan(docs: DataFrame, numHashes: Int = 16,
       threshold: Double = 0.6, floor: Double = 0.05): DataFrame =
-    lshParameterPlanFromPairs(exactJaccardPairs(docs, floor), numHashes, threshold)
+    lshParameterPlanFromPairs(rawJaccardPairFrame(docs), numHashes, threshold, floor)
 
-  /** [[lshParameterPlan]] over a pre-built (…, jaccard) pair frame —
-    * the entry the persisted dedup index feeds for zero corpus scans. */
-  private[operators] def lshParameterPlanFromPairs(pairs: DataFrame,
-      numHashes: Int, threshold: Double): DataFrame = {
-    val hist = pairs.groupBy("jaccard").agg(count(lit(1)).as("n"))
+  /** [[lshParameterPlan]] over a pre-built RAW pair frame carrying
+    * (n1, n2, c) — [[rawJaccardPairFrame]]'s shape, which the persisted
+    * dedup index's pair graph also matches for zero corpus scans. All
+    * cuts (floor, threshold) and the probability arithmetic run on the
+    * INTEGER micro-Jaccard, so the two faces agree bit-for-bit on every
+    * engine. */
+  private[operators] def lshParameterPlanFromPairs(rawPairs: DataFrame,
+      numHashes: Int, threshold: Double = 0.6, floor: Double = 0.05): DataFrame = {
+    val thrMicro = math.round(threshold * 1e6)
+    val floorMicro = math.round(floor * 1e6)
+    val hist = rawPairs
+      .select(expr(microJaccardSql("div")).as("j6"))
+      .filter(col("j6") >= floorMicro)
+      .groupBy("j6").agg(count(lit(1)).as("n"))
       .localCheckpoint(eager = false) // one consumer per (b, r) config
     lshConfigs(numHashes).map { case (b, r) =>
       hist.select(lit(b).as("b"), lit(r).as("r"),
         expr(sCurveMidpointSql(b, r)).as("s_half"),
-        col("jaccard"), col("n"), expr(collisionProbSql(b, r)).as("p"))
+        col("j6"), col("n"), expr(collisionProbSql(b, r)).as("p"))
     }.reduce(_ union _)
       .groupBy("b", "r", "s_half")
       .agg(
-        coalesce(sum(when(col("jaccard") >= threshold, col("n"))), lit(0L))
+        coalesce(sum(when(col("j6") >= thrMicro, col("n"))), lit(0L))
           .cast("long").as("n_true"),
-        coalesce(sum(when(col("jaccard") >= threshold,
-            col("n") * (lit(1) - col("p")))), lit(0))
+        // n narrowed to DECIMAL(14,0) BEFORE the multiply: long counts as
+        // decimal(20,0) × decimal(19,9) is precision 40 > 38, where Spark
+        // silently REDUCES the result scale to ~7 digits (measured: the
+        // sums diverged from DuckDB's exact 9-dp decimals by 1e-7)
+        coalesce(sum(when(col("j6") >= thrMicro,
+            col("n").cast("decimal(14,0)") * (lit(1) - col("p")))), lit(0))
           .cast("double").as("exp_fn"),
-        coalesce(sum(when(col("jaccard") < threshold,
-            col("n") * col("p"))), lit(0))
+        coalesce(sum(when(col("j6") < thrMicro,
+            col("n").cast("decimal(14,0)") * col("p"))), lit(0))
           .cast("double").as("exp_fp"))
       .orderBy("b")
   }

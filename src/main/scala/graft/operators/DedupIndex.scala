@@ -20,10 +20,22 @@ import graft.{QueryDef, Tables}
   * the query's own OUTPUT carries document columns), byte-equal to the
   * standalone forms.
   *
-  * Relations under `dir/` (all parquet):
+  * Relations under `dir/`, all parquet. The append-growing ones are
+  * WAVE-PARTITIONED (`<rel>/wave=<id>/`) with a committed-waves
+  * manifest (`_waves/<id>` marker files, one atomic file-create per
+  * wave); readers see only committed waves, so a crash anywhere inside
+  * [[build]]/[[update]] leaves the new wave INVISIBLE rather than
+  * half-applied — recovery is "replay the wave", never "rebuild the
+  * corpus index":
   *  - `shingles/` — (doc_id, sh, h): per-doc DISTINCT text shingles with
-  *    their xxhash64. Text is kept because the evidence face (q186)
-  *    reports human-readable shingles; joins use the 8-byte hash.
+  *    their xxhash64, UNCAPPED (the cap is applied downstream so the
+  *    stored relation survives cap-policy changes). Text is kept because
+  *    the evidence face (q186) reports human-readable shingles; joins
+  *    use the 8-byte hash.
+  *  - `dfs/`      — (h, df): per-wave document frequency of every
+  *    shingle hash; readers SUM over waves. Gives [[update]] its
+  *    union-side cap and the df-cap-crossing detector without
+  *    re-counting the stored shingle relation.
   *  - `counts/`   — (doc_id, n): per-doc shingle counts AFTER the
   *    document-frequency cap (the q51 skew guard) — the denominators of
   *    every Jaccard.
@@ -33,9 +45,22 @@ import graft.{QueryDef, Tables}
   *    0.9 sweep rung. Downstream thresholds filter on the RAW ratio
   *    c/(n1+n2−c) (never the rounded column), reproducing the standalone
   *    faces bit-for-bit.
+  *  - `roster/`   — (doc_id): every ingested doc id, including
+  *    shingle-less short docs the other relations never record. Commits
+  *    ATOMICALLY with the wave it arrived in, so an at-least-once
+  *    ingester (the streaming sink) can anti-join replayed rows away
+  *    with no torn-state window between "index updated" and "roster
+  *    written".
+  *  - `needs_rebuild/` — (h, old_df, new_df): df-cap CROSSINGS detected
+  *    by [[update]] — shingles that were under the cap when their old
+  *    pairs were built and went over in this wave (those old pairs, and
+  *    the old docs' `n` denominators, would retroactively change under a
+  *    rebuild). Non-empty means the incremental index has drifted from
+  *    rebuild truth; [[needsRebuild]] reads the accumulated set.
   *  - `clusters/` — (doc_id, cluster_id, is_keeper) at the build's
-  *    `clusterThreshold` (the family's declared 0.6).
+  *    `clusterThreshold` (the family's declared 0.6). Whole-swapped.
   *  - `meta/`     — one row (n_docs, cluster_threshold, df_cap).
+  *    Whole-swapped.
   *
   * Scale shape: the build is exactly ONE run of the q51 machinery plus
   * one clustering — everything the standalone family pays per query,
@@ -50,35 +75,109 @@ import graft.{QueryDef, Tables}
   */
 object DedupIndex {
 
-  /** Loaded index handles. */
+  /** Loaded index handles (committed waves only, wave column dropped). */
   final case class Index(dir: String, shingles: DataFrame, counts: DataFrame,
       pairs: DataFrame, clusters: DataFrame, meta: DataFrame)
 
   val defaultClusterThreshold = 0.6
 
+  /** The wave-partitioned (append-growing) relations, committed as a
+    * unit by one `_waves/<id>` marker. */
+  private val WavedRels =
+    Seq("shingles", "dfs", "counts", "pairs", "roster", "needs_rebuild")
+
+  // ---------------------------------------------------------------------
+  // wave manifest plumbing
+  // ---------------------------------------------------------------------
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def wavesPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_waves")
+
+  /** Committed wave ids (sorted). A wave is committed iff its marker
+    * file exists — the marker create is the single atomic commit point
+    * for everything [[build]]/[[update]] wrote under `wave=<id>`. */
+  private[graft] def committedWaves(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val p = wavesPath(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
+  }
+
+  private def commitWave(spark: SparkSession, dir: String, wave: String): Unit = {
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(wavesPath(dir))
+    fs.create(new org.apache.hadoop.fs.Path(wavesPath(dir), wave), true).close()
+  }
+
+  private def waveDataPath(dir: String, rel: String, wave: String) =
+    s"$dir/$rel/wave=$wave"
+
+  /** Read a wave-partitioned relation: committed waves (plus
+    * `extraWaves`, for the wave being written), wave column dropped.
+    * The isin filter is a partition-pruning predicate — uncommitted
+    * wave directories are never even listed into the scan. */
+  private def readWaved(spark: SparkSession, dir: String, rel: String,
+      extraWaves: Seq[String] = Nil): DataFrame = {
+    val waves = committedWaves(spark, dir) ++ extraWaves
+    spark.read.parquet(s"$dir/$rel")
+      .filter(col("wave").isin(waves: _*))
+      .drop("wave")
+  }
+
+  /** Delete wave directories whose marker never landed (a crashed
+    * [[update]]): readers already ignore them; this reclaims the space
+    * and clears the way for the wave's replay. */
+  private def dropStrandedWaves(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val committed = committedWaves(spark, dir).toSet
+    WavedRels.foreach { rel =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("wave=") &&
+            !committed.contains(n.stripPrefix("wave=")))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  private def firstFree(taken: Set[String], fmt: Int => String): String =
+    Iterator.from(taken.size).map(fmt).find(!taken(_)).get
+
   // ---------------------------------------------------------------------
   // build / load / update
   // ---------------------------------------------------------------------
 
-  /** Build the index at `dir` from scratch (overwrites any previous
-    * build). One corpus shingle pass + one pair self-join + one
-    * clustering — the family's shared cost, paid once. */
+  /** Build the index at `dir` from scratch (deletes any previous build).
+    * One corpus shingle pass + one pair self-join + one clustering — the
+    * family's shared cost, paid once. Everything lands under
+    * `wave=<baseWave>`; the marker create at the end is the commit. */
   def build(docs: DataFrame, dir: String,
-      clusterThreshold: Double = defaultClusterThreshold): Unit = {
+      clusterThreshold: Double = defaultClusterThreshold,
+      dfCap: Int = Dedup.maxShingleDocFreq,
+      baseWave: String = "base"): Unit = {
     val spark = docs.sparkSession
+    fsOf(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
     Dedup.shingles(docs)
       .select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("h"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/shingles")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(waveDataPath(dir, "shingles", baseWave))
     // derive everything downstream from the PERSISTED relation — the
-    // corpus is read exactly once above
-    val shP = spark.read.parquet(s"$dir/shingles")
-    val freqOk = shP.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= Dedup.maxShingleDocFreq).select("h")
+    // corpus is read exactly once above (and once for n_docs/roster)
+    val shP = spark.read.parquet(waveDataPath(dir, "shingles", baseWave))
+    shP.groupBy("h").agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(waveDataPath(dir, "dfs", baseWave))
+    val freqOk = spark.read.parquet(waveDataPath(dir, "dfs", baseWave))
+      .filter(col("df") <= dfCap).select("h")
     val shF = shP.select("doc_id", "h").join(freqOk, "h")
       .localCheckpoint(eager = false) // consumers: counts + both join sides
     shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/counts")
-    val cntP = spark.read.parquet(s"$dir/counts")
+      .write.mode(SaveMode.Overwrite).parquet(waveDataPath(dir, "counts", baseWave))
+    val cntP = spark.read.parquet(waveDataPath(dir, "counts", baseWave))
     val common = shF.as("a")
       .join(shF.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -89,56 +188,121 @@ object DedupIndex {
       .join(cntP.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
       .select(col("d1"), col("d2"), col("n1"), col("n2"), col("c"),
         round(j, 6).as("jaccard"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/pairs")
-    val pairsP = spark.read.parquet(s"$dir/pairs")
+      .write.mode(SaveMode.Overwrite).parquet(waveDataPath(dir, "pairs", baseWave))
+    val pairsP = spark.read.parquet(waveDataPath(dir, "pairs", baseWave))
     Dedup.duplicateClusters(rawThreshold(pairsP, clusterThreshold))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/clusters")
     docs.agg(count(lit(1)).as("n_docs"))
       .select(col("n_docs"), lit(clusterThreshold).as("cluster_threshold"),
-        lit(Dedup.maxShingleDocFreq.toLong).as("df_cap"))
+        lit(dfCap.toLong).as("df_cap"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    docs.select("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(waveDataPath(dir, "roster", baseWave))
+    spark.range(0).select(col("id").as("h"), col("id").as("old_df"),
+        col("id").as("new_df"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(waveDataPath(dir, "needs_rebuild", baseWave))
+    commitWave(spark, dir, baseWave)
   }
 
   def load(spark: SparkSession, dir: String): Index =
     Index(dir,
-      shingles = spark.read.parquet(s"$dir/shingles"),
-      counts = spark.read.parquet(s"$dir/counts"),
-      pairs = spark.read.parquet(s"$dir/pairs"),
+      shingles = readWaved(spark, dir, "shingles"),
+      counts = readWaved(spark, dir, "counts"),
+      pairs = readWaved(spark, dir, "pairs"),
       clusters = spark.read.parquet(s"$dir/clusters"),
       meta = spark.read.parquet(s"$dir/meta"))
 
+  /** Every ingested doc id (committed waves only) — includes
+    * shingle-less short docs. The streaming sink's replay filter. */
+  def roster(spark: SparkSession, dir: String): DataFrame =
+    readWaved(spark, dir, "roster")
+
+  /** Accumulated df-cap crossings: shingles whose old pairs (and old
+    * docs' Jaccard denominators) a rebuild would retroactively change.
+    * Empty ⇔ the incremental index equals a full rebuild (the
+    * [[update]] exactness contract); non-empty ⇒ schedule [[build]]. */
+  def needsRebuild(spark: SparkSession, dir: String): DataFrame =
+    readWaved(spark, dir, "needs_rebuild")
+
   /** Incremental maintenance for an append-only corpus: `newDocs` (ids
-    * disjoint from the indexed corpus) are shingled once, new×(old∪new)
-    * pairs computed via the inverted index with the UNION-side df cap
-    * (the `incrementalMinhashPairs` discipline: capping each side alone
+    * disjoint from the indexed corpus — anti-join against [[roster]]
+    * first when unsure) are shingled once, new×(old∪new) pairs computed
+    * via the inverted index with the UNION-side df cap (the
+    * `incrementalMinhashPairs` discipline: capping each side alone
     * would keep a bucket whose halves are both under cap while their
-    * join still blows up), appended, and the clusters re-derived from
-    * the PAIR GRAPH (pairs-sized, never corpus-sized) with an atomic
-    * aside-write-and-swap. Exact-equal to a full rebuild as long as no
-    * shingle crosses the df cap between snapshots (a crossing means the
-    * hot shingle's old pairs should retroactively disappear — detected
-    * only by a rebuild; same caveat as every incremental LSH store).
-    * Crash note: the appends are not atomic across relations — a crash
-    * mid-update is repaired by re-running [[build]]. */
-  def update(newDocs: DataFrame, dir: String): Unit = {
+    * join still blows up), and the clusters re-derived from the PAIR
+    * GRAPH (pairs-sized, never corpus-sized).
+    *
+    * Crash atomicity: every append lands under `wave=<waveId>` and
+    * becomes visible only when the wave marker is created — the LAST
+    * step. A crash anywhere before that leaves readers on the old index
+    * exactly; recovery is re-running update with the SAME waveId (the
+    * streaming sink's `batch-<id>` convention), which drops the
+    * stranded wave and redoes it. An update whose waveId is already
+    * committed is a no-op (replay idempotence). The only torn window is
+    * a crash between the clusters/meta swaps and the marker: the swaps
+    * are each atomic, but clusters may then be one wave AHEAD of the
+    * visible pair graph until the wave is replayed — converging, never
+    * silently divergent.
+    *
+    * Exactness: equal to a full rebuild as long as no shingle crosses
+    * the df cap between snapshots (a crossing means the hot shingle's
+    * old pairs, and the old docs' denominators, should retroactively
+    * change). Crossings ARE detected — the stored per-wave `dfs/` gives
+    * old totals, the batch gives the delta — and surfaced both in the
+    * returned frame and the persisted [[needsRebuild]] relation:
+    * (h, old_df, new_df) rows, empty when the incremental result is
+    * exact. */
+  def update(newDocs: DataFrame, dir: String,
+      waveId: Option[String] = None): DataFrame = {
     val spark = newDocs.sparkSession
-    val oldSh = spark.read.parquet(s"$dir/shingles")
+    val committed = committedWaves(spark, dir)
+    val wid = waveId.getOrElse(
+      firstFree(committed.toSet, i => f"wave-$i%06d"))
+    if (committed.contains(wid)) // replayed wave: already fully applied
+      return spark.read.parquet(s"$dir/needs_rebuild")
+        .filter(col("wave") === wid).drop("wave")
+    dropStrandedWaves(spark, dir)
+    val fs = fsOf(spark, dir)
+    Seq("clusters", "meta").foreach { rel =>
+      graft.pipeline.ProvenanceStore.restoreIfStranded(
+        fs, new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+    }
     val metaRow = spark.read.parquet(s"$dir/meta").collect().head
     val clusterThreshold = metaRow.getAs[Double]("cluster_threshold")
     val dfCap = metaRow.getAs[Long]("df_cap")
     val shNew = Dedup.shingles(newDocs)
       .select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("h"))
-      .localCheckpoint(eager = false) // consumers: cap count, joins, append
-    val overCap = Dedup.overCapBuckets(
-      Seq(oldSh.select("h"), shNew.select("h")), Seq("h"), dfCap.toInt)
+      .localCheckpoint(eager = false) // consumers: dfs, cap join, append
+    // union-side df totals from the stored per-wave dfs — no re-count of
+    // the (much larger) stored shingle relation
+    val dfNew = shNew.groupBy("h").agg(count(lit(1)).as("df"))
+      .localCheckpoint(eager = false) // consumers: totals + append
+    val dfTotals = readWaved(spark, dir, "dfs")
+      .groupBy("h").agg(sum(col("df")).as("old_df"))
+      .join(dfNew.withColumnRenamed("df", "new_df"), Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("old_df"), lit(0L)).as("old_df"),
+        coalesce(col("new_df"), lit(0L)).as("new_df"))
+      .localCheckpoint(eager = false) // consumers: over-cap set + crossings
+    val overCap = dfTotals
+      .filter(col("old_df") + col("new_df") > dfCap).select("h")
+    // cap CROSSINGS: buckets whose pairs/denominators already entered the
+    // index while under cap and went over in this wave — the silent-
+    // staleness mode, made loud (old_df ≥ 1: a batch-only bucket that is
+    // born over cap never contributed stale state)
+    val crossings = dfTotals
+      .filter(col("old_df").between(1L, dfCap) &&
+        col("old_df") + col("new_df") > dfCap)
+      .select("h", "old_df", "new_df")
     val newCapped = shNew.select("doc_id", "h")
       .join(broadcast(overCap), Seq("h"), "left_anti")
       .localCheckpoint(eager = false) // consumers: counts + three join sides
-    val oldCapped = oldSh.select("doc_id", "h")
+    val oldCapped = readWaved(spark, dir, "shingles").select("doc_id", "h")
       .join(broadcast(overCap), Seq("h"), "left_anti")
     val cntNew = newCapped.groupBy("doc_id").agg(count(lit(1)).as("n"))
       .localCheckpoint(eager = false) // consumers: append + pair denominators
-    val allCnt = spark.read.parquet(s"$dir/counts").unionByName(cntNew)
+    val allCnt = readWaved(spark, dir, "counts").unionByName(cntNew)
     // new×old (either id order) + new×new (d1 < d2 once)
     val newOld = newCapped.as("a").join(oldCapped.as("b"), col("a.h") === col("b.h"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
@@ -153,51 +317,95 @@ object DedupIndex {
       .join(allCnt.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
       .select(col("d1"), col("d2"), col("n1"), col("n2"), col("c"),
         round(j, 6).as("jaccard"))
-      .write.mode(SaveMode.Append).parquet(s"$dir/pairs")
-    shNew.write.mode(SaveMode.Append).parquet(s"$dir/shingles")
-    cntNew.write.mode(SaveMode.Append).parquet(s"$dir/counts")
-    // recluster from the updated pair graph; swap in atomically
-    val pairsP = spark.read.parquet(s"$dir/pairs")
+      .write.mode(SaveMode.Overwrite).parquet(waveDataPath(dir, "pairs", wid))
+    shNew.write.mode(SaveMode.Overwrite).parquet(waveDataPath(dir, "shingles", wid))
+    dfNew.write.mode(SaveMode.Overwrite).parquet(waveDataPath(dir, "dfs", wid))
+    cntNew.write.mode(SaveMode.Overwrite).parquet(waveDataPath(dir, "counts", wid))
+    newDocs.select("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(waveDataPath(dir, "roster", wid))
+    crossings
+      .write.mode(SaveMode.Overwrite).parquet(waveDataPath(dir, "needs_rebuild", wid))
+    // recluster from the updated pair graph (committed + this wave);
+    // swap in atomically
+    val pairsP = readWaved(spark, dir, "pairs", extraWaves = Seq(wid))
     swapIn(spark, s"$dir/clusters",
       Dedup.duplicateClusters(rawThreshold(pairsP, clusterThreshold)))
+    // n_docs from the wave-committed roster, NOT old-meta + batch-count
+    // arithmetic: a wave replayed after a crash past the meta swap would
+    // double-count itself; the roster recount converges instead
     swapIn(spark, s"$dir/meta",
-      newDocs.agg(count(lit(1)).as("nn"))
-        .select((col("nn") + metaRow.getAs[Long]("n_docs")).as("n_docs"),
+      readWaved(spark, dir, "roster", extraWaves = Seq(wid))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("n_docs"),
           lit(clusterThreshold).as("cluster_threshold"), lit(dfCap).as("df_cap")))
+    commitWave(spark, dir, wid) // THE commit: the wave becomes visible
+    spark.read.parquet(s"$dir/needs_rebuild")
+      .filter(col("wave") === wid).drop("wave")
   }
 
   /** Maintenance compaction for the APPEND-GROWING relations
-    * (shingles/counts/pairs — [[update]] adds a few files per batch
-    * forever; at crawl cadence that is thousands of files per day and
-    * every face's read degrades O(files)). Rewrites each into
-    * ceil(rows / targetRowsPerFile) files with the atomic
-    * aside-write-and-swap (readers see old or new, never a mix; a
-    * stranded swap restores at entry). Rows are byte-identical before
-    * and after, so every face — and every oracle hash — is too.
+    * ([[update]] adds one wave of a few files per batch forever; at
+    * crawl cadence that is thousands of files per day and every face's
+    * read degrades O(files)). Rewrites each relation's committed rows
+    * into a single fresh wave of ceil(rows / targetRowsPerFile) files
+    * with the atomic aside-write-and-swap (readers see old or new,
+    * never a mix; a stranded swap restores at entry). The compaction
+    * wave's marker is created BEFORE the first swap, so there is no
+    * window where swapped data is uncommitted. Rows are byte-identical
+    * before and after for shingles/counts/pairs/roster/needs_rebuild —
+    * so every face, and every oracle hash, is too; `dfs/` FOLDS to one
+    * row per hash (readers sum over waves, so the fold is invisible).
+    * Markers left matching no data after the sweep are pruned.
     * Clusters/meta swap whole on every update and never accumulate.
     * Returns relation → (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String,
-      targetRowsPerFile: Long = 4000000L): Map[String, (Int, Int)] =
-    Seq("shingles", "counts", "pairs").map { rel =>
+      targetRowsPerFile: Long = 4000000L): Map[String, (Int, Int)] = {
+    val fs = fsOf(spark, dir)
+    val cid = firstFree(committedWaves(spark, dir).toSet, i => f"compact-$i%06d")
+    commitWave(spark, dir, cid)
+    def dataFiles(rel: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+      if (!fs.exists(p)) 0
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+    }
+    val stats = WavedRels.map { rel =>
       val path = new org.apache.hadoop.fs.Path(s"$dir/$rel")
-      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
       graft.pipeline.ProvenanceStore.restoreIfStranded(fs, path)
-      def dataFiles: Int =
-        if (!fs.exists(path)) 0
-        else fs.listStatus(path).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      val before = dataFiles
+      val before = dataFiles(rel)
       if (before == 0) rel -> (0, 0)
       else {
-        val df = spark.read.parquet(path.toString)
+        val df0 = readWaved(spark, dir, rel)
+        val df = if (rel == "dfs")
+          df0.groupBy("h").agg(sum(col("df")).as("df")) else df0
+        val rows = df.count()
         val nFiles = math.max(1L,
-          (df.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+          (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
         val tmp = new org.apache.hadoop.fs.Path(s"$path.compact-tmp")
-        df.repartition(nFiles)
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+          .parquet(s"$tmp/wave=$cid")
         graft.pipeline.ProvenanceStore.swapCompacted(fs, path, tmp)
-        rel -> (before, dataFiles)
+        rel -> (before, dataFiles(rel))
       }
     }.toMap
+    // prune markers no relation references anymore (keeps the manifest
+    // bounded; a marker still backing data in ANY relation survives)
+    val live = WavedRels.flatMap { rel =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("wave="))
+        .map(_.stripPrefix("wave=")).toSeq
+    }.toSet
+    committedWaves(spark, dir).filterNot(live).filterNot(_ == cid).foreach { w =>
+      fs.delete(new org.apache.hadoop.fs.Path(wavesPath(dir), w), false)
+    }
+    stats
+  }
 
   /** Aside-write-and-swap (the ProvenanceStore compaction discipline):
     * readers of `path` see the old or the new relation, never a mix. */

@@ -211,13 +211,20 @@ object Multimodal {
       val bitDepth = bytes(ihdr + 8) & 0xff
       val colorType = bytes(ihdr + 9) & 0xff
       val interlace = bytes(ihdr + 12) & 0xff
-      if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+      // Dimension bound BEFORE any multiply: w,h are raw unsigned 32-bit
+      // reads (up to 2^32-1), so stride*h can overflow Long for a crafted
+      // IHDR (e.g. w=2^30, h=2^32-1, RGBA) and wrap PAST the MaxRaw cap
+      // into a negative Array size. 1<<24 per side keeps every product
+      // comfortably inside Long and is far above any MaxRaw-passing image.
+      if (w <= 0 || h <= 0 || w > (1L << 24) || h > (1L << 24) ||
+          bitDepth != 8 || interlace != 0) return None
       val bpp = colorType match {
         case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
         case _ => return None
       }
       if (colorType == 3 && plte == null) return None
       val stride = w * bpp + 1
+      if (h > MaxRaw / stride) return None // division-form cap: overflow-proof
       val expected = stride * h
       if (expected > MaxRaw) return None
       val raw = new Array[Byte](expected.toInt)

@@ -307,36 +307,34 @@ object Streams {
     * (new×(old∪new) pairs under the union-side df cap, pairs-sized
     * recluster, atomic swap) — so the cluster family's apply faces stay
     * queryable against a continuously-ingested corpus without ever
-    * re-shingling it. foreachBatch is at-least-once, so a sink-owned
-    * roster (`indexDir/ingested`, one doc_id column) anti-joins replayed
-    * rows away BEFORE update() sees them — update requires disjoint ids,
-    * and the roster covers shingle-less short docs the index relations
-    * never record. A fully-replayed batch skips the update entirely
-    * (no meta drift, no pointless recluster). */
+    * re-shingling it. foreachBatch is at-least-once, so replayed rows
+    * are anti-joined away against the index's OWN roster relation
+    * (which covers shingle-less short docs the other relations never
+    * record) BEFORE update() sees them — update requires disjoint ids.
+    * The roster commits ATOMICALLY with the wave that carried it
+    * (update's `_waves` marker is the single commit point for all
+    * relation appends), and the wave id is the batch id, so a crash
+    * anywhere inside a batch leaves the index exactly at the previous
+    * batch's state and the replay — same batch id, same rows — redoes
+    * the whole wave; a replay of a COMPLETED batch anti-joins to empty
+    * and skips the update entirely (no meta drift, no pointless
+    * recluster). */
   def dedupIndexSinkQuery(
       docs: DataFrame, indexDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.DedupIndex
-        import org.apache.spark.sql.types._
         val spark = batch.sparkSession
-        val rosterPath = s"$indexDir/ingested"
-        val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
-        val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
         val b0 = batch.localCheckpoint(true)
-        if (!fs.exists(metaPath)) {
-          DedupIndex.build(b0, indexDir)
-          b0.select("doc_id").write.mode("append").parquet(rosterPath)
-        } else {
-          val roster = spark.read.schema(
-            StructType(Seq(StructField("doc_id", LongType)))).parquet(rosterPath)
-          val fresh = b0.join(roster, Seq("doc_id"), "left_anti")
-            .localCheckpoint(true) // consumers: emptiness probe + update + roster
-          if (!fresh.isEmpty) {
-            DedupIndex.update(fresh, indexDir)
-            fresh.select("doc_id").write.mode("append").parquet(rosterPath)
-          }
+        if (DedupIndex.committedWaves(spark, indexDir).isEmpty)
+          DedupIndex.build(b0, indexDir, baseWave = s"batch-$batchId")
+        else {
+          val fresh = b0.join(
+              DedupIndex.roster(spark, indexDir), Seq("doc_id"), "left_anti")
+            .localCheckpoint(true) // consumers: emptiness probe + update
+          if (!fresh.isEmpty)
+            DedupIndex.update(fresh, indexDir, waveId = Some(s"batch-$batchId"))
         }
         ()
       }

@@ -162,6 +162,90 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(DedupIndex.load(spark, dir).counts.filter(col("doc_id") === 10L).count() == 1)
   }
 
+  test("df-cap crossing: detected, surfaced, and gone after the rebuild it demands") {
+    // dfCap = 2: "alpha beta gamma" lives in docs 1+2 at build (df = 2,
+    // under cap — its pair enters the index), then doc 3 pushes it to 3
+    val d12 = Seq(
+      (1L, "a", "alpha beta gamma delta epsilon zeta"),
+      (2L, "a", "alpha beta gamma eta theta iota")).toDF("doc_id", "source", "text")
+    val d3 = Seq((3L, "b", "alpha beta gamma kappa lambda mu"))
+      .toDF("doc_id", "source", "text")
+    val dir = tempDir()
+    DedupIndex.build(d12, dir, dfCap = 2)
+    assert(DedupIndex.needsRebuild(spark, dir).count() == 0,
+      "fresh build must report no crossings")
+    val crossings = DedupIndex.update(d3, dir)
+    val c = crossings.collect().map(r =>
+      (r.getAs[Long]("old_df"), r.getAs[Long]("new_df")))
+    assert(c.toSeq == Seq((2L, 1L)),
+      s"the planted crossing (old df 2, +1 past cap 2) must surface: ${c.toSeq}")
+    // the persisted relation accumulates the same rows
+    assert(rows(DedupIndex.needsRebuild(spark, dir)) === rows(crossings))
+    // the crossing is REAL drift: the incremental pair graph still holds
+    // the (1,2) pair a rebuild would drop (df 3 > cap 2)
+    assert(DedupIndex.load(spark, dir).pairs.count() >
+      { val fresh = tempDir(); DedupIndex.build(d12.unionByName(d3), fresh, dfCap = 2)
+        DedupIndex.load(spark, fresh).pairs.count() })
+    // the demanded rebuild restores exactness AND clears the flag
+    val fresh2 = tempDir()
+    DedupIndex.build(d12.unionByName(d3), fresh2, dfCap = 2)
+    DedupIndex.build(d12.unionByName(d3), dir, dfCap = 2)
+    assert(DedupIndex.needsRebuild(spark, dir).count() == 0)
+    assert(rows(DedupIndex.load(spark, dir).pairs)
+      === rows(DedupIndex.load(spark, fresh2).pairs))
+    // and a cap-respecting update reports NO crossing (the q202 shape)
+    val quiet = tempDir()
+    DedupIndex.build(docs.filter(col("doc_id") <= 4), quiet)
+    assert(DedupIndex.update(docs.filter(col("doc_id") > 4), quiet).count() == 0)
+  }
+
+  test("crash between relation appends: stranded wave invisible, replay converges") {
+    val extra = Seq(
+      (8L, "d", base2.replaceAll("datasets", "corpora")),
+      (9L, "d", base2.replaceAll("datasets", "corpora").replaceAll("memory$", "ram")))
+      .toDF("doc_id", "source", "text")
+    val all = docs.unionByName(extra)
+    val oldDocs = all.filter(col("doc_id").isin(0L, 2L, 4L, 5L, 7L))
+    val newDocs = all.filter(!col("doc_id").isin(0L, 2L, 4L, 5L, 7L))
+    val dir = tempDir(); val full = tempDir()
+    DedupIndex.build(oldDocs, dir)
+    val baseline = DedupIndex.load(spark, dir)
+    val (basePairs, baseCounts, baseMeta) =
+      (rows(baseline.pairs), rows(baseline.counts), rows(baseline.meta))
+    // simulate a crash BETWEEN relation appends: run the wave, then strip
+    // its commit marker and one relation's data — shingles/pairs are
+    // "written", counts is "unwritten", the marker never landed
+    DedupIndex.update(newDocs, dir, waveId = Some("w1"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_waves/w1"), false))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/counts/wave=w1"), true))
+    // readers drop the incomplete wave: every growing relation reads as
+    // the pre-update index (clusters/meta ran ahead — the documented
+    // converging window — so we assert the WAVED relations only)
+    val stranded = DedupIndex.load(spark, dir)
+    assert(rows(stranded.pairs) === basePairs, "uncommitted pairs leaked")
+    assert(rows(stranded.counts) === baseCounts, "uncommitted counts leaked")
+    // replaying the SAME wave id drops the stranded files and redoes the
+    // wave; the result equals a full rebuild, relation for relation
+    DedupIndex.update(newDocs, dir, waveId = Some("w1"))
+    DedupIndex.build(all, full)
+    val (ii, fi) = (DedupIndex.load(spark, dir), DedupIndex.load(spark, full))
+    assert(rows(ii.shingles) === rows(fi.shingles))
+    assert(rows(ii.counts) === rows(fi.counts))
+    assert(rows(ii.pairs) === rows(fi.pairs))
+    assert(rows(ii.clusters) === rows(fi.clusters))
+    assert(rows(ii.meta) === rows(fi.meta))
+    // a replay of the COMMITTED wave is a no-op (meta n_docs stable)
+    DedupIndex.update(newDocs, dir, waveId = Some("w1"))
+    assert(rows(DedupIndex.load(spark, dir).meta) === rows(fi.meta),
+      "replaying a committed wave must not drift meta")
+    assert(rows(DedupIndex.load(spark, dir).pairs) === rows(fi.pairs))
+    // the roster commits with the wave: all ten ids, exactly once
+    assert(DedupIndex.roster(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      === (0L to 9L), "roster must hold each ingested id exactly once")
+  }
+
   test("update on a corpus whose ids exceed 2^31 stays exact (hash keys, no id assumptions)") {
     val big = docs.withColumn("doc_id", col("doc_id") + lit(5000000000L))
     val full = tempDir(); val incr = tempDir()

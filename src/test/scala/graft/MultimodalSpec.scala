@@ -323,6 +323,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // palette image without PLTE → None
     assert(Multimodal.PngCodec.decodePixels(
       buildPng(1, 1, 3, Array[Byte](0, 0))).isEmpty)
+    // crafted-IHDR overflow: w=2^30, h=2^32-1 (unsigned), RGBA → stride*h
+    // wraps Long past the MaxRaw cap; must be None, never a negative-size
+    // allocation (the dimension bound rejects it before any multiply)
+    assert(Multimodal.PngCodec.decodePixels(
+      buildPng(1 << 30, -1, 6, Array[Byte](0, 1, 2, 3, 4))).isEmpty,
+      "overflow IHDR")
+    assert(Multimodal.PngCodec.decodePixels(
+      buildPng(-1, 1 << 30, 2, Array[Byte](0, 1, 2, 3))).isEmpty,
+      "overflow IHDR (w side)")
+    // huge-but-in-bound dims: caught by the division-form MaxRaw cap
+    assert(Multimodal.PngCodec.decodePixels(
+      buildPng(1 << 20, 1 << 20, 0, Array[Byte](0, 1))).isEmpty,
+      "MaxRaw cap on non-wrapping dims")
     // random bytes with the right signature prefix → None
     val rng = new scala.util.Random(7)
     (0 until 50).foreach { _ =>
