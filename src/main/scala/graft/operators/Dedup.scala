@@ -1199,14 +1199,26 @@ object Dedup {
   /** The (doc_id, w) window relation both substring-dup faces and the
     * persisted window store share — w is the window text (oracle-exact)
     * or its xxhash64 (the 8-bytes-per-position production form). */
-  private[operators] def windowRelation(docs: DataFrame, windowLen: Int,
+  /** Positional window relation: (doc_id, i, w) with `i` the 0-BASED
+    * window start — THE single builder of the family's window/hash body.
+    * Every face that windows text (q210 detect, q212 coverage, q214
+    * apply, the SubstrDupStore build AND its probe sides) derives from
+    * here, so the tokenization, indexing, and hash seed cannot silently
+    * desynchronize between a store's contents and a probe against it. */
+  private[operators] def windowRelationPos(docs: DataFrame, windowLen: Int,
       byHash: Boolean): DataFrame = {
-    val winBody = s"substring(text, i, $windowLen)"
-    val winExpr = s"transform(sequence(1, length(text) - ${windowLen - 1}), " +
+    val winBody = s"substring(text, i + 1, $windowLen)"
+    val winExpr = s"transform(sequence(0, length(text) - $windowLen), " +
       s"i -> ${if (byHash) s"xxhash64($winBody)" else winBody})"
     docs.filter(length(col("text")) >= windowLen)
-      .select(col("doc_id"), explode(expr(winExpr)).as("w"))
+      .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("i", "w")))
   }
+
+  /** [[windowRelationPos]] without the position column, for faces that
+    * only need window CONTENT. */
+  private[operators] def windowRelation(docs: DataFrame, windowLen: Int,
+      byHash: Boolean): DataFrame =
+    windowRelationPos(docs, windowLen, byHash).select("doc_id", "w")
 
   def exactSubstringDup(docs: DataFrame, windowLen: Int = 40,
       byHash: Boolean = false): DataFrame = {
@@ -1241,11 +1253,7 @@ object Dedup {
   def substringDupCoverage(docs: DataFrame, windowLen: Int = 40,
       byHash: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val winBody = s"substring(text, i + 1, $windowLen)"
-    val winExpr = s"transform(sequence(0, length(text) - $windowLen), " +
-      s"i -> ${if (byHash) s"xxhash64($winBody)" else winBody})"
-    val wins = docs.filter(length(col("text")) >= windowLen)
-      .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("i", "w")))
+    val wins = windowRelationPos(docs, windowLen, byHash)
       .localCheckpoint(eager = false) // consumers: content df + position join
     val dupw = wins.groupBy("w")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
@@ -1290,16 +1298,14 @@ object Dedup {
     * on purpose, so the two faces share no shortcut to be wrong
     * together. `byHash` swaps window text for xxhash64 in the content
     * groupBy (8 bytes/position, the 100 TB shape; suite-pinned equal).
-    * Docs shorter than the window pass through unchanged — nothing to
-    * test, nothing to cut — mirroring the oracle's WHERE. */
+    * Docs shorter than the window are ABSENT from the output — no
+    * window exists to test, and the oracle's WHERE excludes them
+    * identically; a caller wanting the full corpus back left-joins the
+    * survivors onto it (their text is untouched by definition). */
   def substringDedupApply(docs: DataFrame, windowLen: Int = 40,
       byHash: Boolean = false): DataFrame = {
-    val winBody = s"substring(text, i + 1, $windowLen)"
-    val winExpr = s"transform(sequence(0, length(text) - $windowLen), " +
-      s"i -> ${if (byHash) s"xxhash64($winBody)" else winBody})"
     val eligible = docs.filter(length(col("text")) >= windowLen)
-    val wins = eligible
-      .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("i", "w")))
+    val wins = windowRelationPos(docs, windowLen, byHash)
       .localCheckpoint(eager = false) // consumers: content df + cut join
     val cuts = wins.groupBy("w")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))

@@ -116,9 +116,10 @@ object SubstrDupStore {
     val spark = docs.sparkSession
     val wl = windowLenOf(spark, dir)
     val eligible = docs.filter(length(col("text")) >= wl)
-    val wins = eligible.select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, length(text) - $wl), " +
-          s"i -> xxhash64(substring(text, i + 1, $wl)))")).as(Seq("i", "h")))
+    // probe hashes from the SAME builder that fed the store — any change
+    // to the shared windowing changes both sides together
+    val wins = Dedup.windowRelationPos(docs, wl, byHash = true)
+      .withColumnRenamed("w", "h")
     val cutArr = wins.join(folded(spark, dir), Seq("h"))
       .filter(col("mn") =!= col("doc_id")) // other-doc canonical (mn=mx=d excluded too)
       .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("ps"))

@@ -566,7 +566,15 @@ object Streams {
     * discipline — and the mean/sd/z/rounding replay the batch
     * expressions operation for operation, so StreamingSpec pins the
     * twin window-for-window EQUAL to [[graft.operators.EventAnalytics
-    * .eventAnomaly]], not merely close. */
+    * .eventAnomaly]], not merely close.
+    *
+    * Late-data contract (cross-batch): a persisted high-water mark
+    * gates admission. Rows older than maxSeen − trailHours are DROPPED
+    * (their baseline is permanently evicted — a score would be silently
+    * wrong); rows inside the trailing window still score, with
+    * edge-of-window baseline hours possibly already evicted (n_trail
+    * can only shrink, never fabricate). Monotone hourly input — what
+    * the upstream windowed agg emits — never hits either path. */
   case class HourlyTypeCount(event_type: String, hr: Long, c: Long)
   case class AnomalyRow(event_type: String, hr: Long, c: Long, n_trail: Long,
       trail_mean: Option[Double], trail_sd: Option[Double], z: Option[Double],
@@ -575,14 +583,19 @@ object Streams {
   class AnomalyScorer(trailHours: Int, minTrail: Int, zThresh: Double)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, HourlyTypeCount, AnomalyRow] {
     @transient private var counts: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var maxSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
 
     override def init(
         outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       counts = getHandle.getMapState[Long, Long]("hourCounts",
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+      maxSeen = getHandle.getValueState[Long]("maxHrSeen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
 
     private def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -594,8 +607,20 @@ object Streams {
       // hr-ascending fold: a micro-batch carrying several hours scores
       // each against exactly the hours before it, as the batch face does
       val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyRow]
-      var maxHr = Long.MinValue
-      rows.toSeq.sortBy(_.hr).foreach { r =>
+      // cross-batch high-water mark: eviction below hiWater − trailHours
+      // is permanent, so a row arriving BELOW that line has no baseline
+      // left at all — emitting a score would silently diverge from the
+      // batch face (possibly flipping `anomaly`). Such rows are DROPPED,
+      // not mis-scored. Rows in [hiWater − trailHours, hiWater) still
+      // score, with the documented caveat that already-evicted hours at
+      // the window's left edge may shrink n_trail vs the batch face;
+      // hr-monotone input (what the hourly-agg upstream produces) never
+      // enters either regime.
+      val hiWater = if (maxSeen.exists()) maxSeen.get() else Long.MinValue
+      var maxHr = hiWater
+      rows.toSeq.sortBy(_.hr)
+        .filter(r => hiWater == Long.MinValue || r.hr >= hiWater - trailHours)
+        .foreach { r =>
         var sumC = 0L; var sumC2 = 0L; var n = 0L
         counts.iterator().foreach { case (h, c) =>
           if (h >= r.hr - trailHours && h <= r.hr - 1) {
@@ -614,11 +639,13 @@ object Streams {
         counts.updateValue(r.hr, r.c)
         maxHr = math.max(maxHr, r.hr)
       }
-      // evict hours that can never again fall inside a trailing window
-      // (input is hr-monotone per key at the micro-batch level)
+      // evict hours that can never again fall inside an ADMITTED row's
+      // trailing window (admission is cut against the same high-water
+      // mark, so eviction and the late-row gate agree by construction)
       if (maxHr != Long.MinValue) {
         counts.keys().toSeq.filter(_ < maxHr - trailHours)
           .foreach(counts.removeKey)
+        maxSeen.update(maxHr)
       }
       out.iterator
     }

@@ -833,4 +833,40 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       } finally q.stop()
     } finally conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
   }
+
+  test("anomaly twin late-data gate: beyond-horizon rows dropped, never mis-scored") {
+    val conf = spark.conf
+    val prevProvider = conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.HourlyTypeCount](spark)
+      val q = Streams.hourlyAnomalyStream(input.toDS())
+        .writeStream.format("memory").queryName("anomaly_late")
+        .outputMode("append").start()
+      try {
+        // batch 1: monotone hours 100..130 → high-water 130, hours < 106
+        // evicted after the batch
+        input.addData((100L to 130L).map(h => Streams.HourlyTypeCount("x", h, 5L)))
+        q.processAllAvailable()
+        // batch 2: hr 80 is BELOW 130 − 24 — its baseline is gone; hr 110
+        // is inside the window (shrunken baseline 106..109 → n_trail 4);
+        // hr 131 is the monotone path (full 24-hour baseline)
+        input.addData(Seq(
+          Streams.HourlyTypeCount("x", 80L, 99L),
+          Streams.HourlyTypeCount("x", 110L, 7L),
+          Streams.HourlyTypeCount("x", 131L, 5L)))
+        q.processAllAvailable()
+        val got = spark.table("anomaly_late").as[Streams.AnomalyRow]
+          .collect().map(a => a.hr -> a).toMap
+        assert(!got.contains(80L),
+          "a row older than maxSeen − trailHours must be dropped, not scored")
+        assert(got(110L).n_trail == 4L,
+          s"in-window late row scores against the retained hours only: ${got(110L)}")
+        assert(got(131L).n_trail == 24L,
+          s"monotone row keeps the full trailing baseline: ${got(131L)}")
+      } finally q.stop()
+    } finally conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
 }
