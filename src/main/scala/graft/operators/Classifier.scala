@@ -272,12 +272,43 @@ object Classifier {
     },
 
     // ---- classifier scoring: p(reference-like) per doc under the
-    //      trained weights — the model-based quality gate. ----
+    //      trained weights — the model-based quality gate. Declared
+    //      self-contained (train + score in one face); q217 is the
+    //      pipeline-shaped twin. ----
     "q111_quality_classifier_score" -> QueryDef.rowsOnly { (s, dir) =>
       val docs = Tables.documents(s, dir)
       classifierScore(docs, classifierTrain(docs)).orderBy("doc_id")
+    },
+
+    // ---- classifier scoring against PERSISTED weights: what a 100 TB
+    //      gate actually runs — the q110 artifact loaded from parquet
+    //      (trained once per corpus snapshot, the DedupIndex.ensure
+    //      pattern), then one in-row scoring pass. Byte-equal to q111
+    //      (training rounds weights to 9 dp before persisting, so the
+    //      stored table IS the inline table); ClassifierSpec pins it.
+    //      The bench median prices SCORING, not the training q111
+    //      deliberately includes. ----
+    "q217_classifier_score_persisted" -> QueryDef.rowsOnly { (s, dir) =>
+      classifierScore(Tables.documents(s, dir), ensureWeights(s, dir))
+        .orderBy("doc_id")
     }
   )
+
+  private val weightsFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Persisted weight table for `sfDir`'s documents — trained once per
+    * (JVM, sfDir) and written parquet; every later call loads the
+    * artifact. The stored table is the 9-dp-rounded q110 output, so
+    * scoring from it reproduces the inline face bit-for-bit. */
+  def ensureWeights(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val dir = weightsFor.computeIfAbsent(sfDir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-clf-weights").toString
+      classifierTrain(Tables.documents(spark, sfDir))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+      d
+    })
+    spark.read.parquet(dir)
+  }
 
   /** Polynomial-31 token hash mod [[dims]] — the classic string hash,
     * reproducible in any language (Java Long wrap semantics on both

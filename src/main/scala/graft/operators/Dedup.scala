@@ -611,17 +611,54 @@ object Dedup {
         .orderBy("doc_id")
     },
 
-    // ---- MinHash + LSH candidate pairs (no SQL oracle — sketch internals
-    //      are engine-specific; DedupSpec checks recall against q51's exact
-    //      pairs instead) ----
-    "q52_minhash_lsh_pairs" -> QueryDef.rowsOnly { (s, dir) =>
-      minhashLshPairs(Tables.documents(s, dir), numHashes = 16, bands = 4)
+    // ---- MinHash + LSH candidate pairs, ORACLE-CHECKED: the declared
+    //      face runs the md5 Kirsch–Mitzenmacher lane family (the q123
+    //      trade — engine-agnostic hashes DuckDB reproduces lane for
+    //      lane), so banding, the bucket cap, and the lane-agreement
+    //      estimate are all verified relationally; the xxhash64 UDAF
+    //      family remains the production default, recall-gated in
+    //      DedupSpec alongside this one. ----
+    "q52_minhash_lsh_pairs" -> QueryDef.sql(
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+        |       FROM w WHERE len(ws) >= 3),
+        |lane AS (SELECT doc_id,
+        |           CAST(('0x' || substr(md5(sh), 1, 14)) AS BIGINT) AS h1,
+        |           (CAST(('0x' || substr(md5(sh), 15, 14)) AS BIGINT) * 2 + 1) AS h2
+        |         FROM sh),
+        |sig AS (SELECT doc_id, j AS lane, min(h1 + j * h2) AS v
+        |        FROM lane, range(0, 16) t(j) GROUP BY 1, 2),
+        |band AS (SELECT doc_id, lane // 4 AS band,
+        |           string_agg(CAST(v AS VARCHAR), ',' ORDER BY lane) AS key
+        |         FROM sig GROUP BY doc_id, lane // 4),
+        |ok AS (SELECT band, key FROM band GROUP BY 1, 2 HAVING count(*) <= 10000),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM band a JOIN ok USING (band, key) JOIN band b USING (band, key)
+        |         WHERE a.doc_id < b.doc_id),
+        |agree AS (SELECT c.d1, c.d2,
+        |            sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS eq
+        |          FROM cand c JOIN sig sa ON sa.doc_id = c.d1
+        |                      JOIN sig sb ON sb.doc_id = c.d2 AND sb.lane = sa.lane
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(eq AS DOUBLE) / 16 AS est_jaccard
+        |FROM agree ORDER BY d1, d2""") { (s, dir) =>
+      minhashLshPairsMd5(Tables.documents(s, dir), numHashes = 16, bands = 4)
         .orderBy("d1", "d2")
     },
 
-    // ---- SimHash near-dup pairs (hamming distance on 64-bit sketches) ----
-    "q53_simhash_pairs" -> QueryDef.rowsOnly { (s, dir) =>
-      simhashPairs(Tables.documents(s, dir), maxHamming = 6)
+    // ---- SimHash near-dup pairs, ORACLE-CHECKED: md5-nibble bit family
+    //      (bit k of a word's sketch = bit k%4 of md5 hex nibble k/4 —
+    //      DuckDB computes identical bits), votes, block-combination
+    //      banding (8 blocks × C(8,2) keys), bucket cap, and the hamming
+    //      cut all verified relationally; the native graft_simhash64
+    //      xxhash64 family stays the production default, recall-gated in
+    //      DedupSpec. ----
+    "q53_simhash_pairs" -> QueryDef.sql(simhashMd5OracleSql(6)) { (s, dir) =>
+      simhashPairsFromSketches(simhashSketchMd5(Tables.documents(s, dir)),
+          maxHamming = 6)
+        .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
         .orderBy("d1", "d2")
     },
 
@@ -1988,20 +2025,33 @@ object Dedup {
       maxBucketSize: Int = defaultLshBucketCap): DataFrame =
     minhashLshPairsFromShingles(shingles(docs), numHashes, bands, maxBucketSize)
 
+  /** [[minhashLshPairs]] under the engine-agnostic md5 lane family —
+    * the q52 declared face (see [[minhashSignaturesMd5From]]). */
+  def minhashLshPairsMd5(docs: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int = defaultLshBucketCap): DataFrame =
+    minhashLshPairsFromShingles(shingles(docs), numHashes, bands, maxBucketSize, "md5")
+
   /** [[minhashLshPairs]] core over an ALREADY-MATERIALIZED shingle
     * relation (doc_id, sh) — the entry the persisted dedup index probes
     * (q209) so the audit faces never re-shingle the corpus. Byte-equal to
     * the docs form because [[minhashSignaturesFrom]]'s min-fold is
     * order-independent over the same shingle SET. */
   private[operators] def minhashLshPairsFromShingles(sh: DataFrame, numHashes: Int,
-      bands: Int, maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
+      bands: Int, maxBucketSize: Int = defaultLshBucketCap,
+      family: String = "xxhash64"): DataFrame = {
     // One barrier, three consumers: the bucket-count aggregate and both
     // self-join sides all read the banded frame, and without the
     // localCheckpoint each re-ran the signature UDAF over the shingles
     // (the r6→r7 repartition-for-reuse never survived AQE — same failure
     // mode as q51's, same fix). Signatures compute once; the persisted
     // blocks are a constant numHashes longs per doc × bands.
-    val banded = bandedSignatures(minhashSignaturesFrom(sh, numHashes), numHashes, bands)
+    val sigs = family match {
+      case "xxhash64" => minhashSignaturesFrom(sh, numHashes)
+      case "md5"      => minhashSignaturesMd5From(sh, numHashes)
+      case other => throw new IllegalArgumentException(
+        s"unknown minhash family '$other' (expected md5|xxhash64)")
+    }
+    val banded = bandedSignatures(sigs, numHashes, bands)
       .localCheckpoint(eager = false)
     val capped = capBuckets(banded, Seq("band", "key"), maxBucketSize)
     val a = capped.as("a")
@@ -2022,6 +2072,26 @@ object Dedup {
     * later batches against the corpus without re-shingling it. */
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
     minhashSignaturesFrom(shingles(docs), numHashes)
+
+  /** ENGINE-AGNOSTIC MinHash signatures: Kirsch–Mitzenmacher lanes
+    * h_i = h1 + i·h2 over the two md5 halves (the q123 family — 14 hex
+    * chars each, h2 forced odd; overflow-safe: h1 < 2⁵⁶, i·h2 < 2⁶¹).
+    * md5, not xxhash64, because DuckDB computes the IDENTICAL lanes —
+    * what upgrades q52 from golden-pinned to oracle-checked. A valid
+    * min-wise family with the same collision analysis as q123's probe
+    * positions; the per-shingle md5 cost is the documented price of
+    * cross-engine checkability (q123's trade), and the xxhash64 UDAF
+    * family stays the production default, in-suite recall-gated. */
+  private[operators] def minhashSignaturesMd5From(sh: DataFrame, numHashes: Int): DataFrame = {
+    val lanes = (0 until numHashes)
+      .map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"v$i"))
+    sh.select(col("doc_id"),
+        expr("CAST(conv(substring(md5(sh), 1, 14), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(md5(sh), 15, 14), 16, 10) AS BIGINT) * 2 + 1").as("h2"))
+      .groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"v$i")): _*).as("sig"))
+  }
 
   private def minhashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
     val mh = udaf(new graft.functions.MinHashAgg(numHashes))
@@ -2117,6 +2187,70 @@ object Dedup {
       when(col(s"b$k") > 0, expr(s"CAST(1 AS BIGINT) << $k")).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     votes.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** ENGINE-AGNOSTIC SimHash sketches: bit k of a word's hash = bit
+    * (k mod 4) of md5 hex nibble (k div 4) — 64 bits drawn evenly from
+    * the md5 the ORACLE can recompute (the q123/q52 family trade). md5
+    * runs ONCE per word occurrence; the 64 nibble/shift extractions are
+    * in-row integer ops. Votes, packing, banding, and the hamming cut
+    * all reuse the production machinery — only the per-word bit source
+    * differs from [[simhashSketch]]. */
+  private[graft] def simhashSketchMd5(docs: DataFrame): DataFrame = {
+    def nib(p: Int) = s"CAST(conv(substring(m, ${p + 1}, 1), 16, 10) AS BIGINT)"
+    val hexed = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("m"))
+    val bitVotes = (0 until 64).map { k =>
+      sum(expr(s"2 * (shiftright(${nib(k / 4)}, ${k % 4}) & 1) - 1")).as(s"b$k")
+    }
+    val votes = hexed.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val simhash = (0 until 64).map { k =>
+      when(col(s"b$k") > 0, expr(s"shiftleft(CAST(1 AS BIGINT), $k)"))
+        .otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** DuckDB oracle for the md5-family q53: the same bits as
+    * [[simhashSketchMd5]] spelled as a 64-char '0'/'1' string (char k+1
+    * = bit k), block-combination keys generated by the SAME
+    * combinations enumeration [[blockKeyedSketches]] uses (8 equal
+    * blocks, C(8, 8−maxHamming) keys), the same bucket cap, and hamming
+    * as a per-position char comparison — one Scala builder, two engine
+    * spellings, so the faces cannot drift apart. */
+  private[operators] def simhashMd5OracleSql(maxHamming: Int,
+      cap: Int = defaultLshBucketCap): String = {
+    require(maxHamming >= 0 && maxHamming <= 7, "oracle form assumes 8 blocks")
+    val nBlocks = 8
+    def nib(p: Int) = s"CAST(('0x' || substr(m, ${p + 1}, 1)) AS BIGINT)"
+    val votes = (0 until 64).map { k =>
+      s"sum(2 * ((${nib(k / 4)} >> ${k % 4}) & 1) - 1) AS b$k"
+    }.mkString(", ")
+    val bitStr = (0 until 64)
+      .map(k => s"CASE WHEN b$k > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val keySelects = (0 until nBlocks).combinations(nBlocks - maxHamming)
+      .zipWithIndex.map { case (blocks, tbl) =>
+        val key = blocks.map(c => s"substr(s, ${8 * c + 1}, 8)").mkString(" || ")
+        s"SELECT doc_id, s, $tbl AS tbl, $key AS key FROM bits"
+      }.mkString(" UNION ALL ")
+    val hamming = (1 to 64)
+      .map(p => s"CASE WHEN substr(sa.s, $p, 1) != substr(sb.s, $p, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+       |           FROM documents),
+       |hx AS (SELECT doc_id, md5(unnest(ws)) AS m FROM w),
+       |votes AS (SELECT doc_id, $votes FROM hx GROUP BY doc_id),
+       |bits AS (SELECT doc_id, $bitStr AS s FROM votes),
+       |keys AS ($keySelects),
+       |ok AS (SELECT tbl, key FROM keys GROUP BY 1, 2 HAVING count(*) <= $cap),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM keys a JOIN ok USING (tbl, key) JOIN keys b USING (tbl, key)
+       |         WHERE a.doc_id < b.doc_id),
+       |ham AS (SELECT d1, d2, CAST($hamming AS BIGINT) AS hamming
+       |        FROM cand JOIN bits sa ON sa.doc_id = cand.d1
+       |                  JOIN bits sb ON sb.doc_id = cand.d2)
+       |SELECT d1, d2, hamming FROM ham WHERE hamming <= $maxHamming
+       |ORDER BY d1, d2"""
   }
 
   /** 64-bit SimHash over word unigrams (xxhash64 per word, ±1 vote per

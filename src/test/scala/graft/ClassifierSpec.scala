@@ -209,6 +209,24 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     Barriers.release(table)
   }
 
+  test("q217 persisted-weights scoring equals the self-contained q111 face") {
+    val dir = sf001
+    val inline = SparkEntry.all("q111_quality_classifier_score")
+      .fn(spark, dir).collect().map(_.toString).toSeq
+    // first call trains + persists; second call must only LOAD
+    val persisted = SparkEntry.all("q217_classifier_score_persisted")
+      .fn(spark, dir).collect().map(_.toString).toSeq
+    assert(persisted === inline, "persisted-weights scores must be byte-equal")
+    val again = SparkEntry.all("q217_classifier_score_persisted")
+      .fn(spark, dir)
+    assert(again.collect().map(_.toString).toSeq === inline)
+    // the loaded plan reads the weight parquet, not a fresh training
+    val p = again.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("graft-clf-weights"),
+      s"q217 must score against the persisted artifact:\n$p")
+  }
+
   test("training releases every per-round barrier it pins") {
     val docs = Tables.documents(spark, sf001).filter(col("doc_id") <= 30)
       .select("doc_id", "text")

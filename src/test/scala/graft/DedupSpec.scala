@@ -63,6 +63,32 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!cand.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("md5-lane minhash/simhash (the q52/q53 oracle family) recalls the planted pairs too") {
+    // both families stay gated: xxhash64 is the production default, the
+    // md5 Kirsch–Mitzenmacher lanes are the oracle-checkable declared
+    // faces — same planted-corpus recall contract for each
+    val cand = Dedup.minhashLshPairsMd5(docs, numHashes = 16, bands = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 1L)) && cand.contains((2L, 3L)) && cand.contains((5L, 6L)))
+    assert(!cand.exists { case (a, b) => a == 4L || b == 4L })
+    val est = Dedup.minhashLshPairsMd5(docs, numHashes = 16, bands = 4)
+      .filter(col("d1") === 0 && col("d2") === 1)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0, "identical docs agree on every md5 lane")
+    val sk = Dedup.simhashSketchMd5(docs)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(sk(a) ^ sk(b))
+    assert(ham(0L, 1L) == 0, "identical docs have hamming 0")
+    assert(ham(2L, 3L) < ham(2L, 4L) && ham(5L, 6L) < ham(5L, 4L),
+      "near-dups closer than unrelated under the md5 bit family")
+    val pairs = Dedup.simhashPairsFromSketches(Dedup.simhashSketchMd5(docs), 8)
+      .select("d1", "d2", "hamming").as[(Long, Long, Int)].collect()
+    pairs.foreach { case (a, b, d) =>
+      assert(d == ham(a, b), "banding preserves md5-family distance")
+    }
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
   test("minhash estimated jaccard is 1.0 for identical docs") {
     val est = Dedup.minhashLshPairs(docs, numHashes = 16, bands = 4)
       .filter(col("d1") === 0 && col("d2") === 1)

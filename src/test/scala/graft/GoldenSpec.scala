@@ -101,10 +101,10 @@ object GoldenSpec {
 
   /** Committed digests — regenerate via GoldenHashes on intentional change. */
   val expected: Map[(String, String), String] = Map(
-    ("q52_minhash_lsh_pairs", "sf0.001") -> "44a6a019afbf6782",
-    ("q52_minhash_lsh_pairs", "sf0.01") -> "25330f97cf5b1422",
-    ("q53_simhash_pairs", "sf0.001") -> "702899a63403ebfa",
-    ("q53_simhash_pairs", "sf0.01") -> "ba012ff0556a20e1",
+    ("q52_minhash_lsh_pairs", "sf0.001") -> "9f0a0b6a2f7ff167",
+    ("q52_minhash_lsh_pairs", "sf0.01") -> "9cefbb9d0efcfd3d",
+    ("q53_simhash_pairs", "sf0.001") -> "3123bb83ee31bbcb",
+    ("q53_simhash_pairs", "sf0.01") -> "d244b2372b6444ab",
     ("q55b_cosine_pairs_lsh", "sf0.001") -> "24a99de23a321fc6",
     ("q55b_cosine_pairs_lsh", "sf0.01") -> "d1518185aeb16f5f",
     ("q56_ann_lsh_topk", "sf0.001") -> "5d031c801245e72e",
