@@ -194,7 +194,7 @@ object Similarity {
     //      re-score on the survivors — the billion-scale layout. ----
     "q205_ivfpq_topk" -> QueryDef.rowsOnly { (s, dir) =>
       ivfPqTopK(Tables.embeddings(s, dir), nQueries = 50, k = 5,
-        nClusters = 8, nProbe = 4, m = 8, ks = 32, refine = 16)
+        nClusters = 32, nProbe = 16, m = 8, ks = 32, refine = 16)
         .orderBy("qid", "rank")
     },
 

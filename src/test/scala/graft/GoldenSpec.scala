@@ -177,8 +177,8 @@ object GoldenSpec {
     ("q190_conformal_threshold", "sf0.01") -> "543a2c66213b2684",
     ("q204_pq_adc_topk", "sf0.001") -> "a37c5554e87f1fea",
     ("q204_pq_adc_topk", "sf0.01") -> "450ec6775f740993",
-    ("q205_ivfpq_topk", "sf0.001") -> "2929fd0033c04d75",
-    ("q205_ivfpq_topk", "sf0.01") -> "287a3b784979e48f",
+    ("q205_ivfpq_topk", "sf0.001") -> "7c3bb5440f0b130c",
+    ("q205_ivfpq_topk", "sf0.01") -> "79bcb6a9f54aa75e",
     ("q208_source_overlap_kmv", "sf0.001") -> "190766e1ed153169",
     ("q208_source_overlap_kmv", "sf0.01") -> "0a8789c43f8441ac")
 }

@@ -90,19 +90,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     val nQ = 50
     val exact = Similarity.cosineTopK(emb, col("vec_id") < nQ, k = 5)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
-    val got = Similarity.ivfPqTopK(emb, nQueries = nQ, k = 5, nProbe = 4)
+    val got = Similarity.ivfPqTopK(emb, nQueries = nQ, k = 5,
+        nClusters = 32, nProbe = 16)
       .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
     val recall = got.count(r => exact.contains((r._1, r._2))).toDouble / exact.size
-    val pinned = AnnSweep.operatingPoints(("q205_ivfpq_k8_nprobe4_m8_ks32", "sf0.001"))
+    val pinned = AnnSweep.operatingPoints(("q205_ivfpq_k32_nprobe16_m8_ks32", "sf0.001"))
     assert(recall >= pinned - 1e-9,
       s"IVF-PQ recall@5 $recall below the pinned operating point $pinned")
-    // stage-product sanity: composing the quantizers cannot beat the
-    // full-ADC PQ face at the same PQ params (candidates are a subset)
+    // stage-composition sanity vs the full-ADC PQ face at the same PQ
+    // params. NOT a strict subset law: the k·refine cutoff applies to the
+    // PROBED pool, so dropping unprobed vectors can admit deeper true
+    // neighbors into the refine set (measured: ivfpq 0.928 > pq 0.912 at
+    // sf0.01) — the bound that DOES hold is a small additive band around
+    // the full-ADC recall, since routing can only remove pre-cutoff
+    // candidates and the cutoff can only backfill from the ADC tail.
     val pqPairs = Similarity.pqTopK(emb, nQueries = nQ, k = 5, m = 8, ks = 32, refine = 16)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val pqRecall = pqPairs.count(exact.contains).toDouble / exact.size
-    assert(recall <= pqRecall + 1e-9,
-      s"IVF-PQ ($recall) cannot out-recall full-ADC PQ ($pqRecall) — probed lists are a candidate subset")
+    assert(recall <= pqRecall + 0.05 + 1e-9,
+      s"IVF-PQ ($recall) implausibly far above full-ADC PQ ($pqRecall)")
   }
 
   test("q204 PQ codes: m entries per vector, cid < ks, codebook deterministic") {
