@@ -211,6 +211,29 @@ object TemporalJoins {
       .orderBy("u1", "s1", "u2", "s2")
   }
 
+  /** q206's exact output from a PERSISTED interval frame (user_id, st,
+    * en) — the face the streaming session-interval store answers (see
+    * [[graft.streaming.Streams.sessionIntervalsSinkQuery]]). The sess
+    * ordinal is re-derived as the per-user rank by session start, which
+    * equals the batch fold's running counter (session k+1 always starts
+    * after session k ends). StreamingSpec pins pair-for-pair equality
+    * with [[concurrentSessions]] across micro-batch boundaries. */
+  def concurrentSessionsFromIntervals(iv: DataFrame,
+      binSeconds: Long = 3600): DataFrame = {
+    val numbered = iv
+      .withColumn("sess", row_number().over(
+        Window.partitionBy("user_id").orderBy("st", "en")).cast("long"))
+      .select("user_id", "sess", "st", "en")
+      .localCheckpoint(eager = false) // consumers: both sides of the bin join
+    intervalOverlapPairs(numbered, "user_id", Seq("user_id", "sess"), binSeconds)
+      .select(col("a_user_id").as("u1"), col("a_sess").as("s1"),
+        col("b_user_id").as("u2"), col("b_sess").as("s2"),
+        round(unix_micros(col("o_start")).cast("double") / 1e6, 6).as("o_start_s"),
+        round(unix_micros(col("o_end")).cast("double") / 1e6, 6).as("o_end_s"),
+        col("overlap_s"))
+      .orderBy("u1", "s1", "u2", "s2")
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- interval×interval overlap join: concurrent sessions across

@@ -153,6 +153,42 @@ object Streams {
         ()
       }
 
+  /** q206's streaming twin, stage 1: land watermark-closed session
+    * INTERVALS (user_id, st, en — min/max event time, the
+    * [[graft.operators.TemporalJoins.sessionIntervals]] frame) into the
+    * incremental store, exactly-once via the T3 sync keyed
+    * (user_id, st). [[graft.operators.TemporalJoins.concurrentSessionsFromIntervals]]
+    * then answers the interval-overlap join from the store — so the
+    * coordinated-account audit stays queryable against a continuously
+    * ingested event stream with no event-log rescan.
+    *
+    * Gap parity: the batch face SPLITS on gap > 1800 s (strict), while
+    * session_window splits on ts ≥ prev_end = prev + gap — so the
+    * streaming gap adds ONE MICROSECOND (the event-time granularity):
+    * an exact 1800.000000 s gap merges on both faces, 1800.000001
+    * splits on both; no µs-grained timestamp can fall between.
+    * StreamingSpec pins pair-for-pair equality to batch q206 across
+    * micro-batch boundaries on the real events table. */
+  def sessionIntervalsSinkQuery(
+      events: DataFrame,
+      stateDir: String,
+      gapSec: Long = 1800,
+      watermark: String = "30 minutes",
+      overlap: String = "48 hours"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"${gapSec * 1000000L + 1} microseconds"),
+        col("user_id"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      .select(col("user_id"), col("st"), col("en"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        WatermarkSync.syncBatch(batch.sparkSession, batch, stateDir, "st",
+          Seq("user_id", "st"), overlap)
+        ()
+      }
+
   /** Streaming near-dup detection at ingest: each micro-batch of documents
     * is checked against the PERSISTED MinHash signature store
     * ([[graft.operators.Dedup.incrementalMinhashPairs]] — batch↔corpus

@@ -834,6 +834,44 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
   }
 
+  test("q206 streaming twin: concurrent-session pairs equal the batch face across micro-batches") {
+    import graft.operators.TemporalJoins
+    val dir = java.nio.file.Files.createTempDirectory("sess-iv-store").toString
+    val events = Tables.events(spark, sf001)
+    // the whole real table, global ts order, split into three
+    // micro-batches so sessions OPEN in one batch and CLOSE in another
+    val rows = events.select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect().map(r => Streams.Event(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4), "{}"))
+    val maxTs = rows.map(_.ts.getTime).max
+    // sentinel far past every session + watermark: closes ALL sessions
+    val sentinel = Streams.Event(999999999L,
+      new java.sql.Timestamp(maxTs + 7L * 24 * 3600 * 1000), 999999999L, "view", 0.0, "{}")
+    val input = MemoryStream[Streams.Event](spark)
+    val q = Streams.sessionIntervalsSinkQuery(input.toDF(), dir).start()
+    try {
+      val cuts = Seq(rows.length / 3, 2 * rows.length / 3, rows.length)
+      var from = 0
+      cuts.foreach { to =>
+        input.addData(rows.slice(from, to).toIndexedSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      input.addData(sentinel); q.processAllAvailable()
+      val iv = graft.streaming.WatermarkSync.stored(spark, dir).get
+        .filter(col("user_id") =!= sentinel.user_id)
+        .select("user_id", "st", "en")
+      val streamed = TemporalJoins.concurrentSessionsFromIntervals(iv)
+        .collect().map(_.toString).toSeq
+      val batch = TemporalJoins.concurrentSessions(events)
+        .collect().map(_.toString).toSeq
+      assert(batch.nonEmpty, "fixture sanity: the table has concurrent sessions")
+      assert(streamed === batch,
+        s"streamed pairs diverge from batch q206 (${streamed.size} vs ${batch.size})")
+    } finally q.stop()
+  }
+
   test("anomaly twin late-data gate: beyond-horizon rows dropped, never mis-scored") {
     val conf = spark.conf
     val prevProvider = conf.get("spark.sql.streaming.stateStore.providerClass",
