@@ -107,7 +107,9 @@ object Bench {
     "q03_join_revenue_topk" -> 0.4, "q04_join_broadcast_dims" -> 0.0,
     "q09_window_topk_per_group" -> 1.5, "q24_exists_filtered" -> 0.3,
     "q36_tumbling_window" -> 0.2, "q41_quality_score" -> 0.1,
-    "q51_ngram_jaccard_pairs" -> 12.4, "q52_minhash_lsh_pairs" -> 0.9,
+    // q52 re-pinned r12: the declared face moved to the md5 lane family
+    // (oracle-checkable), whose signature aggregation writes 1.1 MB
+    "q51_ngram_jaccard_pairs" -> 12.4, "q52_minhash_lsh_pairs" -> 1.1,
     "q54_cosine_topk" -> 0.0, "q55b_cosine_pairs_lsh" -> 6.0,
     "q74_decontamination" -> 7.7, "q78_jaccard_prefix_filter" -> 3.9)
 
