@@ -483,6 +483,16 @@ object DedupIndex {
       .orderBy("threshold")
   }
 
+  /** q216's output — zero document scans: the planner's observed
+    * similarity histogram derives from the stored raw pair graph, whose
+    * (n1, n2, c) columns are [[Dedup.rawJaccardPairFrame]]'s shape; the
+    * floor cut and all probability arithmetic run inside
+    * [[Dedup.lshParameterPlanFromPairs]] on the integer micro-Jaccard,
+    * so this face is bit-equal to the standalone q216. */
+  def plannerAgainst(idx: Index, numHashes: Int = 16,
+      threshold: Double = 0.6, floor: Double = 0.05): DataFrame =
+    Dedup.lshParameterPlanFromPairs(idx.pairs, numHashes, threshold, floor)
+
   /** q186's output — zero document scans: evidence text comes from the
     * persisted shingle relation. Mirrors [[Dedup.nearDupExplanation]]. */
   def explanationAgainst(idx: Index, threshold: Double = 0.6,
@@ -724,6 +734,15 @@ object DedupIndex {
     //      DedupIndexSpec pins byte-parity with q189. ----
     "q209_dedupindex_error_audit" -> QueryDef.rowsOnly { (s, dir) =>
       errorAuditAgainst(ensure(s, dir))
+    },
+
+    // ---- index-backed LSH parameter planner (q216): zero corpus scans —
+    //      the observed similarity histogram comes from the stored raw
+    //      pair graph, whose (n1, n2, c) columns are exactly the shape
+    //      the planner's integer micro-Jaccard arithmetic consumes. ----
+    "q219_dedupindex_planner" -> QueryDef.sql(
+      oracleOf("q216_lsh_parameter_plan")) { (s, dir) =>
+      plannerAgainst(ensure(s, dir))
     },
 
     // ---- incremental maintenance, oracle-checked the strong way: build

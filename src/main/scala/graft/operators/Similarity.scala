@@ -160,6 +160,68 @@ object Similarity {
         .orderBy("qid", "rank")
     },
 
+    // ---- hyperplane-LSH top-k, ORACLE-CHECKED (q220): the md5 plane
+    //      family + exact DECIMAL margins make candidate generation
+    //      engine-independent, so DuckDB regenerates the planes FROM md5
+    //      ITSELF (not from the Scala masks — the gate cross-validates
+    //      the two derivations), replays the banding, the weakest-
+    //      |margin| probe flips, and the exact re-score, and must match
+    //      bit-for-bit. q56 (native xxhash planes, fused double loop)
+    //      stays the production face; this is its semantic pin. ----
+    "q220_ann_lsh_topk_md5" -> QueryDef.sql(
+      s"""WITH planes AS (
+         |  SELECT p.p AS pl, d.d AS d,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_' ||
+         |        CAST(d.d - 1 AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+         |      THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT unnest(range(0, 96)) AS p) p,
+         |       (SELECT unnest(range(1, 65)) AS d) d),
+         |terms AS (
+         |  SELECT e.vec_id, pl,
+         |    sum(CAST(round(CAST(e.embedding[planes.d] AS DOUBLE), 9)
+         |      AS DECIMAL(18,9)) * s) AS margin
+         |  FROM embeddings e, planes
+         |  GROUP BY 1, 2),
+         |keys AS (
+         |  SELECT vec_id, pl // 6 AS band,
+         |    CAST(sum(CASE WHEN margin > 0
+         |      THEN (CAST(1 AS BIGINT) << (pl % 6)) ELSE 0 END) AS BIGINT) AS key
+         |  FROM terms GROUP BY 1, 2),
+         |qrank AS (
+         |  SELECT vec_id, pl, row_number() OVER (
+         |    PARTITION BY vec_id, pl // 6 ORDER BY abs(margin), pl) AS rn
+         |  FROM terms WHERE vec_id < 50),
+         |qkeys AS (
+         |  SELECT vec_id, band, key FROM keys WHERE vec_id < 50
+         |  UNION
+         |  SELECT k.vec_id, k.band,
+         |    xor(k.key, CAST(1 AS BIGINT) << (r.pl % 6)) AS key
+         |  FROM keys k JOIN qrank r ON r.vec_id = k.vec_id AND r.pl // 6 = k.band
+         |  WHERE k.vec_id < 50 AND r.rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+         |  FROM qkeys q JOIN keys c ON c.band = q.band AND c.key = q.key
+         |  WHERE c.vec_id != q.vec_id),
+         |p AS (
+         |  SELECT cand.qid, cand.nid,
+         |    round(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE))
+         |      / (sqrt(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)))
+         |         * sqrt(sum(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS cos_sim
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.qid
+         |  JOIN embeddings b ON b.vec_id = cand.nid,
+         |       (SELECT unnest(range(1, 65)) AS i) i
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, cos_sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         |      FROM p)
+         |SELECT qid, nid, cos_sim, rank FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""") { (s, dir) =>
+      annLshTopKMd5(Tables.embeddings(s, dir), nQueries = 50, k = 5,
+        planesPerBand = 6, bands = 16, probes = 2)
+        .orderBy("qid", "rank")
+    },
+
     // ---- LSH-candidate cosine threshold pairs: the 100 TB replacement for
     //      q55's exact all-pairs — candidates from a (band, key) equi-join
     //      (shuffle O(n × bands)), exact graft_dot re-scoring, so every
@@ -194,6 +256,15 @@ object Similarity {
     //      re-score on the survivors — the billion-scale layout. ----
     "q205_ivfpq_topk" -> QueryDef.rowsOnly { (s, dir) =>
       ivfPqTopK(Tables.embeddings(s, dir), nQueries = 50, k = 5,
+        nClusters = 32, nProbe = 16, m = 8, ks = 32, refine = 16)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- residual IVF-PQ top-k: PQ codes quantize (unit − centroid)
+    //      residuals, the exact q·c term rides the routing stage — the
+    //      FAISS-default refinement of q205 at identical scan cost. ----
+    "q218_ivfpq_residual_topk" -> QueryDef.rowsOnly { (s, dir) =>
+      ivfPqResidualTopK(Tables.embeddings(s, dir), nQueries = 50, k = 5,
         nClusters = 32, nProbe = 16, m = 8, ks = 32, refine = 16)
         .orderBy("qid", "rank")
     },
@@ -673,11 +744,19 @@ object Similarity {
     * point of PQ: the "index" is m·ks·(dim/m) floats ≈ the size of ONE
     * batch of vectors, regardless of corpus size). */
   def pqCodebook(embeddings: DataFrame, m: Int = 8, ks: Int = 16,
-      iters: Int = 3): DataFrame = {
-    val spark = embeddings.sparkSession
+      iters: Int = 3): DataFrame =
+    pqCodebookOf(withNorm(embeddings)
+      .select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb")),
+      m, ks, iters)
+
+  /** [[pqCodebook]] over an already-prepared (vec_id, emb) frame — the
+    * residual variant trains on (unit − coarse centroid) vectors, which
+    * must NOT be re-normalized (a residual's length IS its information). */
+  def pqCodebookOf(vectors: DataFrame, m: Int, ks: Int,
+      iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
     graft.functions.VectorExpressions.register(spark)
-    val subs = pqSubvectors(withNorm(embeddings)
-      .select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb")), m)
+    val subs = pqSubvectors(vectors.select(col("vec_id"), col("emb")), m)
       .cache()
     var cb = subs.filter(col("vec_id") < ks)
       .select(col("sub"), col("vec_id").cast("int").as("cid"),
@@ -723,14 +802,18 @@ object Similarity {
   /** PQ-encode the corpus: (vec_id, codes array<int> of length m) —
     * 4-bit-per-subspace codes at the default ks=16, a 64× compression
     * of the 64-dim float vectors. */
-  def pqEncode(embeddings: DataFrame, codebook: DataFrame, m: Int = 8): DataFrame = {
-    val unit = withNorm(embeddings)
-      .select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb"))
-    pqAssign(pqSubvectors(unit, m), codebook)
+  def pqEncode(embeddings: DataFrame, codebook: DataFrame, m: Int = 8): DataFrame =
+    pqEncodeOf(withNorm(embeddings)
+      .select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb")),
+      codebook, m)
+
+  /** [[pqEncode]] over an already-prepared (vec_id, emb) frame (no
+    * normalization — see [[pqCodebookOf]]). */
+  def pqEncodeOf(vectors: DataFrame, codebook: DataFrame, m: Int): DataFrame =
+    pqAssign(pqSubvectors(vectors.select(col("vec_id"), col("emb")), m), codebook)
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), x -> x.cid)")
         .as("codes"))
-  }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds an
     * m×ks lookup table of sub-dot-products against the broadcast
@@ -844,6 +927,86 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Residual IVF-PQ top-k (q218) — [[ivfPqTopK]] with the FAISS residual
+    * trick: PQ codes quantize (unit − assigned coarse centroid) instead of
+    * the unit vector itself. Residuals concentrate near 0 (the coarse
+    * quantizer has already explained the centroid component), so the same
+    * m×ks code budget spends its resolution on the informative part and
+    * the ADC approximation tightens:
+    *   q·x = q·(c + r) = q·c + q·r ≈ c_cos + Σ_sub ADC_sub(code_sub)
+    * where c_cos (the query-to-centroid dot) is EXACT — it is already
+    * computed per probed list by the routing stage and rides the
+    * broadcast probes frame, so the only approximation left is the
+    * residual's, which is the smaller term. Same 100 TB shape as q205:
+    * corpus side is (cluster_id + m codes) per vector, scan cost per
+    * query is the probed lists' code lookups, floats touched only for
+    * the k·refine exact re-score. Both ADC terms are 9-dp DECIMAL so the
+    * candidate score is an order-free sum. */
+  def ivfPqResidualTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+      nClusters: Int = 8, nProbe: Int = 3, m: Int = 8, ks: Int = 32,
+      refine: Int = 16, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val e = withNorm(embeddings).cache()
+    val unit = e.select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb"))
+      .localCheckpoint(eager = false) // consumers: posting, residuals, probes, ADC
+    val coarse = kmeansCentroids(embeddings, nClusters, iters)
+    val cUnit = coarse
+      .withColumn("cnorm", sqrt(expr("graft_dot(cemb, cemb)")))
+      .filter(col("cnorm") > 0)
+      .select(col("cluster_id"), expr("transform(cemb, x -> x / cnorm)").as("cemb"))
+    val posting = assignClusters(unit, cUnit)
+      .select(col("vec_id"), col("cluster_id"))
+    // residual = unit − assigned centroid: the centroid table is broadcast,
+    // so residual construction is map-side over the posting join
+    val resid = unit.join(posting, Seq("vec_id"))
+      .join(broadcast(cUnit), Seq("cluster_id"))
+      .select(col("vec_id"), expr("zip_with(emb, cemb, (x, c) -> x - c)").as("emb"))
+      .localCheckpoint(eager = false) // consumers: codebook rounds, encode
+    val cb = pqCodebookOf(resid, m, ks, iters)
+    val codes = pqEncodeOf(resid, cb, m)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(posting, Seq("vec_id")) // (vec_id, sub, cid, cluster_id)
+    // routing stage ALSO supplies the exact q·c term per probed list
+    val probes = unit.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cUnit))
+      .select(col("vec_id").as("qid"), col("cluster_id"),
+        dot("emb", "cemb").as("c_cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("c_cos").desc, col("cluster_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cluster_id"),
+        expr("CAST(round(c_cos, 9) AS DECIMAL(18,9))").as("c_cos"))
+    val adc = pqSubvectors(unit.filter(col("vec_id") < nQueries), m)
+      .join(cb, Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        expr("CAST(round(graft_dot(sv, cvec), 9) AS DECIMAL(18,9))").as("t"))
+      // attach each query's probed lists + their exact centroid dots:
+      // (qid, cluster_id, c_cos, sub, cid, t) — nQueries × nProbe × m × ks,
+      // still broadcast-sized
+      .join(probes, Seq("qid"))
+    val approx = codes.join(broadcast(adc), Seq("cluster_id", "sub", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      // every row in the group shares the candidate's one posting cluster,
+      // so first(c_cos) is well-defined (not an arbitrary pick)
+      .agg((sum(col("t")) + first(col("c_cos"))).as("approx"))
+    val wa = Window.partitionBy("qid").orderBy(col("approx").desc, col("vec_id"))
+    val cand = approx.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= k * refine)
+      .select(col("qid"), col("vec_id").as("nid"))
+    val qSide = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("norm").as("qnorm"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    cand
+      .join(broadcast(qSide), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("emb"), col("norm")), "nid")
+      .select(col("qid"), col("nid"),
+        round(dot("qemb", "emb") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Signed projections onto bands×planesPerBand deterministic
     * pseudo-random ±1 hyperplanes via the native codegen'd
     * [[graft.functions.LshProject]] expression (one fused loop per row —
@@ -854,35 +1017,46 @@ object Similarity {
   private def marginsExpr(planesPerBand: Int, bands: Int): Column =
     expr(s"graft_lsh_project(emb, ${bands * planesPerBand})")
 
-  /** Primary band keys from the `m` margins column: for each band, a struct
-    * (band, key) where key packs the planesPerBand sign bits. */
-  private def bandKeysExpr(planesPerBand: Int, bands: Int): Column =
+  /** Primary band keys from a margins column: for each band, a struct
+    * (band, key) where key packs the planesPerBand sign bits. `zero` is
+    * the comparison literal — `0D` for the native double margins, `0`
+    * for the md5 face's DECIMAL margins (a `0D` compare would coerce the
+    * decimal to double and forfeit the exactness the decimal buys). */
+  private def bandKeysExprOn(mcol: String, zero: String,
+      planesPerBand: Int, bands: Int): Column =
     expr(
       s"""transform(sequence(0, ${bands - 1}), band -> named_struct(
          |  'band', band,
          |  'key', aggregate(sequence(0, ${planesPerBand - 1}), CAST(0 AS BIGINT),
-         |    (acc, p) -> acc | IF(m[band * $planesPerBand + p] > 0D,
+         |    (acc, p) -> acc | IF($mcol[band * $planesPerBand + p] > $zero,
          |      shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))))""".stripMargin)
+
+  private def bandKeysExpr(planesPerBand: Int, bands: Int): Column =
+    bandKeysExprOn("m", "0D", planesPerBand, bands)
 
   /** Multi-probe band keys: per band, the primary key plus `probes` probe
     * keys with the lowest-|margin| sign bits flipped one at a time — the
     * standard multi-probe LSH trick (a near-zero margin means the true
     * neighbor plausibly lies on the other side of that plane). fp = -1
     * encodes the primary (no flip) key. */
-  private def probeKeysExpr(planesPerBand: Int, bands: Int, probes: Int): Column =
+  private def probeKeysExprOn(mcol: String, zero: String,
+      planesPerBand: Int, bands: Int, probes: Int): Column =
     expr(
       s"""flatten(transform(sequence(0, ${bands - 1}), band ->
          |  transform(
          |    concat(
          |      array(-1),
          |      slice(transform(array_sort(transform(sequence(0, ${planesPerBand - 1}),
-         |          p -> named_struct('a', abs(m[band * $planesPerBand + p]), 'p', p))),
+         |          p -> named_struct('a', abs($mcol[band * $planesPerBand + p]), 'p', p))),
          |        s -> s.p), 1, $probes)),
          |    fp -> named_struct('band', band,
          |      'key', aggregate(sequence(0, ${planesPerBand - 1}), CAST(0 AS BIGINT),
-         |        (acc, p) -> acc | IF(IF(p = fp, m[band * $planesPerBand + p] <= 0D,
-         |                                       m[band * $planesPerBand + p] > 0D),
+         |        (acc, p) -> acc | IF(IF(p = fp, $mcol[band * $planesPerBand + p] <= $zero,
+         |                                        $mcol[band * $planesPerBand + p] > $zero),
          |          shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))))))""".stripMargin)
+
+  private def probeKeysExpr(planesPerBand: Int, bands: Int, probes: Int): Column =
+    probeKeysExprOn("m", "0D", planesPerBand, bands, probes)
 
   /** Random-hyperplane LSH top-k: a vector's key in a band is the
     * planesPerBand-bit sign pattern of its projections; candidates for a
@@ -900,6 +1074,13 @@ object Similarity {
     val queries = m.filter(col("vec_id") < nQueries)
       .withColumn("bk", explode(probeKeysExpr(planesPerBand, bands, probes)))
       .select(col("vec_id").as("qid"), col("bk.band").as("band"), col("bk.key").as("key"))
+    lshCandidatesTopK(e, corpus, queries, nQueries, k)
+  }
+
+  /** Shared tail of the bucketed-LSH top-k faces: (band, key) equi-join
+    * for candidates, exact graft_dot re-score, per-query top-k. */
+  private def lshCandidatesTopK(e: DataFrame, corpus: DataFrame,
+      queries: DataFrame, nQueries: Int, k: Int): DataFrame = {
     // candidate ids from the (band, key) equi-join — dedup the bare
     // (qid, nid) id pairs across bands/probes BEFORE attaching embeddings,
     // so the dedup shuffle moves 16-byte pairs, not kilobyte vectors
@@ -918,6 +1099,64 @@ object Similarity {
         round(dot("qemb", "emb") / (col("qnorm") * col("norm")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 plane masks for the md5 hyperplane family (q220):
+    * bit d of mask P is 1 (sign +1) iff the FIRST HEX DIGIT of
+    * md5("P_d") is even, else the sign is −1. md5, not the native
+    * xxhash planes, because any engine with an md5 function regenerates
+    * the planes digit-for-digit — the q52/q123 family trade applied to
+    * hyperplane LSH. The q220 oracle recomputes this rule in DuckDB SQL
+    * (not from these masks), so the correctness gate cross-validates the
+    * two derivations; SimilaritySpec additionally pins this Scala
+    * derivation against Spark's own md5 function. */
+  private[graft] def md5PlaneMasks(planes: Int, dim: Int = 64): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (0 until dim).foldLeft(0L) { (acc, d) =>
+        val h = md.digest(s"${p}_${d}".getBytes("UTF-8"))
+        val firstHexDigit = (h(0) >> 4) & 0xf
+        if (firstHexDigit % 2 == 0) acc | (1L << d) else acc
+      }
+    }
+  }
+
+  /** In-row DECIMAL margins under the md5 plane family: mm[P] =
+    * Σ_d round(emb[d], 9) · sign(P, d) with every term a DECIMAL(18,9),
+    * so the sum is order-free and EXACT — the margin signs (and the
+    * |margin| probe ordering) are therefore engine-independent, which is
+    * what lets a SQL oracle reproduce the candidate set bit-for-bit.
+    * The native [[marginsExpr]] face keeps double arithmetic (summation
+    * order is fixed inside the fused loop); this face pays decimal cost
+    * for checkability — the q52 md5-lane trade. */
+  private def md5MarginsExpr(masks: Seq[Long]): Column =
+    expr(
+      s"""transform(array(${masks.mkString("L, ")}L), mask ->
+         |  aggregate(sequence(0, 63), CAST(0 AS DECIMAL(28,9)), (acc, d) ->
+         |    CAST(acc + CAST(round(element_at(emb, d + 1), 9) AS DECIMAL(18,9))
+         |      * (CAST((shiftright(mask, d) & 1) AS INT) * 2 - 1)
+         |      AS DECIMAL(28,9))))""".stripMargin)
+
+  /** Hyperplane-LSH top-k under the md5 plane family (q220) — the
+    * ORACLE-CHECKED twin of [[annLshTopK]]: same banding, same
+    * weakest-|margin| multi-probe rule, same exact re-score, but planes
+    * from [[md5PlaneMasks]] and margins in exact DECIMAL, so DuckDB
+    * reproduces candidates AND ranks verbatim. The native xxhash-plane
+    * q56 stays the production face (codegen'd fused loop); this face is
+    * the cross-engine semantic pin for the whole bucketed-ANN family. */
+  def annLshTopKMd5(embeddings: DataFrame, nQueries: Int, k: Int,
+      planesPerBand: Int = 6, bands: Int = 16, probes: Int = 2): DataFrame = {
+    val masks = md5PlaneMasks(bands * planesPerBand)
+    val e = withNorm(embeddings)
+    val m = e.withColumn("mm", md5MarginsExpr(masks))
+    val corpus = m.withColumn("bk",
+        explode(bandKeysExprOn("mm", "0", planesPerBand, bands)))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val queries = m.filter(col("vec_id") < nQueries)
+      .withColumn("bk",
+        explode(probeKeysExprOn("mm", "0", planesPerBand, bands, probes)))
+      .select(col("vec_id").as("qid"), col("bk.band").as("band"), col("bk.key").as("key"))
+    lshCandidatesTopK(e, corpus, queries, nQueries, k)
   }
 
   /** Exact all-pairs cosine >= threshold (q55): the oracle/recall BASELINE

@@ -51,7 +51,8 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("contrastive", DedupIndex.contrastiveAgainst(idx), Dedup.contrastivePairs(d, 0.6)),
       ("pairs@0.6", DedupIndex.pairsAt(idx, 0.6), Dedup.exactJaccardPairs(d, 0.6)),
       ("triangles", DedupIndex.trianglesAgainst(idx, 0.3), Dedup.triangleCohesion(d, 0.3)),
-      ("errorAudit", DedupIndex.errorAuditAgainst(idx), Dedup.minhashErrorAudit(d)))
+      ("errorAudit", DedupIndex.errorAuditAgainst(idx), Dedup.minhashErrorAudit(d)),
+      ("planner", DedupIndex.plannerAgainst(idx), Dedup.lshParameterPlan(d)))
     faces.foreach { case (name, against, standalone) =>
       assert(rows(against) === rows(standalone), s"face '$name' diverges")
     }
@@ -119,7 +120,8 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("leakage", DedupIndex.leakageAgainst(idx)),
       ("contrastive", DedupIndex.contrastiveAgainst(idx)),
       ("triangles", DedupIndex.trianglesAgainst(idx)),
-      ("errorAudit", DedupIndex.errorAuditAgainst(idx)))
+      ("errorAudit", DedupIndex.errorAuditAgainst(idx)),
+      ("planner", DedupIndex.plannerAgainst(idx)))
     indexOnly.foreach { case (name, df) =>
       val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("documents.parquet"),

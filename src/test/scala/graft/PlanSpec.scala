@@ -682,7 +682,23 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q214_substring_dedup_apply",    1, 3),
       // q215: probe docs scan ×2 (windows + text join) + the folded
       // windows-parquet scan; fold agg + cut rollup + output sort
-      ("q215_substring_dedup_apply_incremental", 3, 3))
+      ("q215_substring_dedup_apply_incremental", 3, 3),
+      // q216: pair-histogram + probability arithmetic run on the
+      // barriered micro-Jaccard pair frame — documents behind the barrier
+      ("q216_lsh_parameter_plan",       0, 2),
+      // q217: weights parquet (one-row broadcast) + the docs scan; the
+      // score itself is in-row — exchanges are the output ordering only
+      ("q217_classifier_score_persisted", 2, 2),
+      // q218: centroids/codebook are checkpointed k×dim barriers like
+      // q205; the residual construction adds one posting join over the
+      // barriered unit frame (+1 exchange vs q205's 7)
+      ("q218_ivfpq_residual_topk",      1, 8),
+      // q219: the planner arithmetic runs on the index's stored pair
+      // graph — zero documents scans (pinned separately in DedupIndexSpec)
+      ("q219_dedupindex_planner",       0, 2),
+      // q220: one embeddings scan feeds corpus + probe sides (decimal
+      // margins in-row); candidate dedup + re-score + top-k windows
+      ("q220_ann_lsh_topk_md5",         1, 3))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

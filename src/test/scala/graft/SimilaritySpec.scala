@@ -111,6 +111,71 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"IVF-PQ ($recall) implausibly far above full-ADC PQ ($pqRecall)")
   }
 
+  test("q218 residual IVF-PQ: recall@5 at the pinned point, >= plain IVF-PQ; exact re-score") {
+    val emb = Tables.embeddings(spark, sf001)
+    val nQ = 50
+    val exact = Similarity.cosineTopK(emb, col("vec_id") < nQ, k = 5)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    val exactPairs = exact.map(r => (r._1, r._2)).toSet
+    val got = Similarity.ivfPqResidualTopK(emb, nQueries = nQ, k = 5,
+        nClusters = 32, nProbe = 16)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    val recall = got.count(r => exactPairs.contains((r._1, r._2))).toDouble / exact.length
+    val pinned = AnnSweep.operatingPoints(("q218_ivfpqres_k32_nprobe16_m8_ks32", "sf0.001"))
+    assert(recall >= pinned - 1e-9,
+      s"residual IVF-PQ recall@5 $recall below the pinned operating point $pinned")
+    // the residual trick must not LOSE recall vs plain IVF-PQ at the same
+    // routing (identical probed lists, identical refine budget): the exact
+    // q·c term replaces an approximated component, so the candidate
+    // ordering can only get closer to the truth (deterministic data makes
+    // this a fixed comparison, not a statistical one)
+    val plain = Similarity.ivfPqTopK(emb, nQueries = nQ, k = 5,
+        nClusters = 32, nProbe = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val plainRecall = plain.count(exactPairs.contains).toDouble / exact.length
+    assert(recall >= plainRecall - 1e-9,
+      s"residual IVF-PQ ($recall) lost recall vs plain IVF-PQ ($plainRecall)")
+    // candidates-then-exact contract: emitted similarities are exact
+    val exactSim = exact.map(r => (r._1, r._2) -> r._3).toMap
+    got.filter(r => exactSim.contains((r._1, r._2))).foreach { r =>
+      assert(r._3 === exactSim((r._1, r._2)),
+        s"pair (${r._1},${r._2}) must carry the exact cosine")
+    }
+  }
+
+  test("q220 md5-plane LSH: mask derivation matches Spark's md5; exact re-score contract") {
+    // the Scala MessageDigest mask derivation must equal an independent
+    // recomputation through Spark's OWN md5 function — the same
+    // cross-validation the DuckDB oracle performs from its md5 (three
+    // engines, one plane family)
+    val masks = Similarity.md5PlaneMasks(96)
+    val fromSql = spark.range(96).selectExpr(
+      ("aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, d) -> " +
+        "acc | IF(CAST(conv(substring(md5(concat(CAST(id AS STRING), '_', " +
+        "CAST(d AS STRING))), 1, 1), 16, 10) AS INT) % 2 = 0, " +
+        "shiftleft(CAST(1 AS BIGINT), d), CAST(0 AS BIGINT))) AS mask"))
+      .as[Long].collect().toSeq
+    assert(masks === fromSql, "MessageDigest and Spark-md5 mask derivations diverge")
+    // candidates-then-exact contract + per-query cardinality
+    val emb = Tables.embeddings(spark, sf001)
+    val nQ = 50
+    val got = Similarity.annLshTopKMd5(emb, nQueries = nQ, k = 5)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    val exact = Similarity.cosineTopK(emb, col("vec_id") < nQ, k = 5)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    val exactSim = exact.map(r => (r._1, r._2) -> r._3).toMap
+    got.filter(r => exactSim.contains((r._1, r._2))).foreach { r =>
+      assert(r._3 === exactSim((r._1, r._2)),
+        s"pair (${r._1},${r._2}) must carry the exact cosine")
+    }
+    // recall at the pinned operating point — a different plane family
+    // than q56's xxhash planes, so its own pin
+    val recall = got.count(r => exactSim.contains((r._1, r._2))).toDouble / exact.length
+    val pinned = AnnSweep.operatingPoints(("q220_lshmd5_planes6_bands16_probes2", "sf0.001"))
+    assert(recall >= pinned - 1e-9,
+      s"md5-plane LSH recall@5 $recall below the pinned operating point $pinned")
+  }
+
   test("q204 PQ codes: m entries per vector, cid < ks, codebook deterministic") {
     val emb = Tables.embeddings(spark, sf001)
     val cb = Similarity.pqCodebook(emb, m = 8, ks = 16, iters = 2)
