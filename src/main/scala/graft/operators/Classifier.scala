@@ -180,18 +180,21 @@ object Classifier {
 
     // ---- split-conformal accept threshold + held-out coverage for the
     //      classifier; rows-only (scores are no_oracle), golden-pinned,
-    //      order-statistic reference in ClassifierSpec. ----
+    //      order-statistic reference in ClassifierSpec. Scores against
+    //      the PERSISTED weight artifact (the q217 pattern — a 100 TB
+    //      gate loads weights, it doesn't retrain per decision); byte-
+    //      equal to the inline-trained form because training rounds
+    //      weights to 9 dp before persisting (golden pins unchanged). ----
     "q190_conformal_threshold" -> QueryDef.rowsOnly { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      conformalThreshold(docs, classifierTrain(docs))
+      conformalThreshold(Tables.documents(s, dir), ensureWeights(s, dir))
     },
 
     // ---- active-learning batch: most-uncertain docs under the trained
     //      classifier; rows-only (the classifier itself is no_oracle),
-    //      golden-pinned, machinery reference-checked in ClassifierSpec. ----
+    //      golden-pinned, machinery reference-checked in ClassifierSpec.
+    //      Persisted weights, same rationale as q190. ----
     "q181_active_learning_batch" -> QueryDef.rowsOnly { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      activeLearningBatch(docs, classifierTrain(docs))
+      activeLearningBatch(Tables.documents(s, dir), ensureWeights(s, dir))
     },
 
     // ---- isotonic calibration: monotone probability curve over the

@@ -594,8 +594,9 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q180: one events scan into the shared user window; core/days
       // frames barriered; week grid + joins on users-sized frames
       ("q180_user_features",            1, 6),
-      // q181: one corpus scan (the q111 in-row score path) + TakeOrdered
-      ("q181_active_learning_batch",    1, 1),
+      // q181: corpus scan + the persisted-weights parquet (the q217
+      // pattern — no training in the plan) + TakeOrdered
+      ("q181_active_learning_batch",    2, 1),
       // q182: bins-sized interval enumeration off the calibration
       // barrier — bins³ cells at most
       ("q182_isotonic_calibration",     0, 4),
