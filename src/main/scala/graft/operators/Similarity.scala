@@ -161,7 +161,7 @@ object Similarity {
     },
 
     // ---- hyperplane-LSH top-k, ORACLE-CHECKED (q220): the md5 plane
-    //      family + exact DECIMAL margins make candidate generation
+    //      family + exact scaled-long margins make candidate generation
     //      engine-independent, so DuckDB regenerates the planes FROM md5
     //      ITSELF (not from the Scala masks — the gate cross-validates
     //      the two derivations), replays the banding, the weakest-
@@ -1020,8 +1020,9 @@ object Similarity {
   /** Primary band keys from a margins column: for each band, a struct
     * (band, key) where key packs the planesPerBand sign bits. `zero` is
     * the comparison literal — `0D` for the native double margins, `0`
-    * for the md5 face's DECIMAL margins (a `0D` compare would coerce the
-    * decimal to double and forfeit the exactness the decimal buys). */
+    * for the md5 face's scaled-long margins (a `0D` compare would
+    * coerce the long to double; harmless below 2^53 but the integer
+    * compare is both exact-by-construction and cheaper). */
   private def bandKeysExprOn(mcol: String, zero: String,
       planesPerBand: Int, bands: Int): Column =
     expr(
@@ -1121,26 +1122,35 @@ object Similarity {
     }
   }
 
-  /** In-row DECIMAL margins under the md5 plane family: mm[P] =
-    * Σ_d round(emb[d], 9) · sign(P, d) with every term a DECIMAL(18,9),
-    * so the sum is order-free and EXACT — the margin signs (and the
-    * |margin| probe ordering) are therefore engine-independent, which is
-    * what lets a SQL oracle reproduce the candidate set bit-for-bit.
-    * The native [[marginsExpr]] face keeps double arithmetic (summation
-    * order is fixed inside the fused loop); this face pays decimal cost
-    * for checkability — the q52 md5-lane trade. */
+  /** Exact margins under the md5 plane family, as SCALED LONGS: the
+    * oracle's margin is Σ_d round(emb[d], 9) · sign(P, d) in exact
+    * DECIMAL(·,9); this face computes 10⁹ × that value in pure long
+    * arithmetic — each dim is rounded/scaled to a long ONCE (via an
+    * exact DECIMAL(18,9) × 10⁹ hop, never a double multiply), then all
+    * 96 plane sums are long folds. Long addition is exact (terms ≤
+    * ~2³³, 64 of them — no overflow), and ×10⁹ is a positive injective
+    * scaling, so signs, |margin| ordering, AND ties are identical to
+    * the decimal form — the engine-independence the SQL oracle needs,
+    * at ~1/6 the cost of folding boxed Decimals per plane (measured:
+    * q220 17.7 s → decimal-once + long folds; the q52 md5-lane trade
+    * with the decimal work hoisted out of the planes loop). The native
+    * [[marginsExpr]] face keeps fused double arithmetic. Expects an
+    * `st` column = transform(emb, scaled-long). */
+  private[graft] def scaledTermsExpr: Column =
+    expr("transform(emb, x -> CAST(CAST(round(x, 9) AS DECIMAL(18,9)) * 1000000000 AS BIGINT))")
+
   private def md5MarginsExpr(masks: Seq[Long]): Column =
     expr(
       s"""transform(array(${masks.mkString("L, ")}L), mask ->
-         |  aggregate(sequence(0, 63), CAST(0 AS DECIMAL(28,9)), (acc, d) ->
-         |    CAST(acc + CAST(round(element_at(emb, d + 1), 9) AS DECIMAL(18,9))
-         |      * (CAST((shiftright(mask, d) & 1) AS INT) * 2 - 1)
-         |      AS DECIMAL(28,9))))""".stripMargin)
+         |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, d) ->
+         |    acc + IF((shiftright(mask, d) & 1) = 1,
+         |      element_at(st, d + 1), -element_at(st, d + 1))))""".stripMargin)
 
   /** Hyperplane-LSH top-k under the md5 plane family (q220) — the
     * ORACLE-CHECKED twin of [[annLshTopK]]: same banding, same
     * weakest-|margin| multi-probe rule, same exact re-score, but planes
-    * from [[md5PlaneMasks]] and margins in exact DECIMAL, so DuckDB
+    * from [[md5PlaneMasks]] and margins as exact scaled longs (the
+    * injective ×10⁹ image of the oracle's DECIMAL margins), so DuckDB
     * reproduces candidates AND ranks verbatim. The native xxhash-plane
     * q56 stays the production face (codegen'd fused loop); this face is
     * the cross-engine semantic pin for the whole bucketed-ANN family. */
@@ -1148,7 +1158,8 @@ object Similarity {
       planesPerBand: Int = 6, bands: Int = 16, probes: Int = 2): DataFrame = {
     val masks = md5PlaneMasks(bands * planesPerBand)
     val e = withNorm(embeddings)
-    val m = e.withColumn("mm", md5MarginsExpr(masks))
+    val m = e.withColumn("st", scaledTermsExpr)
+      .withColumn("mm", md5MarginsExpr(masks))
     val corpus = m.withColumn("bk",
         explode(bandKeysExprOn("mm", "0", planesPerBand, bands)))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
