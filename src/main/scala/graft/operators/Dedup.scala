@@ -958,47 +958,35 @@ object Dedup {
     * collision would inflate an intersection count and fail the DuckDB
     * oracle, which computes on text. */
   def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-    val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDocFreq).select("sh")
-    // Materialize the capped shingle frame ONCE. Three consumers read it
-    // (cnt, a, b); without a hard barrier the explode+join subtree executes
-    // per consumer — r7's committed plan showed 6 document scans and zero
-    // ReusedExchange, because AQE converted the self-join to broadcast and
-    // replaced the repartition-for-reuse exchanges per-consumer, so
-    // ReuseExchange never saw two identical nodes. A lazy localCheckpoint
-    // computes the subtree exactly once (first action persists the blocks,
-    // the other consumers read them back) and truncates the lineage to a
-    // LogicalRDD, which AQE cannot re-expand — PlanSpec pins the final q51
-    // plan at zero parquet re-scans. No repartition before the barrier:
-    // the LogicalRDD reports UnknownPartitioning regardless, so a
-    // pre-checkpoint shuffle by `sh` would be pure cost — consumers
-    // shuffle the PERSISTED blocks (cnt by doc_id, the self-join by sh),
-    // never the 3× recomputed explode. Same story at cluster scale:
-    // blocks spill to executor disk rather than re-running a 100 TB
-    // explode per consumer.
-    val shF = sh.join(freqOk, "sh").localCheckpoint(eager = false)
-    val cnt = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = shF.as("a")
-    val b = shF.as("b")
-    val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("c"))
-    val raw = common
-      .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
-      .select(col("d1"), col("d2"), col("ca.n").as("n1"),
-        col("cb.n").as("n2"), col("c"))
     val j = col("c").cast("double") / (col("n1") + col("n2") - col("c"))
-    raw.filter(j >= threshold)
+    rawJaccardPairFrame(docs)
+      .filter(j >= threshold)
       .select(col("d1"), col("d2"), round(j, 6).as("jaccard"))
   }
 
-  /** The RAW (d1, d2, n1, n2, c) co-occurrence frame of
-    * [[exactJaccardPairs]] with NO threshold and NO rounding applied —
-    * the q216 planner's input (its arithmetic needs the exact rational
-    * c/(n1+n2−c), not the 6-dp double). Same machinery, same single
-    * corpus scan. */
+  /** The RAW (d1, d2, n1, n2, c) co-occurrence frame behind
+    * [[exactJaccardPairs]] (which is exactly this frame + threshold
+    * filter + 6-dp round), with NO threshold and NO rounding applied —
+    * also the q216 planner's input (its arithmetic needs the exact
+    * rational c/(n1+n2−c), not the 6-dp double). ONE definition of the
+    * pair machinery feeds both faces, so they cannot desynchronize.
+    *
+    * Materialize the capped shingle frame ONCE. Three consumers read it
+    * (cnt, a, b); without a hard barrier the explode+join subtree executes
+    * per consumer — r7's committed plan showed 6 document scans and zero
+    * ReusedExchange, because AQE converted the self-join to broadcast and
+    * replaced the repartition-for-reuse exchanges per-consumer, so
+    * ReuseExchange never saw two identical nodes. A lazy localCheckpoint
+    * computes the subtree exactly once (first action persists the blocks,
+    * the other consumers read them back) and truncates the lineage to a
+    * LogicalRDD, which AQE cannot re-expand — PlanSpec pins the final q51
+    * plan at zero parquet re-scans. No repartition before the barrier:
+    * the LogicalRDD reports UnknownPartitioning regardless, so a
+    * pre-checkpoint shuffle by `sh` would be pure cost — consumers
+    * shuffle the PERSISTED blocks (cnt by doc_id, the self-join by sh),
+    * never the 3× recomputed explode. Same story at cluster scale:
+    * blocks spill to executor disk rather than re-running a 100 TB
+    * explode per consumer. */
   private[operators] def rawJaccardPairFrame(docs: DataFrame): DataFrame = {
     val sh = shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -1233,11 +1221,10 @@ object Dedup {
     * boilerplate windows before the shuffle. Windows are code-point
     * substrings in BOTH engines (Spark substring and DuckDB substr are
     * code-point-indexed), so the faces agree beyond ASCII. */
-  /** The (doc_id, w) window relation both substring-dup faces and the
-    * persisted window store share — w is the window text (oracle-exact)
-    * or its xxhash64 (the 8-bytes-per-position production form). */
   /** Positional window relation: (doc_id, i, w) with `i` the 0-BASED
-    * window start — THE single builder of the family's window/hash body.
+    * window start and w the window text (oracle-exact) or its xxhash64
+    * (the 8-bytes-per-position production form) —
+    * THE single builder of the family's window/hash body.
     * Every face that windows text (q210 detect, q212 coverage, q214
     * apply, the SubstrDupStore build AND its probe sides) derives from
     * here, so the tokenization, indexing, and hash seed cannot silently

@@ -99,12 +99,30 @@ object DedupIndex {
 
   /** Committed wave ids (sorted). A wave is committed iff its marker
     * file exists — the marker create is the single atomic commit point
-    * for everything [[build]]/[[update]] wrote under `wave=<id>`. */
+    * for everything [[build]]/[[update]] wrote under `wave=<id>` — OR
+    * its id appears in a `*.absorbed` manifest, which [[compact]]
+    * writes when it folds a wave's data away: the id must STAY
+    * committed forever so a replay of that wave (the documented
+    * at-least-once recovery) remains a no-op after compaction instead
+    * of silently re-appending rows the fold already carries. */
   private[graft] def committedWaves(spark: SparkSession, dir: String): Seq[String] = {
     val fs = fsOf(spark, dir)
     val p = wavesPath(dir)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
+    else {
+      val files = fs.listStatus(p).filter(_.isFile).map(_.getPath)
+      val (absorbed, markers) = files.partition(_.getName.endsWith(".absorbed"))
+      (markers.map(_.getName).toSeq ++
+        absorbed.toSeq.flatMap(readAbsorbedIds(fs, _))).distinct.sorted
+    }
+  }
+
+  private def readAbsorbedIds(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(path)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
   }
 
   private def commitWave(spark: SparkSession, dir: String, wave: String): Unit = {
@@ -192,12 +210,16 @@ object DedupIndex {
     val pairsP = spark.read.parquet(waveDataPath(dir, "pairs", baseWave))
     Dedup.duplicateClusters(rawThreshold(pairsP, clusterThreshold))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/clusters")
-    docs.agg(count(lit(1)).as("n_docs"))
+    // roster first, then n_docs FROM the roster parquet — counting the
+    // written artifact instead of re-aggregating docs saves a third full
+    // corpus scan (shingle write + roster write are the only two)
+    docs.select("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(waveDataPath(dir, "roster", baseWave))
+    spark.read.parquet(waveDataPath(dir, "roster", baseWave))
+      .agg(count(lit(1)).as("n_docs"))
       .select(col("n_docs"), lit(clusterThreshold).as("cluster_threshold"),
         lit(dfCap.toLong).as("df_cap"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
-    docs.select("doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(waveDataPath(dir, "roster", baseWave))
     spark.range(0).select(col("id").as("h"), col("id").as("old_df"),
         col("id").as("new_df"))
       .write.mode(SaveMode.Overwrite)
@@ -205,13 +227,28 @@ object DedupIndex {
     commitWave(spark, dir, baseWave)
   }
 
-  def load(spark: SparkSession, dir: String): Index =
+  /** Restore any relation a crashed [[compact]] left stranded at
+    * `<rel>.compact-old` (the swap's two renames are each atomic; a
+    * crash between them leaves the data intact under the aside name) —
+    * the "detected at read" half of the swap discipline, covering the
+    * wave relations as well as the whole-swap clusters/meta. */
+  private def restoreStranded(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    (WavedRels ++ Seq("clusters", "meta")).foreach { rel =>
+      graft.pipeline.ProvenanceStore.restoreIfStranded(
+        fs, new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+    }
+  }
+
+  def load(spark: SparkSession, dir: String): Index = {
+    restoreStranded(spark, dir)
     Index(dir,
       shingles = readWaved(spark, dir, "shingles"),
       counts = readWaved(spark, dir, "counts"),
       pairs = readWaved(spark, dir, "pairs"),
       clusters = spark.read.parquet(s"$dir/clusters"),
       meta = spark.read.parquet(s"$dir/meta"))
+  }
 
   /** Every ingested doc id (committed waves only) — includes
     * shingle-less short docs. The streaming sink's replay filter. */
@@ -263,12 +300,8 @@ object DedupIndex {
     if (committed.contains(wid)) // replayed wave: already fully applied
       return spark.read.parquet(s"$dir/needs_rebuild")
         .filter(col("wave") === wid).drop("wave")
-    dropStrandedWaves(spark, dir)
-    val fs = fsOf(spark, dir)
-    Seq("clusters", "meta").foreach { rel =>
-      graft.pipeline.ProvenanceStore.restoreIfStranded(
-        fs, new org.apache.hadoop.fs.Path(s"$dir/$rel"))
-    }
+    restoreStranded(spark, dir) // before dropStranded: a wave dir hiding
+    dropStrandedWaves(spark, dir) // inside a stranded swap must come back
     val metaRow = spark.read.parquet(s"$dir/meta").collect().head
     val clusterThreshold = metaRow.getAs[Double]("cluster_threshold")
     val dfCap = metaRow.getAs[Long]("df_cap")
@@ -355,7 +388,9 @@ object DedupIndex {
     * before and after for shingles/counts/pairs/roster/needs_rebuild —
     * so every face, and every oracle hash, is too; `dfs/` FOLDS to one
     * row per hash (readers sum over waves, so the fold is invisible).
-    * Markers left matching no data after the sweep are pruned.
+    * Markers left matching no data after the sweep fold into one
+    * `.absorbed` manifest — their ids stay committed (replaying an
+    * absorbed wave must remain a no-op), only the per-wave files go.
     * Clusters/meta swap whole on every update and never accumulate.
     * Returns relation → (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String,
@@ -392,8 +427,14 @@ object DedupIndex {
         rel -> (before, dataFiles(rel))
       }
     }.toMap
-    // prune markers no relation references anymore (keeps the manifest
-    // bounded; a marker still backing data in ANY relation survives)
+    // fold markers no relation references anymore into ONE `.absorbed`
+    // manifest (keeps the _waves listing bounded at markers-since-last-
+    // compaction + 1 file) — the ids themselves must stay committed
+    // forever, or a replay of an absorbed wave (update()'s documented
+    // at-least-once recovery) would re-apply rows the fold already
+    // carries. Write-then-delete order: a crash in between leaves an id
+    // present in both the manifest and its marker — committedWaves
+    // dedups, so recovery is a no-op.
     val live = WavedRels.flatMap { rel =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$rel")
       if (!fs.exists(p)) Nil
@@ -401,8 +442,19 @@ object DedupIndex {
         .map(_.getPath.getName).filter(_.startsWith("wave="))
         .map(_.stripPrefix("wave=")).toSeq
     }.toSet
-    committedWaves(spark, dir).filterNot(live).filterNot(_ == cid).foreach { w =>
-      fs.delete(new org.apache.hadoop.fs.Path(wavesPath(dir), w), false)
+    val toAbsorb = committedWaves(spark, dir).filterNot(live).filterNot(_ == cid)
+    if (toAbsorb.nonEmpty) {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(wavesPath(dir), s"$cid.absorbed"), true)
+      out.write((toAbsorb.mkString("\n") + "\n").getBytes("UTF-8"))
+      out.close()
+      fs.listStatus(wavesPath(dir)).filter(_.isFile).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          (toAbsorb.contains(n) ||
+            (n.endsWith(".absorbed") && n != s"$cid.absorbed"))
+        }
+        .foreach(p => fs.delete(p, false))
     }
     stats
   }

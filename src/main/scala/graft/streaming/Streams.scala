@@ -138,7 +138,15 @@ object Streams {
     * each micro-batch of closed sessions flows through
     * [[WatermarkSync.syncBatch]] keyed on (user_id, session_start), so a
     * replayed/restarted batch lands exactly once (same contract the
-    * event-landing path pins in StreamingSpec). */
+    * event-landing path pins in StreamingSpec).
+    *
+    * The sync's horizon column is session END, not start: a session is
+    * emitted when the watermark passes its end + gap, so the end lags
+    * emission by a bounded amount (the sync's contract) while the START
+    * lags by the session's full duration — a session longer than
+    * `overlap` would land with session_start already below the
+    * stored-max − overlap horizon and be silently discarded if the
+    * horizon keyed on start. */
   def sessionSinkQuery(
       events: DataFrame,
       stateDir: String,
@@ -149,7 +157,7 @@ object Streams {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         WatermarkSync.syncBatch(batch.sparkSession, batch, stateDir,
-          "session_start", Seq("user_id", "session_start"), overlap)
+          "session_end", Seq("user_id", "session_start"), overlap)
         ()
       }
 
@@ -168,7 +176,14 @@ object Streams {
     * an exact 1800.000000 s gap merges on both faces, 1800.000001
     * splits on both; no µs-grained timestamp can fall between.
     * StreamingSpec pins pair-for-pair equality to batch q206 across
-    * micro-batch boundaries on the real events table. */
+    * micro-batch boundaries on the real events table.
+    *
+    * The sync's horizon column is `en` (session end): emission lags
+    * `en` by a bounded amount, but lags `st` by the whole session
+    * duration — an interval longer than `overlap` would be silently
+    * dropped by an st-keyed horizon (its st < stored-max − overlap by
+    * the time it closes), losing every overlap pair it participates
+    * in. ScaleUtilSpec plants exactly that long interval. */
   def sessionIntervalsSinkQuery(
       events: DataFrame,
       stateDir: String,
@@ -184,7 +199,7 @@ object Streams {
       .writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        WatermarkSync.syncBatch(batch.sparkSession, batch, stateDir, "st",
+        WatermarkSync.syncBatch(batch.sparkSession, batch, stateDir, "en",
           Seq("user_id", "st"), overlap)
         ()
       }

@@ -140,7 +140,7 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // three updates → three append waves per growing relation
     DedupIndex.update(docs.filter(col("doc_id").isin(4L, 5L)), dir)
     DedupIndex.update(docs.filter(col("doc_id").isin(6L, 7L)), dir)
-    DedupIndex.update(extra, dir)
+    DedupIndex.update(extra, dir, waveId = Some("w-extra"))
     val before = DedupIndex.load(spark, dir)
     val pairsBefore = rows(before.pairs)
     val shinglesBefore = rows(before.shingles)
@@ -162,6 +162,45 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "in this tiny corpus at all today")).toDF("doc_id", "source", "text")
     DedupIndex.update(more, dir)
     assert(DedupIndex.load(spark, dir).counts.filter(col("doc_id") === 10L).count() == 1)
+    // replaying a wave the compaction ABSORBED (its per-wave files are
+    // folded away, its marker replaced by the .absorbed manifest) must
+    // still be a no-op — update()'s at-least-once recovery contract
+    // survives compaction
+    val snapCounts = rows(DedupIndex.load(spark, dir).counts)
+    val snapPairs = rows(DedupIndex.load(spark, dir).pairs)
+    DedupIndex.update(extra, dir, waveId = Some("w-extra"))
+    assert(rows(DedupIndex.load(spark, dir).counts) === snapCounts,
+      "replaying an absorbed wave re-appended counts")
+    assert(rows(DedupIndex.load(spark, dir).pairs) === snapPairs,
+      "replaying an absorbed wave re-appended pairs")
+    // and a SECOND compaction folds the first compaction's wave + the
+    // post-compaction updates, keeping every absorbed id committed
+    DedupIndex.compact(spark, dir)
+    DedupIndex.update(extra, dir, waveId = Some("w-extra"))
+    assert(rows(DedupIndex.load(spark, dir).counts) === snapCounts,
+      "absorbed ids must survive repeated compactions")
+  }
+
+  test("stranded compact swap of a wave relation restores at load/update entry") {
+    val dir = tempDir()
+    DedupIndex.build(docs, dir)
+    val expected = rows(DedupIndex.load(spark, dir).pairs)
+    // simulate a compact() crash between swapCompacted's two renames:
+    // the relation sits intact at <rel>.compact-old, the live dir is gone
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/pairs"),
+      new org.apache.hadoop.fs.Path(s"$dir/pairs.compact-old")))
+    // load() restores before reading — faces keep working
+    assert(rows(DedupIndex.load(spark, dir).pairs) === expected,
+      "stranded pairs relation must restore at read entry")
+    // same for update(): strand again, update must restore then append
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/counts"),
+      new org.apache.hadoop.fs.Path(s"$dir/counts.compact-old")))
+    val more = Seq((20L, "e", "entirely fresh words appearing nowhere else " +
+      "around this corpus right now")).toDF("doc_id", "source", "text")
+    DedupIndex.update(more, dir)
+    assert(DedupIndex.load(spark, dir).counts.filter(col("doc_id") === 20L).count() == 1)
   }
 
   test("df-cap crossing: detected, surfaced, and gone after the rebuild it demands") {

@@ -75,6 +75,37 @@ class ScaleUtilSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(wm == java.sql.Timestamp.valueOf("2024-01-10 03:00:00").getTime * 1000)
   }
 
+  test("session-interval sync keyed on END keeps intervals longer than the overlap") {
+    // the sessionSinkQuery/sessionIntervalsSinkQuery contract: a session
+    // is emitted when the watermark passes its END + gap, so the horizon
+    // column must be the end — a 60 h session's START is already below
+    // stored-max − 48 h when it closes, and an st-keyed horizon would
+    // silently drop it (losing every q206 overlap pair it belongs to)
+    def intervals(data: (Long, String, String)*) =
+      data.toSeq.toDF("user_id", "sts", "ens")
+        .select(col("user_id"), to_timestamp(col("sts")).as("st"),
+          to_timestamp(col("ens")).as("en"))
+    // batch 1: short sessions advance the store's max(en) to Jan 12 12:00
+    val stateEn = Files.createTempDirectory("wmsync-en").toString
+    val b1 = intervals(
+      (1L, "2024-01-12 10:00:00", "2024-01-12 11:00:00"),
+      (2L, "2024-01-12 11:30:00", "2024-01-12 12:00:00"))
+    assert(WatermarkSync.syncBatch(spark, b1, stateEn, "en",
+      Seq("user_id", "st")).appended == 2)
+    // batch 2: a 60 h session closes — st is 60 h old, en is current
+    val longSession = intervals((3L, "2024-01-10 00:00:00", "2024-01-12 12:30:00"))
+    assert(WatermarkSync.syncBatch(spark, longSession, stateEn, "en",
+      Seq("user_id", "st")).appended == 1,
+      "end-keyed horizon must keep the long interval")
+    assert(WatermarkSync.stored(spark, stateEn).get.count() == 3)
+    // the regression shape: the SAME sequence keyed on st drops it
+    val stateSt = Files.createTempDirectory("wmsync-st").toString
+    WatermarkSync.syncBatch(spark, b1, stateSt, "st", Seq("user_id", "st"))
+    assert(WatermarkSync.syncBatch(spark, longSession, stateSt, "st",
+      Seq("user_id", "st")).appended == 0,
+      "st-keyed horizon demonstrably discards it — the bug the en key fixes")
+  }
+
   test("watermark sync is idempotent: replaying a batch appends nothing") {
     val state = Files.createTempDirectory("wmsync2").toString
     val batch = Seq((1L, "2024-01-10 00:00:00", "a")).toDF("key", "tss", "payload")
