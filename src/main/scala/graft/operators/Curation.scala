@@ -3428,10 +3428,34 @@ object Curation {
       benchShingleSet(docs, benchIds, n).select(col("b_sh").as("sh")), mBits, h,
       family)
     val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+    // Hash each shingle ONCE and carry the (h1, h2) pair as longs through
+    // the probe loop — the naive form re-evaluates the digest inside
+    // every (j, half) lambda (10 md5 calls per shingle at h=5; HOF lambda
+    // bodies get no subexpression elimination). Same Kirsch–Mitzenmacher
+    // arithmetic per family, values identical — the oracle re-verifies.
+    val hashPairs = family match {
+      case "md5" =>
+        // inner transform binds the hex digest; outer derives both halves
+        """transform(transform(shs, s0 -> md5(s0)), m -> named_struct(
+          |  'h1', CAST(conv(substring(m, 1, 14), 16, 10) AS BIGINT),
+          |  'h2', CAST(conv(substring(m, 15, 14), 16, 10) AS BIGINT) * 2 + 1))"""
+          .stripMargin
+      case "xxhash64" =>
+        """transform(shs, s0 -> named_struct('h1', xxhash64(s0),
+          |  'h2', CAST(hash(s0) AS BIGINT)))""".stripMargin
+      case other => throw new IllegalArgumentException(
+        s"unknown bloom hash family '$other' (expected md5|xxhash64)")
+    }
+    // md5 halves are non-negative (56-bit conv), so % keeps the oracle's
+    // spelling; the engine-internal hashes go negative, hence pmod
+    val posE = family match {
+      case "md5" => s"(s.h1 + j * s.h2) % $mBits"
+      case _ => s"pmod(s.h1 + j * s.h2, $mBits)"
+    }
     val probe =
-      s"""size(filter(shs, s0 -> forall(${bloomPositionsSql("s0", mBits, h, family)},
-         |  p -> (shiftright(element_at(bits, CAST(p div 64 AS INT) + 1),
-         |        CAST(p % 64 AS INT)) & CAST(1 AS BIGINT)) = 1)))""".stripMargin
+      s"""size(filter($hashPairs, s -> forall(sequence(0, ${h - 1}),
+         |  j -> (shiftright(element_at(bits, CAST($posE div 64 AS INT) + 1),
+         |        CAST($posE % 64 AS INT)) & CAST(1 AS BIGINT)) = 1)))""".stripMargin
     docs.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), array_distinct(expr(
