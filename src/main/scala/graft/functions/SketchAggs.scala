@@ -73,14 +73,28 @@ object SketchAggs {
     * pairs, which is exactly where a source-overlap audit looks.
     * Deterministic (xxhash64 seed 42), mergeable (merge = sorted-merge
     * + truncate, associative and commutative), buffer ≤ k longs. */
-  class KmvAgg(k: Int) extends Aggregator[String, Seq[Long], Seq[Long]] {
+  class KmvAgg(k: Int, family: String = "xxhash64")
+      extends Aggregator[String, Seq[Long], Seq[Long]] {
     require(k >= 2, s"KMV needs k >= 2, got $k")
+    require(family == "xxhash64" || family == "md5",
+      s"unknown KMV hash family '$family' (expected md5|xxhash64)")
 
-    private def h63(s: String): Long = {
-      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-      org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L) &
-        Long.MaxValue
+    /** xxhash64: the production lane. md5: the engine-agnostic lane —
+      * the first 60 bits of md5 (= the first 15 hex chars, exactly
+      * DuckDB's CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)), the
+      * q52/q123 family trade that lets the oracle replay the sketch. */
+    private def h63(s: String): Long = family match {
+      case "xxhash64" =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L) &
+          Long.MaxValue
+      case "md5" =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        // big-endian first 8 bytes >>> 4 == first 15 hex chars (60 bits)
+        val top = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+        top >>> 4
     }
 
     override def zero: Seq[Long] = Vector.empty

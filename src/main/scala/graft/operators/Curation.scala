@@ -797,15 +797,21 @@ object Curation {
       bpeTokenize(docs, bpeTrainMerges(docs)).orderBy("doc_id")
     },
 
-    // ---- per-source vocab cardinality via mergeable HLL sketches: the
-    //      incremental corpus-stats shape (sketch the batch, union with
-    //      the stored sketches — never re-read the corpus). No SQL
-    //      oracle: DuckDB's approx_count_distinct is a different HLL
-    //      implementation with different estimates; CurationSpec gates
-    //      accuracy vs exact countDistinct and pins the merge equality
-    //      through a persisted round-trip. ----
-    "q89_vocab_sketch" -> QueryDef.rowsOnly { (s, dir) =>
-      vocabCardinality(vocabSketches(Tables.documents(s, dir)))
+    // ---- per-source vocab cardinality via mergeable HLL sketches,
+    //      ORACLE-CHECKED: the declared face runs the engine-agnostic
+    //      md5 register family ([[Sketches.hllRegsMd5]]) whose exact
+    //      scaled-integer harmonic sums DuckDB replays register for
+    //      register; the DataSketches hll_sketch_agg lane
+    //      ([[vocabSketches]]) stays the production default,
+    //      accuracy-gated + merge-pinned in CurationSpec. ----
+    "q89_vocab_sketch" -> QueryDef.sql(
+      s"""WITH wt AS (SELECT source, unnest(list_filter(string_split(trim(text),' '), x -> x != '')) AS w
+         |           FROM documents),
+         |regs AS (${Sketches.hllRegsSql("wt", "source", "w")}),
+         |fin AS (${Sketches.hllEstimateSql("regs", "source", "est")})
+         |SELECT source, round(est, 3) AS approx_vocab FROM fin
+         |ORDER BY source""") { (s, dir) =>
+      vocabCardinalityMd5(Tables.documents(s, dir))
         .orderBy("source")
     },
 
@@ -820,13 +826,75 @@ object Curation {
     //      below k distinct shingles per source. rows-only; CurationSpec
     //      gates error vs exact q96, pins sub-k exactness and merge
     //      associativity; golden-pinned. ----
-    "q208_source_overlap_kmv" -> QueryDef.rowsOnly { (s, dir) =>
-      sourceOverlapKmv(sourceShingleKmv(Tables.documents(s, dir)))
+    //      ORACLE-CHECKED via the md5 KMV lane (60-bit hashes = the
+    //      first 15 md5 hex chars): DuckDB replays the bottom-k sketch,
+    //      the union-truncate merge, and the direct ρ·D_∪ intersection
+    //      estimator row for row. The xxhash64 lane stays the
+    //      production default, gated in CurationSpec.
+    "q208_source_overlap_kmv" -> QueryDef.sql(
+      """WITH w AS (SELECT source, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+        |           FROM documents),
+        |shl AS (SELECT DISTINCT source,
+        |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)]) AS sh
+        |       FROM w WHERE len(ws) >= 8),
+        |hv AS (SELECT DISTINCT source, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS hv FROM shl),
+        |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM hv),
+        |kept AS (SELECT source, hv FROM r WHERE rn <= 256),
+        |sa AS (SELECT source, count(*) AS nd, max(hv) AS xk FROM kept GROUP BY 1),
+        |prs AS (SELECT a.source AS src_a, b.source AS src_b
+        |        FROM sa a, sa b WHERE a.source != b.source),
+        |ph AS (SELECT p.src_a, p.src_b, k.hv,
+        |         max(CASE WHEN k.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+        |         max(CASE WHEN k.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+        |       FROM prs p JOIN kept k ON k.source = p.src_a OR k.source = p.src_b
+        |       GROUP BY 1, 2, 3),
+        |ur AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS rn FROM ph),
+        |uu AS (SELECT src_a, src_b, count(*) AS nu, max(hv) AS xku,
+        |         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS rho_n
+        |       FROM ur WHERE rn <= 256 GROUP BY 1, 2),
+        |fin AS (SELECT u.src_a, u.src_b, u.rho_n, u.nu,
+        |    CASE WHEN a.nd < 256 THEN CAST(a.nd AS DOUBLE)
+        |         ELSE 255.0 / (CAST(a.xk AS DOUBLE) / 1.152921504606846976e18) END AS d_a,
+        |    CASE WHEN u.nu < 256 THEN CAST(u.nu AS DOUBLE)
+        |         ELSE 255.0 / (CAST(u.xku AS DOUBLE) / 1.152921504606846976e18) END AS d_u
+        |  FROM uu u JOIN sa a ON a.source = u.src_a)
+        |SELECT src_a, src_b, round(d_a, 3) AS n_a_approx,
+        |  round(CAST(rho_n AS DOUBLE) / nu * d_u, 3) AS n_common_approx,
+        |  round(CAST(rho_n AS DOUBLE) / nu * d_u / d_a, 6) AS overlap_frac_approx
+        |FROM fin ORDER BY src_a, src_b""") { (s, dir) =>
+      sourceOverlapKmv(
+          sourceShingleKmv(Tables.documents(s, dir), family = "md5"),
+          normalizer = 1.152921504606846976e18)
         .orderBy("src_a", "src_b")
     },
 
-    "q98_source_overlap_sketch" -> QueryDef.rowsOnly { (s, dir) =>
-      sourceOverlapSketched(sourceShingleSketches(Tables.documents(s, dir)))
+    //      ORACLE-CHECKED via the md5 HLL register family: DuckDB
+    //      replays the per-source registers, the pairwise register-max
+    //      unions, and inclusion–exclusion — the full q98 sketch path.
+    //      The DataSketches lane ([[sourceOverlapSketched]]) stays the
+    //      production default, gated in CurationSpec.
+    "q98_source_overlap_sketch" -> QueryDef.sql(
+      s"""WITH w AS (SELECT source, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+         |           FROM documents),
+         |shl AS (SELECT source,
+         |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)]) AS sh
+         |       FROM w WHERE len(ws) >= 8),
+         |regs AS (${Sketches.hllRegsSql("shl", "source", "sh")}),
+         |est AS (${Sketches.hllEstimateSql("regs", "source", "est_s")}),
+         |prs AS (SELECT a.source AS src_a, b.source AS src_b,
+         |          a.est_s AS est_a, b.est_s AS est_b
+         |        FROM est a, est b WHERE a.source != b.source),
+         |uregs AS (SELECT p.src_a, p.src_b, r.reg, max(r.r) AS r
+         |          FROM (SELECT DISTINCT src_a, src_b FROM prs) p
+         |          JOIN regs r ON r.source = p.src_a OR r.source = p.src_b
+         |          GROUP BY 1, 2, 3),
+         |uest AS (${Sketches.hllEstimateSql("uregs", "src_a, src_b", "est_u")})
+         |SELECT p.src_a, p.src_b, round(est_a, 3) AS n_a_approx,
+         |  round(greatest(est_a + est_b - est_u, 0.0), 3) AS n_common_approx,
+         |  round(greatest(est_a + est_b - est_u, 0.0) / est_a, 6) AS overlap_frac_approx
+         |FROM prs p JOIN uest u ON u.src_a = p.src_a AND u.src_b = p.src_b
+         |ORDER BY 1, 2""") { (s, dir) =>
+      sourceOverlapHllMd5(Tables.documents(s, dir))
         .orderBy("src_a", "src_b")
     },
 
@@ -2525,6 +2593,59 @@ object Curation {
     a.unionByName(b).groupBy("source")
       .agg(expr("hll_union_agg(sketch)").as("sketch"))
 
+  /** Per-source vocab cardinality under the engine-agnostic md5 HLL
+    * family (q89's declared face — see [[Sketches.hllRegsMd5]]): same
+    * incremental contract as [[vocabSketches]] (the register frame is
+    * the persistable sketch; union = groupBy max), but every register
+    * and the estimate arithmetic are plain relational expressions the
+    * DuckDB oracle replays exactly. The DataSketches lane stays the
+    * production default, in-suite accuracy-gated on the same shape. */
+  def vocabCardinalityMd5(docs: DataFrame): DataFrame =
+    Sketches.hllEstimateFromRegs(
+        Sketches.hllRegsMd5(
+          docs.select(col("source"), explode(words(col("text"))).as("w")),
+          Seq("source"), "w"),
+        Seq("source"))
+      .select(col("source"), round(col("hll_est"), 3).as("approx_vocab"))
+
+  /** Approximate source-overlap matrix under the md5 HLL family (q98's
+    * declared face): per-source 8-gram register frames, pairwise union
+    * via register max, inclusion–exclusion on the three estimates —
+    * every stage relational, so the oracle verifies the ENTIRE sketch
+    * path (registers, exact harmonic sums, correction branch,
+    * inclusion–exclusion) instead of pinning a digest. Output mirrors
+    * [[sourceOverlapSketched]]. Scale shape: the register frame is
+    * sources × 4096 rows (built in one map-side-combined aggregation
+    * over the shingle explode); everything after is sources²-bounded. */
+  def sourceOverlapHllMd5(docs: DataFrame, n: Int = 8): DataFrame = {
+    val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+    val items = docs.select(col("source"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', $parts))")).as("sh"))
+    val regs = Sketches.hllRegsMd5(items, Seq("source"), "sh")
+      .localCheckpoint(eager = false) // consumers: per-source ests + pair unions
+    val est = Sketches.hllEstimateFromRegs(regs, Seq("source"))
+      .localCheckpoint(eager = false) // both cross-join sides
+    val a = est.select(col("source").as("src_a"), col("hll_est").as("est_a"))
+    val b = est.select(col("source").as("src_b"), col("hll_est").as("est_b"))
+    val pairs = a.crossJoin(broadcast(b)).filter(col("src_a") =!= col("src_b"))
+    // pairwise union registers: sources² × 4096 rows, register-wise max
+    val uregs = pairs.select("src_a", "src_b")
+      .join(broadcast(regs),
+        col("source") === col("src_a") || col("source") === col("src_b"))
+      .groupBy("src_a", "src_b", "reg").agg(max(col("r")).as("r"))
+    val uest = Sketches.hllEstimateFromRegs(uregs, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("hll_est").as("est_u"))
+    pairs.join(uest, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(col("est_a"), 3).as("n_a_approx"),
+        round(greatest(col("est_a") + col("est_b") - col("est_u"), lit(0.0)), 3)
+          .as("n_common_approx"),
+        round(greatest(col("est_a") + col("est_b") - col("est_u"), lit(0.0))
+          / col("est_a"), 6).as("overlap_frac_approx"))
+  }
+
   /** Sliding-window token chunking (q100): split every document into
     * overlapping windows of `chunkTokens` tokens advancing by `stride` —
     * the retrieval/embedding-prep transform (each chunk is what gets
@@ -2649,9 +2770,10 @@ object Curation {
     * persist/sketch-the-batch/merge incremental contract: k longs per
     * source, merge via [[mergeSourceShingleKmv]] is exactly
     * associative. */
-  def sourceShingleKmv(docs: DataFrame, n: Int = 8, k: Int = 256): DataFrame = {
+  def sourceShingleKmv(docs: DataFrame, n: Int = 8, k: Int = 256,
+      family: String = "xxhash64"): DataFrame = {
     import docs.sparkSession.implicits._
-    val kmv = udaf(new graft.functions.SketchAggs.KmvAgg(k))
+    val kmv = udaf(new graft.functions.SketchAggs.KmvAgg(k, family))
     val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
     docs.select(col("source"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= n)
@@ -2677,15 +2799,18 @@ object Curation {
     * (src_a, src_b, n_a_approx, n_common_approx, overlap_frac_approx).
     * Scale shape: sources² pairs of k-long arrays, in-row lambda
     * arithmetic, zero corpus access. */
-  def sourceOverlapKmv(sketches: DataFrame, k: Int = 256): DataFrame = {
+  def sourceOverlapKmv(sketches: DataFrame, k: Int = 256,
+      normalizer: Double = 9.223372036854775807e18): DataFrame = {
     val sk = sketches.localCheckpoint(eager = false) // both cross-join sides
     val a = sk.select(col("source").as("src_a"), col("kmv").as("kmv_a"))
     val b = sk.select(col("source").as("src_b"), col("kmv").as("kmv_b"))
-    // D(sketch): exact size when sub-k, else (k−1)/(x_k/2^63)
+    // D(sketch): exact size when sub-k, else (k−1)/(x_k/normalizer) —
+    // normalizer = the hash-space size: 2^63 for the xxhash64 lane, 2^60
+    // for the md5 lane (15 hex chars)
     def dEst(c: String): Column =
       when(size(col(c)) < k, size(col(c)).cast("double"))
         .otherwise(lit((k - 1).toDouble) /
-          (element_at(col(c), k).cast("double") / lit(9.223372036854775807e18)))
+          (element_at(col(c), k).cast("double") / lit(normalizer)))
     a.crossJoin(broadcast(b)).filter(col("src_a") =!= col("src_b"))
       .withColumn("u", expr(s"slice(array_sort(array_distinct(concat(kmv_a, kmv_b))), 1, $k)"))
       .withColumn("rho_n",
@@ -2694,7 +2819,7 @@ object Curation {
       .withColumn("d_u",
         when(size(col("u")) < k, size(col("u")).cast("double"))
           .otherwise(lit((k - 1).toDouble) /
-            (element_at(col("u"), k).cast("double") / lit(9.223372036854775807e18))))
+            (element_at(col("u"), k).cast("double") / lit(normalizer))))
       .withColumn("d_i",
         col("rho_n").cast("double") / size(col("u")) * col("d_u"))
       .select(col("src_a"), col("src_b"),

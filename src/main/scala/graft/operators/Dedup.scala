@@ -209,11 +209,16 @@ object Dedup {
       containmentPairs(Tables.documents(s, dir))
     },
 
-    // ---- MinHash error audit: estimated vs exact Jaccard over the LSH
-    //      face's surfaced pairs; rows-only (the estimate is
-    //      signature-internal), golden-pinned, DedupSpec planted. ----
-    "q189_minhash_error_audit" -> QueryDef.rowsOnly { (s, dir) =>
-      minhashErrorAudit(Tables.documents(s, dir))
+    // ---- MinHash error audit, ORACLE-CHECKED: estimated vs exact
+    //      Jaccard over the LSH face's surfaced pairs. The declared face
+    //      estimates through the md5 Kirsch–Mitzenmacher lanes (the q52
+    //      family), so DuckDB replays BOTH sides — the banded candidate
+    //      generation + lane-agreement estimates AND the exact floor-0.01
+    //      pair set — and the whole error distribution is verified
+    //      relationally. The xxhash64 production audit stays available
+    //      via [[minhashErrorAudit]], in-suite gated. ----
+    "q189_minhash_error_audit" -> QueryDef.sql(minhashErrorAuditOracleSql) { (s, dir) =>
+      minhashErrorAuditMd5(Tables.documents(s, dir))
     },
 
     // ---- near-dup explanation: the rarest shared shingles per flagged
@@ -612,24 +617,20 @@ object Dedup {
     },
 
     // ---- MinHash + LSH candidate pairs, ORACLE-CHECKED: the declared
-    //      face runs the md5 Kirsch–Mitzenmacher lane family (the q123
-    //      trade — engine-agnostic hashes DuckDB reproduces lane for
-    //      lane), so banding, the bucket cap, and the lane-agreement
-    //      estimate are all verified relationally; the xxhash64 UDAF
-    //      family remains the production default, recall-gated in
-    //      DedupSpec alongside this one. ----
+    //      face runs the per-lane-salted md5 family (engine-agnostic
+    //      hashes DuckDB reproduces lane for lane — see
+    //      [[minhashSignaturesMd5From]] for why NOT r12's K-M lanes),
+    //      so banding, the bucket cap, and the lane-agreement estimate
+    //      are all verified relationally; the xxhash64 UDAF family
+    //      remains the production default, recall-gated in DedupSpec
+    //      alongside this one. ----
     "q52_minhash_lsh_pairs" -> QueryDef.sql(
-      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
         |           FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
         |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
         |       FROM w WHERE len(ws) >= 3),
-        |lane AS (SELECT doc_id,
-        |           CAST(('0x' || substr(md5(sh), 1, 14)) AS BIGINT) AS h1,
-        |           (CAST(('0x' || substr(md5(sh), 15, 14)) AS BIGINT) * 2 + 1) AS h2
-        |         FROM sh),
-        |sig AS (SELECT doc_id, j AS lane, min(h1 + j * h2) AS v
-        |        FROM lane, range(0, 16) t(j) GROUP BY 1, 2),
+        |${md5SigCtesSql(16)},
         |band AS (SELECT doc_id, lane // 4 AS band,
         |           string_agg(CAST(v AS VARCHAR), ',' ORDER BY lane) AS key
         |         FROM sig GROUP BY doc_id, lane // 4),
@@ -1488,6 +1489,60 @@ object Dedup {
     minhashErrorAuditFrom(minhashLshPairs(docs, numHashes, bands),
       exactJaccardPairs(docs, exactFloor), grossErr)
 
+  /** [[minhashErrorAudit]] under the engine-agnostic md5 lane family —
+    * the q189 declared face (and, fed from the persisted index's shingle
+    * relation, q209's): estimates come from [[minhashLshPairsMd5]], so
+    * the DuckDB oracle replays candidate generation, the lane-agreement
+    * estimates, the exact floor pairs, and the error aggregation — the
+    * full audit semantics, not just its output shape. */
+  def minhashErrorAuditMd5(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      exactFloor: Double = 0.01, grossErr: Double = 0.25): DataFrame =
+    minhashErrorAuditFrom(minhashLshPairsMd5(docs, numHashes, bands),
+      exactJaccardPairs(docs, exactFloor), grossErr)
+
+  /** DuckDB oracle for the md5-lane MinHash error audit (q189, and
+    * verbatim for the index-backed q209, the q219 same-SQL pattern):
+    * est side = q52's md5 lane CTEs, exact side = the q51 pair CTEs at
+    * the 0.01 audit floor, then [[minhashErrorAuditFrom]]'s rounding and
+    * DECIMAL(18,6) mean — term for term. */
+  private[operators] lazy val minhashErrorAuditOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+      |       FROM w WHERE len(ws) >= 3),
+      |${md5SigCtesSql(16)},
+      |band AS (SELECT doc_id, lane // 4 AS band,
+      |           string_agg(CAST(v AS VARCHAR), ',' ORDER BY lane) AS key
+      |         FROM sig GROUP BY doc_id, lane // 4),
+      |ok AS (SELECT band, key FROM band GROUP BY 1, 2 HAVING count(*) <= 10000),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM band a JOIN ok USING (band, key) JOIN band b USING (band, key)
+      |         WHERE a.doc_id < b.doc_id),
+      |est AS (SELECT c.d1, c.d2,
+      |          CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 16
+      |            AS est_jaccard
+      |        FROM cand c JOIN sig sa ON sa.doc_id = c.d1
+      |                    JOIN sig sb ON sb.doc_id = c.d2 AND sb.lane = sa.lane
+      |        GROUP BY 1, 2),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2),
+      |exact AS (SELECT d1, d2, round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+      |          FROM com JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+      |          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.01),
+      |errs AS (SELECT round(abs(e.est_jaccard - coalesce(x.jaccard, 0.0)), 6) AS abs_err
+      |         FROM est e LEFT JOIN exact x ON e.d1 = x.d1 AND e.d2 = x.d2)
+      |SELECT count(*) AS n_pairs,
+      |  round(CAST(sum(CAST(abs_err AS DECIMAL(18,6))) AS DOUBLE)
+      |    / nullif(count(*), 0), 6) AS mean_abs_err,
+      |  max(abs_err) AS max_abs_err,
+      |  CAST(sum(CASE WHEN abs_err > 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_gross,
+      |  round(CAST(sum(CASE WHEN abs_err > 0.25 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / nullif(count(*), 0), 6) AS gross_share
+      |FROM errs""".stripMargin
+
   /** [[minhashErrorAudit]]'s arithmetic over pre-built pair frames —
     * shared with the index face (q209): `est` is an LSH pair frame
     * (d1, d2, est_jaccard), `exact` an exact pair frame (d1, d2,
@@ -2060,24 +2115,51 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
     minhashSignaturesFrom(shingles(docs), numHashes)
 
-  /** ENGINE-AGNOSTIC MinHash signatures: Kirsch–Mitzenmacher lanes
-    * h_i = h1 + i·h2 over the two md5 halves (the q123 family — 14 hex
-    * chars each, h2 forced odd; overflow-safe: h1 < 2⁵⁶, i·h2 < 2⁶¹).
-    * md5, not xxhash64, because DuckDB computes the IDENTICAL lanes —
-    * what upgrades q52 from golden-pinned to oracle-checked. A valid
-    * min-wise family with the same collision analysis as q123's probe
-    * positions; the per-shingle md5 cost is the documented price of
-    * cross-engine checkability (q123's trade), and the xxhash64 UDAF
-    * family stays the production default, in-suite recall-gated. */
+  /** ENGINE-AGNOSTIC MinHash signatures: per-lane INDEPENDENT md5
+    * hashes — lanes 2t and 2t+1 are the two 56-bit halves (14 hex chars
+    * each) of md5(t ++ "_" ++ sh). md5, not xxhash64, because DuckDB
+    * computes the IDENTICAL lanes — what upgrades q52 from golden-pinned
+    * to oracle-checked; the salt-per-call construction (not the r12
+    * Kirsch–Mitzenmacher h1 + i·h2 lanes) because K-M is DEGENERATE as a
+    * min-wise family: one corpus-common shingle whose h2 lands far below
+    * 2⁵⁷ dominates min(h1 + i·h2) for every high lane, so any two docs
+    * sharing that one boilerplate shingle agree on most lanes — measured
+    * on the sf0.001 corpus as est≈0.75 for pairs with true Jaccard
+    * < 0.01 (mean audit error 0.59). K-M double-hashing is sound for
+    * q123's Bloom probes (its actual theorem) but not for per-lane
+    * minima. Salted lanes are mutually independent, the degeneracy is
+    * gone (audit error back at the 1/√numHashes band), and the per-
+    * shingle cost is numHashes/2 md5 calls — the documented price of
+    * cross-engine checkability; the xxhash64 UDAF family stays the
+    * production default, in-suite recall-gated. */
   private[operators] def minhashSignaturesMd5From(sh: DataFrame, numHashes: Int): DataFrame = {
-    val lanes = (0 until numHashes)
-      .map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"v$i"))
-    sh.select(col("doc_id"),
-        expr("CAST(conv(substring(md5(sh), 1, 14), 16, 10) AS BIGINT)").as("h1"),
-        expr("CAST(conv(substring(md5(sh), 15, 14), 16, 10) AS BIGINT) * 2 + 1").as("h2"))
-      .groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
+    require(numHashes % 2 == 0, s"md5 lanes come in half-pairs (got $numHashes)")
+    val calls = numHashes / 2
+    val hashed = sh.select(col("doc_id") +:
+      (0 until calls).map(t =>
+        md5(concat(lit(s"${t}_"), col("sh"))).as(s"m$t")): _*)
+    val lanes = (0 until numHashes).map { i =>
+      val t = i / 2
+      val off = if (i % 2 == 0) 1 else 15
+      min(expr(s"CAST(conv(substring(m$t, $off, 14), 16, 10) AS BIGINT)")).as(s"v$i")
+    }
+    hashed.groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"v$i")): _*).as("sig"))
+  }
+
+  /** DuckDB CTE pair (lane/sig) replaying [[minhashSignaturesMd5From]]
+    * for `numHashes` lanes over a `sh(doc_id, sh)` relation — shared by
+    * the q52 oracle and the q189/q209 audit oracle so the two cannot
+    * desynchronize. */
+  private[operators] def md5SigCtesSql(numHashes: Int): String = {
+    require(numHashes % 2 == 0, s"md5 lanes come in half-pairs (got $numHashes)")
+    s"""lane AS (SELECT doc_id, t.t AS t, md5(CAST(t.t AS VARCHAR) || '_' || sh) AS mh
+       |         FROM sh, range(0, ${numHashes / 2}) t(t)),
+       |sig AS (SELECT doc_id, t * 2 + hf.half AS lane,
+       |          min(CAST(('0x' || substr(mh, CASE WHEN hf.half = 0 THEN 1 ELSE 15 END, 14)) AS BIGINT)) AS v
+       |        FROM lane, (SELECT unnest([0, 1]) AS half) hf
+       |        GROUP BY 1, 2)""".stripMargin
   }
 
   private def minhashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {

@@ -662,10 +662,12 @@ object DedupIndex {
     * for — into a signature pass over the index plus a pair-graph
     * filter. */
   def errorAuditAgainst(idx: Index, numHashes: Int = 16, bands: Int = 4,
-      exactFloor: Double = 0.01, grossErr: Double = 0.25): DataFrame =
+      exactFloor: Double = 0.01, grossErr: Double = 0.25,
+      family: String = "md5"): DataFrame =
     Dedup.minhashErrorAuditFrom(
       Dedup.minhashLshPairsFromShingles(
-        idx.shingles.select("doc_id", "sh"), numHashes, bands),
+        idx.shingles.select("doc_id", "sh"), numHashes, bands,
+        family = family),
       pairsAt(idx, exactFloor), grossErr)
 
   // ---------------------------------------------------------------------
@@ -780,11 +782,15 @@ object DedupIndex {
       sourceMatrixAgainst(Tables.documents(s, dir), ensure(s, dir))
     },
 
-    // ---- index-backed MinHash error audit (q189): zero corpus scans —
-    //      estimated side from the persisted shingles, exact side from
-    //      the stored pair graph. Rows-only like its standalone twin;
-    //      DedupIndexSpec pins byte-parity with q189. ----
-    "q209_dedupindex_error_audit" -> QueryDef.rowsOnly { (s, dir) =>
+    // ---- index-backed MinHash error audit (q189), ORACLE-CHECKED the
+    //      q219 way: the face answers from the index (estimated side =
+    //      md5 lanes over the persisted shingles, exact side from the
+    //      stored pair graph — zero corpus scans) while the oracle is
+    //      q189's SQL verbatim, recomputing both sides from documents;
+    //      a hash match proves the index path IS the standalone audit.
+    //      DedupIndexSpec additionally pins byte-parity with q189. ----
+    "q209_dedupindex_error_audit" -> QueryDef.sql(
+      Dedup.minhashErrorAuditOracleSql) { (s, dir) =>
       errorAuditAgainst(ensure(s, dir))
     },
 

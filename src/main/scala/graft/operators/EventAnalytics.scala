@@ -658,6 +658,39 @@ object EventAnalytics {
       dailyActiveSketches(events, lgK)
         .localCheckpoint(eager = false)) // consumers: 3 window unions + bounds
 
+  /** [[rollingActiveUsersSketch]] under the engine-agnostic md5 HLL
+    * register family (q169's declared face — [[Sketches.hllRegsMd5]]):
+    * the per-day register frame is the persisted state, window union =
+    * groupBy(day, reg) max (register max is associative — the same
+    * mergeability the DataSketches lane relies on), and every estimate
+    * is the exact scaled-integer harmonic sum DuckDB replays. The
+    * DataSketches lane stays the production default, accuracy-gated. */
+  def rollingActiveUsersHllMd5(events: DataFrame): DataFrame = {
+    val daily = Sketches.hllRegsMd5(
+        events.select(to_date(col("ts")).as("d"),
+          col("user_id").cast("string").as("u")),
+        Seq("d"), "u")
+      .localCheckpoint(eager = false) // consumers: 3 window unions + bounds
+    val bounds = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    def winEst(w: Int, name: String): DataFrame =
+      Sketches.hllEstimateFromRegs(
+          daily
+            .select(explode(expr(s"sequence(0, ${w - 1})")).as("i"),
+              col("d"), col("reg"), col("r"))
+            .select(expr("date_add(d, i)").as("day"), col("reg"), col("r"))
+            .groupBy("day", "reg").agg(max(col("r")).as("r")),
+          Seq("day"))
+        .select(col("day"), round(col("hll_est")).cast("long").as(name))
+    winEst(30, "mau_est")
+      .join(winEst(7, "wau_est"), Seq("day"), "left")
+      .join(winEst(1, "dau_est"), Seq("day"), "left")
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") >= col("d0") && col("day") <= col("d1"))
+      .select(col("day"), coalesce(col("dau_est"), lit(0L)).as("dau_est"),
+        coalesce(col("wau_est"), lit(0L)).as("wau_est"), col("mau_est"))
+      .orderBy("day")
+  }
+
   /** The per-day sketch table (d, sk) — the ONLY state the rolling
     * estimates need, and what an incremental pipeline persists
     * ([[graft.streaming.Streams.activesSketchSinkQuery]] maintains it at
@@ -979,11 +1012,33 @@ object EventAnalytics {
     },
 
     // ---- sketch face of q161: per-day HLL sketches, window unions —
-    //      O(days) state at any user count. No SQL oracle (DuckDB's HLL
-    //      is a different implementation); EventAnalyticsSpec gates
-    //      accuracy vs the exact face, golden-pinned. ----
-    "q169_rolling_actives_sketch" -> QueryDef.rowsOnly { (s, dir) =>
-      rollingActiveUsersSketch(Tables.events(s, dir))
+    //      O(days) state at any user count. ORACLE-CHECKED via the md5
+    //      register family: DuckDB replays the per-day registers, the
+    //      window register-max unions, and every corrected estimate.
+    //      The DataSketches lane ([[rollingActiveUsersSketch]]) stays
+    //      the production default, accuracy-gated in the spec. ----
+    "q169_rolling_actives_sketch" -> QueryDef.sql(
+      s"""WITH act AS (SELECT CAST(ts AS DATE) AS d, CAST(user_id AS VARCHAR) AS u FROM events),
+         |regs AS (${Sketches.hllRegsSql("act", "d", "u")}),
+         |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM regs),
+         |m30 AS (SELECT d + CAST(i AS INTEGER) AS day, reg, max(r) AS r
+         |        FROM regs, unnest(range(0, 30)) t(i) GROUP BY 1, 2),
+         |m7 AS (SELECT d + CAST(i AS INTEGER) AS day, reg, max(r) AS r
+         |       FROM regs, unnest(range(0, 7)) t(i) GROUP BY 1, 2),
+         |m1 AS (SELECT d AS day, reg, r FROM regs),
+         |e30 AS (SELECT day, CAST(round(est) AS BIGINT) AS mau_est
+         |        FROM (${Sketches.hllEstimateSql("m30", "day", "est")}) x),
+         |e7 AS (SELECT day, CAST(round(est) AS BIGINT) AS wau_est
+         |       FROM (${Sketches.hllEstimateSql("m7", "day", "est")}) x),
+         |e1 AS (SELECT day, CAST(round(est) AS BIGINT) AS dau_est
+         |       FROM (${Sketches.hllEstimateSql("m1", "day", "est")}) x)
+         |SELECT e30.day AS day, coalesce(e1.dau_est, 0) AS dau_est,
+         |  coalesce(e7.wau_est, 0) AS wau_est, e30.mau_est AS mau_est
+         |FROM e30 LEFT JOIN e7 ON e7.day = e30.day
+         |LEFT JOIN e1 ON e1.day = e30.day, b
+         |WHERE e30.day >= b.d0 AND e30.day <= b.d1
+         |ORDER BY day""") { (s, dir) =>
+      rollingActiveUsersHllMd5(Tables.events(s, dir))
     },
 
     // ---- rolling DAU/WAU/MAU: sliding distinct-user windows via

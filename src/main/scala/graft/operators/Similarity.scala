@@ -222,57 +222,202 @@ object Similarity {
         .orderBy("qid", "rank")
     },
 
-    // ---- LSH-candidate cosine threshold pairs: the 100 TB replacement for
-    //      q55's exact all-pairs — candidates from a (band, key) equi-join
-    //      (shuffle O(n × bands)), exact graft_dot re-scoring, so every
-    //      emitted pair carries the exactly-computed similarity. Candidate
-    //      generation is engine-specific → rows-only; SimilaritySpec gates
-    //      recall against q55's exact pair set. ----
-    "q55b_cosine_pairs_lsh" -> QueryDef.rowsOnly { (s, dir) =>
-      cosineThresholdPairsLsh(Tables.embeddings(s, dir), threshold = 0.4,
+    // ---- LSH-candidate cosine threshold pairs, ORACLE-CHECKED (the
+    //      q220 md5-plane family on the PAIRS shape): the 100 TB
+    //      replacement for q55's exact all-pairs — candidates from a
+    //      (band, key) equi-join (shuffle O(n × bands)), exact
+    //      re-scoring, so every emitted pair carries the exactly-
+    //      computed similarity. DuckDB regenerates the planes from md5,
+    //      replays the banding self-join and the re-score; the native
+    //      xxhash-plane [[cosineThresholdPairsLsh]] stays the
+    //      production face, recall-gated in SimilaritySpec. ----
+    "q55b_cosine_pairs_lsh" -> QueryDef.sql(
+      s"""WITH planes AS (
+         |  SELECT p.p AS pl, d.d AS d,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_' ||
+         |        CAST(d.d - 1 AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+         |      THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT unnest(range(0, 144)) AS p) p,
+         |       (SELECT unnest(range(1, 65)) AS d) d),
+         |terms AS (
+         |  SELECT e.vec_id, pl,
+         |    sum(CAST(round(CAST(e.embedding[planes.d] AS DOUBLE), 9)
+         |      AS DECIMAL(18,9)) * s) AS margin
+         |  FROM embeddings e, planes
+         |  GROUP BY 1, 2),
+         |keys AS (
+         |  SELECT vec_id, pl // 6 AS band,
+         |    CAST(sum(CASE WHEN margin > 0
+         |      THEN (CAST(1 AS BIGINT) << (pl % 6)) ELSE 0 END) AS BIGINT) AS key
+         |  FROM terms GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.vec_id < b.vec_id),
+         |p AS (
+         |  SELECT cand.v1, cand.v2,
+         |    round(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE))
+         |      / (sqrt(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)))
+         |         * sqrt(sum(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS cos_sim
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.v1
+         |  JOIN embeddings b ON b.vec_id = cand.v2,
+         |       (SELECT unnest(range(1, 65)) AS i) i
+         |  GROUP BY 1, 2)
+         |SELECT v1, v2, cos_sim FROM p WHERE cos_sim >= 0.4
+         |ORDER BY v1, v2""") { (s, dir) =>
+      cosineThresholdPairsLshMd5(Tables.embeddings(s, dir), threshold = 0.4,
         planesPerBand = 6, bands = 24)
         .orderBy("v1", "v2")
     },
 
-    // ---- IVF top-k with a k-means coarse quantizer (rows-only — the
-    //      quantizer is engine-specific; SimilaritySpec measures recall
-    //      and candidate reduction vs brute force) ----
-    "q65_ivf_topk" -> QueryDef.rowsOnly { (s, dir) =>
-      ivfTopK(Tables.embeddings(s, dir), nQueries = 50, k = 5,
+    // ---- IVF top-k with a k-means coarse quantizer, ORACLE-CHECKED the
+    //      artifact way (the q219 pattern): training stays golden-pinned,
+    //      but the face persists (vectors, centroids) and DuckDB replays
+    //      assignment → routing → exact re-score from the same parquet in
+    //      identical decimal arithmetic. [[ivfTopK]] (native double path)
+    //      stays the production face, recall-gated in SimilaritySpec. ----
+    "q65_ivf_topk" -> QueryDef.sql(
+      s"""WITH ${dkVecCtes("q65")},
+         |${dkAssignCtes("q65")},
+         |posting AS (SELECT vec_id AS nid, cluster_id FROM ar WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cluster_id FROM ar
+         |           WHERE vec_id < 50 AND rn <= 3),
+         |cand AS (SELECT DISTINCT qid, nid
+         |         FROM probes JOIN posting USING (cluster_id) WHERE qid != nid),
+         |${dkRescoreTail(5)}""") { (s, dir) =>
+      ivfTopKOracle(Tables.embeddings(s, dir), nQueries = 50, k = 5,
         nClusters = 8, nProbe = 3)
         .orderBy("qid", "rank")
     },
 
-    // ---- product-quantization ADC top-k (rows-only — the codebook is
-    //      engine-specific; SimilaritySpec gates recall vs the exact
-    //      scan at the AnnSweep-pinned operating point) ----
-    "q204_pq_adc_topk" -> QueryDef.rowsOnly { (s, dir) =>
-      pqTopK(Tables.embeddings(s, dir), nQueries = 50, k = 5,
+    // ---- product-quantization ADC top-k, ORACLE-CHECKED the artifact
+    //      way: codebook training golden-pinned; encode, the per-query
+    //      ADC tables, the k·refine cut, and the exact re-score replayed
+    //      by DuckDB from the persisted (vectors, codebook). [[pqTopK]]
+    //      stays the production face, recall-gated. ----
+    "q204_pq_adc_topk" -> QueryDef.sql(
+      s"""WITH ${dkVecCtes("q204")},
+         |${dkEncodeCtes("q204", "v")},
+         |${dkAdcCte(50)},
+         |ap AS (SELECT adc.qid, codes.vec_id, sum(adc.t) AS approx
+         |       FROM codes JOIN adc ON adc.sub = codes.sub AND adc.cid = codes.cid
+         |       WHERE adc.qid != codes.vec_id GROUP BY 1, 2),
+         |cand AS (SELECT qid, vec_id AS nid FROM (
+         |    SELECT qid, vec_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn FROM ap) ac2
+         |  WHERE arn <= 80),
+         |${dkRescoreTail(5)}""") { (s, dir) =>
+      pqTopKOracle(Tables.embeddings(s, dir), nQueries = 50, k = 5,
         m = 8, ks = 32, refine = 16)
         .orderBy("qid", "rank")
     },
 
-    // ---- IVF-PQ top-k: coarse quantizer routes, PQ codes score, exact
-    //      re-score on the survivors — the billion-scale layout. ----
-    "q205_ivfpq_topk" -> QueryDef.rowsOnly { (s, dir) =>
-      ivfPqTopK(Tables.embeddings(s, dir), nQueries = 50, k = 5,
+    // ---- IVF-PQ top-k, ORACLE-CHECKED the artifact way: coarse
+    //      quantizer routes, PQ codes score, exact re-score on the
+    //      survivors — the billion-scale layout, with assignment,
+    //      routing, encode, probed-list ADC, the k·refine cut, and the
+    //      re-score all replayed by DuckDB from the persisted artifact.
+    //      [[ivfPqTopK]] stays the production face, recall-gated. ----
+    "q205_ivfpq_topk" -> QueryDef.sql(
+      s"""WITH ${dkVecCtes("q205")},
+         |${dkAssignCtes("q205")},
+         |posting AS (SELECT vec_id, cluster_id FROM ar WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cluster_id FROM ar
+         |           WHERE vec_id < 50 AND rn <= 16),
+         |${dkEncodeCtes("q205", "v")},
+         |cc2 AS (SELECT codes.vec_id, codes.sub, codes.cid, posting.cluster_id
+         |        FROM codes JOIN posting USING (vec_id)),
+         |${dkAdcCte(50)},
+         |adcp AS (SELECT adc.qid, pr.cluster_id, adc.sub, adc.cid, adc.t
+         |         FROM adc JOIN probes pr ON pr.qid = adc.qid),
+         |ap AS (SELECT a.qid, cc2.vec_id, sum(a.t) AS approx
+         |       FROM cc2 JOIN adcp a ON a.cluster_id = cc2.cluster_id
+         |         AND a.sub = cc2.sub AND a.cid = cc2.cid
+         |       WHERE a.qid != cc2.vec_id GROUP BY 1, 2),
+         |cand AS (SELECT qid, vec_id AS nid FROM (
+         |    SELECT qid, vec_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn FROM ap) ac2
+         |  WHERE arn <= 80),
+         |${dkRescoreTail(5)}""") { (s, dir) =>
+      ivfPqTopKOracle(Tables.embeddings(s, dir), nQueries = 50, k = 5,
         nClusters = 32, nProbe = 16, m = 8, ks = 32, refine = 16)
         .orderBy("qid", "rank")
     },
 
-    // ---- residual IVF-PQ top-k: PQ codes quantize (unit − centroid)
-    //      residuals, the exact q·c term rides the routing stage — the
-    //      FAISS-default refinement of q205 at identical scan cost. ----
-    "q218_ivfpq_residual_topk" -> QueryDef.rowsOnly { (s, dir) =>
-      ivfPqResidualTopK(Tables.embeddings(s, dir), nQueries = 50, k = 5,
+    // ---- residual IVF-PQ top-k, ORACLE-CHECKED the artifact way: PQ
+    //      codes quantize (unit − centroid) residuals, the exact q·c
+    //      term rides the routing stage — the FAISS-default refinement
+    //      of q205 at identical scan cost, with residual construction
+    //      and the composed ADC+q·c score additionally replayed. ----
+    "q218_ivfpq_residual_topk" -> QueryDef.sql(
+      s"""WITH ${dkVecCtes("q218")},
+         |${dkAssignCtes("q218")},
+         |posting AS (SELECT vec_id, cluster_id FROM ar WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cluster_id, cc FROM ar
+         |           WHERE vec_id < 50 AND rn <= 16),
+         |rx AS (SELECT p.vec_id, p.cluster_id, ix.i AS i,
+         |         v.emb[ix.i] - c.cemb[ix.i] AS rv
+         |       FROM posting p JOIN v ON v.vec_id = p.vec_id
+         |            JOIN c ON c.cluster_id = p.cluster_id, ix),
+         |cb AS (SELECT sub, cid, cvec FROM read_parquet('$annOracleRoot/q218/codebook/*.parquet')),
+         |ed AS (SELECT rx.vec_id, cb.sub, cb.cid,
+         |         sum(${dkDiffSq("rx.rv", "cb.cvec[rx.i - cb.sub * 8]")}) AS d2
+         |       FROM rx JOIN cb ON cb.sub = (rx.i - 1) // 8
+         |       GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM ed) ec
+         |  WHERE rn = 1),
+         |cc2 AS (SELECT codes.vec_id, codes.sub, codes.cid, posting.cluster_id
+         |        FROM codes JOIN posting USING (vec_id)),
+         |jx AS (SELECT unnest(range(1, 9)) AS j),
+         |${dkAdcCte(50)},
+         |adcp AS (SELECT adc.qid, pr.cluster_id, adc.sub, adc.cid, adc.t, pr.cc
+         |         FROM adc JOIN probes pr ON pr.qid = adc.qid),
+         |ap AS (SELECT a.qid, cc2.vec_id,
+         |         CAST(sum(a.t) AS DECIMAL(28,18))
+         |           + CAST(first(a.cc) AS DECIMAL(28,18)) AS approx
+         |       FROM cc2 JOIN adcp a ON a.cluster_id = cc2.cluster_id
+         |         AND a.sub = cc2.sub AND a.cid = cc2.cid
+         |       WHERE a.qid != cc2.vec_id GROUP BY 1, 2),
+         |cand AS (SELECT qid, vec_id AS nid FROM (
+         |    SELECT qid, vec_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn FROM ap) ac2
+         |  WHERE arn <= 80),
+         |${dkRescoreTail(5)}""") { (s, dir) =>
+      ivfPqResidualTopKOracle(Tables.embeddings(s, dir), nQueries = 50, k = 5,
         nClusters = 32, nProbe = 16, m = 8, ks = 32, refine = 16)
         .orderBy("qid", "rank")
     },
 
-    // ---- int8-quantized brute-force top-k (rows-only — quantization
-    //      noise is engine/format-specific; SimilaritySpec measures top-k
-    //      overlap against the exact float path) ----
-    "q66_quantized_topk" -> QueryDef.rowsOnly { (s, dir) =>
+    // ---- int8-quantized brute-force top-k, ORACLE-CHECKED: the whole
+    //      pipeline is relational — per-vector symmetric scale
+    //      (max|x|/127), round-to-integer quantize, dequantize, exact
+    //      cosine top-k — so DuckDB replays quantization noise and all
+    //      (both engines round doubles half-away-from-zero; the
+    //      dequantized grid values are identical doubles, and the final
+    //      6-dp cosine rounding is the q54 contract). ----
+    "q66_quantized_topk" -> QueryDef.sql(
+      """WITH s AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |dq AS (SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) / scale) * scale) AS emb
+        |  FROM s),
+        |q AS (SELECT vec_id, emb FROM dq WHERE vec_id < 50),
+        |p AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |    round(sum(q.emb[i.i] * e.emb[i.i])
+        |      / (sqrt(sum(q.emb[i.i] * q.emb[i.i])) * sqrt(sum(e.emb[i.i] * e.emb[i.i]))), 6) AS cos_sim
+        |  FROM q, dq e, (SELECT unnest(range(1, 4097)) AS i) i
+        |  WHERE e.vec_id != q.vec_id AND i.i <= len(e.emb)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT qid, nid, cos_sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+        |      FROM p)
+        |SELECT qid, nid, cos_sim, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""") { (s, dir) =>
       cosineTopK(
         dequantizeInt8(quantizeInt8(Tables.embeddings(s, dir))),
         col("vec_id") < 50, k = 5)
@@ -369,8 +514,38 @@ object Similarity {
     // ---- cluster-quality audit: purity + NMI of deterministic k-means
     //      assignments vs labels; no SQL oracle (k-means) — planted
     //      contingencies reference-checked, golden-pinned. ----
-    "q187_cluster_purity" -> QueryDef.rowsOnly { (s, dir) =>
-      clusterPurity(Tables.embeddings(s, dir))
+    // ---- cluster-quality audit (purity + NMI), ORACLE-CHECKED the
+    //      artifact way: k-means + assignment stay golden-pinned; the
+    //      persisted (vec_id, cluster_id) relation joins back to the
+    //      labels in DuckDB, which replays the contingency, purity, the
+    //      9-dp MI/entropy decimal sums, and NMI expression-for-
+    //      expression. ----
+    "q187_cluster_purity" -> QueryDef.sql(
+      s"""WITH a AS (SELECT vec_id, cluster_id
+         |  FROM read_parquet('$annOracleRoot/q187/assignments/*.parquet')),
+         |cont AS (SELECT a.cluster_id, CAST(e.label AS BIGINT) AS label,
+         |           count(*) AS n_cl
+         |         FROM a JOIN embeddings e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+         |nt AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cont),
+         |nc AS (SELECT cluster_id, CAST(sum(n_cl) AS BIGINT) AS n_c FROM cont GROUP BY 1),
+         |nl AS (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l FROM cont GROUP BY 1),
+         |pu AS (SELECT CAST(sum(n_major) AS BIGINT) AS sum_major FROM (
+         |         SELECT cluster_id, max(n_cl) AS n_major FROM cont GROUP BY 1) px),
+         |mi AS (SELECT sum(CAST(round(CAST(n_cl AS DOUBLE) / n
+         |           * ln(CAST(n_cl AS DOUBLE) * n / (CAST(n_c AS DOUBLE) * n_l)), 9)
+         |         AS DECIMAL(18,9))) AS mi
+         |       FROM cont JOIN nc USING (cluster_id) JOIN nl USING (label), nt),
+         |hc AS (SELECT ln(nn) - CAST(t AS DOUBLE) / nn AS h_c FROM (
+         |         SELECT sum(CAST(round(n_c * ln(n_c), 9) AS DECIMAL(18,9))) AS t,
+         |           sum(n_c) AS nn FROM nc) hx),
+         |hl AS (SELECT ln(nn) - CAST(t AS DOUBLE) / nn AS h_l FROM (
+         |         SELECT sum(CAST(round(n_l * ln(n_l), 9) AS DECIMAL(18,9))) AS t,
+         |           sum(n_l) AS nn FROM nl) hx)
+         |SELECT CAST(8 AS BIGINT) AS k, n AS n_points,
+         |  round(CAST(sum_major AS DOUBLE) / n, 6) AS purity,
+         |  round(2.0 * CAST(mi AS DOUBLE) / nullif(h_c + h_l, 0.0), 6) AS nmi
+         |FROM nt, pu, mi, hc, hl""") { (s, dir) =>
+      clusterPurityOracle(Tables.embeddings(s, dir))
     }
   )
 
@@ -635,6 +810,29 @@ object Similarity {
     val unit = withNorm(embeddings)
       .select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb"))
     val assigned = assignClusters(unit, cents).select("vec_id", "cluster_id")
+    clusterPurityFrom(assigned, embeddings, k)
+  }
+
+  /** q187's declared face — [[clusterPurity]] with the assignment table
+    * persisted as an oracle artifact (the q219/q65 pattern): k-means and
+    * the nearest-centroid assignment stay golden-pinned, but the entire
+    * evaluation — contingency, purity, the 9-dp-rounded MI/entropy sums,
+    * NMI — is replayed by DuckDB from the persisted (vec_id, cluster_id)
+    * relation joined back to the labels. */
+  def clusterPurityOracle(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(embeddings, k, iters)
+    val unit = withNorm(embeddings)
+      .select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb"))
+    val assigned = persistArtifact("q187", "assignments",
+      assignClusters(unit, cents).select("vec_id", "cluster_id"))
+    clusterPurityFrom(assigned, embeddings, k)
+  }
+
+  /** The statistics of [[clusterPurity]] over a pre-built assignment
+    * relation — shared by the in-memory and artifact faces. */
+  private def clusterPurityFrom(assigned: DataFrame, embeddings: DataFrame,
+      k: Int): DataFrame = {
     val cont = assigned
       .join(embeddings.select(col("vec_id"), col("label").cast("long").as("label")),
         Seq("vec_id"))
@@ -1007,6 +1205,318 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ---------------------------------------------------------------------
+  // Oracle-artifact ANN faces (q65/q204/q205/q218): the q219 pattern
+  // applied to vector search. Training (k-means centroids, PQ codebooks)
+  // is iterative and engine-specific — it stays golden-pinned — but
+  // everything AFTER training is relational: the face persists the
+  // trained tables plus the 9-dp-rounded unit vectors as parquet under a
+  // fixed path, then computes assignment → (encode) → ADC → refine →
+  // exact re-score FROM the artifact in order-free DECIMAL arithmetic,
+  // and the DuckDB oracle replays the identical stages from the same
+  // files. Contract: the artifact is (over)written on every run, so the
+  // standard dump-then-compare flow (Verify at one SF, then DuckDB)
+  // always reads the matching artifact.
+  //
+  // Determinism: array elements are 9-dp-rounded doubles; both engines
+  // CAST them to DECIMAL(18,9) (exact — the double sits within ~1e-25 of
+  // its 9-dp decimal), multiply exactly, and sum exactly (products cast
+  // to DECIMAL(28,18); sums stay under precision bounds in both
+  // engines), so candidate sets, ranks, and tie-breaks cannot drift. The
+  // final cos_sim rounds the exact decimal dot at 6 dp — a (2n+1)/2·10⁶
+  // boundary is never binary-representable, so the two engines' round()
+  // semantics agree on every reachable value.
+  // ---------------------------------------------------------------------
+
+  private[graft] val annOracleRoot = "/tmp/graft_ann_oracle"
+
+  // DuckDB fragments mirroring decDot/decSqDist term-for-term
+  private def dkProd(a: String, b: String): String =
+    s"CAST(CAST($a AS DECIMAL(18,9)) * CAST($b AS DECIMAL(18,9)) AS DECIMAL(28,18))"
+  private def dkDiffSq(a: String, b: String): String =
+    s"CAST(CAST(CAST($a AS DECIMAL(18,9)) - CAST($b AS DECIMAL(18,9)) AS DECIMAL(18,9))" +
+      s" * CAST(CAST($a AS DECIMAL(18,9)) - CAST($b AS DECIMAL(18,9)) AS DECIMAL(18,9)) AS DECIMAL(28,18))"
+
+  /** Leading CTEs every artifact oracle starts with: the persisted
+    * vector relation + the 1..64 dim index. */
+  private def dkVecCtes(name: String): String =
+    s"""v AS (SELECT vec_id, emb FROM read_parquet('$annOracleRoot/$name/vectors/*.parquet')),
+       |ix AS (SELECT unnest(range(1, 65)) AS i)""".stripMargin
+
+  /** Coarse-assignment CTEs (ac/ar) over artifact centroids. */
+  private def dkAssignCtes(name: String): String =
+    s"""c AS (SELECT cluster_id, cemb FROM read_parquet('$annOracleRoot/$name/centroids/*.parquet')),
+       |ac AS (SELECT v.vec_id, c.cluster_id,
+       |         sum(${dkProd("v.emb[ix.i]", "c.cemb[ix.i]")}) AS cc
+       |       FROM v, c, ix GROUP BY 1, 2),
+       |ar AS (SELECT vec_id, cluster_id, cc, row_number() OVER (
+       |         PARTITION BY vec_id ORDER BY cc DESC, cluster_id) AS rn FROM ac)""".stripMargin
+
+  /** PQ codebook + decimal-exact encode CTEs (cb/jx/ed/codes) over the
+    * relation `encSrc`, which must expose (vec_id, emb). */
+  private def dkEncodeCtes(name: String, encSrc: String): String =
+    s"""cb AS (SELECT sub, cid, cvec FROM read_parquet('$annOracleRoot/$name/codebook/*.parquet')),
+       |jx AS (SELECT unnest(range(1, 9)) AS j),
+       |ed AS (SELECT e.vec_id, cb.sub, cb.cid,
+       |         sum(${dkDiffSq("e.emb[cb.sub * 8 + jx.j]", "cb.cvec[jx.j]")}) AS d2
+       |       FROM $encSrc e, cb, jx GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid, row_number() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM ed) ec
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Query-side ADC table CTE (adc): (qid, sub, cid, t). */
+  private def dkAdcCte(nQueries: Int): String =
+    s"""adc AS (SELECT v.vec_id AS qid, cb.sub, cb.cid,
+       |          sum(${dkProd("v.emb[cb.sub * 8 + jx.j]", "cb.cvec[jx.j]")}) AS t
+       |        FROM v, cb, jx WHERE v.vec_id < $nQueries GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Exact-re-score + rank tail (p/r/final select) off a `cand(qid, nid)`
+    * CTE — the decRescoreTopK mirror. */
+  private def dkRescoreTail(k: Int): String =
+    s"""p AS (SELECT cand.qid, cand.nid,
+       |        round(CAST(sum(${dkProd("a.emb[ix.i]", "b.emb[ix.i]")}) AS DOUBLE), 6) AS cos_sim
+       |      FROM cand JOIN v a ON a.vec_id = cand.qid
+       |                JOIN v b ON b.vec_id = cand.nid, ix
+       |      GROUP BY 1, 2),
+       |r AS (SELECT qid, nid, cos_sim, row_number() OVER (
+       |        PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM p)
+       |SELECT qid, nid, cos_sim, rank FROM r WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+
+  /** (vec_id, emb): unit vectors rounded to 9 dp — the artifact's vector
+    * relation (the data side of the index, not a trained parameter). */
+  private def unitRounded(embeddings: DataFrame): DataFrame =
+    withNorm(embeddings).select(col("vec_id"),
+      expr("transform(emb, x -> round(x / norm, 9))").as("emb"))
+
+  /** Write `df` to the fixed artifact path for (face, rel); read it back
+    * so every downstream stage consumes the EXACT persisted bytes DuckDB
+    * will read. */
+  private def persistArtifact(name: String, rel: String, df: DataFrame): DataFrame = {
+    val path = s"$annOracleRoot/$name/$rel"
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Exact order-free dot product of two array<double> columns holding
+    * 9-dp values, as DECIMAL(28,18): per-term (18,9)×(18,9) products cast
+    * to (28,18) exactly, folded with a (28,18)-pinned accumulator (the
+    * unpinned fold would widen past precision 38 and silently round). */
+  private def decDot(a: String, b: String): Column =
+    expr(
+      s"""aggregate(zip_with($a, $b,
+         |  (x, y) -> CAST(CAST(x AS DECIMAL(18,9)) * CAST(y AS DECIMAL(18,9)) AS DECIMAL(28,18))),
+         |  CAST(0 AS DECIMAL(28,18)),
+         |  (acc, t) -> CAST(acc + t AS DECIMAL(28,18)))""".stripMargin)
+
+  /** Exact squared L2 distance of two 9-dp array<double> columns, same
+    * discipline (differences re-cast to (18,9) — exact, the true
+    * difference of two 9-dp values IS a 9-dp value — before squaring). */
+  private def decSqDist(a: String, b: String): Column =
+    expr(
+      s"""aggregate(zip_with($a, $b,
+         |  (x, y) -> CAST(CAST(CAST(x AS DECIMAL(18,9)) - CAST(y AS DECIMAL(18,9)) AS DECIMAL(18,9))
+         |    * CAST(CAST(x AS DECIMAL(18,9)) - CAST(y AS DECIMAL(18,9)) AS DECIMAL(18,9)) AS DECIMAL(28,18))),
+         |  CAST(0 AS DECIMAL(28,18)),
+         |  (acc, t) -> CAST(acc + t AS DECIMAL(28,18)))""".stripMargin)
+
+  /** Round the trained centroid table to the artifact's 9-dp contract
+    * (unit-normalizing first, the [[ivfTopKWith]] discipline). */
+  private def roundedUnitCentroids(centroids: DataFrame): DataFrame =
+    centroids
+      .withColumn("cnorm", sqrt(expr("graft_dot(cemb, cemb)")))
+      .filter(col("cnorm") > 0)
+      .select(col("cluster_id"),
+        expr("transform(cemb, x -> round(x / cnorm, 9))").as("cemb"))
+
+  /** Decimal-exact nearest-centroid ranking over artifact frames:
+    * (vec_id, cluster_id, cc, rn) with rn ordered by (cc desc,
+    * cluster_id) per vector. rn = 1 is the assignment; rn ≤ nProbe is
+    * the probe set. */
+  private def decAssignRanked(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cluster_id"), decDot("emb", "cemb").as("cc"))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cc").desc, col("cluster_id"))))
+
+  /** Decimal-exact PQ encode over artifact frames: (vec_id, sub, cid) —
+    * per (vector, subspace) argmin of the exact squared distance to the
+    * `ks` codewords, cid tie-break. `vectors` must carry (vec_id, emb). */
+  private def decPqEncode(vectors: DataFrame, cb: DataFrame, m: Int): DataFrame =
+    pqSubvectors(vectors, m)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        decSqDist("sv", "cvec").as("d2"))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2").asc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "sub", "cid")
+
+  /** Exact re-score + rank tail shared by the artifact faces: candidates
+    * (qid, nid) → (qid, nid, cos_sim, rank ≤ k), cos_sim = the exact
+    * decimal dot of the stored unit vectors, rounded at 6 dp. */
+  private def decRescoreTopK(vecs: DataFrame, cand: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
+    val qSide = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    cand
+      .join(broadcast(qSide), "qid")
+      .join(vecs.select(col("vec_id").as("nid"), col("emb")), "nid")
+      .select(col("qid"), col("nid"),
+        round(decDot("qemb", "emb").cast("double"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF top-k from the persisted artifact (q65's declared face):
+    * centroids train exactly as [[ivfTopK]]'s, then assignment, probe
+    * routing, and the exact re-score all run in decimal over the
+    * persisted (vectors, centroids) — the stages the DuckDB oracle
+    * replays verbatim. */
+  def ivfTopKOracle(embeddings: DataFrame, nQueries: Int, k: Int,
+      nClusters: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val vecs = persistArtifact("q65", "vectors", unitRounded(embeddings))
+      .localCheckpoint(eager = false) // consumers: assignment, re-score ×2
+    val cent = persistArtifact("q65", "centroids",
+      roundedUnitCentroids(kmeansCentroids(embeddings, nClusters, kmeansIters)))
+    val ranked = decAssignRanked(vecs, cent)
+      .localCheckpoint(eager = false) // consumers: posting + probes
+    val posting = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("nid"), col("cluster_id"))
+    val probes = ranked.filter(col("vec_id") < nQueries && col("rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cluster_id"))
+    val cand = probes.join(posting, "cluster_id")
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    decRescoreTopK(vecs, cand, nQueries, k)
+  }
+
+  /** PQ-ADC top-k from the persisted artifact (q204's declared face):
+    * the codebook trains exactly as [[pqTopK]]'s, then encode, the ADC
+    * tables, the k·refine cut, and the exact re-score run in decimal
+    * over the persisted (vectors, codebook). */
+  def pqTopKOracle(embeddings: DataFrame, nQueries: Int, k: Int, m: Int = 8,
+      ks: Int = 32, refine: Int = 16, iters: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val vecs = persistArtifact("q204", "vectors", unitRounded(embeddings))
+      .localCheckpoint(eager = false) // consumers: encode, ADC, re-score
+    val cb = persistArtifact("q204", "codebook",
+      pqCodebook(embeddings, m, ks, iters)
+        .select(col("sub"), col("cid"),
+          expr("transform(cvec, x -> round(x, 9))").as("cvec")))
+    val codes = decPqEncode(vecs, cb, m)
+    val adc = pqSubvectors(vecs.filter(col("vec_id") < nQueries), m)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        decDot("sv", "cvec").as("t"))
+    val approx = codes.join(broadcast(adc), Seq("sub", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("t")).as("approx"))
+    val cand = approx.withColumn("arn",
+        row_number().over(Window.partitionBy("qid")
+          .orderBy(col("approx").desc, col("vec_id"))))
+      .filter(col("arn") <= k * refine)
+      .select(col("qid"), col("vec_id").as("nid"))
+    decRescoreTopK(vecs, cand, nQueries, k)
+  }
+
+  /** IVF-PQ top-k from the persisted artifact (q205's declared face):
+    * coarse centroids + codebook train exactly as [[ivfPqTopK]]'s; the
+    * replayed stages are assignment, routing, encode, probed-list ADC,
+    * the k·refine cut, and the exact re-score. */
+  def ivfPqTopKOracle(embeddings: DataFrame, nQueries: Int, k: Int,
+      nClusters: Int = 32, nProbe: Int = 16, m: Int = 8, ks: Int = 32,
+      refine: Int = 16, iters: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val vecs = persistArtifact("q205", "vectors", unitRounded(embeddings))
+      .localCheckpoint(eager = false)
+    val cent = persistArtifact("q205", "centroids",
+      roundedUnitCentroids(kmeansCentroids(embeddings, nClusters, iters)))
+    val cb = persistArtifact("q205", "codebook",
+      pqCodebook(embeddings, m, ks, iters)
+        .select(col("sub"), col("cid"),
+          expr("transform(cvec, x -> round(x, 9))").as("cvec")))
+    val ranked = decAssignRanked(vecs, cent)
+      .localCheckpoint(eager = false) // consumers: posting + probes
+    val posting = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster_id"))
+    val probes = ranked.filter(col("vec_id") < nQueries && col("rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cluster_id"))
+    val codes = decPqEncode(vecs, cb, m).join(posting, Seq("vec_id"))
+    val adc = pqSubvectors(vecs.filter(col("vec_id") < nQueries), m)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        decDot("sv", "cvec").as("t"))
+      .join(probes, Seq("qid"))
+    val approx = codes.join(broadcast(adc), Seq("cluster_id", "sub", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("t")).as("approx"))
+    val cand = approx.withColumn("arn",
+        row_number().over(Window.partitionBy("qid")
+          .orderBy(col("approx").desc, col("vec_id"))))
+      .filter(col("arn") <= k * refine)
+      .select(col("qid"), col("vec_id").as("nid"))
+    decRescoreTopK(vecs, cand, nQueries, k)
+  }
+
+  /** Residual IVF-PQ top-k from the persisted artifact (q218's declared
+    * face): the codebook trains on (stored unit − stored centroid)
+    * residuals exactly as [[ivfPqResidualTopK]] trains on its residuals;
+    * the replayed stages add residual construction (exact — the true
+    * difference of two 9-dp values is a 9-dp value, so the double
+    * subtraction recovers it under the decimal cast) and the exact q·c
+    * routing term on top of q205's. */
+  def ivfPqResidualTopKOracle(embeddings: DataFrame, nQueries: Int, k: Int,
+      nClusters: Int = 32, nProbe: Int = 16, m: Int = 8, ks: Int = 32,
+      refine: Int = 16, iters: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val vecs = persistArtifact("q218", "vectors", unitRounded(embeddings))
+      .localCheckpoint(eager = false)
+    val cent = persistArtifact("q218", "centroids",
+      roundedUnitCentroids(kmeansCentroids(embeddings, nClusters, iters)))
+    val ranked = decAssignRanked(vecs, cent)
+      .localCheckpoint(eager = false) // consumers: posting, probes
+    val posting = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster_id"))
+    // residuals of the STORED values — what both engines reconstruct
+    val resid = vecs.join(posting, Seq("vec_id"))
+      .join(broadcast(cent), Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"),
+        expr("zip_with(emb, cemb, (x, c) -> x - c)").as("emb"))
+      .localCheckpoint(eager = false) // consumers: codebook training, encode
+    val cb = persistArtifact("q218", "codebook",
+      pqCodebookOf(resid.select("vec_id", "emb"), m, ks, iters)
+        .select(col("sub"), col("cid"),
+          expr("transform(cvec, x -> round(x, 9))").as("cvec")))
+    val codes = decPqEncode(resid.select("vec_id", "emb"), cb, m)
+      .join(posting, Seq("vec_id"))
+    // probes carry the exact decimal q·c routing term
+    val probes = ranked.filter(col("vec_id") < nQueries && col("rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cluster_id"), col("cc"))
+    val adc = pqSubvectors(vecs.filter(col("vec_id") < nQueries), m)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        decDot("sv", "cvec").as("t"))
+      .join(probes, Seq("qid"))
+    val approx = codes.join(broadcast(adc), Seq("cluster_id", "sub", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      // every row in the group shares the candidate's one posting cluster
+      .agg((sum(col("t")).cast("decimal(28,18)") + first(col("cc")))
+        .as("approx"))
+    val cand = approx.withColumn("arn",
+        row_number().over(Window.partitionBy("qid")
+          .orderBy(col("approx").desc, col("vec_id"))))
+      .filter(col("arn") <= k * refine)
+      .select(col("qid"), col("vec_id").as("nid"))
+    decRescoreTopK(vecs, cand, nQueries, k)
+  }
+
   /** Signed projections onto bands×planesPerBand deterministic
     * pseudo-random ±1 hyperplanes via the native codegen'd
     * [[graft.functions.LshProject]] expression (one fused loop per row —
@@ -1345,6 +1855,39 @@ object Similarity {
     // candidate id pairs from the (band, key) equi-join; dedup the bare
     // (v1, v2) ids across bands BEFORE re-attaching embeddings — the dedup
     // shuffle then moves 16-byte pairs instead of kilobyte vectors
+    val pairs = keyed.select(col("vec_id").as("v1"), col("band"), col("key"))
+      .join(keyed.select(col("vec_id").as("v2"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2")
+      .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("v1"), col("emb").as("emb1"),
+        col("norm").as("norm1")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("emb").as("emb2"),
+        col("norm").as("norm2")), "v2")
+      .select(col("v1"), col("v2"),
+        round(dot("emb1", "emb2") / (col("norm1") * col("norm2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** [[cosineThresholdPairsLsh]] under the md5 plane family (q55b's
+    * declared face — the q220 trade applied to the PAIRS shape): planes
+    * from [[md5PlaneMasks]], margins as exact scaled longs, so DuckDB
+    * regenerates the planes from md5 itself, replays the banding
+    * self-join, and re-scores the identical candidate set. The native
+    * xxhash-plane [[cosineThresholdPairsLsh]] stays the production
+    * face (it feeds [[semanticDedupClustersLsh]]), recall-gated in
+    * SimilaritySpec. */
+  def cosineThresholdPairsLshMd5(embeddings: DataFrame, threshold: Double,
+      planesPerBand: Int, bands: Int): DataFrame = {
+    val masks = md5PlaneMasks(bands * planesPerBand)
+    val e = withNorm(embeddings)
+    val keyed = e.withColumn("st", scaledTermsExpr)
+      .withColumn("mm", md5MarginsExpr(masks))
+      .withColumn("bk", explode(bandKeysExprOn("mm", "0", planesPerBand, bands)))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(col("band"), col("key"))
     val pairs = keyed.select(col("vec_id").as("v1"), col("band"), col("key"))
       .join(keyed.select(col("vec_id").as("v2"), col("band"), col("key")),
         Seq("band", "key"))

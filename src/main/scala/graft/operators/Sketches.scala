@@ -28,6 +28,89 @@ object Sketches {
 
   private def words(c: Column): Column = Text.words(c)
 
+  // ---------------------------------------------------------------------
+  // Engine-agnostic relational HyperLogLog (the md5 register family):
+  // registers and estimates expressed in plain column arithmetic so the
+  // DuckDB oracle replays the ENTIRE sketch — the q123 bit-array trade
+  // applied to HLL (Flajolet et al. 2007). Fixed p = 12 (m = 4096
+  // registers): register index = the first 3 md5 hex chars, rank = 1 +
+  // leading zeros of the next 48 bits (49 − bit length, 49 when zero).
+  // The harmonic sum is EXACT integer arithmetic — each register
+  // contributes 2^(60−r) (absent registers r = 0 contribute 2^60), summed
+  // as DECIMAL(38,0) (max 4096·2^60 = 2^72 < 10^38), so both engines
+  // divide the identical numerator by the identical denominator: one
+  // IEEE division, no order-dependent float summation. Small-range
+  // (linear-counting) correction applies below 2.5·m as in the paper;
+  // its ln() is the only libm call and sits behind a 3-dp round.
+  // Estimates carry the standard ±1.04/√m ≈ 1.6% band, gated in-suite
+  // against exact countDistinct; the DataSketches hll_sketch_agg lanes
+  // (q89/q98/q169's production forms) stay available on the same shapes.
+  // ---------------------------------------------------------------------
+
+  /** alpha_m · m² · 2^60 for m = 4096, as ONE shared literal (computed
+    * once as 0.7213/(1 + 1.079/4096) · 4096² · 2^60; both engines parse
+    * the shortest-round-trip decimal to the identical double). */
+  private[operators] val hllNumerator: Double = 1.3948296730802328e25
+  private[operators] val hllNumeratorSql: String = "1.3948296730802328e25"
+
+  /** (keys..., reg, r): max-rank HLL registers of `itemCol` grouped by
+    * `keys`. Feed straight to [[hllEstimateFromRegs]], or window-union
+    * register frames first (register max is associative/commutative —
+    * union = groupBy max, the mergeability HLL is built on). */
+  private[operators] def hllRegsMd5(items: DataFrame, keys: Seq[String],
+      itemCol: String): DataFrame =
+    items
+      .withColumn("mh", md5(col(itemCol)))
+      .withColumn("reg", expr("CAST(conv(substring(mh, 1, 3), 16, 10) AS INT)"))
+      .withColumn("v", expr("CAST(conv(substring(mh, 4, 12), 16, 10) AS BIGINT)"))
+      .withColumn("rk", when(col("v") === 0, lit(49))
+        .otherwise(lit(49) - length(expr("conv(v, 10, 2)"))))
+      .groupBy((keys :+ "reg").map(col): _*)
+      .agg(max(col("rk")).as("r"))
+
+  /** (keys..., hll_est): the corrected HLL estimate from a register
+    * frame — raw harmonic estimate via the exact scaled-integer sum,
+    * linear counting below 2.5·m when zero registers remain. */
+  private[operators] def hllEstimateFromRegs(regs: DataFrame,
+      keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col): _*)
+      .agg(sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 60 - r) AS DECIMAL(38,0))"))
+          .as("spresent"),
+        count(lit(1)).as("pcount"))
+      .withColumn("vz", lit(4096L) - col("pcount"))
+      .withColumn("ssum", col("spresent")
+        + col("vz").cast("decimal(10,0)")
+          * lit(1152921504606846976L).cast("decimal(19,0)"))
+      .withColumn("e_raw", lit(hllNumerator) / col("ssum").cast("double"))
+      .withColumn("hll_est",
+        when(col("vz") > 0 && col("e_raw") <= lit(10240.0),
+          lit(4096.0) * log(lit(4096.0) / col("vz").cast("double")))
+          .otherwise(col("e_raw")))
+      .select((keys.map(col) :+ col("hll_est")): _*)
+
+  /** DuckDB mirror of [[hllRegsMd5]]: a `SELECT` over relation `src`
+    * (whose item column is `item`), producing (keys..., reg, r). */
+  private[operators] def hllRegsSql(src: String, keys: String,
+      item: String): String =
+    s"""SELECT $keys, CAST(('0x' || substr(md5($item), 1, 3)) AS BIGINT) AS reg,
+       |  max(CASE WHEN CAST(('0x' || substr(md5($item), 4, 12)) AS BIGINT) = 0 THEN 49
+       |       ELSE 49 - length(ltrim(bin(CAST(('0x' || substr(md5($item), 4, 12)) AS BIGINT)), '0')) END) AS r
+       |FROM $src GROUP BY ALL""".stripMargin
+
+  /** DuckDB mirror of [[hllEstimateFromRegs]]: a `SELECT` over a
+    * register relation `src`, producing (keys..., `out`). */
+  private[operators] def hllEstimateSql(src: String, keys: String,
+      out: String): String =
+    s"""SELECT $keys,
+       |  CASE WHEN vz > 0 AND e_raw <= 10240.0
+       |       THEN 4096.0 * ln(4096.0 / CAST(vz AS DOUBLE)) ELSE e_raw END AS $out
+       |FROM (SELECT $keys, vz, $hllNumeratorSql / CAST(ssum AS DOUBLE) AS e_raw
+       |      FROM (SELECT $keys, 4096 - count(*) AS vz,
+       |              sum(CAST((CAST(1 AS BIGINT) << (60 - r)) AS DECIMAL(38,0)))
+       |                + CAST(4096 - count(*) AS DECIMAL(10,0))
+       |                  * CAST(1152921504606846976 AS DECIMAL(19,0)) AS ssum
+       |            FROM $src GROUP BY ALL) hs) he""".stripMargin
+
   /** Exact tokens with frequency share > phi, found via Misra–Gries
     * candidate pruning + exact rescore. Requires phi > 1/(capacity+1)
     * (the MG completeness bound — every token above the threshold is

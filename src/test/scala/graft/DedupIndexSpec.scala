@@ -51,7 +51,9 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("contrastive", DedupIndex.contrastiveAgainst(idx), Dedup.contrastivePairs(d, 0.6)),
       ("pairs@0.6", DedupIndex.pairsAt(idx, 0.6), Dedup.exactJaccardPairs(d, 0.6)),
       ("triangles", DedupIndex.trianglesAgainst(idx, 0.3), Dedup.triangleCohesion(d, 0.3)),
-      ("errorAudit", DedupIndex.errorAuditAgainst(idx), Dedup.minhashErrorAudit(d)),
+      // the index face runs the md5 lane family (its oracle is q189's
+      // SQL verbatim), so its standalone twin is the md5 audit
+      ("errorAudit", DedupIndex.errorAuditAgainst(idx), Dedup.minhashErrorAuditMd5(d)),
       ("planner", DedupIndex.plannerAgainst(idx), Dedup.lshParameterPlan(d)))
     faces.foreach { case (name, against, standalone) =>
       assert(rows(against) === rows(standalone), s"face '$name' diverges")

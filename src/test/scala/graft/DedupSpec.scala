@@ -65,7 +65,7 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("md5-lane minhash/simhash (the q52/q53 oracle family) recalls the planted pairs too") {
     // both families stay gated: xxhash64 is the production default, the
-    // md5 Kirsch–Mitzenmacher lanes are the oracle-checkable declared
+    // per-lane-salted md5 lanes are the oracle-checkable declared
     // faces — same planted-corpus recall contract for each
     val cand = Dedup.minhashLshPairsMd5(docs, numHashes = 16, bands = 4)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
@@ -87,6 +87,27 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(d == ham(a, b), "banding preserves md5-family distance")
     }
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
+  test("md5 lane family is statistically sound — the K-M degeneracy gate") {
+    // r12's Kirsch–Mitzenmacher lanes (h1 + i·h2) were oracle-green yet
+    // DEGENERATE: a corpus-common shingle with a small h2 dominated every
+    // high lane's min, so docs sharing one boilerplate trigram agreed on
+    // 12/16 lanes (sf0.001: 153 surfaced pairs, mean audit error 0.59,
+    // 123 gross). The salted per-lane family must stay in the honest
+    // MinHash band: candidate count near the xxhash production family's
+    // and audit error bounded. A regression re-fails THIS, not just the
+    // (estimator-agnostic) oracle hash.
+    val d = Tables.documents(spark, sf001)
+    val audit = Dedup.minhashErrorAuditMd5(d).collect().head
+    val nPairs = audit.getAs[Long]("n_pairs")
+    val meanErr = audit.getAs[Double]("mean_abs_err")
+    val nGross = audit.getAs[Long]("n_gross")
+    val nXx = Dedup.minhashErrorAudit(d).collect().head.getAs[Long]("n_pairs")
+    assert(nPairs <= 2 * nXx,
+      s"md5 family surfaces $nPairs pairs vs xxhash's $nXx — degenerate banding")
+    assert(meanErr <= 0.15, s"md5 lane mean audit error $meanErr above the 16-lane band")
+    assert(nGross <= nPairs / 10, s"$nGross of $nPairs pairs grossly mis-estimated")
   }
 
   test("minhash estimated jaccard is 1.0 for identical docs") {

@@ -101,22 +101,22 @@ object GoldenSpec {
 
   /** Committed digests — regenerate via GoldenHashes on intentional change. */
   val expected: Map[(String, String), String] = Map(
-    ("q52_minhash_lsh_pairs", "sf0.001") -> "9f0a0b6a2f7ff167",
-    ("q52_minhash_lsh_pairs", "sf0.01") -> "9cefbb9d0efcfd3d",
+    ("q52_minhash_lsh_pairs", "sf0.001") -> "dae8c77bbec73155",
+    ("q52_minhash_lsh_pairs", "sf0.01") -> "16d42ff65a2edd3c",
     ("q53_simhash_pairs", "sf0.001") -> "3123bb83ee31bbcb",
     ("q53_simhash_pairs", "sf0.01") -> "d244b2372b6444ab",
-    ("q55b_cosine_pairs_lsh", "sf0.001") -> "24a99de23a321fc6",
-    ("q55b_cosine_pairs_lsh", "sf0.01") -> "d1518185aeb16f5f",
+    ("q55b_cosine_pairs_lsh", "sf0.001") -> "370595b788d7f463",
+    ("q55b_cosine_pairs_lsh", "sf0.01") -> "df62ecb07a8ef4af",
     ("q56_ann_lsh_topk", "sf0.001") -> "5d031c801245e72e",
     ("q56_ann_lsh_topk", "sf0.01") -> "44f027c3c528560a",
     ("q65_ivf_topk", "sf0.001") -> "4658a205e9efe1e5",
     ("q65_ivf_topk", "sf0.01") -> "c3336e1a26affcf6",
     ("q66_quantized_topk", "sf0.001") -> "74936c4d9c4cfe63",
     ("q66_quantized_topk", "sf0.01") -> "ade62389b8ada8c1",
-    ("q89_vocab_sketch", "sf0.001") -> "f712f22729cd3975",
-    ("q89_vocab_sketch", "sf0.01") -> "0f9dae0a317bac27",
-    ("q98_source_overlap_sketch", "sf0.001") -> "27294e7f9d4d8c7a",
-    ("q98_source_overlap_sketch", "sf0.01") -> "d5b74604f2ecc187",
+    ("q89_vocab_sketch", "sf0.001") -> "1074d9f6f3b9de29",
+    ("q89_vocab_sketch", "sf0.01") -> "5e7778d24a6d06c2",
+    ("q98_source_overlap_sketch", "sf0.001") -> "c840d601c32419d4",
+    ("q98_source_overlap_sketch", "sf0.01") -> "1a05891600d0758b",
     ("q102_bpe_train_merges", "sf0.001") -> "e2652369fc3f0f11",
     ("q102_bpe_train_merges", "sf0.01") -> "6a0f9649e6c3b7af",
     ("q103_bpe_tokenize", "sf0.001") -> "4d19e644f80046f1",
@@ -160,7 +160,7 @@ object GoldenSpec {
     ("q164_audio_fingerprint_pairs", "sf0.001") -> "f16ece109da5ceb7",
     ("q164_audio_fingerprint_pairs", "sf0.01") -> "5bf01afeec64c725",
     ("q169_rolling_actives_sketch", "sf0.001") -> "b8e127d99cf2809e",
-    ("q169_rolling_actives_sketch", "sf0.01") -> "e26c480c3d7191ea",
+    ("q169_rolling_actives_sketch", "sf0.01") -> "be1d84e0e4420117",
     // identical to q159's digests BY DESIGN: on this corpus every full-
     // face pair is an (even original, odd sibling) pair, so the
     // incremental restriction loses nothing — ImageHashSpec pins the
@@ -171,16 +171,16 @@ object GoldenSpec {
     ("q181_active_learning_batch", "sf0.01") -> "3f9a9eaaed87f2df",
     ("q187_cluster_purity", "sf0.001") -> "f31bdf695801f6d7",
     ("q187_cluster_purity", "sf0.01") -> "7ccc5eda1cc9ff1d",
-    ("q189_minhash_error_audit", "sf0.001") -> "d698e2df36d658e5",
-    ("q189_minhash_error_audit", "sf0.01") -> "efbb0fc504d5bfd4",
+    ("q189_minhash_error_audit", "sf0.001") -> "0691c20f560d75b6",
+    ("q189_minhash_error_audit", "sf0.01") -> "36f661b1115524c3",
     ("q190_conformal_threshold", "sf0.001") -> "532dea5284a7fd36",
     ("q190_conformal_threshold", "sf0.01") -> "543a2c66213b2684",
     ("q204_pq_adc_topk", "sf0.001") -> "a37c5554e87f1fea",
     ("q204_pq_adc_topk", "sf0.01") -> "450ec6775f740993",
     ("q205_ivfpq_topk", "sf0.001") -> "7c3bb5440f0b130c",
     ("q205_ivfpq_topk", "sf0.01") -> "79bcb6a9f54aa75e",
-    ("q208_source_overlap_kmv", "sf0.001") -> "190766e1ed153169",
-    ("q208_source_overlap_kmv", "sf0.01") -> "0a8789c43f8441ac")
+    ("q208_source_overlap_kmv", "sf0.001") -> "07d79d7441fafa79",
+    ("q208_source_overlap_kmv", "sf0.01") -> "28ba5a3e118da304")
 }
 
 /** Prints the current golden map — paste into [[GoldenSpec.expected]]. */

@@ -286,9 +286,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // bench shingles + stage-3 corpus side); survivor ID SETS ride
       // ExistingRDD barriers, never a re-derived subtree
       ("q97_curation_funnel",      6, 10),
-      // q98: the sketch table hides behind its barrier (scans=0); one
-      // sketch-bytes aggregation + a broadcast pair cross join
-      ("q98_source_overlap_sketch", 0, 2),
+      // q98 (md5 register face): the register frame hides behind its
+      // barrier (scans=0); exchanges are the per-source estimate agg,
+      // the broadcast pair cross join's build, the sources²×4096
+      // union-register max, and the pairwise union estimate agg
+      ("q98_source_overlap_sketch", 0, 4),
       // q99: one pruned scan, partial (value->count map) agg before the
       // by-source shuffle, plus the output sort's range exchange
       ("q99_source_profile",       1, 2),
