@@ -40,6 +40,65 @@ object Bench {
   val headline: Seq[String] =
     legacy12 ++ Seq("q74_decontamination", "q78_jaccard_prefix_filter")
 
+  /** Production hash-lane bench faces (VERDICT r12 #4): the declared
+    * q52/q53/q55b/q65/q89/q98/q123/q169/q189/q204/q205/q208/q218 faces
+    * moved to engine-agnostic md5 / DECIMAL-artifact lanes to earn their
+    * DuckDB oracles; THESE entries keep the xxhash64 / DataSketches /
+    * native-double lanes — the code a production deployment actually
+    * runs — under their own median pins, so a regression in the real
+    * hot path fails rc even though no declared query exercises it. Not
+    * part of SparkEntry.queries (they would re-grow the no_oracle set
+    * with duplicate semantics); they run in the BENCH_ALL sweep (and by
+    * name via SPARK_GRAFT_BENCH_ONLY) and are pinned in
+    * bench_full_pins.json like every declared query. */
+  val productionLanes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "x52_minhash_lsh_pairs_xxhash" -> ((s, d) =>
+      operators.Dedup.minhashLshPairs(Tables.documents(s, d), numHashes = 16, bands = 4)
+        .orderBy("d1", "d2")),
+    "x53_simhash_pairs_xxhash" -> ((s, d) =>
+      operators.Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 6)
+        .orderBy("d1", "d2")),
+    "x55b_cosine_pairs_lsh_native" -> ((s, d) =>
+      operators.Similarity.cosineThresholdPairsLsh(Tables.embeddings(s, d),
+        threshold = 0.4, planesPerBand = 6, bands = 24).orderBy("v1", "v2")),
+    "x65_ivf_topk_native" -> ((s, d) =>
+      operators.Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 50,
+        k = 5, nClusters = 8, nProbe = 3).orderBy("qid", "rank")),
+    "x89_vocab_sketch_datasketches" -> ((s, d) =>
+      operators.Curation.vocabCardinality(
+        operators.Curation.vocabSketches(Tables.documents(s, d))).orderBy("source")),
+    "x98_source_overlap_datasketches" -> ((s, d) =>
+      operators.Curation.sourceOverlapSketched(
+        operators.Curation.sourceShingleSketches(Tables.documents(s, d)))
+        .orderBy("src_a", "src_b")),
+    "x123_bloom_decontamination_xxhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Curation.bloomDecontaminationScan(docs,
+        docs.filter(org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.col("text")), 1, 1) === "0")
+          .select(org.apache.spark.sql.functions.col("doc_id").as("bench_id")),
+        family = "xxhash64").orderBy("doc_id")
+    }),
+    "x169_rolling_actives_datasketches" -> ((s, d) =>
+      operators.EventAnalytics.rollingActiveUsersSketch(Tables.events(s, d))),
+    "x189_minhash_error_audit_xxhash" -> ((s, d) =>
+      operators.Dedup.minhashErrorAudit(Tables.documents(s, d))),
+    "x204_pq_adc_topk_native" -> ((s, d) =>
+      operators.Similarity.pqTopK(Tables.embeddings(s, d), nQueries = 50,
+        k = 5, m = 8, ks = 32, refine = 16).orderBy("qid", "rank")),
+    "x205_ivfpq_topk_native" -> ((s, d) =>
+      operators.Similarity.ivfPqTopK(Tables.embeddings(s, d), nQueries = 50,
+        k = 5, nClusters = 32, nProbe = 16, m = 8, ks = 32, refine = 16)
+        .orderBy("qid", "rank")),
+    "x208_source_overlap_kmv_xxhash" -> ((s, d) =>
+      operators.Curation.sourceOverlapKmv(
+        operators.Curation.sourceShingleKmv(Tables.documents(s, d)))
+        .orderBy("src_a", "src_b")),
+    "x218_ivfpq_residual_topk_native" -> ((s, d) =>
+      operators.Similarity.ivfPqResidualTopK(Tables.embeddings(s, d),
+        nQueries = 50, k = 5, nClusters = 32, nProbe = 16, m = 8, ks = 32,
+        refine = 16).orderBy("qid", "rank")))
+
   /** Per-query physical-cost capture: shuffle bytes and spill summed over
     * completed stages. Shuffle volume is the thing the scale design
     * minimizes — reporting it per query makes "does this plan shuffle
@@ -56,11 +115,37 @@ object Bench {
   private class CostListener extends org.apache.spark.scheduler.SparkListener {
     private val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]
     private val agg = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]
+    // VERDICT r12 #2 instrumentation: per-group task re-attempts (the
+    // mechanism behind full-sweep shuffle-pin inflation) with the first
+    // observed failure reason, so a sweep artifact states WHY its stage
+    // metrics exceed the fresh-session pins instead of hand-waving
+    private val retries = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]
+    private val retryReason = new java.util.concurrent.ConcurrentHashMap[String, String]
     override def onJobStart(
         j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
       val g = Option(j.properties)
         .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
       if (g.nonEmpty) j.stageInfos.foreach(si => stageGroup.put(si.stageId, g))
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val g = stageGroup.getOrDefault(t.stageId, "")
+      if (g.nonEmpty && t.taskInfo != null) {
+        val failed = t.reason match {
+          case org.apache.spark.Success => false
+          case _ => true
+        }
+        val reattempt = t.taskInfo.attemptNumber > 0
+        if (failed || reattempt) {
+          val a = retries.computeIfAbsent(g, _ => Array(0L, 0L))
+          a.synchronized {
+            if (failed) a(0) += 1
+            if (reattempt) a(1) += 1
+          }
+          if (failed)
+            retryReason.putIfAbsent(g, String.valueOf(t.reason).take(160))
+        }
+      }
     }
     override def onStageCompleted(
         s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -73,7 +158,22 @@ object Bench {
           a(1) += m.shuffleWriteMetrics.bytesWritten
           a(2) += m.diskBytesSpilled
         }
+        // a stage re-attempt re-counts every task's metrics — the exact
+        // inflation mode; record it as taskFailures-equivalent weight
+        if (s.stageInfo.attemptNumber > 0) {
+          val a2 = retries.computeIfAbsent(g, _ => Array(0L, 0L))
+          a2.synchronized { a2(1) += s.stageInfo.numTasks }
+          retryReason.putIfAbsent(g,
+            s"stage ${s.stageInfo.stageId} re-attempt ${s.stageInfo.attemptNumber}")
+        }
       }
+    }
+    /** (taskFailures, reAttemptedTasks, firstReason) for a group. */
+    def retryStats(group: String): (Long, Long, String) = {
+      val a = retries.get(group)
+      val (f, r) =
+        if (a == null) (0L, 0L) else a.synchronized((a(0), a(1)))
+      (f, r, retryReason.getOrDefault(group, ""))
     }
     private def snap(group: String): (Long, Long, Long) =
       agg.get(group) match {
@@ -161,14 +261,15 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=q51_x,q78_y narrows to named queries (A/B
     // comparisons); SPARK_GRAFT_BENCH_ALL=1 runs the full inventory;
     // default is the pinned headline set
+    val benchable = SparkEntry.queries ++ productionLanes
     val base = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(names) =>
         val want = names.split(',').map(_.trim).filter(_.nonEmpty).toSet
-        val missing = want -- SparkEntry.queries.keySet
+        val missing = want -- benchable.keySet
         require(missing.isEmpty, s"unknown bench queries: ${missing.mkString(",")}")
-        SparkEntry.queries.view.filterKeys(want).toMap
+        benchable.view.filterKeys(want).toMap
       case None =>
-        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) SparkEntry.queries
+        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) benchable
         else SparkEntry.queries.view.filterKeys(headline.toSet).toMap
     }
     // test hook for the fail-loudly contract: rc must be non-zero and the
@@ -210,7 +311,7 @@ object Bench {
       * inflate the measurement (exact attribution, no reset races). */
     def sampleQuery(name: String, dir: String, runs: Int,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Seq[(Double, Option[String])], (Long, Long, Long)) = {
+        : (Seq[(Double, Option[String])], (Long, Long, Long), (Long, Long, String)) = {
       def grouped(tag: String): (Double, Option[String]) = {
         spark.sparkContext.setJobGroup(tag, s"bench $tag")
         try time(name, dir, fn)
@@ -219,7 +320,13 @@ object Bench {
       val warm = (1 until runs).map(i => grouped(s"$name#warm$i"))
       val lastGroup = s"$name#measured"
       val last = grouped(lastGroup)
-      (warm :+ last, cost.settled(lastGroup))
+      val shuffle = cost.settled(lastGroup)
+      // re-attempt accounting over ALL the query's runs (warm + measured)
+      val rs = (1 until runs).map(i => cost.retryStats(s"$name#warm$i")) :+
+        cost.retryStats(lastGroup)
+      val retry = (rs.map(_._1).sum, rs.map(_._2).sum,
+        rs.map(_._3).find(_.nonEmpty).getOrElse(""))
+      (warm :+ last, shuffle, retry)
     }
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
@@ -230,21 +337,21 @@ object Bench {
       } + "\""
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (sampled, shuffleCost) = sampleQuery(name, sfDir, runsPerQuery, fn)
+      val (sampled, shuffleCost, retry) = sampleQuery(name, sfDir, runsPerQuery, fn)
       val samples = sampled.map(_._1)
-      (name, median(samples), samples, sampled.flatMap(_._2).headOption, shuffleCost)
+      (name, median(samples), samples, sampled.flatMap(_._2).headOption, shuffleCost, retry)
     }
-    val qs = results.map { case (k, m, _, _, _) => "\"" + k + f"\":$m%.3f" }
+    val qs = results.map { case (k, m, _, _, _, _) => "\"" + k + f"\":$m%.3f" }
       .mkString("{", ",", "}")
-    val errs = results.map { case (k, _, _, e, _) =>
+    val errs = results.map { case (k, _, _, e, _, _) =>
       "\"" + k + "\":" + e.map(jsonStr).getOrElse("null")
     }.mkString("{", ",", "}")
-    val runs = results.map { case (k, _, s, _, _) =>
+    val runs = results.map { case (k, _, s, _, _, _) =>
       "\"" + k + "\":" + s.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // p95 (nearest-rank over the in-process samples; ≈max at 3 runs) —
     // the dispersion companion to the reported p50
-    val p95s = results.map { case (k, _, s, _, _) =>
+    val p95s = results.map { case (k, _, s, _, _, _) =>
       val sorted = s.sorted
       val p95 = sorted(math.min(sorted.size - 1, math.ceil(0.95 * sorted.size).toInt - 1))
       "\"" + k + f"\":$p95%.3f"
@@ -252,7 +359,7 @@ object Bench {
     // per-query physical cost from the last run (deterministic per plan):
     // shuffle write MB — the number the scale design minimizes — plus
     // read MB and spill MB when nonzero
-    val shuffles = results.map { case (k, _, _, _, (rd, wr, sp)) =>
+    val shuffles = results.map { case (k, _, _, _, (rd, wr, sp), _) =>
       "\"" + k + "\":" + f"{\"write_mb\":${wr / 1e6}%.1f," +
         f"\"read_mb\":${rd / 1e6}%.1f,\"spill_mb\":${sp / 1e6}%.1f}"
     }.mkString("{", ",", "}")
@@ -265,7 +372,7 @@ object Bench {
     // a query that errored shuffled 0 bytes because it DID NOT RUN — its
     // pin entry must read "did_not_run", never a vacuous 0.00 that a
     // summary could quote as "plan unchanged" (r9 ADVICE)
-    val deltas = results.flatMap { case (k, _, _, err, (_, wr, _)) =>
+    val deltas = results.flatMap { case (k, _, _, err, (_, wr, _), _) =>
       pinnedShuffleWriteMb.get(k).filter(_ => atPinnedSf).map { pin =>
         val mb = wr / 1e6
         val diff = mb - pin
@@ -297,7 +404,7 @@ object Bench {
     val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val fullPins = if (benchAll && atPinnedSf) loadFullPins() else Map.empty[String, Double]
     val budget = if (fullPins.isEmpty) Seq.empty else results.map {
-      case (k, m, _, err, _) =>
+      case (k, m, _, err, _, _) =>
         val status =
           if (err.isDefined) "did_not_run"
           else fullPins.get(k) match {
@@ -312,15 +419,29 @@ object Bench {
       else ",\"median_budget_status\":" + budget.map {
         case (k, st) => "\"" + k + "\":\"" + st + "\""
       }.mkString("{", ",", "}")
+    // re-attempt accounting (VERDICT r12 #2): whenever a query saw task
+    // failures, re-attempted tasks, or stage re-attempts across its runs,
+    // ship the counts AND the first failure reason — so a shuffle-pin
+    // delta in a long sweep is attributable to measured retries instead
+    // of an unverified story, and a clean sweep proves itself with
+    // task_retry_total: 0.
+    val retried = results.filter { case (_, _, _, _, _, (f, r, _)) => f + r > 0 }
+    val retryJson =
+      s""","task_retry_total":${retried.map { case (_, _, _, _, _, (f, r, _)) => f + r }.sum}""" +
+        (if (retried.isEmpty) ""
+         else ",\"task_retries\":" + retried.map {
+           case (k, _, _, _, _, (f, r, why)) =>
+             "\"" + k + s"""\":{"failed":$f,"reattempted":$r,"reason":${jsonStr(why)}}"""
+         }.mkString("{", ",", "}"))
     val total = results.map(_._2).sum
     // pre-r8 12-query total from the same run's medians — cross-round
     // continuity across the documented r8 headline break; only emitted
     // when the run actually covers the legacy set (not BENCH_ONLY slices)
     val legacyTotal =
       if (legacy12.forall(selected.contains))
-        f""","legacy12_total":${results.collect { case (k, m, _, _, _) if legacy12.contains(k) => m }.sum}%.3f"""
+        f""","legacy12_total":${results.collect { case (k, m, _, _, _, _) if legacy12.contains(k) => m }.sum}%.3f"""
       else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"shuffle":$shuffles$deltaJson$budgetJson,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"shuffle":$shuffles$deltaJson$budgetJson$retryJson,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
     var anyFailed = results.exists(_._4.isDefined)
     budget.filter(_._2 == "breach").foreach { case (k, _) =>
       val m = results.find(_._1 == k).map(_._2).getOrElse(0.0)

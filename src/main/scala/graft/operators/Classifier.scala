@@ -299,15 +299,49 @@ object Classifier {
 
   private val weightsFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Cheap metadata-level fingerprint of `sfDir`'s documents table
+    * (file names + lengths + mtimes through the session's Hadoop FS —
+    * no data scan): the weight-artifact cache key, so a corpus that
+    * changes under the same directory string trains FRESH weights
+    * instead of silently serving stale ones (r12 ADVICE). */
+  private def corpusFingerprint(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val sts =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).filter(_.isFile)
+      else Array(fs.getFileStatus(p))
+    val sig = sts.sortBy(_.getPath.getName)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|$sig".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
   /** Persisted weight table for `sfDir`'s documents — trained once per
-    * (JVM, sfDir) and written parquet; every later call loads the
-    * artifact. The stored table is the 9-dp-rounded q110 output, so
-    * scoring from it reproduces the inline face bit-for-bit. */
+    * corpus FINGERPRINT and written parquet through the session's
+    * Hadoop FS; every later call (same JVM via the cache, later JVMs
+    * via the `_SUCCESS`-gated artifact) loads the files. The base
+    * location comes from `graft.state.dir` when set — on a cluster,
+    * point it at a shared filesystem so executors can read the
+    * artifact; the local-tmp default is for single-JVM runs. The stored
+    * table is the 9-dp-rounded q110 output, so scoring from it
+    * reproduces the inline face bit-for-bit. */
   def ensureWeights(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
-    val dir = weightsFor.computeIfAbsent(sfDir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-clf-weights").toString
-      classifierTrain(Tables.documents(spark, sfDir))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+    val fp = corpusFingerprint(spark, sfDir)
+    val base = spark.conf.getOption("graft.state.dir")
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_state")
+    val dir = weightsFor.computeIfAbsent(fp, _ => {
+      // v2: bump when classifierTrain's semantics change — the corpus
+      // fingerprint alone cannot invalidate an artifact trained by an
+      // older code version
+      val d = s"$base/clf_weights/v2/$fp"
+      val done = new org.apache.hadoop.fs.Path(s"$d/_SUCCESS")
+      val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(done))
+        classifierTrain(Tables.documents(spark, sfDir))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
       d
     })
     spark.read.parquet(dir)

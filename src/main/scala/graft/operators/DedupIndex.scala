@@ -210,6 +210,7 @@ object DedupIndex {
     val pairsP = spark.read.parquet(waveDataPath(dir, "pairs", baseWave))
     Dedup.duplicateClusters(rawThreshold(pairsP, clusterThreshold))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/clusters")
+    writeFpSidecar(fsOf(spark, dir), s"$dir/clusters", wavesFpOf(Seq(baseWave)))
     // roster first, then n_docs FROM the roster parquet — counting the
     // written artifact instead of re-aggregating docs saves a third full
     // corpus scan (shingle write + roster write are the only two)
@@ -220,6 +221,7 @@ object DedupIndex {
       .select(col("n_docs"), lit(clusterThreshold).as("cluster_threshold"),
         lit(dfCap.toLong).as("df_cap"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    writeFpSidecar(fsOf(spark, dir), s"$dir/meta", wavesFpOf(Seq(baseWave)))
     spark.range(0).select(col("id").as("h"), col("id").as("old_df"),
         col("id").as("new_df"))
       .write.mode(SaveMode.Overwrite)
@@ -240,14 +242,43 @@ object DedupIndex {
     }
   }
 
+  /** Readers NEVER observe ahead-state: clusters/meta carry a
+    * `_waves_fp` sidecar naming the wave set they were derived from,
+    * and load() compares it with the committed set. A crash between
+    * [[update]]'s swaps and its wave marker (clusters one wave ahead of
+    * the visible pair graph — the r12 torn window) reads as a stamp
+    * mismatch, and the derived relations are served by LAZY recompute
+    * from the committed pair graph / roster instead — pairs-sized work,
+    * exactly what the stranded wave's replay will persist. */
   def load(spark: SparkSession, dir: String): Index = {
     restoreStranded(spark, dir)
+    val fs = fsOf(spark, dir)
+    val expectFp = wavesFpOf(committedWaves(spark, dir))
+    val stampsValid =
+      readFpSidecar(fs, s"$dir/clusters").contains(expectFp) &&
+        readFpSidecar(fs, s"$dir/meta").contains(expectFp)
+    val pairs = readWaved(spark, dir, "pairs")
+    val (clusters, meta) =
+      if (stampsValid)
+        (spark.read.parquet(s"$dir/clusters"), spark.read.parquet(s"$dir/meta"))
+      else {
+        // thresholds are wave-invariant, so the (possibly ahead) meta
+        // row is still the right source for them
+        val metaRow = spark.read.parquet(s"$dir/meta").collect().head
+        val thr = metaRow.getAs[Double]("cluster_threshold")
+        val cap = metaRow.getAs[Long]("df_cap")
+        (Dedup.duplicateClusters(rawThreshold(pairs, thr)),
+          readWaved(spark, dir, "roster")
+            .agg(count(lit(1)).as("n_docs"))
+            .select(col("n_docs"), lit(thr).as("cluster_threshold"),
+              lit(cap).as("df_cap")))
+      }
     Index(dir,
       shingles = readWaved(spark, dir, "shingles"),
       counts = readWaved(spark, dir, "counts"),
-      pairs = readWaved(spark, dir, "pairs"),
-      clusters = spark.read.parquet(s"$dir/clusters"),
-      meta = spark.read.parquet(s"$dir/meta"))
+      pairs = pairs,
+      clusters = clusters,
+      meta = meta)
   }
 
   /** Every ingested doc id (committed waves only) — includes
@@ -294,14 +325,21 @@ object DedupIndex {
   def update(newDocs: DataFrame, dir: String,
       waveId: Option[String] = None): DataFrame = {
     val spark = newDocs.sparkSession
+    // restore BEFORE the replay fast path: a replay arriving right after
+    // a crashed compact would otherwise read needs_rebuild while it sits
+    // stranded at needs_rebuild.compact-old and throw instead of healing
+    restoreStranded(spark, dir)
     val committed = committedWaves(spark, dir)
     val wid = waveId.getOrElse(
       firstFree(committed.toSet, i => f"wave-$i%06d"))
-    if (committed.contains(wid)) // replayed wave: already fully applied
-      return spark.read.parquet(s"$dir/needs_rebuild")
-        .filter(col("wave") === wid).drop("wave")
-    restoreStranded(spark, dir) // before dropStranded: a wave dir hiding
-    dropStrandedWaves(spark, dir) // inside a stranded swap must come back
+    if (committed.contains(wid))
+      // replayed wave: already fully applied — return the ACCUMULATED
+      // crossings view. After compaction absorbs the wave, its rows are
+      // re-homed under the compaction wave and a per-wave slice would
+      // read empty even if the wave originally reported crossings; the
+      // accumulated view stays a loud superset either way.
+      return readWaved(spark, dir, "needs_rebuild")
+    dropStrandedWaves(spark, dir)
     val metaRow = spark.read.parquet(s"$dir/meta").collect().head
     val clusterThreshold = metaRow.getAs[Double]("cluster_threshold")
     val dfCap = metaRow.getAs[Long]("df_cap")
@@ -359,10 +397,16 @@ object DedupIndex {
     crossings
       .write.mode(SaveMode.Overwrite).parquet(waveDataPath(dir, "needs_rebuild", wid))
     // recluster from the updated pair graph (committed + this wave);
-    // swap in atomically
+    // swap in atomically, stamped with the wave fingerprint the derived
+    // relations were computed FROM (committed ∪ this wave) — load()
+    // validates the stamp against the committed set, so a crash between
+    // these swaps and the marker can never serve ahead-state (the r12
+    // torn window, now closed)
+    val fpNew = wavesFpOf(committed :+ wid)
     val pairsP = readWaved(spark, dir, "pairs", extraWaves = Seq(wid))
     swapIn(spark, s"$dir/clusters",
-      Dedup.duplicateClusters(rawThreshold(pairsP, clusterThreshold)))
+      Dedup.duplicateClusters(rawThreshold(pairsP, clusterThreshold)),
+      fp = Some(fpNew))
     // n_docs from the wave-committed roster, NOT old-meta + batch-count
     // arithmetic: a wave replayed after a crash past the meta swap would
     // double-count itself; the roster recount converges instead
@@ -370,7 +414,8 @@ object DedupIndex {
       readWaved(spark, dir, "roster", extraWaves = Seq(wid))
         .agg(count(lit(1)).as("n_docs"))
         .select(col("n_docs"),
-          lit(clusterThreshold).as("cluster_threshold"), lit(dfCap).as("df_cap")))
+          lit(clusterThreshold).as("cluster_threshold"), lit(dfCap).as("df_cap")),
+      fp = Some(fpNew))
     commitWave(spark, dir, wid) // THE commit: the wave becomes visible
     spark.read.parquet(s"$dir/needs_rebuild")
       .filter(col("wave") === wid).drop("wave")
@@ -460,13 +505,45 @@ object DedupIndex {
   }
 
   /** Aside-write-and-swap (the ProvenanceStore compaction discipline):
-    * readers of `path` see the old or the new relation, never a mix. */
-  private def swapIn(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    * readers of `path` see the old or the new relation, never a mix.
+    * When `fp` is set, a `_waves_fp` sidecar (underscore-prefixed —
+    * invisible to parquet readers) rides INSIDE the new directory, so
+    * the stamp and the data commit in the same atomic rename. */
+  private def swapIn(spark: SparkSession, path: String, df: DataFrame,
+      fp: Option[String] = None): Unit = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(s"$path.compact-tmp")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fp.foreach(writeFpSidecar(fs, tmp.toString, _))
     graft.pipeline.ProvenanceStore.swapCompacted(fs, dir, tmp)
+  }
+
+  /** The wave fingerprint the DERIVED relations (clusters/meta) were
+    * computed from: the sorted non-compaction wave ids. Compaction waves
+    * are excluded — compact() folds data without changing any derived
+    * result, so a compaction between update and load must not read as
+    * staleness. */
+  private def wavesFpOf(waves: Seq[String]): String =
+    waves.filterNot(_.startsWith("compact-")).distinct.sorted.mkString(",")
+
+  private def writeFpSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: String, fp: String): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dirPath/_waves_fp"), true)
+    out.write(fp.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readFpSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dirPath/_waves_fp")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
   }
 
   // ---------------------------------------------------------------------

@@ -1667,9 +1667,17 @@ object Similarity {
   def annLshTopKMd5(embeddings: DataFrame, nQueries: Int, k: Int,
       planesPerBand: Int = 6, bands: Int = 16, probes: Int = 2): DataFrame = {
     val masks = md5PlaneMasks(bands * planesPerBand)
+    // one corpus scan feeds everything: e (norms) is read by the margin
+    // frame AND both exact-re-score sides; m (the 96 long-fold margins,
+    // the face's dominant in-row cost) is read by the corpus keys and the
+    // probe keys — without the barriers the margins compute twice and the
+    // parquet scans four times
     val e = withNorm(embeddings)
+      .localCheckpoint(eager = false)
     val m = e.withColumn("st", scaledTermsExpr)
       .withColumn("mm", md5MarginsExpr(masks))
+      .select("vec_id", "mm")
+      .localCheckpoint(eager = false)
     val corpus = m.withColumn("bk",
         explode(bandKeysExprOn("mm", "0", planesPerBand, bands)))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))

@@ -223,7 +223,7 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the loaded plan reads the weight parquet, not a fresh training
     val p = again.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(p.contains("graft-clf-weights"),
+    assert(p.contains("clf_weights"),
       s"q217 must score against the persisted artifact:\n$p")
   }
 

@@ -253,8 +253,9 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val dir = tempDir(); val full = tempDir()
     DedupIndex.build(oldDocs, dir)
     val baseline = DedupIndex.load(spark, dir)
-    val (basePairs, baseCounts, baseMeta) =
-      (rows(baseline.pairs), rows(baseline.counts), rows(baseline.meta))
+    val (basePairs, baseCounts, baseMeta, baseClusters) =
+      (rows(baseline.pairs), rows(baseline.counts), rows(baseline.meta),
+        rows(baseline.clusters))
     // simulate a crash BETWEEN relation appends: run the wave, then strip
     // its commit marker and one relation's data — shingles/pairs are
     // "written", counts is "unwritten", the marker never landed
@@ -264,11 +265,18 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_waves/w1"), false))
     assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/counts/wave=w1"), true))
     // readers drop the incomplete wave: every growing relation reads as
-    // the pre-update index (clusters/meta ran ahead — the documented
-    // converging window — so we assert the WAVED relations only)
+    // the pre-update index — AND the derived clusters/meta too. The
+    // swapped-in clusters carry the new wave's fingerprint while the
+    // wave itself never committed, so load() detects the ahead-state
+    // and serves clusters/meta recomputed from the committed pair
+    // graph / roster (the r12 torn window, closed this round).
     val stranded = DedupIndex.load(spark, dir)
     assert(rows(stranded.pairs) === basePairs, "uncommitted pairs leaked")
     assert(rows(stranded.counts) === baseCounts, "uncommitted counts leaked")
+    assert(rows(stranded.clusters) === baseClusters,
+      "clusters served AHEAD of the visible pair graph")
+    assert(rows(stranded.meta) === baseMeta,
+      "meta served AHEAD of the visible roster")
     // replaying the SAME wave id drops the stranded files and redoes the
     // wave; the result equals a full rebuild, relation for relation
     DedupIndex.update(newDocs, dir, waveId = Some("w1"))
@@ -287,6 +295,30 @@ class DedupIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the roster commits with the wave: all ten ids, exactly once
     assert(DedupIndex.roster(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
       === (0L to 9L), "roster must hold each ingested id exactly once")
+  }
+
+  test("replay arriving right after a crashed compact restores before the fast path") {
+    // ADVICE r12: the replayed-wave fast path used to read needs_rebuild
+    // BEFORE restoreStranded, so a replay landing while the relation sat
+    // at needs_rebuild.compact-old threw instead of healing
+    val dir = tempDir()
+    DedupIndex.build(docs, dir)
+    DedupIndex.update(
+      Seq((30L, "e", "wholly novel words unseen elsewhere in this corpus"))
+        .toDF("doc_id", "source", "text"),
+      dir, waveId = Some("w-r"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/needs_rebuild"),
+      new org.apache.hadoop.fs.Path(s"$dir/needs_rebuild.compact-old")))
+    // the replay must restore the stranded relation, then no-op
+    val replay = DedupIndex.update(
+      Seq((30L, "e", "wholly novel words unseen elsewhere in this corpus"))
+        .toDF("doc_id", "source", "text"),
+      dir, waveId = Some("w-r"))
+    assert(replay.count() == 0, "accumulated crossings view must be empty here")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/needs_rebuild")),
+      "stranded relation must be restored by the replay")
   }
 
   test("update on a corpus whose ids exceed 2^31 stays exact (hash keys, no id assumptions)") {

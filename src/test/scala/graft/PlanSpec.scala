@@ -562,7 +562,9 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q168_interevent_gaps",          0, 2),
       // q169: three window unions off the per-day sketch barrier + joins
       // + sort, all on day-sized sketch frames
-      ("q169_rolling_actives_sketch",   0, 5),
+      // q169 (md5 register face): per-day register agg + 3 window
+      // register-max unions + 3 per-day estimate aggs + the output sort
+      ("q169_rolling_actives_sketch",   0, 8),
       // q170: cluster/size aggs behind barriers; output assembly only
       ("q170_component_size_histogram", 0, 1),
       // q171: point/replica aggs off the quality barrier (the ×B explode
@@ -652,8 +654,8 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q209_dedupindex_error_audit",   1, 4),
       // q204/q205: codebooks/centroids are eagerly-checkpointed k×dim
       // frames; the corpus scan feeds codes + ADC probes
-      ("q204_pq_adc_topk",              1, 4),
-      ("q205_ivfpq_topk",               1, 7),
+      ("q204_pq_adc_topk",              2, 4), // +1 scan: the persisted vectors/codebook artifact (q219-style oracle face)
+      ("q205_ivfpq_topk",               2, 7), // +1 scan: the persisted artifact relations
       // q206: sessionization window + bin-join both read the barriered
       // interval frame; exchanges = session window + output sort
       ("q206_concurrent_sessions",      0, 2),
@@ -695,7 +697,7 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q218: centroids/codebook are checkpointed k×dim barriers like
       // q205; the residual construction adds one posting join over the
       // barriered unit frame (+1 exchange vs q205's 7)
-      ("q218_ivfpq_residual_topk",      1, 8),
+      ("q218_ivfpq_residual_topk",      2, 8), // +1 scan: the persisted artifact relations
       // q219: the planner arithmetic runs on the index's stored pair
       // graph — zero documents scans (pinned separately in DedupIndexSpec)
       ("q219_dedupindex_planner",       0, 2),
