@@ -299,54 +299,18 @@ object Multimodal {
     }
 
     /** Same 8-dim feature contract as [[PnmCodec.decodeImage]] (channel
-      * means, 2×2 luminance quadrants, aspect), maxval 255. */
+      * means, 2×2 luminance quadrants, aspect), maxval 255 — the shared
+      * [[featuresOfPixels]] conversion. */
     def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
       decodePixels(bytes).map { case (w, h, ch, px) =>
-        var rSum = 0L; var gSum = 0L; var bSum = 0L
-        val quadLuma = new Array[Long](4)
-        val quadN = new Array[Long](4)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val off = (y * w + x) * ch
-            val r = px(off) & 0xff
-            val g = if (ch == 3) px(off + 1) & 0xff else r
-            val b = if (ch == 3) px(off + 2) & 0xff else r
-            rSum += r; gSum += g; bSum += b
-            val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
-            quadLuma(q) += (r * 299L + g * 587L + b * 114L) / 1000L
-            quadN(q) += 1
-            x += 1
-          }
-          y += 1
-        }
-        val n = w.toLong * h
-        val m = 255f
-        (w, h, Array(
-          rSum.toFloat / n / m, gSum.toFloat / n / m, bSum.toFloat / n / m,
-          if (quadN(0) > 0) quadLuma(0).toFloat / quadN(0) / m else 0f,
-          if (quadN(1) > 0) quadLuma(1).toFloat / quadN(1) / m else 0f,
-          if (quadN(2) > 0) quadLuma(2).toFloat / quadN(2) / m else 0f,
-          if (quadN(3) > 0) quadLuma(3).toFloat / quadN(3) / m else 0f,
-          w.toFloat / (w + h)))
+        featuresOfPixels(w, h, ch, px)
       }
 
     /** Same integer-luminance contract as [[PnmCodec.decodeLuma]]
-      * (BT.601 integer weights, floor division). */
+      * (BT.601 integer weights, floor division) — [[lumaOfPixels]]. */
     private[graft] def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
       decodePixels(bytes).map { case (w, h, ch, px) =>
-        val luma = new Array[Int](w * h)
-        var i = 0
-        while (i < w * h) {
-          val off = i * ch
-          val r = px(off) & 0xff
-          val g = if (ch == 3) px(off + 1) & 0xff else r
-          val b = if (ch == 3) px(off + 2) & 0xff else r
-          luma(i) = ((r * 299L + g * 587L + b * 114L) / 1000L).toInt
-          i += 1
-        }
-        (w, h, luma)
+        lumaOfPixels(w, h, ch, px)
       }
 
     /** Minimal deterministic gray-8 encoder for fixtures and the q159
@@ -406,11 +370,587 @@ object Multimodal {
     }
   }
 
-  /** Pixel-level decode across every REAL image decoder (PNM, then
-    * PNG) — the perceptual-hash family's entry point; stub formats
-    * yield None (a fake luminance plane must never enter a dedup hash). */
+  /** Shared (w, h, channels, interleaved-bytes) → 8-dim feature
+    * conversion (channel means, 2×2 luminance quadrants, aspect) — one
+    * definition for every pixel decoder, so PNG/JPEG features cannot
+    * drift from each other. maxval 255; BT.601 integer luma. */
+  private[graft] def featuresOfPixels(w: Int, h: Int, ch: Int,
+      px: Array[Byte]): (Int, Int, Array[Float]) = {
+    var rSum = 0L; var gSum = 0L; var bSum = 0L
+    val quadLuma = new Array[Long](4)
+    val quadN = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val off = (y * w + x) * ch
+        val r = px(off) & 0xff
+        val g = if (ch == 3) px(off + 1) & 0xff else r
+        val b = if (ch == 3) px(off + 2) & 0xff else r
+        rSum += r; gSum += g; bSum += b
+        val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        quadLuma(q) += (r * 299L + g * 587L + b * 114L) / 1000L
+        quadN(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val m = 255f
+    (w, h, Array(
+      rSum.toFloat / n / m, gSum.toFloat / n / m, bSum.toFloat / n / m,
+      if (quadN(0) > 0) quadLuma(0).toFloat / quadN(0) / m else 0f,
+      if (quadN(1) > 0) quadLuma(1).toFloat / quadN(1) / m else 0f,
+      if (quadN(2) > 0) quadLuma(2).toFloat / quadN(2) / m else 0f,
+      if (quadN(3) > 0) quadLuma(3).toFloat / quadN(3) / m else 0f,
+      w.toFloat / (w + h)))
+  }
+
+  /** Shared (w, h, channels, bytes) → integer luminance plane (BT.601
+    * integer weights, floor division) — the decodeLuma contract. */
+  private[graft] def lumaOfPixels(w: Int, h: Int, ch: Int,
+      px: Array[Byte]): (Int, Int, Array[Int]) = {
+    val luma = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val off = i * ch
+      val r = px(off) & 0xff
+      val g = if (ch == 3) px(off + 1) & 0xff else r
+      val b = if (ch == 3) px(off + 2) & 0xff else r
+      luma(i) = ((r * 299L + g * 587L + b * 114L) / 1000L).toInt
+      i += 1
+    }
+    (w, h, luma)
+  }
+
+  /** Baseline JFIF JPEG decoder — pure JVM, zero codec libraries (the
+    * PngCodec discipline applied to the remaining major web format):
+    * marker walk, DQT/DHT/SOF0/DRI/SOS, canonical Huffman entropy
+    * decode with byte-stuffing and restart markers, dequantization,
+    * exact double-precision 8×8 IDCT, nearest-neighbor chroma
+    * upsampling (4:4:4/4:2:2/4:2:0 or any Hi,Vi ≤ 4), integer BT.601
+    * YCbCr→RGB. Baseline sequential 8-bit only: progressive (SOF2),
+    * arithmetic coding, 12-bit, and hierarchical frames return None —
+    * they are rare in training corpora and belong to a codec library.
+    *
+    * Robustness contract: adversarial input — truncated segments, bad
+    * Huffman tables, missing quant tables, crafted dimensions, scan
+    * data running out mid-MCU — yields None, never a crash or an
+    * unbounded allocation (pixel count capped at 2²⁴, sampling factors
+    * at 4). Determinism: the IDCT is fixed-order double arithmetic on
+    * every JVM (no platform SIMD paths), so decoded pixels are
+    * byte-identical across machines — decode results can sit in golden
+    * pins exactly like PNM/PNG. */
+  object JpegCodec extends Codec {
+
+    private val MaxPixels = 1 << 24 // 16M px — far above any test asset
+
+    /** Canonical Huffman table (JPEG spec F.2.2.3 DECODE procedure). */
+    private final class Huff(bits: Array[Int], val vals: Array[Byte]) {
+      val minCode = new Array[Int](17)
+      val maxCode = new Array[Int](17)
+      val valPtr = new Array[Int](17)
+      locally {
+        var code = 0
+        var k = 0
+        var l = 1
+        while (l <= 16) {
+          valPtr(l) = k
+          minCode(l) = code
+          maxCode(l) = if (bits(l - 1) > 0) code + bits(l - 1) - 1 else -1
+          code += bits(l - 1)
+          k += bits(l - 1)
+          code <<= 1
+          l += 1
+        }
+      }
+    }
+
+    /** MSB-first bit reader over the entropy-coded segment: 0xFF00
+      * unstuffs to 0xFF; any other marker ends the segment (pos stays
+      * ON the 0xFF so the caller can inspect it). -1 = out of bits. */
+    private final class BitReader(bytes: Array[Byte]) {
+      var pos = 0
+      private var bitBuf = 0
+      private var bitCnt = 0
+      def nextBit(): Int = {
+        if (bitCnt == 0) {
+          if (pos >= bytes.length) return -1
+          var b = bytes(pos) & 0xff
+          if (b == 0xff) {
+            val b2 = if (pos + 1 < bytes.length) bytes(pos + 1) & 0xff else -1
+            if (b2 == 0x00) { pos += 2; b = 0xff }
+            else return -1 // a real marker: entropy data ends here
+          } else pos += 1
+          bitBuf = b; bitCnt = 8
+        }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      def receive(n: Int): Int = {
+        var v = 0
+        var i = 0
+        while (i < n) {
+          val b = nextBit()
+          if (b < 0) return -1
+          v = (v << 1) | b
+          i += 1
+        }
+        v
+      }
+      def decodeHuff(t: Huff): Int = {
+        var code = 0
+        var l = 1
+        while (l <= 16) {
+          val b = nextBit()
+          if (b < 0) return -1
+          code = (code << 1) | b
+          if (code <= t.maxCode(l)) {
+            val idx = t.valPtr(l) + code - t.minCode(l)
+            if (idx < 0 || idx >= t.vals.length) return -1
+            return t.vals(idx) & 0xff
+          }
+          l += 1
+        }
+        -1
+      }
+      /** Byte-align and consume an expected RSTn marker. */
+      def restart(expected: Int): Boolean = {
+        bitCnt = 0
+        if (pos + 1 >= bytes.length) return false
+        if ((bytes(pos) & 0xff) != 0xff ||
+            (bytes(pos + 1) & 0xff) != (0xd0 + expected)) return false
+        pos += 2
+        true
+      }
+    }
+
+    private val ZigZag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    // cos((2x+1)·u·π/16) with the 1/√2 DC normalization folded in
+    private val CosT: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16) *
+        (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+    }
+
+    /** 8×8 inverse DCT (natural-order coefficients in, spatial out),
+      * separable two-pass double arithmetic, fixed summation order. */
+    private def idct(coef: Array[Double], out: Array[Int]): Unit = {
+      val tmp = new Array[Double](64)
+      var x = 0
+      while (x < 8) { // columns: tmp(v, x) = Σ_u c_u F(v,u) cos(x,u)
+        var v = 0
+        while (v < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) { s += coef(v * 8 + u) * CosT(x)(u); u += 1 }
+          tmp(v * 8 + x) = s
+          v += 1
+        }
+        x += 1
+      }
+      var y = 0
+      while (y < 8) { // rows: out(y, x) = ¼ Σ_v c_v tmp(v,x) cos(y,v)
+        x = 0
+        while (x < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) { s += tmp(v * 8 + x) * CosT(y)(v); v += 1 }
+          val px = math.round(s / 4.0 + 128.0).toInt
+          out(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    /** (w, h, channels ∈ {1, 3}, channel-interleaved pixel bytes). */
+    private[graft] def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (bytes.length < 4 ||
+          (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+      // explicit checks guard every read below; the catch is the last
+      // line of the never-crash contract against a missed corner, not
+      // the primary mechanism
+      try decodeChecked(bytes)
+      catch {
+        case _: ArrayIndexOutOfBoundsException => None
+        case _: NegativeArraySizeException => None
+      }
+    }
+
+    private def decodeChecked(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      val n = bytes.length
+      def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+      val qtab = new Array[Array[Int]](4)
+      val dcTab = new Array[Huff](4)
+      val acTab = new Array[Huff](4)
+      var restartInterval = 0
+      var w = 0; var h = 0; var nComp = 0
+      val compId = new Array[Int](3)
+      val compH = new Array[Int](3)
+      val compV = new Array[Int](3)
+      val compQ = new Array[Int](3)
+      var pos = 2
+      while (pos + 4 <= n) {
+        if ((bytes(pos) & 0xff) != 0xff) return None
+        var mPos = pos + 1
+        while (mPos < n && (bytes(mPos) & 0xff) == 0xff) mPos += 1 // fill bytes
+        if (mPos >= n) return None
+        val marker = bytes(mPos) & 0xff
+        pos = mPos + 1
+        marker match {
+          case 0xd9 => return None // EOI before any scan
+          case m if m >= 0xd0 && m <= 0xd7 => // stray RST outside a scan
+            return None
+          case 0xdb => // DQT
+            if (pos + 2 > n) return None
+            val len = u16(pos); val end = pos + len
+            if (len < 2 || end > n) return None
+            var p = pos + 2
+            while (p < end) {
+              val pq = (bytes(p) & 0xff) >> 4
+              val tq = bytes(p) & 0x0f
+              if (pq > 1 || tq > 3) return None
+              val entryBytes = if (pq == 0) 64 else 128
+              if (p + 1 + entryBytes > end) return None
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                t(i) = if (pq == 0) bytes(p + 1 + i) & 0xff
+                       else u16(p + 1 + 2 * i)
+                i += 1
+              }
+              qtab(tq) = t
+              p += 1 + entryBytes
+            }
+            pos = end
+          case 0xc4 => // DHT
+            if (pos + 2 > n) return None
+            val len = u16(pos); val end = pos + len
+            if (len < 2 || end > n) return None
+            var p = pos + 2
+            while (p < end) {
+              val tc = (bytes(p) & 0xff) >> 4
+              val th = bytes(p) & 0x0f
+              if (tc > 1 || th > 3 || p + 17 > end) return None
+              val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+              val total = bits.sum
+              if (total > 256 || p + 17 + total > end) return None
+              val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + total)
+              val t = new Huff(bits, vals)
+              if (tc == 0) dcTab(th) = t else acTab(th) = t
+              p += 17 + total
+            }
+            pos = end
+          case 0xc0 => // SOF0 baseline
+            if (pos + 2 > n) return None
+            val len = u16(pos); val end = pos + len
+            if (len < 8 || end > n) return None
+            val precision = bytes(pos + 2) & 0xff
+            h = u16(pos + 3); w = u16(pos + 5)
+            nComp = bytes(pos + 7) & 0xff
+            if (precision != 8 || w <= 0 || h <= 0 ||
+                w.toLong * h > MaxPixels ||
+                (nComp != 1 && nComp != 3) ||
+                pos + 8 + 3 * nComp > end) return None
+            var c = 0
+            while (c < nComp) {
+              compId(c) = bytes(pos + 8 + 3 * c) & 0xff
+              val hv = bytes(pos + 9 + 3 * c) & 0xff
+              compH(c) = hv >> 4; compV(c) = hv & 0x0f
+              compQ(c) = bytes(pos + 10 + 3 * c) & 0xff
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4 ||
+                  compQ(c) > 3) return None
+              c += 1
+            }
+            pos = end
+          case m if (m >= 0xc1 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+            return None // progressive/extended/arithmetic/lossless frames
+          case 0xdd => // DRI
+            if (pos + 4 > n) return None
+            if (u16(pos) != 4) return None
+            restartInterval = u16(pos + 2)
+            pos += 4
+          case 0xda => // SOS — decode the scan and finish
+            if (w == 0 || nComp == 0) return None
+            if (pos + 2 > n) return None
+            val len = u16(pos); val end = pos + len
+            if (len < 3 || end > n) return None
+            val ns = bytes(pos + 2) & 0xff
+            if (ns != nComp || pos + 3 + 2 * ns + 3 > end) return None
+            val compDc = new Array[Int](3)
+            val compAc = new Array[Int](3)
+            var c = 0
+            while (c < ns) {
+              val cs = bytes(pos + 3 + 2 * c) & 0xff
+              val ci = compId.indexOf(cs)
+              if (ci < 0 || ci >= nComp) return None
+              compDc(ci) = (bytes(pos + 4 + 2 * c) & 0xff) >> 4
+              compAc(ci) = bytes(pos + 4 + 2 * c) & 0x0f
+              if (compDc(ci) > 3 || compAc(ci) > 3) return None
+              c += 1
+            }
+            return decodeScan(bytes, end, w, h, nComp, compH, compV, compQ,
+              compDc, compAc, qtab, dcTab, acTab, restartInterval)
+          case _ => // APPn / COM / anything with a length — skip
+            if (pos + 2 > n) return None
+            val len = u16(pos)
+            if (len < 2 || pos + len > n) return None
+            pos += len
+        }
+      }
+      None
+    }
+
+    private def decodeScan(bytes: Array[Byte], scanStart: Int,
+        w: Int, h: Int, nComp: Int,
+        compH: Array[Int], compV: Array[Int], compQ: Array[Int],
+        compDc: Array[Int], compAc: Array[Int],
+        qtab: Array[Array[Int]], dcTab: Array[Huff], acTab: Array[Huff],
+        restartInterval: Int): Option[(Int, Int, Int, Array[Byte])] = {
+      var hMax = 1; var vMax = 1
+      var c = 0
+      while (c < nComp) {
+        if (compH(c) > hMax) hMax = compH(c)
+        if (compV(c) > vMax) vMax = compV(c)
+        if (qtab(compQ(c)) == null || dcTab(compDc(c)) == null ||
+            acTab(compAc(c)) == null) return None
+        c += 1
+      }
+      val mcuW = 8 * hMax; val mcuH = 8 * vMax
+      val mcusX = (w + mcuW - 1) / mcuW
+      val mcusY = (h + mcuH - 1) / mcuH
+      // padded per-component planes (MCU-aligned)
+      val planeW = new Array[Int](3)
+      val planeH = new Array[Int](3)
+      val planes = new Array[Array[Byte]](3)
+      c = 0
+      while (c < nComp) {
+        planeW(c) = mcusX * compH(c) * 8
+        planeH(c) = mcusY * compV(c) * 8
+        if (planeW(c).toLong * planeH(c) > 4L * MaxPixels) return None
+        planes(c) = new Array[Byte](planeW(c) * planeH(c))
+        c += 1
+      }
+      val br = new BitReader(
+        java.util.Arrays.copyOfRange(bytes, scanStart, bytes.length))
+      val dcPred = new Array[Int](3)
+      val coef = new Array[Double](64)
+      val block = new Array[Int](64)
+      var rstCount = 0
+      var mcusSinceRestart = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcusSinceRestart == restartInterval) {
+            if (!br.restart(rstCount % 8)) return None
+            rstCount += 1
+            mcusSinceRestart = 0
+            java.util.Arrays.fill(dcPred, 0)
+          }
+          c = 0
+          while (c < nComp) {
+            val q = qtab(compQ(c))
+            var by = 0
+            while (by < compV(c)) {
+              var bx = 0
+              while (bx < compH(c)) {
+                // decode one 8×8 block
+                java.util.Arrays.fill(coef, 0.0)
+                val tDc = br.decodeHuff(dcTab(compDc(c)))
+                if (tDc < 0 || tDc > 11) return None
+                val diffBits = if (tDc == 0) 0 else br.receive(tDc)
+                if (diffBits < 0) return None
+                val diff =
+                  if (tDc == 0) 0
+                  else if (diffBits < (1 << (tDc - 1))) diffBits - (1 << tDc) + 1
+                  else diffBits
+                dcPred(c) += diff
+                coef(0) = dcPred(c).toDouble * q(0)
+                var k = 1
+                var done = false
+                while (k < 64 && !done) {
+                  val rs = br.decodeHuff(acTab(compAc(c)))
+                  if (rs < 0) return None
+                  val r = rs >> 4; val s = rs & 0x0f
+                  if (s == 0) {
+                    if (r == 15) k += 16 // ZRL
+                    else done = true     // EOB
+                  } else {
+                    k += r
+                    if (k > 63) return None
+                    val vBits = br.receive(s)
+                    if (vBits < 0) return None
+                    val v =
+                      if (vBits < (1 << (s - 1))) vBits - (1 << s) + 1
+                      else vBits
+                    coef(ZigZag(k)) = v.toDouble * q(k)
+                    k += 1
+                  }
+                }
+                idct(coef, block)
+                // place into the component plane
+                val ox = (mx * compH(c) + bx) * 8
+                val oy = (my * compV(c) + by) * 8
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  val rowOff = (oy + yy) * planeW(c) + ox
+                  while (xx < 8) {
+                    planes(c)(rowOff + xx) = block(yy * 8 + xx).toByte
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            c += 1
+          }
+          mcusSinceRestart += 1
+          mx += 1
+        }
+        my += 1
+      }
+      // upsample each component to full resolution (triangular "fancy"
+      // filters for the 2× ratios — the IJG/libjpeg reconstruction, so
+      // decoded pixels match the reference decoder to IDCT rounding —
+      // nearest for exotic ratios), then color-convert
+      val outCh = if (nComp == 1) 1 else 3
+      val full = new Array[Array[Int]](nComp)
+      c = 0
+      while (c < nComp) {
+        val sw = (w * compH(c) + hMax - 1) / hMax
+        val sh = (h * compV(c) + vMax - 1) / vMax
+        full(c) = upsamplePlane(planes(c), planeW(c), sw, sh,
+          compH(c), compV(c), hMax, vMax, w, h)
+        c += 1
+      }
+      val px = new Array[Byte](w * h * outCh)
+      if (nComp == 1) {
+        var i = 0
+        while (i < w * h) { px(i) = full(0)(i).toByte; i += 1 }
+      } else {
+        def clamp(v: Long): Byte =
+          (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        var i = 0
+        while (i < w * h) {
+          val yv = full(0)(i)
+          val cb = full(1)(i) - 128
+          val cr = full(2)(i) - 128
+          // integer BT.601, FIX(x) = round(x·2^16) — the IJG constants
+          val r = (yv * 65536L + 91881L * cr + 32768L) >> 16
+          val g = (yv * 65536L - 22554L * cb - 46802L * cr + 32768L) >> 16
+          val b = (yv * 65536L + 116130L * cb + 32768L) >> 16
+          val off = i * 3
+          px(off) = clamp(r); px(off + 1) = clamp(g); px(off + 2) = clamp(b)
+          i += 1
+        }
+      }
+      Some((w, h, outCh, px))
+    }
+
+    /** Upsample one component plane (MCU-padded, `pw` wide; valid region
+      * `sw`×`sh`) to the full `w`×`h` raster. 1:1 copies; h2 (4:2:2) and
+      * h2v2 (4:2:0) run the IJG triangular filters with libjpeg's exact
+      * rounding constants; any other ratio falls back to nearest. */
+    private def upsamplePlane(plane: Array[Byte], pw: Int, sw: Int, sh: Int,
+        cH: Int, cV: Int, hMax: Int, vMax: Int, w: Int, h: Int): Array[Int] = {
+      val out = new Array[Int](w * h)
+      val fx = hMax / cH; val fy = vMax / cV
+      def s(x: Int, y: Int): Int = plane(y * pw + x) & 0xff
+      if (fx == 1 && fy == 1 && cH * fx == hMax && cV * fy == vMax) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(y * w + x) = s(x, y); x += 1 }
+          y += 1
+        }
+      } else if (fx == 2 && fy == 1 && cH * 2 == hMax && cV == vMax) {
+        // h2v1 fancy: out[2i] = (3·s[i] + s[i−1] + 1) >> 2,
+        //             out[2i+1] = (3·s[i] + s[i+1] + 2) >> 2, edges copy
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = x >> 1
+            val v =
+              if (sw == 1) s(0, y)
+              else if (x == 0) s(0, y)
+              else if (x == 2 * sw - 1) s(sw - 1, y)
+              else if ((x & 1) == 0) (3 * s(i, y) + s(i - 1, y) + 1) >> 2
+              else (3 * s(i, y) + s(i + 1, y) + 2) >> 2
+            out(y * w + x) = v
+            x += 1
+          }
+          y += 1
+        }
+      } else if (fx == 2 && fy == 2 && cH * 2 == hMax && cV * 2 == vMax) {
+        // h2v2 fancy: vertical 3:1 column sums (nearer row ×3), then the
+        // horizontal triangle with the +8/+7 rounding pair
+        val colsum = new Array[Int](sw)
+        var y = 0
+        while (y < h) {
+          val j = y >> 1
+          val adj = {
+            val a = if ((y & 1) == 0) j - 1 else j + 1
+            if (a < 0) 0 else if (a >= sh) sh - 1 else a
+          }
+          var i = 0
+          while (i < sw) { colsum(i) = 3 * s(i, j) + s(i, adj); i += 1 }
+          var x = 0
+          while (x < w) {
+            val i2 = x >> 1
+            val v =
+              if (sw == 1)
+                (colsum(0) * 4 + (if ((x & 1) == 0) 8 else 7)) >> 4
+              else if (x == 0) (colsum(0) * 4 + 8) >> 4
+              else if (x == 2 * sw - 1) (colsum(sw - 1) * 4 + 7) >> 4
+              else if ((x & 1) == 0) (3 * colsum(i2) + colsum(i2 - 1) + 8) >> 4
+              else (3 * colsum(i2) + colsum(i2 + 1) + 7) >> 4
+            out(y * w + x) = v
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = s(x * cH / hMax, y * cV / vMax)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      out
+    }
+
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      decodePixels(bytes).map { case (w, h, ch, px) =>
+        featuresOfPixels(w, h, ch, px)
+      }
+
+    private[graft] def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      decodePixels(bytes).map { case (w, h, ch, px) =>
+        lumaOfPixels(w, h, ch, px)
+      }
+  }
+
+  /** Pixel-level decode across every REAL image decoder (PNM, PNG,
+    * baseline JPEG) — the perceptual-hash family's entry point; stub
+    * formats yield None (a fake luminance plane must never enter a
+    * dedup hash). */
   private[graft] def decodeLumaAny(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     PnmCodec.decodeLuma(bytes).orElse(PngCodec.decodeLuma(bytes))
+      .orElse(JpegCodec.decodeLuma(bytes))
 
   /** Decoded audio features. */
   case class AudioFeatures(asset_id: Long, sample_rate: Int, channels: Int,
@@ -607,11 +1147,13 @@ object Multimodal {
   }
 
   /** Production routing: real decode where a lib-free decoder exists
-    * (PNM, PNG), deterministic stub elsewhere (JPEG/video). */
+    * (PNM, PNG, baseline JPEG), deterministic stub elsewhere
+    * (progressive JPEG / video). */
   object DefaultCodec extends Codec {
     def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
       PnmCodec.decodeImage(bytes)
         .orElse(PngCodec.decodeImage(bytes))
+        .orElse(JpegCodec.decodeImage(bytes))
         .orElse(StubCodec.decodeImage(bytes))
   }
 

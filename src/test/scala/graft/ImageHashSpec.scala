@@ -74,6 +74,54 @@ class ImageHashSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pairs.head._3 <= 3L)
   }
 
+  test("q159 cross-format: a JPEG original pairs with its P5 edit — JPEG decode feeds the hash") {
+    import spark.implicits._
+    // smooth horizontal ramp: every pooled-cell gradient margin (~28
+    // luma levels) dwarfs baseline-JPEG q90 error (≤ ~3), so the dHash
+    // is IDENTICAL across containers and pair recovery is deterministic
+    // — the lossy-format analogue of the PNG mixed-corpus gate
+    def jpegGray(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = px(y * w + x) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.9f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val px = Array.tabulate(18 * 16)(i => math.min(255, (i % 18) * 14))
+    val edited = px.clone()
+    for (y <- 0 until 2; x <- 0 until 2) edited(y * 18 + x) = 255
+    val assets = Seq(
+      MediaAsset(1L, "image/jpeg", jpegGray(18, 16, px)),
+      MediaAsset(2L, "image/x-portable-graymap", p5(18, 16, edited)),
+      MediaAsset(3L, "image/x-portable-graymap", p5(18, 16, px.map(255 - _))))
+      .toDS()
+    val pairs = ImageHash.nearDupImagePairs(ImageHash.imageHashes(assets))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)),
+      s"JPEG-vs-P5 sibling pair must surface: ${pairs.toSeq}")
+    assert(pairs.head._3 <= 3L)
+    // on this corpus the hash itself is container-invariant: the JPEG
+    // original and the P5 original hash to the SAME 64 bits
+    val hJpeg = ImageHash.imageHashes(
+      Seq(MediaAsset(9L, "image/jpeg", jpegGray(18, 16, px))).toDS())
+      .collect().head.getLong(1)
+    val hP5 = ImageHash.imageHashes(
+      Seq(MediaAsset(9L, "image/x-portable-graymap", p5(18, 16, px))).toDS())
+      .collect().head.getLong(1)
+    assert(hJpeg == hP5, f"container changed the perceptual hash: $hJpeg%x vs $hP5%x")
+  }
+
   test("q159 banding: distance-3 pairs always surface; distance-4 pairs are cut") {
     import spark.implicits._
     // d(1,2) = 3 (bits 0,1,2 — all in band 0; bands 1-3 still match);

@@ -355,4 +355,148 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"stub would report >= 64x64 fake dims: $f")
     assert(f.feature.toSeq == Multimodal.PngCodec.decodeImage(png).get._3.toSeq)
   }
+
+  // -----------------------------------------------------------------
+  // JPEG codec — reference encoder/decoder: the JDK's own ImageIO
+  // (java.desktop, no external library; test scope only). The codec
+  // under test never touches ImageIO.
+  // -----------------------------------------------------------------
+
+  /** Baseline JPEG bytes via ImageIO at an explicit quality. */
+  private def jpegBytes(img: java.awt.image.BufferedImage,
+      quality: Float, progressive: Boolean = false): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    if (progressive)
+      params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  private def rgbImage(w: Int, h: Int)(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+    img
+  }
+
+  private def grayImage(w: Int, h: Int)(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = f(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("JPEG codec: decodes ImageIO baseline streams pixel-close to ImageIO's own decode") {
+    // both decoders consume the SAME bitstream; differences are IDCT
+    // rounding only, which the JPEG conformance spec bounds at a few
+    // grey levels. Odd dimensions exercise MCU padding; low quality
+    // exercises 4:2:0 chroma upsampling; gray exercises 1-component.
+    val cases: Seq[(java.awt.image.BufferedImage, Float, String)] = Seq(
+      (rgbImage(17, 13)((x, y) => ((x * 15) << 16) | ((y * 19) << 8) | ((x + y) * 7)), 0.95f, "rgb 17x13 q95"),
+      (rgbImage(64, 48)((x, y) => ((x * 4) << 16) | ((y * 5) << 8) | (x * 2 + y)), 0.5f, "rgb 64x48 q50"),
+      (rgbImage(32, 32)((x, y) => if ((x / 8 + y / 8) % 2 == 0) 0xC08040 else 0x2060A0), 0.75f, "rgb blocks q75"),
+      (grayImage(16, 12)((x, y) => x * 16 + y), 0.9f, "gray 16x12 q90"),
+      (grayImage(33, 7)((x, y) => 255 - x * 7 + y * 3), 0.6f, "gray 33x7 q60"))
+    cases.foreach { case (img, q, label) =>
+      val bytes = jpegBytes(img, q)
+      val mine = Multimodal.JpegCodec.decodePixels(bytes)
+      assert(mine.isDefined, s"$label: decoder returned None")
+      val (w, h, ch, px) = mine.get
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(w == ref.getWidth && h == ref.getHeight, s"$label dims")
+      // raw raster samples, NOT getRGB — getRGB gamma-converts gray
+      // through the color model and would mis-report a correct decode
+      val raster = ref.getRaster
+      val nb = raster.getNumBands
+      var maxDiff = 0
+      var sumDiff = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rr = raster.getSample(x, y, 0)
+        val rg = if (nb >= 3) raster.getSample(x, y, 1) else rr
+        val rb = if (nb >= 3) raster.getSample(x, y, 2) else rr
+        val off = (y * w + x) * ch
+        val (mr, mg, mb) =
+          if (ch == 3) (px(off) & 0xff, px(off + 1) & 0xff, px(off + 2) & 0xff)
+          else { val v = px(off) & 0xff; (v, v, v) }
+        val d = math.max(math.abs(mr - rr),
+          math.max(math.abs(mg - rg), math.abs(mb - rb)))
+        maxDiff = math.max(maxDiff, d)
+        sumDiff += d
+      }
+      // measured: ≤ 2 across all cases (fancy upsampling matches the
+      // IJG filters; residual is IDCT rounding) — bound at 3 for slack
+      val mean = sumDiff.toDouble / (w * h)
+      assert(maxDiff <= 3, s"$label: max pixel diff $maxDiff vs ImageIO")
+      assert(mean <= 0.5, s"$label: mean pixel diff $mean vs ImageIO")
+    }
+  }
+
+  test("JPEG codec: junk, truncation, corruption, and unsupported frames are None, never a crash") {
+    val good = jpegBytes(rgbImage(24, 16)((x, y) => (x * 10 << 16) | (y * 14 << 8) | 60), 0.8f)
+    assert(Multimodal.JpegCodec.decodePixels(good).isDefined)
+    // truncation at every prefix: None, never a throw
+    (0 until good.length by 7).foreach { p =>
+      assert(Multimodal.JpegCodec.decodePixels(good.take(p)).isEmpty, s"prefix $p")
+    }
+    // progressive scan must fall to the seam (None), not mis-decode
+    val prog = jpegBytes(rgbImage(24, 16)((x, y) => x * 99 << 8 | y), 0.8f,
+      progressive = true)
+    assert(Multimodal.JpegCodec.decodePixels(prog).isEmpty, "progressive must be None")
+    // crafted SOF dims: patch height/width to 0xFFFF → pixel cap / scan
+    // exhaustion must reject without allocation blowups or throws
+    val sofAt = {
+      var p = 2
+      var at = -1
+      while (at < 0 && p + 4 < good.length) {
+        if ((good(p) & 0xff) == 0xff && (good(p + 1) & 0xff) == 0xc0) at = p
+        else p += 1
+      }
+      at
+    }
+    assert(sofAt > 0)
+    val crafted = good.clone()
+    crafted(sofAt + 5) = 0xff.toByte; crafted(sofAt + 6) = 0xff.toByte // h
+    crafted(sofAt + 7) = 0xff.toByte; crafted(sofAt + 8) = 0xff.toByte // w
+    assert(Multimodal.JpegCodec.decodePixels(crafted).isEmpty, "2^32-ish dims")
+    // scan-data bit flips: may decode to different pixels, must never throw
+    val rng = new scala.util.Random(11)
+    (0 until 40).foreach { _ =>
+      val mutated = good.clone()
+      val i = good.length / 2 + rng.nextInt(good.length / 2)
+      mutated(i) = (mutated(i) ^ (1 << rng.nextInt(8))).toByte
+      Multimodal.JpegCodec.decodePixels(mutated) // crash = test failure
+    }
+    // random bytes behind an SOI prefix
+    (0 until 50).foreach { _ =>
+      val junk = new Array[Byte](80); rng.nextBytes(junk)
+      junk(0) = 0xff.toByte; junk(1) = 0xd8.toByte
+      assert(Multimodal.JpegCodec.decodeImage(junk).isEmpty)
+    }
+  }
+
+  test("default codec routes baseline JPEG to the real decoder, not the stub") {
+    val bytes = jpegBytes(grayImage(20, 10)((x, y) => x * 12), 0.9f)
+    val f = Multimodal.imageFeatures(
+      Seq(MediaAsset(40L, "image/jpeg", bytes)).toDS()).collect().head
+    assert(f.width == 20 && f.height == 10,
+      s"stub would report >= 64x64 fake dims: $f")
+    assert(f.feature.toSeq ==
+      Multimodal.JpegCodec.decodeImage(bytes).get._3.toSeq)
+    // the MP3/video seam is unchanged: non-media bytes still land on the
+    // deterministic stub rather than None
+    val stubbed = Multimodal.imageFeatures(
+      Seq(MediaAsset(41L, "video/mp4", Array[Byte](1, 2, 3, 4))).toDS())
+      .collect().head
+    assert(stubbed.width >= 64, "stub seam must keep serving non-decodable formats")
+  }
 }
