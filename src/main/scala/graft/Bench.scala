@@ -37,8 +37,21 @@ object Bench {
     "q24_exists_filtered", "q36_tumbling_window", "q41_quality_score",
     "q51_ngram_jaccard_pairs", "q52_minhash_lsh_pairs",
     "q54_cosine_topk", "q55b_cosine_pairs_lsh")
+  /** r13: the q52/q55b DECLARED faces carry the md5-oracle price
+    * (salted lanes / md5 planes), so the headline ALSO measures their
+    * production lanes (x52/x55b) and the run emits `production12_total`
+    * — legacy12 with the two declared faces swapped for the lanes a
+    * deployment actually runs — so cross-round engine comparisons stay
+    * apples-to-apples while the declared faces keep their own pins. */
   val headline: Seq[String] =
-    legacy12 ++ Seq("q74_decontamination", "q78_jaccard_prefix_filter")
+    legacy12 ++ Seq("q74_decontamination", "q78_jaccard_prefix_filter",
+      "x52_minhash_lsh_pairs_xxhash", "x55b_cosine_pairs_lsh_native")
+
+  private val production12: Seq[String] = legacy12.map {
+    case "q52_minhash_lsh_pairs" => "x52_minhash_lsh_pairs_xxhash"
+    case "q55b_cosine_pairs_lsh" => "x55b_cosine_pairs_lsh_native"
+    case q => q
+  }
 
   /** Production hash-lane bench faces (VERDICT r12 #4): the declared
     * q52/q53/q55b/q65/q89/q98/q123/q169/q189/q204/q205/q208/q218 faces
@@ -207,11 +220,15 @@ object Bench {
     "q03_join_revenue_topk" -> 0.4, "q04_join_broadcast_dims" -> 0.0,
     "q09_window_topk_per_group" -> 1.5, "q24_exists_filtered" -> 0.3,
     "q36_tumbling_window" -> 0.2, "q41_quality_score" -> 0.1,
-    // q52 re-pinned r12: the declared face moved to the md5 lane family
-    // (oracle-checkable), whose signature aggregation writes 1.1 MB
-    "q51_ngram_jaccard_pairs" -> 12.4, "q52_minhash_lsh_pairs" -> 1.1,
-    "q54_cosine_topk" -> 0.0, "q55b_cosine_pairs_lsh" -> 6.0,
-    "q74_decontamination" -> 7.7, "q78_jaccard_prefix_filter" -> 3.9)
+    // q52 re-pinned r13: the salted-md5 lane family (32-bit quarters)
+    // shuffles 0.8 MB of signature partials; q55b re-pinned r13: the
+    // md5-plane face behind barriers writes 4.6 MB (no repartition
+    // exchange). The x-lanes are the pre-switch plans and inherit the
+    // pre-switch pins.
+    "q51_ngram_jaccard_pairs" -> 12.4, "q52_minhash_lsh_pairs" -> 0.8,
+    "q54_cosine_topk" -> 0.0, "q55b_cosine_pairs_lsh" -> 4.6,
+    "q74_decontamination" -> 7.7, "q78_jaccard_prefix_filter" -> 3.9,
+    "x52_minhash_lsh_pairs_xxhash" -> 0.9, "x55b_cosine_pairs_lsh_native" -> 6.0)
 
   /** Coarse per-query wall-clock budget for the FULL-inventory sweep
     * (VERDICT r10 #3): medians pinned from a committed sf0.1 run live in
@@ -270,7 +287,7 @@ object Bench {
         benchable.view.filterKeys(want).toMap
       case None =>
         if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) benchable
-        else SparkEntry.queries.view.filterKeys(headline.toSet).toMap
+        else benchable.view.filterKeys(headline.toSet).toMap
     }
     // test hook for the fail-loudly contract: rc must be non-zero and the
     // JSON must carry the error when any query throws
@@ -438,9 +455,12 @@ object Bench {
     // continuity across the documented r8 headline break; only emitted
     // when the run actually covers the legacy set (not BENCH_ONLY slices)
     val legacyTotal =
-      if (legacy12.forall(selected.contains))
+      (if (legacy12.forall(selected.contains))
         f""","legacy12_total":${results.collect { case (k, m, _, _, _, _) if legacy12.contains(k) => m }.sum}%.3f"""
-      else ""
+      else "") +
+        (if (production12.forall(selected.contains))
+          f""","production12_total":${results.collect { case (k, m, _, _, _, _) if production12.contains(k) => m }.sum}%.3f"""
+        else "")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"shuffle":$shuffles$deltaJson$budgetJson$retryJson,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
     var anyFailed = results.exists(_._4.isDefined)
     budget.filter(_._2 == "breach").foreach { case (k, _) =>

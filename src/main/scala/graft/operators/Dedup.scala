@@ -2116,7 +2116,7 @@ object Dedup {
     minhashSignaturesFrom(shingles(docs), numHashes)
 
   /** ENGINE-AGNOSTIC MinHash signatures: per-lane INDEPENDENT md5
-    * hashes — lanes 2t and 2t+1 are the two 56-bit halves (14 hex chars
+    * hashes — lanes 4t..4t+3 are the four 32-bit quarters (8 hex chars
     * each) of md5(t ++ "_" ++ sh). md5, not xxhash64, because DuckDB
     * computes the IDENTICAL lanes — what upgrades q52 from golden-pinned
     * to oracle-checked; the salt-per-call construction (not the r12
@@ -2127,21 +2127,24 @@ object Dedup {
     * on the sf0.001 corpus as est≈0.75 for pairs with true Jaccard
     * < 0.01 (mean audit error 0.59). K-M double-hashing is sound for
     * q123's Bloom probes (its actual theorem) but not for per-lane
-    * minima. Salted lanes are mutually independent, the degeneracy is
-    * gone (audit error back at the 1/√numHashes band), and the per-
-    * shingle cost is numHashes/2 md5 calls — the documented price of
-    * cross-engine checkability; the xxhash64 UDAF family stays the
-    * production default, in-suite recall-gated. */
+    * minima. Salted quarters are mutually independent bits of distinct
+    * digests, the degeneracy is gone (audit error back at the
+    * 1/√numHashes band), and the per-shingle cost is numHashes/4 md5
+    * calls — the documented price of cross-engine checkability. 32-bit
+    * lanes are plenty for minima: an in-doc collision needs two of a
+    * doc's ~10² shingles in the same 2³² bucket (~10⁻⁵), and a
+    * cross-doc chance-equal min biases est by ~2⁻³². The xxhash64 UDAF
+    * family stays the production default, in-suite recall-gated. */
   private[operators] def minhashSignaturesMd5From(sh: DataFrame, numHashes: Int): DataFrame = {
-    require(numHashes % 2 == 0, s"md5 lanes come in half-pairs (got $numHashes)")
-    val calls = numHashes / 2
+    require(numHashes % 4 == 0, s"md5 lanes come in digest quarters (got $numHashes)")
+    val calls = numHashes / 4
     val hashed = sh.select(col("doc_id") +:
       (0 until calls).map(t =>
         md5(concat(lit(s"${t}_"), col("sh"))).as(s"m$t")): _*)
     val lanes = (0 until numHashes).map { i =>
-      val t = i / 2
-      val off = if (i % 2 == 0) 1 else 15
-      min(expr(s"CAST(conv(substring(m$t, $off, 14), 16, 10) AS BIGINT)")).as(s"v$i")
+      val t = i / 4
+      val off = 1 + (i % 4) * 8
+      min(expr(s"CAST(conv(substring(m$t, $off, 8), 16, 10) AS BIGINT)")).as(s"v$i")
     }
     hashed.groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
       .select(col("doc_id"),
@@ -2153,12 +2156,12 @@ object Dedup {
     * the q52 oracle and the q189/q209 audit oracle so the two cannot
     * desynchronize. */
   private[operators] def md5SigCtesSql(numHashes: Int): String = {
-    require(numHashes % 2 == 0, s"md5 lanes come in half-pairs (got $numHashes)")
+    require(numHashes % 4 == 0, s"md5 lanes come in digest quarters (got $numHashes)")
     s"""lane AS (SELECT doc_id, t.t AS t, md5(CAST(t.t AS VARCHAR) || '_' || sh) AS mh
-       |         FROM sh, range(0, ${numHashes / 2}) t(t)),
-       |sig AS (SELECT doc_id, t * 2 + hf.half AS lane,
-       |          min(CAST(('0x' || substr(mh, CASE WHEN hf.half = 0 THEN 1 ELSE 15 END, 14)) AS BIGINT)) AS v
-       |        FROM lane, (SELECT unnest([0, 1]) AS half) hf
+       |         FROM sh, range(0, ${numHashes / 4}) t(t)),
+       |sig AS (SELECT doc_id, t * 4 + qr.q AS lane,
+       |          min(CAST(('0x' || substr(mh, 1 + qr.q * 8, 8)) AS BIGINT)) AS v
+       |        FROM lane, (SELECT unnest(range(0, 4)) AS q) qr
        |        GROUP BY 1, 2)""".stripMargin
   }
 

@@ -1890,12 +1890,20 @@ object Similarity {
   def cosineThresholdPairsLshMd5(embeddings: DataFrame, threshold: Double,
       planesPerBand: Int, bands: Int): DataFrame = {
     val masks = md5PlaneMasks(bands * planesPerBand)
+    // barriers, not the native face's repartition-for-reuse: the md5
+    // margins (bands × planesPerBand long folds per vector) are ~10× the
+    // native fused-double projection, so the broadcast-converted
+    // per-side recompute the native face tolerates would dominate here —
+    // fold margins once, read the banded keys from blocks on both join
+    // sides (measured 4.8 s → the barrier form at sf0.1; annLshTopKMd5
+    // got the same treatment)
     val e = withNorm(embeddings)
+      .localCheckpoint(eager = false) // consumers: margins + both re-score sides
     val keyed = e.withColumn("st", scaledTermsExpr)
       .withColumn("mm", md5MarginsExpr(masks))
       .withColumn("bk", explode(bandKeysExprOn("mm", "0", planesPerBand, bands)))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .repartition(col("band"), col("key"))
+      .localCheckpoint(eager = false) // both self-join sides
     val pairs = keyed.select(col("vec_id").as("v1"), col("band"), col("key"))
       .join(keyed.select(col("vec_id").as("v2"), col("band"), col("key")),
         Seq("band", "key"))

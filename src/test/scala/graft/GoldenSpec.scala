@@ -101,8 +101,8 @@ object GoldenSpec {
 
   /** Committed digests — regenerate via GoldenHashes on intentional change. */
   val expected: Map[(String, String), String] = Map(
-    ("q52_minhash_lsh_pairs", "sf0.001") -> "dae8c77bbec73155",
-    ("q52_minhash_lsh_pairs", "sf0.01") -> "16d42ff65a2edd3c",
+    ("q52_minhash_lsh_pairs", "sf0.001") -> "5852f584cc71de82",
+    ("q52_minhash_lsh_pairs", "sf0.01") -> "f12a6f3cfad01bff",
     ("q53_simhash_pairs", "sf0.001") -> "3123bb83ee31bbcb",
     ("q53_simhash_pairs", "sf0.01") -> "d244b2372b6444ab",
     ("q55b_cosine_pairs_lsh", "sf0.001") -> "370595b788d7f463",
@@ -171,8 +171,8 @@ object GoldenSpec {
     ("q181_active_learning_batch", "sf0.01") -> "3f9a9eaaed87f2df",
     ("q187_cluster_purity", "sf0.001") -> "f31bdf695801f6d7",
     ("q187_cluster_purity", "sf0.01") -> "7ccc5eda1cc9ff1d",
-    ("q189_minhash_error_audit", "sf0.001") -> "0691c20f560d75b6",
-    ("q189_minhash_error_audit", "sf0.01") -> "36f661b1115524c3",
+    ("q189_minhash_error_audit", "sf0.001") -> "e857901189682b8c",
+    ("q189_minhash_error_audit", "sf0.01") -> "756108161e01c2e0",
     ("q190_conformal_threshold", "sf0.001") -> "532dea5284a7fd36",
     ("q190_conformal_threshold", "sf0.01") -> "543a2c66213b2684",
     ("q204_pq_adc_topk", "sf0.001") -> "a37c5554e87f1fea",

@@ -68,7 +68,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // queries × corpus — linear in the corpus, the textbook brute-force
     // baseline. Every other headline plan must be equi-join only.
     Bench.headline.filterNot(_ == "q54_cosine_topk").foreach { name =>
-      val p = plan(name)
+      // the r13 headline includes the x52/x55b production lanes, which
+      // live in Bench.productionLanes rather than the declared inventory
+      val fn = SparkEntry.all.get(name).map(_.fn)
+        .getOrElse(Bench.productionLanes(name))
+      val p = fn(spark, sf001).queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$name headline plan contains a BroadcastNestedLoopJoin:\n$p")
     }
