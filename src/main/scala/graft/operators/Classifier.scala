@@ -31,11 +31,15 @@ import org.apache.spark.sql.functions._
   * Scoring (q111): sigmoid(dot(w, feats)) per doc under the trained
   * weights — in-row, zero shuffle beyond the output sort.
   *
-  * No SQL oracle (iterative optimization isn't relational): golden-pinned
-  * digests + an independent plain-Scala reference LR in ClassifierSpec
-  * asserted weight-for-weight and score-for-score (the q102/q108
-  * two-faces pattern), plus the separation property (reference docs
-  * score higher in aggregate than non-reference docs).
+  * ORACLE-CHECKED (round 13): the round count is FIXED, so training
+  * unrolls into [[rounds]] relational stages a DuckDB oracle replays
+  * end-to-end (the replay builders at the bottom of this object; the
+  * knife-edge audit there proves the 1-ulp exp() drift cannot flip a
+  * rounding on these corpora). The independent plain-Scala reference LR
+  * in ClassifierSpec remains, asserted weight-for-weight and
+  * score-for-score (the q102/q108 two-faces pattern), plus the
+  * separation property (reference docs score higher in aggregate than
+  * non-reference docs).
   *
   * Scale shape: feature extraction is the only corpus-sized work; rounds
   * cost one map-side-combined shuffle each; weights are dims-sized
@@ -179,22 +183,24 @@ object Classifier {
   def defs: Map[String, QueryDef] = Map(
 
     // ---- split-conformal accept threshold + held-out coverage for the
-    //      classifier; rows-only (scores are no_oracle), golden-pinned,
-    //      order-statistic reference in ClassifierSpec. Scores against
-    //      the PERSISTED weight artifact (the q217 pattern — a 100 TB
-    //      gate loads weights, it doesn't retrain per decision); byte-
-    //      equal to the inline-trained form because training rounds
-    //      weights to 9 dp before persisting (golden pins unchanged). ----
-    "q190_conformal_threshold" -> QueryDef.rowsOnly { (s, dir) =>
-      conformalThreshold(Tables.documents(s, dir), ensureWeights(s, dir))
+    //      classifier, ORACLE-CHECKED: DuckDB rebuilds features, scores
+    //      against the persisted weight artifact (the q219/q65 pattern),
+    //      and replays the histogram-CDF order statistic + coverage
+    //      measurement verbatim. Order-statistic reference retained in
+    //      ClassifierSpec. Scores against the PERSISTED artifact (a
+    //      100 TB gate loads weights, it doesn't retrain per decision);
+    //      byte-equal to the inline-trained form because training rounds
+    //      weights to 9 dp before persisting. ----
+    "q190_conformal_threshold" -> QueryDef.sql(clfQ190Sql) { (s, dir) =>
+      conformalThreshold(Tables.documents(s, dir), oracleWeights(s, dir, "q190"))
     },
 
     // ---- active-learning batch: most-uncertain docs under the trained
-    //      classifier; rows-only (the classifier itself is no_oracle),
-    //      golden-pinned, machinery reference-checked in ClassifierSpec.
-    //      Persisted weights, same rationale as q190. ----
-    "q181_active_learning_batch" -> QueryDef.rowsOnly { (s, dir) =>
-      activeLearningBatch(Tables.documents(s, dir), ensureWeights(s, dir))
+    //      classifier, ORACLE-CHECKED from the persisted artifact (same
+    //      replay as q217 + the uncertainty/limit tail); machinery
+    //      reference-checked in ClassifierSpec. ----
+    "q181_active_learning_batch" -> QueryDef.sql(clfQ181Sql) { (s, dir) =>
+      activeLearningBatch(Tables.documents(s, dir), oracleWeights(s, dir, "q181"))
     },
 
     // ---- isotonic calibration: monotone probability curve over the
@@ -238,8 +244,13 @@ object Classifier {
     },
 
     // ---- quality-classifier training: final per-dim weights after 5
-    //      batch GD rounds on reference-vs-rest labels. ----
-    "q110_quality_classifier_train" -> QueryDef.rowsOnly { (s, dir) =>
+    //      batch GD rounds on reference-vs-rest labels — ORACLE-CHECKED
+    //      by unrolling the fixed-round GD into relational stages DuckDB
+    //      replays end-to-end (see the replay block below; knife-edge
+    //      audit proves the 1-ulp exp() drift cannot flip a rounding on
+    //      these corpora). Plain-Scala reference LR retained in
+    //      ClassifierSpec. ----
+    "q110_quality_classifier_train" -> QueryDef.sql(clfQ110Sql) { (s, dir) =>
       classifierTrain(Tables.documents(s, dir)).orderBy("dim")
     },
 
@@ -277,8 +288,9 @@ object Classifier {
     // ---- classifier scoring: p(reference-like) per doc under the
     //      trained weights — the model-based quality gate. Declared
     //      self-contained (train + score in one face); q217 is the
-    //      pipeline-shaped twin. ----
-    "q111_quality_classifier_score" -> QueryDef.rowsOnly { (s, dir) =>
+    //      pipeline-shaped twin. ORACLE-CHECKED: DuckDB replays the
+    //      unrolled training AND the scoring pass. ----
+    "q111_quality_classifier_score" -> QueryDef.sql(clfQ111Sql) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       classifierScore(docs, classifierTrain(docs)).orderBy("doc_id")
     },
@@ -289,10 +301,13 @@ object Classifier {
     //      pattern), then one in-row scoring pass. Byte-equal to q111
     //      (training rounds weights to 9 dp before persisting, so the
     //      stored table IS the inline table); ClassifierSpec pins it.
+    //      ORACLE-CHECKED from the persisted artifact: the face writes
+    //      the weight table to the fixed oracle path and DuckDB replays
+    //      feature build + margin + sigmoid from those exact bytes.
     //      The bench median prices SCORING, not the training q111
     //      deliberately includes. ----
-    "q217_classifier_score_persisted" -> QueryDef.rowsOnly { (s, dir) =>
-      classifierScore(Tables.documents(s, dir), ensureWeights(s, dir))
+    "q217_classifier_score_persisted" -> QueryDef.sql(clfQ217Sql) { (s, dir) =>
+      classifierScore(Tables.documents(s, dir), oracleWeights(s, dir, "q217"))
         .orderBy("doc_id")
     }
   )
@@ -481,4 +496,211 @@ object Classifier {
         col("y").cast("boolean").as("is_reference"),
         round(lit(1.0) / (lit(1.0) + exp(-expr(marginExpr))), 6).as("score"))
       .withColumn("predicted_reference", col("score") >= 0.5)
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle replay (q110/q111/q181/q190/q217): the classifier is
+  // gradient descent — iterative, but with a FIXED round count, so the
+  // whole training unrolls into [[rounds]] relational stages DuckDB
+  // replays verbatim: tokenize → poly-31 dim hash (Java long wrap
+  // reproduced in HUGEINT mod 2⁶⁴; since 256 | 2⁶⁴ the signed pmod
+  // collapses to one unsigned modulo) → tf → per-round ORDERED-fold
+  // margins (list_reduce mirrors Spark's aggregate fold element for
+  // element, so the double sums are bit-identical) → sigmoid residuals →
+  // DECIMAL(18,9) gradient sums (order-free, exact) → weight step.
+  //
+  // The ONE libm call, exp(), differs from Java Math.exp at the last ulp
+  // on ~11 % of the real margins (measured — graft.ClfKnifeEdge dumps
+  // every margin with Spark's own exp value, tools/knife_edge.py
+  // recomputes them in DuckDB on the same double bits): max sigmoid-level
+  // drift 1.11e-16 = 1 ulp at 0.5, identical on a 200k-point sweep of
+  // the margin range. Safety is MEASURED, not assumed: across all three
+  // SFs the closest 9-dp gradient contribution sits 9.5e-16 from a
+  // rounding boundary (sf0.1; 1.9e-15 at sf0.01, 3.4e-14 at sf0.001 —
+  // exact BigDecimal distances over all 574,675/57,810/58,020
+  // contributions), final raw weights ≥ 3.6e-12, 6-dp scores ≥ 8.3e-11 —
+  // every rounded quantity clears the worst-case drift by ≥ 8.5×, so the
+  // replay cannot flip a rounding on these corpora; and once a round's
+  // roundings agree, its decimal gradient sums — and hence the next
+  // round's weights and margins — are bit-identical, so drift never
+  // compounds across rounds. (Method + numbers: COVERAGE.md §2.12;
+  // regression-gated in ClassifierSpec.)
+  // ---------------------------------------------------------------------
+
+  /** Feature CTEs shared by every classifier oracle: documents →
+    * (doc_id, y, dim-sorted (dim, tf) list + intercept slot), the doc
+    * count, and the zero initial weights. */
+  private def dkClfFeatCtes: String =
+    s"""cbase AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substring(md5(text), 1, 1) <= '3' THEN 1.0 ELSE 0.0 END AS y,
+       |    list_filter(string_split(trim(text), ' '), w -> w != '') AS ws
+       |  FROM documents
+       |  WHERE len(list_filter(string_split(trim(text), ' '), w -> w != '')) > 0),
+       |ctok AS (SELECT doc_id, y, len(ws) AS nw, unnest(ws) AS t FROM cbase),
+       |cdim AS (SELECT doc_id, y, nw,
+       |  CAST(list_reduce(
+       |    list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(range(1, length(t) + 1),
+       |        i -> CAST(ascii(substring(t, CAST(i AS INT), 1)) AS HUGEINT))),
+       |    (a, c) -> (a * 31 + c) % CAST('18446744073709551616' AS HUGEINT)) % $dims AS INT) AS dim
+       |  FROM ctok),
+       |ctf AS (SELECT doc_id, y, nw, dim, count(*) AS c FROM cdim GROUP BY 1, 2, 3, 4),
+       |feats AS (SELECT doc_id, any_value(y) AS y,
+       |    list_append(list({'dim': dim, 'tf': CAST(c AS DOUBLE) / nw} ORDER BY dim),
+       |                {'dim': $dims, 'tf': 1.0}) AS fl
+       |  FROM ctf GROUP BY doc_id),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats),
+       |w0 AS (SELECT CAST(unnest(range(0, ${dims + 1})) AS INT) AS dim, 0.0 AS weight)"""
+      .stripMargin
+
+  /** One unrolled GD round: margins under w`i` (ordered fold), sigmoid
+    * residuals, 9-dp decimal gradient sums, mean-gradient step → w`i+1`. */
+  private def dkClfGdRound(i: Int): String =
+    s"""wr$i AS (SELECT list(weight ORDER BY dim) AS w FROM w$i),
+       |mg$i AS (SELECT doc_id, fl,
+       |    1.0 / (1.0 + exp(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(fl, f -> wr$i.w[f.dim + 1] * f.tf)),
+       |      (a, x) -> a + x))) - y AS r
+       |  FROM feats, wr$i),
+       |gg$i AS (SELECT f.dim, sum(CAST(round(mg$i.r * f.tf, 9) AS DECIMAL(18,9))) AS grad
+       |  FROM mg$i, unnest(mg$i.fl) AS u(f) GROUP BY 1),
+       |w${i + 1} AS (SELECT w$i.dim,
+       |    w$i.weight - $learningRate * coalesce(CAST(gg$i.grad AS DOUBLE) / nn.n, 0.0) AS weight
+       |  FROM w$i LEFT JOIN gg$i ON gg$i.dim = w$i.dim, nn)"""
+      .stripMargin
+
+  /** Training unrolled to the final 9-dp weight table `wfin`. */
+  private def dkClfTrainCtes: String =
+    (dkClfFeatCtes +: (0 until rounds).map(dkClfGdRound)).mkString(",\n") +
+      s",\nwfin AS (SELECT dim, round(weight, 9) AS weight FROM w$rounds)"
+
+  /** Artifact head for the persisted-weights faces: `wfin` read from the
+    * parquet the face wrote (the q219/q65 artifact pattern). */
+  private def dkClfArtifactCtes(name: String): String =
+    dkClfFeatCtes +
+      s",\nwfin AS (SELECT dim, weight FROM read_parquet('${Similarity.annOracleRoot}/$name/weights/*.parquet'))"
+
+  /** Scoring tail: `scored(doc_id, is_reference, score)` under `wfin`,
+    * mirroring [[weightRow]]'s coalesce-to-0 slotting and the ordered
+    * margin fold. */
+  private def dkClfScoreCte: String =
+    s"""wrf AS (SELECT list(coalesce(wt.weight, 0.0) ORDER BY dd.d) AS w
+       |  FROM (SELECT unnest(range(0, ${dims + 1})) AS d) dd
+       |  LEFT JOIN wfin wt ON wt.dim = dd.d),
+       |scored AS (SELECT f.doc_id, f.y = 1.0 AS is_reference,
+       |    round(1.0 / (1.0 + exp(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(f.fl, x -> wrf.w[x.dim + 1] * x.tf)),
+       |      (a, v) -> a + v))), 6) AS score
+       |  FROM feats f, wrf)"""
+      .stripMargin
+
+  private def dkClfScoreSelect: String =
+    "SELECT doc_id, is_reference, score, score >= 0.5 AS predicted_reference\nFROM scored ORDER BY doc_id"
+
+  private[graft] def clfQ110Sql: String =
+    "WITH " + dkClfTrainCtes + "\nSELECT dim, weight FROM wfin ORDER BY dim"
+
+  private[graft] def clfQ111Sql: String =
+    "WITH " + dkClfTrainCtes + ",\n" + dkClfScoreCte + "\n" + dkClfScoreSelect
+
+  private[graft] def clfQ217Sql: String =
+    "WITH " + dkClfArtifactCtes("q217") + ",\n" + dkClfScoreCte + "\n" + dkClfScoreSelect
+
+  private[graft] def clfQ181Sql: String =
+    "WITH " + dkClfArtifactCtes("q181") + ",\n" + dkClfScoreCte + "\n" +
+      """SELECT doc_id, score, round(abs(score - 0.5), 6) AS uncertainty
+        |FROM scored ORDER BY uncertainty, doc_id LIMIT 50""".stripMargin
+
+  private[graft] def clfQ190Sql: String =
+    "WITH " + dkClfArtifactCtes("q190") + ",\n" + dkClfScoreCte + ",\n" +
+      """sc AS (SELECT scored.*,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7' AS cal FROM scored),
+        |calref AS (SELECT score FROM sc WHERE cal AND is_reference),
+        |ncal AS (SELECT count(*) AS n_cal FROM calref),
+        |hist AS (SELECT score, count(*) AS c FROM calref GROUP BY 1),
+        |cumh AS (SELECT score, sum(c) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+        |tau AS (SELECT min(score) AS tau FROM cumh, ncal
+        |        WHERE cum >= floor(CAST(0.1 AS DOUBLE) * (n_cal + 1))),
+        |ev AS (SELECT count(*) AS n_eval_ref,
+        |    CAST(sum(CASE WHEN score >= tau.tau THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM sc, tau WHERE NOT cal AND is_reference)
+        |SELECT CAST(0.1 AS DOUBLE) AS alpha, n_cal, tau, n_eval_ref,
+        |  round(CAST(n_covered AS DOUBLE) / nullif(n_eval_ref, 0), 6) AS coverage
+        |FROM ncal, tau, ev""".stripMargin
+
+  /** Artifact discipline for the persisted-weights faces: write the
+    * weight table to the fixed oracle path for `name` and read it back,
+    * so the face scores from the EXACT bytes DuckDB replays. */
+  private def oracleWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String, name: String): DataFrame =
+    Similarity.persistArtifact(name, "weights", ensureWeights(s, dir))
+
+  // ---------------------------------------------------------------------
+  // Knife-edge audit plumbing (graft.ClfKnifeEdge + tools/knife_edge.py):
+  // the cross-engine argument above reduces to "exp() is the ONLY drift
+  // source, and every rounding gate sits far from a boundary". These
+  // frames expose exactly the quantities that argument quantifies.
+  // ---------------------------------------------------------------------
+
+  /** Exact distance from `x` to its nearest 9-dp (scale-dp) rounding
+    * boundary, computed in BigDecimal (a double at ~1e6 scale cannot
+    * resolve 1e-16 distances through `x*1e9` float arithmetic): the
+    * boundary is half a grid step from the rounded value, so
+    * dist = 0.5·10⁻ˢ − |x − round_s(x)| exactly. */
+  private[graft] def boundaryDistUdf(scale: Int) =
+    udf { x: java.lang.Double =>
+      if (x == null || x.isNaN) null
+      else {
+        val bd = new java.math.BigDecimal(x.doubleValue).abs
+        val r = bd.setScale(scale, java.math.RoundingMode.HALF_UP)
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(5), scale + 1)
+          .subtract(bd.subtract(r).abs).doubleValue: java.lang.Double
+      }
+    }
+
+  /** Replays training round by round and returns the three audit frames:
+    *  - margins  (stage, doc_id, m, e = Math.exp(−m) as Spark computes
+    *    it) for every GD round AND the final scoring pass — the inputs
+    *    whose exp() DuckDB recomputes;
+    *  - grads    (stage, dim, g) — every raw pre-round gradient
+    *    contribution r·tf that the DECIMAL(18,9) gate rounds;
+    *  - weights  (dim, w) — the raw final weights the 9-dp artifact
+    *    rounding gates.
+    * Same code path as [[classifierTrain]] (features/weightRow/gdRound),
+    * so the audited numbers ARE the declared faces' numbers. */
+  private[graft] def knifeEdgeFrames(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val feats = features(docs).localCheckpoint(eager = true)
+    val init = spark.range(0, dims + 1)
+      .select(col("id").cast("int").as("dim"), lit(0.0).as("weight"))
+      .localCheckpoint(eager = true)
+    var weights = init
+    var margins = List.empty[DataFrame]
+    var grads = List.empty[DataFrame]
+    (1 to rounds).foreach { i =>
+      val wRow = weightRow(weights)
+      val staged = feats.crossJoin(broadcast(wRow))
+        .select(lit(i).as("stage"), col("doc_id"), col("y"), col("feats"),
+          expr(marginExpr).as("m"))
+        .localCheckpoint(eager = true)
+      margins :+= staged.select(col("stage"), col("doc_id"), col("m"),
+        exp(-col("m")).as("e"))
+      grads :+= staged
+        .select(col("stage"),
+          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("r"),
+          explode(col("feats")).as("f"))
+        .select(col("stage"), col("f.dim").as("dim"),
+          (col("r") * col("f.tf")).cast("double").as("g"))
+      weights = gdRound(feats, wRow, weights).localCheckpoint(eager = true)
+    }
+    val wfin = weights.select(col("dim"), round(col("weight"), 9).as("weight"))
+    val scoringM = feats.crossJoin(broadcast(weightRow(wfin)))
+      .select(lit(0).as("stage"), col("doc_id"), expr(marginExpr).as("m"))
+      .select(col("stage"), col("doc_id"), col("m"), exp(-col("m")).as("e"))
+    ((margins :+ scoringM).reduce(_ unionAll _),
+      grads.reduce(_ unionAll _),
+      weights.select(col("dim"), col("weight").as("w")))
+  }
 }

@@ -240,32 +240,88 @@ object ImageHash {
     originals.unionByName(siblings).as[MediaAsset]
   }
 
+  // ---------------------------------------------------------------------
+  // DuckDB oracle replay (r13, the q219/q65 artifact pattern): byte-level
+  // DECODE can never be relational — but everything AFTER the hash table
+  // is. Each face persists its (asset_id, dhash) table to the fixed
+  // oracle path and DuckDB replays the banded Hamming join from those
+  // exact bytes: band split ((h >> 16b) & 65535 — DuckDB's BIGINT >> is
+  // arithmetic like Java's, the mask normalizes the fill), per-band
+  // equi-join, distinct, xor + bit_count (verified identical to
+  // Long.bitCount on negatives), threshold, sort. Decode itself stays
+  // gated by ImageHashSpec's plain-Scala reference dHash + the golden
+  // pins (unchanged across the PNM→mixed-PNG corpus switch — the
+  // format-invariance proof) — the oracle makes the PAIR SEMANTICS
+  // cross-engine-checked, the pins make the hashes trustworthy.
+  // ---------------------------------------------------------------------
+
+  private def dkBanded(name: String): String =
+    s"""h AS (SELECT asset_id, dhash
+       |  FROM read_parquet('${Similarity.annOracleRoot}/$name/hashes/*.parquet')),
+       |b AS (SELECT asset_id, dhash, bb.band AS band,
+       |    (dhash >> (bb.band * 16)) & 65535 AS v
+       |  FROM h, (SELECT unnest(range(0, 4)) AS band) bb)"""
+      .stripMargin
+
+  /** Full-corpus pair oracle (q159/q164): a < b banded join, pair-level
+    * distinct, Hamming ≤ 3. */
+  private def dkPairSql(name: String): String =
+    s"""WITH ${dkBanded(name)},
+       |p AS (SELECT DISTINCT a.asset_id AS a1, b2.asset_id AS a2,
+       |    a.dhash AS h1, b2.dhash AS h2
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.v = b2.v
+       |    AND a.asset_id < b2.asset_id)
+       |SELECT a1, a2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS dist
+       |FROM p WHERE bit_count(xor(h1, h2)) <= 3 ORDER BY a1, a2"""
+      .stripMargin
+
+  /** Incremental oracle (q172): odd (new) × even (store) sides of the
+    * SAME persisted table, (min, max)-normalized before the distinct —
+    * mirroring [[incrementalNearDupPairs]] clause for clause. */
+  private def dkIncrementalSql(name: String): String =
+    s"""WITH ${dkBanded(name)},
+       |p AS (SELECT DISTINCT
+       |    least(a.asset_id, b2.asset_id) AS a1,
+       |    greatest(a.asset_id, b2.asset_id) AS a2,
+       |    CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT) AS dist
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.v = b2.v
+       |    AND a.asset_id != b2.asset_id
+       |  WHERE a.asset_id % 2 = 1 AND b2.asset_id % 2 = 0)
+       |SELECT a1, a2, dist FROM p WHERE dist <= 3 ORDER BY a1, a2"""
+      .stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- perceptual-hash image near-dup: planted edited siblings over
     //      real decode of a MIXED P5+PNG corpus (each sibling pair is
     //      cross-format); banded Hamming join, exact at maxDist ≤ 3.
-    //      No SQL oracle (byte-level decode); ImageHashSpec carries a
-    //      plain-Scala reference dHash and the pair-recovery gate, and
-    //      the result is golden-pinned — pins unchanged from the all-PNM
-    //      corpus, which is the format-invariance proof. ----
-    "q159_image_dhash_pairs" -> QueryDef.rowsOnly { (s, dir) =>
-      nearDupImagePairs(imageHashes(syntheticImages(Tables.documents(s, dir))))
+    //      ORACLE-CHECKED since r13 the artifact way: the hash table
+    //      persists and DuckDB replays the entire pair pipeline from it
+    //      (decode stays gated by the reference dHash + golden pins —
+    //      see the replay block above). ----
+    "q159_image_dhash_pairs" -> QueryDef.sql(dkPairSql("q159")) { (s, dir) =>
+      nearDupImagePairs(Similarity.persistArtifact("q159", "hashes",
+        imageHashes(syntheticImages(Tables.documents(s, dir)))))
     },
 
     // ---- audio near-dup: energy-delta fingerprints over the real WAV
-    //      decoder, same banded join; planted edited siblings. ----
-    "q164_audio_fingerprint_pairs" -> QueryDef.rowsOnly { (s, dir) =>
-      nearDupImagePairs(audioEnergyHashes(syntheticWav(Tables.documents(s, dir))))
+    //      decoder, same banded join; planted edited siblings.
+    //      ORACLE-CHECKED since r13, same artifact replay. ----
+    "q164_audio_fingerprint_pairs" -> QueryDef.sql(dkPairSql("q164")) { (s, dir) =>
+      nearDupImagePairs(Similarity.persistArtifact("q164", "hashes",
+        audioEnergyHashes(syntheticWav(Tables.documents(s, dir)))))
     },
 
     // ---- incremental media dedup: the at-ingest shape — late-arriving
     //      edited siblings (odd asset ids) probe the stored original
     //      index (even ids); new × store only, never store × store.
     //      ImageHashSpec pins equivalence with the full-corpus face;
-    //      Streams.mediaDedupSinkQuery is the streaming wrapper. ----
-    "q172_media_dedup_incremental" -> QueryDef.rowsOnly { (s, dir) =>
-      val hashes = imageHashes(syntheticImages(Tables.documents(s, dir)))
+    //      Streams.mediaDedupSinkQuery is the streaming wrapper.
+    //      ORACLE-CHECKED since r13: DuckDB replays the odd×even probe
+    //      from the persisted hash table. ----
+    "q172_media_dedup_incremental" -> QueryDef.sql(dkIncrementalSql("q172")) { (s, dir) =>
+      val hashes = Similarity.persistArtifact("q172", "hashes",
+          imageHashes(syntheticImages(Tables.documents(s, dir))))
         .localCheckpoint(eager = false) // consumers: store + batch sides
       incrementalNearDupPairs(
         hashes.filter(col("asset_id") % 2 === 1),

@@ -1293,7 +1293,7 @@ object Similarity {
   /** Write `df` to the fixed artifact path for (face, rel); read it back
     * so every downstream stage consumes the EXACT persisted bytes DuckDB
     * will read. */
-  private def persistArtifact(name: String, rel: String, df: DataFrame): DataFrame = {
+  private[graft] def persistArtifact(name: String, rel: String, df: DataFrame): DataFrame = {
     val path = s"$annOracleRoot/$name/$rel"
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)

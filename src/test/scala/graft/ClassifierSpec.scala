@@ -220,11 +220,48 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val again = SparkEntry.all("q217_classifier_score_persisted")
       .fn(spark, dir)
     assert(again.collect().map(_.toString).toSeq === inline)
-    // the loaded plan reads the weight parquet, not a fresh training
+    // the loaded plan reads the weight parquet, not a fresh training —
+    // since the r13 oracle upgrade the face scores against the
+    // fixed-path oracle artifact (a re-persisted copy of the
+    // clf_weights state table, so DuckDB replays the same bytes)
     val p = again.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(p.contains("clf_weights"),
+    assert(p.contains("q217/weights") || p.contains("clf_weights"),
       s"q217 must score against the persisted artifact:\n$p")
+  }
+
+  test("knife-edge audit: every classifier oracle rounding gate clears the " +
+      "measured cross-engine exp() drift with wide margin (sf0.001)") {
+    // The DuckDB replay (clfQ110Sql..clfQ217Sql) is exact iff no rounding
+    // can flip across engines. Measured drift bound: libm-vs-Math.exp
+    // differs at the last ulp on ~11% of margins, max sigmoid-level
+    // effect 1.11e-16 (tools/knife_edge.py; COVERAGE.md knife-edge
+    // note). This gates the Spark half — the exact distance of every
+    // gated quantity from its rounding boundary — so a code or corpus
+    // change that moves a contribution onto a knife edge fails HERE,
+    // not as a silent driver-diff hash flip. Thresholds are ~45x the
+    // drift bound, well under the measured sf0.001 minima (3.39e-14 /
+    // 6.0e-12 / 2.79e-9).
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+    val (margins, grads, rawW) = Classifier.knifeEdgeFrames(docs)
+    val d9 = Classifier.boundaryDistUdf(9)
+    val d6 = Classifier.boundaryDistUdf(6)
+    // the UDF itself resolves sub-ulp distances exactly: 0.25 is binary-
+    // exact and 9-dp-interior (distance exactly half a grid step), while
+    // double 1.5e-9 sits ~6e-26 BELOW the decimal boundary — a double
+    // x*1e9 computation could never see that
+    val probe = spark.range(1).select(
+      d9(lit(0.25)).as("interior"), d9(lit(1.5e-9)).as("edge")).head
+    assert(probe.getDouble(0) == 5e-10)
+    assert(probe.getDouble(1) < 1e-17)
+    val gradMin = grads.agg(min(d9(col("g")))).head.getDouble(0)
+    val wMin = rawW.agg(min(d9(col("w")))).head.getDouble(0)
+    val scoreMin = margins.filter(col("stage") === 0)
+      .select((lit(1.0) / (lit(1.0) + col("e"))).as("p"))
+      .agg(min(d6(col("p")))).head.getDouble(0)
+    assert(gradMin >= 5e-15, s"gradient gate too close to a boundary: $gradMin")
+    assert(wMin >= 1e-12, s"weight gate too close to a boundary: $wMin")
+    assert(scoreMin >= 1e-10, s"score gate too close to a boundary: $scoreMin")
   }
 
   test("training releases every per-round barrier it pins") {
