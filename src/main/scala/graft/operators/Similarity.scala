@@ -106,13 +106,21 @@ object Similarity {
     },
 
     // ---- SemDeDup: k-means-bounded semantic dedup with the paper's
-    //      farthest-from-centroid keep rule. rows-only (the iterative
-    //      k-means isn't relational); SimilaritySpec gates the groups as
-    //      refinements of the exact q79 clusters and measures edge
-    //      recall; GoldenSpec pins the digests. ----
-    "q136_semdedup_kmeans" -> QueryDef.rowsOnly { (s, dir) =>
-      semDedupKmeans(Tables.embeddings(s, dir), threshold = 0.4,
-        k = 8, iters = 2).orderBy("vec_id")
+    //      farthest-from-centroid keep rule. ORACLE-CHECKED since r13
+    //      the artifact way: the iterative k-means stays golden-pinned,
+    //      the face persists its centroid table, and DuckDB replays
+    //      EVERYTHING after the quantizer from those bytes —
+    //      normalization + assignment as ordered list_reduce folds
+    //      (bit-identical doubles), probed-cluster ranking, within-
+    //      cluster edges, the recursive-CTE components (q79's closure),
+    //      and the farthest-from-centroid keep rule. SimilaritySpec
+    //      still gates the groups as refinements of the exact q79
+    //      clusters and measures edge recall. ----
+    "q136_semdedup_kmeans" -> QueryDef.sql(dkSemDedupSql(0.4, 3)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      semDedupFromCentroids(emb,
+        persistArtifact("q136", "centroids", kmeansCentroids(emb, k = 8, iters = 2)),
+        threshold = 0.4).orderBy("vec_id")
     },
 
     // ---- margin-based nearest-neighbor scoring (the bitext-mining /
@@ -505,9 +513,15 @@ object Similarity {
     },
 
     // ---- k-center greedy coreset: maximally-diverse exemplar selection
-    //      (farthest-point rounds); iterative — plain-Scala replay in
-    //      SimilaritySpec + golden pins stand in for a SQL oracle. ----
-    "q160_kcenter_coreset" -> QueryDef.rowsOnly { (s, dir) =>
+    //      (farthest-point rounds). ORACLE-CHECKED since r13: the round
+    //      count is FIXED (k = 8), so the greedy unrolls into k−1
+    //      relational stages DuckDB replays verbatim (the q110
+    //      unrolled-loop pattern) — per-candidate squared distances as
+    //      ordered list_reduce folds (bit-identical to the zip_with/
+    //      aggregate fold), min over the chosen set (order-free on
+    //      identical doubles), 6-dp round, argmax by (d DESC, vec_id).
+    //      Plain-Scala replay in SimilaritySpec retained. ----
+    "q160_kcenter_coreset" -> QueryDef.sql(dkKcenterSql(8)) { (s, dir) =>
       kcenterCoreset(Tables.embeddings(s, dir))
     },
 
@@ -681,6 +695,104 @@ object Similarity {
     }
     chosen.select(col("sel_round"), col("vec_id"), col("sq_dist"))
       .orderBy("sel_round")
+  }
+
+  /** Ordered dot-product fold: list_reduce ≡ graft_dot's left-to-right
+    * accumulation, so the double sums are bit-identical across engines. */
+  private def dkDotFold(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len($a) + 1), j -> $a[j] * $b[j])),
+       |      (acc, t) -> acc + t)""".stripMargin
+
+  /** DuckDB replay of [[semDedupFromCentroids]] (q136) from the persisted
+    * centroid artifact: normalization + assignment as ordered folds,
+    * probed-cluster ranking, within-cluster candidate edges, q79's
+    * recursive-CTE closure for components, farthest-from-centroid keep. */
+  private[graft] def dkSemDedupSql(threshold: Double, probes: Int): String =
+    s"""WITH RECURSIVE nn AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb
+       |  FROM (SELECT vec_id, emb, sqrt(${dkDotFold("emb", "emb")}) AS nrm
+       |        FROM (SELECT vec_id,
+       |                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |              FROM embeddings))),
+       |cent AS MATERIALIZED (SELECT cluster_id, cemb
+       |  FROM read_parquet('$annOracleRoot/q136/centroids/*.parquet')),
+       |pr AS MATERIALIZED (
+       |  SELECT vec_id, emb, cluster_id, c_cos, rn FROM (
+       |    SELECT nn.vec_id, nn.emb, c.cluster_id,
+       |      ${dkDotFold("nn.emb", "c.cemb")} AS c_cos,
+       |      row_number() OVER (PARTITION BY nn.vec_id
+       |        ORDER BY ${dkDotFold("nn.emb", "c.cemb")} DESC, c.cluster_id) AS rn
+       |    FROM nn, cent c)
+       |  WHERE rn <= $probes),
+       |edges AS MATERIALIZED (
+       |  SELECT v1, v2 FROM (
+       |    SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,
+       |      round(${dkDotFold("a.emb", "b.emb")}, 6) AS cos_sim
+       |    FROM pr a JOIN pr b
+       |      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+       |  WHERE cos_sim >= $threshold),
+       |ed2 AS MATERIALIZED (
+       |  SELECT v1 AS a, v2 AS b FROM edges
+       |  UNION SELECT v2, v1 FROM edges),
+       |reach AS (
+       |  SELECT a, b FROM ed2
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN ed2 e ON r.b = e.a
+       |  WHERE r.a != e.b),
+       |comps AS MATERIALIZED (
+       |  SELECT m.a AS vec_id, least(m.a, min(r.b)) AS group_id
+       |  FROM (SELECT DISTINCT a FROM ed2) m JOIN reach r ON r.a = m.a
+       |  GROUP BY m.a),
+       |wc AS MATERIALIZED (
+       |  SELECT comps.vec_id, comps.group_id, pr.c_cos
+       |  FROM comps JOIN pr ON pr.vec_id = comps.vec_id AND pr.rn = 1),
+       |kp AS (SELECT group_id, vec_id AS keeper FROM (
+       |    SELECT group_id, vec_id, row_number() OVER (
+       |      PARTITION BY group_id ORDER BY c_cos, vec_id) AS krn FROM wc)
+       |  WHERE krn = 1)
+       |SELECT wc.vec_id, wc.group_id,
+       |  round(wc.c_cos, 6) AS cos_to_centroid,
+       |  wc.vec_id = kp.keeper AS is_keeper
+       |FROM wc JOIN kp ON kp.group_id = wc.group_id
+       |ORDER BY wc.vec_id""".stripMargin
+
+  /** DuckDB replay of [[kcenterCoreset]] (q160): the fixed k unrolls the
+    * greedy into k−1 stages. Each stage mirrors the Spark round exactly —
+    * the per-(point, center) squared distance is an ORDERED left fold
+    * over dims (list_reduce ≡ the zip_with/aggregate fold, so the double
+    * sums are bit-identical), the min over the chosen set is order-free
+    * on identical doubles, the 6-dp round and the (d DESC, vec_id)
+    * argmax then replay engine-independently. */
+  private[graft] def dkKcenterSql(k: Int): String = {
+    val d2 = (c: String) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, len(e.emb) + 1),
+         |        j -> (e.emb[j] - $c.cemb[j]) * (e.emb[j] - $c.cemb[j]))),
+         |      (acc, t) -> acc + t)""".stripMargin
+    val head =
+      s"""e AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |ch1 AS MATERIALIZED (SELECT 1 AS sel_round, vec_id, emb AS cemb, 0.0 AS sq_dist
+         |  FROM e ORDER BY vec_id LIMIT 1)""".stripMargin
+    // every stage CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // stage i references stage i−1 three times — inlining would expand
+    // the chain 3^(k−1)-fold (measured: minutes at sf0.1 vs ~1 s
+    // materialized)
+    val stages = (2 to k).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT e.vec_id, any_value(e.emb) AS emb,
+         |    round(min(${d2("c")}), 6) AS d
+         |  FROM e, ch${i - 1} c
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})
+         |  GROUP BY e.vec_id),
+         |c$i AS MATERIALIZED (SELECT $i AS sel_round, vec_id, emb AS cemb, d AS sq_dist
+         |  FROM r$i ORDER BY d DESC, vec_id LIMIT 1),
+         |ch$i AS MATERIALIZED (SELECT * FROM ch${i - 1} UNION ALL SELECT * FROM c$i)"""
+        .stripMargin
+    }
+    s"WITH ${(head +: stages).mkString(",\n")}\n" +
+      s"SELECT CAST(sel_round AS BIGINT) AS sel_round, vec_id, sq_dist FROM ch$k ORDER BY sel_round"
   }
 
   /** Exact brute-force cosine top-k: rows of `embeddings` matching
@@ -1750,8 +1862,16 @@ object Similarity {
     * (vec_id, group_id, cos_to_centroid, is_keeper) — cos_to_centroid
     * and the keep rule always use the TOP-1 cluster. */
   def semDedupKmeans(embeddings: DataFrame, threshold: Double,
-      k: Int, iters: Int = 3, probes: Int = 3): DataFrame = {
-    val centroids = kmeansCentroids(embeddings, k, iters)
+      k: Int, iters: Int = 3, probes: Int = 3): DataFrame =
+    semDedupFromCentroids(embeddings, kmeansCentroids(embeddings, k, iters),
+      threshold, probes)
+
+  /** Everything after the quantizer: [[semDedupKmeans]] with the centroid
+    * table supplied — the seam the q136 oracle persists through (training
+    * stays golden-pinned; assignment → candidates → edges → components →
+    * keep rule all replay in DuckDB from the stored centroids). */
+  def semDedupFromCentroids(embeddings: DataFrame, centroids: DataFrame,
+      threshold: Double, probes: Int = 3): DataFrame = {
     val e = withNorm(embeddings)
       .select(col("vec_id"), expr("transform(emb, x -> x / norm)").as("emb"))
     // three consumers (both pair sides + the keep rule) → lazy barrier
