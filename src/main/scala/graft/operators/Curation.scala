@@ -779,11 +779,16 @@ object Curation {
     },
 
     // ---- full BPE training (the loop whose single step is q88): 30
-    //      ordered merges. No SQL oracle — per-round argmax + in-word
-    //      greedy replacement is iterative, not relational; CurationSpec
-    //      pins hand-computed merge tables (incl. the Sennrich corpus
-    //      shape) and GoldenSpec digests the full output at both SFs. ----
-    "q102_bpe_train_merges" -> QueryDef.rowsOnly { (s, dir) =>
+    //      ordered merges. ORACLE-CHECKED since r13: the FIXED merge
+    //      count unrolls the loop into 30 relational stages DuckDB
+    //      replays verbatim (the q110 unrolled-loop pattern) — per-round
+    //      adjacent-pair counts, the sentinel-guarded (count DESC, l, r)
+    //      argmax, and the greedy left-to-right merge as a string-
+    //      accumulator list_reduce whose separator is the one character
+    //      words can never contain (the corpus splits on ' '); see
+    //      [[dkBpeTrainCtes]]. CurationSpec's hand-computed merge tables
+    //      and the GoldenSpec digests remain. ----
+    "q102_bpe_train_merges" -> QueryDef.sql(dkBpeQ102Sql) { (s, dir) =>
       bpeTrainMerges(Tables.documents(s, dir)).orderBy("merge_rank")
     },
 
@@ -791,8 +796,11 @@ object Curation {
     //      pattern): train on the corpus, then tokenize it and report
     //      per-doc fertility. Merge table broadcast as one ordered
     //      array row; tokenization is an in-row nested fold — zero
-    //      shuffle over the corpus. ----
-    "q103_bpe_tokenize" -> QueryDef.rowsOnly { (s, dir) =>
+    //      shuffle over the corpus. ORACLE-CHECKED since r13: the
+    //      unrolled training's final vocabulary IS the per-word
+    //      segmentation (train and apply share the fold), so the oracle
+    //      joins it back onto the token stream. ----
+    "q103_bpe_tokenize" -> QueryDef.sql(dkBpeQ103Sql) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       bpeTokenize(docs, bpeTrainMerges(docs)).orderBy("doc_id")
     },
@@ -2565,6 +2573,87 @@ object Curation {
         .as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("wc")).as("pair_count"))
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle replay (q102/q103): BPE training is iterative, but the
+  // merge count is FIXED (30), so the loop unrolls into 30 relational
+  // stages (the q110 unrolled-GD pattern). Each stage = adjacent-pair
+  // counts (unnest + group), the sentinel-guarded (count DESC, l, r)
+  // argmax (binary string ordering on both engines), and the greedy
+  // left-to-right merge replayed as a list_reduce over the word's
+  // symbols with a SPACE-JOINED STRING accumulator — sound because the
+  // corpus tokenizes by splitting on ' ', so no symbol can ever contain
+  // the separator. The fold is clause-for-clause [[bpeTrainMerges]]'s:
+  // append x unless the accumulator's last element is l and x is r, in
+  // which case replace it with l‖r — and a just-merged element equals
+  // l‖r ≠ l, so overlaps resolve identically ("aaa" → [aa, a]). Every
+  // stage CTE is MATERIALIZED (the q160 lesson: DuckDB inlines plain
+  // CTEs and the 30-stage chain would expand exponentially). All
+  // arithmetic is integer; no drift source exists. The final stage's
+  // vocabulary is each word's full segmentation, which is exactly
+  // [[bpeVocabSubwords]] — q103's oracle joins it onto the token stream.
+  // ---------------------------------------------------------------------
+
+  /** One stage's greedy-merge fold over `syms` under the stage's (l, r).
+    * NOTE: no continuation line may START with `||` — this string is
+    * interpolated into a template that stripMargins AFTER interpolation,
+    * which would eat the first pipe of a leading `||`. */
+  private def dkBpeMergeFold: String =
+    """string_split(list_reduce(list_prepend('', v.syms), (acc, x) ->
+      |      CASE WHEN acc = '' THEN x
+      |           WHEN string_split(acc, ' ')[-1] = b.l AND x = b.r THEN
+      |             CASE WHEN length(acc) = length(string_split(acc, ' ')[-1])
+      |                  THEN b.l || b.r
+      |                  ELSE left(acc, length(acc) - length(string_split(acc, ' ')[-1]) - 1) ||
+      |                       ' ' || b.l || b.r END
+      |           ELSE acc || ' ' || x END), ' ')""".stripMargin
+
+  /** Training unrolled to `v<n>` (w, wc, syms) + per-stage argmaxes `b<k>`. */
+  private def dkBpeTrainCtes(nMerges: Int): String = {
+    val head =
+      """v0 AS MATERIALIZED (
+        |  SELECT w, wc,
+        |    list_transform(range(1, length(w) + 1),
+        |      i -> substr(w, CAST(i AS INT), 1)) AS syms
+        |  FROM (SELECT w, count(*) AS wc FROM (
+        |          SELECT unnest(list_filter(string_split(trim(text), ' '),
+        |            x -> x != '')) AS w
+        |          FROM documents) GROUP BY w))""".stripMargin
+    val stages = (1 to nMerges).map { k =>
+      s"""p$k AS (SELECT u.s.l AS l, u.s.r AS r, CAST(sum(wc) AS BIGINT) AS pair_count
+         |  FROM v${k - 1}, unnest(list_transform(range(1, len(syms)),
+         |    i -> {'l': syms[i], 'r': syms[i + 1]})) AS u(s)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, pair_count FROM (
+         |    SELECT l, r, pair_count FROM p$k
+         |    UNION ALL SELECT '', '', CAST(-1 AS BIGINT))
+         |  ORDER BY pair_count DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT v.w, v.wc, $dkBpeMergeFold AS syms
+         |  FROM v${k - 1} v, b$k b)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  private val dkBpeMerges = 30
+
+  private[graft] def dkBpeQ102Sql: String =
+    s"WITH ${dkBpeTrainCtes(dkBpeMerges)}\nSELECT * FROM (\n" +
+      (1 to dkBpeMerges).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS merge_rank, l, r, pair_count FROM b$k")
+        .mkString("", "\nUNION ALL\n", ")\n") +
+      "WHERE pair_count > 0 ORDER BY merge_rank"
+
+  private[graft] def dkBpeQ103Sql: String =
+    s"""WITH ${dkBpeTrainCtes(dkBpeMerges)},
+       |tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(trim(text), ' '), x -> x != '')) AS w
+       |  FROM documents)
+       |SELECT tok.doc_id,
+       |  count(*) AS n_words,
+       |  CAST(sum(len(v.syms)) AS BIGINT) AS n_subwords,
+       |  round(CAST(sum(len(v.syms)) AS DOUBLE) / count(*), 6) AS subwords_per_word
+       |FROM tok JOIN v$dkBpeMerges v ON v.w = tok.w
+       |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
 
   /** Per-source distinct-token cardinality as MERGEABLE HLL sketches
     * (Apache DataSketches via Spark's hll_sketch_agg) — the incremental

@@ -45,23 +45,156 @@ object Wordpiece {
 
   def defs: Map[String, QueryDef] = Map(
 
-    // ---- WordPiece training (no SQL oracle — the per-round argmax +
-    //      greedy replacement is iterative, not relational, exactly as
-    //      q102; WordpieceSpec pins an independent plain-Scala reference
-    //      merge-for-merge and GoldenSpec digests both SFs). ----
-    "q119_wordpiece_train" -> QueryDef.rowsOnly { (s, dir) =>
+    // ---- WordPiece training. ORACLE-CHECKED since r13: the fixed merge
+    //      count unrolls into 30 relational stages (the q102/q110
+    //      pattern) — adjacent-pair counts + symbol counts, the
+    //      likelihood score c(lr)/(c(l)·c(r)) as ONE double multiply +
+    //      divide on exact integers (bit-identical), the sentinel-
+    //      guarded (score DESC, count DESC, l, r) argmax, and the greedy
+    //      merge fold with the `##`-stripping product. WordpieceSpec's
+    //      plain-Scala reference and the GoldenSpec digests remain. ----
+    "q119_wordpiece_train" -> QueryDef.sql(dkWpQ119Sql) { (s, dir) =>
       wordpieceTrainMerges(Tables.documents(s, dir)).orderBy("merge_rank")
     },
 
     // ---- WordPiece tokenize/fertility (the q103 apply-face shape):
     //      train, then greedy-longest-match the corpus against the
     //      learned vocabulary and report per-doc fertility + UNK
-    //      counts. ----
-    "q120_wordpiece_tokenize" -> QueryDef.rowsOnly { (s, dir) =>
+    //      counts. ORACLE-CHECKED since r13: DuckDB replays the
+    //      unrolled training, rebuilds the runtime vocab (alphabet
+    //      units + merge products), and runs the SAME greedy
+    //      longest-prefix fold per distinct word — the fold state is a
+    //      "pos nPieces bad" string (q120 only consumes the counts),
+    //      with ' ' as the separator no token can contain. ----
+    "q120_wordpiece_tokenize" -> QueryDef.sql(dkWpQ120Sql) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       wordpieceTokenize(docs, wordpieceTrainMerges(docs)).orderBy("doc_id")
     }
   )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle replay (q119/q120): the q102 unrolled-loop pattern with
+  // two WordPiece twists — the argmax key is the likelihood ratio
+  // (double-exact on integer inputs), and the runtime face replays
+  // BERT's greedy longest-prefix matcher rather than the training
+  // merges (the declared runtime/training asymmetry). Stage CTEs are
+  // MATERIALIZED (the q160 inlining lesson).
+  // ---------------------------------------------------------------------
+
+  private val dkWpMerges = 30
+
+  /** Greedy-merge fold under stage argmax (l, r): BPE's fold with the
+    * merge product `l ‖ strip##(r)`. Space-joined string accumulator —
+    * sound because the corpus splits words on ' '. (No continuation
+    * line may start with `||`: the enclosing template stripMargins
+    * after interpolation.) */
+  private def dkWpMergeFold: String =
+    """string_split(list_reduce(list_prepend('', v.syms), (acc, x) ->
+      |      CASE WHEN acc = '' THEN x
+      |           WHEN string_split(acc, ' ')[-1] = b.l AND x = b.r THEN
+      |             CASE WHEN length(acc) = length(string_split(acc, ' ')[-1])
+      |                  THEN b.l || substr(b.r, 3)
+      |                  ELSE left(acc, length(acc) - length(string_split(acc, ' ')[-1]) - 1) ||
+      |                       ' ' || b.l || substr(b.r, 3) END
+      |           ELSE acc || ' ' || x END), ' ')""".stripMargin
+
+  private def dkWpTrainCtes(nMerges: Int): String = {
+    val head =
+      """v0 AS MATERIALIZED (
+        |  SELECT w, wc,
+        |    list_transform(range(1, length(w) + 1),
+        |      i -> CASE WHEN i = 1 THEN substr(w, 1, 1)
+        |           ELSE '##' || substr(w, CAST(i AS INT), 1) END) AS syms
+        |  FROM (SELECT w, count(*) AS wc FROM (
+        |          SELECT unnest(list_filter(string_split(trim(text), ' '),
+        |            x -> x != '')) AS w
+        |          FROM documents) GROUP BY w))""".stripMargin
+    val stages = (1 to nMerges).map { k =>
+      s"""p$k AS (SELECT u.s.l AS l, u.s.r AS r, CAST(sum(wc) AS BIGINT) AS pair_count
+         |  FROM v${k - 1}, unnest(list_transform(range(1, len(syms)),
+         |    i -> {'l': syms[i], 'r': syms[i + 1]})) AS u(s)
+         |  GROUP BY 1, 2),
+         |sy$k AS (SELECT t.s AS s, CAST(sum(wc) AS BIGINT) AS sc
+         |  FROM v${k - 1}, unnest(syms) AS t(s) GROUP BY 1),
+         |b$k AS MATERIALIZED (SELECT l, r, pair_count, score FROM (
+         |    SELECT p.l, p.r, p.pair_count,
+         |      CAST(p.pair_count AS DOUBLE) /
+         |        (CAST(sl.sc AS DOUBLE) * CAST(sr.sc AS DOUBLE)) AS score
+         |    FROM p$k p JOIN sy$k sl ON sl.s = p.l JOIN sy$k sr ON sr.s = p.r
+         |    UNION ALL SELECT '', '', CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE))
+         |  ORDER BY score DESC, pair_count DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT v.w, v.wc, $dkWpMergeFold AS syms
+         |  FROM v${k - 1} v, b$k b)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  private[graft] def dkWpQ119Sql: String =
+    s"WITH ${dkWpTrainCtes(dkWpMerges)}\nSELECT * FROM (\n" +
+      (1 to dkWpMerges).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS merge_rank, l, r, pair_count, round(score, 9) AS score FROM b$k")
+        .mkString("", "\nUNION ALL\n", ")\n") +
+      "WHERE pair_count > 0 ORDER BY merge_rank"
+
+  /** q120's greedy longest-prefix matcher, replayed RELATIONALLY: a
+    * (word, consumed-pos) → longest-matching-piece-length table (join
+    * against the vocab, max per position — greedy at pos consumes
+    * exactly the longest match, and both bare and `##` pieces of
+    * match-length L consume L chars), then a recursive-CTE walk that
+    * advances pos by bestL until consumption or a missing match (UNK).
+    * Deliberately lambda-free: DuckDB 1.0 mis-evaluates a nested
+    * list_contains lambda that captures a cross-joined column under
+    * some plans (measured: the same fold returned 6 pieces inline and
+    * 7 under the full query), so the oracle avoids outer-column capture
+    * in lambdas entirely. */
+  private def dkWpWalkCtes: String =
+    s"""cands AS (
+       |  SELECT dw.w, pp.p, LL.L,
+       |    CASE WHEN pp.p = 0 THEN substr(dw.w, 1, CAST(LL.L AS INT))
+       |         ELSE '##' || substr(dw.w, pp.p + 1, CAST(LL.L AS INT)) END AS piece
+       |  FROM (SELECT DISTINCT w FROM v0) dw,
+       |    LATERAL unnest(range(0, length(dw.w))) AS pp(p),
+       |    LATERAL unnest(range(1, least($maxPieceLen, length(dw.w) - pp.p) + 1)) AS LL(L)),
+       |matches AS MATERIALIZED (
+       |  SELECT c.w, c.p, max(c.L) AS bestL
+       |  FROM cands c JOIN vocab v ON v.piece = c.piece GROUP BY c.w, c.p),
+       |walk AS (
+       |  SELECT w, 0 AS pos, 0 AS n, false AS bad FROM (SELECT DISTINCT w FROM v0)
+       |  UNION ALL
+       |  SELECT wk.w,
+       |    CAST(CASE WHEN m.bestL IS NULL THEN length(wk.w)
+       |         ELSE wk.pos + m.bestL END AS INT) AS pos,
+       |    wk.n + 1 AS n,
+       |    m.bestL IS NULL AS bad
+       |  FROM walk wk LEFT JOIN matches m ON m.w = wk.w AND m.p = wk.pos
+       |  WHERE NOT wk.bad AND wk.pos < length(wk.w)),
+       |seg AS MATERIALIZED (
+       |  SELECT w,
+       |    CAST(CASE WHEN bad THEN 1 ELSE n END AS BIGINT) AS n_sub,
+       |    CASE WHEN bad THEN 1 ELSE 0 END AS is_unk
+       |  FROM walk WHERE bad OR pos >= length(w))""".stripMargin
+
+  private[graft] def dkWpQ120Sql: String =
+    s"""WITH RECURSIVE ${dkWpTrainCtes(dkWpMerges)},
+       |vocab AS MATERIALIZED (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT u.u AS piece FROM v0, unnest(syms) AS u(u)
+       |    UNION ALL
+       |    SELECT l || substr(r, 3) AS piece FROM (
+       |${(1 to dkWpMerges).map(k => s"      SELECT l, r, pair_count FROM b$k")
+            .mkString("\n      UNION ALL\n")}
+       |    ) WHERE pair_count > 0)),
+       |$dkWpWalkCtes,
+       |tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(trim(text), ' '), x -> x != '')) AS w
+       |  FROM documents)
+       |SELECT tok.doc_id,
+       |  count(*) AS n_words,
+       |  CAST(sum(seg.n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(sum(seg.is_unk) AS BIGINT) AS n_unk_words,
+       |  round(CAST(sum(seg.n_sub) AS DOUBLE) / count(*), 6) AS subwords_per_word
+       |FROM tok JOIN seg ON seg.w = tok.w
+       |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
 
   /** Initial segmentation: first char bare, the rest `##`-prefixed. */
   private val initialUnitsExpr =
