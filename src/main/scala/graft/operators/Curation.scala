@@ -2608,10 +2608,12 @@ object Curation {
       |                       ' ' || b.l || b.r END
       |           ELSE acc || ' ' || x END), ' ')""".stripMargin
 
-  /** Training unrolled to `v<n>` (w, wc, syms) + per-stage argmaxes `b<k>`. */
-  private def dkBpeTrainCtes(nMerges: Int): String = {
+  /** Training unrolled to `v<n>` (w, wc, syms) + per-stage argmaxes
+    * `b<k>`. `pfx` namespaces every CTE so the q158 bake-off can embed
+    * all three families\u2019 replays in one statement. */
+  private[graft] def dkBpeTrainCtes(nMerges: Int, pfx: String = ""): String = {
     val head =
-      """v0 AS MATERIALIZED (
+      s"""${pfx}v0 AS MATERIALIZED (
         |  SELECT w, wc,
         |    list_transform(range(1, length(w) + 1),
         |      i -> substr(w, CAST(i AS INT), 1)) AS syms
@@ -2620,21 +2622,21 @@ object Curation {
         |            x -> x != '')) AS w
         |          FROM documents) GROUP BY w))""".stripMargin
     val stages = (1 to nMerges).map { k =>
-      s"""p$k AS (SELECT u.s.l AS l, u.s.r AS r, CAST(sum(wc) AS BIGINT) AS pair_count
-         |  FROM v${k - 1}, unnest(list_transform(range(1, len(syms)),
+      s"""${pfx}p$k AS (SELECT u.s.l AS l, u.s.r AS r, CAST(sum(wc) AS BIGINT) AS pair_count
+         |  FROM ${pfx}v${k - 1}, unnest(list_transform(range(1, len(syms)),
          |    i -> {'l': syms[i], 'r': syms[i + 1]})) AS u(s)
          |  GROUP BY 1, 2),
-         |b$k AS MATERIALIZED (SELECT l, r, pair_count FROM (
-         |    SELECT l, r, pair_count FROM p$k
+         |${pfx}b$k AS MATERIALIZED (SELECT l, r, pair_count FROM (
+         |    SELECT l, r, pair_count FROM ${pfx}p$k
          |    UNION ALL SELECT '', '', CAST(-1 AS BIGINT))
          |  ORDER BY pair_count DESC, l, r LIMIT 1),
-         |v$k AS MATERIALIZED (SELECT v.w, v.wc, $dkBpeMergeFold AS syms
-         |  FROM v${k - 1} v, b$k b)""".stripMargin
+         |${pfx}v$k AS MATERIALIZED (SELECT v.w, v.wc, $dkBpeMergeFold AS syms
+         |  FROM ${pfx}v${k - 1} v, ${pfx}b$k b)""".stripMargin
     }
     (head +: stages).mkString(",\n")
   }
 
-  private val dkBpeMerges = 30
+  private[graft] val dkBpeMerges = 30
 
   private[graft] def dkBpeQ102Sql: String =
     s"WITH ${dkBpeTrainCtes(dkBpeMerges)}\nSELECT * FROM (\n" +

@@ -58,15 +58,26 @@ object Unigram {
   def defs: Map[String, QueryDef] = Map(
     // ---- unigram-LM train: the final piece table after seeding + 2
     //      hard-EM rounds. rank orders by (count desc, piece) — the
-    //      stable artifact a tokenizer build ships. ----
-    "q108_unigram_train" -> QueryDef.rowsOnly { (s, dir) =>
+    //      stable artifact a tokenizer build ships. ORACLE-CHECKED
+    //      since r13: the fixed round count unrolls the EM, and the
+    //      in-row Viterbi DP replays as a recursive-CTE forward pass
+    //      carrying the 4-deep best-score window + a backpointer
+    //      string, then a recursive backward walk (see the replay
+    //      block below; ln() drift is knife-edge-audited — small but
+    //      REAL on these corpora's inputs, and proven harmless by a
+    //      full drifted-ln DP replay + margin analysis). UnigramSpec's
+    //      plain-Scala reference EM and the GoldenSpec digests
+    //      remain. ----
+    "q108_unigram_train" -> QueryDef.sql(dkUnigramQ108Sql) { (s, dir) =>
       unigramTrain(Tables.documents(s, dir), vocabSize = 60, emRounds = 2)
         .orderBy("rank")
     },
 
     // ---- unigram-LM tokenize: per-doc fertility under the trained
-    //      table (the q103-shaped apply face). ----
-    "q109_unigram_tokenize" -> QueryDef.rowsOnly { (s, dir) =>
+    //      table (the q103-shaped apply face). ORACLE-CHECKED since
+    //      r13: DuckDB replays the unrolled training AND a third DP
+    //      pass under the final table's log-probs. ----
+    "q109_unigram_tokenize" -> QueryDef.sql(dkUnigramQ109Sql) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       unigramTokenize(docs, unigramTrain(docs, vocabSize = 60, emRounds = 2))
         .orderBy("doc_id")
@@ -183,6 +194,150 @@ object Unigram {
     graft.Barriers.release(vocab)
     out
   }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle replay (q108/q109): the EM round count is FIXED (2),
+  // so the training unrolls (the q110/q102 pattern). The novel piece is
+  // the in-row Viterbi DP, which replays LAMBDA-FREE (the q120 lesson)
+  // as two recursive CTEs per pass:
+  //  - FORWARD: one row per (word, position i), carrying the last four
+  //    best scores (maxPieceLen = 4 — a recursive CTE only sees the
+  //    previous iteration, so the window rides as columns) plus the
+  //    chosen piece length per position as a space-joined backpointer
+  //    string; candidate scores come from four LEFT JOINs against the
+  //    round's log-prob table (L = 1 falls back to unkLogProb exactly as
+  //    the Spark fold's coalesce; L ≥ 2 candidates drop on a missing
+  //    piece via NULL). The tie-break (smallest backpointer j = LONGEST
+  //    piece) replays as a largest-L-first CASE over score equality.
+  //  - BACKWARD: walk pos -= L(pos) from length(w), emitting pieces.
+  // Scores accumulate ONE addition per step along each path in both
+  // engines, so given bit-identical log-probs the DP is bit-exact —
+  // ties included. The ONE drift source, libm ln() vs Java Math.log,
+  // DOES differ on these corpora's actual (cnt, tot) inputs (measured:
+  // 2–11 of ~176 per SF, ≤ 1.78e-15 — the zero-drift hope was FALSE),
+  // so safety is proven two ways by graft.UnigramKnifeEdge +
+  // tools/ln_knife_edge.py: (a) every DP decision's winner beats the
+  // runner-up by ≥ 8.1e-5 — nine orders beyond the ≤ 2.8e-14 worst
+  // path drift (≤ 8 pieces × 2 ln calls × 1.78e-15) — and the 9-dp
+  // logp gate sits ≥ 1e-12 from a boundary; (b) decisively, the
+  // audit replays the ENTIRE three-pass DP under DuckDB's drifted ln
+  // values and reproduces every segmentation — exact ties included —
+  // word-for-word at all three SFs (numbers in COVERAGE.md).
+  // ---------------------------------------------------------------------
+
+  /** Shared corpus-derived CTEs: tokenized words, the word vocab, the
+    * seed piece table, and the two unrolled EM rounds ending at `p2`. */
+  private[graft] def dkUnigramTrainCtes(pfx: String = ""): String = {
+    val head =
+      s"""${pfx}vw AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+         |    SELECT unnest(list_filter(string_split(trim(text), ' '),
+         |      x -> x != '')) AS w
+         |    FROM documents) GROUP BY w),
+         |${pfx}subs AS (
+         |  SELECT sub.piece AS piece, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM ${pfx}vw, unnest(flatten(list_transform(range(1, length(w) + 1),
+         |    i -> list_transform(range(i, least(length(w), i + ${maxPieceLen - 1}) + 1),
+         |      j -> substr(w, CAST(i AS INT), CAST(j - i + 1 AS INT)))))) AS sub(piece)
+         |  GROUP BY 1),
+         |${pfx}p0 AS MATERIALIZED (
+         |  SELECT piece, cnt FROM ${pfx}subs WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM ${pfx}subs WHERE length(piece) >= 2
+         |    ORDER BY cnt DESC, piece LIMIT 60))""".stripMargin
+    (head +: (1 to 2).map(r =>
+        dkUnigramRound(r, s"${pfx}p${r - 1}", s"${pfx}p$r", pfx)))
+      .mkString(",\n")
+  }
+
+  /** One Viterbi-DP pass under log-prob table `lp` — forward CTE `fw`,
+    * terminal rows `fwt`, backward walk `bw`, emitted `pieces`. */
+  private[graft] def dkViterbiCtes(tag: String, lpRel: String,
+      pfx: String = ""): String =
+    s"""${pfx}fw$tag AS (
+       |  SELECT w, wc, 0 AS i, CAST(0.0 AS DOUBLE) AS b0,
+       |    CAST(NULL AS DOUBLE) AS b1, CAST(NULL AS DOUBLE) AS b2,
+       |    CAST(NULL AS DOUBLE) AS b3, '' AS bps
+       |  FROM ${pfx}vw
+       |  UNION ALL
+       |  SELECT w, wc, i + 1,
+       |    greatest(c1, c2, c3, c4) AS b0, b0 AS b1, b1 AS b2, b2 AS b3,
+       |    CASE WHEN bps = '' THEN '' ELSE bps || ' ' END ||
+       |      CAST(CASE WHEN c4 = greatest(c1, c2, c3, c4) THEN 4
+       |                WHEN c3 = greatest(c1, c2, c3, c4) THEN 3
+       |                WHEN c2 = greatest(c1, c2, c3, c4) THEN 2
+       |                ELSE 1 END AS VARCHAR) AS bps
+       |  FROM (
+       |    SELECT f.w, f.wc, f.i, f.b0, f.b1, f.b2, f.bps,
+       |      f.b0 + coalesce(l1.lp, CAST($unkLogProb AS DOUBLE)) AS c1,
+       |      f.b1 + l2.lp AS c2,
+       |      f.b2 + l3.lp AS c3,
+       |      f.b3 + l4.lp AS c4
+       |    FROM ${pfx}fw$tag f
+       |    LEFT JOIN $lpRel l1 ON l1.piece = substr(f.w, f.i + 1, 1)
+       |    LEFT JOIN $lpRel l2 ON f.i >= 1 AND l2.piece = substr(f.w, f.i, 2)
+       |    LEFT JOIN $lpRel l3 ON f.i >= 2 AND l3.piece = substr(f.w, f.i - 1, 3)
+       |    LEFT JOIN $lpRel l4 ON f.i >= 3 AND l4.piece = substr(f.w, f.i - 2, 4)
+       |    WHERE f.i < length(f.w))),
+       |${pfx}fwt$tag AS MATERIALIZED (
+       |  SELECT w, wc, bps FROM ${pfx}fw$tag WHERE i = length(w)),
+       |${pfx}bw$tag AS (
+       |  SELECT w, wc, length(w) AS pos, bps FROM ${pfx}fwt$tag
+       |  UNION ALL
+       |  SELECT w, wc,
+       |    pos - CAST(split_part(bps, ' ', pos) AS INT) AS pos, bps
+       |  FROM ${pfx}bw$tag WHERE pos > 0),
+       |${pfx}pieces$tag AS MATERIALIZED (
+       |  SELECT w, wc,
+       |    substr(w, pos - CAST(split_part(bps, ' ', pos) AS INT) + 1,
+       |      CAST(split_part(bps, ' ', pos) AS INT)) AS piece
+       |  FROM ${pfx}bw$tag WHERE pos > 0)""".stripMargin
+
+  /** One EM round: log-probs from `src`, Viterbi counts, M-step floor. */
+  private def dkUnigramRound(r: Int, src: String, dst: String,
+      pfx: String = ""): String =
+    s"""${pfx}lp$r AS MATERIALIZED (
+       |  SELECT piece, ln(CAST(cnt AS DOUBLE)) - ln(tot) AS lp
+       |  FROM $src, (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM $src)),
+       |${dkViterbiCtes(r.toString, s"${pfx}lp$r", pfx)},
+       |${pfx}vc$r AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS vcnt
+       |  FROM ${pfx}pieces$r GROUP BY 1),
+       |$dst AS MATERIALIZED (
+       |  SELECT piece, cnt FROM (
+       |    SELECT p.piece,
+       |      CASE WHEN length(p.piece) = 1
+       |           THEN greatest(coalesce(vc.vcnt, 0), 1)
+       |           ELSE coalesce(vc.vcnt, 0) END AS cnt
+       |    FROM $src p LEFT JOIN ${pfx}vc$r vc ON vc.piece = p.piece)
+       |  WHERE cnt > 0)""".stripMargin
+
+  private[graft] def dkUnigramQ108Sql: String =
+    s"""WITH RECURSIVE ${dkUnigramTrainCtes()}
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank,
+       |  piece, cnt,
+       |  round(ln(CAST(cnt AS DOUBLE)) - ln(tot), 9) AS logp
+       |FROM p2, (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM p2)
+       |ORDER BY rank""".stripMargin
+
+  private[graft] def dkUnigramQ109Sql: String =
+    s"""WITH RECURSIVE ${dkUnigramTrainCtes()},
+       |lpF AS MATERIALIZED (
+       |  SELECT piece, ln(CAST(cnt AS DOUBLE)) - ln(tot) AS lp
+       |  FROM p2, (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM p2)),
+       |${dkViterbiCtes("F", "lpF")},
+       |pw AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+       |  FROM piecesF GROUP BY w),
+       |tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(trim(text), ' '), x -> x != '')) AS w
+       |  FROM documents)
+       |SELECT tok.doc_id,
+       |  count(*) AS n_words,
+       |  CAST(sum(pw.n_pieces) AS BIGINT) AS n_pieces,
+       |  round(CAST(sum(pw.n_pieces) AS DOUBLE) / count(*), 6) AS pieces_per_word
+       |FROM tok JOIN pw ON pw.w = tok.w
+       |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
 
   /** Tokenize/fertility face: per-doc (n_words, n_pieces,
     * pieces_per_word) under a trained piece table — DP once per DISTINCT

@@ -81,7 +81,7 @@ object Wordpiece {
   // MATERIALIZED (the q160 inlining lesson).
   // ---------------------------------------------------------------------
 
-  private val dkWpMerges = 30
+  private[graft] val dkWpMerges = 30
 
   /** Greedy-merge fold under stage argmax (l, r): BPE's fold with the
     * merge product `l ‖ strip##(r)`. Space-joined string accumulator —
@@ -98,9 +98,9 @@ object Wordpiece {
       |                       ' ' || b.l || substr(b.r, 3) END
       |           ELSE acc || ' ' || x END), ' ')""".stripMargin
 
-  private def dkWpTrainCtes(nMerges: Int): String = {
+  private[graft] def dkWpTrainCtes(nMerges: Int, pfx: String = ""): String = {
     val head =
-      """v0 AS MATERIALIZED (
+      s"""${pfx}v0 AS MATERIALIZED (
         |  SELECT w, wc,
         |    list_transform(range(1, length(w) + 1),
         |      i -> CASE WHEN i = 1 THEN substr(w, 1, 1)
@@ -110,21 +110,21 @@ object Wordpiece {
         |            x -> x != '')) AS w
         |          FROM documents) GROUP BY w))""".stripMargin
     val stages = (1 to nMerges).map { k =>
-      s"""p$k AS (SELECT u.s.l AS l, u.s.r AS r, CAST(sum(wc) AS BIGINT) AS pair_count
-         |  FROM v${k - 1}, unnest(list_transform(range(1, len(syms)),
+      s"""${pfx}p$k AS (SELECT u.s.l AS l, u.s.r AS r, CAST(sum(wc) AS BIGINT) AS pair_count
+         |  FROM ${pfx}v${k - 1}, unnest(list_transform(range(1, len(syms)),
          |    i -> {'l': syms[i], 'r': syms[i + 1]})) AS u(s)
          |  GROUP BY 1, 2),
-         |sy$k AS (SELECT t.s AS s, CAST(sum(wc) AS BIGINT) AS sc
-         |  FROM v${k - 1}, unnest(syms) AS t(s) GROUP BY 1),
-         |b$k AS MATERIALIZED (SELECT l, r, pair_count, score FROM (
+         |${pfx}sy$k AS (SELECT t.s AS s, CAST(sum(wc) AS BIGINT) AS sc
+         |  FROM ${pfx}v${k - 1}, unnest(syms) AS t(s) GROUP BY 1),
+         |${pfx}b$k AS MATERIALIZED (SELECT l, r, pair_count, score FROM (
          |    SELECT p.l, p.r, p.pair_count,
          |      CAST(p.pair_count AS DOUBLE) /
          |        (CAST(sl.sc AS DOUBLE) * CAST(sr.sc AS DOUBLE)) AS score
-         |    FROM p$k p JOIN sy$k sl ON sl.s = p.l JOIN sy$k sr ON sr.s = p.r
+         |    FROM ${pfx}p$k p JOIN ${pfx}sy$k sl ON sl.s = p.l JOIN ${pfx}sy$k sr ON sr.s = p.r
          |    UNION ALL SELECT '', '', CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE))
          |  ORDER BY score DESC, pair_count DESC, l, r LIMIT 1),
-         |v$k AS MATERIALIZED (SELECT v.w, v.wc, $dkWpMergeFold AS syms
-         |  FROM v${k - 1} v, b$k b)""".stripMargin
+         |${pfx}v$k AS MATERIALIZED (SELECT v.w, v.wc, $dkWpMergeFold AS syms
+         |  FROM ${pfx}v${k - 1} v, ${pfx}b$k b)""".stripMargin
     }
     (head +: stages).mkString(",\n")
   }
@@ -147,44 +147,48 @@ object Wordpiece {
     * some plans (measured: the same fold returned 6 pieces inline and
     * 7 under the full query), so the oracle avoids outer-column capture
     * in lambdas entirely. */
-  private def dkWpWalkCtes: String =
-    s"""cands AS (
+  private[graft] def dkWpWalkCtes(pfx: String = ""): String =
+    s"""${pfx}cands AS (
        |  SELECT dw.w, pp.p, LL.L,
        |    CASE WHEN pp.p = 0 THEN substr(dw.w, 1, CAST(LL.L AS INT))
        |         ELSE '##' || substr(dw.w, pp.p + 1, CAST(LL.L AS INT)) END AS piece
-       |  FROM (SELECT DISTINCT w FROM v0) dw,
+       |  FROM (SELECT DISTINCT w FROM ${pfx}v0) dw,
        |    LATERAL unnest(range(0, length(dw.w))) AS pp(p),
        |    LATERAL unnest(range(1, least($maxPieceLen, length(dw.w) - pp.p) + 1)) AS LL(L)),
-       |matches AS MATERIALIZED (
+       |${pfx}matches AS MATERIALIZED (
        |  SELECT c.w, c.p, max(c.L) AS bestL
-       |  FROM cands c JOIN vocab v ON v.piece = c.piece GROUP BY c.w, c.p),
-       |walk AS (
-       |  SELECT w, 0 AS pos, 0 AS n, false AS bad FROM (SELECT DISTINCT w FROM v0)
+       |  FROM ${pfx}cands c JOIN ${pfx}vocab v ON v.piece = c.piece GROUP BY c.w, c.p),
+       |${pfx}walk AS (
+       |  SELECT w, 0 AS pos, 0 AS n, false AS bad FROM (SELECT DISTINCT w FROM ${pfx}v0)
        |  UNION ALL
        |  SELECT wk.w,
        |    CAST(CASE WHEN m.bestL IS NULL THEN length(wk.w)
        |         ELSE wk.pos + m.bestL END AS INT) AS pos,
        |    wk.n + 1 AS n,
        |    m.bestL IS NULL AS bad
-       |  FROM walk wk LEFT JOIN matches m ON m.w = wk.w AND m.p = wk.pos
+       |  FROM ${pfx}walk wk LEFT JOIN ${pfx}matches m ON m.w = wk.w AND m.p = wk.pos
        |  WHERE NOT wk.bad AND wk.pos < length(wk.w)),
-       |seg AS MATERIALIZED (
+       |${pfx}seg AS MATERIALIZED (
        |  SELECT w,
        |    CAST(CASE WHEN bad THEN 1 ELSE n END AS BIGINT) AS n_sub,
        |    CASE WHEN bad THEN 1 ELSE 0 END AS is_unk
-       |  FROM walk WHERE bad OR pos >= length(w))""".stripMargin
+       |  FROM ${pfx}walk WHERE bad OR pos >= length(w))""".stripMargin
+
+  /** Runtime vocab CTE: alphabet units + merge products. */
+  private[graft] def dkWpVocabCte(pfx: String = ""): String =
+    s"""${pfx}vocab AS MATERIALIZED (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT u.u AS piece FROM ${pfx}v0, unnest(syms) AS u(u)
+       |    UNION ALL
+       |    SELECT l || substr(r, 3) AS piece FROM (
+       |${(1 to dkWpMerges).map(k => s"      SELECT l, r, pair_count FROM ${pfx}b$k")
+            .mkString("\n      UNION ALL\n")}
+       |    ) WHERE pair_count > 0))""".stripMargin
 
   private[graft] def dkWpQ120Sql: String =
     s"""WITH RECURSIVE ${dkWpTrainCtes(dkWpMerges)},
-       |vocab AS MATERIALIZED (
-       |  SELECT DISTINCT piece FROM (
-       |    SELECT u.u AS piece FROM v0, unnest(syms) AS u(u)
-       |    UNION ALL
-       |    SELECT l || substr(r, 3) AS piece FROM (
-       |${(1 to dkWpMerges).map(k => s"      SELECT l, r, pair_count FROM b$k")
-            .mkString("\n      UNION ALL\n")}
-       |    ) WHERE pair_count > 0)),
-       |$dkWpWalkCtes,
+       |${dkWpVocabCte()},
+       |${dkWpWalkCtes()},
        |tok AS (SELECT doc_id,
        |    unnest(list_filter(string_split(trim(text), ' '), x -> x != '')) AS w
        |  FROM documents)
