@@ -65,6 +65,171 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact scaled-integer dot product: two array<bigint> columns holding
+  * scale-9 fixed-point values (x·10⁹ as a long) fold to the scale-18
+  * dot Σ xᵢyᵢ·10¹⁸ in pure long arithmetic — injectively order-equal to
+  * the DECIMAL(28,18) fold it replaces in the ANN artifact faces, and
+  * ~the cost of the raw multiply-adds where the interpreted per-element
+  * decimal lambda allocated a BigDecimal per term (the q220 scaled-long
+  * lesson generalized). Overflow-safe for unit vectors by Cauchy-Schwarz
+  * applied to prefixes: every partial sum is ≤ √(Σx²)·√(Σy²)·10¹⁸ ≈ 10¹⁸,
+  * far inside Long range; each term |xᵢyᵢ|·10¹⁸ ≤ 10¹⁸. The arithmetic is
+  * multiplyExact/addExact (JIT intrinsics — an overflow-check branch per
+  * op, not a BigDecimal) so an input outside the argued envelope fails
+  * LOUDLY instead of silently mis-ranking. */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.LongType
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> arguments, " +
+            s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc = java.lang.Math.addExact($acc,
+         |    java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact scaled-integer squared L2 distance — [[DotLong]]'s companion
+  * for the PQ encode argmin: Σ (xᵢ−yᵢ)²·10¹⁸ over scale-9 longs. The
+  * difference of two scale-9 values is exact; squared terms and prefix
+  * sums are ≤ (|x|+|y|)²·10¹⁸ — ≤ 4·10¹⁸ for unit subvectors and within
+  * Long range up to |x|+|y| ≤ 3. Residual-space inputs could in
+  * principle reach 4, so the arithmetic is multiplyExact/addExact: out
+  * of envelope fails loudly, never mis-ranks. */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_sqdist_long"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.LongType
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> arguments, " +
+            s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = Math.subtractExact(x.getLong(i), y.getLong(i))
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = java.lang.Math.subtractExact($a.getLong($i), $b.getLong($i));
+         |  $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($d, $d));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Bit-exact replication of `round(CAST(<decimal(28,18)> AS DOUBLE), 6)`
+  * from the scale-18 long: BigDecimal(sl, 18).doubleValue IS Spark's
+  * Decimal.toDouble, and BigDecimal.valueOf(d).setScale(6, HALF_UP) IS
+  * Spark's Round on a double — so swapping the decimal fold for the long
+  * fold cannot move any surfaced 6-dp value by even an ulp. */
+case class Unscale18Round6(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_unscale18_round6"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a bigint argument, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    Unscale18Round6.eval(a.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Unscale18Round6.eval($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Unscale18Round6 =
+    copy(child = newChild)
+}
+
+object Unscale18Round6 {
+  def eval(sl: Long): Double = {
+    val d = new java.math.BigDecimal(java.math.BigInteger.valueOf(sl), 18)
+      .doubleValue()
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
 /** Signed projections of a vector onto `nPlanes` deterministic
   * pseudo-random ±1 (Rademacher) hyperplanes — the LSH banding hot loop.
   * Plane p's component i sign is bit 0 of xxhash64(p, i) (identical to the
@@ -164,6 +329,26 @@ object VectorExpressions {
             case other => throw new IllegalArgumentException(
               s"graft_lsh_project plane count must be an integer literal, got $other")
           })
+      })
+    def binary(name: String, cls: Class[_],
+        mk: (Expression, Expression) => Expression): Unit =
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (exprs: Seq[Expression]) => {
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"$name expects 2 arguments, got ${exprs.length}")
+          mk(exprs.head, exprs(1))
+        })
+    binary("graft_dot_long", classOf[DotLong], DotLong(_, _))
+    binary("graft_sqdist_long", classOf[SqDistLong], SqDistLong(_, _))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_unscale18_round6"),
+      new ExpressionInfo(classOf[Unscale18Round6].getName, "graft_unscale18_round6"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"graft_unscale18_round6 expects 1 argument, got ${exprs.length}")
+        Unscale18Round6(exprs.head)
       })
   }
 }

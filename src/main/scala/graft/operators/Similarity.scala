@@ -1411,27 +1411,31 @@ object Similarity {
     df.sparkSession.read.parquet(path)
   }
 
-  /** Exact order-free dot product of two array<double> columns holding
-    * 9-dp values, as DECIMAL(28,18): per-term (18,9)×(18,9) products cast
-    * to (28,18) exactly, folded with a (28,18)-pinned accumulator (the
-    * unpinned fold would widen past precision 38 and silently round). */
-  private def decDot(a: String, b: String): Column =
-    expr(
-      s"""aggregate(zip_with($a, $b,
-         |  (x, y) -> CAST(CAST(x AS DECIMAL(18,9)) * CAST(y AS DECIMAL(18,9)) AS DECIMAL(28,18))),
-         |  CAST(0 AS DECIMAL(28,18)),
-         |  (acc, t) -> CAST(acc + t AS DECIMAL(28,18)))""".stripMargin)
+  /** Scale-9 fixed-point view of a 9-dp array<double> column: one exact
+    * decimal hop per element (the q220 move), after which every artifact
+    * stage runs in pure long arithmetic through the codegen'd
+    * [[graft.functions.DotLong]]/[[graft.functions.SqDistLong]] — the
+    * interpreted per-element DECIMAL lambdas these replaced allocated a
+    * BigDecimal per term (measured r12: q204 8.7 s / q205 12.6 s / q218
+    * 14.1 s at sf0.1 vs native lanes 3.4/4.3/4.3). Scale-18 long sums
+    * are INJECTIVELY order-equal to the DECIMAL(28,18) folds, and the
+    * surfaced 6-dp doubles are bit-equal via
+    * [[graft.functions.Unscale18Round6]], so the switch cannot move a
+    * rank or an output value: oracles and goldens hold unchanged. */
+  private def scaled9(col: String): Column =
+    expr(s"transform($col, x -> CAST(CAST(x AS DECIMAL(18,9)) * 1000000000 AS BIGINT))")
 
-  /** Exact squared L2 distance of two 9-dp array<double> columns, same
-    * discipline (differences re-cast to (18,9) — exact, the true
-    * difference of two 9-dp values IS a 9-dp value — before squaring). */
-  private def decSqDist(a: String, b: String): Column =
-    expr(
-      s"""aggregate(zip_with($a, $b,
-         |  (x, y) -> CAST(CAST(CAST(x AS DECIMAL(18,9)) - CAST(y AS DECIMAL(18,9)) AS DECIMAL(18,9))
-         |    * CAST(CAST(x AS DECIMAL(18,9)) - CAST(y AS DECIMAL(18,9)) AS DECIMAL(18,9)) AS DECIMAL(28,18))),
-         |  CAST(0 AS DECIMAL(28,18)),
-         |  (acc, t) -> CAST(acc + t AS DECIMAL(28,18)))""".stripMargin)
+  /** Add the scale-9 long twin `<col>L` used by the long-domain stages. */
+  private def withScaled(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(s"${c}L", scaled9(c)))
+
+  /** Scale-18 long dot of two scale-9 long arrays (exact, codegen'd). */
+  private def longDot(a: String, b: String): Column =
+    expr(s"graft_dot_long($a, $b)")
+
+  /** Scale-18 long squared distance of two scale-9 long arrays. */
+  private def longSqDist(a: String, b: String): Column =
+    expr(s"graft_sqdist_long($a, $b)")
 
   /** Round the trained centroid table to the artifact's 9-dp contract
     * (unit-normalizing first, the [[ivfTopKWith]] discipline). */
@@ -1442,24 +1446,26 @@ object Similarity {
       .select(col("cluster_id"),
         expr("transform(cemb, x -> round(x / cnorm, 9))").as("cemb"))
 
-  /** Decimal-exact nearest-centroid ranking over artifact frames:
-    * (vec_id, cluster_id, cc, rn) with rn ordered by (cc desc,
-    * cluster_id) per vector. rn = 1 is the assignment; rn ≤ nProbe is
-    * the probe set. */
+  /** Exact nearest-centroid ranking over artifact frames, in the long
+    * domain: (vec_id, cluster_id, ccL, rn) with rn ordered by (ccL desc,
+    * cluster_id) per vector — identical ranks to the decimal fold it
+    * replaced (scale-18 longs are injectively order-equal). rn = 1 is
+    * the assignment; rn ≤ nProbe is the probe set. `vecs`/`cent` must
+    * carry embL/cembL ([[withScaled]]). */
   private def decAssignRanked(vecs: DataFrame, cent: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cluster_id"), decDot("emb", "cemb").as("cc"))
+      .select(col("vec_id"), col("cluster_id"), longDot("embL", "cembL").as("ccL"))
       .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
-        .orderBy(col("cc").desc, col("cluster_id"))))
+        .orderBy(col("ccL").desc, col("cluster_id"))))
 
   /** Decimal-exact PQ encode over artifact frames: (vec_id, sub, cid) —
     * per (vector, subspace) argmin of the exact squared distance to the
     * `ks` codewords, cid tie-break. `vectors` must carry (vec_id, emb). */
   private def decPqEncode(vectors: DataFrame, cb: DataFrame, m: Int): DataFrame =
-    pqSubvectors(vectors, m)
-      .join(broadcast(cb), Seq("sub"))
+    withScaled(pqSubvectors(vectors, m), "sv")
+      .join(broadcast(withScaled(cb, "cvec")), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("cid"),
-        decSqDist("sv", "cvec").as("d2"))
+        longSqDist("svL", "cvecL").as("d2"))
       .withColumn("rn", row_number().over(Window.partitionBy("vec_id", "sub")
         .orderBy(col("d2").asc, col("cid"))))
       .filter(col("rn") === 1)
@@ -1471,13 +1477,13 @@ object Similarity {
   private def decRescoreTopK(vecs: DataFrame, cand: DataFrame, nQueries: Int,
       k: Int): DataFrame = {
     val qSide = vecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      .select(col("vec_id").as("qid"), col("embL").as("qembL"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
     cand
       .join(broadcast(qSide), "qid")
-      .join(vecs.select(col("vec_id").as("nid"), col("emb")), "nid")
+      .join(vecs.select(col("vec_id").as("nid"), col("embL")), "nid")
       .select(col("qid"), col("nid"),
-        round(decDot("qemb", "emb").cast("double"), 6).as("cos_sim"))
+        expr("graft_unscale18_round6(graft_dot_long(qembL, embL))").as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -1490,10 +1496,10 @@ object Similarity {
   def ivfTopKOracle(embeddings: DataFrame, nQueries: Int, k: Int,
       nClusters: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame = {
     graft.functions.VectorExpressions.register(embeddings.sparkSession)
-    val vecs = persistArtifact("q65", "vectors", unitRounded(embeddings))
+    val vecs = withScaled(persistArtifact("q65", "vectors", unitRounded(embeddings)), "emb")
       .localCheckpoint(eager = false) // consumers: assignment, re-score ×2
-    val cent = persistArtifact("q65", "centroids",
-      roundedUnitCentroids(kmeansCentroids(embeddings, nClusters, kmeansIters)))
+    val cent = withScaled(persistArtifact("q65", "centroids",
+      roundedUnitCentroids(kmeansCentroids(embeddings, nClusters, kmeansIters))), "cemb")
     val ranked = decAssignRanked(vecs, cent)
       .localCheckpoint(eager = false) // consumers: posting + probes
     val posting = ranked.filter(col("rn") === 1)
@@ -1513,17 +1519,17 @@ object Similarity {
   def pqTopKOracle(embeddings: DataFrame, nQueries: Int, k: Int, m: Int = 8,
       ks: Int = 32, refine: Int = 16, iters: Int = 3): DataFrame = {
     graft.functions.VectorExpressions.register(embeddings.sparkSession)
-    val vecs = persistArtifact("q204", "vectors", unitRounded(embeddings))
+    val vecs = withScaled(persistArtifact("q204", "vectors", unitRounded(embeddings)), "emb")
       .localCheckpoint(eager = false) // consumers: encode, ADC, re-score
     val cb = persistArtifact("q204", "codebook",
       pqCodebook(embeddings, m, ks, iters)
         .select(col("sub"), col("cid"),
           expr("transform(cvec, x -> round(x, 9))").as("cvec")))
     val codes = decPqEncode(vecs, cb, m)
-    val adc = pqSubvectors(vecs.filter(col("vec_id") < nQueries), m)
-      .join(broadcast(cb), Seq("sub"))
+    val adc = withScaled(pqSubvectors(vecs.filter(col("vec_id") < nQueries), m), "sv")
+      .join(broadcast(withScaled(cb, "cvec")), Seq("sub"))
       .select(col("vec_id").as("qid"), col("sub"), col("cid"),
-        decDot("sv", "cvec").as("t"))
+        longDot("svL", "cvecL").as("t"))
     val approx = codes.join(broadcast(adc), Seq("sub", "cid"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id")
@@ -1544,10 +1550,10 @@ object Similarity {
       nClusters: Int = 32, nProbe: Int = 16, m: Int = 8, ks: Int = 32,
       refine: Int = 16, iters: Int = 3): DataFrame = {
     graft.functions.VectorExpressions.register(embeddings.sparkSession)
-    val vecs = persistArtifact("q205", "vectors", unitRounded(embeddings))
+    val vecs = withScaled(persistArtifact("q205", "vectors", unitRounded(embeddings)), "emb")
       .localCheckpoint(eager = false)
-    val cent = persistArtifact("q205", "centroids",
-      roundedUnitCentroids(kmeansCentroids(embeddings, nClusters, iters)))
+    val cent = withScaled(persistArtifact("q205", "centroids",
+      roundedUnitCentroids(kmeansCentroids(embeddings, nClusters, iters))), "cemb")
     val cb = persistArtifact("q205", "codebook",
       pqCodebook(embeddings, m, ks, iters)
         .select(col("sub"), col("cid"),
@@ -1559,10 +1565,10 @@ object Similarity {
     val probes = ranked.filter(col("vec_id") < nQueries && col("rn") <= nProbe)
       .select(col("vec_id").as("qid"), col("cluster_id"))
     val codes = decPqEncode(vecs, cb, m).join(posting, Seq("vec_id"))
-    val adc = pqSubvectors(vecs.filter(col("vec_id") < nQueries), m)
-      .join(broadcast(cb), Seq("sub"))
+    val adc = withScaled(pqSubvectors(vecs.filter(col("vec_id") < nQueries), m), "sv")
+      .join(broadcast(withScaled(cb, "cvec")), Seq("sub"))
       .select(col("vec_id").as("qid"), col("sub"), col("cid"),
-        decDot("sv", "cvec").as("t"))
+        longDot("svL", "cvecL").as("t"))
       .join(probes, Seq("qid"))
     val approx = codes.join(broadcast(adc), Seq("cluster_id", "sub", "cid"))
       .filter(col("qid") =!= col("vec_id"))
@@ -1587,10 +1593,10 @@ object Similarity {
       nClusters: Int = 32, nProbe: Int = 16, m: Int = 8, ks: Int = 32,
       refine: Int = 16, iters: Int = 3): DataFrame = {
     graft.functions.VectorExpressions.register(embeddings.sparkSession)
-    val vecs = persistArtifact("q218", "vectors", unitRounded(embeddings))
+    val vecs = withScaled(persistArtifact("q218", "vectors", unitRounded(embeddings)), "emb")
       .localCheckpoint(eager = false)
-    val cent = persistArtifact("q218", "centroids",
-      roundedUnitCentroids(kmeansCentroids(embeddings, nClusters, iters)))
+    val cent = withScaled(persistArtifact("q218", "centroids",
+      roundedUnitCentroids(kmeansCentroids(embeddings, nClusters, iters))), "cemb")
     val ranked = decAssignRanked(vecs, cent)
       .localCheckpoint(eager = false) // consumers: posting, probes
     val posting = ranked.filter(col("rn") === 1)
@@ -1607,20 +1613,20 @@ object Similarity {
           expr("transform(cvec, x -> round(x, 9))").as("cvec")))
     val codes = decPqEncode(resid.select("vec_id", "emb"), cb, m)
       .join(posting, Seq("vec_id"))
-    // probes carry the exact decimal q·c routing term
+    // probes carry the exact scale-18 q·c routing term
     val probes = ranked.filter(col("vec_id") < nQueries && col("rn") <= nProbe)
-      .select(col("vec_id").as("qid"), col("cluster_id"), col("cc"))
-    val adc = pqSubvectors(vecs.filter(col("vec_id") < nQueries), m)
-      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("qid"), col("cluster_id"), col("ccL"))
+    val adc = withScaled(pqSubvectors(vecs.filter(col("vec_id") < nQueries), m), "sv")
+      .join(broadcast(withScaled(cb, "cvec")), Seq("sub"))
       .select(col("vec_id").as("qid"), col("sub"), col("cid"),
-        decDot("sv", "cvec").as("t"))
+        longDot("svL", "cvecL").as("t"))
       .join(probes, Seq("qid"))
     val approx = codes.join(broadcast(adc), Seq("cluster_id", "sub", "cid"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id")
-      // every row in the group shares the candidate's one posting cluster
-      .agg((sum(col("t")).cast("decimal(28,18)") + first(col("cc")))
-        .as("approx"))
+      // every row in the group shares the candidate's one posting cluster;
+      // both terms are exact scale-18 longs, so the sum is too
+      .agg((sum(col("t")) + first(col("ccL"))).as("approx"))
     val cand = approx.withColumn("arn",
         row_number().over(Window.partitionBy("qid")
           .orderBy(col("approx").desc, col("vec_id"))))
