@@ -423,15 +423,20 @@ object Multimodal {
     (w, h, luma)
   }
 
-  /** Baseline JFIF JPEG decoder — pure JVM, zero codec libraries (the
-    * PngCodec discipline applied to the remaining major web format):
-    * marker walk, DQT/DHT/SOF0/DRI/SOS, canonical Huffman entropy
-    * decode with byte-stuffing and restart markers, dequantization,
-    * exact double-precision 8×8 IDCT, nearest-neighbor chroma
-    * upsampling (4:4:4/4:2:2/4:2:0 or any Hi,Vi ≤ 4), integer BT.601
-    * YCbCr→RGB. Baseline sequential 8-bit only: progressive (SOF2),
-    * arithmetic coding, 12-bit, and hierarchical frames return None —
-    * they are rare in training corpora and belong to a codec library.
+  /** JFIF JPEG decoder — pure JVM, zero codec libraries (the PngCodec
+    * discipline applied to the remaining major web format): marker
+    * walk, DQT/DHT/SOF0/SOF2/DRI/SOS, canonical Huffman entropy decode
+    * with byte-stuffing and restart markers, dequantization, exact
+    * double-precision 8×8 IDCT, chroma upsampling
+    * (4:4:4/4:2:2/4:2:0 or any Hi,Vi ≤ 4), integer BT.601 YCbCr→RGB.
+    * Baseline sequential AND progressive (SOF2, since r13: spectral
+    * selection + successive approximation, per-component coefficient
+    * buffers folded across scans with EOBRUN/correction-bit
+    * refinement — T.81 §G; MultimodalSpec pins the same ≤ 3-grey-level
+    * ImageIO parity as baseline plus the baseline-vs-progressive dHash
+    * container-invariance). Arithmetic coding, 12-bit, and
+    * hierarchical frames return None — rare in training corpora, they
+    * belong to a codec library.
     *
     * Robustness contract: adversarial input — truncated segments, bad
     * Huffman tables, missing quant tables, crafted dimensions, scan
@@ -594,8 +599,15 @@ object Multimodal {
       val compH = new Array[Int](3)
       val compV = new Array[Int](3)
       val compQ = new Array[Int](3)
+      // progressive (SOF2) state: per-component zigzag-order coefficient
+      // buffers accumulated across scans, finished at EOI
+      var progressive = false
+      var sawScan = false
+      var hMaxP = 1; var vMaxP = 1
+      var mcusXP = 0; var mcusYP = 0
+      val coefBufs = new Array[Array[Int]](3)
       var pos = 2
-      while (pos + 4 <= n) {
+      while (pos + 2 <= n) {
         if ((bytes(pos) & 0xff) != 0xff) return None
         var mPos = pos + 1
         while (mPos < n && (bytes(mPos) & 0xff) == 0xff) mPos += 1 // fill bytes
@@ -603,7 +615,11 @@ object Multimodal {
         val marker = bytes(mPos) & 0xff
         pos = mPos + 1
         marker match {
-          case 0xd9 => return None // EOI before any scan
+          case 0xd9 =>
+            if (progressive && sawScan)
+              return finishProgressive(w, h, nComp, compH, compV,
+                hMaxP, vMaxP, mcusXP, mcusYP, compQ, qtab, coefBufs)
+            return None // EOI before any (completed) scan
           case m if m >= 0xd0 && m <= 0xd7 => // stray RST outside a scan
             return None
           case 0xdb => // DQT
@@ -646,7 +662,8 @@ object Multimodal {
               p += 17 + total
             }
             pos = end
-          case 0xc0 => // SOF0 baseline
+          case m0 @ (0xc0 | 0xc2) => // SOF0 baseline / SOF2 progressive
+            if (m0 == 0xc2) progressive = true
             if (pos + 2 > n) return None
             val len = u16(pos); val end = pos + len
             if (len < 8 || end > n) return None
@@ -667,21 +684,41 @@ object Multimodal {
                   compQ(c) > 3) return None
               c += 1
             }
+            if (progressive) {
+              c = 0
+              while (c < nComp) {
+                if (compH(c) > hMaxP) hMaxP = compH(c)
+                if (compV(c) > vMaxP) vMaxP = compV(c)
+                c += 1
+              }
+              mcusXP = (w + 8 * hMaxP - 1) / (8 * hMaxP)
+              mcusYP = (h + 8 * vMaxP - 1) / (8 * vMaxP)
+              c = 0
+              while (c < nComp) {
+                val cells = mcusXP.toLong * compH(c) * mcusYP * compV(c) * 64L
+                if (cells > 4L * MaxPixels) return None
+                coefBufs(c) = new Array[Int](cells.toInt)
+                c += 1
+              }
+            }
             pos = end
-          case m if (m >= 0xc1 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc =>
-            return None // progressive/extended/arithmetic/lossless frames
+          case m if (m >= 0xc1 && m <= 0xcf) && m != 0xc2 && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+            return None // extended/arithmetic/lossless frames
           case 0xdd => // DRI
             if (pos + 4 > n) return None
             if (u16(pos) != 4) return None
             restartInterval = u16(pos + 2)
             pos += 4
-          case 0xda => // SOS — decode the scan and finish
+          case 0xda => // SOS — baseline: decode and finish; progressive:
+            //              fold the scan into the coefficient state
             if (w == 0 || nComp == 0) return None
             if (pos + 2 > n) return None
             val len = u16(pos); val end = pos + len
             if (len < 3 || end > n) return None
             val ns = bytes(pos + 2) & 0xff
-            if (ns != nComp || pos + 3 + 2 * ns + 3 > end) return None
+            if (ns < 1 || (if (progressive) ns > nComp else ns != nComp) ||
+                pos + 3 + 2 * ns + 3 > end) return None
+            val scanComp = new Array[Int](ns)
             val compDc = new Array[Int](3)
             val compAc = new Array[Int](3)
             var c = 0
@@ -689,13 +726,40 @@ object Multimodal {
               val cs = bytes(pos + 3 + 2 * c) & 0xff
               val ci = compId.indexOf(cs)
               if (ci < 0 || ci >= nComp) return None
+              scanComp(c) = ci
               compDc(ci) = (bytes(pos + 4 + 2 * c) & 0xff) >> 4
               compAc(ci) = bytes(pos + 4 + 2 * c) & 0x0f
               if (compDc(ci) > 3 || compAc(ci) > 3) return None
               c += 1
             }
-            return decodeScan(bytes, end, w, h, nComp, compH, compV, compQ,
-              compDc, compAc, qtab, dcTab, acTab, restartInterval)
+            if (!progressive)
+              return decodeScan(bytes, end, w, h, nComp, compH, compV, compQ,
+                compDc, compAc, qtab, dcTab, acTab, restartInterval)
+            val ss = bytes(pos + 3 + 2 * ns) & 0xff
+            val se = bytes(pos + 4 + 2 * ns) & 0xff
+            val ahal = bytes(pos + 5 + 2 * ns) & 0xff
+            val ah = ahal >> 4; val al = ahal & 0x0f
+            if (ss > 63 || se > 63 || se < ss || ah > 13 || al > 13 ||
+                (ss == 0 && se != 0) || (ss > 0 && ns != 1)) return None
+            val consumed = progressiveScan(bytes, end, ns, scanComp,
+              w, h, compH, compV, hMaxP, vMaxP, mcusXP, mcusYP,
+              compDc, compAc, dcTab, acTab, restartInterval,
+              ss, se, ah, al, coefBufs)
+            if (consumed < 0) return None
+            sawScan = true
+            // locate the next marker after the entropy-coded data
+            var p = consumed
+            var found = -1
+            while (found < 0 && p + 1 < n) {
+              if ((bytes(p) & 0xff) == 0xff) {
+                val b2 = bytes(p + 1) & 0xff
+                if (b2 == 0x00) p += 2
+                else if (b2 >= 0xd0 && b2 <= 0xd7) p += 2
+                else found = p
+              } else p += 1
+            }
+            if (found < 0) return None
+            pos = found
           case _ => // APPn / COM / anything with a length — skip
             if (pos + 2 > n) return None
             val len = u16(pos)
@@ -704,6 +768,281 @@ object Multimodal {
         }
       }
       None
+    }
+
+    /** One progressive scan (T.81 §G.2): folds its entropy-coded data
+      * into the per-component zigzag coefficient buffers and returns the
+      * absolute position after the data (−1 = malformed). DC scans may
+      * be interleaved; AC scans are single-component by spec (enforced
+      * by the caller). First scans (Ah = 0) Huffman-decode magnitudes at
+      * point transform Al; refinement scans (Ah > 0) append one
+      * correction bit per coefficient, with libjpeg's EOBRUN semantics
+      * persisting across blocks and resetting at restart markers. */
+    private def progressiveScan(bytes: Array[Byte], scanStart: Int,
+        ns: Int, scanComp: Array[Int], w: Int, h: Int,
+        compH: Array[Int], compV: Array[Int], hMax: Int, vMax: Int,
+        mcusX: Int, mcusY: Int,
+        compDc: Array[Int], compAc: Array[Int],
+        dcTab: Array[Huff], acTab: Array[Huff], restartInterval: Int,
+        ss: Int, se: Int, ah: Int, al: Int,
+        coefBufs: Array[Array[Int]]): Int = {
+      val br = new BitReader(
+        java.util.Arrays.copyOfRange(bytes, scanStart, bytes.length))
+      val dcPred = new Array[Int](3)
+      var eobrun = 0
+      var rstCount = 0
+      var unitsSinceRestart = 0
+      val p1 = 1 << al
+
+      def extend(v: Int, t: Int): Int =
+        if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+      def maybeRestart(): Boolean = {
+        if (restartInterval > 0 && unitsSinceRestart == restartInterval) {
+          if (!br.restart(rstCount % 8)) return false
+          rstCount += 1
+          unitsSinceRestart = 0
+          java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
+        }
+        true
+      }
+
+      // decode one block's worth of this scan for component ci at block
+      // buffer index b (zigzag storage); returns false on malformed data
+      def blockDc(ci: Int, b: Int): Boolean = {
+        val buf = coefBufs(ci)
+        if (ah == 0) {
+          val t = dcTab(compDc(ci))
+          if (t == null) return false
+          val tDc = br.decodeHuff(t)
+          if (tDc < 0 || tDc > 11) return false
+          val diffBits = if (tDc == 0) 0 else br.receive(tDc)
+          if (diffBits < 0) return false
+          dcPred(ci) += extend(diffBits, tDc)
+          buf(b * 64) = dcPred(ci) << al
+        } else {
+          val bit = br.nextBit()
+          if (bit < 0) return false
+          if (bit == 1) buf(b * 64) |= p1
+        }
+        true
+      }
+
+      def blockAcFirst(ci: Int, b: Int): Boolean = {
+        val buf = coefBufs(ci)
+        if (eobrun > 0) { eobrun -= 1; return true }
+        val t = acTab(compAc(ci))
+        if (t == null) return false
+        var k = ss
+        while (k <= se) {
+          val rs = br.decodeHuff(t)
+          if (rs < 0) return false
+          val r = rs >> 4; val sBits = rs & 0x0f
+          if (sBits == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) - 1
+              if (r > 0) {
+                val ext = br.receive(r)
+                if (ext < 0) return false
+                eobrun += ext
+              }
+              return true
+            }
+            k += 16 // ZRL
+          } else {
+            k += r
+            if (k > se) return false
+            val vBits = br.receive(sBits)
+            if (vBits < 0) return false
+            buf(b * 64 + k) = extend(vBits, sBits) << al
+            k += 1
+          }
+        }
+        true
+      }
+
+      def refineNonzero(buf: Array[Int], idx: Int): Boolean = {
+        val bit = br.nextBit()
+        if (bit < 0) return false
+        if (bit == 1 && (buf(idx) & p1) == 0)
+          buf(idx) += (if (buf(idx) >= 0) p1 else -p1)
+        true
+      }
+
+      def blockAcRefine(ci: Int, b: Int): Boolean = {
+        val buf = coefBufs(ci)
+        val t = acTab(compAc(ci))
+        var k = ss
+        if (eobrun == 0) {
+          var brk = false
+          while (k <= se && !brk) {
+            if (t == null) return false
+            val rs = br.decodeHuff(t)
+            if (rs < 0) return false
+            var r = rs >> 4; val sBits = rs & 0x0f
+            var insert = 0
+            if (sBits == 0) {
+              if (r < 15) {
+                eobrun = 1 << r
+                if (r > 0) {
+                  val ext = br.receive(r)
+                  if (ext < 0) return false
+                  eobrun += ext
+                }
+                brk = true
+              }
+              // r == 15: skip 16 zero-history positions with corrections
+            } else {
+              if (sBits != 1) return false
+              val bit = br.nextBit()
+              if (bit < 0) return false
+              insert = if (bit == 1) p1 else -p1
+            }
+            if (!brk) {
+              var advanced = false
+              while (k <= se && !advanced) {
+                val idx = b * 64 + k
+                if (buf(idx) != 0) {
+                  if (!refineNonzero(buf, idx)) return false
+                } else {
+                  if (r == 0) {
+                    if (insert != 0) buf(idx) = insert
+                    k += 1
+                    advanced = true
+                  } else r -= 1
+                }
+                if (!advanced) k += 1
+              }
+              if (!advanced && insert != 0) return false // ran off the band
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val idx = b * 64 + k
+            if (buf(idx) != 0) { if (!refineNonzero(buf, idx)) return false }
+            k += 1
+          }
+          eobrun -= 1
+        }
+        true
+      }
+
+      def doBlock(ci: Int, b: Int): Boolean =
+        if (ss == 0) blockDc(ci, b)
+        else if (ah == 0) blockAcFirst(ci, b)
+        else blockAcRefine(ci, b)
+
+      if (ns > 1) {
+        // interleaved (DC scans only): full MCU walk
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            if (!maybeRestart()) return -1
+            var sc = 0
+            while (sc < ns) {
+              val ci = scanComp(sc)
+              val bw = mcusX * compH(ci)
+              var by = 0
+              while (by < compV(ci)) {
+                var bx = 0
+                while (bx < compH(ci)) {
+                  val b = (my * compV(ci) + by) * bw + (mx * compH(ci) + bx)
+                  if (!doBlock(ci, b)) return -1
+                  bx += 1
+                }
+                by += 1
+              }
+              sc += 1
+            }
+            unitsSinceRestart += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // non-interleaved: the component's own (unpadded) block grid,
+        // written into the MCU-padded buffer row stride
+        val ci = scanComp(0)
+        val bw = mcusX * compH(ci)
+        val cw = (w * compH(ci) + hMax - 1) / hMax
+        val ch = (h * compV(ci) + vMax - 1) / vMax
+        val bx2 = (cw + 7) / 8
+        val by2 = (ch + 7) / 8
+        var by = 0
+        while (by < by2) {
+          var bx = 0
+          while (bx < bx2) {
+            if (!maybeRestart()) return -1
+            if (!doBlock(ci, by * bw + bx)) return -1
+            unitsSinceRestart += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      scanStart + br.pos
+    }
+
+    /** Dequantize + IDCT the accumulated progressive coefficients into
+      * component planes and hand off to the shared [[assemble]] tail. */
+    private def finishProgressive(w: Int, h: Int, nComp: Int,
+        compH: Array[Int], compV: Array[Int], hMax: Int, vMax: Int,
+        mcusX: Int, mcusY: Int, compQ: Array[Int],
+        qtab: Array[Array[Int]], coefBufs: Array[Array[Int]])
+        : Option[(Int, Int, Int, Array[Byte])] = {
+      val planeW = new Array[Int](3)
+      val planeH = new Array[Int](3)
+      val planes = new Array[Array[Byte]](3)
+      val coef = new Array[Double](64)
+      val block = new Array[Int](64)
+      var c = 0
+      while (c < nComp) {
+        if (qtab(compQ(c)) == null || coefBufs(c) == null) return None
+        val q = qtab(compQ(c))
+        planeW(c) = mcusX * compH(c) * 8
+        planeH(c) = mcusY * compV(c) * 8
+        if (planeW(c).toLong * planeH(c) > 4L * MaxPixels) return None
+        planes(c) = new Array[Byte](planeW(c) * planeH(c))
+        val buf = coefBufs(c)
+        val bw = mcusX * compH(c)
+        val bh = mcusY * compV(c)
+        var byi = 0
+        while (byi < bh) {
+          var bxi = 0
+          while (bxi < bw) {
+            val b = byi * bw + bxi
+            java.util.Arrays.fill(coef, 0.0)
+            var k = 0
+            while (k < 64) {
+              val v = buf(b * 64 + k)
+              if (v != 0) coef(ZigZag(k)) = v.toDouble * q(k)
+              k += 1
+            }
+            // the DC zero case still needs its quantized value (v = 0
+            // contributes 0.0 — already filled)
+            idct(coef, block)
+            val ox = bxi * 8
+            val oy = byi * 8
+            var yy = 0
+            while (yy < 8) {
+              val rowOff = (oy + yy) * planeW(c) + ox
+              var xx = 0
+              while (xx < 8) {
+                planes(c)(rowOff + xx) = block(yy * 8 + xx).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            bxi += 1
+          }
+          byi += 1
+        }
+        c += 1
+      }
+      assemble(w, h, nComp, compH, compV, hMax, vMax, planes, planeW)
     }
 
     private def decodeScan(bytes: Array[Byte], scanStart: Int,
@@ -818,10 +1157,19 @@ object Multimodal {
         }
         my += 1
       }
-      // upsample each component to full resolution (triangular "fancy"
-      // filters for the 2× ratios — the IJG/libjpeg reconstruction, so
-      // decoded pixels match the reference decoder to IDCT rounding —
-      // nearest for exotic ratios), then color-convert
+      assemble(w, h, nComp, compH, compV, hMax, vMax, planes, planeW)
+    }
+
+    /** Shared tail of both scan paths: upsample each component plane to
+      * full resolution (triangular "fancy" filters for the 2× ratios —
+      * the IJG/libjpeg reconstruction, so decoded pixels match the
+      * reference decoder to IDCT rounding — nearest for exotic ratios),
+      * then color-convert. */
+    private def assemble(w: Int, h: Int, nComp: Int,
+        compH: Array[Int], compV: Array[Int], hMax: Int, vMax: Int,
+        planes: Array[Array[Byte]], planeW: Array[Int])
+        : Option[(Int, Int, Int, Array[Byte])] = {
+      var c = 0
       val outCh = if (nComp == 1) 1 else 3
       val full = new Array[Array[Int]](nComp)
       c = 0
@@ -1147,8 +1495,8 @@ object Multimodal {
   }
 
   /** Production routing: real decode where a lib-free decoder exists
-    * (PNM, PNG, baseline JPEG), deterministic stub elsewhere
-    * (progressive JPEG / video). */
+    * (PNM, PNG, baseline + progressive JPEG), deterministic stub
+    * elsewhere (MP3 / video). */
   object DefaultCodec extends Codec {
     def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
       PnmCodec.decodeImage(bytes)

@@ -441,6 +441,57 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("JPEG codec: decodes ImageIO progressive streams pixel-close to ImageIO's own decode") {
+    // same parity contract as the baseline case: both decoders consume
+    // the SAME SOF2 multi-scan bitstream (ImageIO's default progression:
+    // DC first + refinements, spectral-selection AC scans per component
+    // with successive approximation); differences are IDCT rounding.
+    val cases: Seq[(java.awt.image.BufferedImage, Float, String)] = Seq(
+      (rgbImage(17, 13)((x, y) => ((x * 15) << 16) | ((y * 19) << 8) | ((x + y) * 7)), 0.95f, "prog rgb 17x13 q95"),
+      (rgbImage(64, 48)((x, y) => ((x * 4) << 16) | ((y * 5) << 8) | (x * 2 + y)), 0.5f, "prog rgb 64x48 q50"),
+      (rgbImage(32, 32)((x, y) => if ((x / 8 + y / 8) % 2 == 0) 0xC08040 else 0x2060A0), 0.75f, "prog rgb blocks q75"),
+      (grayImage(16, 12)((x, y) => x * 16 + y), 0.9f, "prog gray 16x12 q90"),
+      (grayImage(33, 7)((x, y) => 255 - x * 7 + y * 3), 0.6f, "prog gray 33x7 q60"))
+    cases.foreach { case (img, q, label) =>
+      val bytes = jpegBytes(img, q, progressive = true)
+      val mine = Multimodal.JpegCodec.decodePixels(bytes)
+      assert(mine.isDefined, s"$label: decoder returned None")
+      val (w, h, ch, px) = mine.get
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(w == ref.getWidth && h == ref.getHeight, s"$label dims")
+      val raster = ref.getRaster
+      val nb = raster.getNumBands
+      var maxDiff = 0
+      var sumDiff = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rr = raster.getSample(x, y, 0)
+        val rg = if (nb >= 3) raster.getSample(x, y, 1) else rr
+        val rb = if (nb >= 3) raster.getSample(x, y, 2) else rr
+        val off = (y * w + x) * ch
+        val (mr, mg, mb) =
+          if (ch == 3) (px(off) & 0xff, px(off + 1) & 0xff, px(off + 2) & 0xff)
+          else { val v = px(off) & 0xff; (v, v, v) }
+        val d = math.max(math.abs(mr - rr),
+          math.max(math.abs(mg - rg), math.abs(mb - rb)))
+        maxDiff = math.max(maxDiff, d)
+        sumDiff += d
+      }
+      val mean = sumDiff.toDouble / (w * h)
+      assert(maxDiff <= 3, s"$label: max pixel diff $maxDiff vs ImageIO")
+      assert(mean <= 0.5, s"$label: mean pixel diff $mean vs ImageIO")
+    }
+    // container-invariance: the SAME pixels through baseline and
+    // progressive containers must land at Hamming distance ~0 in dHash
+    // (the perceptual-dedup property the decoder exists to serve)
+    val img = rgbImage(40, 24)((x, y) => ((x * 6) << 16) | ((y * 9) << 8) | (x + y))
+    val base = Multimodal.JpegCodec.decodeLuma(jpegBytes(img, 0.9f)).get
+    val prog = Multimodal.JpegCodec.decodeLuma(jpegBytes(img, 0.9f, progressive = true)).get
+    val hb = graft.operators.ImageHash.dhash(base._1, base._2, base._3)
+    val hp = graft.operators.ImageHash.dhash(prog._1, prog._2, prog._3)
+    assert(java.lang.Long.bitCount(hb ^ hp) <= 2,
+      s"baseline-vs-progressive dHash distance ${java.lang.Long.bitCount(hb ^ hp)}")
+  }
+
   test("JPEG codec: junk, truncation, corruption, and unsupported frames are None, never a crash") {
     val good = jpegBytes(rgbImage(24, 16)((x, y) => (x * 10 << 16) | (y * 14 << 8) | 60), 0.8f)
     assert(Multimodal.JpegCodec.decodePixels(good).isDefined)
@@ -448,10 +499,23 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     (0 until good.length by 7).foreach { p =>
       assert(Multimodal.JpegCodec.decodePixels(good.take(p)).isEmpty, s"prefix $p")
     }
-    // progressive scan must fall to the seam (None), not mis-decode
+    // progressive streams decode for real since r13 (parity-tested in
+    // their own case below); truncation/fuzz coverage for them follows
     val prog = jpegBytes(rgbImage(24, 16)((x, y) => x * 99 << 8 | y), 0.8f,
       progressive = true)
-    assert(Multimodal.JpegCodec.decodePixels(prog).isEmpty, "progressive must be None")
+    assert(Multimodal.JpegCodec.decodePixels(prog).isDefined,
+      "progressive must decode since r13")
+    (0 until prog.length by 7).foreach { p =>
+      assert(Multimodal.JpegCodec.decodePixels(prog.take(p)).isEmpty,
+        s"progressive prefix $p")
+    }
+    (0 until 40).foreach { i =>
+      val rng2 = new scala.util.Random(100 + i)
+      val mutated = prog.clone()
+      val j = prog.length / 2 + rng2.nextInt(prog.length / 2)
+      mutated(j) = (mutated(j) ^ (1 << rng2.nextInt(8))).toByte
+      Multimodal.JpegCodec.decodePixels(mutated) // crash = test failure
+    }
     // crafted SOF dims: patch height/width to 0xFFFF → pixel cap / scan
     // exhaustion must reject without allocation blowups or throws
     val sofAt = {
