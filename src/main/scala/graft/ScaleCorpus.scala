@@ -45,6 +45,28 @@ object ScaleCorpus {
         col("lang"), col("source"), col("n_chars"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // embeddings twin (r13): mul sign-flip replicas — replica k multiplies
+    // element i by the ±1 Rademacher sign from xxhash64(k, i) (replica 0
+    // verbatim), so every replica preserves the source's norms and
+    // pairwise-geometry-within-replica exactly while replicas land far
+    // apart (a sign flip of half the coordinates roughly orthogonalizes),
+    // giving the ANN family an honest 10× cost decade: n grows 10×, the
+    // quantizer grids (nClusters, codebooks) stay at their declared
+    // sizes, so the measured slope isolates the engine, not the config.
+    val embSrc = new java.io.File(s"$srcDir/embeddings.parquet")
+    if (embSrc.exists()) {
+      val emb = Tables.embeddings(spark, srcDir)
+      emb.crossJoin(broadcast(reps))
+        .select(
+          (col("vec_id") * mul + col("k")).as("vec_id"),
+          expr("""transform(embedding, (x, i) ->
+                 |  CAST(CASE WHEN k = 0 THEN x
+                 |       WHEN (xxhash64(k, i) & 1) = 1 THEN -x
+                 |       ELSE x END AS FLOAT))""".stripMargin).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
     println(s"SCALECORPUS wrote ${mul}x ${srcDir} -> $outDir")
     spark.stop()
   }

@@ -160,6 +160,91 @@ class UnigramSpec extends AnyFunSuite with SparkSessionTestWrapper {
     Barriers.release(table)
   }
 
+  test("knife-edge gate: DP decision margins and the 9-dp logp boundary " +
+      "distances clear the cross-engine ln() drift bound (sf0.001)") {
+    // The q108/q109/q158 DuckDB replay's one drift source is libm ln vs
+    // Math.log — measured REAL on this corpus's inputs (≤ 1.78e-15;
+    // tools/ln_knife_edge.py proves the drifted-ln DP reproduces every
+    // segmentation). This gates the Spark half so a code or corpus
+    // change that moves a DP decision onto a knife edge fails HERE, not
+    // as a driver-diff hash flip. Thresholds: margins ≥ 1e-7 (the ≤ 8
+    // pieces × 2 ln calls × 1.78e-15 ≈ 2.8e-14 worst path drift ×
+    // ~3e6 headroom; measured min 3.9e-3), logp boundary ≥ 1e-13
+    // (measured 2.1e-12).
+    val texts = Tables.documents(spark, sf001)
+      .select("text").as[String].collect().toSeq
+    val ws = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+    val wc = ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val sub = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      for (i <- 0 until w.length;
+           j <- (i + 1) to math.min(w.length, i + Unigram.maxPieceLen))
+        sub(w.substring(i, j)) = sub.getOrElse(w.substring(i, j), 0L) + c
+    }
+    val chars = sub.filter(_._1.length == 1)
+    val multi = sub.filter(_._1.length >= 2).toSeq
+      .sortWith { case ((p1, c1), (p2, c2)) =>
+        if (c1 != c2) c1 > c2 else utf8Lt(p1, p2) }.take(60)
+    var pieces: Map[String, Long] = (chars ++ multi).toMap
+    var minMargin = Double.PositiveInfinity
+    var ties = 0L
+    def dpStats(w: String, lp: Map[String, Double]): Vector[String] = {
+      val n = w.length
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val bp = Array.fill(n + 1)(-1)
+      best(0) = 0.0
+      for (i <- 1 to n) {
+        val cands = (math.max(0, i - Unigram.maxPieceLen) until i).flatMap { j =>
+          val p = w.substring(j, i)
+          val s = if (i - j == 1) Some(best(j) + lp.getOrElse(p, Unigram.unkLogProb))
+                  else lp.get(p).map(best(j) + _)
+          s.map((_, j))
+        }
+        val (bs, bj) = cands.maxBy { case (s, j) => (s, -j) }
+        best(i) = bs; bp(i) = bj
+        cands.filter(_._2 != bj).map(c => bs - c._1).sorted.headOption.foreach {
+          g => if (g == 0.0) ties += 1 else minMargin = math.min(minMargin, g)
+        }
+      }
+      var i = n
+      val rev = scala.collection.mutable.ListBuffer.empty[String]
+      while (i > 0) { rev.prepend(w.substring(bp(i), i)); i = bp(i) }
+      rev.toVector
+    }
+    def logProbs(ps: Map[String, Long]): Map[String, Double] = {
+      val tot = ps.values.sum.toDouble
+      ps.map { case (p, c) => p -> (math.log(c.toDouble) - math.log(tot)) }
+    }
+    (1 to 2).foreach { _ =>
+      val lp = logProbs(pieces)
+      val vcnt = scala.collection.mutable.Map.empty[String, Long]
+      wc.foreach { case (w, c) =>
+        dpStats(w, lp).foreach(p => vcnt(p) = vcnt.getOrElse(p, 0L) + c)
+      }
+      pieces = pieces.keys.flatMap { p =>
+        val c = vcnt.getOrElse(p, 0L)
+        val cnt = if (p.length == 1) math.max(c, 1L) else c
+        if (cnt > 0) Some(p -> cnt) else None
+      }.toMap
+    }
+    val lpF = logProbs(pieces)
+    wc.keys.foreach(dpStats(_, lpF))
+    assert(minMargin >= 1e-7, s"a DP decision sits $minMargin from flipping")
+    // exact ties are fine ONLY because the full drifted-ln replay
+    // (tools/ln_knife_edge.py) proves they resolve identically; keep
+    // them rare enough that that audit stays meaningful
+    assert(ties <= 10, s"$ties exact DP ties — rerun tools/ln_knife_edge.py")
+    val tot = pieces.values.sum.toDouble
+    val minLogpDist = pieces.values.map { c =>
+      val x = math.log(c.toDouble) - math.log(tot)
+      val bd = new java.math.BigDecimal(x).abs
+      val r = bd.setScale(9, java.math.RoundingMode.HALF_UP)
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(5), 10)
+        .subtract(bd.subtract(r).abs).doubleValue
+    }.min
+    assert(minLogpDist >= 1e-13, s"a 9-dp logp sits $minLogpDist from a boundary")
+  }
+
   test("EM strictly reduces or maintains total corpus description length") {
     // hard-EM on a fixed vocab cannot increase the Viterbi objective:
     // total corpus log-prob under round-k probs of round-k segmentations
