@@ -105,6 +105,24 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // ---- dedup family agreement audit (q222): over the ids that carry
+    //      BOTH text and an embedding (vec_id = doc_id, the q83
+    //      convention), classify every near-dup pair surfaced by EITHER
+    //      family — lexical (q51's exact 3-gram Jaccard ≥ 0.6) or
+    //      semantic (q79's exact cosine ≥ 0.4) — as both / lexical_only
+    //      / semantic_only, with counts and the min example pair per
+    //      class. The modality-coverage audit: lexical_only = verbatim
+    //      copies the embedding missed (paraphrase-invariant embeddings
+    //      blur exact duplication), semantic_only = paraphrases no
+    //      shingle survives — the measured case FOR running both
+    //      families at 100 TB (where each side swaps in its LSH face;
+    //      this audit composes the exact graphs, the declared oracle
+    //      baselines). ----
+    "q222_dedup_family_agreement" -> QueryDef.sql(dkQ222Sql) { (s, dir) =>
+      dedupFamilyAgreement(Tables.documents(s, dir), Tables.embeddings(s, dir))
+        .orderBy("family")
+    },
+
     // ---- SemDeDup: k-means-bounded semantic dedup with the paper's
     //      farthest-from-centroid keep rule. ORACLE-CHECKED since r13
     //      the artifact way: the iterative k-means stays golden-pinned,
@@ -696,6 +714,37 @@ object Similarity {
     chosen.select(col("sel_round"), col("vec_id"), col("sq_dist"))
       .orderBy("sel_round")
   }
+
+  /** q222's oracle: q51's 3-gram Jaccard pair CTE restricted to the
+    * dual-modality id set, q55/q79's exact cosine pair CTE, one pair-key
+    * full outer join, per-class counts + min example. */
+  private[graft] def dkQ222Sql: String =
+    s"""WITH ev AS (SELECT DISTINCT vec_id FROM embeddings),
+       |w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+       |      FROM documents JOIN ev ON ev.vec_id = doc_id),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+       |       FROM w WHERE len(ws) >= 3),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |lex AS (SELECT d1, d2 FROM com
+       |        JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+       |        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6),
+       |sem AS (SELECT v1 AS d1, v2 AS d2 FROM ($cosinePairsOracleCte
+       |  ) WHERE cos_sim >= 0.4),
+       |cls AS (SELECT coalesce(lex.d1, sem.d1) AS d1,
+       |               coalesce(lex.d2, sem.d2) AS d2,
+       |    CASE WHEN lex.d1 IS NOT NULL AND sem.d1 IS NOT NULL THEN 'both'
+       |         WHEN lex.d1 IS NOT NULL THEN 'lexical_only'
+       |         ELSE 'semantic_only' END AS family
+       |  FROM lex FULL OUTER JOIN sem ON lex.d1 = sem.d1 AND lex.d2 = sem.d2)
+       |SELECT family, n_pairs, mn.d1 AS example_d1, mn.d2 AS example_d2
+       |FROM (SELECT family, CAST(count(*) AS BIGINT) AS n_pairs,
+       |        min({'d1': d1, 'd2': d2}) AS mn
+       |      FROM cls GROUP BY family)
+       |ORDER BY family""".stripMargin
 
   /** Ordered dot-product fold: list_reduce ≡ graft_dot's left-to-right
     * accumulation, so the double sums are bit-identical across engines. */
@@ -1871,6 +1920,31 @@ object Similarity {
       k: Int, iters: Int = 3, probes: Int = 3): DataFrame =
     semDedupFromCentroids(embeddings, kmeansCentroids(embeddings, k, iters),
       threshold, probes)
+
+  /** q222: classify every pair surfaced by the lexical (q51) or semantic
+    * (q79) exact near-dup graph over the dual-modality id set. Both pair
+    * generators are the existing bounded machineries; the comparison is
+    * one pair-key full outer join; the per-class example is a min-struct
+    * aggregate (never a sort). */
+  def dedupFamilyAgreement(docs: DataFrame, embeddings: DataFrame,
+      jaccardThreshold: Double = 0.6, cosineThreshold: Double = 0.4): DataFrame = {
+    val ids = embeddings.select(col("vec_id").as("doc_id")).distinct()
+    val lex = Dedup.exactJaccardPairs(docs.join(ids, "doc_id"), jaccardThreshold)
+      .select(col("d1"), col("d2"), lit(true).as("lexical"))
+    val sem = exactCosinePairs(embeddings, cosineThreshold)
+      .select(col("v1").as("d1"), col("v2").as("d2"), lit(true).as("semantic"))
+    lex.join(sem, Seq("d1", "d2"), "full_outer")
+      .select(col("d1"), col("d2"),
+        when(coalesce(col("lexical"), lit(false)) &&
+             coalesce(col("semantic"), lit(false)), "both")
+          .when(coalesce(col("lexical"), lit(false)), "lexical_only")
+          .otherwise("semantic_only").as("family"))
+      .groupBy("family")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(struct(col("d1"), col("d2"))).as("ex"))
+      .select(col("family"), col("n_pairs"),
+        col("ex.d1").as("example_d1"), col("ex.d2").as("example_d2"))
+  }
 
   /** Everything after the quantizer: [[semDedupKmeans]] with the centroid
     * table supplied — the seam the q136 oracle persists through (training

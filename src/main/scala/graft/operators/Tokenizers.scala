@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   * production shape (distinct-word caches, vocab-sized loops); this
   * operator adds only three per-doc aggregations collapsed to ONE ROW
   * each (map-side combine), assembled by unionByName. Fertility divides
-  * exact integer sums once — engine-identical digits. No SQL oracle (the
-  * underlying faces are iterative argmax/EM); each family is already
-  * cross-checked against an independent plain-Scala reference in its own
-  * suite, and the audit row is golden-pinned.
+  * exact integer sums once — engine-identical digits. ORACLE-CHECKED
+  * since r13 (each family's training/runtime is relationally
+  * replayable — see Curation/Wordpiece/Unigram's replay blocks — and
+  * the composite oracles here embed all three replays in one
+  * prefix-namespaced statement); each family is also cross-checked
+  * against an independent plain-Scala reference in its own suite, and
+  * the audit row stays golden-pinned.
   */
 object Tokenizers {
 
@@ -55,7 +58,60 @@ object Tokenizers {
     bpe.unionByName(wp).unionByName(ug).orderBy("tokenizer")
   }
 
+  /** Learned-unit overlap between the three tokenizer families (q221):
+    * for each family pair, the Jaccard of their learned MULTI-CHAR unit
+    * sets — the audit that tells you whether two tokenizers have found
+    * the same subword structure (high overlap ⇒ the corpus, not the
+    * objective, is driving the vocabulary; low overlap ⇒ the objective
+    * matters and the q158 fertility bake-off deserves attention).
+    * Units normalize to surface strings: BPE merge products verbatim,
+    * WordPiece products with a leading `##` stripped (the continuation
+    * marker is positional bookkeeping, not learned content), unigram
+    * multi-char pieces verbatim. All-integer counts, one rounded
+    * division per pair; the three unit tables are tokenizer-sized, so
+    * every join below is broadcast-trivial at any corpus size. */
+  def tokenizerVocabOverlap(docs: DataFrame): DataFrame = {
+    val d = docs.localCheckpoint(eager = false) // consumers: 3 trainings
+    val bpe = Curation.bpeTrainMerges(d)
+      .select(concat(col("l"), col("r")).as("unit")).distinct()
+      .withColumn("fam", lit("bpe"))
+    val wp = Wordpiece.wordpieceTrainMerges(d)
+      .select(concat(col("l"), expr("substring(r, 3)")).as("u"))
+      .select(when(col("u").startsWith("##"), expr("substring(u, 3)"))
+        .otherwise(col("u")).as("unit")).distinct()
+      .withColumn("fam", lit("wordpiece"))
+    val ug = Unigram.unigramTrain(d)
+      .filter(length(col("piece")) >= 2)
+      .select(col("piece").as("unit")).distinct()
+      .withColumn("fam", lit("unigram"))
+    val units = bpe.unionByName(wp).unionByName(ug)
+      .localCheckpoint(eager = false) // consumers: both pair sides
+    val a = units.select(col("fam").as("fam_a"), col("unit"))
+    val b = units.select(col("fam").as("fam_b"), col("unit"))
+    val common = a.join(b, Seq("unit")).filter(col("fam_a") < col("fam_b"))
+      .groupBy("fam_a", "fam_b").agg(count(lit(1)).as("n_common"))
+    val sizes = units.groupBy("fam").agg(count(lit(1)).as("n"))
+    val pairs = sizes.select(col("fam").as("fam_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("fam").as("fam_b"), col("n").as("n_b")))
+      .filter(col("fam_a") < col("fam_b"))
+    pairs.join(common, Seq("fam_a", "fam_b"), "left")
+      .select(col("fam_a"), col("fam_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double")
+          / (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))), 6)
+          .as("jaccard"))
+      .orderBy("fam_a", "fam_b")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- learned-unit overlap audit: ORACLE-CHECKED from birth — the
+    //      three unrolled training replays (already built for q158)
+    //      compose under prefixes and the set arithmetic is relational.
+    //      ----
+    "q221_tokenizer_vocab_overlap" -> QueryDef.sql(dkQ221Sql) { (s, dir) =>
+      tokenizerVocabOverlap(Tables.documents(s, dir))
+    },
 
     // ---- tokenizer bake-off: all three families on one corpus, one
     //      comparable row each. ORACLE-CHECKED since r13: with every
@@ -123,5 +179,44 @@ object Tokenizers {
        |  SELECT * FROM wp_row UNION ALL
        |  SELECT * FROM ug_row)
        |ORDER BY tokenizer""".stripMargin
+  }
+
+  /** q221's oracle: the three training replays again, then the learned
+    * multi-char unit sets (WP's `##` stripped) and pairwise Jaccard. */
+  private[graft] def dkQ221Sql: String = {
+    val bpeUnits = (1 to Curation.dkBpeMerges)
+      .map(k => s"SELECT l, r, pair_count FROM bp_b$k")
+      .mkString("SELECT DISTINCT l || r AS unit FROM (", " UNION ALL ",
+        ") WHERE pair_count > 0")
+    val wpUnits = (1 to Wordpiece.dkWpMerges)
+      .map(k => s"SELECT l, r, pair_count FROM wp_b$k")
+      .mkString(
+        """SELECT DISTINCT CASE WHEN u LIKE '##%' THEN substr(u, 3) ELSE u END AS unit
+          |FROM (SELECT l || substr(r, 3) AS u FROM (""".stripMargin,
+        " UNION ALL ", ") WHERE pair_count > 0)")
+    s"""WITH RECURSIVE
+       |${Curation.dkBpeTrainCtes(Curation.dkBpeMerges, "bp_")},
+       |${Wordpiece.dkWpTrainCtes(Wordpiece.dkWpMerges, "wp_")},
+       |${Unigram.dkUnigramTrainCtes("ug_")},
+       |units AS MATERIALIZED (
+       |  SELECT 'bpe' AS fam, unit FROM ($bpeUnits)
+       |  UNION ALL
+       |  SELECT 'wordpiece' AS fam, unit FROM ($wpUnits)
+       |  UNION ALL
+       |  SELECT 'unigram' AS fam, piece AS unit FROM (
+       |    SELECT DISTINCT piece FROM ug_p2 WHERE length(piece) >= 2)),
+       |sizes AS (SELECT fam, CAST(count(*) AS BIGINT) AS n FROM units GROUP BY fam),
+       |common AS (
+       |  SELECT a.fam AS fam_a, b.fam AS fam_b, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM units a JOIN units b ON a.unit = b.unit AND a.fam < b.fam
+       |  GROUP BY 1, 2)
+       |SELECT pa.fam_a, pa.fam_b, pa.n_a, pa.n_b,
+       |  coalesce(c.n_common, 0) AS n_common,
+       |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+       |    / (pa.n_a + pa.n_b - coalesce(c.n_common, 0)), 6) AS jaccard
+       |FROM (SELECT sa.fam AS fam_a, sb.fam AS fam_b, sa.n AS n_a, sb.n AS n_b
+       |      FROM sizes sa, sizes sb WHERE sa.fam < sb.fam) pa
+       |LEFT JOIN common c ON c.fam_a = pa.fam_a AND c.fam_b = pa.fam_b
+       |ORDER BY pa.fam_a, pa.fam_b""".stripMargin
   }
 }

@@ -708,7 +708,14 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q219_dedupindex_planner",       0, 2),
       // q220: one embeddings scan feeds corpus + probe sides (decimal
       // margins in-row); candidate dedup + re-score + top-k windows
-      ("q220_ann_lsh_topk_md5",         1, 3))
+      ("q220_ann_lsh_topk_md5",         1, 3),
+      // q221: three tokenizer-sized unit tables off the training
+      // machinery (each family's rounds under the iterative gate); the
+      // overlap arithmetic runs on ≤ 90 rows
+      ("q221_tokenizer_vocab_overlap",  0, 8),
+      // q222: the q51 pair machinery (its own barriers) + the exact
+      // cosine self-join + one pair-key outer join + a 3-row aggregate
+      ("q222_dedup_family_agreement",   3, 8))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

@@ -679,4 +679,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     val ref = protoRef(vecs)
     assert(ref(2L)._2 === 0.5 && ref(3L)._2 === 0.5 && ref(0L)._2 === 0.0)
   }
+
+  test("q222: dedup family agreement classifies planted pairs exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // docs 1,2: verbatim copies (lexical pair) whose embeddings point
+    // OPPOSITE ways (never a semantic pair); docs 3,4: disjoint text
+    // (never lexical) with near-identical embeddings (semantic pair);
+    // docs 5,6: copies with near-identical embeddings (both)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over dog"),
+      (2L, "the quick brown fox jumps over dog"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six seven"),
+      (5L, "copy copy copy copy copy copy end"),
+      (6L, "copy copy copy copy copy copy end")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(-1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0.01f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0.01f)),
+      (5L, Array(0f, 0f, 1f, 0.02f)),
+      (6L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.dedupFamilyAgreement(docs, emb)
+      .orderBy("family").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("both", 1L, 5L, 6L),
+      ("lexical_only", 1L, 1L, 2L),
+      ("semantic_only", 1L, 3L, 4L)))
+  }
 }

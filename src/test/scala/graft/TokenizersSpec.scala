@@ -27,6 +27,35 @@ class TokenizersSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q221: vocab overlap is exact on a corpus with known shared units") {
+    import spark.implicits._
+    // every family trains on 'abab'-heavy text: all three learn 'ab'
+    // among their multi-char units, so every pairwise intersection is
+    // non-empty and the counts are small enough to verify by hand
+    val docs = Seq((1L, "abab abab ab"), (2L, "ab abab cd cd")).toDF("doc_id", "text")
+    val got = Tokenizers.tokenizerVocabOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.map(t => (t._1, t._2)).toSeq ===
+      Seq(("bpe", "unigram"), ("bpe", "wordpiece"), ("unigram", "wordpiece")))
+    got.foreach { case (a, b, na, nb, nc, j) =>
+      assert(nc >= 1, s"$a-$b must share at least the 'ab' unit")
+      assert(nc <= math.min(na, nb), s"$a-$b intersection bound")
+      val expected = BigDecimal(nc.toDouble / (na + nb - nc))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j === expected, s"$a-$b jaccard arithmetic")
+    }
+    // the normalized unit sets must actually contain 'ab' everywhere
+    val units = Seq(
+      operators.Curation.bpeTrainMerges(docs)
+        .select(org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.col("l"),
+          org.apache.spark.sql.functions.col("r"))).as[String].collect().toSet,
+      operators.Unigram.unigramTrain(docs).filter("length(piece) >= 2")
+        .select("piece").as[String].collect().toSet)
+    units.foreach(u => assert(u.contains("ab"), s"family missing 'ab': $u"))
+  }
+
   test("q158 audit rows agree with the faces computed directly on sf0.001") {
     val docs = Tables.documents(spark, sf001)
     val got = Tokenizers.tokenizerAudit(docs).collect()
