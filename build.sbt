@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass forked run output through UNPREFIXED: the driver's bench capture
+// json-parses stdout lines, and sbt's default LoggedOutput "[info] "
+// prefix has made every round's parsed field null (r13 VERDICT #7)
+run / outputStrategy := Some(StdoutOutput)
 scalacOptions ++= Seq("-deprecation", "-feature")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -74,6 +74,13 @@ object Bench {
     "x55b_cosine_pairs_lsh_native" -> ((s, d) =>
       operators.Similarity.cosineThresholdPairsLsh(Tables.embeddings(s, d),
         threshold = 0.4, planesPerBand = 6, bands = 24).orderBy("v1", "v2")),
+    // r14: q56's declared face moved to persisted-planes scaled-long
+    // arithmetic to earn its DuckDB oracle; this lane keeps the
+    // fused-double codegen'd projection a deployment actually runs
+    "x56_ann_lsh_topk_native" -> ((s, d) =>
+      operators.Similarity.annLshTopK(Tables.embeddings(s, d), nQueries = 50,
+        k = 5, planesPerBand = 6, bands = 16, probes = 2)
+        .orderBy("qid", "rank")),
     "x65_ivf_topk_native" -> ((s, d) =>
       operators.Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 50,
         k = 5, nClusters = 8, nProbe = 3).orderBy("qid", "rank")),
@@ -250,7 +257,9 @@ object Bench {
     if (!f.exists()) Map.empty
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      "\"(q[^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+      // [qx] — the x-lane production faces are pinned too (a q-only
+      // match silently left all 13 x-lanes "unpinned", r13 VERDICT #2)
+      "\"([qx][^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
   }
@@ -516,8 +525,20 @@ object Bench {
     // the committed artifact is a bounded tail capture of this output, so
     // whatever prints last is what survives. r9 lost its per-query medians
     // because the one full line outgrew the capture window; this line is
-    // small (medians + errors only) and prints after everything else.
-    println(f"""{"metric":"medians_final","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs$legacyTotal,"sf":"$sfDir"}""")
+    // small and prints after everything else. r14: metric renamed
+    // "medians_final" → "total" and errors/breaches carried as COMPACT
+    // exception maps (normally empty), so the driver's json.loads of the
+    // tail yields the parsed medians + pin verdicts instead of null
+    // (r13 VERDICT #7) — the detailed first line keeps every field.
+    val errNonNull = results.flatMap { case (k, _, _, e, _, _) =>
+      e.map(msg => "\"" + k + "\":" + jsonStr(msg)) }
+      .mkString("{", ",", "}")
+    val pinBreaches = deltas.filter(_._3).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val budgetBreaches = budget.filter(_._2 == "breach").map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val retryTotal = retried.map { case (_, _, _, _, _, (f, r, _)) => f + r }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errNonNull,"shuffle_pin_breaches":$pinBreaches,"budget_breaches":$budgetBreaches,"task_retry_total":$retryTotal$legacyTotal,"sf":"$sfDir"}""")
     spark.stop()
     if (anyFailed) sys.exit(1)
   }

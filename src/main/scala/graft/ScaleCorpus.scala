@@ -42,7 +42,13 @@ object ScaleCorpus {
         when(col("k") === 0, col("text")).otherwise(concat_ws(" ",
           expr("transform(filter(split(trim(text), ' '), x -> x != ''), " +
             "w -> concat(w, '<', CAST(k AS STRING), '>'))"))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
+      // n_chars recomputed from the REWRITTEN text (source rows verify
+      // n_chars = length(text), and replica rows lengthen every token by
+      // its <k> suffix — copying the source value verbatim would leave
+      // 90% of the scaled corpus with metadata contradicting its text,
+      // r13 ADVICE); bigint to match the source schema
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     // embeddings twin (r13): mul sign-flip replicas — replica k multiplies

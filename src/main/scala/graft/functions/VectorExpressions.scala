@@ -279,6 +279,20 @@ object LshProjections {
         if ((XXH64.hashInt(i, XXH64.hashInt(pl, 42L)) & 1L) == 1L) 1.0 else -1.0
       })
 
+  /** The sign matrix packed as one Long bitmask per plane (bit d set =
+    * sign +1 for dimension d) — the q56 oracle persists these signs as a
+    * parquet artifact so DuckDB replays the EXACT plane family the
+    * production expression projects onto, and SimilaritySpec
+    * cross-validates this packing against [[signs]] itself. */
+  def signMasks(nPlanes: Int, dim: Int): Seq[Long] = {
+    require(dim <= 64, s"mask packing holds <= 64 dims, got $dim")
+    val s = signs(nPlanes, dim)
+    (0 until nPlanes).map { p =>
+      (0 until dim).foldLeft(0L)((acc, d) =>
+        if (s(p)(d) > 0) acc | (1L << d) else acc)
+    }
+  }
+
   def project(emb: ArrayData, nPlanes: Int): ArrayData = {
     val dim = emb.numElements()
     val s = signs(nPlanes, dim)

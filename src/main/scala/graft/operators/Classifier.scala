@@ -354,9 +354,20 @@ object Classifier {
       val d = s"$base/clf_weights/v2/$fp"
       val done = new org.apache.hadoop.fs.Path(s"$d/_SUCCESS")
       val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(done))
+      if (!fs.exists(done)) {
+        // two JVMs can both observe _SUCCESS missing; an Overwrite write
+        // straight at `d` deletes-then-writes, so a concurrent reader
+        // could see a torn artifact. Write to a unique temp sibling and
+        // atomically rename into place (the DedupIndex swapIn
+        // discipline); if the rename target appeared meanwhile, discard
+        // ours and serve the winner's (r13 ADVICE).
+        val tmp = s"$d.tmp.${java.util.UUID.randomUUID().toString.take(8)}"
         classifierTrain(Tables.documents(spark, sfDir))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+        val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+        if (!fs.rename(tmpPath, new org.apache.hadoop.fs.Path(d)))
+          fs.delete(tmpPath, true) // lost the race — a complete artifact won
+      }
       d
     })
     spark.read.parquet(dir)

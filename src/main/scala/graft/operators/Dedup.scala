@@ -2209,12 +2209,22 @@ object Dedup {
     * under cap while the joint join still goes quadratic. */
   def incrementalMinhashPairs(newDocs: DataFrame, corpusSigs: DataFrame,
       numHashes: Int, bands: Int,
-      maxBucketSize: Int = defaultLshBucketCap): DataFrame = {
+      maxBucketSize: Int = defaultLshBucketCap,
+      family: String = "xxhash64"): DataFrame = {
     // barrier on the new side only: its signature UDAF re-runs the
     // shingling, and both the union bucket count and the join read it.
     // The corpus side recomputes from the persisted signature parquet —
     // a cheap narrow explode not worth re-persisting at corpus scale.
-    val newBanded = bandedSignatures(minhashSignatures(newDocs, numHashes), numHashes, bands)
+    // `family` must match the family that PRODUCED corpusSigs — the
+    // md5 lane family feeds the q223 streaming twin, whose batch face
+    // is the oracle-checked md5 q52 form.
+    val newSigs = family match {
+      case "xxhash64" => minhashSignatures(newDocs, numHashes)
+      case "md5"      => minhashSignaturesMd5From(shingles(newDocs), numHashes)
+      case other => throw new IllegalArgumentException(
+        s"unknown minhash family '$other' (expected md5|xxhash64)")
+    }
+    val newBanded = bandedSignatures(newSigs, numHashes, bands)
       .localCheckpoint(eager = false)
     val corpusBanded = bandedSignatures(corpusSigs, numHashes, bands)
     val over = broadcast(overCapBuckets(

@@ -622,6 +622,8 @@ object Multimodal {
             return None // EOI before any (completed) scan
           case m if m >= 0xd0 && m <= 0xd7 => // stray RST outside a scan
             return None
+          case 0x01 => // TEM: standalone zero-payload marker (T.81 B.1.1.3)
+            () // no length field — the default arm would misparse one
           case 0xdb => // DQT
             if (pos + 2 > n) return None
             val len = u16(pos); val end = pos + len

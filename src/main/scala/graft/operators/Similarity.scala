@@ -175,13 +175,62 @@ object Similarity {
       marginScores(Tables.embeddings(s, dir), k = 4).orderBy("qid")
     },
 
-    // ---- LSH-bucketed approximate top-k (the 100 TB path; no SQL oracle —
-    //      SimilaritySpec measures recall against q54's exact result).
-    //      Multi-probe (2 weakest-margin bit flips per band) lifts top-1
-    //      recall from 0.46 (r3/r4 params) to ~0.9 at the same corpus-side
-    //      index size. ----
-    "q56_ann_lsh_topk" -> QueryDef.rowsOnly { (s, dir) =>
-      annLshTopK(Tables.embeddings(s, dir), nQueries = 50, k = 5,
+    // ---- LSH-bucketed approximate top-k (the 100 TB path), ORACLE-
+    //      CHECKED (r13 VERDICT #1 — the last rows-only face closed):
+    //      the PRODUCTION xxhash plane family's signs are persisted as a
+    //      parquet artifact and the face computes margins as exact
+    //      scaled longs (the q220 arithmetic), so DuckDB reads the
+    //      stored signs and replays banding, the 2 weakest-|margin|
+    //      probe flips per band, and the exact re-score bit-for-bit.
+    //      The fused-double-loop [[annLshTopK]] stays the production
+    //      lane (bench face x56, recall-gated in SimilaritySpec).
+    //      Multi-probe lifts top-1 recall from 0.46 (r3/r4 params) to
+    //      ~0.9 at the same corpus-side index size. ----
+    "q56_ann_lsh_topk" -> QueryDef.sql(
+      s"""WITH planes AS (
+         |  SELECT pl, d, s FROM read_parquet('$annOracleRoot/q56/planes/*.parquet')),
+         |terms AS (
+         |  SELECT e.vec_id, pl,
+         |    sum(CAST(round(CAST(e.embedding[planes.d] AS DOUBLE), 9)
+         |      AS DECIMAL(18,9)) * s) AS margin
+         |  FROM embeddings e, planes
+         |  GROUP BY 1, 2),
+         |keys AS (
+         |  SELECT vec_id, pl // 6 AS band,
+         |    CAST(sum(CASE WHEN margin > 0
+         |      THEN (CAST(1 AS BIGINT) << (pl % 6)) ELSE 0 END) AS BIGINT) AS key
+         |  FROM terms GROUP BY 1, 2),
+         |qrank AS (
+         |  SELECT vec_id, pl, row_number() OVER (
+         |    PARTITION BY vec_id, pl // 6 ORDER BY abs(margin), pl) AS rn
+         |  FROM terms WHERE vec_id < 50),
+         |qkeys AS (
+         |  SELECT vec_id, band, key FROM keys WHERE vec_id < 50
+         |  UNION
+         |  SELECT k.vec_id, k.band,
+         |    xor(k.key, CAST(1 AS BIGINT) << (r.pl % 6)) AS key
+         |  FROM keys k JOIN qrank r ON r.vec_id = k.vec_id AND r.pl // 6 = k.band
+         |  WHERE k.vec_id < 50 AND r.rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+         |  FROM qkeys q JOIN keys c ON c.band = q.band AND c.key = q.key
+         |  WHERE c.vec_id != q.vec_id),
+         |p AS (
+         |  SELECT cand.qid, cand.nid,
+         |    round(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE))
+         |      / (sqrt(sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)))
+         |         * sqrt(sum(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS cos_sim
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.qid
+         |  JOIN embeddings b ON b.vec_id = cand.nid,
+         |       (SELECT unnest(range(1, 65)) AS i) i
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, cos_sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         |      FROM p)
+         |SELECT qid, nid, cos_sim, rank FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""") { (s, dir) =>
+      annLshTopKXxhash(Tables.embeddings(s, dir), nQueries = 50, k = 5,
         planesPerBand = 6, bands = 16, probes = 2)
         .orderBy("qid", "rank")
     },
@@ -430,7 +479,7 @@ object Similarity {
         |  FROM embeddings),
         |dq AS (SELECT vec_id,
         |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) / scale) * scale) AS emb
-        |  FROM s),
+        |  FROM s WHERE scale > 0),
         |q AS (SELECT vec_id, emb FROM dq WHERE vec_id < 50),
         |p AS (
         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
@@ -904,6 +953,10 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
       .withColumn("scale",
         expr("aggregate(emb, 0D, (acc, x) -> greatest(acc, abs(x))) / 127.0"))
+      // an all-zero embedding has scale 0 and x/scale = NaN; drop it
+      // explicitly rather than propagate NaN cosines (the
+      // filter(cnorm > 0) discipline of roundedUnitCentroids)
+      .filter(col("scale") > 0)
       .select(col("vec_id"),
         expr("transform(emb, x -> CAST(round(x / scale) AS TINYINT))").as("qemb"),
         col("scale"))
@@ -1389,7 +1442,20 @@ object Similarity {
   // semantics agree on every reachable value.
   // ---------------------------------------------------------------------
 
-  private[graft] val annOracleRoot = "/tmp/graft_ann_oracle"
+  /** Root directory for the persisted oracle artifacts (vectors,
+    * centroids, codebooks, weights, hash tables). Configurable via the
+    * `graft.oracle.dir` system property (the Classifier `graft.state.dir`
+    * pattern — on a cluster, point it at a shared filesystem so DuckDB /
+    * executors read the same bytes); the default is a PER-PROCESS unique
+    * temp directory, so two concurrent sessions (parallel benches or
+    * verifies at different SFs) can never clobber each other's artifacts
+    * and feed an oracle comparison the other run's bytes (r13 ADVICE).
+    * The oracle SQL embeds whatever this process resolved, and Verify
+    * dumps that SQL in the same process that wrote the artifacts, so the
+    * driver's DuckDB run always reads the matching path. */
+  private[graft] val annOracleRoot: String =
+    sys.props.get("graft.oracle.dir").getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ann_oracle_").toString)
 
   // DuckDB fragments mirroring decDot/decSqDist term-for-term
   private def dkProd(a: String, b: String): String =
@@ -1832,8 +1898,40 @@ object Similarity {
     * q56 stays the production face (codegen'd fused loop); this face is
     * the cross-engine semantic pin for the whole bucketed-ANN family. */
   def annLshTopKMd5(embeddings: DataFrame, nQueries: Int, k: Int,
+      planesPerBand: Int = 6, bands: Int = 16, probes: Int = 2): DataFrame =
+    annLshTopKFromMasks(embeddings, md5PlaneMasks(bands * planesPerBand),
+      nQueries, k, planesPerBand, bands, probes)
+
+  /** q56 declared face: hyperplane-LSH top-k under the PRODUCTION xxhash
+    * plane family ([[graft.functions.LshProjections]] — the signs the
+    * codegen'd `graft_lsh_project` expression projects onto), margins as
+    * exact scaled longs, and the plane signs persisted as a parquet
+    * artifact (pl, d 1-based, s ±1) so DuckDB replays banding, the
+    * weakest-|margin| probe flips, and the exact re-score bit-for-bit
+    * from the stored table — the artifact-replay pattern of
+    * q65/q204/q205/q218 applied to the last rows-only face (r13 VERDICT
+    * #1). The fused-double [[annLshTopK]] stays the production lane
+    * (bench face x56); SimilaritySpec cross-validates the persisted
+    * signs against the expression's own sign matrix and pins this
+    * face's recall beside the native lane's. */
+  def annLshTopKXxhash(embeddings: DataFrame, nQueries: Int, k: Int,
       planesPerBand: Int = 6, bands: Int = 16, probes: Int = 2): DataFrame = {
-    val masks = md5PlaneMasks(bands * planesPerBand)
+    val masks =
+      graft.functions.LshProjections.signMasks(bands * planesPerBand, 64)
+    val spark = embeddings.sparkSession
+    val planeRows = for {
+      pl <- 0 until bands * planesPerBand
+      d <- 1 to 64
+    } yield (pl, d, if (((masks(pl) >> (d - 1)) & 1L) == 1L) 1 else -1)
+    import spark.implicits._
+    persistArtifact("q56", "planes", planeRows.toDF("pl", "d", "s"))
+    annLshTopKFromMasks(embeddings, masks, nQueries, k, planesPerBand,
+      bands, probes)
+  }
+
+  private def annLshTopKFromMasks(embeddings: DataFrame, masks: Seq[Long],
+      nQueries: Int, k: Int, planesPerBand: Int, bands: Int,
+      probes: Int): DataFrame = {
     // one corpus scan feeds everything: e (norms) is read by the margin
     // frame AND both exact-re-score sides; m (the 96 long-fold margins,
     // the face's dominant in-row cost) is read by the corpus keys and the

@@ -260,6 +260,55 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
         "regenerate the sweep if the trade is intentional")
   }
 
+  test("q56 artifact planes = the codegen'd expression's signs (xxhash64 cross-derivation)") {
+    // running the face persists the plane artifact as a side effect
+    Similarity.annLshTopKXxhash(Tables.embeddings(spark, sf001),
+      nQueries = 50, k = 5, planesPerBand = 6, bands = 16, probes = 2)
+      .write.mode("overwrite").format("noop").save()
+    val stored = spark.read
+      .parquet(s"${Similarity.annOracleRoot}/q56/planes")
+      .select("pl", "d", "s").as[(Int, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(stored.size == 96 * 64, "one sign per (plane, dim)")
+    // independent re-derivation through Spark SQL's OWN xxhash64 — the
+    // oracle must replay the exact family graft_lsh_project projects
+    // onto, and this pin closes the loop without trusting either
+    // Scala-side derivation (LshProjections.signs or signMasks)
+    val derived = spark.range(96).select(col("id").cast("int").as("pl"))
+      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("d")))
+      .select(col("pl"), col("d"),
+        when(expr("xxhash64(pl, CAST(d - 1 AS INT)) % 2 != 0"), 1)
+          .otherwise(-1).as("s"))
+      .as[(Int, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(stored == derived,
+      "persisted plane signs diverge from Spark SQL's xxhash64 derivation")
+  }
+
+  test("q56 persisted-planes face: exact scores, recall at the native operating point") {
+    // the declared face (scaled-long margins from the persisted xxhash
+    // signs) must carry exactly-computed similarities and hold the SAME
+    // recall floor as the fused-double x56 lane — the arithmetic differs
+    // only at sub-9dp knife edges, measured recall identical (r14)
+    val emb = Tables.embeddings(spark, sf001)
+    val got = Similarity.annLshTopKXxhash(emb, nQueries = 50, k = 5,
+        planesPerBand = 6, bands = 16, probes = 2)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+    val full = Similarity.cosineTopK(emb, col("vec_id") < 50, k = Int.MaxValue)
+      .select("qid", "nid", "cos_sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (q, n, c) =>
+      assert(full.get((q, n)).contains(c), s"pair ($q,$n) score mismatch")
+    }
+    val exactTop1 = Similarity.cosineTopK(emb, col("vec_id") < 50, k = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    val recall = exactTop1.count { case (q, n) => pairs.contains((q, n)) }.toDouble /
+      exactTop1.size
+    val pinned = AnnSweep.operatingPoints(("q56_lshxx_long_planes6_bands16_probes2", "sf0.001"))
+    assert(recall >= pinned - 1e-9,
+      s"persisted-planes q56 recall $recall below pinned $pinned")
+  }
+
   test("q55b LSH threshold pairs: exact scores, no false positives, recall floor") {
     val emb = Tables.embeddings(spark, sf001)
     val exact = SparkEntry.all("q55_cosine_threshold_pairs").fn(spark, sf001)
