@@ -587,14 +587,14 @@ object Classifier {
 
   /** Artifact head for the persisted-weights faces: `wfin` read from the
     * parquet the face wrote (the q219/q65 artifact pattern). */
-  private def dkClfArtifactCtes(name: String): String =
+  private[operators] def dkClfArtifactCtes(name: String): String =
     dkClfFeatCtes +
       s",\nwfin AS (SELECT dim, weight FROM read_parquet('${Similarity.annOracleRoot}/$name/weights/*.parquet'))"
 
   /** Scoring tail: `scored(doc_id, is_reference, score)` under `wfin`,
     * mirroring [[weightRow]]'s coalesce-to-0 slotting and the ordered
     * margin fold. */
-  private def dkClfScoreCte: String =
+  private[operators] def dkClfScoreCte: String =
     s"""wrf AS (SELECT list(coalesce(wt.weight, 0.0) ORDER BY dd.d) AS w
        |  FROM (SELECT unnest(range(0, ${dims + 1})) AS d) dd
        |  LEFT JOIN wfin wt ON wt.dim = dd.d),

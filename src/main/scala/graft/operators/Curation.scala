@@ -1269,6 +1269,28 @@ object Curation {
         .orderBy("stage")
     },
 
+    // ---- END-TO-END curation pipeline (q223, r13 VERDICT #5): ONE
+    //      declared plan composing the components a corpus build
+    //      actually chains — near-dup at-ingest gate (the q52 md5
+    //      MinHash LSH family: drop any doc that collides at est ≥ 0.5
+    //      with a lower-id doc, exactly what the streaming signature
+    //      store suppresses as docs arrive in id order), quality
+    //      classifier gate (q217's persisted-weights scoring, keep
+    //      score ≥ 0.5), per-source token-budget mix (q77's rule), and
+    //      the physical shard write (q207 — stage 4 counts come from
+    //      the WRITTEN FILES read back, putting the write path itself
+    //      under the oracle). Per-stage doc/token counts, the q97
+    //      funnel report shape; the streaming twin in StreamingSpec
+    //      rebuilds stages 1–2 incrementally from the signature store
+    //      and must land the identical report. ----
+    "q223_curation_pipeline" -> QueryDef.sql(q223Sql) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      curationPipeline(docs,
+        Similarity.persistArtifact("q223", "weights",
+          Classifier.ensureWeights(s, dir)))
+        .orderBy("stage")
+    },
+
     // ---- fractional-epoch upsampling (q107's other half): q107 caps
     //      rates at 1.0 and DOWN-samples; the data-mix step real training
     //      runs (GPT-3 Table 2.2, LLaMA Table 1) also UP-samples small
@@ -3009,6 +3031,154 @@ object Curation {
       .unionAll(stat("2_quality_gate", s2))
       .unionAll(stat("3_decontaminated", s3))
   }
+
+  /** End-to-end curation pipeline (q223): near-dup gate → classifier
+    * gate → token-budget mix → physical shard write, reporting per-stage
+    * surviving doc/token counts (the q97 funnel shape, plus a final row
+    * computed FROM THE WRITTEN SHARD FILES so the write path sits under
+    * the correctness gate — q207's read-back discipline).
+    *
+    * Gate rules, each the oracle-checked form of its standalone face:
+    *  - stage 1: drop every doc that surfaces in a q52 md5-lane MinHash
+    *    LSH pair (16 lanes, 4 bands) at est_jaccard ≥ `dupThreshold`
+    *    with a LOWER doc_id — the monotone at-ingest suppression the
+    *    streaming signature store applies as docs arrive in id order
+    *    (the index keeps every ingested doc's signature, so suppression
+    *    of B against A does not un-suppress C against B: the rule is
+    *    order-free and the streaming twin lands the identical set).
+    *  - stage 2: per-source classifier-score percentile gate under the
+    *    PERSISTED weight artifact (q217's scoring path — features are
+    *    per-doc, so scoring the survivors equals scoring the corpus and
+    *    filtering): keep each source's top `keepFrac` by score
+    *    (percent_rank ≤ keepFrac, ties on doc_id — the q81 discipline).
+    *    A relative cut, not an absolute 0.5 threshold: the 5-round GD
+    *    scores cluster near the 25% base rate, so an absolute cut
+    *    degenerates to zero survivors on the small corpora — the
+    *    CCNet-style keep-best-fraction rule is what a production
+    *    pipeline runs anyway.
+    *  - stage 3: q77's per-source token budget in (md5(text), doc_id)
+    *    order.
+    *  - stage 4: [[writeShards]] on the stage-3 survivors; counts
+    *    re-derived from the read-back files (must equal stage 3).
+    *
+    * Scale shape: only doc_id SETS cross stage boundaries (8 B/row
+    * behind lazy barriers); the near-dup gate is the banded equi-join
+    * with bucket caps, the classifier gate a one-row broadcast, the
+    * budget one per-source window over (doc_id, n_tokens) pairs, the
+    * shard write a manifest join + partitioned write. Nothing
+    * re-reads text between stages except the final shard payload. */
+  def curationPipeline(docs: DataFrame, weights: DataFrame,
+      dupThreshold: Double = 0.5, keepFrac: Double = 0.5,
+      budgetPerSource: Long = 800L, shardDir: Option[String] = None): DataFrame =
+    curationPipelineFrom(docs,
+      Dedup.minhashLshPairsMd5(docs, numHashes = 16, bands = 4)
+        .filter(col("est_jaccard") >= dupThreshold)
+        .select(col("d2").as("doc_id")).distinct(),
+      weights, keepFrac, budgetPerSource, shardDir)
+
+  /** [[curationPipeline]] from an ALREADY-SURFACED duplicate-id set —
+    * the seam the streaming twin publishes through: the at-ingest sink
+    * accumulates the pair log incrementally (batch×store cross pairs +
+    * batch self pairs cover every pair of the union regardless of
+    * arrival order), and publish time derives dupIds from the log
+    * instead of re-shingling the corpus. Stages 2–4 are THIS code for
+    * both faces, so twin parity reduces to pair-log completeness
+    * (StreamingSpec plants scrambled-order batches and asserts the
+    * identical 5-row report). */
+  def curationPipelineFrom(docs: DataFrame, dupIds: DataFrame,
+      weights: DataFrame, keepFrac: Double = 0.5,
+      budgetPerSource: Long = 800L, shardDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def stat(stage: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(words(col("text"))).cast("long")), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    val s1 = docs.join(
+      dupIds.localCheckpoint(eager = false), Seq("doc_id"), "left_anti")
+    val prWin = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id"))
+    val s2Ids = Classifier.classifierScore(s1, weights)
+      .select(col("doc_id"), col("score"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("pr", round(percent_rank().over(prWin), 6))
+      .filter(col("pr") <= keepFrac).select("doc_id")
+      .localCheckpoint(eager = false)
+    val s2 = docs.join(s2Ids, Seq("doc_id"), "left_semi")
+    val s3Ids = tokenBudgetMix(s2, budgetPerSource).select("doc_id")
+      .localCheckpoint(eager = false)
+    val s3 = docs.join(s3Ids, Seq("doc_id"), "left_semi")
+    val out = shardDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-q223-shards").toString)
+    val s4 = writeShards(s3, out).agg(
+        coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(lit("4_shards_written").as("stage"), col("n_docs"), col("n_tokens"))
+    stat("0_raw", docs)
+      .unionAll(stat("1_near_dup_gate", s1))
+      .unionAll(stat("2_classifier_gate", s2))
+      .unionAll(stat("3_token_budget", s3))
+      .unionAll(s4)
+  }
+
+  /** q223 oracle: the q52 md5-lane pair CTEs, the q217 artifact-scoring
+    * CTEs, and the q77 budget window composed into ONE statement (the
+    * q158 composition pattern) — every fragment verbatim from its
+    * standalone face's committed oracle, so the pipeline face and its
+    * components cannot desynchronize. Stage 4 equals stage 3
+    * arithmetically; the FACE derives it from the written files, which
+    * is exactly what the equality verifies. */
+  private def q223Sql: String =
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(trim(text),' '), x -> x != '') AS ws
+       |           FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS sh
+       |       FROM w WHERE len(ws) >= 3),
+       |${Dedup.md5SigCtesSql(16)},
+       |band AS (SELECT doc_id, lane // 4 AS band,
+       |           string_agg(CAST(v AS VARCHAR), ',' ORDER BY lane) AS key
+       |         FROM sig GROUP BY doc_id, lane // 4),
+       |ok AS (SELECT band, key FROM band GROUP BY 1, 2 HAVING count(*) <= 10000),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM band a JOIN ok USING (band, key) JOIN band b USING (band, key)
+       |         WHERE a.doc_id < b.doc_id),
+       |agree AS (SELECT c.d1, c.d2,
+       |            sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS eq
+       |          FROM cand c JOIN sig sa ON sa.doc_id = c.d1
+       |                      JOIN sig sb ON sb.doc_id = c.d2 AND sb.lane = sa.lane
+       |          GROUP BY 1, 2),
+       |dup AS (SELECT DISTINCT d2 AS doc_id FROM agree
+       |        WHERE CAST(eq AS DOUBLE) / 16 >= 0.5),
+       |tok AS (SELECT doc_id, source, md5(text) AS h,
+       |    len(list_filter(string_split(trim(text),' '), x -> x != '')) AS n_tokens
+       |  FROM documents),
+       |s1 AS (SELECT doc_id FROM documents
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+       |${Classifier.dkClfArtifactCtes("q223")},
+       |${Classifier.dkClfScoreCte},
+       |s2 AS (SELECT doc_id FROM (
+       |    SELECT s1.doc_id,
+       |      round(percent_rank() OVER (PARTITION BY t.source
+       |        ORDER BY scored.score DESC, s1.doc_id), 6) AS pr
+       |    FROM s1 JOIN scored ON scored.doc_id = s1.doc_id
+       |            JOIN tok t ON t.doc_id = s1.doc_id) z
+       |  WHERE pr <= 0.5),
+       |c AS (SELECT t.doc_id, t.source, t.n_tokens,
+       |    CAST(sum(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.h, t.doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM tok t JOIN s2 USING (doc_id)),
+       |s3 AS (SELECT doc_id FROM c WHERE cum - n_tokens < 800),
+       |stats AS (
+       |  SELECT '0_raw' AS stage, count(*) AS n_docs,
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM tok
+       |  UNION ALL SELECT '1_near_dup_gate', count(*),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM tok JOIN s1 USING (doc_id)
+       |  UNION ALL SELECT '2_classifier_gate', count(*),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM tok JOIN s2 USING (doc_id)
+       |  UNION ALL SELECT '3_token_budget', count(*),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM tok JOIN s3 USING (doc_id)
+       |  UNION ALL SELECT '4_shards_written', count(*),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM tok JOIN s3 USING (doc_id))
+       |SELECT stage, n_docs, n_tokens FROM stats ORDER BY stage""".stripMargin
 
   /** Distinct word n-gram shingles, one row per (doc_id, sh). Complex
     * generator child on purpose — see graft.operators.Dedup.shingles on

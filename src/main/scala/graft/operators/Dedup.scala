@@ -2115,6 +2115,12 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
     minhashSignaturesFrom(shingles(docs), numHashes)
 
+  /** Public md5-family entry of [[minhashSignaturesMd5From]] — the
+    * signatures the q223 streaming ingest sink persists so its pair log
+    * exactly replays the oracle-checked q52 lane family. */
+  def minhashSignaturesMd5(docs: DataFrame, numHashes: Int): DataFrame =
+    minhashSignaturesMd5From(shingles(docs), numHashes)
+
   /** ENGINE-AGNOSTIC MinHash signatures: per-lane INDEPENDENT md5
     * hashes — lanes 4t..4t+3 are the four 32-bit quarters (8 hex chars
     * each) of md5(t ++ "_" ++ sh). md5, not xxhash64, because DuckDB

@@ -352,6 +352,80 @@ object Streams {
         ()
       }
 
+  /** q223's streaming ingest half: each micro-batch of documents lands
+    * in three replay-idempotent stores — the md5-family MinHash
+    * signature store, the near-dup PAIR LOG (batch×store cross pairs +
+    * batch self pairs, the q52 lane family, so the log is exactly the
+    * full-corpus q52 pair set once everything has arrived — regardless
+    * of arrival order, since the pair (a, b) surfaces when the LATER of
+    * the two ingests), and the raw docs store. Publish time
+    * ([[publishCurationSnapshot]]) derives the near-dup gate from the
+    * log and runs the batch face's stages 2–4 verbatim — no corpus
+    * re-shingle, the incremental-index shape of the pipeline face.
+    * All three appends anti-join their store (K2 idempotence), so
+    * foreachBatch replays land nothing new. */
+  def curationIngestSinkQuery(docs: DataFrame, docsDir: String,
+      sigDir: String, pairsDir: String, numHashes: Int = 16,
+      bands: Int = 4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.Dedup
+        import org.apache.spark.sql.types._
+        val spark = batch.sparkSession
+        def readOrEmpty(path: String, schema: StructType): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+        val sigSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("sig", ArrayType(LongType))))
+        val pairSchema = StructType(Seq(
+          StructField("d1", LongType), StructField("d2", LongType),
+          StructField("est_jaccard", DoubleType)))
+        val docsSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("source", StringType)))
+        val b = batch.localCheckpoint(true)
+        val store = readOrEmpty(sigDir, sigSchema)
+        val pairs = Dedup.incrementalMinhashPairs(b, store, numHashes, bands,
+            family = "md5")
+          .unionByName(Dedup.minhashLshPairsMd5(b, numHashes, bands))
+          .distinct()
+        pairs.join(readOrEmpty(pairsDir, pairSchema).select("d1", "d2"),
+            Seq("d1", "d2"), "left_anti")
+          .write.mode("append").parquet(pairsDir)
+        Dedup.minhashSignaturesMd5(b, numHashes)
+          .join(store.select("doc_id"), Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(sigDir)
+        b.select("doc_id", "text", "source")
+          .join(readOrEmpty(docsDir, docsSchema).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(docsDir)
+        ()
+      }
+
+  /** q223's publish half: cut a training snapshot from the ingest
+    * stores — near-dup gate from the accumulated pair log, then the
+    * batch face's classifier gate / token budget / shard write
+    * ([[graft.operators.Curation.curationPipelineFrom]] — literally the
+    * same code both faces run from stage 2 on). Returns the 5-row
+    * funnel report; StreamingSpec asserts it equals the batch q223 face
+    * row for row after scrambled-order ingestion. */
+  def publishCurationSnapshot(spark: SparkSession, docsDir: String,
+      pairsDir: String, weights: DataFrame, dupThreshold: Double = 0.5,
+      keepFrac: Double = 0.5, budgetPerSource: Long = 800L,
+      shardDir: Option[String] = None): DataFrame = {
+    val docs = spark.read.parquet(docsDir)
+    val dupIds = spark.read.parquet(pairsDir)
+      .filter(org.apache.spark.sql.functions.col("est_jaccard") >= dupThreshold)
+      .select(org.apache.spark.sql.functions.col("d2").as("doc_id")).distinct()
+    graft.operators.Curation.curationPipelineFrom(docs, dupIds, weights,
+      keepFrac, budgetPerSource, shardDir)
+  }
+
   /** At-ingest maintenance of the persisted [[graft.operators.DedupIndex]]:
     * the first micro-batch BUILDS the index at `indexDir`, every later
     * batch runs the incremental [[graft.operators.DedupIndex.update]]

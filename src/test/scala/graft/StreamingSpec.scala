@@ -225,6 +225,43 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("q223 streaming twin: scrambled-order ingest + publish equals the batch pipeline report") {
+    val root = java.nio.file.Files.createTempDirectory("q223twin").toString
+    val (docsDir, sigDir, pairsDir) = (s"$root/docs", s"$root/sigs", s"$root/pairs")
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect()
+    val weights = graft.operators.Classifier.ensureWeights(spark, sfDir)
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = Streams.curationIngestSinkQuery(
+      input.toDF().toDF("doc_id", "text", "source"),
+      docsDir, sigDir, pairsDir).start()
+    try {
+      // three batches SCRAMBLED by doc_id % 3 — a pair's members can land
+      // in any order; the pair log must still converge to the full q52 set
+      (0 until 3).foreach { k =>
+        input.addData(corpus.filter(_._1 % 3 == k).toSeq)
+        q.processAllAvailable()
+      }
+      // replay a slice verbatim: nothing may change
+      input.addData(corpus.filter(_._1 % 3 == 0).take(20).toSeq)
+      q.processAllAvailable()
+      val streamed = Streams.publishCurationSnapshot(spark, docsDir, pairsDir,
+          weights, shardDir = Some(s"$root/shards"))
+        .select("stage", "n_docs", "n_tokens")
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+      val batch = graft.operators.Curation.curationPipeline(
+          Tables.documents(spark, sfDir), weights,
+          shardDir = Some(s"$root/shards_batch"))
+        .select("stage", "n_docs", "n_tokens")
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq,
+        s"twin drift:\nstreamed=${streamed.toSeq}\nbatch=${batch.toSeq}")
+      assert(batch.head == ("0_raw", 500L, 27939L), "corpus stage-0 sanity")
+    } finally q.stop()
+  }
+
   test("q188 lateness: planted disorder counts per rung; tiny buckets exercise the hierarchy") {
     import java.sql.Timestamp
     def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
