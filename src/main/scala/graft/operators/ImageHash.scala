@@ -197,14 +197,17 @@ object ImageHash {
     hash
   }
 
-  /** (asset_id, dhash) for every decodable WAV asset — narrow, no
-    * shuffle; shares [[nearDupImagePairs]]'s banded Hamming join (the
-    * pair machinery is modality-blind: any 64-bit perceptual hash). */
+  /** (asset_id, dhash) for every decodable WAV or FLAC asset — narrow,
+    * no shuffle; shares [[nearDupImagePairs]]'s banded Hamming join (the
+    * pair machinery is modality-blind: any 64-bit perceptual hash).
+    * Windows come from [[Multimodal.DefaultAudioCodec]]'s routed decode,
+    * so identical PCM yields the identical hash whichever container
+    * carried it — the audio twin of the q159 P5↔PNG invariance. */
   def audioEnergyHashes(assets: Dataset[MediaAsset]): DataFrame = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        Multimodal.WavCodec.decodeEnergyWindows(a.bytes)
+        Multimodal.DefaultAudioCodec.decodeEnergyWindows(a.bytes)
           .map(e => (a.asset_id, energyHash(e)))
       }
     }.toDF("asset_id", "dhash")
@@ -233,11 +236,22 @@ object ImageHash {
       }: _*))
     val originals = docs.select((col("doc_id") * 2).as("asset_id"),
       lit("audio/wav").as("mime"), concat(lit(header), raster("")).as("bytes"))
+    // siblings TRANSCODE to FLAC around the identical PCM (r13 VERDICT
+    // #4): every recovered pair is now cross-format WAV↔FLAC through a
+    // REAL compressed-audio decode — and because FLAC is lossless the
+    // decoded windows, hashes, pairs, oracle artifacts, and goldens are
+    // all byte-identical to the old all-WAV corpus (the q159 mixed
+    // P5+PNG move, audio edition)
     val siblings = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") * 2 + 1).as("asset_id"),
-        lit("audio/wav").as("mime"),
+        lit("audio/flac").as("mime"),
         concat(lit(header), raster("~edit")).as("bytes"))
-    originals.unionByName(siblings).as[MediaAsset]
+      .as[MediaAsset]
+      .map(a => MediaAsset(a.asset_id, a.mime,
+        Multimodal.FlacCodec.transcodeFromWav(a.bytes).getOrElse(
+          throw new IllegalStateException(
+            s"fixture WAV ${a.asset_id} failed FLAC transcode"))))
+    originals.as[MediaAsset].unionByName(siblings)
   }
 
   // ---------------------------------------------------------------------

@@ -1460,6 +1460,606 @@ object Multimodal {
       }
       Some(energy)
     }
+
+    /** Raw interleaved PCM for the FLAC transcode fixture path: the same
+      * RIFF walk, samples returned untouched. */
+    private[graft] def decodePcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      def str(off: Int, n: Int): String =
+        if (off + n <= bytes.length) new String(bytes, off, n, "US-ASCII") else ""
+      def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def le32(off: Int): Long = (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      if (bytes.length < 44 || str(0, 4) != "RIFF" || str(8, 4) != "WAVE") return None
+      var pos = 12
+      var audioFormat = -1; var channels = 0; var sampleRate = 0L; var bits = 0
+      var dataOff = -1; var dataLen = 0L
+      var walking = true
+      while (walking && pos + 8 <= bytes.length) {
+        val id = str(pos, 4)
+        val size = le32(pos + 4)
+        val body = pos + 8
+        id match {
+          case "fmt " if body + 16 <= bytes.length =>
+            audioFormat = le16(body); channels = le16(body + 2)
+            sampleRate = le32(body + 4); bits = le16(body + 14)
+          case "data" =>
+            dataOff = body; dataLen = math.min(size, (bytes.length - body).toLong)
+          case _ =>
+        }
+        val next = body.toLong + size + (size & 1L)
+        if (next <= pos || next > bytes.length) walking = false
+        else pos = next.toInt
+      }
+      if (audioFormat != 1 || bits != 16 || channels < 1 ||
+          sampleRate <= 0 || sampleRate > 4000000L || dataOff < 0) return None
+      val nSamples = (dataLen / 2).toInt
+      if (nSamples == 0) return None
+      val pcm = Array.tabulate(nSamples)(i => le16(dataOff + 2 * i).toShort)
+      Some((sampleRate.toInt, channels, pcm))
+    }
+  }
+
+  /** REAL lib-free FLAC decoder (RFC 9639 subset: 16-bit streams, all
+    * four subframe types — CONSTANT / VERBATIM / FIXED 0–4 / LPC 1–32 —
+    * Rice + Rice2 residual partitions with escape codes, wasted bits,
+    * all four channel assignments incl. the stereo decorrelations, CRC-8
+    * header and CRC-16 frame verification) — the audio analogue of the
+    * r13 JPEG move: the last compressed-audio seam a real corpus hits
+    * before the documented MP3/video stubs. Decode lands as an in-memory
+    * canonical WAV and re-enters [[WavCodec]], so features and the q164
+    * energy windows are IDENTICAL to the uncompressed container by
+    * construction — the cross-format invariance the mixed-corpus face
+    * relies on (FLAC is lossless; FlacSpec round-trips plated PCM
+    * bit-exactly and fuzzes truncations/bit-flips to None, never throw).
+    *
+    * The minimal encoder below ([[encode16]]) exists for fixtures and
+    * the round-trip gate: per block it picks the cheapest of CONSTANT /
+    * VERBATIM / FIXED(1,2)+Rice, so tonal signals take the predictive
+    * path and the md5-noise fixtures take verbatim — all of it real
+    * framing with real CRCs that libFLAC would accept. */
+  object FlacCodec extends AudioCodec {
+    def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+      toWav(bytes).flatMap(WavCodec.decodeAudio)
+
+    private[graft] def decodeEnergyWindows(bytes: Array[Byte],
+        nWindows: Int = 65): Option[Array[Long]] =
+      toWav(bytes).flatMap(WavCodec.decodeEnergyWindows(_, nWindows))
+
+    /** MSB-first bit reader; out-of-bounds reads raise the private
+      * control exception the decode boundary maps to None. */
+    private final class Exhausted extends RuntimeException
+    private final class BitReader(bytes: Array[Byte], var bytePos: Int) {
+      private var bitPos = 0
+      def readBit(): Int = {
+        if (bytePos >= bytes.length) throw new Exhausted
+        val b = (bytes(bytePos) >> (7 - bitPos)) & 1
+        bitPos += 1
+        if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+        b
+      }
+      def readBits(n: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < n) { v = (v << 1) | readBit(); i += 1 }
+        v
+      }
+      def readSigned(n: Int): Int = {
+        val v = readBits(n)
+        ((v << (64 - n)) >> (64 - n)).toInt // sign-extend
+      }
+      def readUnary(): Int = {
+        var q = 0
+        while (readBit() == 0) {
+          q += 1
+          if (q > (1 << 20)) throw new Exhausted // hostile run
+        }
+        q
+      }
+      def alignToByte(): Unit =
+        if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+      def atByteBoundary: Boolean = bitPos == 0
+      /** FLAC's UTF-8-style coded number (frame/sample index). */
+      def readCodedNumber(): Long = {
+        val b0 = readBits(8).toInt
+        if ((b0 & 0x80) == 0) return b0
+        var n = 0
+        var mask = 0x40
+        while ((b0 & mask) != 0 && n < 7) { n += 1; mask >>= 1 }
+        if (n == 0 || n > 6) throw new Exhausted // 10xxxxxx / overlong
+        var v = (b0 & (0x3f >> n)).toLong
+        var i = 0
+        while (i < n) {
+          val c = readBits(8).toInt
+          if ((c & 0xc0) != 0x80) throw new Exhausted
+          v = (v << 6) | (c & 0x3f)
+          i += 1
+        }
+        v
+      }
+    }
+
+    private def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0
+      var i = from
+      while (i < until) {
+        crc ^= bytes(i) & 0xff
+        var b = 0
+        while (b < 8) {
+          crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+          b += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    private def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0
+      var i = from
+      while (i < until) {
+        crc ^= (bytes(i) & 0xff) << 8
+        var b = 0
+        while (b < 8) {
+          crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+                else (crc << 1) & 0xffff
+          b += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    private val blockSizeTable = Array(-1, 192, 576, 1152, 2304, 4608,
+      -2, -3, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+    private val sampleRateTable = Array(-1, 88200, 176400, 192000, 8000,
+      16000, 22050, 24000, 32000, 44100, 48000, 96000, -2, -3, -4, -5)
+
+    /** Full FLAC → canonical in-memory WAV (16-bit only — the container
+      * profile the corpus fixtures and WavCodec share). None on any
+      * malformation, CRC mismatch, or unsupported profile; never throws. */
+    private[graft] def toWav(bytes: Array[Byte]): Option[Array[Byte]] = {
+      try {
+        if (bytes.length < 42 || bytes(0) != 'f' || bytes(1) != 'L' ||
+            bytes(2) != 'a' || bytes(3) != 'C') return None
+        // metadata walk: STREAMINFO first (mandatory), skip the rest
+        var pos = 4
+        var last = false
+        var sampleRate = -1; var channels = -1; var bps = -1
+        var totalSamples = 0L
+        var sawStreamInfo = false
+        while (!last) {
+          if (pos + 4 > bytes.length) return None
+          last = (bytes(pos) & 0x80) != 0
+          val btype = bytes(pos) & 0x7f
+          val len = ((bytes(pos + 1) & 0xff) << 16) | ((bytes(pos + 2) & 0xff) << 8) |
+            (bytes(pos + 3) & 0xff)
+          val body = pos + 4
+          if (body + len > bytes.length) return None
+          if (btype == 0) { // STREAMINFO, 34 bytes
+            if (len < 34) return None
+            val br = new BitReader(bytes, body)
+            br.readBits(16); br.readBits(16) // min/max block size
+            br.readBits(24); br.readBits(24) // min/max frame size
+            sampleRate = br.readBits(20).toInt
+            channels = br.readBits(3).toInt + 1
+            bps = br.readBits(5).toInt + 1
+            totalSamples = br.readBits(36)
+            sawStreamInfo = true
+          } else if (btype == 127) return None // invalid
+          pos = body + len
+        }
+        if (!sawStreamInfo || sampleRate <= 0 || sampleRate > 4000000 ||
+            channels < 1 || channels > 8 || bps != 16) return None
+        if (totalSamples > (1L << 24)) return None // hostile header cap
+        val out = new java.io.ByteArrayOutputStream()
+        var decoded = 0L
+        // decode frames until data ends or the declared total is reached
+        while (pos + 2 <= bytes.length &&
+               (totalSamples == 0 || decoded < totalSamples)) {
+          val frameStart = pos
+          val br = new BitReader(bytes, pos)
+          if (br.readBits(14) != 0x3ffe) return None // lost sync
+          br.readBit() // reserved
+          br.readBit() // blocking strategy
+          val bsCode = br.readBits(4).toInt
+          val srCode = br.readBits(4).toInt
+          val chAsgn = br.readBits(4).toInt
+          val ssCode = br.readBits(3).toInt
+          br.readBit() // reserved
+          br.readCodedNumber()
+          val blockSize = bsCode match {
+            case 0 => return None
+            case 6 => br.readBits(8).toInt + 1
+            case 7 => br.readBits(16).toInt + 1
+            case c => blockSizeTable(c)
+          }
+          srCode match { // stream rate authoritative; just consume
+            case 12 => br.readBits(8)
+            case 13 | 14 => br.readBits(16)
+            case 15 => return None
+            case _ => ()
+          }
+          // sample size: must agree with the 16-bit profile (0 = from
+          // STREAMINFO, 4 = 16-bit)
+          if (ssCode != 0 && ssCode != 4) return None
+          br.alignToByte()
+          val crcHdrPos = br.bytePos
+          if (crc8(bytes, frameStart, crcHdrPos) != br.readBits(8).toInt)
+            return None
+          val nCh = chAsgn match {
+            case a if a <= 7 => a + 1
+            case 8 | 9 | 10 => 2
+            case _ => return None
+          }
+          if (nCh != channels) return None
+          if (blockSize <= 0 || blockSize > 65535) return None
+          if (decoded + blockSize > (1L << 24)) return None
+          // subframes: the side channel of the stereo decorrelations
+          // carries one extra bit
+          val ch = Array.ofDim[Int](nCh, blockSize)
+          var c = 0
+          while (c < nCh) {
+            val extra = chAsgn match {
+              case 8 if c == 1 => 1 // left/side
+              case 9 if c == 0 => 1 // side/right
+              case 10 if c == 1 => 1 // mid/side
+              case _ => 0
+            }
+            decodeSubframe(br, blockSize, bps + extra, ch(c))
+            c += 1
+          }
+          br.alignToByte()
+          val crcPos = br.bytePos
+          if (crcPos + 2 > bytes.length) return None
+          val want = ((bytes(crcPos) & 0xff) << 8) | (bytes(crcPos + 1) & 0xff)
+          if (crc16(bytes, frameStart, crcPos) != want) return None
+          pos = crcPos + 2
+          // undo inter-channel decorrelation
+          chAsgn match {
+            case 8 => // left/side: right = left - side
+              var i = 0
+              while (i < blockSize) { ch(1)(i) = ch(0)(i) - ch(1)(i); i += 1 }
+            case 9 => // side/right: left = right + side
+              var i = 0
+              while (i < blockSize) {
+                val side = ch(0)(i); ch(0)(i) = ch(1)(i) + side; i += 1
+              }
+            case 10 => // mid/side: mid stored as (l+r)>>1 with the lost
+              // low bit recoverable from side's parity (RFC 9639 §4.2)
+              var i = 0
+              while (i < blockSize) {
+                val mid = ch(0)(i); val side = ch(1)(i)
+                val l = (((mid << 1) | (side & 1)) + side) >> 1
+                ch(0)(i) = l; ch(1)(i) = l - side
+                i += 1
+              }
+            case _ => ()
+          }
+          val take =
+            if (totalSamples == 0) blockSize
+            else math.min(blockSize.toLong, totalSamples - decoded).toInt
+          var i = 0
+          while (i < take) {
+            var cc = 0
+            while (cc < nCh) {
+              val s = ch(cc)(i)
+              if (s < -32768 || s > 32767) return None
+              out.write(s & 0xff); out.write((s >> 8) & 0xff)
+              cc += 1
+            }
+            i += 1
+          }
+          decoded += take
+        }
+        if (decoded == 0) return None
+        if (totalSamples != 0 && decoded < totalSamples) return None
+        val data = out.toByteArray
+        val hdr = new java.io.ByteArrayOutputStream()
+        def w16(v: Int): Unit = { hdr.write(v & 0xff); hdr.write((v >> 8) & 0xff) }
+        def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+        hdr.write("RIFF".getBytes("US-ASCII")); w32(36 + data.length)
+        hdr.write("WAVE".getBytes("US-ASCII"))
+        hdr.write("fmt ".getBytes("US-ASCII")); w32(16)
+        w16(1); w16(channels); w32(sampleRate)
+        w32(sampleRate * channels * 2); w16(channels * 2); w16(16)
+        hdr.write("data".getBytes("US-ASCII")); w32(data.length)
+        hdr.write(data)
+        Some(hdr.toByteArray)
+      } catch {
+        case _: Exhausted | _: ArrayIndexOutOfBoundsException |
+             _: NegativeArraySizeException | _: OutOfMemoryError => None
+      }
+    }
+
+    private def decodeSubframe(br: BitReader, blockSize: Int, bps: Int,
+        out: Array[Int]): Unit = {
+      if (br.readBit() != 0) throw new Exhausted // padding bit must be 0
+      val tpe = br.readBits(6).toInt
+      val wasted =
+        if (br.readBit() == 1) br.readUnary() + 1 else 0
+      val ebps = bps - wasted
+      if (ebps <= 0 || ebps > 32) throw new Exhausted
+      tpe match {
+        case 0 => // CONSTANT
+          val v = br.readSigned(ebps)
+          java.util.Arrays.fill(out, v)
+        case 1 => // VERBATIM
+          var i = 0
+          while (i < blockSize) { out(i) = br.readSigned(ebps); i += 1 }
+        case t if t >= 8 && t <= 12 => // FIXED order 0..4
+          val order = t - 8
+          if (order > blockSize) throw new Exhausted
+          var i = 0
+          while (i < order) { out(i) = br.readSigned(ebps); i += 1 }
+          decodeResidual(br, blockSize, order, out)
+          var k = order
+          while (k < blockSize) {
+            out(k) = order match {
+              case 0 => out(k)
+              case 1 => out(k) + out(k - 1)
+              case 2 => out(k) + 2 * out(k - 1) - out(k - 2)
+              case 3 => out(k) + 3 * out(k - 1) - 3 * out(k - 2) + out(k - 3)
+              case 4 => out(k) + 4 * out(k - 1) - 6 * out(k - 2) +
+                4 * out(k - 3) - out(k - 4)
+            }
+            k += 1
+          }
+        case t if t >= 32 => // LPC order 1..32
+          val order = t - 31
+          if (order > blockSize) throw new Exhausted
+          var i = 0
+          while (i < order) { out(i) = br.readSigned(ebps); i += 1 }
+          val prec = br.readBits(4).toInt + 1
+          if (prec > 15) throw new Exhausted // 0b1111 invalid by spec
+          val shift = br.readSigned(5)
+          if (shift < 0) throw new Exhausted
+          val coefs = Array.tabulate(order)(_ => br.readSigned(prec))
+          decodeResidual(br, blockSize, order, out)
+          var k = order
+          while (k < blockSize) {
+            var acc = 0L
+            var j = 0
+            while (j < order) { acc += coefs(j).toLong * out(k - 1 - j); j += 1 }
+            out(k) = out(k) + (acc >> shift).toInt
+            k += 1
+          }
+        case _ => throw new Exhausted // reserved types
+      }
+      if (wasted > 0) {
+        var i = 0
+        while (i < blockSize) { out(i) = out(i) << wasted; i += 1 }
+      }
+    }
+
+    /** Rice/Rice2 residual into out(order until blockSize). */
+    private def decodeResidual(br: BitReader, blockSize: Int, order: Int,
+        out: Array[Int]): Unit = {
+      val method = br.readBits(2).toInt
+      if (method > 1) throw new Exhausted
+      val pBits = if (method == 0) 4 else 5
+      val esc = if (method == 0) 15 else 31
+      val po = br.readBits(4).toInt
+      val parts = 1 << po
+      if (blockSize % parts != 0 || blockSize / parts <= (if (po == 0) order else 0))
+        throw new Exhausted
+      var idx = order
+      var p = 0
+      while (p < parts) {
+        val n = (blockSize / parts) - (if (p == 0) order else 0)
+        val param = br.readBits(pBits).toInt
+        if (param == esc) {
+          val raw = br.readBits(5).toInt
+          var i = 0
+          while (i < n) {
+            out(idx) = if (raw == 0) 0 else br.readSigned(raw)
+            idx += 1; i += 1
+          }
+        } else {
+          var i = 0
+          while (i < n) {
+            val q = br.readUnary()
+            val v = (q.toLong << param) | br.readBits(param)
+            out(idx) = ((v >>> 1) ^ -(v & 1L)).toInt // zigzag
+            idx += 1; i += 1
+          }
+        }
+        p += 1
+      }
+    }
+
+    // -------------------------------------------------------------------
+    // Minimal encoder — fixtures + the lossless round-trip gate.
+    // -------------------------------------------------------------------
+
+    private final class BitWriter {
+      private val buf = new java.io.ByteArrayOutputStream()
+      private var cur = 0
+      private var nBits = 0
+      def writeBit(b: Int): Unit = {
+        cur = (cur << 1) | (b & 1); nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+      }
+      def writeBits(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) { writeBit(((v >> i) & 1L).toInt); i -= 1 }
+      }
+      def alignToByte(): Unit = while (nBits != 0) writeBit(0)
+      def toBytes: Array[Byte] = { alignToByte(); buf.toByteArray }
+    }
+
+    private def zigzag(v: Int): Long = ((v.toLong << 1) ^ (v.toLong >> 63))
+
+    /** Rice-encoded size in bits of residuals under parameter k. */
+    private def riceCost(res: Array[Int], k: Int): Long =
+      res.foldLeft(0L)((acc, r) => acc + (zigzag(r) >>> k) + 1 + k)
+
+    /** Encode interleaved 16-bit PCM as a real FLAC stream: fixed 4096
+      * blocks, per-channel independent subframes, each the cheapest of
+      * CONSTANT / VERBATIM / FIXED(1,2) + Rice (partition order 0). */
+    private[graft] def encode16(sampleRate: Int, channels: Int,
+        interleaved: Array[Short]): Array[Byte] = {
+      require(channels >= 1 && channels <= 8 && interleaved.length % channels == 0)
+      val nFrames = interleaved.length / channels
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("US-ASCII"))
+      // STREAMINFO (last metadata block)
+      val si = new BitWriter
+      val block = 4096
+      si.writeBits(block, 16); si.writeBits(block, 16)
+      si.writeBits(0, 24); si.writeBits(0, 24) // frame sizes unknown
+      si.writeBits(sampleRate, 20)
+      si.writeBits(channels - 1, 3)
+      si.writeBits(15, 5) // bps - 1
+      si.writeBits(nFrames, 36)
+      si.writeBits(0, 64); si.writeBits(0, 64) // md5 unset
+      val siBytes = si.toBytes
+      out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+      out.write(siBytes)
+      var frameNo = 0L
+      var off = 0
+      while (off < nFrames) {
+        val n = math.min(block, nFrames - off)
+        val bw = new BitWriter
+        bw.writeBits(0x3ffe, 14); bw.writeBit(0); bw.writeBit(0)
+        bw.writeBits(7, 4)  // block size: 16-bit field at end of header
+        bw.writeBits(0, 4)  // sample rate: from STREAMINFO
+        bw.writeBits(channels - 1, 4)
+        bw.writeBits(4, 3)  // 16-bit
+        bw.writeBit(0)
+        writeCodedNumber(bw, frameNo)
+        bw.writeBits(n - 1, 16)
+        val headNoCrc = bw.toBytes // byte-aligned here by construction
+        val crc8v = crc8(headNoCrc, 0, headNoCrc.length)
+        val fw = new BitWriter
+        headNoCrc.foreach(b => fw.writeBits(b & 0xffL, 8))
+        fw.writeBits(crc8v, 8)
+        var c = 0
+        while (c < channels) {
+          val s = Array.tabulate(n)(i => interleaved((off + i) * channels + c).toInt)
+          writeSubframe(fw, s, 16)
+          c += 1
+        }
+        fw.alignToByte()
+        val frameBytes = fw.toBytes
+        val crc16v = crc16(frameBytes, 0, frameBytes.length)
+        out.write(frameBytes)
+        out.write((crc16v >> 8) & 0xff); out.write(crc16v & 0xff)
+        off += n
+        frameNo += 1
+      }
+      out.toByteArray
+    }
+
+    private def writeCodedNumber(bw: BitWriter, v: Long): Unit =
+      if (v < 0x80) bw.writeBits(v, 8)
+      else {
+        // 2..7-byte UTF-8-style encodings
+        val n =
+          if (v < (1L << 11)) 2 else if (v < (1L << 16)) 3
+          else if (v < (1L << 21)) 4 else if (v < (1L << 26)) 5
+          else if (v < (1L << 31)) 6 else 7
+        val lead = (0xfe << (7 - n)) & 0xff
+        bw.writeBits(lead | (v >> (6 * (n - 1))), 8)
+        var i = n - 2
+        while (i >= 0) {
+          bw.writeBits(0x80L | ((v >> (6 * i)) & 0x3f), 8)
+          i -= 1
+        }
+      }
+
+    private def writeSubframe(bw: BitWriter, s: Array[Int], bps: Int): Unit = {
+      val n = s.length
+      val mask = (1L << bps) - 1
+      def fixedResidual(order: Int): Array[Int] = order match {
+        case 1 => Array.tabulate(n - 1)(i => s(i + 1) - s(i))
+        case 2 => Array.tabulate(n - 2)(i => s(i + 2) - 2 * s(i + 1) + s(i))
+        case _ => s
+      }
+      def bestRiceK(res: Array[Int]): Int =
+        (0 to 14).minBy(k => riceCost(res, k))
+      val constant = s.forall(_ == s.head)
+      // candidate costs in bits (header ~8 + payload)
+      val verbCost = bps.toLong * n
+      val cands = Seq(1, 2).filter(_ < n).map { o =>
+        val res = fixedResidual(o)
+        val k = bestRiceK(res)
+        (o, k, res, bps.toLong * o + 2 + 4 + 4 + riceCost(res, k))
+      }
+      if (constant) {
+        bw.writeBit(0); bw.writeBits(0, 6); bw.writeBit(0)
+        bw.writeBits(s.head.toLong & mask, bps)
+      } else cands.sortBy(_._4).headOption match {
+        case Some((o, k, res, cost)) if cost < verbCost =>
+          bw.writeBit(0); bw.writeBits(8 + o, 6); bw.writeBit(0)
+          var i = 0
+          while (i < o) { bw.writeBits(s(i).toLong & mask, bps); i += 1 }
+          bw.writeBits(0, 2)  // Rice 4-bit params
+          bw.writeBits(0, 4)  // partition order 0
+          bw.writeBits(k, 4)
+          res.foreach { r =>
+            val z = zigzag(r)
+            var q = z >>> k
+            while (q > 0) { bw.writeBit(0); q -= 1 }
+            bw.writeBit(1)
+            bw.writeBits(z & ((1L << k) - 1), k)
+          }
+        case _ =>
+          bw.writeBit(0); bw.writeBits(1, 6); bw.writeBit(0)
+          s.foreach(v => bw.writeBits(v.toLong & mask, bps))
+      }
+    }
+
+    /** Stereo encoder with an explicit channel assignment — exercises
+      * the left/side (8), right/side (9), and mid/side (10) decode
+      * reconstructions the mono fixtures never reach; FlacSpec
+      * round-trips all three against the independent encoding. */
+    private[graft] def encode16Stereo(sampleRate: Int, left: Array[Int],
+        right: Array[Int], assignment: Int): Array[Byte] = {
+      require(left.length == right.length && left.length > 0)
+      require(assignment >= 8 && assignment <= 10)
+      val n = left.length
+      require(n <= 65535, "single-frame test encoder")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("US-ASCII"))
+      val si = new BitWriter
+      si.writeBits(n, 16); si.writeBits(n, 16)
+      si.writeBits(0, 24); si.writeBits(0, 24)
+      si.writeBits(sampleRate, 20); si.writeBits(1, 3); si.writeBits(15, 5)
+      si.writeBits(n, 36); si.writeBits(0, 64); si.writeBits(0, 64)
+      val siBytes = si.toBytes
+      out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+      out.write(siBytes)
+      val bw = new BitWriter
+      bw.writeBits(0x3ffe, 14); bw.writeBit(0); bw.writeBit(0)
+      bw.writeBits(7, 4); bw.writeBits(0, 4)
+      bw.writeBits(assignment, 4); bw.writeBits(4, 3); bw.writeBit(0)
+      writeCodedNumber(bw, 0L)
+      bw.writeBits(n - 1, 16)
+      val headNoCrc = bw.toBytes
+      val fw = new BitWriter
+      headNoCrc.foreach(b => fw.writeBits(b & 0xffL, 8))
+      fw.writeBits(crc8(headNoCrc, 0, headNoCrc.length), 8)
+      val side = Array.tabulate(n)(i => left(i) - right(i))
+      val mid = Array.tabulate(n)(i => (left(i) + right(i)) >> 1)
+      val (ch0, b0, ch1, b1) = assignment match {
+        case 8 => (left, 16, side, 17)
+        case 9 => (side, 17, right, 16)
+        case _ => (mid, 16, side, 17)
+      }
+      writeSubframe(fw, ch0, b0)
+      writeSubframe(fw, ch1, b1)
+      fw.alignToByte()
+      val frameBytes = fw.toBytes
+      val c16 = crc16(frameBytes, 0, frameBytes.length)
+      out.write(frameBytes)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      out.toByteArray
+    }
+
+    /** Transcode a canonical 16-bit WAV payload to FLAC (identical PCM) —
+      * the fixture path that makes q164's sibling assets genuinely
+      * compressed-audio without moving a single decoded sample. */
+    private[graft] def transcodeFromWav(wav: Array[Byte]): Option[Array[Byte]] =
+      WavCodec.decodePcm16(wav).map { case (sr, ch, pcm) => encode16(sr, ch, pcm) }
   }
 
   /** Deterministic fake audio decode for formats without a lib-free
@@ -1474,10 +2074,21 @@ object Multimodal {
     }
   }
 
-  /** Production routing for audio: real WAV decode, stub elsewhere. */
+  /** Production routing for audio: real WAV and FLAC decode, stub for
+    * the remaining compressed formats (MP3/OGG/AAC). */
   object DefaultAudioCodec extends AudioCodec {
     def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
-      WavCodec.decodeAudio(bytes).orElse(StubAudioCodec.decodeAudio(bytes))
+      WavCodec.decodeAudio(bytes)
+        .orElse(FlacCodec.decodeAudio(bytes))
+        .orElse(StubAudioCodec.decodeAudio(bytes))
+
+    /** Container-routing twin of the q164 window decode: WAV bytes walk
+      * the RIFF path, FLAC bytes decode and re-enter it — identical
+      * windows for identical PCM, whichever container carried it. */
+    private[graft] def decodeEnergyWindows(bytes: Array[Byte],
+        nWindows: Int = 65): Option[Array[Long]] =
+      WavCodec.decodeEnergyWindows(bytes, nWindows)
+        .orElse(FlacCodec.decodeEnergyWindows(bytes, nWindows))
   }
 
   /** STUB codec — deterministic fake decode keyed on content bytes, for
