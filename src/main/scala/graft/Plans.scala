@@ -108,7 +108,28 @@ object Plans {
     "q173_key_skew_audit",        // count agg + one-row broadcast stats
     "q174_retention_halflife",    // closed-form OLS sufficient statistics
     "q175_topk_per_group_agg",    // k-row aggregator buffers, join-back
-    "q177_threshold_sweep")       // one pair barrier, ladder explodes
+    "q177_threshold_sweep",       // one pair barrier, ladder explodes
+    // r14 (VERDICT #3): the expensive tail — every query above the ~5 s
+    // sf0.1 median line gets its committed plan, so the next shuffle
+    // breach is diagnosed from the artifact, not re-derived
+    "q56_ann_lsh_topk",           // persisted-planes scaled-long LSH top-k
+    "q158_tokenizer_audit",       // 3 tokenizer trainings off one barrier
+    "q189_minhash_error_audit",   // md5-lane signatures + exact-pair join
+    "q202_dedupindex_update",     // new-shingles vs persisted-index join
+    "q207_shard_write",           // manifest join + partitioned write audit
+    "q215_substring_dedup_apply_incremental", // window store probe
+    "q221_tokenizer_vocab_overlap", // 3 vocabularies pairwise-Jaccard'd
+    "q222_dedup_family_agreement",  // lexical vs semantic pair-graph outer join
+    "q223_curation_pipeline",       // 4-gate funnel + shard write audit
+    // the 14 production lanes (xxhash64 / DataSketches / native-double):
+    // resolved from Bench.productionLanes below
+    "x52_minhash_lsh_pairs_xxhash", "x53_simhash_pairs_xxhash",
+    "x55b_cosine_pairs_lsh_native", "x56_ann_lsh_topk_native",
+    "x65_ivf_topk_native", "x89_vocab_sketch_datasketches",
+    "x98_source_overlap_datasketches", "x123_bloom_decontamination_xxhash",
+    "x169_rolling_actives_datasketches", "x189_minhash_error_audit_xxhash",
+    "x204_pq_adc_topk_native", "x205_ivfpq_topk_native",
+    "x208_source_overlap_kmv_xxhash", "x218_ivfpq_residual_topk_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -125,7 +146,9 @@ object Plans {
     sb.append(s"Generated by `graft.Plans` at $sfDir. Review notes inline in\n")
     sb.append("SCALING.md; regressions guarded by PlanSpec.\n")
     headline.foreach { name =>
-      val df = SparkEntry.all(name).fn(spark, sfDir)
+      val df =
+        if (name.startsWith("x")) Bench.productionLanes(name)(spark, sfDir)
+        else SparkEntry.all(name).fn(spark, sfDir)
       sb.append(s"\n## $name\n\n```\n")
       sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
       sb.append("\n```\n")

@@ -715,7 +715,15 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q221_tokenizer_vocab_overlap",  0, 8),
       // q222: the q51 pair machinery (its own barriers) + the exact
       // cosine self-join + one pair-key outer join + a 3-row aggregate
-      ("q222_dedup_family_agreement",   3, 8))
+      ("q222_dedup_family_agreement",   3, 8),
+      // q56 (r14): margins fold once behind the barrier (scans hidden
+      // by it), candidate dedup + re-score + top-k window — the q220
+      // shape with persisted xxhash planes
+      ("q56_ann_lsh_topk",              1, 3),
+      // q223: the five stat branches re-read the PRUNED documents scan
+      // by design (only id sets cross stage barriers); exchanges =
+      // funnel joins + the per-source windows + output sort
+      ("q223_curation_pipeline",        6, 12))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
