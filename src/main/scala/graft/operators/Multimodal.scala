@@ -2151,28 +2151,351 @@ object Multimodal {
     }
   }
 
+  /** One located video sample (frame) inside an MP4 container: byte
+    * range in the file, keyframe flag, decode timestamp in track
+    * timescale units. The container-level record frame SAMPLING needs —
+    * codec DECODE of the payload is a separate (stubbed) concern. */
+  case class Mp4Frame(index: Int, offset: Long, size: Long,
+      isKey: Boolean, dts: Long)
+
+  /** REAL lib-free ISO BMFF (MP4) container parser — the video half of
+    * the r14 codec push: frame sampling no longer needs a decoder,
+    * because the container itself addresses every sample. Walks
+    * ftyp/moov/trak/mdia/minf/stbl, takes the FIRST video ('vide'
+    * handler) track, and resolves the four sample tables into one
+    * per-frame record list:
+    *
+    *   stsz (sizes) × stsc (sample→chunk runs) × stco/co64 (chunk
+    *   offsets) → byte ranges;  stss (sync table; absent = all sync) →
+    *   keyframe flags;  stts (decode deltas) → dts.
+    *
+    * Codec payload bytes are NOT interpreted (that is the decode seam,
+    * still stubbed for video); everything the SAMPLING pipeline needs —
+    * real payload byte ranges to hash, keyframe structure to stratify
+    * on, timestamps to window on — comes from the container walk.
+    * Bounds-checked and capped (≤ 2²⁰ samples, depth ≤ 16); returns
+    * None on any malformation, never throws. */
+  object Mp4Container {
+    private val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    def parse(bytes: Array[Byte]): Option[(String, Long, Seq[Mp4Frame])] = {
+      try {
+        def be32(off: Int): Long =
+          ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+            ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+        def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
+        def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+        if (bytes.length < 16) return None
+        // the file must lead with a well-formed top-level box (ftyp by
+        // convention; we only require structural sanity)
+        var sawFtyp = false
+
+        // collected sample tables of the first video track
+        var handler = ""
+        var codec = ""
+        var timescale = 0L
+        var sizes: Array[Long] = null          // per-sample sizes
+        var chunkOffsets: Array[Long] = null   // per-chunk file offsets
+        var stsc: Array[(Long, Long)] = null   // (firstChunk, samplesPerChunk)
+        var sync: Array[Long] = null           // 1-based keyframe indices, null = all
+        var stts: Array[(Long, Long)] = null   // (count, delta)
+        var videoDone = false
+
+        def walk(from: Int, until: Int, depth: Int): Unit = {
+          if (depth > 16) throw new IllegalStateException("box depth")
+          var pos = from
+          while (pos + 8 <= until && !videoDone) {
+            var size = be32(pos)
+            val tpe = fourcc(pos + 4)
+            var body = pos + 8
+            if (size == 1) {
+              if (pos + 16 > until) return
+              size = be64(pos + 8)
+              body = pos + 16
+            } else if (size == 0) size = until - pos
+            if (size < (body - pos) || pos + size > until) return
+            val end = (pos + size).toInt
+            tpe match {
+              case "ftyp" => sawFtyp = true
+              case t if containers(t) =>
+                // a new trak resets the per-track state unless the video
+                // track is already fully collected
+                if (t == "trak") {
+                  handler = ""; codec = ""; timescale = 0L
+                  sizes = null; chunkOffsets = null; stsc = null
+                  sync = null; stts = null
+                }
+                walk(body, end, depth + 1)
+                if (t == "trak" && handler == "vide" && sizes != null &&
+                    chunkOffsets != null && stsc != null)
+                  videoDone = true
+              case "hdlr" if body + 12 <= end =>
+                handler = fourcc(body + 8)
+              case "mdhd" if body + 16 <= end =>
+                val version = bytes(body) & 0xff
+                timescale = if (version == 1) be32(body + 20) else be32(body + 12)
+              case "stsd" if body + 16 <= end =>
+                codec = fourcc(body + 12) // first sample-description fourcc
+              case "stsz" if body + 12 <= end =>
+                val uniform = be32(body + 4)
+                val n = be32(body + 8)
+                if (n > (1L << 20)) throw new IllegalStateException("stsz cap")
+                sizes =
+                  if (uniform != 0) Array.fill(n.toInt)(uniform)
+                  else {
+                    if (body + 12 + 4L * n > end) throw new IllegalStateException("stsz trunc")
+                    Array.tabulate(n.toInt)(i => be32(body + 12 + 4 * i))
+                  }
+              case "stco" if body + 8 <= end =>
+                val n = be32(body + 4)
+                if (n > (1L << 20) || body + 8 + 4L * n > end)
+                  throw new IllegalStateException("stco")
+                chunkOffsets = Array.tabulate(n.toInt)(i => be32(body + 8 + 4 * i))
+              case "co64" if body + 8 <= end =>
+                val n = be32(body + 4)
+                if (n > (1L << 20) || body + 8 + 8L * n > end)
+                  throw new IllegalStateException("co64")
+                chunkOffsets = Array.tabulate(n.toInt)(i => be64(body + 8 + 8 * i))
+              case "stsc" if body + 8 <= end =>
+                val n = be32(body + 4)
+                if (n > (1L << 20) || body + 8 + 12L * n > end)
+                  throw new IllegalStateException("stsc")
+                stsc = Array.tabulate(n.toInt)(i =>
+                  (be32(body + 8 + 12 * i), be32(body + 12 + 12 * i)))
+              case "stss" if body + 8 <= end =>
+                val n = be32(body + 4)
+                if (n > (1L << 20) || body + 8 + 4L * n > end)
+                  throw new IllegalStateException("stss")
+                sync = Array.tabulate(n.toInt)(i => be32(body + 8 + 4 * i))
+              case "stts" if body + 8 <= end =>
+                val n = be32(body + 4)
+                if (n > (1L << 20) || body + 8 + 8L * n > end)
+                  throw new IllegalStateException("stts")
+                stts = Array.tabulate(n.toInt)(i =>
+                  (be32(body + 8 + 8 * i), be32(body + 12 + 8 * i)))
+              case _ => () // mdat / free / unknown: skip
+            }
+            pos = end
+          }
+        }
+        walk(0, bytes.length, 0)
+        if (!sawFtyp || !videoDone) return None
+        val nSamples = sizes.length
+        // sample → chunk assignment from the stsc runs
+        val keySet: Set[Long] = if (sync == null) null else sync.toSet
+        val frames = new scala.collection.mutable.ArrayBuffer[Mp4Frame](nSamples)
+        var sample = 0
+        var dts = 0L
+        var sttsIdx = 0
+        var sttsLeft = if (stts != null && stts.nonEmpty) stts(0)._1 else Long.MaxValue
+        var run = 0
+        var chunk = 0 // 0-based
+        while (sample < nSamples && chunk < chunkOffsets.length) {
+          val perChunk = stsc(run)._2.toInt
+          val nextRunFirst =
+            if (run + 1 < stsc.length) stsc(run + 1)._1 - 1 else Long.MaxValue
+          var off = chunkOffsets(chunk)
+          var i = 0
+          while (i < perChunk && sample < nSamples) {
+            val sz = sizes(sample)
+            if (off < 0 || off + sz > bytes.length) return None
+            val isKey = keySet == null || keySet.contains(sample + 1L)
+            frames += Mp4Frame(sample, off, sz, isKey, dts)
+            if (stts != null && stts.nonEmpty) {
+              dts += stts(sttsIdx)._2
+              sttsLeft -= 1
+              if (sttsLeft == 0 && sttsIdx + 1 < stts.length) {
+                sttsIdx += 1; sttsLeft = stts(sttsIdx)._1
+              }
+            }
+            off += sz
+            sample += 1
+            i += 1
+          }
+          chunk += 1
+          if (chunk >= nextRunFirst && run + 1 < stsc.length) run += 1
+        }
+        if (frames.isEmpty) return None
+        Some((codec, timescale, frames.toSeq))
+      } catch {
+        case _: RuntimeException | _: ArrayIndexOutOfBoundsException |
+             _: NegativeArraySizeException => None
+      }
+    }
+
+    /** Minimal single-track muxer for fixtures and the round-trip gate:
+      * ftyp + mdat(payloads) + moov/trak/mdia(hdlr 'vide', mdhd
+      * timescale)/minf/stbl(stsd fourcc, stts uniform delta, stsc one
+      * run per chunkSize, stsz table, stss keyframes, stco). Payloads
+      * land in `chunkSize`-sample chunks so the stsc/stco resolution is
+      * genuinely exercised. */
+    private[graft] def mux(samples: Seq[Array[Byte]], keyframes: Set[Int],
+        codec: String = "avc1", timescale: Long = 600, delta: Long = 20,
+        chunkSize: Int = 3, uniformStsz: Boolean = false,
+        use64: Boolean = false): Array[Byte] = {
+      require(samples.nonEmpty && chunkSize >= 1)
+      require(!uniformStsz || samples.map(_.length).distinct.size == 1,
+        "uniform stsz needs equal-size samples")
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+      def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+        val body = payload.flatten.toArray
+        be32(body.length + 8L) ++ tpe.getBytes("US-ASCII") ++ body
+      }
+      val ftyp = box("ftyp", "isom".getBytes, be32(512), "isomiso2".getBytes)
+      val mdatPayload = samples.flatten.toArray
+      val mdat = box("mdat", mdatPayload)
+      val mdatDataStart = ftyp.length + 8L
+      val chunks = samples.grouped(chunkSize).toSeq
+      val chunkOffs = chunks.scanLeft(mdatDataStart)((o, c) =>
+        o + c.map(_.length.toLong).sum).init
+      val stsd = box("stsd", be32(0), be32(1),
+        box(codec, Array.fill[Byte](8)(0)))
+      val stts = box("stts", be32(0), be32(1), be32(samples.size.toLong), be32(delta))
+      val lastPer = samples.size - chunkSize * (chunks.size - 1)
+      val stscRuns: Seq[Array[Byte]] =
+        if (chunks.size == 1 || lastPer == chunkSize)
+          Seq(be32(1), be32(chunkSize.toLong), be32(1))
+        else Seq(be32(1), be32(chunkSize.toLong), be32(1),
+          be32(chunks.size.toLong), be32(lastPer.toLong), be32(1))
+      val stsc = box("stsc", Seq(be32(0), be32(if (stscRuns.size > 3) 2L else 1L))
+        ++ stscRuns: _*)
+      val stsz =
+        if (uniformStsz)
+          box("stsz", be32(0), be32(samples.head.length.toLong),
+            be32(samples.size.toLong))
+        else box("stsz", Seq(be32(0), be32(0), be32(samples.size.toLong))
+          ++ samples.map(s => be32(s.length.toLong)): _*)
+      val stco =
+        if (use64) box("co64", Seq(be32(0), be32(chunks.size.toLong))
+          ++ chunkOffs.map(be64): _*)
+        else box("stco", Seq(be32(0), be32(chunks.size.toLong))
+          ++ chunkOffs.map(be32): _*)
+      val stss =
+        if (keyframes.isEmpty) Array.emptyByteArray
+        else box("stss", Seq(be32(0), be32(keyframes.size.toLong))
+          ++ keyframes.toSeq.sorted.map(k => be32(k + 1L)): _*)
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco, stss)
+      val minf = box("minf", stbl)
+      val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(timescale), be32(0))
+      val hdlr = box("hdlr", be32(0), be32(0), "vide".getBytes("US-ASCII"),
+        Array.fill[Byte](12)(0))
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", mdia)
+      val moov = box("moov", trak)
+      ftyp ++ mdat ++ moov
+    }
+  }
+
   /** Frame sampling: every k-th frame of each video, frames addressed by
-    * content hash (K3-compatible keys for a downstream blob store). */
+    * content hash (K3-compatible keys for a downstream blob store).
+    * REAL for MP4 containers since r14: [[Mp4Container]] resolves the
+    * sample tables and each sampled frame's sha keys its ACTUAL payload
+    * bytes out of mdat — no codec decode needed for sampling (decode
+    * stays the stub seam). Non-MP4 payloads keep the deterministic stub
+    * so the plumbing stays testable for formats without a parser. */
   def sampleFrames(assets: Dataset[MediaAsset], everyK: Int = 2): Dataset[FrameSample] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.flatMap { a =>
-        val n = StubCodec.frameCount(a.bytes)
-        (0 until n by everyK).map { i =>
-          md.reset()
-          md.update(a.bytes)
-          md.update(BigInt(i).toByteArray)
-          FrameSample(a.asset_id, i, md.digest().map("%02x".format(_)).mkString)
+        Mp4Container.parse(a.bytes) match {
+          case Some((_, _, frames)) =>
+            frames.iterator.filter(_.index % everyK == 0).map { f =>
+              md.reset()
+              md.update(a.bytes, f.offset.toInt, f.size.toInt)
+              FrameSample(a.asset_id, f.index,
+                md.digest().map("%02x".format(_)).mkString)
+            }
+          case None =>
+            val n = StubCodec.frameCount(a.bytes)
+            (0 until n by everyK).iterator.map { i =>
+              md.reset()
+              md.update(a.bytes)
+              md.update(BigInt(i).toByteArray)
+              FrameSample(a.asset_id, i, md.digest().map("%02x".format(_)).mkString)
+            }
         }
       }
     }
+  }
+
+  /** Deterministic MP4 corpus from the documents table — the video twin
+    * of the PNM/WAV fixture generators: each doc becomes a real ISO BMFF
+    * container (ftyp + mdat + full moov sample tables via
+    * [[Mp4Container.mux]]) holding 3 + doc_id % 5 frames whose payloads
+    * are the doc's md5 blocks; every 3rd frame is a sync sample, chunks
+    * hold 3 samples so stsc/stco resolution is exercised on every
+    * asset. */
+  def syntheticMp4(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val n = (3 + id % 5).toInt
+      val frames = (0 until n).map(i => md.digest(s"$text@f$i".getBytes("UTF-8")))
+      MediaAsset(id, "video/mp4",
+        Mp4Container.mux(frames, (0 until n by 3).toSet))
+    }
+  }
+
+  /** Per-frame container records for the q224 artifact: the REAL
+    * [[Mp4Container]] walk, one row per located sample, payload sha'd
+    * straight out of mdat. Narrow mapPartitions — container bytes never
+    * shuffle. */
+  def frameTable(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { a =>
+        Mp4Container.parse(a.bytes).toSeq.flatMap { case (_, _, frames) =>
+          frames.map { f =>
+            md.reset()
+            md.update(a.bytes, f.offset.toInt, f.size.toInt)
+            (a.asset_id, f.index, md.digest().map("%02x".format(_)).mkString,
+              f.isKey, f.dts)
+          }
+        }
+      }
+    }.toDF("asset_id", "frame_index", "frame_sha", "is_key", "dts")
   }
 
   /** Oracle-checked query: binary-column plumbing over real testdata —
     * text encoded to BINARY, hashed and measured as opaque bytes (the same
     * X0/X8 path artifact bodies take). */
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- MP4 frame-sample manifest (q224, r14): REAL container-walk
+    //      frame extraction (the sampling pipeline's container half —
+    //      codec decode stays the stub seam) over a synthetic per-doc
+    //      MP4 corpus; the per-frame table persists as the oracle
+    //      artifact (the q159/q164 pattern: byte-level parse can never
+    //      be relational, everything AFTER the frame table is) and
+    //      DuckDB replays the every-2nd sampling + per-asset manifest
+    //      aggregation from those exact bytes. Mp4Spec gates the parse
+    //      itself (muxer round-trips, layout variants, fuzz). ----
+    "q224_frame_sample_manifest" -> QueryDef.sql(
+      s"""WITH f AS (SELECT asset_id, frame_index, frame_sha, is_key, dts
+         |  FROM read_parquet('${Similarity.annOracleRoot}/q224/frames/*.parquet')),
+         |s AS (SELECT * FROM f WHERE frame_index % 2 = 0)
+         |SELECT asset_id,
+         |  count(*) AS n_sampled,
+         |  CAST(sum(CASE WHEN is_key THEN 1 ELSE 0 END) AS BIGINT) AS n_key_sampled,
+         |  min(frame_sha) AS min_sha,
+         |  CAST(max(dts) AS BIGINT) AS last_dts
+         |FROM s GROUP BY asset_id ORDER BY asset_id""") { (s, dir) =>
+      val frames = Similarity.persistArtifact("q224", "frames",
+        frameTable(syntheticMp4(Tables.documents(s, dir))))
+      frames.filter(col("frame_index") % 2 === 0)
+        .groupBy("asset_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(when(col("is_key"), 1L).otherwise(0L)).as("n_key_sampled"),
+          min(col("frame_sha")).as("min_sha"),
+          max(col("dts")).cast("long").as("last_dts"))
+        .orderBy("asset_id")
+    },
+
     "q60_binary_columns" -> QueryDef.sql(
       """SELECT doc_id,
         |  sha256(text) AS body_sha256,
