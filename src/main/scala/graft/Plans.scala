@@ -121,6 +121,7 @@ object Plans {
     "q221_tokenizer_vocab_overlap", // 3 vocabularies pairwise-Jaccard'd
     "q222_dedup_family_agreement",  // lexical vs semantic pair-graph outer join
     "q223_curation_pipeline",       // 4-gate funnel + shard write audit
+    "q224_frame_sample_manifest",   // MP4 container walk + artifact agg
     // the 14 production lanes (xxhash64 / DataSketches / native-double):
     // resolved from Bench.productionLanes below
     "x52_minhash_lsh_pairs_xxhash", "x53_simhash_pairs_xxhash",
