@@ -254,6 +254,58 @@ object ImageHash {
     originals.as[MediaAsset].unionByName(siblings)
   }
 
+  /** Telephony/ADPCM twin of [[syntheticWav]] (q226): each doc's codec
+    * family is doc_id % 3 — μ-law (G.711), A-law (G.711), IMA ADPCM —
+    * and the 288-byte md5 raster is interpreted as that codec's CODE
+    * bytes (G.711 samples / ADPCM block headers + nibbles). The ORIGINAL
+    * asset is the decoded canonical PCM16 WAV, so its PCM sits on the
+    * codec's lattice BY CONSTRUCTION; every 10th doc's SIBLING is the
+    * compressed container itself with the last raster block regenerated.
+    * Original and sibling therefore decode to IDENTICAL PCM outside the
+    * edited tail — the exact cross-format invariance the FLAC corpus
+    * gets from losslessness, recovered here for lossy codecs by
+    * generating ON the lattice. A decode bug in either direction moves
+    * the energy windows and breaks the planted pairs. For ADPCM the edit
+    * stays local because blocks restart prediction at their headers
+    * (md5 block #18 lands inside ADPCM block 2's tail). */
+  def syntheticCodecWav(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def raster(salt: String): Array[Byte] = {
+        val out = new Array[Byte](288)
+        var i = 1
+        while (i <= 18) {
+          val block =
+            if (i == 18 && salt.nonEmpty) md.digest((text + salt).getBytes("UTF-8"))
+            else md.digest((text + s"%$i").getBytes("UTF-8"))
+          System.arraycopy(block, 0, out, (i - 1) * 16, 16)
+          i += 1
+        }
+        out
+      }
+      def container(data: Array[Byte]): Array[Byte] = (id % 3) match {
+        case 0 => Multimodal.G711Codec.wrap(7, 16000, 1, data)
+        case 1 => Multimodal.G711Codec.wrap(6, 16000, 1, data)
+        case _ => Multimodal.AdpcmCodec.wrap(16000, 1, 144, data)
+      }
+      def decodeToWav(c: Array[Byte]): Array[Byte] =
+        (if (id % 3 == 2) Multimodal.AdpcmCodec.toWav(c)
+         else Multimodal.G711Codec.toWav(c)).getOrElse(
+          throw new IllegalStateException(s"fixture codec decode failed for doc $id"))
+      val mime = (id % 3) match {
+        case 0 => "audio/g711-ulaw"
+        case 1 => "audio/g711-alaw"
+        case _ => "audio/adpcm"
+      }
+      val orig = Multimodal.MediaAsset(id * 2, "audio/wav",
+        decodeToWav(container(raster(""))))
+      if (id % 10 == 0)
+        Seq(orig, Multimodal.MediaAsset(id * 2 + 1, mime, container(raster("~edit"))))
+      else Seq(orig)
+    }
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle replay (r13, the q219/q65 artifact pattern): byte-level
   // DECODE can never be relational — but everything AFTER the hash table
@@ -340,5 +392,18 @@ object ImageHash {
       incrementalNearDupPairs(
         hashes.filter(col("asset_id") % 2 === 1),
         hashes.filter(col("asset_id") % 2 === 0))
+    },
+
+    // ---- lossy-codec audio near-dup (r14): the same energy-window
+    //      fingerprints + banded join, but the corpus routes through the
+    //      NEW real decoders — G.711 μ-law, G.711 A-law, IMA ADPCM —
+    //      with originals generated ON each codec's lattice so original
+    //      (PCM WAV) and sibling (compressed container) decode to
+    //      identical PCM outside the planted edit. Exact payload hashing
+    //      cannot pair them (different containers, different bytes);
+    //      decode can. ORACLE-CHECKED the artifact way from birth. ----
+    "q226_audio_codec_pairs" -> QueryDef.sql(dkPairSql("q226")) { (s, dir) =>
+      nearDupImagePairs(Similarity.persistArtifact("q226", "hashes",
+        audioEnergyHashes(syntheticCodecWav(Tables.documents(s, dir)))))
     })
 }

@@ -2062,6 +2062,313 @@ object Multimodal {
       WavCodec.decodePcm16(wav).map { case (sr, ch, pcm) => encode16(sr, ch, pcm) }
   }
 
+  /** Shared RIFF/WAVE chunk walk for the non-PCM WAV codecs below (the
+    * same hardened walk [[WavCodec]] uses: unsigned sizes in Long,
+    * word-aligned, truncation-safe) — returns the raw fmt fields so each
+    * codec applies its own format gate. */
+  private[graft] object Riff {
+    final case class Fmt(format: Int, channels: Int, sampleRate: Long,
+        blockAlign: Int, bits: Int, dataOff: Int, dataLen: Long)
+
+    def walk(bytes: Array[Byte]): Option[Fmt] = {
+      def str(off: Int, n: Int): String =
+        if (off + n <= bytes.length) new String(bytes, off, n, "US-ASCII") else ""
+      def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def le32(off: Int): Long = (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      if (bytes.length < 36 || str(0, 4) != "RIFF" || str(8, 4) != "WAVE") return None
+      var pos = 12
+      var format = -1; var channels = 0; var sampleRate = 0L
+      var blockAlign = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0L
+      var walking = true
+      while (walking && pos + 8 <= bytes.length) {
+        val id = str(pos, 4)
+        val size = le32(pos + 4)
+        val body = pos + 8
+        id match {
+          case "fmt " if body + 16 <= bytes.length =>
+            format = le16(body); channels = le16(body + 2)
+            sampleRate = le32(body + 4); blockAlign = le16(body + 12)
+            bits = le16(body + 14)
+          case "data" =>
+            dataOff = body; dataLen = math.min(size, (bytes.length - body).toLong)
+          case _ => // skip LIST/fact/etc.
+        }
+        val next = body.toLong + size + (size & 1L)
+        if (next <= pos || next > bytes.length) walking = false
+        else pos = next.toInt
+      }
+      if (channels < 1 || channels > 8 || sampleRate <= 0 ||
+          sampleRate > 4000000L || dataOff < 0 || dataLen <= 0) None
+      else Some(Fmt(format, channels, sampleRate, blockAlign, bits, dataOff, dataLen))
+    }
+  }
+
+  /** Canonical 16-bit PCM WAV bytes around interleaved samples — the
+    * container every compressed-audio decode lands in, so features and
+    * energy windows are container-invariant by construction. */
+  private[graft] def pcmWavBytes(sampleRate: Int, channels: Int,
+      pcm: Array[Short]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(44 + pcm.length * 2)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(36 + pcm.length * 2)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(1); w16(channels); w32(sampleRate)
+    w32(sampleRate * channels * 2); w16(channels * 2); w16(16)
+    out.write("data".getBytes("US-ASCII")); w32(pcm.length * 2)
+    var i = 0
+    while (i < pcm.length) { w16(pcm(i) & 0xffff); i += 1 }
+    out.toByteArray
+  }
+
+  /** REAL G.711 μ-law / A-law decode (WAV format tags 7 and 6) — the
+    * telephony-audio seam: both companding laws are exact integer
+    * segment formulas (sign / exponent / mantissa), no tables, so the
+    * decode is bit-identical on any platform. Decoded PCM lands as a
+    * canonical in-memory WAV and re-enters [[WavCodec]], exactly like
+    * [[FlacCodec]] — identical lattice PCM gives identical features and
+    * energy windows whichever container carried it (the q226 corpus is
+    * built ON the lattice so that invariance is exact). The encoders
+    * exist for the spec's all-256-codes round-trip gates
+    * (encode∘decode = identity on every code byte). */
+  object G711Codec extends AudioCodec {
+    /** μ-law code byte → linear PCM (G.711: bias 0x84, 8 segments).
+      * Range ±32124; decode(0xff) = 0. */
+    private[graft] def ulawToLinear(code: Int): Int = {
+      val u = ~code & 0xff
+      val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+    /** Linear PCM → μ-law code byte (clip 32635, bias 0x84). */
+    private[graft] def linearToUlaw(pcm0: Int): Int = {
+      var pcm = pcm0
+      var sign = 0
+      if (pcm < 0) { pcm = -pcm; sign = 0x80 }
+      if (pcm > 32635) pcm = 32635
+      pcm += 0x84
+      val exp = 31 - Integer.numberOfLeadingZeros(pcm >> 7) // 0..7 after clip
+      val mant = (pcm >> (exp + 3)) & 0x0f
+      ~(sign | (exp << 4) | mant) & 0xff
+    }
+
+    /** A-law code byte → linear PCM (G.711: 0x55 toggle, 8 segments).
+      * Range ±32256; sign bit SET means positive. */
+    private[graft] def alawToLinear(code: Int): Int = {
+      val a = code ^ 0x55
+      var t = (a & 0x0f) << 4
+      val seg = (a & 0x70) >> 4
+      if (seg == 0) t += 8
+      else if (seg == 1) t += 0x108
+      else t = (t + 0x108) << (seg - 1)
+      if ((a & 0x80) != 0) t else -t
+    }
+
+    private val SegEnd = Array(0x1f, 0x3f, 0x7f, 0xff, 0x1ff, 0x3ff, 0x7ff, 0xfff)
+
+    /** Linear PCM → A-law code byte (13-bit domain, segment search). */
+    private[graft] def linearToAlaw(pcm0: Int): Int = {
+      var pcm = pcm0 >> 3
+      var mask = 0xd5
+      if (pcm < 0) { mask = 0x55; pcm = -pcm - 1 }
+      if (pcm > 0xfff) pcm = 0xfff
+      var seg = 0
+      while (pcm > SegEnd(seg)) seg += 1
+      val mant = if (seg < 2) (pcm >> 1) & 0x0f else (pcm >> seg) & 0x0f
+      ((seg << 4) | mant) ^ mask
+    }
+
+    /** G.711 WAV → canonical PCM16 WAV. None unless fmt tag is 6/7 with
+      * 8-bit samples; never throws. */
+    private[graft] def toWav(bytes: Array[Byte]): Option[Array[Byte]] =
+      try {
+        Riff.walk(bytes).flatMap { f =>
+          if ((f.format != 6 && f.format != 7) || f.bits != 8) None
+          else {
+            val n = f.dataLen.toInt
+            if (n < f.channels) None
+            else {
+              val decode: Int => Int =
+                if (f.format == 7) ulawToLinear else alawToLinear
+              val pcm = new Array[Short](n - n % f.channels)
+              var i = 0
+              while (i < pcm.length) {
+                pcm(i) = decode(bytes(f.dataOff + i) & 0xff).toShort
+                i += 1
+              }
+              Some(pcmWavBytes(f.sampleRate.toInt, f.channels, pcm))
+            }
+          }
+        }
+      } catch {
+        case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None
+      }
+
+    def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+      toWav(bytes).flatMap(WavCodec.decodeAudio)
+
+    private[graft] def decodeEnergyWindows(bytes: Array[Byte],
+        nWindows: Int = 65): Option[Array[Long]] =
+      toWav(bytes).flatMap(WavCodec.decodeEnergyWindows(_, nWindows))
+
+    /** Fixture wrapper: raw G.711 code bytes → a WAV container with fmt
+      * tag 7 (μ-law) or 6 (A-law), 8-bit mono/stereo. */
+    private[graft] def wrap(format: Int, sampleRate: Int, channels: Int,
+        codes: Array[Byte]): Array[Byte] = {
+      require(format == 6 || format == 7)
+      val out = new java.io.ByteArrayOutputStream(44 + codes.length)
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+      out.write("RIFF".getBytes("US-ASCII")); w32(36 + codes.length)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); w32(16)
+      w16(format); w16(channels); w32(sampleRate)
+      w32(sampleRate * channels); w16(channels); w16(8)
+      out.write("data".getBytes("US-ASCII")); w32(codes.length)
+      out.write(codes)
+      out.toByteArray
+    }
+  }
+
+  /** REAL IMA ADPCM decode (WAV format tag 0x11, the DVI/IMA 4-bit
+    * profile): per-block per-channel headers (predictor, step index)
+    * restart prediction at every block boundary — the property the q226
+    * fixtures lean on (a tail-block edit cannot perturb earlier blocks).
+    * Nibbles decode low-first through the canonical 89-entry step table;
+    * a hostile step index clamps (never-crash contract). Decode lands as
+    * canonical PCM WAV and re-enters [[WavCodec]] like FLAC and G.711. */
+  object AdpcmCodec extends AudioCodec {
+    private[graft] val StepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+      50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209,
+      230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+      876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499,
+      2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845,
+      8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+      22385, 24623, 27086, 29794, 32767)
+    private[graft] val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** One nibble through the IMA recurrence: (pred, index) → (pred',
+      * index', sample). Exposed for the spec's independent replay. */
+    private[graft] def stepNibble(pred0: Int, index0: Int, n: Int): (Int, Int) = {
+      val s = StepTable(index0)
+      var diff = s >> 3
+      if ((n & 1) != 0) diff += s >> 2
+      if ((n & 2) != 0) diff += s >> 1
+      if ((n & 4) != 0) diff += s
+      var pred = if ((n & 8) != 0) pred0 - diff else pred0 + diff
+      if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+      var index = index0 + IndexTable(n & 7)
+      if (index < 0) index = 0 else if (index > 88) index = 88
+      (pred, index)
+    }
+
+    /** IMA ADPCM WAV → canonical PCM16 WAV. Mono and stereo (per-channel
+      * 4-byte header words, 4-byte data words interleaved). None unless
+      * fmt tag 0x11 with 4-bit samples; never throws. */
+    private[graft] def toWav(bytes: Array[Byte]): Option[Array[Byte]] =
+      try {
+        Riff.walk(bytes).flatMap { f =>
+          if (f.format != 0x11 || f.bits != 4 || f.channels > 2) None
+          else {
+            val ch = f.channels
+            val ba = f.blockAlign
+            if (ba < 4 * ch + 4 * ch || ba % (4 * ch) != 0) None
+            else {
+              val nBlocks = (f.dataLen / ba).toInt
+              if (nBlocks == 0) None
+              else {
+                val samplesPerBlock = 1 + (ba - 4 * ch) * 2 / ch
+                val pcm = new Array[Short](nBlocks * samplesPerBlock * ch)
+                var outFrame = 0
+                var b = 0
+                while (b < nBlocks) {
+                  val base = f.dataOff + b * ba
+                  val pred = new Array[Int](ch)
+                  val idx = new Array[Int](ch)
+                  var c = 0
+                  while (c < ch) {
+                    val ho = base + 4 * c
+                    val p = ((bytes(ho) & 0xff) | ((bytes(ho + 1) & 0xff) << 8)).toShort
+                    pred(c) = p.toInt
+                    idx(c) = math.min(88, bytes(ho + 2) & 0xff) // clamp hostile index
+                    pcm(outFrame * ch + c) = p
+                    c += 1
+                  }
+                  outFrame += 1
+                  // data: 4-byte words round-robin per channel; each byte
+                  // carries two nibbles, low first
+                  val dataBytesPerCh = (ba - 4 * ch) / ch
+                  val words = dataBytesPerCh / 4
+                  var w = 0
+                  while (w < words) {
+                    var c2 = 0
+                    while (c2 < ch) {
+                      val wo = base + 4 * ch + (w * ch + c2) * 4
+                      var k = 0
+                      while (k < 4) {
+                        val byte = bytes(wo + k) & 0xff
+                        var half = 0
+                        while (half < 2) {
+                          val n = if (half == 0) byte & 0x0f else (byte >> 4) & 0x0f
+                          val (p2, i2) = stepNibble(pred(c2), idx(c2), n)
+                          pred(c2) = p2; idx(c2) = i2
+                          val frame = outFrame + w * 8 + k * 2 + half
+                          pcm(frame * ch + c2) = p2.toShort
+                          half += 1
+                        }
+                        k += 1
+                      }
+                      c2 += 1
+                    }
+                    w += 1
+                  }
+                  outFrame += words * 8
+                  b += 1
+                }
+                Some(pcmWavBytes(f.sampleRate.toInt, ch, pcm))
+              }
+            }
+          }
+        }
+      } catch {
+        case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+             _: OutOfMemoryError => None
+      }
+
+    def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+      toWav(bytes).flatMap(WavCodec.decodeAudio)
+
+    private[graft] def decodeEnergyWindows(bytes: Array[Byte],
+        nWindows: Int = 65): Option[Array[Long]] =
+      toWav(bytes).flatMap(WavCodec.decodeEnergyWindows(_, nWindows))
+
+    /** Fixture wrapper: raw block bytes (headers + nibbles, `blockAlign`
+      * each) → a WAV container with fmt tag 0x11 and the fact/extension
+      * fields real decoders expect. */
+    private[graft] def wrap(sampleRate: Int, channels: Int, blockAlign: Int,
+        blocks: Array[Byte]): Array[Byte] = {
+      require(blocks.length % blockAlign == 0)
+      val samplesPerBlock = 1 + (blockAlign - 4 * channels) * 2 / channels
+      val out = new java.io.ByteArrayOutputStream(64 + blocks.length)
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+      out.write("RIFF".getBytes("US-ASCII")); w32(40 + blocks.length)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); w32(20)
+      w16(0x11); w16(channels); w32(sampleRate)
+      w32(sampleRate * blockAlign / samplesPerBlock) // nominal byte rate
+      w16(blockAlign); w16(4)
+      w16(2); w16(samplesPerBlock) // cbSize + wSamplesPerBlock
+      out.write("data".getBytes("US-ASCII")); w32(blocks.length)
+      out.write(blocks)
+      out.toByteArray
+    }
+  }
+
   /** Deterministic fake audio decode for formats without a lib-free
     * decoder here (MP3/OGG/AAC) — the audio [[StubCodec]]. */
   object StubAudioCodec extends AudioCodec {
@@ -2074,21 +2381,27 @@ object Multimodal {
     }
   }
 
-  /** Production routing for audio: real WAV and FLAC decode, stub for
-    * the remaining compressed formats (MP3/OGG/AAC). */
+  /** Production routing for audio: real PCM WAV, FLAC, G.711 (μ-law /
+    * A-law) and IMA ADPCM decode; stub only for the remaining perceptual
+    * codecs (MP3/OGG/AAC). */
   object DefaultAudioCodec extends AudioCodec {
     def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
       WavCodec.decodeAudio(bytes)
         .orElse(FlacCodec.decodeAudio(bytes))
+        .orElse(G711Codec.decodeAudio(bytes))
+        .orElse(AdpcmCodec.decodeAudio(bytes))
         .orElse(StubAudioCodec.decodeAudio(bytes))
 
-    /** Container-routing twin of the q164 window decode: WAV bytes walk
-      * the RIFF path, FLAC bytes decode and re-enter it — identical
-      * windows for identical PCM, whichever container carried it. */
+    /** Container-routing twin of the q164/q226 window decode: PCM WAV
+      * bytes walk the RIFF path; FLAC, G.711 and ADPCM bytes decode and
+      * re-enter it — identical windows for identical PCM, whichever
+      * container carried it. */
     private[graft] def decodeEnergyWindows(bytes: Array[Byte],
         nWindows: Int = 65): Option[Array[Long]] =
       WavCodec.decodeEnergyWindows(bytes, nWindows)
         .orElse(FlacCodec.decodeEnergyWindows(bytes, nWindows))
+        .orElse(G711Codec.decodeEnergyWindows(bytes, nWindows))
+        .orElse(AdpcmCodec.decodeEnergyWindows(bytes, nWindows))
   }
 
   /** STUB codec — deterministic fake decode keyed on content bytes, for
