@@ -306,6 +306,92 @@ object ImageHash {
     }
   }
 
+  /** (asset_id, frame_index, dhash) for every JPEG-decodable video frame
+    * — the q225 entry point: REAL payload decode ([[Multimodal
+    * .decodeVideoFrameLumas]]: container walk + per-sample JpegCodec),
+    * narrow mapPartitions, only 20-byte hash rows flow onward. */
+  def videoFrameHashes(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        Multimodal.decodeVideoFrameLumas(a.bytes).iterator.map {
+          case (i, w, h, luma) => (a.asset_id, i, dhash(w, h, luma))
+        }
+      }
+    }.toDF("asset_id", "frame_index", "dhash")
+  }
+
+  /** Near-duplicate VIDEO pairs from per-frame perceptual hashes: frame
+    * pairs join banded (the q159 machinery, frame-level), then aggregate
+    * per asset pair — two videos pair when at least `minFrames` of their
+    * frames land within `maxDist` Hamming bits. Candidate generation
+    * stays a banded equi-join (never all-pairs); the aggregation keys on
+    * (a1, a2), so the shuffle is bounded by matching frame pairs, not by
+    * corpus size. */
+  def videoNearDupPairs(frameHashes: DataFrame, maxDist: Int = 3,
+      minFrames: Long = 2): DataFrame = {
+    val b = frameHashes.select(col("asset_id"), col("frame_index"), col("dhash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(dhash, b * 16) & 65535 AS v))"))
+          .as("bv"))
+      .select(col("asset_id"), col("frame_index"), col("dhash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+      .localCheckpoint(eager = false) // consumers: both sides of the band join
+    b.as("a")
+      .join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("a1"), col("b.asset_id").as("a2"),
+        col("a.frame_index").as("f1"), col("b.frame_index").as("f2"),
+        col("a.dhash").as("h1"), col("b.dhash").as("h2"))
+      .distinct() // a frame pair can match in several bands
+      .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxDist)
+      .groupBy("a1", "a2")
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= minFrames)
+      .orderBy("a1", "a2")
+  }
+
+  /** Deterministic MJPEG-in-MP4 corpus (q225): each doc becomes a real
+    * ISO BMFF container of 3 + doc_id % 5 frames, every frame a real
+    * baseline JPEG (16×16 grayscale, raster = 16 md5 blocks of the doc
+    * text) encoded by [[Multimodal.JpegCodec.encodeGray]]. Every 10th
+    * doc gets a SIBLING that re-encodes the SAME pixels under encoder
+    * PROFILE 1 (different Huffman code lengths + DRI restarts) in a
+    * different chunk layout, with frame 1's raster regenerated (the
+    * planted edit). Profiles differ at the entropy level only, so
+    * unedited sibling frames decode to BIT-IDENTICAL luma — payload
+    * hashing sees disjoint bytes everywhere, decode recovers the pairs
+    * at Hamming distance 0. */
+  def syntheticMjpeg(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def frameImage(i: Int, edited: Boolean): Array[Byte] = {
+        val px = new Array[Byte](256)
+        var j = 0
+        while (j < 16) {
+          val salt = if (edited) "~edit" else ""
+          val block = md.digest(s"$text^f$i$salt#$j".getBytes("UTF-8"))
+          System.arraycopy(block, 0, px, j * 16, 16)
+          j += 1
+        }
+        px
+      }
+      val n = (3 + id % 5).toInt
+      def container(profile: Int, chunkSize: Int, editedFrame: Int): Array[Byte] = {
+        val frames = (0 until n).map(i => Multimodal.JpegCodec.encodeGray(
+          16, 16, frameImage(i, i == editedFrame), profile))
+        Multimodal.Mp4Container.mux(frames, (0 until n by 3).toSet,
+          codec = "jpeg", chunkSize = chunkSize)
+      }
+      val orig = Multimodal.MediaAsset(id * 2, "video/mp4", container(0, 3, -1))
+      if (id % 10 == 0)
+        Seq(orig, Multimodal.MediaAsset(id * 2 + 1, "video/mp4", container(1, 2, 1)))
+      else Seq(orig)
+    }
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle replay (r13, the q219/q65 artifact pattern): byte-level
   // DECODE can never be relational — but everything AFTER the hash table
@@ -405,5 +491,33 @@ object ImageHash {
     "q226_audio_codec_pairs" -> QueryDef.sql(dkPairSql("q226")) { (s, dir) =>
       nearDupImagePairs(Similarity.persistArtifact("q226", "hashes",
         audioEnergyHashes(syntheticCodecWav(Tables.documents(s, dir)))))
+    },
+
+    // ---- video near-dup via REAL payload decode (r14): MJPEG-in-MP4
+    //      frames decode through the lib-free JPEG path, hash per frame,
+    //      and videos pair when >= 2 frames match within Hamming 3.
+    //      Planted siblings re-encode identical pixels under a different
+    //      entropy profile (disjoint payload bytes, identical decode) —
+    //      the case exact frame-sha sampling (q224) cannot pair.
+    //      ORACLE-CHECKED from birth: the per-frame hash table persists
+    //      and DuckDB replays banding, frame pairing, and the per-video
+    //      aggregation from those exact bytes. ----
+    "q225_video_frame_dedup" -> QueryDef.sql(
+      s"""WITH f AS (SELECT asset_id, frame_index, dhash
+         |  FROM read_parquet('${Similarity.annOracleRoot}/q225/frames/*.parquet')),
+         |b AS (SELECT asset_id, frame_index, dhash, bb.band AS band,
+         |    (dhash >> (bb.band * 16)) & 65535 AS v
+         |  FROM f, (SELECT unnest(range(0, 4)) AS band) bb),
+         |p AS (SELECT DISTINCT a.asset_id AS a1, b2.asset_id AS a2,
+         |    a.frame_index AS f1, b2.frame_index AS f2,
+         |    a.dhash AS h1, b2.dhash AS h2
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.v = b2.v
+         |    AND a.asset_id < b2.asset_id),
+         |m AS (SELECT a1, a2, CAST(count(*) AS BIGINT) AS n_match FROM p
+         |  WHERE bit_count(xor(h1, h2)) <= 3 GROUP BY a1, a2)
+         |SELECT a1, a2, n_match FROM m WHERE n_match >= 2 ORDER BY a1, a2"""
+        .stripMargin) { (s, dir) =>
+      videoNearDupPairs(Similarity.persistArtifact("q225", "frames",
+        videoFrameHashes(syntheticMjpeg(Tables.documents(s, dir)))))
     })
 }

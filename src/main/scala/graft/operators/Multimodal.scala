@@ -1292,6 +1292,177 @@ object Multimodal {
       decodePixels(bytes).map { case (w, h, ch, px) =>
         lumaOfPixels(w, h, ch, px)
       }
+
+    // -------------------------------------------------------------------
+    // Minimal encoder — fixtures + gates, the FLAC-encoder discipline:
+    // real sequential-baseline streams (SOI/DQT/SOF0/DHT/SOS/EOI, byte
+    // stuffing, optional DRI restarts) that any conformant decoder
+    // accepts. Grayscale only, quant table all-ones (error limited to
+    // DCT rounding). Two PROFILES that differ at the entropy level only
+    // (Huffman code lengths, restart structure): the same pixels encoded
+    // under both produce byte-disjoint payloads that decode to IDENTICAL
+    // coefficients — the cross-encode invariance the q225 MJPEG corpus
+    // plants (exact payload hashing cannot pair the two encodings;
+    // decode can, deterministically).
+    // -------------------------------------------------------------------
+
+    /** Canonical fixed-length Huffman table: `n` symbols, all at code
+      * length `len` (codes 0..n-1 MSB-aligned; the all-ones code stays
+      * unused whenever n < 2^len — the JPEG padding-ambiguity rule). */
+    private final class FlatHuff(val syms: Array[Int], val len: Int) {
+      require(syms.length < (1 << len))
+      private val index = {
+        val m = new Array[Int](256)
+        java.util.Arrays.fill(m, -1)
+        syms.zipWithIndex.foreach { case (s, i) => m(s) = i }
+        m
+      }
+      def code(sym: Int): Int = {
+        val c = index(sym)
+        require(c >= 0, s"symbol $sym not in table")
+        c
+      }
+      /** DHT body: 16 BITS counts + the symbol bytes. */
+      def dhtBody: Array[Byte] = {
+        val bits = new Array[Byte](16)
+        bits(len - 1) = syms.length.toByte
+        bits ++ syms.map(_.toByte)
+      }
+    }
+
+    private def flatDc(len: Int) = new FlatHuff(Array.tabulate(12)(identity), len)
+    private def flatAc(len: Int) = new FlatHuff(
+      (Seq(0x00, 0xf0) ++ (for (run <- 0 to 15; size <- 1 to 10)
+        yield (run << 4) | size)).toArray, len)
+
+    /** Entropy-segment writer: MSB-first bits, 0xFF byte stuffing, 1-fill
+      * padding at restarts and at the end (spec F.1.2.3). */
+    private final class StuffWriter(out: java.io.ByteArrayOutputStream) {
+      private var cur = 0
+      private var nBits = 0
+      def writeBits(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          cur = (cur << 1) | ((v >> i) & 1); nBits += 1
+          if (nBits == 8) {
+            out.write(cur)
+            if (cur == 0xff) out.write(0x00)
+            cur = 0; nBits = 0
+          }
+          i -= 1
+        }
+      }
+      def pad(): Unit = while (nBits != 0) writeBits(1, 1)
+    }
+
+    private def bitSize(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+    /** Encode an 8-bit grayscale plane as sequential baseline JPEG.
+      * Profile 0: DC/AC code lengths 4/8, no restart markers. Profile 1:
+      * lengths 5/9 plus a DRI restart after every MCU row. Non-multiple
+      * -of-8 dimensions pad by edge replication (decode crops). */
+    private[graft] def encodeGray(w: Int, h: Int, pixels: Array[Byte],
+        profile: Int = 0): Array[Byte] = {
+      require(w > 0 && h > 0 && pixels.length == w * h)
+      require(profile == 0 || profile == 1)
+      val dcT = if (profile == 0) flatDc(4) else flatDc(5)
+      val acT = if (profile == 0) flatAc(8) else flatAc(9)
+      val mcusPerRow = (w + 7) / 8
+      val mcuRows = (h + 7) / 8
+      val restartInterval = if (profile == 1) mcusPerRow else 0
+      val out = new java.io.ByteArrayOutputStream()
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      def segment(m: Int, body: Array[Byte]): Unit = {
+        marker(m)
+        val len = body.length + 2
+        out.write((len >> 8) & 0xff); out.write(len & 0xff)
+        out.write(body)
+      }
+      marker(0xd8) // SOI
+      segment(0xdb, Array[Byte](0x00) ++ Array.fill[Byte](64)(1)) // DQT all-ones
+      segment(0xc0, Array[Byte](8, // SOF0: precision
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+        ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        1, 1, 0x11, 0)) // 1 component, id 1, 1x1 sampling, quant 0
+      segment(0xc4, Array[Byte](0x00) ++ dcT.dhtBody) // DHT DC class 0 id 0
+      segment(0xc4, Array[Byte](0x10) ++ acT.dhtBody) // DHT AC class 1 id 0
+      if (restartInterval > 0)
+        segment(0xdd, Array[Byte](
+          ((restartInterval >> 8) & 0xff).toByte, (restartInterval & 0xff).toByte))
+      segment(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+      val sw = new StuffWriter(out)
+      val block = new Array[Double](64)
+      val zig = new Array[Int](64)
+      var prevDc = 0
+      var mcusSinceRestart = 0
+      var rstCount = 0
+      var by = 0
+      while (by < mcuRows) {
+        var bx = 0
+        while (bx < mcusPerRow) {
+          if (restartInterval > 0 && mcusSinceRestart == restartInterval) {
+            sw.pad()
+            marker(0xd0 + rstCount % 8)
+            rstCount += 1; mcusSinceRestart = 0; prevDc = 0
+          }
+          // FDCT of the level-shifted block (edge-replicated fetch),
+          // the transpose pair of the decoder's idct: same CosT, same /4
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var s = 0.0
+              var y = 0
+              while (y < 8) {
+                val py = math.min(h - 1, by * 8 + y)
+                var x = 0
+                while (x < 8) {
+                  val px = math.min(w - 1, bx * 8 + x)
+                  s += ((pixels(py * w + px) & 0xff) - 128) *
+                    CosT(x)(u) * CosT(y)(v)
+                  x += 1
+                }
+                y += 1
+              }
+              block(v * 8 + u) = s / 4.0
+              v += 1
+            }
+            u += 1
+          }
+          var k = 0
+          while (k < 64) { zig(k) = math.round(block(ZigZag(k))).toInt; k += 1 }
+          // DC
+          val diff = zig(0) - prevDc
+          prevDc = zig(0)
+          val ds = if (diff == 0) 0 else bitSize(diff)
+          sw.writeBits(dcT.code(ds), dcT.len)
+          if (ds > 0)
+            sw.writeBits(if (diff < 0) diff + (1 << ds) - 1 else diff, ds)
+          // AC
+          var run = 0
+          k = 1
+          while (k < 64) {
+            val c = zig(k)
+            if (c == 0) run += 1
+            else {
+              while (run > 15) { sw.writeBits(acT.code(0xf0), acT.len); run -= 16 }
+              val s = bitSize(c)
+              sw.writeBits(acT.code((run << 4) | s), acT.len)
+              sw.writeBits(if (c < 0) c + (1 << s) - 1 else c, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) sw.writeBits(acT.code(0x00), acT.len) // EOB
+          mcusSinceRestart += 1
+          bx += 1
+        }
+        by += 1
+      }
+      sw.pad()
+      marker(0xd9) // EOI
+      out.toByteArray
+    }
   }
 
   /** Pixel-level decode across every REAL image decoder (PNM, PNG,
@@ -2773,6 +2944,29 @@ object Multimodal {
       }
     }.toDF("asset_id", "frame_index", "frame_sha", "is_key", "dts")
   }
+
+  /** REAL video PAYLOAD decode for MJPEG-class containers (r14): the
+    * [[Mp4Container]] walk locates every sample's byte range, and each
+    * payload slice decodes through the lib-free [[JpegCodec]] — an MP4
+    * whose samples are JPEG frames ('jpeg'/'mjpa' sample entries, the
+    * Motion-JPEG profile cameras emit) now yields actual pixels, not a
+    * stub. Samples that fail JPEG decode are skipped (a keyframe-only
+    * analysis of a mixed-codec track still works); containers that are
+    * not MP4 yield an empty seq. Narrow per-asset work — callers keep it
+    * inside mapPartitions so container bytes never shuffle. Video codecs
+    * with inter-frame prediction (H.26x/VP/AV1) remain the documented
+    * stub seam. */
+  private[graft] def decodeVideoFrameLumas(
+      bytes: Array[Byte]): Seq[(Int, Int, Int, Array[Int])] =
+    Mp4Container.parse(bytes).toSeq.flatMap { case (_, _, frames) =>
+      frames.flatMap { f =>
+        val payload = java.util.Arrays.copyOfRange(
+          bytes, f.offset.toInt, (f.offset + f.size).toInt)
+        JpegCodec.decodeLuma(payload).map { case (w, h, luma) =>
+          (f.index, w, h, luma)
+        }
+      }
+    }
 
   /** Oracle-checked query: binary-column plumbing over real testdata —
     * text encoded to BINARY, hashed and measured as opaque bytes (the same
