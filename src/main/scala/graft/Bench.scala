@@ -337,12 +337,14 @@ object Bench {
       * inflate the measurement (exact attribution, no reset races). */
     def sampleQuery(name: String, dir: String, runs: Int,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Seq[(Double, Option[String])], (Long, Long, Long), (Long, Long, String)) = {
+        : (Seq[(Double, Option[String])], (Long, Long, Long), (Long, Long, String),
+           (Double, Double)) = {
       def grouped(tag: String): (Double, Option[String]) = {
         spark.sparkContext.setJobGroup(tag, s"bench $tag")
         try time(name, dir, fn)
         finally spark.sparkContext.clearJobGroup()
       }
+      val statBefore = HostProbe.procStat()
       val warm = (1 until runs).map(i => grouped(s"$name#warm$i"))
       val lastGroup = s"$name#measured"
       val last = grouped(lastGroup)
@@ -352,7 +354,12 @@ object Bench {
         cost.retryStats(lastGroup)
       val retry = (rs.map(_._1).sum, rs.map(_._2).sum,
         rs.map(_._3).find(_.nonEmpty).getOrElse(""))
-      (warm :+ last, shuffle, retry)
+      // host-contention attribution (r14, NEXT gap 2): hypervisor steal
+      // share across THIS query's runs + 1-min loadavg at its end, so a
+      // roving inflation window in a long sweep self-diagnoses from the
+      // committed artifact instead of needing a same-day re-run
+      val host = (HostProbe.stealPctSince(statBefore), HostProbe.load1())
+      (warm :+ last, shuffle, retry, host)
     }
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
@@ -362,22 +369,24 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    val hostStart = (HostProbe.procStat(), HostProbe.load1())
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (sampled, shuffleCost, retry) = sampleQuery(name, sfDir, runsPerQuery, fn)
+      val (sampled, shuffleCost, retry, host) = sampleQuery(name, sfDir, runsPerQuery, fn)
       val samples = sampled.map(_._1)
-      (name, median(samples), samples, sampled.flatMap(_._2).headOption, shuffleCost, retry)
+      (name, median(samples), samples, sampled.flatMap(_._2).headOption,
+        shuffleCost, retry, host)
     }
-    val qs = results.map { case (k, m, _, _, _, _) => "\"" + k + f"\":$m%.3f" }
+    val qs = results.map { case (k, m, _, _, _, _, _) => "\"" + k + f"\":$m%.3f" }
       .mkString("{", ",", "}")
-    val errs = results.map { case (k, _, _, e, _, _) =>
+    val errs = results.map { case (k, _, _, e, _, _, _) =>
       "\"" + k + "\":" + e.map(jsonStr).getOrElse("null")
     }.mkString("{", ",", "}")
-    val runs = results.map { case (k, _, s, _, _, _) =>
+    val runs = results.map { case (k, _, s, _, _, _, _) =>
       "\"" + k + "\":" + s.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // p95 (nearest-rank over the in-process samples; ≈max at 3 runs) —
     // the dispersion companion to the reported p50
-    val p95s = results.map { case (k, _, s, _, _, _) =>
+    val p95s = results.map { case (k, _, s, _, _, _, _) =>
       val sorted = s.sorted
       val p95 = sorted(math.min(sorted.size - 1, math.ceil(0.95 * sorted.size).toInt - 1))
       "\"" + k + f"\":$p95%.3f"
@@ -385,7 +394,7 @@ object Bench {
     // per-query physical cost from the last run (deterministic per plan):
     // shuffle write MB — the number the scale design minimizes — plus
     // read MB and spill MB when nonzero
-    val shuffles = results.map { case (k, _, _, _, (rd, wr, sp), _) =>
+    val shuffles = results.map { case (k, _, _, _, (rd, wr, sp), _, _) =>
       "\"" + k + "\":" + f"{\"write_mb\":${wr / 1e6}%.1f," +
         f"\"read_mb\":${rd / 1e6}%.1f,\"spill_mb\":${sp / 1e6}%.1f}"
     }.mkString("{", ",", "}")
@@ -398,7 +407,7 @@ object Bench {
     // a query that errored shuffled 0 bytes because it DID NOT RUN — its
     // pin entry must read "did_not_run", never a vacuous 0.00 that a
     // summary could quote as "plan unchanged" (r9 ADVICE)
-    val deltas = results.flatMap { case (k, _, _, err, (_, wr, _), _) =>
+    val deltas = results.flatMap { case (k, _, _, err, (_, wr, _), _, _) =>
       pinnedShuffleWriteMb.get(k).filter(_ => atPinnedSf).map { pin =>
         val mb = wr / 1e6
         val diff = mb - pin
@@ -430,7 +439,7 @@ object Bench {
     val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val fullPins = if (benchAll && atPinnedSf) loadFullPins() else Map.empty[String, Double]
     val budget = if (fullPins.isEmpty) Seq.empty else results.map {
-      case (k, m, _, err, _, _) =>
+      case (k, m, _, err, _, _, _) =>
         val status =
           if (err.isDefined) "did_not_run"
           else fullPins.get(k) match {
@@ -451,26 +460,40 @@ object Bench {
     // delta in a long sweep is attributable to measured retries instead
     // of an unverified story, and a clean sweep proves itself with
     // task_retry_total: 0.
-    val retried = results.filter { case (_, _, _, _, _, (f, r, _)) => f + r > 0 }
+    val retried = results.filter { case (_, _, _, _, _, (f, r, _), _) => f + r > 0 }
     val retryJson =
-      s""","task_retry_total":${retried.map { case (_, _, _, _, _, (f, r, _)) => f + r }.sum}""" +
+      s""","task_retry_total":${retried.map { case (_, _, _, _, _, (f, r, _), _) => f + r }.sum}""" +
         (if (retried.isEmpty) ""
          else ",\"task_retries\":" + retried.map {
-           case (k, _, _, _, _, (f, r, why)) =>
+           case (k, _, _, _, _, (f, r, why), _) =>
              "\"" + k + s"""\":{"failed":$f,"reattempted":$r,"reason":${jsonStr(why)}}"""
          }.mkString("{", ",", "}"))
+    // host-contention probe (r14, NEXT gap 2): hypervisor steal share and
+    // 1-min loadavg, overall and per query — three r13 sweeps showed
+    // roving window-shaped inflation (2-10x single samples, zero retries,
+    // shuffle bytes constant); this field lets the committed artifact
+    // name the contention window instead of inferring it from deltas
+    val hostJson = {
+      val perQ = results.map { case (k, _, _, _, _, _, (steal, load1)) =>
+        "\"" + k + f"""\":{"steal_pct":$steal%.2f,"load1":$load1%.1f}"""
+      }.mkString("{", ",", "}")
+      f""","host":{"cpus":${Runtime.getRuntime.availableProcessors},""" +
+        f""""steal_pct":${HostProbe.stealPctSince(hostStart._1)}%.2f,""" +
+        f""""load1_start":${hostStart._2}%.1f,"load1_end":${HostProbe.load1()}%.1f,""" +
+        s""""per_query":$perQ}"""
+    }
     val total = results.map(_._2).sum
     // pre-r8 12-query total from the same run's medians — cross-round
     // continuity across the documented r8 headline break; only emitted
     // when the run actually covers the legacy set (not BENCH_ONLY slices)
     val legacyTotal =
       (if (legacy12.forall(selected.contains))
-        f""","legacy12_total":${results.collect { case (k, m, _, _, _, _) if legacy12.contains(k) => m }.sum}%.3f"""
+        f""","legacy12_total":${results.collect { case (k, m, _, _, _, _, _) if legacy12.contains(k) => m }.sum}%.3f"""
       else "") +
         (if (production12.forall(selected.contains))
-          f""","production12_total":${results.collect { case (k, m, _, _, _, _) if production12.contains(k) => m }.sum}%.3f"""
+          f""","production12_total":${results.collect { case (k, m, _, _, _, _, _) if production12.contains(k) => m }.sum}%.3f"""
         else "")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"shuffle":$shuffles$deltaJson$budgetJson$retryJson,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"shuffle":$shuffles$deltaJson$budgetJson$retryJson$hostJson,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
     var anyFailed = results.exists(_._4.isDefined)
     budget.filter(_._2 == "breach").foreach { case (k, _) =>
       val m = results.find(_._1 == k).map(_._2).getOrElse(0.0)
@@ -530,15 +553,15 @@ object Bench {
     // exception maps (normally empty), so the driver's json.loads of the
     // tail yields the parsed medians + pin verdicts instead of null
     // (r13 VERDICT #7) — the detailed first line keeps every field.
-    val errNonNull = results.flatMap { case (k, _, _, e, _, _) =>
+    val errNonNull = results.flatMap { case (k, _, _, e, _, _, _) =>
       e.map(msg => "\"" + k + "\":" + jsonStr(msg)) }
       .mkString("{", ",", "}")
     val pinBreaches = deltas.filter(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val budgetBreaches = budget.filter(_._2 == "breach").map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    val retryTotal = retried.map { case (_, _, _, _, _, (f, r, _)) => f + r }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errNonNull,"shuffle_pin_breaches":$pinBreaches,"budget_breaches":$budgetBreaches,"task_retry_total":$retryTotal$legacyTotal,"sf":"$sfDir"}""")
+    val retryTotal = retried.map { case (_, _, _, _, _, (f, r, _), _) => f + r }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errNonNull,"shuffle_pin_breaches":$pinBreaches,"budget_breaches":$budgetBreaches,"task_retry_total":$retryTotal,"steal_pct":${HostProbe.stealPctSince(hostStart._1)}%.2f$legacyTotal,"sf":"$sfDir"}""")
     spark.stop()
     if (anyFailed) sys.exit(1)
   }
@@ -548,4 +571,33 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
+}
+
+/** /proc sampling for the bench host-contention probe: hypervisor steal
+  * share of cpu jiffies and the 1-minute loadavg. Fail-soft — any read
+  * error reports 0 (non-Linux dev boxes), never fails a bench run. */
+private[graft] object HostProbe {
+  /** (totalJiffies, stealJiffies) from /proc/stat's aggregate cpu line. */
+  def procStat(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).map { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum, if (f.length > 7) f(7) else 0L)
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
+  /** Steal share (%) of all cpu jiffies elapsed since `before`. */
+  def stealPctSince(before: Option[(Long, Long)]): Double =
+    (for {
+      (t0, s0) <- before
+      (t1, s1) <- procStat()
+      if t1 > t0
+    } yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(0.0)
+
+  def load1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => 0.0 }
 }
