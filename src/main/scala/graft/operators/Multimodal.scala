@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * Decode is REAL for every format a lib-free decoder can cover: PNM
   * ([[PnmCodec]]), PNG ([[PngCodec]] — JDK zlib inflate + the spec's
-  * unfilter), and WAV ([[WavCodec]]). Only formats that genuinely need
-  * codec libraries this container lacks (JPEG, MP3/OGG, video) fall to
-  * the deterministic [[StubCodec]] — the one seam to swap for
+  * unfilter), baseline + progressive JPEG ([[JpegCodec]], r13), PCM WAV
+  * ([[WavCodec]]), FLAC ([[FlacCodec]], r13), G.711 μ-law/A-law and IMA
+  * ADPCM ([[G711Codec]]/[[AdpcmCodec]], r14), and MJPEG-in-MP4 video
+  * payloads ([[Mp4Container]] + [[decodeVideoFrameLumas]], r14). Only
+  * perceptual-transform codecs (MP3/OGG/AAC audio; H.26x/VP/AV1 video
+  * payloads) fall to the deterministic stubs — the one seam to swap for
   * JavaCV/ffmpeg bindings on a real cluster; everything else (batching,
   * schema, partitioning) is production-shaped. Binary payloads never
   * shuffle: decode/feature steps are narrow mapPartitions over the scan,
@@ -40,10 +43,10 @@ object Multimodal {
     * chosen because the format needs zero external libraries, so the
     * decode step is genuinely real in this container. Features: per-
     * channel means, 2×2 luminance-quadrant means, and aspect w/(w+h),
-    * all in [0,1]. PNG decodes for real too ([[PngCodec]]); JPEG/video
-    * plug in through the same [[Codec]] seam (JavaCV / TwelveMonkeys on
-    * a cluster with media libs); [[StubCodec]] remains the deterministic
-    * fallback for formats without a decoder here. */
+    * all in [0,1]. PNG, JPEG, and MJPEG video decode for real too
+    * ([[PngCodec]]/[[JpegCodec]]/[[decodeVideoFrameLumas]]);
+    * [[StubCodec]] remains the deterministic fallback for the
+    * perceptual-codec formats without a decoder here. */
   object PnmCodec extends Codec {
     def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
       if (bytes.length < 10 || bytes(0) != 'P' ||
@@ -159,8 +162,9 @@ object Multimodal {
     * library: zlib inflate ships in the JDK (`java.util.zip.Inflater`),
     * and the rest is the spec's chunk walk, per-row unfiltering
     * (None/Sub/Up/Average/Paeth), and pixel conversion. Puts the most
-    * common web image format on the real-decode path; JPEG/video remain
-    * the [[StubCodec]]'s seam (those genuinely need codec libraries).
+    * common web image format on the real-decode path; JPEG joined it in
+    * r13 ([[JpegCodec]]) — only predictive video payloads remain the
+    * [[StubCodec]]'s seam.
     *
     * Robustness contract (the PnmCodec discipline): adversarial input —
     * bad signature, truncated chunks, CRC mismatch, short IDAT, 16-bit
@@ -2577,7 +2581,8 @@ object Multimodal {
 
   /** STUB codec — deterministic fake decode keyed on content bytes, for
     * formats whose decoders need media libraries this container lacks
-    * (JPEG/video). Never returns None: the deterministic fake stands
+    * (since r14 that is only predictive-codec video payloads; images are
+    * all real). Never returns None: the deterministic fake stands
     * in so pipeline plumbing stays testable end-to-end. */
   object StubCodec extends Codec {
     def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
@@ -2593,7 +2598,8 @@ object Multimodal {
 
   /** Production routing: real decode where a lib-free decoder exists
     * (PNM, PNG, baseline + progressive JPEG), deterministic stub
-    * elsewhere (MP3 / video). */
+    * elsewhere (predictive-codec video frames reached as still images;
+    * MJPEG VIDEO payloads route through [[decodeVideoFrameLumas]]). */
   object DefaultCodec extends Codec {
     def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
       PnmCodec.decodeImage(bytes)
@@ -2654,7 +2660,8 @@ object Multimodal {
     *   keyframe flags;  stts (decode deltas) → dts.
     *
     * Codec payload bytes are NOT interpreted (that is the decode seam,
-    * still stubbed for video); everything the SAMPLING pipeline needs —
+    * real for MJPEG samples via [[decodeVideoFrameLumas]], stubbed for
+    * predictive codecs); everything the SAMPLING pipeline needs —
     * real payload byte ranges to hash, keyframe structure to stratify
     * on, timestamps to window on — comes from the container walk.
     * Bounds-checked and capped (≤ 2²⁰ samples, depth ≤ 16); returns
