@@ -124,6 +124,7 @@ object Plans {
     "q224_frame_sample_manifest",   // MP4 container walk + artifact agg
     "q225_video_frame_dedup",       // MJPEG payload decode + frame-hash band join
     "q226_audio_codec_pairs",       // G.711/ADPCM decode + energy-window band join
+    "q227_scene_cuts",              // per-video lag window over frame hashes
     // the 14 production lanes (xxhash64 / DataSketches / native-double):
     // resolved from Bench.productionLanes below
     "x52_minhash_lsh_pairs_xxhash", "x53_simhash_pairs_xxhash",

@@ -392,6 +392,59 @@ object ImageHash {
     }
   }
 
+  /** Scene-cut detection over REAL decoded video (q227): the
+    * consecutive-frame perceptual-hash jump within each video — the shot
+    * detector a video curation pipeline runs before per-scene sampling.
+    * One window shuffle partitioned by asset_id (frames per asset are
+    * bounded, so no skew), then a columnar bit_count filter — no joins,
+    * no all-pairs anything. */
+  def sceneCuts(frameHashes: DataFrame, minDist: Long = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    frameHashes
+      .withColumn("prev", lag("dhash", 1).over(
+        Window.partitionBy("asset_id").orderBy("frame_index")))
+      .filter(col("prev").isNotNull)
+      .select(col("asset_id"), col("frame_index"),
+        bit_count(col("dhash").bitwiseXOR(col("prev"))).cast("long").as("dist"))
+      .filter(col("dist") >= minDist)
+      .orderBy("asset_id", "frame_index")
+  }
+
+  /** Scene-structured MJPEG corpus (q227): per doc, 6 + doc_id % 5
+    * frames in scenes of 3 — frames WITHIN a scene share 15 of their 16
+    * raster rows (one row re-derives per frame: a bounded ≤8-bit dHash
+    * wobble, since 16×16 pooling maps two pixel rows onto one grid row),
+    * while a scene BOUNDARY regenerates the whole image (~32-bit
+    * expected jump). JPEG rounding adds a few near-tie flips on top of
+    * the structural 8 (measured within-scene max 10 vs cross-scene min
+    * ~23 at spec scale), so the cut threshold (16) sits inside the
+    * bimodal gap. Keyframes sit at scene starts, as a real encoder
+    * would place them. */
+  def syntheticScenes(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val n = (6 + id % 5).toInt
+      def frameImage(i: Int): Array[Byte] = {
+        val scene = i / 3
+        val px = new Array[Byte](256)
+        var j = 0
+        while (j < 16) {
+          val block =
+            if (j == i % 16) md.digest(s"$text*s$scene*f$i".getBytes("UTF-8"))
+            else md.digest(s"$text*s$scene#$j".getBytes("UTF-8"))
+          System.arraycopy(block, 0, px, j * 16, 16)
+          j += 1
+        }
+        px
+      }
+      val frames = (0 until n).map(i =>
+        Multimodal.JpegCodec.encodeGray(16, 16, frameImage(i)))
+      Multimodal.MediaAsset(id, "video/mp4",
+        Multimodal.Mp4Container.mux(frames, (0 until n by 3).toSet, codec = "jpeg"))
+    }
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle replay (r13, the q219/q65 artifact pattern): byte-level
   // DECODE can never be relational — but everything AFTER the hash table
@@ -519,5 +572,25 @@ object ImageHash {
         .stripMargin) { (s, dir) =>
       videoNearDupPairs(Similarity.persistArtifact("q225", "frames",
         videoFrameHashes(syntheticMjpeg(Tables.documents(s, dir)))))
+    },
+
+    // ---- scene-cut detection (r14): shot boundaries from the
+    //      consecutive-frame hash jump over REAL MJPEG payload decode —
+    //      scene-structured corpus with a deterministic within-scene
+    //      distance ceiling (≤8 bits) far below the threshold (16).
+    //      ORACLE-CHECKED from birth: DuckDB replays lag/xor/bit_count
+    //      from the persisted per-frame hash table. ----
+    "q227_scene_cuts" -> QueryDef.sql(
+      s"""WITH f AS (SELECT asset_id, frame_index, dhash
+         |  FROM read_parquet('${Similarity.annOracleRoot}/q227/frames/*.parquet')),
+         |d AS (SELECT asset_id, frame_index,
+         |    CAST(bit_count(xor(dhash, lag(dhash) OVER
+         |      (PARTITION BY asset_id ORDER BY frame_index))) AS BIGINT) AS dist
+         |  FROM f)
+         |SELECT asset_id, frame_index, dist FROM d
+         |WHERE dist IS NOT NULL AND dist >= 16
+         |ORDER BY asset_id, frame_index""".stripMargin) { (s, dir) =>
+      sceneCuts(Similarity.persistArtifact("q227", "frames",
+        videoFrameHashes(syntheticScenes(Tables.documents(s, dir)))))
     })
 }

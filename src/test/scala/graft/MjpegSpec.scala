@@ -127,6 +127,35 @@ class MjpegSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q227 scene cuts: boundaries recovered exactly; within-scene wobble stays under threshold") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"video doc $i text")).toDF("doc_id", "text")
+    val fh = ImageHash.videoFrameHashes(ImageHash.syntheticScenes(docs))
+    val cuts = ImageHash.sceneCuts(fh).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every cut sits on a scene boundary (frame_index % 3 == 0, > 0)
+    assert(cuts.forall { case (_, f, _) => f % 3 == 0 && f > 0 })
+    // every video with n = 6 + id % 5 frames has exactly its
+    // ceil(n/3) - 1 boundaries recovered
+    val byAsset = cuts.groupBy(_._1).view.mapValues(_.length).toMap
+    for (id <- 0L until 30L) {
+      val n = (6 + id % 5).toInt
+      val expected = (n + 2) / 3 - 1
+      assert(byAsset.getOrElse(id, 0) == expected,
+        s"asset $id: ${byAsset.getOrElse(id, 0)} cuts, expected $expected")
+    }
+    // the within-scene wobble is 8 structural bits at most plus a few
+    // JPEG-rounding near-tie flips (measured max 10 here); cross-scene
+    // jumps start at ~23 — verify the bimodal gap brackets threshold 16
+    val all = fh.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).values.flatMap { fs =>
+        fs.sortBy(_._2).sliding(2).collect { case Array(a, b) =>
+          java.lang.Long.bitCount(a._3 ^ b._3) }
+      }
+    assert(all.forall(d => d <= 12 || d >= 18),
+      s"distance population not bimodal: ${all.toSeq.sorted.mkString(",")}")
+  }
+
   test("never-crash fuzz: truncations and bit flips of streams and containers") {
     val px = noisePixels(16, 16, 29)
     val jpeg = JpegCodec.encodeGray(16, 16, px, 1)

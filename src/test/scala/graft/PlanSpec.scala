@@ -723,7 +723,14 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q223: the five stat branches re-read the PRUNED documents scan
       // by design (only id sets cross stage barriers); exchanges =
       // funnel joins + the per-source windows + output sort
-      ("q223_curation_pipeline",        6, 12))
+      ("q223_curation_pipeline",        6, 12),
+      // the r14 video/audio artifact faces: the per-frame/per-asset hash
+      // tables land behind persistArtifact + localCheckpoint (q225/q226)
+      // or a direct artifact scan (q227); everything after is the banded
+      // join (2 agg shuffles + sort) or one window + sort
+      ("q225_video_frame_dedup",        1, 5),
+      ("q226_audio_codec_pairs",        1, 4),
+      ("q227_scene_cuts",               1, 3))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
