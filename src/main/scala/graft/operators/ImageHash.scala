@@ -137,8 +137,12 @@ object ImageHash {
     * a handful of gradient signs, the planted near-duplicate the pair
     * query must recover. Assembly is pure column ops (concat/unhex);
     * the bytes then flow through the REAL P5 decoder. */
-  def syntheticPnm(docs: DataFrame): Dataset[MediaAsset] = {
-    import docs.sparkSession.implicits._
+  def syntheticPnm(docs0: DataFrame): Dataset[MediaAsset] = {
+    import docs0.sparkSession.implicits._
+    // spread the downstream decode+hash across tasks even when the source
+    // table is one parquet split (see syntheticCodecWav's note)
+    val docs = docs0.repartition(
+      docs0.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     def raster(salt: String): org.apache.spark.sql.Column =
       unhex(concat((1 to 18).map { i =>
         if (i == 18 && salt.nonEmpty) md5(concat(col("text"), lit(salt)))
@@ -217,8 +221,11 @@ object ImageHash {
     * of [[syntheticPnm]]: a constant canonical 44-byte PCM header (16 kHz
     * mono 16-bit, 144 frames) + 18 md5 blocks of the text as raster;
     * every 10th doc gets a SIBLING with the last block regenerated. */
-  def syntheticWav(docs: DataFrame): Dataset[MediaAsset] = {
-    import docs.sparkSession.implicits._
+  def syntheticWav(docs0: DataFrame): Dataset[MediaAsset] = {
+    import docs0.sparkSession.implicits._
+    // same split-independence repartition as syntheticPnm
+    val docs = docs0.repartition(
+      docs0.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val dataLen = 288
     def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -270,7 +277,19 @@ object ImageHash {
     * (md5 block #18 lands inside ADPCM block 2's tail). */
   def syntheticCodecWav(docs: DataFrame): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+    docs.select(col("doc_id"), col("text"))
+      // spread the decode/encode-heavy per-doc work across the cluster
+      // regardless of the source table's split count: a small corpus can
+      // arrive as ONE parquet split, which would pin the whole codec
+      // stage (and everything downstream of this narrow chain) to a
+      // single task — measured 1.3-1.7x wall on the media faces at
+      // sf0.1. The shuffled payload is just (doc_id, text), a few MB.
+      // The partition count is EXPLICIT: AQE coalesces a column-only
+      // repartition of small data back to one partition, which is the
+      // exact failure being fixed — decode cost is CPU-bound and
+      // invisible to size-based coalescing.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id")).as[(Long, String)].flatMap { case (id, text) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       def raster(salt: String): Array[Byte] = {
         val out = new Array[Byte](288)
@@ -365,7 +384,19 @@ object ImageHash {
     * at Hamming distance 0. */
   def syntheticMjpeg(docs: DataFrame): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+    docs.select(col("doc_id"), col("text"))
+      // spread the decode/encode-heavy per-doc work across the cluster
+      // regardless of the source table's split count: a small corpus can
+      // arrive as ONE parquet split, which would pin the whole codec
+      // stage (and everything downstream of this narrow chain) to a
+      // single task — measured 1.3-1.7x wall on the media faces at
+      // sf0.1. The shuffled payload is just (doc_id, text), a few MB.
+      // The partition count is EXPLICIT: AQE coalesces a column-only
+      // repartition of small data back to one partition, which is the
+      // exact failure being fixed — decode cost is CPU-bound and
+      // invisible to size-based coalescing.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id")).as[(Long, String)].flatMap { case (id, text) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       def frameImage(i: Int, edited: Boolean): Array[Byte] = {
         val px = new Array[Byte](256)
@@ -422,7 +453,19 @@ object ImageHash {
     * would place them. */
   def syntheticScenes(docs: DataFrame): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    docs.select(col("doc_id"), col("text"))
+      // spread the decode/encode-heavy per-doc work across the cluster
+      // regardless of the source table's split count: a small corpus can
+      // arrive as ONE parquet split, which would pin the whole codec
+      // stage (and everything downstream of this narrow chain) to a
+      // single task — measured 1.3-1.7x wall on the media faces at
+      // sf0.1. The shuffled payload is just (doc_id, text), a few MB.
+      // The partition count is EXPLICIT: AQE coalesces a column-only
+      // repartition of small data back to one partition, which is the
+      // exact failure being fixed — decode cost is CPU-bound and
+      // invisible to size-based coalescing.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id")).as[(Long, String)].map { case (id, text) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val n = (6 + id % 5).toInt
       def frameImage(i: Int): Array[Byte] = {

