@@ -582,7 +582,11 @@ private[graft] object HostProbe {
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try src.getLines().find(_.startsWith("cpu ")).map { l =>
-        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        // fields: user nice system idle iowait irq softirq steal guest
+        // guest_nice — guest time is ALREADY folded into user/nice, so
+        // summing all ten double-counts it and understates the steal
+        // share; take exactly user..steal for the denominator
+        val f = l.trim.split("\\s+").drop(1).take(8).map(_.toLong)
         (f.sum, if (f.length > 7) f(7) else 0L)
       } finally src.close()
     } catch { case _: Throwable => None }

@@ -83,15 +83,17 @@ object ImageHash {
     }.toDF("asset_id", "dhash")
   }
 
-  /** Band-exploded view of a hash table: (asset_id, dhash, band, v)
-    * with the 64-bit hash split into 4 16-bit bands. */
-  private def banded(hashes: DataFrame): DataFrame =
-    hashes.select(col("asset_id"), col("dhash"),
-        explode(expr(
-          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(dhash, b * 16) & 65535 AS v))"))
-          .as("bv"))
-      .select(col("asset_id"), col("dhash"),
-        col("bv.band").as("band"), col("bv.v").as("v"))
+  /** Band-exploded view of a hash table: (asset_id, dhash, [extra...],
+    * band, v) with the 64-bit hash split into 4 16-bit bands; `extra`
+    * columns (e.g. frame_index for the video faces) pass through so
+    * every banding consumer shares ONE split expression. */
+  private def banded(hashes: DataFrame, extra: String*): DataFrame = {
+    val keep = Seq(col("asset_id"), col("dhash")) ++ extra.map(col)
+    hashes.select(keep :+ explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(dhash, b * 16) & 65535 AS v))"))
+        .as("bv"): _*)
+      .select(keep :+ col("bv.band").as("band") :+ col("bv.v").as("v"): _*)
+  }
 
   /** Near-duplicate image pairs within `maxDist` Hamming bits via the
     * 4×16-bit banded join (exact for maxDist ≤ 3). */
@@ -140,9 +142,8 @@ object ImageHash {
   def syntheticPnm(docs0: DataFrame): Dataset[MediaAsset] = {
     import docs0.sparkSession.implicits._
     // spread the downstream decode+hash across tasks even when the source
-    // table is one parquet split (see syntheticCodecWav's note)
-    val docs = docs0.repartition(
-      docs0.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    // table is one parquet split (Multimodal.spreadByDocId's contract)
+    val docs = Multimodal.spreadByDocId(docs0)
     def raster(salt: String): org.apache.spark.sql.Column =
       unhex(concat((1 to 18).map { i =>
         if (i == 18 && salt.nonEmpty) md5(concat(col("text"), lit(salt)))
@@ -224,8 +225,7 @@ object ImageHash {
   def syntheticWav(docs0: DataFrame): Dataset[MediaAsset] = {
     import docs0.sparkSession.implicits._
     // same split-independence repartition as syntheticPnm
-    val docs = docs0.repartition(
-      docs0.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val docs = Multimodal.spreadByDocId(docs0)
     val dataLen = 288
     def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -277,19 +277,7 @@ object ImageHash {
     * (md5 block #18 lands inside ADPCM block 2's tail). */
   def syntheticCodecWav(docs: DataFrame): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text"))
-      // spread the decode/encode-heavy per-doc work across the cluster
-      // regardless of the source table's split count: a small corpus can
-      // arrive as ONE parquet split, which would pin the whole codec
-      // stage (and everything downstream of this narrow chain) to a
-      // single task — measured 1.3-1.7x wall on the media faces at
-      // sf0.1. The shuffled payload is just (doc_id, text), a few MB.
-      // The partition count is EXPLICIT: AQE coalesces a column-only
-      // repartition of small data back to one partition, which is the
-      // exact failure being fixed — decode cost is CPU-bound and
-      // invisible to size-based coalescing.
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id")).as[(Long, String)].flatMap { case (id, text) =>
+    Multimodal.spreadByDocId(docs.select(col("doc_id"), col("text"))).as[(Long, String)].flatMap { case (id, text) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       def raster(salt: String): Array[Byte] = {
         val out = new Array[Byte](288)
@@ -342,19 +330,17 @@ object ImageHash {
 
   /** Near-duplicate VIDEO pairs from per-frame perceptual hashes: frame
     * pairs join banded (the q159 machinery, frame-level), then aggregate
-    * per asset pair — two videos pair when at least `minFrames` of their
-    * frames land within `maxDist` Hamming bits. Candidate generation
-    * stays a banded equi-join (never all-pairs); the aggregation keys on
-    * (a1, a2), so the shuffle is bounded by matching frame pairs, not by
-    * corpus size. */
+    * per asset pair — two videos pair when at least `minFrames` DISTINCT
+    * frames of the first video match within `maxDist` Hamming bits
+    * (count(DISTINCT f1), not matching-pair count: a video containing k
+    * copies of one static frame — title cards, black frames — must
+    * contribute ONE matched frame, not k², or repeated frames alone
+    * would pair unrelated videos). Candidate generation stays a banded
+    * equi-join (never all-pairs); the aggregation keys on (a1, a2), so
+    * the shuffle is bounded by matching frame pairs, not corpus size. */
   def videoNearDupPairs(frameHashes: DataFrame, maxDist: Int = 3,
       minFrames: Long = 2): DataFrame = {
-    val b = frameHashes.select(col("asset_id"), col("frame_index"), col("dhash"),
-        explode(expr(
-          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(dhash, b * 16) & 65535 AS v))"))
-          .as("bv"))
-      .select(col("asset_id"), col("frame_index"), col("dhash"),
-        col("bv.band").as("band"), col("bv.v").as("v"))
+    val b = banded(frameHashes, "frame_index")
       .localCheckpoint(eager = false) // consumers: both sides of the band join
     b.as("a")
       .join(b.as("b"),
@@ -366,7 +352,7 @@ object ImageHash {
       .distinct() // a frame pair can match in several bands
       .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxDist)
       .groupBy("a1", "a2")
-      .agg(count(lit(1)).as("n_match"))
+      .agg(countDistinct(col("f1")).as("n_match"))
       .filter(col("n_match") >= minFrames)
       .orderBy("a1", "a2")
   }
@@ -384,19 +370,7 @@ object ImageHash {
     * at Hamming distance 0. */
   def syntheticMjpeg(docs: DataFrame): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text"))
-      // spread the decode/encode-heavy per-doc work across the cluster
-      // regardless of the source table's split count: a small corpus can
-      // arrive as ONE parquet split, which would pin the whole codec
-      // stage (and everything downstream of this narrow chain) to a
-      // single task — measured 1.3-1.7x wall on the media faces at
-      // sf0.1. The shuffled payload is just (doc_id, text), a few MB.
-      // The partition count is EXPLICIT: AQE coalesces a column-only
-      // repartition of small data back to one partition, which is the
-      // exact failure being fixed — decode cost is CPU-bound and
-      // invisible to size-based coalescing.
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id")).as[(Long, String)].flatMap { case (id, text) =>
+    Multimodal.spreadByDocId(docs.select(col("doc_id"), col("text"))).as[(Long, String)].flatMap { case (id, text) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       def frameImage(i: Int, edited: Boolean): Array[Byte] = {
         val px = new Array[Byte](256)
@@ -442,40 +416,35 @@ object ImageHash {
   }
 
   /** Scene-structured MJPEG corpus (q227): per doc, 6 + doc_id % 5
-    * frames in scenes of 3 — frames WITHIN a scene share 15 of their 16
-    * raster rows (one row re-derives per frame: a bounded ≤8-bit dHash
-    * wobble, since 16×16 pooling maps two pixel rows onto one grid row),
-    * while a scene BOUNDARY regenerates the whole image (~32-bit
-    * expected jump). JPEG rounding adds a few near-tie flips on top of
-    * the structural 8 (measured within-scene max 10 vs cross-scene min
-    * ~23 at spec scale), so the cut threshold (16) sits inside the
-    * bimodal gap. Keyframes sit at scene starts, as a real encoder
-    * would place them. */
+    * frames in scenes of 3 — frames WITHIN a scene share 14 of their 16
+    * raster rows (the progressive-rows design below flips exactly one
+    * EVEN-ALIGNED pixel-row pair per step, i.e. one dHash grid row: a
+    * structurally ≤8-bit wobble for every frame parity), while a scene
+    * BOUNDARY regenerates the whole image (~32-bit expected jump). JPEG
+    * rounding adds a few near-tie flips on top of the structural 8, so
+    * the cut threshold (16) sits inside the bimodal gap with margin on
+    * both sides. Keyframes sit at scene starts, as a real encoder would
+    * place them. */
   def syntheticScenes(docs: DataFrame): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text"))
-      // spread the decode/encode-heavy per-doc work across the cluster
-      // regardless of the source table's split count: a small corpus can
-      // arrive as ONE parquet split, which would pin the whole codec
-      // stage (and everything downstream of this narrow chain) to a
-      // single task — measured 1.3-1.7x wall on the media faces at
-      // sf0.1. The shuffled payload is just (doc_id, text), a few MB.
-      // The partition count is EXPLICIT: AQE coalesces a column-only
-      // repartition of small data back to one partition, which is the
-      // exact failure being fixed — decode cost is CPU-bound and
-      // invisible to size-based coalescing.
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id")).as[(Long, String)].map { case (id, text) =>
+    Multimodal.spreadByDocId(docs.select(col("doc_id"), col("text"))).as[(Long, String)].map { case (id, text) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val n = (6 + id % 5).toInt
       def frameImage(i: Int): Array[Byte] = {
         val scene = i / 3
+        // within-scene progress p: row j carries its "~on" variant iff
+        // j < 2p, so consecutive frames (p, p+1) differ in EXACTLY rows
+        // 2p and 2p+1 — one EVEN-aligned pixel-row pair, i.e. one dHash
+        // grid row (16×16 pooling maps pixel rows 2k,2k+1 onto grid row
+        // k), for EVERY frame parity. The original per-frame-row design
+        // broke this on odd indices (two straddling grid rows → up to 16
+        // structural bits, halving the margin to the cut threshold).
+        val p = i % 3
         val px = new Array[Byte](256)
         var j = 0
         while (j < 16) {
-          val block =
-            if (j == i % 16) md.digest(s"$text*s$scene*f$i".getBytes("UTF-8"))
-            else md.digest(s"$text*s$scene#$j".getBytes("UTF-8"))
+          val state = if (j < 2 * p) "~on" else ""
+          val block = md.digest(s"$text*s$scene#$j$state".getBytes("UTF-8"))
           System.arraycopy(block, 0, px, j * 16, 16)
           j += 1
         }
@@ -609,7 +578,7 @@ object ImageHash {
          |    a.dhash AS h1, b2.dhash AS h2
          |  FROM b a JOIN b b2 ON a.band = b2.band AND a.v = b2.v
          |    AND a.asset_id < b2.asset_id),
-         |m AS (SELECT a1, a2, CAST(count(*) AS BIGINT) AS n_match FROM p
+         |m AS (SELECT a1, a2, CAST(count(DISTINCT f1) AS BIGINT) AS n_match FROM p
          |  WHERE bit_count(xor(h1, h2)) <= 3 GROUP BY a1, a2)
          |SELECT a1, a2, n_match FROM m WHERE n_match >= 2 ORDER BY a1, a2"""
         .stripMargin) { (s, dir) =>

@@ -25,6 +25,20 @@ object Multimodal {
   /** One media asset: opaque bytes + typed metadata. */
   case class MediaAsset(asset_id: Long, mime: String, bytes: Array[Byte])
 
+  /** Split-independence repartition for the synthetic-corpus generators:
+    * spread the decode/encode-heavy per-doc work across the cluster
+    * regardless of the source table's split count — a small corpus can
+    * arrive as ONE parquet split, which would pin the whole codec stage
+    * (and everything downstream of its narrow chain) to a single task
+    * (measured 4-7x wall on the media faces at sf0.1). The partition
+    * count is EXPLICIT: AQE coalesces a column-only repartition of small
+    * data back to one partition, which is the exact failure being fixed —
+    * decode cost is CPU-bound and invisible to size-based coalescing.
+    * The shuffled payload is only (doc_id, text)-sized rows. */
+  private[operators] def spreadByDocId(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+      col("doc_id"))
+
   /** Decoded image features (the stub derives them deterministically from
     * the bytes so tests are stable). */
   case class ImageFeatures(asset_id: Long, width: Int, height: Int,
@@ -2922,19 +2936,7 @@ object Multimodal {
     * asset. */
   def syntheticMp4(docs: DataFrame): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text"))
-      // spread the decode/encode-heavy per-doc work across the cluster
-      // regardless of the source table's split count: a small corpus can
-      // arrive as ONE parquet split, which would pin the whole codec
-      // stage (and everything downstream of this narrow chain) to a
-      // single task — measured 1.3-1.7x wall on the media faces at
-      // sf0.1. The shuffled payload is just (doc_id, text), a few MB.
-      // The partition count is EXPLICIT: AQE coalesces a column-only
-      // repartition of small data back to one partition, which is the
-      // exact failure being fixed — decode cost is CPU-bound and
-      // invisible to size-based coalescing.
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id")).as[(Long, String)].map { case (id, text) =>
+    spreadByDocId(docs.select(col("doc_id"), col("text"))).as[(Long, String)].map { case (id, text) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val n = (3 + id % 5).toInt
       val frames = (0 until n).map(i => md.digest(s"$text@f$i".getBytes("UTF-8")))
