@@ -251,18 +251,40 @@ object Bench {
     * SPARK_GRAFT_BENCH_RUNS=1 the single sample carries per-query
     * codegen compilation and sub-second queries can false-breach
     * (measured: 5/202 at runs=1, 0/202 at runs=3 on the same box). */
-  private def loadFullPins(): Map[String, Double] = {
+  private def pinsText(): String = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PINS", "bench_full_pins.json")
     val f = new java.io.File(path)
-    if (!f.exists()) Map.empty
-    else {
-      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      // [qx] — the x-lane production faces are pinned too (a q-only
-      // match silently left all 13 x-lanes "unpinned", r13 VERDICT #2)
-      "\"([qx][^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }
+    if (!f.exists()) ""
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
   }
+
+  private def loadFullPins(): Map[String, Double] =
+    // [qx] — the x-lane production faces are pinned too (a q-only
+    // match silently left all 13 x-lanes "unpinned", r13 VERDICT #2)
+    "\"([qx][^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(pinsText())
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** Sweep-context shuffle allowances (r14 VERDICT #1): a lane with a
+    * REPRODUCED, root-caused sweep-only shuffle delta records its
+    * expected multiplier in bench_full_pins.json under a `"sweep:<lane>"`
+    * key (the prefix keeps it out of the budget-pin regex above). In
+    * BENCH_ALL mode the lane's acceptable write band becomes
+    * [pin − tol, pin × allowance + 0.2 MB] — so the committed sweep
+    * artifact reads "match" for the DOCUMENTED delta and the gate
+    * re-arms for anything beyond it (a perpetual "breach"-by-design
+    * entry would camouflage a new, unrelated regression). Fresh-session
+    * headline runs ignore allowances entirely: their byte-exact pins
+    * stay the tight ±20% band.
+    *
+    * The one current entry is x55b's 1.4× (measured +35%, SCALING.md
+    * "x55b sweep-context shuffle" section): under late-sweep memory
+    * pressure AQE re-plans one barriered join — a localCheckpoint'd
+    * side's in-memory size estimate crosses the broadcast threshold →
+    * SMJ, +2 MB sort shuffle — while every fresh headline session
+    * matches the 6.0 MB pin exactly. */
+  private def loadSweepShuffleAllowances(): Map[String, Double] =
+    "\"sweep:([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(pinsText())
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -404,6 +426,12 @@ object Bench {
     // plans still shuffle exactly what they did when pinned; any breach
     // fails the run loudly below.
     val atPinnedSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
+    // sweep-context allowances apply ONLY in BENCH_ALL (see
+    // loadSweepShuffleAllowances); headline sessions keep exact pins
+    val sweepAllow =
+      if (benchAll && atPinnedSf) loadSweepShuffleAllowances()
+      else Map.empty[String, Double]
     // a query that errored shuffled 0 bytes because it DID NOT RUN — its
     // pin entry must read "did_not_run", never a vacuous 0.00 that a
     // summary could quote as "plan unchanged" (r9 ADVICE)
@@ -412,7 +440,15 @@ object Bench {
         val mb = wr / 1e6
         val diff = mb - pin
         val ran = err.isEmpty
-        val breach = ran && math.abs(diff) > math.max(0.2, 0.2 * pin)
+        val tol = math.max(0.2, 0.2 * pin)
+        val hi = sweepAllow.get(k) match {
+          // the allowance REPLACES the relative tolerance on the high
+          // side (the pin author folded the documented delta in); 0.2 MB
+          // absolute floor absorbs AQE coalescing jitter as usual
+          case Some(a) => pin * a + 0.2
+          case None => pin + tol
+        }
+        val breach = ran && (mb > hi || mb < pin - tol)
         (k, if (breach) diff / math.max(pin, 0.1) else 0.0, breach, mb, ran)
       }
     }
@@ -426,7 +462,13 @@ object Bench {
           case (k, _, breach, _, ran) =>
             val st = if (!ran) "did_not_run" else if (breach) "breach" else "match"
             "\"" + k + "\":\"" + st + "\""
-        }.mkString("{", ",", "}")
+        }.mkString("{", ",", "}") +
+        // self-documenting artifact: any allowance that widened a band
+        // this run is recorded beside the statuses it affected
+        (if (sweepAllow.isEmpty) ""
+         else ",\"sweep_shuffle_allowance\":" + sweepAllow.toSeq.sorted.map {
+           case (k, a) => "\"" + k + f"\":$a%.2f"
+         }.mkString("{", ",", "}"))
     // full-inventory median budget gate (only in BENCH_ALL mode at the
     // pinned SF — headline runs keep their own tighter shuffle pins).
     // The two artifacts carry DIFFERENT rc gates on purpose: the
@@ -436,9 +478,8 @@ object Bench {
     // full sweep while the same day's headline run matched exactly), so
     // BENCH_ALL reports shuffle deltas informationally and gates rc on
     // the run-length-calibrated median budgets instead.
-    val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val fullPins = if (benchAll && atPinnedSf) loadFullPins() else Map.empty[String, Double]
-    val budget = if (fullPins.isEmpty) Seq.empty else results.map {
+    val budget0 = if (fullPins.isEmpty) Seq.empty else results.map {
       case (k, m, _, err, _, _, _) =>
         val status =
           if (err.isDefined) "did_not_run"
@@ -449,11 +490,42 @@ object Bench {
           }
         (k, status)
     }
+    // Mechanized contention adjudication (r14 VERDICT #7): rounds 13–14
+    // repeatedly saw transient box-state inflation (2–3× single lanes,
+    // zero retries, shuffle bytes constant) that took a manual
+    // fresh-session A/B to adjudicate before restoring the pins. The
+    // sweep now runs that A/B itself: every budget breach re-runs ONCE,
+    // immediately, under a fresh job group, and the artifact records
+    // BOTH samples (median + steal window). A breach that vanishes on
+    // recheck reads "match_on_recheck" (informational — the pin stands,
+    // the artifact shows why); a breach that reproduces stays "breach"
+    // and fails rc. No pin gets restored by hand without the artifact
+    // showing the evidence.
+    val rechecks = scala.collection.mutable.LinkedHashMap[String, String]()
+    val budget = budget0.map {
+      case (k, "breach") =>
+        val (firstMedian, firstSteal) = results.find(_._1 == k)
+          .map(r => (r._2, r._7._1)).getOrElse((0.0, 0.0))
+        val (sampled2, _, _, (steal2, _)) =
+          sampleQuery(k + "#recheck", sfDir, runsPerQuery, selected(k))
+        val m2 = median(sampled2.map(_._1))
+        val pin = fullPins(k)
+        val still = sampled2.exists(_._2.isDefined) || m2 > math.max(1.0, 2.0 * pin)
+        val st = if (still) "breach" else "match_on_recheck"
+        rechecks(k) = f"""{"first_s":$firstMedian%.3f,"first_steal_pct":$firstSteal%.2f,""" +
+          f""""recheck_s":$m2%.3f,"recheck_steal_pct":$steal2%.2f,"status":"$st"}"""
+        (k, st)
+      case other => other
+    }
     val budgetJson =
       if (budget.isEmpty) ""
       else ",\"median_budget_status\":" + budget.map {
         case (k, st) => "\"" + k + "\":\"" + st + "\""
-      }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}") +
+        (if (rechecks.isEmpty) ""
+         else ",\"budget_rechecks\":" + rechecks.map {
+           case (k, j) => "\"" + k + "\":" + j
+         }.mkString("{", ",", "}"))
     // re-attempt accounting (VERDICT r12 #2): whenever a query saw task
     // failures, re-attempted tasks, or stage re-attempts across its runs,
     // ship the counts AND the first failure reason — so a shuffle-pin
@@ -473,12 +545,16 @@ object Bench {
     // roving window-shaped inflation (2-10x single samples, zero retries,
     // shuffle bytes constant); this field lets the committed artifact
     // name the contention window instead of inferring it from deltas
+    // ONE post-run sample reused by both printed lines (r14 ADVICE: two
+    // separate /proc/stat reads made the same run report two slightly
+    // different overall steal values)
+    val overallStealPct = HostProbe.stealPctSince(hostStart._1)
     val hostJson = {
       val perQ = results.map { case (k, _, _, _, _, _, (steal, load1)) =>
         "\"" + k + f"""\":{"steal_pct":$steal%.2f,"load1":$load1%.1f}"""
       }.mkString("{", ",", "}")
       f""","host":{"cpus":${Runtime.getRuntime.availableProcessors},""" +
-        f""""steal_pct":${HostProbe.stealPctSince(hostStart._1)}%.2f,""" +
+        f""""steal_pct":$overallStealPct%.2f,""" +
         f""""load1_start":${hostStart._2}%.1f,"load1_end":${HostProbe.load1()}%.1f,""" +
         s""""per_query":$perQ}"""
     }
@@ -498,9 +574,14 @@ object Bench {
     budget.filter(_._2 == "breach").foreach { case (k, _) =>
       val m = results.find(_._1 == k).map(_._2).getOrElse(0.0)
       System.err.println(f"[bench] MEDIAN BUDGET BREACH $k: $m%.2f s vs pinned " +
-        f"${fullPins(k)}%.2f s (>2x) — fix the regression or update " +
+        f"${fullPins(k)}%.2f s (>2x, REPRODUCED on immediate recheck — see " +
+        "budget_rechecks) — fix the regression or update " +
         "bench_full_pins.json in the same commit")
       anyFailed = true
+    }
+    budget.filter(_._2 == "match_on_recheck").foreach { case (k, _) =>
+      System.err.println(s"[bench] transient budget breach $k vanished on " +
+        "immediate recheck (both samples in budget_rechecks) — pin stands")
     }
     deltas.filter(_._3).foreach { case (k, d, _, mb, _) =>
       System.err.println(f"[bench] SHUFFLE REGRESSION $k: $mb%.1f MB written vs " +
@@ -561,7 +642,7 @@ object Bench {
     val budgetBreaches = budget.filter(_._2 == "breach").map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val retryTotal = retried.map { case (_, _, _, _, _, (f, r, _), _) => f + r }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errNonNull,"shuffle_pin_breaches":$pinBreaches,"budget_breaches":$budgetBreaches,"task_retry_total":$retryTotal,"steal_pct":${HostProbe.stealPctSince(hostStart._1)}%.2f$legacyTotal,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errNonNull,"shuffle_pin_breaches":$pinBreaches,"budget_breaches":$budgetBreaches,"task_retry_total":$retryTotal,"steal_pct":$overallStealPct%.2f$legacyTotal,"sf":"$sfDir"}""")
     spark.stop()
     if (anyFailed) sys.exit(1)
   }

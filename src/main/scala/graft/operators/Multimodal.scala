@@ -1528,7 +1528,10 @@ object Multimodal {
         val size = le32(pos + 4) // unsigned 32-bit as Long, always >= 0
         val body = pos + 8
         id match {
-          case "fmt " if body + 16 <= bytes.length =>
+          // gate on the chunk's DECLARED size too (r14 ADVICE): a fmt
+          // chunk declaring size<16 must not read the next chunk's
+          // bytes as format fields
+          case "fmt " if size >= 16 && body + 16 <= bytes.length =>
             audioFormat = le16(body); channels = le16(body + 2)
             sampleRate = le32(body + 4); bits = le16(body + 14)
           case "data" =>
@@ -1616,7 +1619,10 @@ object Multimodal {
         val size = le32(pos + 4)
         val body = pos + 8
         id match {
-          case "fmt " if body + 16 <= bytes.length =>
+          // gate on the chunk's DECLARED size too (r14 ADVICE): a fmt
+          // chunk declaring size<16 must not read the next chunk's
+          // bytes as format fields
+          case "fmt " if size >= 16 && body + 16 <= bytes.length =>
             audioFormat = le16(body); channels = le16(body + 2)
             sampleRate = le32(body + 4); bits = le16(body + 14)
           case "data" =>
@@ -1668,7 +1674,10 @@ object Multimodal {
         val size = le32(pos + 4)
         val body = pos + 8
         id match {
-          case "fmt " if body + 16 <= bytes.length =>
+          // gate on the chunk's DECLARED size too (r14 ADVICE): a fmt
+          // chunk declaring size<16 must not read the next chunk's
+          // bytes as format fields
+          case "fmt " if size >= 16 && body + 16 <= bytes.length =>
             audioFormat = le16(body); channels = le16(body + 2)
             sampleRate = le32(body + 4); bits = le16(body + 14)
           case "data" =>
@@ -2276,7 +2285,10 @@ object Multimodal {
         val size = le32(pos + 4)
         val body = pos + 8
         id match {
-          case "fmt " if body + 16 <= bytes.length =>
+          // gate on the chunk's DECLARED size too (r14 ADVICE): a fmt
+          // chunk declaring size<16 must not read the next chunk's
+          // bytes as format fields
+          case "fmt " if size >= 16 && body + 16 <= bytes.length =>
             format = le16(body); channels = le16(body + 2)
             sampleRate = le32(body + 4); blockAlign = le16(body + 12)
             bits = le16(body + 14)
@@ -2322,7 +2334,10 @@ object Multimodal {
     * energy windows whichever container carried it (the q226 corpus is
     * built ON the lattice so that invariance is exact). The encoders
     * exist for the spec's all-256-codes round-trip gates
-    * (encode∘decode = identity on every code byte). */
+    * (encode∘decode = identity on every code byte, with ONE documented
+    * canonicalization: μ-law 0x7f — negative zero — decodes to 0 and
+    * re-encodes as positive zero 0xff; G711AdpcmSpec carves out exactly
+    * that byte). */
   object G711Codec extends AudioCodec {
     /** μ-law code byte → linear PCM (G.711: bias 0x84, 8 segments).
       * Range ±32124; decode(0xff) = 0. */
@@ -2457,7 +2472,18 @@ object Multimodal {
 
     /** IMA ADPCM WAV → canonical PCM16 WAV. Mono and stereo (per-channel
       * 4-byte header words, 4-byte data words interleaved). None unless
-      * fmt tag 0x11 with 4-bit samples; never throws. */
+      * fmt tag 0x11 with 4-bit samples; never throws.
+      *
+      * Decoder contract (r14 ADVICE, documented truncation): frames are
+      * decoded in WHOLE blocks — `dataLen / blockAlign` — so a
+      * real-world file with a short trailing partial block loses its
+      * tail samples, and the fmt extension's wSamplesPerBlock is not
+      * consulted (the per-block sample count is derived from blockAlign,
+      * which is exact for the spec layout this decoder accepts). The
+      * q226 lattice fixtures are generated in whole blocks, so the
+      * truncation is unobservable on every declared face; routing
+      * arbitrary external IMA WAVs here would need the partial-block
+      * decode added first. */
     private[graft] def toWav(bytes: Array[Byte]): Option[Array[Byte]] =
       try {
         Riff.walk(bytes).flatMap { f =>

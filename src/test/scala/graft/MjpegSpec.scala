@@ -156,6 +156,51 @@ class MjpegSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"distance population not bimodal: ${all.toSeq.sorted.mkString(",")}")
   }
 
+  test("q227 threshold margins hold at the pinned benchmark scale (sf0.1, 5000 docs)") {
+    // r14 ADVICE asked for the 30-doc gap assertion at benchmark scale —
+    // running it EXPOSED the true population shape (35k consecutive
+    // pairs): the two sides obey DIFFERENT kinds of bound, and the naive
+    // "no distance in (12,18)" claim is statistically impossible at
+    // scale, so this test gates the real ones.
+    //  - FALSE-CUT side (within-scene) is DETERMINISTIC: one flipped
+    //    even-aligned pixel-row pair = one dHash grid row = 8 structural
+    //    bits; quant-1 JPEG rounding (±2 grey) can flip only near-tie
+    //    gradients inside the one changed 8×8 block row — measured
+    //    ceiling 9 (= 8 + 1) over all 25k within-scene pairs, gated here
+    //    at ≤ 12, comfortably below threshold 16: zero false cuts ever.
+    //  - MISS side (scene boundary) is BINOMIAL: a content-random
+    //    regeneration lands at mean ≈ 32, σ ≈ 4.6, so the tail crosses
+    //    any fixed threshold eventually (measured min 17 here — still
+    //    detected; per-pair P(< 16) ≈ 4e-4 from the normal tail). Gated
+    //    as a RATE: zero misses at this scale, and the within/boundary
+    //    populations must not overlap.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val fh = ImageHash.videoFrameHashes(ImageHash.syntheticScenes(docs))
+    val row = fh
+      .withColumn("prev", lag("dhash", 1).over(
+        Window.partitionBy("asset_id").orderBy("frame_index")))
+      .filter(col("prev").isNotNull)
+      .select(
+        bit_count(col("dhash").bitwiseXOR(col("prev"))).cast("long").as("dist"),
+        (col("frame_index") % 3 === 0).as("is_boundary"))
+      .agg(
+        max(when(!col("is_boundary"), col("dist"))).as("max_within"),
+        min(when(col("is_boundary"), col("dist"))).as("min_boundary"),
+        sum(when(col("is_boundary") && col("dist") < 16, 1L).otherwise(0L)).as("missed_cuts"),
+        sum(when(!col("is_boundary") && col("dist") >= 16, 1L).otherwise(0L)).as("false_cuts"),
+        count(lit(1)).as("n"))
+      .first()
+    assert(row.getLong(0) <= 12,
+      s"within-scene ceiling broke: max ${row.getLong(0)} (structural 8 + rounding)")
+    assert(row.getLong(3) == 0, s"${row.getLong(3)} false cuts (within-scene >= 16)")
+    assert(row.getLong(2) == 0, s"${row.getLong(2)} missed cuts (boundary < 16)")
+    assert(row.getLong(1) > row.getLong(0),
+      s"populations overlap: boundary min ${row.getLong(1)} <= within max ${row.getLong(0)}")
+    assert(row.getLong(4) > 30000, s"population too small: ${row.getLong(4)}")
+  }
+
   test("never-crash fuzz: truncations and bit flips of streams and containers") {
     val px = noisePixels(16, 16, 29)
     val jpeg = JpegCodec.encodeGray(16, 16, px, 1)
