@@ -125,6 +125,10 @@ object Plans {
     "q225_video_frame_dedup",       // MJPEG payload decode + frame-hash band join
     "q226_audio_codec_pairs",       // G.711/ADPCM decode + energy-window band join
     "q227_scene_cuts",              // per-video lag window over frame hashes
+    // r15 (VERDICT #2): the last three >5s lanes without committed plans
+    "q119_wordpiece_train",         // iterative pair-merge loop, pinned rounds
+    "q205_ivfpq_topk",              // IVF-PQ decimal-artifact lane (oracle face)
+    "q218_ivfpq_residual_topk",     // residual-coded IVF-PQ oracle face
     // the 14 production lanes (xxhash64 / DataSketches / native-double):
     // resolved from Bench.productionLanes below
     "x52_minhash_lsh_pairs_xxhash", "x53_simhash_pairs_xxhash",
