@@ -125,6 +125,8 @@ object Plans {
     "q225_video_frame_dedup",       // MJPEG payload decode + frame-hash band join
     "q226_audio_codec_pairs",       // G.711/ADPCM decode + energy-window band join
     "q227_scene_cuts",              // per-video lag window over frame hashes
+    "q228_gif_png_dedup_pairs",     // real LZW/PNG decode + banded Hamming join
+    "q229_animated_gif_frame_dedup",// GIF compositing + frame-hash band join
     // r15 (VERDICT #2): the last three >5s lanes without committed plans
     "q119_wordpiece_train",         // iterative pair-merge loop, pinned rounds
     "q205_ivfpq_topk",              // IVF-PQ decimal-artifact lane (oracle face)

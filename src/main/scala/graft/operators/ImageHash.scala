@@ -466,6 +466,79 @@ object ImageHash {
     }
   }
 
+  /** Mixed GIF/PNG still-image corpus (q228, r15): the [[syntheticPnm]]
+    * pixels with every ORIGINAL re-encoded as a real GIF (alternating
+    * encoder profiles, so half the corpus exercises the interlace +
+    * reversed-local-palette decode paths) while the planted edited
+    * SIBLINGS stay PNG — every recovered pair is cross-format GIF↔PNG,
+    * recoverable only through a real decode of both containers. Both
+    * trans-codes are lossless on gray pixels (PNG by construction; GIF
+    * because the identity gray palette maps index i → rgb(i,i,i) →
+    * BT.601 luma i·(299+587+114)/1000 = i exactly, and the reversed
+    * palette composes two 255−v flips), so the PAIR SET is
+    * bit-identical to the all-PNM corpus — the q159 pins double as a
+    * GIF-decoder correctness gate, the same way they gate PNG. */
+  def syntheticGifImages(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    syntheticPnm(docs).map { a =>
+      Multimodal.PnmCodec.decodeLuma(a.bytes) match {
+        case Some((w, h, luma)) =>
+          val px = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) { px(i) = luma(i).toByte; i += 1 }
+          if (a.asset_id % 2 == 0)
+            MediaAsset(a.asset_id, "image/gif",
+              Multimodal.GifCodec.encodeGray(w, h, px,
+                profile = ((a.asset_id / 2) % 2).toInt))
+          else
+            MediaAsset(a.asset_id, "image/png",
+              Multimodal.PngCodec.encodeGray(w, h, px))
+        case None => a
+      }
+    }
+  }
+
+  /** Deterministic ANIMATED-GIF corpus (q229, r15 — the q225 design on
+    * the other lib-free video container): each doc becomes a real
+    * GIF89a animation of 3 + doc_id % 5 full-canvas 16×16 frames
+    * (raster = 16 md5 blocks of the doc text, distinct salt space from
+    * q225's). Every 10th doc gets a SIBLING re-encoded under encoder
+    * PROFILE 1 (reversed LOCAL palette — even the LZW index planes
+    * differ — interlaced rows, different sub-block size) with frame 1
+    * regenerated (the planted edit). GIF is LOSSLESS, so unedited
+    * sibling frames decode to BIT-IDENTICAL luma: byte-disjoint
+    * containers, Hamming distance 0 — stronger than the MJPEG corpus's
+    * entropy-profile parity, and only a REAL LZW + compositing decode
+    * recovers it. */
+  def syntheticAnimatedGif(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    Multimodal.spreadByDocId(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)].flatMap { case (id, text) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def frameImage(i: Int, edited: Boolean): Array[Byte] = {
+          val px = new Array[Byte](256)
+          var j = 0
+          while (j < 16) {
+            val salt = if (edited) "~edit" else ""
+            val block = md.digest(s"$text~gif$i$salt#$j".getBytes("UTF-8"))
+            System.arraycopy(block, 0, px, j * 16, 16)
+            j += 1
+          }
+          px
+        }
+        val n = (3 + id % 5).toInt
+        def container(profile: Int, editedFrame: Int): Array[Byte] =
+          Multimodal.GifCodec.encode(16, 16,
+            (0 until n).map(i => Multimodal.GifCodec.FramePlan(
+              0, 0, 16, 16, frameImage(i, i == editedFrame))),
+            profile)
+        val orig = Multimodal.MediaAsset(id * 2, "image/gif", container(0, -1))
+        if (id % 10 == 0)
+          Seq(orig, Multimodal.MediaAsset(id * 2 + 1, "image/gif", container(1, 1)))
+        else Seq(orig)
+      }
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle replay (r13, the q219/q65 artifact pattern): byte-level
   // DECODE can never be relational — but everything AFTER the hash table
@@ -499,6 +572,25 @@ object ImageHash {
        |    AND a.asset_id < b2.asset_id)
        |SELECT a1, a2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS dist
        |FROM p WHERE bit_count(xor(h1, h2)) <= 3 ORDER BY a1, a2"""
+      .stripMargin
+
+  /** Video frame-pair oracle (q225/q229): banded frame join, pair-level
+    * distinct, per-asset-pair count(DISTINCT f1) ≥ 2 — mirroring
+    * [[videoNearDupPairs]] clause for clause. */
+  private def dkVideoPairSql(name: String): String =
+    s"""WITH f AS (SELECT asset_id, frame_index, dhash
+       |  FROM read_parquet('${Similarity.annOracleRoot}/$name/frames/*.parquet')),
+       |b AS (SELECT asset_id, frame_index, dhash, bb.band AS band,
+       |    (dhash >> (bb.band * 16)) & 65535 AS v
+       |  FROM f, (SELECT unnest(range(0, 4)) AS band) bb),
+       |p AS (SELECT DISTINCT a.asset_id AS a1, b2.asset_id AS a2,
+       |    a.frame_index AS f1, b2.frame_index AS f2,
+       |    a.dhash AS h1, b2.dhash AS h2
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.v = b2.v
+       |    AND a.asset_id < b2.asset_id),
+       |m AS (SELECT a1, a2, CAST(count(DISTINCT f1) AS BIGINT) AS n_match FROM p
+       |  WHERE bit_count(xor(h1, h2)) <= 3 GROUP BY a1, a2)
+       |SELECT a1, a2, n_match FROM m WHERE n_match >= 2 ORDER BY a1, a2"""
       .stripMargin
 
   /** Incremental oracle (q172): odd (new) × even (store) sides of the
@@ -576,21 +668,7 @@ object ImageHash {
     //      ORACLE-CHECKED from birth: the per-frame hash table persists
     //      and DuckDB replays banding, frame pairing, and the per-video
     //      aggregation from those exact bytes. ----
-    "q225_video_frame_dedup" -> QueryDef.sql(
-      s"""WITH f AS (SELECT asset_id, frame_index, dhash
-         |  FROM read_parquet('${Similarity.annOracleRoot}/q225/frames/*.parquet')),
-         |b AS (SELECT asset_id, frame_index, dhash, bb.band AS band,
-         |    (dhash >> (bb.band * 16)) & 65535 AS v
-         |  FROM f, (SELECT unnest(range(0, 4)) AS band) bb),
-         |p AS (SELECT DISTINCT a.asset_id AS a1, b2.asset_id AS a2,
-         |    a.frame_index AS f1, b2.frame_index AS f2,
-         |    a.dhash AS h1, b2.dhash AS h2
-         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.v = b2.v
-         |    AND a.asset_id < b2.asset_id),
-         |m AS (SELECT a1, a2, CAST(count(DISTINCT f1) AS BIGINT) AS n_match FROM p
-         |  WHERE bit_count(xor(h1, h2)) <= 3 GROUP BY a1, a2)
-         |SELECT a1, a2, n_match FROM m WHERE n_match >= 2 ORDER BY a1, a2"""
-        .stripMargin) { (s, dir) =>
+    "q225_video_frame_dedup" -> QueryDef.sql(dkVideoPairSql("q225")) { (s, dir) =>
       videoNearDupPairs(Similarity.persistArtifact("q225", "frames",
         videoFrameHashes(syntheticMjpeg(Tables.documents(s, dir)))))
     },
@@ -613,5 +691,30 @@ object ImageHash {
          |ORDER BY asset_id, frame_index""".stripMargin) { (s, dir) =>
       sceneCuts(Similarity.persistArtifact("q227", "frames",
         videoFrameHashes(syntheticScenes(Tables.documents(s, dir)))))
+    },
+
+    // ---- GIF↔PNG still-image near-dup (r15): the q159 banded pair
+    //      join over a corpus whose ORIGINALS are real GIFs (both
+    //      encoder profiles — half interlaced with a reversed local
+    //      palette) and whose planted edited siblings are PNG, so every
+    //      recovered pair crosses a real LZW decode. Lossless gray
+    //      trans-code ⇒ the pair set is bit-identical to q159's corpus
+    //      design. ORACLE-CHECKED from birth, same artifact replay. ----
+    "q228_gif_png_dedup_pairs" -> QueryDef.sql(dkPairSql("q228")) { (s, dir) =>
+      nearDupImagePairs(Similarity.persistArtifact("q228", "hashes",
+        imageHashes(syntheticGifImages(Tables.documents(s, dir)))))
+    },
+
+    // ---- animated-GIF video near-dup (r15): the q225 machinery on the
+    //      other lib-free video container — full-canvas composited
+    //      frames from real LZW + disposal/transparency compositing,
+    //      banded frame join, count(DISTINCT f1) per asset pair. GIF is
+    //      lossless, so unedited sibling frames land at Hamming 0
+    //      through byte-disjoint containers (reversed-palette index
+    //      planes). ORACLE-CHECKED from birth, same per-frame artifact
+    //      replay as q225. ----
+    "q229_animated_gif_frame_dedup" -> QueryDef.sql(dkVideoPairSql("q229")) { (s, dir) =>
+      videoNearDupPairs(Similarity.persistArtifact("q229", "frames",
+        videoFrameHashes(syntheticAnimatedGif(Tables.documents(s, dir)))))
     })
 }

@@ -388,6 +388,445 @@ object Multimodal {
     }
   }
 
+  /** GIF decoder (87a/89a) — pure JVM, zero codec libraries (the
+    * PngCodec discipline applied to the one remaining ubiquitous web
+    * image format whose compression is purely ALGORITHMIC: GIF-LZW has
+    * no spec constant tables, unlike MP3/AAC/H.26x, so it fits the
+    * lib-free codec policy — r14 VERDICT #4). Full container walk:
+    * logical screen descriptor, global/local color tables, graphic
+    * control extensions (transparency index + disposal method),
+    * application/comment/plain-text extensions skipped by sub-block
+    * chain, image descriptors with interlace support, and variable-
+    * width LSB-first LZW decode (CLEAR/EOI, dictionary growth to 12
+    * bits, the KwKwK self-reference case, deferred-clear tolerance).
+    * ANIMATED GIFs composite onto the logical-screen canvas honoring
+    * per-frame offsets, transparency (holes show the previous canvas)
+    * and disposal methods 0/1 (keep), 2 (restore background), 3
+    * (restore previous) — every composited frame returns full-canvas,
+    * so frame hashes are offset-invariant by construction.
+    *
+    * Robustness contract (the JpegCodec one): adversarial input —
+    * truncated sub-block chains, lying palette sizes, codes past the
+    * dictionary, out-of-palette indices, crafted dimensions — yields
+    * None / the frames decoded so far, never a crash or an unbounded
+    * allocation (pixel count capped at 2²⁴, frame count at 4096).
+    * Determinism: integer-only arithmetic end to end.
+    *
+    * The minimal real ENCODER exists for fixtures and the independent
+    * round-trip gates (GIF is lossless, so the gate is bit-exactness —
+    * the FLAC standard, stronger than JPEG's ≤3-grey parity; the JDK's
+    * ImageIO reads GIF and serves as the independent reference
+    * decoder). Two entropy-level profiles produce byte-disjoint streams
+    * from identical pixels — the q225-corpus property: profile 0 writes
+    * a global identity-gray palette, sequential rows, 255-byte
+    * sub-blocks; profile 1 writes a REVERSED local palette per frame
+    * (indices remapped, so even the index planes differ), interlaced
+    * rows, 126-byte sub-blocks, and a comment block. */
+  object GifCodec extends Codec {
+    private val MaxPixels = 1L << 24
+    private val MaxFrames = 4096
+
+    /** One frame of the encoder plan: a gray sub-image at (left, top);
+      * pixels equal to `transparent` (a gray VALUE) are written as the
+      * transparent index; `disposal` per the GIF89a GCE semantics. */
+    private[graft] final case class FramePlan(left: Int, top: Int, w: Int,
+        h: Int, pixels: Array[Byte], transparent: Int = -1,
+        disposal: Int = 0, delayCs: Int = 4)
+
+    // ---- decode ------------------------------------------------------
+
+    /** Composited full-canvas frames as packed 0xRRGGBB ints:
+      * (frame_index, canvasW, canvasH, rgb). Returns the frames decoded
+      * before the first structural error; Nil when the header fails. */
+    private[graft] def decodeRgbFrames(
+        bytes: Array[Byte]): Seq[(Int, Int, Int, Array[Int])] =
+      try decodeRgbFrames0(bytes)
+      catch { case _: Throwable => Nil } // never-crash backstop
+
+    private def decodeRgbFrames0(
+        bytes: Array[Byte]): Seq[(Int, Int, Int, Array[Int])] = {
+      if (bytes.length < 13) return Nil
+      val sig = new String(bytes, 0, 6, "US-ASCII")
+      if (sig != "GIF87a" && sig != "GIF89a") return Nil
+      def u16(off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def palette(off: Int, n: Int): Array[Int] =
+        Array.tabulate(n) { i =>
+          ((bytes(off + 3 * i) & 0xff) << 16) |
+            ((bytes(off + 3 * i + 1) & 0xff) << 8) |
+            (bytes(off + 3 * i + 2) & 0xff)
+        }
+      val sw = u16(6); val sh = u16(8)
+      if (sw <= 0 || sh <= 0 || sw.toLong * sh > MaxPixels) return Nil
+      val lsdPacked = bytes(10) & 0xff
+      var pos = 13
+      var gct: Array[Int] = null
+      if ((lsdPacked & 0x80) != 0) {
+        val n = 2 << (lsdPacked & 7)
+        if (pos + 3 * n > bytes.length) return Nil
+        gct = palette(pos, n); pos += 3 * n
+      }
+      val bgIdx = bytes(11) & 0xff
+      val bg = if (gct != null && bgIdx < gct.length) gct(bgIdx) else 0
+      val canvas = new Array[Int](sw * sh)
+      java.util.Arrays.fill(canvas, bg)
+      val frames = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int, Int, Array[Int])]
+      var transparentIdx = -1
+      var disposal = 0
+      // skip a 255-byte-max sub-block chain; -1 on truncation
+      def skipSubBlocks(p0: Int): Int = {
+        var p = p0
+        while (p < bytes.length && bytes(p) != 0) {
+          p += 1 + (bytes(p) & 0xff)
+          if (p > bytes.length) return -1
+        }
+        if (p >= bytes.length) -1 else p + 1 // past the 0 terminator
+      }
+      while (pos < bytes.length && frames.size < MaxFrames) {
+        (bytes(pos) & 0xff) match {
+          case 0x3b => return frames.toSeq // trailer
+          case 0x21 => // extension
+            if (pos + 2 > bytes.length) return frames.toSeq
+            val label = bytes(pos + 1) & 0xff
+            pos += 2
+            if (label == 0xf9 && pos < bytes.length) {
+              val bs = bytes(pos) & 0xff
+              if (pos + 1 + bs > bytes.length) return frames.toSeq
+              if (bs >= 4) {
+                val p = bytes(pos + 1) & 0xff
+                disposal = (p >> 2) & 7
+                transparentIdx =
+                  if ((p & 1) != 0) bytes(pos + 4) & 0xff else -1
+              }
+              pos = skipSubBlocks(pos + 1 + bs)
+            } else pos = skipSubBlocks(pos)
+            if (pos < 0) return frames.toSeq
+          case 0x2c => // image descriptor
+            if (pos + 10 > bytes.length) return frames.toSeq
+            val left = u16(pos + 1); val top = u16(pos + 3)
+            val fw = u16(pos + 5); val fh = u16(pos + 7)
+            val idPacked = bytes(pos + 9) & 0xff
+            pos += 10
+            var lct: Array[Int] = null
+            if ((idPacked & 0x80) != 0) {
+              val n = 2 << (idPacked & 7)
+              if (pos + 3 * n > bytes.length) return frames.toSeq
+              lct = palette(pos, n); pos += 3 * n
+            }
+            val pal = if (lct != null) lct else gct
+            if (pal == null || fw <= 0 || fh <= 0 ||
+                left + fw > sw || top + fh > sh) return frames.toSeq
+            if (pos >= bytes.length) return frames.toSeq
+            val minCode = bytes(pos) & 0xff; pos += 1
+            if (minCode < 1 || minCode > 8) return frames.toSeq
+            // concatenate the data sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            var p = pos
+            var ok = true
+            while (ok && p < bytes.length && bytes(p) != 0) {
+              val n = bytes(p) & 0xff
+              if (p + 1 + n > bytes.length) ok = false
+              else { data.write(bytes, p + 1, n); p = p + 1 + n }
+            }
+            if (!ok || p >= bytes.length) return frames.toSeq
+            pos = p + 1
+            val indices = lzwDecode(data.toByteArray, minCode, fw * fh)
+            if (indices == null) return frames.toSeq
+            val before = if (disposal == 3) canvas.clone() else null
+            // render: interlaced GIFs store rows in 4 passes
+            val rowOrder: Iterator[Int] =
+              if ((idPacked & 0x40) != 0)
+                Iterator.range(0, fh, 8) ++ Iterator.range(4, fh, 8) ++
+                  Iterator.range(2, fh, 4) ++ Iterator.range(1, fh, 2)
+              else Iterator.range(0, fh)
+            var src = 0
+            rowOrder.foreach { ry =>
+              var x = 0
+              while (x < fw) {
+                val ci = indices(src) & 0xff; src += 1
+                if (ci != transparentIdx && ci < pal.length)
+                  canvas((top + ry) * sw + (left + x)) = pal(ci)
+                x += 1
+              }
+            }
+            frames += ((frames.size, sw, sh, canvas.clone()))
+            disposal match {
+              case 2 => // restore background over the frame's rectangle
+                var ry = 0
+                while (ry < fh) {
+                  var x = 0
+                  while (x < fw) {
+                    canvas((top + ry) * sw + (left + x)) = bg; x += 1
+                  }
+                  ry += 1
+                }
+              case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+              case _ => ()
+            }
+            disposal = 0; transparentIdx = -1
+          case _ => return frames.toSeq // unknown block: bail cleanly
+        }
+      }
+      frames.toSeq
+    }
+
+    /** GIF-LZW decode of the concatenated image data: exactly `nPixels`
+      * palette indices or null (truncated / corrupt stream). Variable
+      * code width LSB-first starting minCodeSize+1, CLEAR resets, growth
+      * to 12 bits, KwKwK handled, code > dictSize rejected. */
+    private[graft] def lzwDecode(data: Array[Byte], minCodeSize: Int,
+        nPixels: Int): Array[Byte] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val stack = new Array[Byte](4097)
+      val out = new Array[Byte](nPixels)
+      var outLen = 0
+      var dictSize = clear + 2
+      var width = minCodeSize + 1
+      var prev = -1
+      var bitPos = 0
+      val totalBits = data.length * 8
+      def firstOf(code0: Int): Byte = {
+        var c = code0
+        while (c >= clear + 2) c = prefix(c)
+        c.toByte
+      }
+      while (outLen < nPixels) {
+        if (bitPos + width > totalBits) return null // ran out mid-frame
+        var code = 0
+        var i = 0
+        while (i < width) {
+          val b = bitPos + i
+          if ((data(b >> 3) & (1 << (b & 7))) != 0) code |= 1 << i
+          i += 1
+        }
+        bitPos += width
+        if (code == eoi) return null // EOI before the frame filled
+        else if (code == clear) {
+          dictSize = clear + 2; width = minCodeSize + 1; prev = -1
+        } else {
+          var sp = 0
+          var cur = code
+          if (code >= dictSize) {
+            // only the KwKwK self-reference (code == dictSize) is legal
+            if (prev < 0 || code != dictSize) return null
+            stack(sp) = firstOf(prev); sp += 1
+            cur = prev
+          }
+          while (cur >= clear + 2) {
+            stack(sp) = suffix(cur); sp += 1
+            cur = prefix(cur)
+          }
+          val first = cur.toByte
+          stack(sp) = first; sp += 1
+          while (sp > 0 && outLen < nPixels) {
+            sp -= 1; out(outLen) = stack(sp); outLen += 1
+          }
+          if (prev >= 0 && dictSize < 4096) {
+            prefix(dictSize) = prev
+            suffix(dictSize) = first
+            dictSize += 1
+            if (dictSize == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+      out
+    }
+
+    /** First composited frame → the shared 8-dim feature contract. */
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      decodeRgbFrames(bytes).headOption.map { case (_, w, h, rgb) =>
+        val px = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          px(3 * i) = ((rgb(i) >> 16) & 0xff).toByte
+          px(3 * i + 1) = ((rgb(i) >> 8) & 0xff).toByte
+          px(3 * i + 2) = (rgb(i) & 0xff).toByte
+          i += 1
+        }
+        featuresOfPixels(w, h, 3, px)
+      }
+
+    private def lumaOfRgb(rgb: Array[Int]): Array[Int] = {
+      val luma = new Array[Int](rgb.length)
+      var i = 0
+      while (i < rgb.length) {
+        val v = rgb(i)
+        luma(i) = ((((v >> 16) & 0xff) * 299L + ((v >> 8) & 0xff) * 587L +
+          (v & 0xff) * 114L) / 1000L).toInt
+        i += 1
+      }
+      luma
+    }
+
+    /** First composited frame's integer luminance (the decodeLuma
+      * contract shared with PNM/PNG/JPEG). */
+    private[graft] def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      decodeRgbFrames(bytes).headOption.map { case (_, w, h, rgb) =>
+        (w, h, lumaOfRgb(rgb))
+      }
+
+    /** Every composited frame's luminance — the animated-GIF twin of
+      * [[decodeVideoFrameLumas]]'s MP4 path. */
+    private[graft] def decodeFrameLumas(
+        bytes: Array[Byte]): Seq[(Int, Int, Int, Array[Int])] =
+      decodeRgbFrames(bytes).map { case (i, w, h, rgb) =>
+        (i, w, h, lumaOfRgb(rgb))
+      }
+
+    // ---- encode ------------------------------------------------------
+
+    /** GIF-LZW encode with the decoder-mirrored width state machine:
+      * the width used for each emitted code tracks the DECODER's
+      * dictionary size (which trails the encoder's by one add), so any
+      * conformant decoder — ours, ImageIO — reads the stream back
+      * bit-exactly. Emits CLEAR and resets when the table fills. */
+    private[graft] def lzwEncode(indices: Array[Byte],
+        minCodeSize: Int): Array[Byte] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0; var accBits = 0
+      var width = minCodeSize + 1
+      var decNext = clear + 2 // the decoder's next free slot
+      var firstSinceClear = true
+      val dict = new java.util.HashMap[Integer, Integer]()
+      var encNext = clear + 2
+      def put(code: Int): Unit = {
+        acc |= code << accBits; accBits += width
+        while (accBits >= 8) { out.write(acc & 0xff); acc >>>= 8; accBits -= 8 }
+      }
+      def afterData(): Unit = {
+        // mirror: the decoder defines one entry per data code except the
+        // first after a clear, then bumps width when its table fills
+        if (firstSinceClear) firstSinceClear = false
+        else if (decNext < 4096) {
+          decNext += 1
+          if (decNext == (1 << width) && width < 12) width += 1
+        }
+      }
+      def reset(): Unit = {
+        dict.clear(); encNext = clear + 2
+        decNext = clear + 2; width = minCodeSize + 1; firstSinceClear = true
+      }
+      put(clear)
+      if (indices.nonEmpty) {
+        var prev: Int = indices(0) & 0xff
+        var i = 1
+        while (i < indices.length) {
+          val b = indices(i) & 0xff
+          val key = (prev << 8) | b
+          val hit = dict.get(key)
+          if (hit != null) prev = hit.intValue()
+          else {
+            put(prev); afterData()
+            if (encNext < 4096) { dict.put(key, encNext); encNext += 1 }
+            else { put(clear); reset() } // table full: clear and restart
+            prev = b
+          }
+          i += 1
+        }
+        put(prev); afterData()
+      }
+      put(eoi)
+      if (accBits > 0) out.write(acc & 0xff)
+      out.toByteArray
+    }
+
+    /** Minimal real encoder for fixtures: gray frames on a `sw`×`sh`
+      * logical screen, 256-entry palette, real LZW. Profile 0: global
+      * identity palette, sequential rows, 255-byte sub-blocks (+ a
+      * NETSCAPE loop block when animated). Profile 1: reversed LOCAL
+      * palette per frame (pixels remapped to 255−v, so index planes are
+      * byte-disjoint from profile 0's), interlaced rows, 126-byte
+      * sub-blocks, and a comment block — identical pixels, disjoint
+      * bytes, and the decoder's interlace + LCT paths exercised by
+      * every profile-1 fixture. */
+    private[graft] def encode(sw: Int, sh: Int, frames: Seq[FramePlan],
+        profile: Int = 0): Array[Byte] = {
+      require(frames.nonEmpty, "at least one frame")
+      val reversed = profile == 1
+      val interlaced = profile == 1
+      val subBlock = if (profile == 1) 126 else 255
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      w16(sw); w16(sh)
+      // global table only in profile 0 (7 = 256 entries; color res 8)
+      out.write(if (reversed) 0x70 else 0xf7)
+      out.write(0) // background index
+      out.write(0) // aspect
+      if (!reversed) (0 until 256).foreach { i =>
+        out.write(i); out.write(i); out.write(i)
+      }
+      if (profile == 0 && frames.size > 1) {
+        // NETSCAPE application extension: loop forever
+        out.write(0x21); out.write(0xff); out.write(11)
+        out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+        out.write(3); out.write(1); w16(0); out.write(0)
+      }
+      if (profile == 1) {
+        val c = "graft-p1".getBytes("US-ASCII")
+        out.write(0x21); out.write(0xfe); out.write(c.length)
+        out.write(c, 0, c.length); out.write(0)
+      }
+      frames.foreach { f =>
+        require(f.left + f.w <= sw && f.top + f.h <= sh, "frame rect")
+        require(f.pixels.length >= f.w * f.h, "frame pixels")
+        def idxOf(v: Int): Int = if (reversed) 255 - (v & 0xff) else v & 0xff
+        val transIdx = if (f.transparent >= 0) idxOf(f.transparent) else -1
+        if (transIdx >= 0 || f.disposal != 0 || frames.size > 1) {
+          out.write(0x21); out.write(0xf9); out.write(4)
+          out.write(((f.disposal & 7) << 2) | (if (transIdx >= 0) 1 else 0))
+          w16(f.delayCs)
+          out.write(math.max(transIdx, 0))
+          out.write(0)
+        }
+        out.write(0x2c); w16(f.left); w16(f.top); w16(f.w); w16(f.h)
+        out.write((if (reversed) 0x87 else 0x00) | (if (interlaced) 0x40 else 0x00))
+        if (reversed) (0 until 256).foreach { i =>
+          val v = 255 - i
+          out.write(v); out.write(v); out.write(v)
+        }
+        // row order must match the descriptor's interlace flag
+        val rowOrder: Seq[Int] =
+          if (interlaced)
+            (0 until f.h by 8) ++ (4 until f.h by 8) ++
+              (2 until f.h by 4) ++ (1 until f.h by 2)
+          else 0 until f.h
+        val indices = new Array[Byte](f.w * f.h)
+        var o = 0
+        rowOrder.foreach { ry =>
+          var x = 0
+          while (x < f.w) {
+            indices(o) = idxOf(f.pixels(ry * f.w + x)).toByte
+            o += 1; x += 1
+          }
+        }
+        out.write(8) // LZW minimum code size (256-entry palette)
+        val lzw = lzwEncode(indices, 8)
+        var off = 0
+        while (off < lzw.length) {
+          val n = math.min(subBlock, lzw.length - off)
+          out.write(n); out.write(lzw, off, n)
+          off += n
+        }
+        out.write(0) // data terminator
+      }
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** Single-frame convenience (the PngCodec.encodeGray shape). */
+    private[graft] def encodeGray(w: Int, h: Int, pixels: Array[Byte],
+        profile: Int = 0): Array[Byte] =
+      encode(w, h, Seq(FramePlan(0, 0, w, h, pixels)), profile)
+  }
+
   /** Shared (w, h, channels, interleaved-bytes) → 8-dim feature
     * conversion (channel means, 2×2 luminance quadrants, aspect) — one
     * definition for every pixel decoder, so PNG/JPEG features cannot
@@ -1490,6 +1929,7 @@ object Multimodal {
   private[graft] def decodeLumaAny(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     PnmCodec.decodeLuma(bytes).orElse(PngCodec.decodeLuma(bytes))
       .orElse(JpegCodec.decodeLuma(bytes))
+      .orElse(GifCodec.decodeLuma(bytes))
 
   /** Decoded audio features. */
   case class AudioFeatures(asset_id: Long, sample_rate: Int, channels: Int,
@@ -2645,6 +3085,7 @@ object Multimodal {
       PnmCodec.decodeImage(bytes)
         .orElse(PngCodec.decodeImage(bytes))
         .orElse(JpegCodec.decodeImage(bytes))
+        .orElse(GifCodec.decodeImage(bytes))
         .orElse(StubCodec.decodeImage(bytes))
   }
 
@@ -3005,14 +3446,19 @@ object Multimodal {
     * stub seam. */
   private[graft] def decodeVideoFrameLumas(
       bytes: Array[Byte]): Seq[(Int, Int, Int, Array[Int])] =
-    Mp4Container.parse(bytes).toSeq.flatMap { case (_, _, frames) =>
-      frames.flatMap { f =>
-        val payload = java.util.Arrays.copyOfRange(
-          bytes, f.offset.toInt, (f.offset + f.size).toInt)
-        JpegCodec.decodeLuma(payload).map { case (w, h, luma) =>
-          (f.index, w, h, luma)
+    Mp4Container.parse(bytes) match {
+      case Some((_, _, frames)) =>
+        frames.flatMap { f =>
+          val payload = java.util.Arrays.copyOfRange(
+            bytes, f.offset.toInt, (f.offset + f.size).toInt)
+          JpegCodec.decodeLuma(payload).map { case (w, h, luma) =>
+            (f.index, w, h, luma)
+          }
         }
-      }
+      // animated GIF is the other self-contained video container with a
+      // lib-free decode (r15): composited full-canvas frames, so the
+      // SAME frame-hash machinery (q225/q227) is container-invariant
+      case None => GifCodec.decodeFrameLumas(bytes)
     }
 
   /** Oracle-checked query: binary-column plumbing over real testdata —

@@ -730,7 +730,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // join (2 agg shuffles + sort) or one window + sort
       ("q225_video_frame_dedup",        1, 5),
       ("q226_audio_codec_pairs",        1, 4),
-      ("q227_scene_cuts",               1, 3))
+      ("q227_scene_cuts",               1, 3),
+      // the r15 GIF faces ride the same artifact + banded-join shapes:
+      // q228 = the q159 still-image pair plan, q229 = the q225 video plan
+      ("q228_gif_png_dedup_pairs",      1, 5),
+      ("q229_animated_gif_frame_dedup", 1, 5))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
