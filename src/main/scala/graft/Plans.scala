@@ -127,6 +127,7 @@ object Plans {
     "q227_scene_cuts",              // per-video lag window over frame hashes
     "q228_gif_png_dedup_pairs",     // real LZW/PNG decode + banded Hamming join
     "q229_animated_gif_frame_dedup",// GIF compositing + frame-hash band join
+    "q230_video_curation_pipeline", // video funnel: gate + scene sample + shards
     // r15 (VERDICT #2): the last three >5s lanes without committed plans
     "q119_wordpiece_train",         // iterative pair-merge loop, pinned rounds
     "q205_ivfpq_topk",              // IVF-PQ decimal-artifact lane (oracle face)

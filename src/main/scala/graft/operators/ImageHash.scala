@@ -397,6 +397,133 @@ object ImageHash {
     }
   }
 
+  /** Cross-batch face of [[videoNearDupPairs]] (the q172 shape at video
+    * level): NEW assets' frames probe the STORED frame-hash table only —
+    * never store × store. Pair ids normalize to (min, max) and the
+    * matched-frame count keys on the MIN side's frames, so the log
+    * entry is identical whichever member arrived first; assets arrive
+    * whole (one container row decodes to all its frames in one batch),
+    * so the pair (a, b) is complete at the later arrival. */
+  def incrementalVideoNearDupPairs(newHashes: DataFrame,
+      storeHashes: DataFrame, maxDist: Int = 3,
+      minFrames: Long = 2): DataFrame =
+    banded(newHashes, "frame_index").as("a")
+      .join(banded(storeHashes, "frame_index").as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.asset_id") =!= col("b.asset_id"))
+      .select(
+        least(col("a.asset_id"), col("b.asset_id")).as("a1"),
+        greatest(col("a.asset_id"), col("b.asset_id")).as("a2"),
+        when(col("a.asset_id") < col("b.asset_id"), col("a.frame_index"))
+          .otherwise(col("b.frame_index")).as("f1"),
+        when(col("a.asset_id") < col("b.asset_id"), col("b.frame_index"))
+          .otherwise(col("a.frame_index")).as("f2"),
+        col("a.dhash").as("h1"), col("b.dhash").as("h2"))
+      .distinct() // a frame pair can match in several bands
+      .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxDist)
+      .groupBy("a1", "a2")
+      .agg(countDistinct(col("f1")).as("n_match"))
+      .filter(col("n_match") >= minFrames)
+
+  /** The drop set of the video near-dup gate: the HIGHER asset of every
+    * pair (the monotone keep-lowest rule the at-ingest sink can apply
+    * without global coordination — the q223 stage-1 discipline). */
+  def videoNearDupIds(frameHashes: DataFrame, maxDist: Int = 3,
+      minFrames: Long = 2): DataFrame =
+    videoNearDupPairs(frameHashes, maxDist, minFrames)
+      .select(col("a2").as("asset_id")).distinct()
+
+  /** q230 (r15, VERDICT r14 #6): the END-TO-END video-corpus curation
+    * run a video-data user actually executes, as ONE declared plan —
+    * ingest (decode + per-frame hash, narrow), video-level near-dup
+    * gate (q225 machinery: drop the higher asset of every pair),
+    * scene-cut-aware frame sampling (q227 semantics: keep one
+    * representative per shot — the first frame plus every frame whose
+    * consecutive-hash jump crosses the threshold), and a PHYSICAL shard
+    * write whose stage-3 counts come from the WRITTEN FILES read back
+    * (the q207/q223 discipline). Only (asset_id, frame_index) sets and
+    * 16-byte hash rows cross stage boundaries behind lazy barriers —
+    * container bytes never shuffle.
+    *
+    * Shard assignment is the q121 hierarchical prefix sum — contiguous
+    * asset-id buckets, within-bucket window, bucket totals through one
+    * small single-partition window, offsets broadcast back — NEVER a
+    * single-partition window over the sampled corpus: positions are
+    * globally contiguous in (asset_id, frame_index) order, so
+    * shard_id = (pos−1)/framesPerShard and the read-back distinct shard
+    * count must equal ceil(n/framesPerShard) arithmetically, which is
+    * exactly what the oracle cross-checks. */
+  def videoCurationPipelineFrom(frameHashes: DataFrame, dupIds: DataFrame,
+      framesPerShard: Long = 64, bucketSize: Long = 64,
+      shardDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fh = frameHashes.localCheckpoint(eager = false) // consumers: stat + gate
+    def stat(stage: String, d: DataFrame): DataFrame =
+      d.agg(countDistinct(col("asset_id")).as("n_assets"),
+          count(lit(1)).as("n_frames"))
+        .select(lit(stage).as("stage"), col("n_assets"), col("n_frames"),
+          lit(0L).as("n_shards"))
+    val s1 = fh.join(dupIds.localCheckpoint(eager = false),
+        Seq("asset_id"), "left_anti")
+      .localCheckpoint(eager = false) // consumers: stat + sampler + write join
+    val perAsset = Window.partitionBy("asset_id").orderBy("frame_index")
+    val s2 = s1.withColumn("prev", lag("dhash", 1).over(perAsset))
+      .withColumn("dist",
+        bit_count(col("dhash").bitwiseXOR(col("prev"))).cast("long"))
+      .filter(col("prev").isNull || col("dist") >= 16)
+      .select("asset_id", "frame_index")
+      .localCheckpoint(eager = false) // consumers: stat + manifest
+    val bucketed = s2.withColumn("bucket",
+      (col("asset_id") / bucketSize).cast("long"))
+    val inBucket = bucketed.withColumn("pos_in_bucket", row_number().over(
+      Window.partitionBy("bucket").orderBy("asset_id", "frame_index")))
+    val offsets = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boffset", coalesce(
+        sum("bn").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "boffset") // buckets-sized frame — broadcastable
+    val manifest = inBucket.join(broadcast(offsets), "bucket")
+      .withColumn("shard_id",
+        ((col("boffset") + col("pos_in_bucket") - 1) / framesPerShard)
+          .cast("long"))
+      .select("asset_id", "frame_index", "shard_id")
+    val out = shardDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-q230-shards").toString)
+    s1.join(manifest, Seq("asset_id", "frame_index"))
+      .select(col("shard_id"), col("asset_id"), col("frame_index"), col("dhash"))
+      // co-locate each shard BEFORE partitionBy: otherwise every task
+      // writes a sliver into every shard directory (tasks × shards small
+      // files — ~32× the file count; wall-neutral at sf0.1 where job
+      // overhead dominates, but the file-count difference is the real
+      // cost at corpus scale); the shuffle moves only 24-byte rows
+      .repartition(col("shard_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard_id").parquet(out)
+    val s3 = frameHashes.sparkSession.read.parquet(out)
+      .agg(countDistinct(col("asset_id")).as("n_assets"),
+        count(lit(1)).as("n_frames"),
+        countDistinct(col("shard_id")).as("n_shards"))
+      .select(lit("3_shards_written").as("stage"), col("n_assets"),
+        col("n_frames"), col("n_shards").cast("long").as("n_shards"))
+    stat("0_raw", fh)
+      .unionAll(stat("1_video_dedup", s1))
+      .unionAll(stat("2_scene_sample", s2))
+      .unionAll(s3)
+      .orderBy("stage")
+  }
+
+  /** [[videoCurationPipelineFrom]] with the gate derived in place — the
+    * one-shot batch face; the streaming twin publishes through the
+    * `From` seam with the gate read from its accumulated pair log. */
+  def videoCurationPipeline(frameHashes: DataFrame,
+      framesPerShard: Long = 64,
+      shardDir: Option[String] = None): DataFrame = {
+    val fh = frameHashes.localCheckpoint(eager = false) // consumers: gate + stages
+    videoCurationPipelineFrom(fh, videoNearDupIds(fh), framesPerShard,
+      shardDir = shardDir)
+  }
+
   /** Scene-cut detection over REAL decoded video (q227): the
     * consecutive-frame perceptual-hash jump within each video — the shot
     * detector a video curation pipeline runs before per-scene sampling.
@@ -434,36 +561,67 @@ object ImageHash {
     * claim; the scalable claims are zero-false-cuts (deterministic) and
     * a measured miss RATE, which is what MjpegSpec gates. Keyframes sit
     * at scene starts, as a real encoder would place them. */
+  /** One scene-structured frame raster (shared by [[syntheticScenes]]
+    * and [[syntheticSceneSiblings]]). Within-scene progress p: row j
+    * carries its "~on" variant iff j < 2p, so consecutive frames
+    * (p, p+1) differ in EXACTLY rows 2p and 2p+1 — one EVEN-aligned
+    * pixel-row pair, i.e. one dHash grid row (16×16 pooling maps pixel
+    * rows 2k,2k+1 onto grid row k), for EVERY frame parity. The
+    * original per-frame-row design broke this on odd indices (two
+    * straddling grid rows → up to 16 structural bits, halving the
+    * margin to the cut threshold). */
+  private def sceneFrameImage(md: java.security.MessageDigest,
+      text: String, i: Int): Array[Byte] = {
+    val scene = i / 3
+    val p = i % 3
+    val px = new Array[Byte](256)
+    var j = 0
+    while (j < 16) {
+      val state = if (j < 2 * p) "~on" else ""
+      val block = md.digest(s"$text*s$scene#$j$state".getBytes("UTF-8"))
+      System.arraycopy(block, 0, px, j * 16, 16)
+      j += 1
+    }
+    px
+  }
+
   def syntheticScenes(docs: DataFrame): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
     Multimodal.spreadByDocId(docs.select(col("doc_id"), col("text"))).as[(Long, String)].map { case (id, text) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val n = (6 + id % 5).toInt
-      def frameImage(i: Int): Array[Byte] = {
-        val scene = i / 3
-        // within-scene progress p: row j carries its "~on" variant iff
-        // j < 2p, so consecutive frames (p, p+1) differ in EXACTLY rows
-        // 2p and 2p+1 — one EVEN-aligned pixel-row pair, i.e. one dHash
-        // grid row (16×16 pooling maps pixel rows 2k,2k+1 onto grid row
-        // k), for EVERY frame parity. The original per-frame-row design
-        // broke this on odd indices (two straddling grid rows → up to 16
-        // structural bits, halving the margin to the cut threshold).
-        val p = i % 3
-        val px = new Array[Byte](256)
-        var j = 0
-        while (j < 16) {
-          val state = if (j < 2 * p) "~on" else ""
-          val block = md.digest(s"$text*s$scene#$j$state".getBytes("UTF-8"))
-          System.arraycopy(block, 0, px, j * 16, 16)
-          j += 1
-        }
-        px
-      }
       val frames = (0 until n).map(i =>
-        Multimodal.JpegCodec.encodeGray(16, 16, frameImage(i)))
+        Multimodal.JpegCodec.encodeGray(16, 16, sceneFrameImage(md, text, i)))
       Multimodal.MediaAsset(id, "video/mp4",
         Multimodal.Mp4Container.mux(frames, (0 until n by 3).toSet, codec = "jpeg"))
     }
+  }
+
+  /** The q230 corpus: [[syntheticScenes]] EXTENDED with planted full
+    * duplicates — every 10th doc gets a SIBLING container re-encoding
+    * the SAME scene frames under JPEG entropy PROFILE 1 (byte-disjoint
+    * streams, bit-identical luma — the q225 property) in a different
+    * chunk layout. Every sibling's every frame therefore hashes at
+    * Hamming 0 against its original: the video near-dup gate's drop set
+    * is DETERMINISTIC (no edit-distance statistics), while the scene
+    * structure inside each asset is untouched, so one corpus exercises
+    * the dedup gate AND the scene-cut sampler. */
+  def syntheticSceneSiblings(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    Multimodal.spreadByDocId(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)].flatMap { case (id, text) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val n = (6 + id % 5).toInt
+        def container(profile: Int, chunkSize: Int): Array[Byte] =
+          Multimodal.Mp4Container.mux(
+            (0 until n).map(i => Multimodal.JpegCodec.encodeGray(
+              16, 16, sceneFrameImage(md, text, i), profile)),
+            (0 until n by 3).toSet, codec = "jpeg", chunkSize = chunkSize)
+        val orig = Multimodal.MediaAsset(id * 2, "video/mp4", container(0, 3))
+        if (id % 10 == 0)
+          Seq(orig, Multimodal.MediaAsset(id * 2 + 1, "video/mp4", container(1, 2)))
+        else Seq(orig)
+      }
   }
 
   /** Mixed GIF/PNG still-image corpus (q228, r15): the [[syntheticPnm]]
@@ -716,5 +874,53 @@ object ImageHash {
     "q229_animated_gif_frame_dedup" -> QueryDef.sql(dkVideoPairSql("q229")) { (s, dir) =>
       videoNearDupPairs(Similarity.persistArtifact("q229", "frames",
         videoFrameHashes(syntheticAnimatedGif(Tables.documents(s, dir)))))
+    },
+
+    // ---- END-TO-END video curation pipeline (r15, VERDICT r14 #6):
+    //      ingest → video near-dup gate (q225 CTEs) → scene-cut frame
+    //      sampling (q227 lag window) → physical shard write with
+    //      read-back counts. The oracle composes the component faces'
+    //      committed SQL verbatim from ONE persisted frame table (the
+    //      q223/q158 composition pattern) and cross-checks the shard
+    //      stage arithmetically: contiguous global positions make the
+    //      written distinct-shard count equal ceil(n/64) exactly. ----
+    "q230_video_curation_pipeline" -> QueryDef.sql(
+      s"""WITH f AS (SELECT asset_id, frame_index, dhash
+         |  FROM read_parquet('${Similarity.annOracleRoot}/q230/frames/*.parquet')),
+         |b AS (SELECT asset_id, frame_index, dhash, bb.band AS band,
+         |    (dhash >> (bb.band * 16)) & 65535 AS v
+         |  FROM f, (SELECT unnest(range(0, 4)) AS band) bb),
+         |p AS (SELECT DISTINCT a.asset_id AS a1, b2.asset_id AS a2,
+         |    a.frame_index AS f1, b2.frame_index AS f2,
+         |    a.dhash AS h1, b2.dhash AS h2
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.v = b2.v
+         |    AND a.asset_id < b2.asset_id),
+         |m AS (SELECT a1, a2, CAST(count(DISTINCT f1) AS BIGINT) AS n_match FROM p
+         |  WHERE bit_count(xor(h1, h2)) <= 3 GROUP BY a1, a2),
+         |dup AS (SELECT DISTINCT a2 AS asset_id FROM m WHERE n_match >= 2),
+         |s1 AS (SELECT f.* FROM f LEFT JOIN dup USING (asset_id)
+         |  WHERE dup.asset_id IS NULL),
+         |d AS (SELECT asset_id, frame_index,
+         |    CAST(bit_count(xor(dhash, lag(dhash) OVER
+         |      (PARTITION BY asset_id ORDER BY frame_index))) AS BIGINT) AS dist
+         |  FROM s1),
+         |s2 AS (SELECT asset_id, frame_index FROM d
+         |  WHERE dist IS NULL OR dist >= 16),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS nf,
+         |    CAST(count(DISTINCT asset_id) AS BIGINT) AS na FROM s2)
+         |SELECT stage, n_assets, n_frames, n_shards FROM (
+         |  SELECT '0_raw' AS stage,
+         |      CAST(count(DISTINCT asset_id) AS BIGINT) AS n_assets,
+         |      CAST(count(*) AS BIGINT) AS n_frames,
+         |      CAST(0 AS BIGINT) AS n_shards FROM f
+         |  UNION ALL SELECT '1_video_dedup',
+         |      CAST(count(DISTINCT asset_id) AS BIGINT),
+         |      CAST(count(*) AS BIGINT), CAST(0 AS BIGINT) FROM s1
+         |  UNION ALL SELECT '2_scene_sample', na, nf, CAST(0 AS BIGINT) FROM t
+         |  UNION ALL SELECT '3_shards_written', na, nf,
+         |      CAST(ceil(nf / 64.0) AS BIGINT) FROM t)
+         |ORDER BY stage""".stripMargin) { (s, dir) =>
+      videoCurationPipeline(Similarity.persistArtifact("q230", "frames",
+        videoFrameHashes(syntheticSceneSiblings(Tables.documents(s, dir)))))
     })
 }

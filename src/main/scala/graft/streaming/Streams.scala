@@ -543,6 +543,79 @@ object Streams {
         ()
       }
 
+  /** q230's streaming ingest half (the q223 discipline at video level):
+    * each micro-batch of media assets decodes + per-frame dHashes ONCE
+    * (narrow — container bytes never shuffle), then lands in two
+    * replay-idempotent stores: the frame-hash store and the video-pair
+    * LOG (batch×store cross pairs via
+    * [[graft.operators.ImageHash.incrementalVideoNearDupPairs]] + batch
+    * self pairs — assets arrive whole, so the pair (a, b) is complete at
+    * the LATER member's arrival regardless of order, and the log
+    * converges to the full-corpus q225 pair set). Replayed assets are
+    * anti-joined away against the frame store BEFORE pairing, so
+    * foreachBatch replays land nothing new; pairs append before frames
+    * (a crash between the two leaves the asset un-ingested, and the
+    * replay redoes both). Publish time
+    * ([[publishVideoCurationSnapshot]]) derives the drop set from the
+    * log and runs the batch face's stages 1–3 verbatim. */
+  def videoIngestSinkQuery(assets: DataFrame, framesDir: String,
+      pairsDir: String, maxDist: Int = 3,
+      minFrames: Long = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    assets.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.{ImageHash, Multimodal}
+        import org.apache.spark.sql.types._
+        val spark = batch.sparkSession
+        import spark.implicits._
+        def readOrEmpty(path: String, schema: StructType): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+        val frameSchema = StructType(Seq(
+          StructField("asset_id", LongType),
+          StructField("frame_index", IntegerType),
+          StructField("dhash", LongType)))
+        val pairSchema = StructType(Seq(
+          StructField("a1", LongType), StructField("a2", LongType),
+          StructField("n_match", LongType)))
+        val store = readOrEmpty(framesDir, frameSchema)
+          .localCheckpoint(true) // consumers: replay filter + cross pairs
+        val fresh = ImageHash.videoFrameHashes(batch.as[Multimodal.MediaAsset])
+          .join(store.select("asset_id").distinct(), Seq("asset_id"), "left_anti")
+          .localCheckpoint(true) // consumers: cross pairs, self pairs, append
+        val pairs = ImageHash
+          .incrementalVideoNearDupPairs(fresh, store, maxDist, minFrames)
+          .unionByName(
+            ImageHash.videoNearDupPairs(fresh, maxDist, minFrames))
+        pairs.join(readOrEmpty(pairsDir, pairSchema).select("a1", "a2"),
+            Seq("a1", "a2"), "left_anti")
+          .write.mode("append").parquet(pairsDir)
+        fresh.write.mode("append").parquet(framesDir)
+        ()
+      }
+
+  /** q230's publish half: cut the video-corpus snapshot from the ingest
+    * stores — the near-dup drop set from the accumulated pair log, then
+    * the batch face's scene sampling + shard write
+    * ([[graft.operators.ImageHash.videoCurationPipelineFrom]] —
+    * literally the same code both faces run from stage 1 on). Returns
+    * the 4-row funnel report; StreamingSpec asserts it equals the batch
+    * q230 face row for row after scrambled-order ingestion. */
+  def publishVideoCurationSnapshot(spark: SparkSession, framesDir: String,
+      pairsDir: String, framesPerShard: Long = 64,
+      shardDir: Option[String] = None): DataFrame = {
+    val dupIds = spark.read.parquet(pairsDir)
+      .select(org.apache.spark.sql.functions.col("a2").as("asset_id"))
+      .distinct()
+    graft.operators.ImageHash.videoCurationPipelineFrom(
+      spark.read.parquet(framesDir), dupIds, framesPerShard,
+      shardDir = shardDir)
+  }
+
   /** Watermarked stream-stream join: correlate two event streams per user
     * within a bounded interval (right event no earlier than the left, at
     * most `within` later). Both sides carry watermarks so join state is

@@ -201,6 +201,45 @@ class MjpegSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(row.getLong(4) > 30000, s"population too small: ${row.getLong(4)}")
   }
 
+  test("q230 pipeline: stage counts match an independent plain-Scala replay") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"curation doc $i")).toDF("doc_id", "text")
+    val fh = ImageHash.videoFrameHashes(ImageHash.syntheticSceneSiblings(docs))
+      .localCheckpoint(true)
+    val rows = fh.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byAsset = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // independent replay of the gate: brute-force distinct-f1 matches
+    // (the banded join is pigeonhole-exact at <=3 bits, so brute force
+    // is the same relation), drop the higher asset of every pair
+    def nMatch(a: Seq[Long], b: Seq[Long]): Long =
+      a.count(h1 => b.exists(h2 => java.lang.Long.bitCount(h1 ^ h2) <= 3)).toLong
+    val ids = byAsset.keys.toSeq.sorted
+    val dup = (for {
+      i <- ids; j <- ids if i < j && nMatch(byAsset(i), byAsset(j)) >= 2
+    } yield j).toSet
+    // the planted profile-1 siblings are EXACTLY the drop set (their
+    // frames are bit-identical luma, so every frame matches at 0)
+    assert(dup == (0L until 40L by 10L).map(_ * 2 + 1).toSet, s"drop set: $dup")
+    val survivors = ids.filterNot(dup)
+    val s1Frames = survivors.map(byAsset(_).size.toLong).sum
+    // independent replay of the scene sampler: frame 0 + every >=16 jump
+    val sampled = survivors.map { a =>
+      val hs = byAsset(a)
+      1L + (1 until hs.size).count(i =>
+        java.lang.Long.bitCount(hs(i) ^ hs(i - 1)) >= 16)
+    }.sum
+    val report = ImageHash.videoCurationPipeline(fh).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(report.length == 4)
+    assert(report(0) == ("0_raw", ids.size.toLong, rows.length.toLong, 0L))
+    assert(report(1) == ("1_video_dedup", survivors.size.toLong, s1Frames, 0L))
+    assert(report(2) == ("2_scene_sample", survivors.size.toLong, sampled, 0L))
+    assert(report(3) == ("3_shards_written", survivors.size.toLong, sampled,
+      (sampled + 63L) / 64L),
+      "read-back shard counts must equal the rank arithmetic")
+  }
+
   test("never-crash fuzz: truncations and bit flips of streams and containers") {
     val px = noisePixels(16, 16, 29)
     val jpeg = JpegCodec.encodeGray(16, 16, px, 1)

@@ -734,7 +734,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // the r15 GIF faces ride the same artifact + banded-join shapes:
       // q228 = the q159 still-image pair plan, q229 = the q225 video plan
       ("q228_gif_png_dedup_pairs",      1, 5),
-      ("q229_animated_gif_frame_dedup", 1, 5))
+      ("q229_animated_gif_frame_dedup", 1, 5),
+      // q230: the video funnel — frame hashes behind persistArtifact +
+      // barriers (1 artifact scan), gate pairs + scene window + the
+      // q121-style bucket windows + shard repartition + output sort;
+      // the shard read-back is its own parquet scan
+      ("q230_video_curation_pipeline",  2, 12))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

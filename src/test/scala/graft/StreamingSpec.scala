@@ -262,6 +262,47 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("q230 streaming twin: scrambled-order video ingest + publish equals the batch report") {
+    import graft.operators.{ImageHash, Multimodal}
+    import graft.operators.Multimodal.MediaAsset
+    val root = java.nio.file.Files.createTempDirectory("q230twin").toString
+    val (framesDir, pairsDir) = (s"$root/frames", s"$root/pairs")
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = ImageHash.syntheticSceneSiblings(
+      Tables.documents(spark, sfDir)).collect()
+    val input = MemoryStream[MediaAsset](spark)
+    val q = Streams.videoIngestSinkQuery(input.toDF(), framesDir, pairsDir).start()
+    try {
+      // three batches SCRAMBLED by asset_id % 3: an original (even id)
+      // and its sibling (odd id) always land in DIFFERENT batches, so
+      // every planted pair crosses the incremental store path
+      (0 until 3).foreach { k =>
+        input.addData(corpus.filter(_.asset_id % 3 == k).toSeq)
+        q.processAllAvailable()
+      }
+      // replay a slice verbatim: nothing may change
+      input.addData(corpus.filter(_.asset_id % 3 == 0).take(20).toSeq)
+      q.processAllAvailable()
+      val streamed = Streams.publishVideoCurationSnapshot(spark, framesDir,
+          pairsDir, shardDir = Some(s"$root/shards"))
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+      val batch = ImageHash.videoCurationPipeline(
+          ImageHash.videoFrameHashes(ImageHash.syntheticSceneSiblings(
+            Tables.documents(spark, sfDir))),
+          shardDir = Some(s"$root/shards_batch"))
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq,
+        s"twin drift:\nstreamed=${streamed.toSeq}\nbatch=${batch.toSeq}")
+      // the drop set really accumulated cross-batch: every planted
+      // sibling (id*2+1 for doc_id % 10 == 0) is in the pair log as a2
+      val logged = spark.read.parquet(pairsDir)
+        .select("a2").as[Long].collect().toSet
+      val planted = corpus.map(_.asset_id).filter(id =>
+        id % 2 == 1 && (id / 2) % 10 == 0).toSet
+      assert(planted.subsetOf(logged), s"missing pairs: ${planted -- logged}")
+    } finally q.stop()
+  }
+
   test("q188 lateness: planted disorder counts per rung; tiny buckets exercise the hierarchy") {
     import java.sql.Timestamp
     def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
