@@ -172,11 +172,14 @@ object Bench {
       val g = stageGroup.getOrDefault(s.stageInfo.stageId, "")
       val m = s.stageInfo.taskMetrics
       if (g.nonEmpty && m != null) {
-        val a = agg.computeIfAbsent(g, _ => Array(0L, 0L, 0L))
+        val a = agg.computeIfAbsent(g, _ => Array(0L, 0L, 0L, 0L))
         a.synchronized {
           a(0) += m.shuffleReadMetrics.totalBytesRead
           a(1) += m.shuffleWriteMetrics.bytesWritten
           a(2) += m.diskBytesSpilled
+          // max per-stage peak execution memory: the spill-risk signal a
+          // 100x scale probe watches (r15, VERDICT r14 #5)
+          a(3) = math.max(a(3), m.peakExecutionMemory)
         }
         // a stage re-attempt re-counts every task's metrics — the exact
         // inflation mode; record it as taskFailures-equivalent weight
@@ -195,15 +198,15 @@ object Bench {
         if (a == null) (0L, 0L) else a.synchronized((a(0), a(1)))
       (f, r, retryReason.getOrDefault(group, ""))
     }
-    private def snap(group: String): (Long, Long, Long) =
+    private def snap(group: String): (Long, Long, Long, Long) =
       agg.get(group) match {
-        case null => (0L, 0L, 0L)
-        case a => a.synchronized((a(0), a(1), a(2)))
+        case null => (0L, 0L, 0L, 0L)
+        case a => a.synchronized((a(0), a(1), a(2), a(3)))
       }
     /** Listener events are async: settle = two identical 100 ms reads
       * (bounded) before snapshotting the group's totals. */
-    def settled(group: String): (Long, Long, Long) = {
-      var prev = (-1L, -1L, -1L)
+    def settled(group: String): (Long, Long, Long, Long) = {
+      var prev = (-1L, -1L, -1L, -1L)
       var cur = snap(group)
       var waited = 0
       while (cur != prev && waited < 2000) {
@@ -290,9 +293,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // the one knob a real deployment sizes to the data, not the box
+    // (r15 100× decade): partitions default to the thread count, but a
+    // scale probe raises them so each sort/agg partition fits in memory
+    // — the x205 100× run spilled 3 GB at 32 partitions and 0 at 256
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -359,7 +368,7 @@ object Bench {
       * inflate the measurement (exact attribution, no reset races). */
     def sampleQuery(name: String, dir: String, runs: Int,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Seq[(Double, Option[String])], (Long, Long, Long), (Long, Long, String),
+        : (Seq[(Double, Option[String])], (Long, Long, Long, Long), (Long, Long, String),
            (Double, Double)) = {
       def grouped(tag: String): (Double, Option[String]) = {
         spark.sparkContext.setJobGroup(tag, s"bench $tag")
@@ -416,9 +425,10 @@ object Bench {
     // per-query physical cost from the last run (deterministic per plan):
     // shuffle write MB — the number the scale design minimizes — plus
     // read MB and spill MB when nonzero
-    val shuffles = results.map { case (k, _, _, _, (rd, wr, sp), _, _) =>
+    val shuffles = results.map { case (k, _, _, _, (rd, wr, sp, pk), _, _) =>
       "\"" + k + "\":" + f"{\"write_mb\":${wr / 1e6}%.1f," +
-        f"\"read_mb\":${rd / 1e6}%.1f,\"spill_mb\":${sp / 1e6}%.1f}"
+        f"\"read_mb\":${rd / 1e6}%.1f,\"spill_mb\":${sp / 1e6}%.1f," +
+        f"\"peak_exec_mb\":${pk / 1e6}%.1f}"
     }.mkString("{", ",", "}")
     // committed-artifact self-check: measured shuffle write vs the pinned
     // expectation, as a relative delta (0.2 MB absolute floor absorbs AQE
@@ -435,7 +445,7 @@ object Bench {
     // a query that errored shuffled 0 bytes because it DID NOT RUN — its
     // pin entry must read "did_not_run", never a vacuous 0.00 that a
     // summary could quote as "plan unchanged" (r9 ADVICE)
-    val deltas = results.flatMap { case (k, _, _, err, (_, wr, _), _, _) =>
+    val deltas = results.flatMap { case (k, _, _, err, (_, wr, _, _), _, _) =>
       pinnedShuffleWriteMb.get(k).filter(_ => atPinnedSf).map { pin =>
         val mb = wr / 1e6
         val diff = mb - pin

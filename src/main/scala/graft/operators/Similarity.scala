@@ -1080,13 +1080,32 @@ object Similarity {
 
   /** Nearest-centroid assignment: (vec_id, emb, cluster_id, cos_to_centroid). */
   private def assignClusters(unitVecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cluster_id"))
-    unitVecs.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("emb"), col("cluster_id"),
-        dot("emb", "cemb").as("c_cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    // nearest-centroid argmax as an IN-ROW fold over a one-row broadcast
+    // centroid array (the q155 pattern). The previous window form
+    // exploded (vec × cluster) rows — each carrying the FULL emb array —
+    // through a per-vec_id sort shuffle: n × nClusters × rowWidth bytes,
+    // measured 3.0 GB spill per pass at the r15 100× decade (200k
+    // vectors × 32 clusters) and ∝ nClusters (11.3 GB at the √n dial).
+    // The fold shuffles nothing and its cost is the same n × nClusters
+    // dot products, now inside one codegen'd projection. Assignments are
+    // bit-identical to the window form: same graft_dot doubles, and the
+    // strict `>` keeps the FIRST (lowest cluster_id — sort_array orders
+    // the struct by its leading field) among score ties, exactly the
+    // (c_cos DESC, cluster_id ASC) rank-1 row — so the q187 persisted
+    // assignment artifact and every k-means golden pin are unchanged.
+    val cents = centroids.agg(sort_array(
+      collect_list(struct(col("cluster_id"), col("cemb")))).as("cents"))
+    unitVecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("emb"),
+        expr("""aggregate(
+               |  transform(cents, c -> struct(c.cluster_id AS cluster_id,
+               |                               graft_dot(emb, c.cemb) AS score)),
+               |  struct(CAST(-1 AS INT) AS cluster_id,
+               |         CAST('-Infinity' AS DOUBLE) AS score),
+               |  (acc, s) -> CASE WHEN s.score > acc.score THEN s ELSE acc END)
+               |""".stripMargin).as("best"))
+      .select(col("vec_id"), col("emb"), col("best.cluster_id").as("cluster_id"),
+        col("best.score").as("c_cos"))
   }
 
   /** IVF approximate top-k: corpus vectors index into their nearest
@@ -1200,14 +1219,31 @@ object Similarity {
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
 
   /** Nearest sub-centroid per (vec_id, sub) by squared L2 — computed as
-    * ∥sv∥² − 2⟨sv,cv⟩ + ∥cv∥² via the codegen'd graft_dot; argmin is a
-    * map-side-combined min(struct(d2, cid)) with the cid tie-break. */
+    * ∥sv∥² − 2⟨sv,cv⟩ + ∥cv∥² via the codegen'd graft_dot; argmin is an
+    * IN-ROW fold over the per-sub codebook array (the assignClusters
+    * move, r15): the previous broadcast-join form exploded
+    * (vec, sub) × ks rows — each carrying sv — into a corpus-sized hash
+    * aggregation, measured 3.0 GB of agg spill at the 100× decade
+    * (200k × 8 subs × 32 cids); the fold keeps the frame at n × m rows
+    * and shuffles nothing. Bit-identical to the old form: the d2
+    * arithmetic keeps its exact association ((∥sv∥² − 2⟨sv,cv⟩) + ∥cv∥²,
+    * with ∥sv∥²/∥cv∥² precomputed — same values, same order), and the
+    * strict `<` keeps the FIRST (lowest cid — sort_array on the leading
+    * struct field) among d2 ties, exactly min(struct(d2, cid)). */
   private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
-    val d2 = expr("graft_dot(sv, sv) - 2 * graft_dot(sv, cvec) + graft_dot(cvec, cvec)")
-    subs.join(broadcast(cb), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("sv"), col("cid"), d2.as("d2"))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("d2"), col("cid"))).as("best"), first(col("sv")).as("sv"))
+    val cbArr = cb.groupBy("sub")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cands0"))
+      .select(col("sub"), expr(
+        """transform(cands0, c -> struct(c.cid AS cid, c.cvec AS cvec,
+          |  graft_dot(c.cvec, c.cvec) AS cvv))""".stripMargin).as("cands"))
+    subs.join(broadcast(cbArr), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("sv"),
+        expr("""aggregate(
+               |  transform(cands, c -> struct(c.cid AS cid,
+               |    graft_dot(sv, sv) - 2 * graft_dot(sv, c.cvec) + c.cvv AS d2)),
+               |  struct(CAST(-1 AS INT) AS cid, CAST('Infinity' AS DOUBLE) AS d2),
+               |  (acc, s) -> CASE WHEN s.d2 < acc.d2 THEN s ELSE acc END)
+               |""".stripMargin).as("best"))
       .select(col("vec_id"), col("sub"), col("best.cid").as("cid"), col("sv"))
   }
 
