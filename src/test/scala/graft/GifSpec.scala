@@ -104,6 +104,44 @@ class GifSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("ImageIO parity at 128x128 noise: the full code-width ladder, both directions") {
+    // 16 384 noise pixels push LZW through widths 9..12 and a
+    // table-full CLEAR — the regime the 16×16 fixtures never reach. A
+    // MUTUAL encoder/decoder width off-by-one would pass our own
+    // round-trips and fail only on real-world streams, so both
+    // directions gate against the JDK:
+    //  (a) our encoder → ImageIO decode (reference decoder), and
+    //  (b) ImageIO-WRITTEN gif → our decoder (a genuine third-party
+    //      stream through our LZW).
+    val px = noisePixels(128 * 128, 77)
+    val ours = GifCodec.encodeGray(128, 128, px)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(img != null && img.getWidth == 128 && img.getHeight == 128)
+    for (y <- 0 until 128; x <- 0 until 128) {
+      val expected = px(y * 128 + x) & 0xff
+      assert((img.getRGB(x, y) & 0xff) == expected,
+        s"(a) ImageIO disagrees at ($x,$y)")
+    }
+    // (b): have the JDK write a GIF of the same pixels
+    val bi = new java.awt.image.BufferedImage(128, 128,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 128; x <- 0 until 128)
+      bi.getRaster.setSample(x, y, 0, px(y * 128 + x) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", bos), "JDK GIF writer missing")
+    val theirs = bos.toByteArray
+    val (w, h, luma) = GifCodec.decodeLuma(theirs)
+      .getOrElse(fail("our decoder rejected a JDK-written GIF"))
+    assert((w, h) == (128, 128))
+    // the JDK writer quantizes TYPE_BYTE_GRAY through its own palette;
+    // gray-in/gray-out is value-preserving, so parity is exact
+    for (y <- 0 until 128; x <- 0 until 128) {
+      val expected = bi.getRaster.getSample(x, y, 0)
+      assert(luma(y * 128 + x) == expected,
+        s"(b) our decoder disagrees with the JDK writer at ($x,$y)")
+    }
+  }
+
   test("profile invariance: disjoint bytes, identical decoded pixels") {
     val px = noisePixels(16 * 16, 23)
     val a = GifCodec.encodeGray(16, 16, px, 0)
