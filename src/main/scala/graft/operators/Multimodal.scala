@@ -499,7 +499,11 @@ object Multimodal {
                 transparentIdx =
                   if ((p & 1) != 0) bytes(pos + 4) & 0xff else -1
               }
-              pos = skipSubBlocks(pos + 1 + bs)
+              // skip from the SIZE byte: a bs == 0 GCE is itself the
+              // chain terminator (starting one past it read the next
+              // block's first byte as a phantom sub-block length —
+              // r15 review finding)
+              pos = skipSubBlocks(pos)
             } else pos = skipSubBlocks(pos)
             if (pos < 0) return frames.toSeq
           case 0x2c => // image descriptor

@@ -582,8 +582,12 @@ object Streams {
         val pairSchema = StructType(Seq(
           StructField("a1", LongType), StructField("a2", LongType),
           StructField("n_match", LongType)))
+        // read lazily (the mediaDedupSinkQuery pattern): framesDir is
+        // immutable until the append below, so both consumers (replay
+        // filter + cross pairs) re-scan the parquet — an eager
+        // checkpoint here would re-materialize the WHOLE store every
+        // batch, O(corpus) per batch (r15 review finding)
         val store = readOrEmpty(framesDir, frameSchema)
-          .localCheckpoint(true) // consumers: replay filter + cross pairs
         val fresh = ImageHash.videoFrameHashes(batch.as[Multimodal.MediaAsset])
           .join(store.select("asset_id").distinct(), Seq("asset_id"), "left_anti")
           .localCheckpoint(true) // consumers: cross pairs, self pairs, append

@@ -220,6 +220,16 @@ class GifSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val oob = gif2.clone()
     oob(782) = 12 // left=12 with w=16 overruns the 16-wide canvas
     assert(GifCodec.decodeRgbFrames(oob).isEmpty)
+    // empty GCE (declared block size 0): the size byte IS the sub-block
+    // terminator — the frame after it must still decode (r15 review
+    // finding: skipping one past it read the image descriptor's 0x2C as
+    // a phantom sub-block length and dropped every remaining frame)
+    val plain = GifCodec.encodeGray(16, 16, px)
+    val spliced = plain.take(781) ++
+      Array(0x21.toByte, 0xf9.toByte, 0x00.toByte) ++ plain.drop(781)
+    val framesAfterEmptyGce = GifCodec.decodeFrameLumas(spliced)
+    assert(framesAfterEmptyGce.size == 1, "empty GCE must not eat the frame")
+    assert(framesAfterEmptyGce.head._4.map(_.toByte).toSeq == px.toSeq)
     // not a gif at all
     assert(GifCodec.decodeRgbFrames("GIF89b junk".getBytes).isEmpty)
     assert(GifCodec.decodeRgbFrames(Array.emptyByteArray).isEmpty)

@@ -176,6 +176,11 @@ class MjpegSpec extends AnyFunSuite with SparkSessionTestWrapper {
     //    populations must not overlap.
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    // sf0.1 is the one benchmark-scale dependency in the unit suite (the
+    // whole point is the pinned scale); skip, not fail, on checkouts
+    // without the generated testdata (r15 review finding)
+    assume(new java.io.File("/root/testdata/sf0.1/documents.parquet").exists(),
+      "benchmark-scale testdata not present")
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val fh = ImageHash.videoFrameHashes(ImageHash.syntheticScenes(docs))
     val row = fh
