@@ -150,6 +150,17 @@ object Bench {
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val g = stageGroup.getOrDefault(t.stageId, "")
+      // max per-TASK peak execution memory — the spill-risk signal a 100×
+      // scale probe watches. Taken here, per task, because the stage-level
+      // TaskMetrics accumulator SUMS peaks across a stage's tasks (r15
+      // ADVICE #2): max-over-stages of summed task peaks overstated
+      // per-task pressure ~linearly in stage width on wide stages.
+      if (g.nonEmpty && t.taskMetrics != null) {
+        val a = agg.computeIfAbsent(g, _ => Array(0L, 0L, 0L, 0L))
+        a.synchronized {
+          a(3) = math.max(a(3), t.taskMetrics.peakExecutionMemory)
+        }
+      }
       if (g.nonEmpty && t.taskInfo != null) {
         val failed = t.reason match {
           case org.apache.spark.Success => false
@@ -177,9 +188,8 @@ object Bench {
           a(0) += m.shuffleReadMetrics.totalBytesRead
           a(1) += m.shuffleWriteMetrics.bytesWritten
           a(2) += m.diskBytesSpilled
-          // max per-stage peak execution memory: the spill-risk signal a
-          // 100x scale probe watches (r15, VERDICT r14 #5)
-          a(3) = math.max(a(3), m.peakExecutionMemory)
+          // peak execution memory is tracked PER TASK in onTaskEnd —
+          // this stage-level field is task-summed (see r15 ADVICE #2)
         }
         // a stage re-attempt re-counts every task's metrics — the exact
         // inflation mode; record it as taskFailures-equivalent weight
@@ -490,8 +500,11 @@ object Bench {
     // full sweep while the same day's headline run matched exactly), so
     // BENCH_ALL reports shuffle deltas informationally and gates rc on
     // the run-length-calibrated median budgets instead.
-    val fullPins = if (benchAll && atPinnedSf) loadFullPins() else Map.empty[String, Double]
-    val budget0 = if (fullPins.isEmpty) Seq.empty else results.map {
+    // pins load for BOTH modes at the pinned SF (r16): BENCH_ALL gates rc
+    // on them; headline mode uses them only as the contention-recheck
+    // trigger below — headline rc still gates on errors + shuffle pins
+    val fullPins = if (atPinnedSf) loadFullPins() else Map.empty[String, Double]
+    val budget0 = if (!benchAll || fullPins.isEmpty) Seq.empty else results.map {
       case (k, m, _, err, _, _, _) =>
         val status =
           if (err.isDefined) "did_not_run"
@@ -514,7 +527,12 @@ object Bench {
     // and fails rc. No pin gets restored by hand without the artifact
     // showing the evidence.
     val rechecks = scala.collection.mutable.LinkedHashMap[String, String]()
-    val budget = budget0.map {
+    // quiet-box estimate per rechecked lane: min of the two medians.
+    // Surfaced as queries_adjudicated/total_adjudicated (r15 VERDICT
+    // next-#3) so cross-round totals stop absorbing storm noise — the
+    // regression GATE still judges the recheck sample alone.
+    val adjudicated = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val budget1 = budget0.map {
       case (k, "breach") =>
         val (firstMedian, firstSteal) = results.find(_._1 == k)
           .map(r => (r._2, r._7._1)).getOrElse((0.0, 0.0))
@@ -531,14 +549,74 @@ object Bench {
         rechecks(k) = f"""{"first_s":$firstMedian%.3f,"first_steal_pct":$firstSteal%.2f,""" +
           f""""recheck_s":$m2%.3f,"recheck_steal_pct":$steal2%.2f,"status":"$st"""" +
           recheckErr.map(e => s""","recheck_error":${jsonStr(e)}""").getOrElse("") + "}"
+        if (recheckErr.isEmpty) adjudicated(k) = math.min(firstMedian, m2)
         (k, st)
       case other => other
     }
+    // Cross-sweep streak escalation (r15 ADVICE #3): a genuinely
+    // intermittent regression (bimodal timing, warm-cache-masked) could
+    // pass EVERY single same-JVM recheck and never fail rc. Streaks of
+    // match_on_recheck per lane persist across sweep invocations in a
+    // small committed state file; a lane that needs a recheck to pass in
+    // two consecutive sweeps escalates to breach_on_repeat (rc-failing) —
+    // it then either reproduces on a fresh-session headline (real) or
+    // comes back as a clean match (storm), which resets the streak.
+    val historyPath = sys.env.getOrElse("SPARK_GRAFT_RECHECK_HISTORY",
+      "bench_recheck_history.json")
+    val budget = if (!benchAll || budget1.isEmpty) budget1 else {
+      val hf = new java.io.File(historyPath)
+      val prior: Map[String, Int] =
+        if (!hf.exists()) Map.empty
+        else "\"([^\"]+)\"\\s*:\\s*([0-9]+)".r
+          .findAllMatchIn(new String(
+            java.nio.file.Files.readAllBytes(hf.toPath), "UTF-8"))
+          .map(m => m.group(1) -> m.group(2).toInt).toMap
+      val escalated = budget1.map {
+        case (k, "match_on_recheck") if prior.getOrElse(k, 0) >= 1 =>
+          (k, "breach_on_repeat")
+        case other => other
+      }
+      // match / breach / breach_on_repeat all reset the streak
+      val next = escalated.collect {
+        case (k, "match_on_recheck") => k -> (prior.getOrElse(k, 0) + 1)
+      }.toMap
+      java.nio.file.Files.write(hf.toPath, next.toSeq.sorted
+        .map { case (k, n) => s""""$k":$n""" }
+        .mkString("{", ",", "}\n").getBytes("UTF-8"))
+      escalated
+    }
+    // Headline contention self-defense (r15 VERDICT next-#2): the sweep's
+    // recheck pass, ported to headline mode. A headline lane whose median
+    // exceeds 1.3× its committed sweep pin re-runs ONCE immediately and
+    // both samples land in budget_rechecks — so a driver headline taken
+    // during a contention storm carries its own adjudication (r15's
+    // committed 13.9 s vs fresh-box 11.4 s needed a manual re-run).
+    // Informational: headline rc still gates only on errors+shuffle pins.
+    if (!benchAll && fullPins.nonEmpty) {
+      results.foreach { case (k, m, _, err, _, _, (steal1, _)) =>
+        fullPins.get(k).foreach { pin =>
+          if (err.isEmpty && m > math.max(1.0, 1.3 * pin)) {
+            val (sampled2, _, _, (steal2, _)) =
+              sampleQuery(k + "#recheck", sfDir, runsPerQuery, selected(k))
+            val m2 = median(sampled2.map(_._1))
+            val recheckErr = sampled2.flatMap(_._2).headOption
+            val st =
+              if (recheckErr.isDefined || m2 > math.max(1.0, 1.3 * pin))
+                "slow_on_recheck"
+              else "match_on_recheck"
+            rechecks(k) = f"""{"first_s":$m%.3f,"first_steal_pct":$steal1%.2f,""" +
+              f""""recheck_s":$m2%.3f,"recheck_steal_pct":$steal2%.2f,"status":"$st"""" +
+              recheckErr.map(e => s""","recheck_error":${jsonStr(e)}""").getOrElse("") + "}"
+            if (recheckErr.isEmpty) adjudicated(k) = math.min(m, m2)
+          }
+        }
+      }
+    }
     val budgetJson =
-      if (budget.isEmpty) ""
+      (if (budget.isEmpty) ""
       else ",\"median_budget_status\":" + budget.map {
         case (k, st) => "\"" + k + "\":\"" + st + "\""
-      }.mkString("{", ",", "}") +
+      }.mkString("{", ",", "}")) +
         (if (rechecks.isEmpty) ""
          else ",\"budget_rechecks\":" + rechecks.map {
            case (k, j) => "\"" + k + "\":" + j
@@ -576,6 +654,21 @@ object Bench {
         s""""per_query":$perQ}"""
     }
     val total = results.map(_._2).sum
+    // Adjudicated medians (r15 VERDICT next-#3): every lane's median with
+    // rechecked lanes replaced by the quiet-box estimate (min of the two
+    // samples) — the map a cross-round total comparison should quote.
+    // Omitted entirely on a clean run (the artifact stays byte-stable).
+    val adjJson = if (adjudicated.isEmpty) "" else {
+      val adjMedians = results.map {
+        case (k, m, _, _, _, _, _) => k -> adjudicated.getOrElse(k, m)
+      }
+      val qa = adjMedians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      f""","queries_adjudicated":$qa,"total_adjudicated":${adjMedians.map(_._2).sum}%.3f""" +
+        (if (production12.forall(selected.contains))
+          f""","production12_total_adjudicated":${adjMedians.collect { case (k, v) if production12.contains(k) => v }.sum}%.3f"""
+        else "")
+    }
     // pre-r8 12-query total from the same run's medians — cross-round
     // continuity across the documented r8 headline break; only emitted
     // when the run actually covers the legacy set (not BENCH_ONLY slices)
@@ -586,7 +679,7 @@ object Bench {
         (if (production12.forall(selected.contains))
           f""","production12_total":${results.collect { case (k, m, _, _, _, _, _) if production12.contains(k) => m }.sum}%.3f"""
         else "")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"shuffle":$shuffles$deltaJson$budgetJson$retryJson$hostJson,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"p95":$p95s,"shuffle":$shuffles$deltaJson$budgetJson$retryJson$hostJson$adjJson,"errors":$errs,"runs_per_query":$runsPerQuery$legacyTotal,"sf":"$sfDir"}""")
     var anyFailed = results.exists(_._4.isDefined)
     budget.filter(_._2 == "breach").foreach { case (k, _) =>
       val m = results.find(_._1 == k).map(_._2).getOrElse(0.0)
@@ -594,6 +687,14 @@ object Bench {
         f"${fullPins(k)}%.2f s (>2x, REPRODUCED on immediate recheck — see " +
         "budget_rechecks) — fix the regression or update " +
         "bench_full_pins.json in the same commit")
+      anyFailed = true
+    }
+    budget.filter(_._2 == "breach_on_repeat").foreach { case (k, _) =>
+      System.err.println(s"[bench] REPEATED TRANSIENT BREACH $k: passed its " +
+        s"same-JVM recheck in this AND the previous sweep ($historyPath) — " +
+        "an intermittent regression can hide behind warm rechecks; confirm " +
+        "with a fresh-session headline run (clean match resets the streak) " +
+        "or fix/update the pin")
       anyFailed = true
     }
     budget.filter(_._2 == "match_on_recheck").foreach { case (k, _) =>
@@ -656,10 +757,19 @@ object Bench {
       .mkString("{", ",", "}")
     val pinBreaches = deltas.filter(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    val budgetBreaches = budget.filter(_._2 == "breach").map("\"" + _._1 + "\"")
-      .mkString("[", ",", "]")
+    val budgetBreaches = budget
+      .filter(b => b._2 == "breach" || b._2 == "breach_on_repeat")
+      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val retryTotal = retried.map { case (_, _, _, _, _, (f, r, _), _) => f + r }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errNonNull,"shuffle_pin_breaches":$pinBreaches,"budget_breaches":$budgetBreaches,"task_retry_total":$retryTotal,"steal_pct":$overallStealPct%.2f$legacyTotal,"sf":"$sfDir"}""")
+    // compact tail carries only the adjudicated TOTALS (the per-lane map
+    // would double a 244-lane sweep's tail line; it lives on line 1)
+    val adjTail = if (adjudicated.isEmpty) "" else {
+      val adjTotal = results.map {
+        case (k, m, _, _, _, _, _) => adjudicated.getOrElse(k, m)
+      }.sum
+      f""","total_adjudicated":$adjTotal%.3f,"rechecked_lanes":${adjudicated.size}"""
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errNonNull,"shuffle_pin_breaches":$pinBreaches,"budget_breaches":$budgetBreaches,"task_retry_total":$retryTotal,"steal_pct":$overallStealPct%.2f$legacyTotal$adjTail,"sf":"$sfDir"}""")
     spark.stop()
     if (anyFailed) sys.exit(1)
   }

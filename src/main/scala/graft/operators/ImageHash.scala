@@ -28,6 +28,22 @@ object ImageHash {
 
   import Multimodal.MediaAsset
 
+  /** Scratch dirs created by [[videoCurationPipelineFrom]]'s default
+    * `shardDir` — queued for recursive deletion at JVM exit through ONE
+    * shared shutdown hook (a hook per call would accumulate across bench
+    * sweeps). Caller-supplied dirs are never registered. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val scratchHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { f =>
+        org.apache.commons.io.FileUtils.deleteQuietly(f); ()
+      }))
+  private def registerScratchDir(d: java.io.File): Unit = {
+    scratchHookInstalled
+    scratchDirs.add(d); ()
+  }
+
   /** dHash of one decoded luminance plane: pool to (gw+1)×gh cells with
     * floor-division box boundaries, set bit (y·gw + x) iff the right
     * cell's mean exceeds its left neighbor's — compared exactly via
@@ -452,7 +468,17 @@ object ImageHash {
     * globally contiguous in (asset_id, frame_index) order, so
     * shard_id = (pos−1)/framesPerShard and the read-back distinct shard
     * count must equal ceil(n/framesPerShard) arithmetically, which is
-    * exactly what the oracle cross-checks. */
+    * exactly what the oracle cross-checks.
+    *
+    * NOTE (r15 review): the shard write is EAGER — it runs at CALL time,
+    * not when the returned funnel frame is executed, because the stage-3
+    * row is a scan over the files just written (the whole point of the
+    * read-back discipline). Callers wanting a dry plan must not call
+    * this. When `shardDir` is None the scratch directory is JVM-scoped:
+    * registered for recursive deletion at exit via one shared hook. The
+    * read-back uses an explicit schema, so a zero-row stage-2 sample
+    * (every frame gated) yields an empty scan and a 0/0/0 stage-3 row
+    * instead of a schema-inference failure. */
   def videoCurationPipelineFrom(frameHashes: DataFrame, dupIds: DataFrame,
       framesPerShard: Long = 64, bucketSize: Long = 64,
       shardDir: Option[String] = None): DataFrame = {
@@ -488,8 +514,24 @@ object ImageHash {
         ((col("boffset") + col("pos_in_bucket") - 1) / framesPerShard)
           .cast("long"))
       .select("asset_id", "frame_index", "shard_id")
-    val out = shardDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-q230-shards").toString)
+    val out = shardDir.getOrElse {
+      val d = java.nio.file.Files.createTempDirectory("graft-q230-shards")
+      registerScratchDir(d.toFile)
+      d.toString
+    }
+    // Explicit read-back schema (r15 review): with a zero-row stage-2
+    // sample the Overwrite leaves only _SUCCESS — inference would throw;
+    // the declared schema turns that edge into an empty scan. shard_id
+    // is the directory-partition column, matched by name.
+    val shardSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("asset_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("frame_index",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("dhash",
+        org.apache.spark.sql.types.LongType)))
     s1.join(manifest, Seq("asset_id", "frame_index"))
       .select(col("shard_id"), col("asset_id"), col("frame_index"), col("dhash"))
       // co-locate each shard BEFORE partitionBy: otherwise every task
@@ -500,7 +542,7 @@ object ImageHash {
       .repartition(col("shard_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("shard_id").parquet(out)
-    val s3 = frameHashes.sparkSession.read.parquet(out)
+    val s3 = frameHashes.sparkSession.read.schema(shardSchema).parquet(out)
       .agg(countDistinct(col("asset_id")).as("n_assets"),
         count(lit(1)).as("n_frames"),
         countDistinct(col("shard_id")).as("n_shards"))
@@ -651,6 +693,36 @@ object ImageHash {
           else
             MediaAsset(a.asset_id, "image/png",
               Multimodal.PngCodec.encodeGray(w, h, px))
+        case None => a
+      }
+    }
+  }
+
+  /** Interlaced/16-bit PNG corpus (q231, r16 — VERDICT r15 next-#4):
+    * the [[syntheticPnm]] pixels with every ORIGINAL re-encoded under
+    * one of the three NEW PNG encoder profiles — Adam7 interlaced
+    * (profile 1), 16-bit depth (2), Adam7 + 16-bit (3), cycling by
+    * asset id — while the planted edited SIBLINGS stay sequential
+    * 8-bit PNG (profile 0, the pre-r16 decode path). Every recovered
+    * pair therefore crosses an Adam7 de-interlace and/or a 16-bit
+    * unfilter+downsample, and all four profiles are pixel-lossless on
+    * gray (profile 2/3 widen v → v·257, whose high byte is exactly v),
+    * so the PAIR SET is bit-identical to the all-PNM corpus — the q159
+    * pins double as the interlace/16-bit decoder gate, the same way
+    * they gate the baseline PNG and GIF decoders. */
+  def syntheticInterlacedPng(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    syntheticPnm(docs).map { a =>
+      Multimodal.PnmCodec.decodeLuma(a.bytes) match {
+        case Some((w, h, luma)) =>
+          val px = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) { px(i) = luma(i).toByte; i += 1 }
+          val profile =
+            if (a.asset_id % 2 == 1) 0 // sibling: plain sequential 8-bit
+            else 1 + ((a.asset_id / 2) % 3).toInt
+          MediaAsset(a.asset_id, "image/png",
+            Multimodal.PngCodec.encodeGray(w, h, px, profile))
         case None => a
       }
     }
@@ -861,6 +933,19 @@ object ImageHash {
     "q228_gif_png_dedup_pairs" -> QueryDef.sql(dkPairSql("q228")) { (s, dir) =>
       nearDupImagePairs(Similarity.persistArtifact("q228", "hashes",
         imageHashes(syntheticGifImages(Tables.documents(s, dir)))))
+    },
+
+    // ---- interlaced/16-bit PNG near-dup (r16): the q159 banded pair
+    //      join over a corpus whose ORIGINALS are Adam7-interlaced
+    //      and/or 16-bit-depth PNGs (the three new encoder profiles,
+    //      cycling) and whose planted edited siblings are sequential
+    //      8-bit PNG — every recovered pair crosses a real de-interlace
+    //      / 16-bit decode. Lossless gray trans-code ⇒ pair set
+    //      bit-identical to q159's corpus design. ORACLE-CHECKED from
+    //      birth, same artifact replay. ----
+    "q231_png_interlace_dedup_pairs" -> QueryDef.sql(dkPairSql("q231")) { (s, dir) =>
+      nearDupImagePairs(Similarity.persistArtifact("q231", "hashes",
+        imageHashes(syntheticInterlacedPng(Tables.documents(s, dir)))))
     },
 
     // ---- animated-GIF video near-dup (r15): the q225 machinery on the

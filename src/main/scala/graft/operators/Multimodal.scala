@@ -171,27 +171,57 @@ object Multimodal {
     }
   }
 
-  /** REAL decoder for non-interlaced 8-bit-depth PNG (color types 0
-    * gray / 2 RGB / 3 palette / 4 gray+alpha / 6 RGBA) — no external
-    * library: zlib inflate ships in the JDK (`java.util.zip.Inflater`),
-    * and the rest is the spec's chunk walk, per-row unfiltering
-    * (None/Sub/Up/Average/Paeth), and pixel conversion. Puts the most
-    * common web image format on the real-decode path; JPEG joined it in
-    * r13 ([[JpegCodec]]) — only predictive video payloads remain the
+  /** REAL decoder for 8- and 16-bit-depth PNG (color types 0 gray /
+    * 2 RGB / 3 palette / 4 gray+alpha / 6 RGBA), sequential AND Adam7
+    * interlaced (r16, VERDICT r15 next-#4) — no external library: zlib
+    * inflate ships in the JDK (`java.util.zip.Inflater`), and the rest
+    * is the spec's chunk walk, per-pass per-row unfiltering
+    * (None/Sub/Up/Average/Paeth over byte-stride bpp WITHIN each pass),
+    * Adam7 scatter, and pixel conversion. Puts the most common web
+    * image format on the real-decode path; JPEG joined it in r13
+    * ([[JpegCodec]]) — only predictive video payloads remain the
     * [[StubCodec]]'s seam.
     *
+    * 16-bit samples reduce to their HIGH byte (big-endian first byte —
+    * floor(v/256)): the spec's own recommended depth rescale for
+    * display is (v·255+32767)/65535, but the high-byte truncation is
+    * what libpng's png_set_strip_16 and ImageIO raster>>8 both produce,
+    * is bit-exact integer, and is gated against ImageIO in PngSpec.
+    * Sub-8-bit depths (1/2/4) stay rejected — they do not occur in the
+    * corpus faces and a partial bit-unpacker would be untested surface.
+    *
     * Robustness contract (the PnmCodec discipline): adversarial input —
-    * bad signature, truncated chunks, CRC mismatch, short IDAT, 16-bit
-    * depth, interlace — yields None, never a crash; inflated output is
-    * size-capped (64 MiB) so a zip-bomb IHDR cannot allocate
-    * unboundedly. Alpha is ignored (features/luma read the color
-    * channels as-is — the convention a dedup hash wants: the same image
-    * with a different alpha block is the same image). */
+    * bad signature, truncated chunks, CRC mismatch, short IDAT, bad
+    * depth, bad interlace byte — yields None, never a crash; inflated
+    * output is size-capped (64 MiB) so a zip-bomb IHDR cannot allocate
+    * unboundedly (the cap sums the REAL per-pass scanline sizes, so an
+    * interlaced IHDR cannot understate it). Alpha is ignored
+    * (features/luma read the color channels as-is — the convention a
+    * dedup hash wants: the same image with a different alpha block is
+    * the same image). */
   object PngCodec extends Codec {
 
     private val Sig: Array[Byte] =
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     private val MaxRaw = 64L << 20
+
+    /** Adam7 pass geometry: (x0, y0, dx, dy), spec order. */
+    private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    /** Per-pass sub-image sizes for a w×h image: (x0, y0, dx, dy, pw,
+      * ph), EMPTY passes dropped (spec: a zero-pixel pass contributes no
+      * scanlines at all). Sequential images are the single full pass. */
+    private def passesOf(w: Int, h: Int, interlaced: Boolean)
+        : Array[(Int, Int, Int, Int, Int, Int)] = {
+      val geo = if (interlaced) Adam7 else Array((0, 0, 1, 1))
+      geo.map { case (x0, y0, dx, dy) =>
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        (x0, y0, dx, dy, pw, ph)
+      }.filter(p => p._5 > 0 && p._6 > 0)
+    }
 
     /** (w, h, channels ∈ {1, 3}, channel-interleaved pixel bytes) with
       * alpha stripped and palette indices resolved. */
@@ -235,16 +265,23 @@ object Multimodal {
       // into a negative Array size. 1<<24 per side keeps every product
       // comfortably inside Long and is far above any MaxRaw-passing image.
       if (w <= 0 || h <= 0 || w > (1L << 24) || h > (1L << 24) ||
-          bitDepth != 8 || interlace != 0) return None
-      val bpp = colorType match {
+          (bitDepth != 8 && bitDepth != 16) ||
+          (interlace != 0 && interlace != 1)) return None
+      val samples = colorType match {
         case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
         case _ => return None
       }
-      if (colorType == 3 && plte == null) return None
-      val stride = w * bpp + 1
-      if (h > MaxRaw / stride) return None // division-form cap: overflow-proof
-      val expected = stride * h
-      if (expected > MaxRaw) return None
+      // palette entries are 8-bit indices by definition here (16-bit
+      // palette depth is not in the spec); spec also forbids depth 16 + 3
+      if (colorType == 3 && (plte == null || bitDepth != 8)) return None
+      val bps = bitDepth / 8     // bytes per sample (1 or 2)
+      val bpp = samples * bps    // filter byte-stride
+      val wi = w.toInt; val hi = h.toInt
+      val passes = passesOf(wi, hi, interlace == 1)
+      // per-pass scanline accounting: every factor ≤ 2^24 · 8, so the
+      // sum stays far inside Long — no overflow route to a bad alloc
+      val expected = passes.map(p => p._6.toLong * (p._5.toLong * bpp + 1)).sum
+      if (expected <= 0 || expected > MaxRaw) return None
       val raw = new Array[Byte](expected.toInt)
       try {
         val inf = new java.util.zip.Inflater()
@@ -259,59 +296,66 @@ object Multimodal {
           if (off < raw.length) return None // short IDAT
         } finally inf.end()
       } catch { case _: java.util.zip.DataFormatException => return None }
-      // per-row unfilter, in place (left/up neighbors are bpp-strided)
-      val wi = w.toInt; val hi = h.toInt; val si = stride.toInt
+      // per-pass per-row unfilter in place (left/up neighbors are
+      // bpp-strided WITHIN the pass — Adam7 filters each sub-image as if
+      // it were a standalone image), then scatter the pass's pixels onto
+      // the output grid. 16-bit samples read their big-endian HIGH byte.
       def paeth(a: Int, b: Int, c: Int): Int = {
         val p = a + b - c
         val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
         if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
       }
-      var y = 0
-      while (y < hi) {
-        val rowOff = y * si
-        val filter = raw(rowOff) & 0xff
-        if (filter > 4) return None
-        var i = 1
-        while (i < si) {
-          val x = raw(rowOff + i) & 0xff
-          val a = if (i > bpp) raw(rowOff + i - bpp) & 0xff else 0
-          val b = if (y > 0) raw(rowOff - si + i) & 0xff else 0
-          val c = if (y > 0 && i > bpp) raw(rowOff - si + i - bpp) & 0xff else 0
-          val v = filter match {
-            case 0 => x
-            case 1 => x + a
-            case 2 => x + b
-            case 3 => x + (a + b) / 2
-            case 4 => x + paeth(a, b, c)
-          }
-          raw(rowOff + i) = (v & 0xff).toByte
-          i += 1
-        }
-        y += 1
-      }
-      // convert to gray (1ch) or rgb (3ch), dropping alpha / resolving palette
       val outCh = colorType match { case 0 | 4 => 1; case _ => 3 }
       val px = new Array[Byte](wi * hi * outCh)
-      var p = 0
-      y = 0
-      while (y < hi) {
-        var x = 0
-        while (x < wi) {
-          val off = y * si + 1 + x * bpp
-          colorType match {
-            case 0 | 4 => px(p) = raw(off); p += 1
-            case 2 | 6 =>
-              px(p) = raw(off); px(p + 1) = raw(off + 1); px(p + 2) = raw(off + 2)
-              p += 3
-            case 3 =>
-              val idx = (raw(off) & 0xff) * 3
-              if (idx + 2 >= plte.length) return None
-              px(p) = plte(idx); px(p + 1) = plte(idx + 1); px(p + 2) = plte(idx + 2)
-              p += 3
+      var passOff = 0
+      var pidx = 0
+      while (pidx < passes.length) {
+        val (x0, y0, dx, dy, pw, ph) = passes(pidx)
+        val si = pw * bpp + 1
+        var y = 0
+        while (y < ph) {
+          val rowOff = passOff + y * si
+          val filter = raw(rowOff) & 0xff
+          if (filter > 4) return None
+          var i = 1
+          while (i < si) {
+            val x = raw(rowOff + i) & 0xff
+            val a = if (i > bpp) raw(rowOff + i - bpp) & 0xff else 0
+            val b = if (y > 0) raw(rowOff - si + i) & 0xff else 0
+            val c = if (y > 0 && i > bpp) raw(rowOff - si + i - bpp) & 0xff else 0
+            val v = filter match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + b
+              case 3 => x + (a + b) / 2
+              case 4 => x + paeth(a, b, c)
+            }
+            raw(rowOff + i) = (v & 0xff).toByte
+            i += 1
           }
-          x += 1
+          // scatter: gray (1ch) or rgb (3ch), dropping alpha / resolving
+          // palette; sample's high byte sits first (big-endian)
+          var xi = 0
+          while (xi < pw) {
+            val off = rowOff + 1 + xi * bpp
+            val p = ((y0 + y * dy) * wi + (x0 + xi * dx)) * outCh
+            colorType match {
+              case 0 | 4 => px(p) = raw(off)
+              case 2 | 6 =>
+                px(p) = raw(off); px(p + 1) = raw(off + bps)
+                px(p + 2) = raw(off + 2 * bps)
+              case 3 =>
+                val idx = (raw(off) & 0xff) * 3
+                if (idx + 2 >= plte.length) return None
+                px(p) = plte(idx); px(p + 1) = plte(idx + 1)
+                px(p + 2) = plte(idx + 2)
+            }
+            xi += 1
+          }
+          y += 1
         }
-        y += 1
+        passOff += ph * si
+        pidx += 1
       }
       Some((wi, hi, outCh, px))
     }
@@ -331,18 +375,47 @@ object Multimodal {
         lumaOfPixels(w, h, ch, px)
       }
 
-    /** Minimal deterministic gray-8 encoder for fixtures and the q159
+    /** Minimal deterministic gray encoder for fixtures and the q159
       * synthetic corpus: filter-0 scanlines in a STORED-block zlib
       * stream (no Deflater — byte-identical on every JVM forever) with
       * spec CRCs. The decoder above accepts any conformant producer;
-      * this encoder exists so tests can round-trip hand-built pixels. */
-    private[graft] def encodeGray(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+      * this encoder exists so tests can round-trip hand-built pixels.
+      *
+      * Byte-disjoint PROFILES from identical pixels (r16 — the GifCodec
+      * two-profile discipline, here a four-point ladder over the two new
+      * decode axes): 0 = depth 8 sequential (bit-identical to the pre-r16
+      * encoder — the committed q159/q172/q228 pins must not move); 1 =
+      * depth 8 Adam7 INTERLACED (rows scattered across 7 passes); 2 =
+      * depth 16 sequential (sample v → bytes (v, v), i.e. v·257 — the
+      * canonical 8→16 widening, whose high byte decodes back to exactly
+      * v, so every profile is pixel-lossless); 3 = depth 16 Adam7. */
+    private[graft] def encodeGray(w: Int, h: Int, pixels: Array[Byte],
+        profile: Int = 0): Array[Byte] = {
       require(pixels.length >= w * h, s"need ${w * h} pixels, got ${pixels.length}")
-      val raw = new Array[Byte](h * (w + 1))
-      var y = 0
-      while (y < h) {
-        System.arraycopy(pixels, y * w, raw, y * (w + 1) + 1, w)
-        y += 1
+      require(profile >= 0 && profile <= 3, s"profile $profile")
+      val interlaced = profile == 1 || profile == 3
+      val depth16 = profile >= 2
+      val bps = if (depth16) 2 else 1
+      val passes = passesOf(w, h, interlaced)
+      val raw = new Array[Byte](
+        passes.map(p => p._6 * (p._5 * bps + 1)).sum)
+      var passOff = 0
+      passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+        val si = pw * bps + 1
+        var y = 0
+        while (y < ph) {
+          // raw(passOff + y*si) stays 0: filter None
+          var xi = 0
+          while (xi < pw) {
+            val v = pixels((y0 + y * dy) * w + (x0 + xi * dx))
+            val off = passOff + y * si + 1 + xi * bps
+            raw(off) = v
+            if (depth16) raw(off + 1) = v
+            xi += 1
+          }
+          y += 1
+        }
+        passOff += ph * si
       }
       val z = new java.io.ByteArrayOutputStream()
       z.write(0x78); z.write(0x01) // zlib header, no preset dict
@@ -381,7 +454,9 @@ object Multimodal {
         ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
         ((h >> 24) & 0xff).toByte, ((h >> 16) & 0xff).toByte,
         ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
-        8, 0, 0, 0, 0)) // depth 8, gray, deflate, adaptive, no interlace
+        // depth 8/16, gray, deflate, adaptive, sequential/Adam7
+        (if (depth16) 16 else 8).toByte, 0, 0, 0,
+        (if (interlaced) 1 else 0).toByte))
       chunk("IDAT", z.toByteArray)
       chunk("IEND", Array.emptyByteArray)
       out.toByteArray

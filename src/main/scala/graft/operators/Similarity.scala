@@ -1106,6 +1106,12 @@ object Similarity {
                |""".stripMargin).as("best"))
       .select(col("vec_id"), col("emb"), col("best.cluster_id").as("cluster_id"),
         col("best.score").as("c_cos"))
+      // Degenerate-input guard (r15 review): with ZERO centroids (or
+      // all-NaN scores) the fold's seed survives and would emit a
+      // cluster_id = -1 row, whereas the pre-r15 window form emitted no
+      // assignment at all — drop the sentinel so downstream grouping
+      // never sees a phantom cluster. No-op on any nonempty codebook.
+      .filter(col("cluster_id") >= 0)
   }
 
   /** IVF approximate top-k: corpus vectors index into their nearest
@@ -1245,6 +1251,10 @@ object Similarity {
                |  (acc, s) -> CASE WHEN s.d2 < acc.d2 THEN s ELSE acc END)
                |""".stripMargin).as("best"))
       .select(col("vec_id"), col("sub"), col("best.cid").as("cid"), col("sv"))
+      // Same degenerate-input guard as assignClusters: an empty per-sub
+      // codebook (or all-NaN d2) leaves the fold's cid = -1 seed — the
+      // pre-r15 join form emitted nothing there. No-op when ks >= 1.
+      .filter(col("cid") >= 0)
   }
 
   /** PQ-encode the corpus: (vec_id, codes array<int> of length m) —

@@ -34,7 +34,7 @@ object ApsPagination {
   private val envelopes = Seq("results", "Results", "documents")
 
   /** Base search params + this page's skip/take, as the POST body. */
-  private[pipeline] def pageParams(baseParamsJson: String, skip: Int, take: Int): String = {
+  private[graft] def pageParams(baseParamsJson: String, skip: Int, take: Int): String = {
     val m = mapper
     val node = Option(baseParamsJson).filter(_.trim.nonEmpty)
       .map(m.readTree) match {
@@ -50,7 +50,7 @@ object ApsPagination {
     * envelope array; empty for non-JSON bodies, missing envelopes, and the
     * `count: 0` terminal shape (APS-V6 lists both stop signals — an empty
     * array and a zero count both yield no hits here). */
-  private[pipeline] def pageHits(body: Array[Byte]): Vector[String] = {
+  private[graft] def pageHits(body: Array[Byte]): Vector[String] = {
     val root =
       try mapper.readTree(body)
       catch { case _: Exception => null }

@@ -164,14 +164,31 @@ object HttpSource {
     * jitter (hash of url+attempt) keeps re-executed partitions
     * reproducible. */
   def backoffMs(url: String, attempt: Int,
-                retryAfterHeader: Option[String]): Long =
-    retryAfterHeader.flatMap(s => scala.util.Try(s.trim.toLong).toOption) match {
-      case Some(seconds) => seconds * 1000L
+                retryAfterHeader: Option[String],
+                nowMs: => Long = System.currentTimeMillis()): Long =
+    retryAfterHeader.flatMap(parseRetryAfterMs(_, nowMs)) match {
+      case Some(ms) => ms
       case None =>
         val base = math.min(500L << (attempt - 1), 5000L)
         val jitter = math.abs((url + "#" + attempt).hashCode % 100L)
         base + jitter
     }
+
+  /** Retry-After per RFC 9110 §10.2.3, BOTH server forms (dossier SEC-V3:
+    * "numeric or HTTP-date value usable as backoff signal"): delta-seconds,
+    * or an IMF-fixdate whose delta against `nowMs` is the backoff (a date
+    * already in the past clamps to 0 — retry immediately). Unparseable
+    * values return None and the caller falls back to exponential backoff,
+    * never crashes the fetch. */
+  private[graft] def parseRetryAfterMs(v: String, nowMs: Long): Option[Long] = {
+    val t = v.trim
+    scala.util.Try(t.toLong).toOption.map(s => math.max(0L, s) * 1000L)
+      .orElse(scala.util.Try {
+        val when = java.time.ZonedDateTime.parse(
+          t, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+        math.max(0L, when.toInstant.toEpochMilli - nowMs)
+      }.toOption)
+  }
 
   /** Live path: rate-limit per host (plus per-subscription-key for APS),
     * 3 attempts, retryable-status and transport-error retry with backoff,

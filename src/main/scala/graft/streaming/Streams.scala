@@ -588,7 +588,14 @@ object Streams {
         // checkpoint here would re-materialize the WHOLE store every
         // batch, O(corpus) per batch (r15 review finding)
         val store = readOrEmpty(framesDir, frameSchema)
-        val fresh = ImageHash.videoFrameHashes(batch.as[Multimodal.MediaAsset])
+        // Dedup WITHIN the batch too (r15 review): the anti-join below
+        // only guards against assets already persisted, so a source that
+        // delivers the same asset twice in ONE micro-batch would hash and
+        // append both copies — double frames, inflated q230 stage counts.
+        // dropDuplicates extends the cross-batch replay guarantee inside
+        // the batch (assets are immutable blobs: any copy is the row).
+        val fresh = ImageHash.videoFrameHashes(
+            batch.dropDuplicates("asset_id").as[Multimodal.MediaAsset])
           .join(store.select("asset_id").distinct(), Seq("asset_id"), "left_anti")
           .localCheckpoint(true) // consumers: cross pairs, self pairs, append
         val pairs = ImageHash

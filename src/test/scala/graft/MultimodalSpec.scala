@@ -310,12 +310,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // flip one IDAT byte → CRC mismatch → None
     val corrupt = good.clone(); corrupt(good.length - 15) = (corrupt(good.length - 15) ^ 0x1).toByte
     assert(Multimodal.PngCodec.decodeImage(corrupt).isEmpty, "corruption must fail CRC")
-    // 16-bit depth, interlaced, bad filter type, short IDAT → None
+    // 16-bit depth and Adam7 DECODE since r16 (PngSpec gates them; the
+    // 6-byte rasters here are SHORT for both layouts — 2×2 gray-16 needs
+    // 10 bytes, 2×2 Adam7-8 needs 7 — so they are None as short IDAT);
+    // sub-8-bit depths stay rejected, as do bad filters / short rasters
     val raw = Array[Byte](0, 1, 0, 2)
     assert(Multimodal.PngCodec.decodePixels(
       buildPng(2, 2, 0, Array[Byte](0, 1, 2, 0, 3, 4), bitDepth = 16)).isEmpty)
     assert(Multimodal.PngCodec.decodePixels(
       buildPng(2, 2, 0, Array[Byte](0, 1, 2, 0, 3, 4), interlace = 1)).isEmpty)
+    assert(Multimodal.PngCodec.decodePixels(
+      buildPng(2, 2, 0, Array[Byte](0, 1, 2, 0, 3, 4), bitDepth = 4)).isEmpty)
+    // correctly-sized 16-bit gray: decodes to the samples' HIGH bytes
+    assert(Multimodal.PngCodec.decodePixels(buildPng(2, 2, 0,
+      Array[Byte](0, 10, 99, 20, 98.toByte, 0, 30, 97, 40, 96.toByte),
+      bitDepth = 16)).get._4.map(_ & 0xff).toSeq == Seq(10, 20, 30, 40))
+    // correctly-sized 2×2 Adam7 gray-8: pass 1 = (0,0), pass 6 = (1,0),
+    // pass 7 = row 1 — scatter order differs from raster order
+    assert(Multimodal.PngCodec.decodePixels(buildPng(2, 2, 0,
+      Array[Byte](0, 11, 0, 22, 0, 33, 44), interlace = 1))
+      .get._4.map(_ & 0xff).toSeq == Seq(11, 22, 33, 44))
     assert(Multimodal.PngCodec.decodePixels(
       buildPng(2, 1, 0, Array[Byte](5, 1, 2))).isEmpty, "filter type 5")
     assert(Multimodal.PngCodec.decodePixels(
