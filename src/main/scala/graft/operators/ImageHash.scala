@@ -728,6 +728,39 @@ object ImageHash {
     }
   }
 
+  /** Mixed BMP/PNG still-image corpus (q232, r16): the [[syntheticPnm]]
+    * pixels with every ORIGINAL re-encoded as a real Windows bitmap
+    * (alternating encoder profiles, so half the corpus exercises the
+    * 24-bit BI_RGB bottom-up path and half the 8-bit BI_RLE8
+    * reversed-palette run-length path) while the planted edited
+    * SIBLINGS stay sequential PNG — every recovered pair is
+    * cross-format BMP↔PNG, recoverable only through a real decode of
+    * both containers. Both trans-codes are lossless on gray (24-bit:
+    * BGR (v,v,v) → BT.601 luma v exactly; RLE8: index 255−v through
+    * the reversed palette resolves to (v,v,v)), so the PAIR SET is
+    * bit-identical to the all-PNM corpus — the q159 pins double as
+    * the BMP decoder's correctness gate, the same way they gate the
+    * PNG/JPEG/GIF and Adam7 decoders. */
+  def syntheticBmpImages(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    syntheticPnm(docs).map { a =>
+      Multimodal.PnmCodec.decodeLuma(a.bytes) match {
+        case Some((w, h, luma)) =>
+          val px = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) { px(i) = luma(i).toByte; i += 1 }
+          if (a.asset_id % 2 == 0)
+            MediaAsset(a.asset_id, "image/bmp",
+              Multimodal.BmpCodec.encodeGray(w, h, px,
+                profile = ((a.asset_id / 2) % 2).toInt))
+          else
+            MediaAsset(a.asset_id, "image/png",
+              Multimodal.PngCodec.encodeGray(w, h, px))
+        case None => a
+      }
+    }
+  }
+
   /** Deterministic ANIMATED-GIF corpus (q229, r15 — the q225 design on
     * the other lib-free video container): each doc becomes a real
     * GIF89a animation of 3 + doc_id % 5 full-canvas 16×16 frames
@@ -946,6 +979,18 @@ object ImageHash {
     "q231_png_interlace_dedup_pairs" -> QueryDef.sql(dkPairSql("q231")) { (s, dir) =>
       nearDupImagePairs(Similarity.persistArtifact("q231", "hashes",
         imageHashes(syntheticInterlacedPng(Tables.documents(s, dir)))))
+    },
+
+    // ---- BMP near-dup (r16): the q159 banded pair join over a corpus
+    //      whose ORIGINALS are real Windows bitmaps (24-bit BI_RGB and
+    //      8-bit BI_RLE8 reversed-palette, alternating) and whose
+    //      planted edited siblings are sequential PNG — every recovered
+    //      pair crosses a real BMP decode (incl. run-length). Lossless
+    //      gray trans-code ⇒ pair set bit-identical to q159's corpus
+    //      design. ORACLE-CHECKED from birth, same artifact replay. ----
+    "q232_bmp_dedup_pairs" -> QueryDef.sql(dkPairSql("q232")) { (s, dir) =>
+      nearDupImagePairs(Similarity.persistArtifact("q232", "hashes",
+        imageHashes(syntheticBmpImages(Tables.documents(s, dir)))))
     },
 
     // ---- animated-GIF video near-dup (r15): the q225 machinery on the

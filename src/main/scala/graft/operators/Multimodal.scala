@@ -906,6 +906,220 @@ object Multimodal {
       encode(w, h, Seq(FramePlan(0, 0, w, h, pixels)), profile)
   }
 
+  /** Windows bitmap (BMP) decoder — pure JVM, zero codec libraries (the
+    * PngCodec discipline applied to the remaining ubiquitous
+    * uncompressed still format; r16). Wire format is public
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER and the V2–V5 extensions):
+    * little-endian header walk, 8-bit palette / 24-bit BGR / 32-bit
+    * BGRx pixel arrays, 4-byte-padded rows, BOTTOM-UP and top-down
+    * (negative biHeight) row orders, and BI_RLE8 run-length decoding
+    * (encoded runs, absolute mode with word padding, end-of-line /
+    * end-of-bitmap / delta escapes). BI_BITFIELDS, 1/4/16-bit planes,
+    * and embedded-profile V5 color transforms return None — rare in
+    * training corpora and they belong to a codec library; the
+    * never-crash backstop is the same as every other decoder here:
+    * any malformation (truncated header, palette overrun, RLE cursor
+    * escape, pixel-count cap) is None, not a throw. */
+  object BmpCodec extends Codec {
+
+    private val MaxPixels = 1 << 26 // 64M px ≈ 192 MB RGB — the PNG cap
+
+    /** (w, h, channels ∈ {1, 3}, channel-interleaved pixel bytes) with
+      * palette indices resolved, rows in top-down raster order. */
+    private[graft] def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+      val dataOff = le32(10)
+      val dib = le32(14)
+      // BITMAPINFOHEADER and its supersets only (V2 52 / V3 56 / V4 108 /
+      // V5 124); BITMAPCOREHEADER (12) has a different field layout.
+      // Upper bound phrased so a crafted dib near Int.MaxValue cannot
+      // overflow 14 + dib into a passing negative
+      if (dib < 40 || dib > bytes.length - 14) return None
+      val w = le32(18)
+      val hRaw = le32(22)
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+      if (le16(26) != 1) return None // planes
+      val bpp = le16(28)
+      val comp = le32(30)
+      val ok = (comp, bpp) match {
+        case (0, 8) | (0, 24) | (0, 32) => true
+        case (1, 8)                     => !topDown // spec: RLE is never top-down
+        case _                          => false
+      }
+      if (!ok) return None
+      // palette (BGRx quads) directly after the DIB header; biClrUsed
+      // 0 means the full 256 for 8-bit
+      val palette: Array[Byte] = if (bpp == 8) {
+        val used0 = le32(46)
+        val used = if (used0 == 0) 256 else used0
+        if (used < 1 || used > 256) return None
+        val off = 14 + dib
+        if (off + 4 * used > bytes.length) return None
+        val p = new Array[Byte](768) // unused entries stay 0 (spec: index
+        var j = 0                    // past biClrUsed is undefined; 0 is
+        while (j < used) {           // the defensive resolve)
+          p(j * 3) = bytes(off + j * 4 + 2)     // R
+          p(j * 3 + 1) = bytes(off + j * 4 + 1) // G
+          p(j * 3 + 2) = bytes(off + j * 4)     // B
+          j += 1
+        }
+        p
+      } else null
+      if (dataOff < 14 + dib || dataOff > bytes.length) return None
+      // size the output only after the header proves the file can carry
+      // it: BI_RGB needs stride*h payload bytes; an RLE pair encodes at
+      // most 255 pixels per 2 bytes, so w*h is bounded by 128× the
+      // remaining payload — a 2-byte EOB claiming 8192×8192 must refuse
+      // BEFORE the 192 MB allocation, not crash after it
+      if (comp == 0) {
+        val stride = (w * (bpp / 8) + 3) & ~3
+        if (dataOff.toLong + stride.toLong * h > bytes.length) return None
+      } else if (w.toLong * h > 128L * (bytes.length - dataOff)) return None
+      val px = new Array[Byte](w * h * 3)
+      if (comp == 0) {
+        val stride = (w * (bpp / 8) + 3) & ~3
+        var row = 0
+        while (row < h) {
+          val srcRow = if (topDown) row else h - 1 - row
+          val src = dataOff + srcRow * stride
+          var x = 0
+          while (x < w) {
+            val o = (row * w + x) * 3
+            if (bpp == 8) {
+              val idx = (bytes(src + x) & 0xff) * 3
+              px(o) = palette(idx); px(o + 1) = palette(idx + 1); px(o + 2) = palette(idx + 2)
+            } else {
+              val s = src + x * (bpp / 8)
+              px(o) = bytes(s + 2); px(o + 1) = bytes(s + 1); px(o + 2) = bytes(s)
+            }
+            x += 1
+          }
+          row += 1
+        }
+      } else {
+        // BI_RLE8 over an index plane, always bottom-up; unwritten
+        // pixels (delta/EOL skips) are index 0 per the spec's "filled
+        // with zeros" recommendation
+        val idxPlane = new Array[Byte](w * h)
+        var pos = dataOff
+        var x = 0
+        var yUp = 0 // bottom-up row counter
+        var done = false
+        while (!done) {
+          if (pos + 2 > bytes.length) return None
+          val b0 = bytes(pos) & 0xff; val b1 = bytes(pos + 1) & 0xff
+          pos += 2
+          if (b0 > 0) { // encoded run
+            if (yUp >= h || x + b0 > w) return None
+            java.util.Arrays.fill(idxPlane, yUp * w + x, yUp * w + x + b0, b1.toByte)
+            x += b0
+          } else b1 match {
+            case 0 =>                 // end of line (after the LAST row's
+              x = 0; yUp += 1         // EOL the cursor sits at row h —
+              if (yUp > h) return None // legal, only EOB may follow)
+            case 1 => done = true     // end of bitmap
+            case 2 =>                 // delta (dx, dy): dy moves UP in raster
+              if (pos + 2 > bytes.length) return None
+              x += bytes(pos) & 0xff; yUp += bytes(pos + 1) & 0xff
+              if (x > w || yUp > h) return None
+              pos += 2
+            case n =>                 // absolute mode, word-padded
+              if (yUp >= h || x + n > w || pos + n > bytes.length) return None
+              System.arraycopy(bytes, pos, idxPlane, yUp * w + x, n)
+              x += n; pos += n + (n & 1)
+          }
+        }
+        var row = 0
+        while (row < h) {
+          var xx = 0
+          while (xx < w) {
+            val idx = (idxPlane((h - 1 - row) * w + xx) & 0xff) * 3
+            val o = (row * w + xx) * 3
+            px(o) = palette(idx); px(o + 1) = palette(idx + 1); px(o + 2) = palette(idx + 2)
+            xx += 1
+          }
+          row += 1
+        }
+      }
+      Some((w, h, 3, px))
+    }
+
+    /** Same 8-dim feature contract as every pixel decoder here. */
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      decodePixels(bytes).map { case (w, h, ch, px) => featuresOfPixels(w, h, ch, px) }
+
+    /** Same integer-luminance contract as [[PnmCodec.decodeLuma]]. */
+    private[graft] def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      decodePixels(bytes).map { case (w, h, ch, px) => lumaOfPixels(w, h, ch, px) }
+
+    /** Minimal real gray encoder in two byte-disjoint profiles (the
+      * GifCodec discipline): 0 = 24-bit BI_RGB bottom-up (gray v →
+      * BGR (v,v,v) — the layout ImageIO's BMP writer also emits, so
+      * the cross-gate compares like with like); 1 = 8-bit BI_RLE8
+      * bottom-up with a REVERSED gray palette (entry j → 255−j, pixel
+      * index 255−v: the stored index plane differs from the luma bytes
+      * at every v ≠ 127.5, i.e. everywhere) and real run-length
+      * encoding (maximal ≤255 runs + EOL/EOB escapes). Both profiles
+      * are pixel-lossless on gray, so a BMP trans-code of a corpus is
+      * hash-invariant — the q159-pin gate design. */
+    private[graft] def encodeGray(w: Int, h: Int, pixels: Array[Byte],
+        profile: Int = 0): Array[Byte] = {
+      require(pixels.length >= w * h, s"need ${w * h} pixels, got ${pixels.length}")
+      require(profile == 0 || profile == 1, s"profile $profile")
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      val body = new java.io.ByteArrayOutputStream()
+      if (profile == 0) {
+        val stride = (w * 3 + 3) & ~3
+        var row = h - 1
+        while (row >= 0) {
+          var x = 0
+          while (x < w) { val v = pixels(row * w + x); body.write(v); body.write(v); body.write(v); x += 1 }
+          var pad = stride - w * 3
+          while (pad > 0) { body.write(0); pad -= 1 }
+          row -= 1
+        }
+      } else {
+        var row = h - 1
+        while (row >= 0) {
+          var x = 0
+          while (x < w) {
+            val v = 255 - (pixels(row * w + x) & 0xff)
+            var run = 1
+            while (x + run < w && run < 255 &&
+              (255 - (pixels(row * w + x + run) & 0xff)) == v) run += 1
+            body.write(run); body.write(v)
+            x += run
+          }
+          body.write(0); body.write(0) // end of line
+          row -= 1
+        }
+        body.write(0); body.write(1) // end of bitmap
+      }
+      val paletteBytes = if (profile == 1) 256 * 4 else 0
+      val dataOff = 14 + 40 + paletteBytes
+      val data = body.toByteArray
+      out.write('B'); out.write('M')
+      le32(dataOff + data.length); le32(0); le32(dataOff)
+      le32(40); le32(w); le32(h) // positive: bottom-up (RLE requires it)
+      le16(1); le16(if (profile == 0) 24 else 8)
+      le32(profile) // 0 = BI_RGB, 1 = BI_RLE8
+      le32(data.length); le32(2835); le32(2835) // 72 dpi
+      le32(if (profile == 1) 256 else 0); le32(0)
+      if (profile == 1) { // reversed gray palette, BGRx quads
+        var j = 0
+        while (j < 256) { val g = 255 - j; out.write(g); out.write(g); out.write(g); out.write(0); j += 1 }
+      }
+      out.write(data, 0, data.length)
+      out.toByteArray
+    }
+  }
+
   /** Shared (w, h, channels, interleaved-bytes) → 8-dim feature
     * conversion (channel means, 2×2 luminance quadrants, aspect) — one
     * definition for every pixel decoder, so PNG/JPEG features cannot
@@ -2009,6 +2223,7 @@ object Multimodal {
     PnmCodec.decodeLuma(bytes).orElse(PngCodec.decodeLuma(bytes))
       .orElse(JpegCodec.decodeLuma(bytes))
       .orElse(GifCodec.decodeLuma(bytes))
+      .orElse(BmpCodec.decodeLuma(bytes))
 
   /** Decoded audio features. */
   case class AudioFeatures(asset_id: Long, sample_rate: Int, channels: Int,
@@ -3165,6 +3380,7 @@ object Multimodal {
         .orElse(PngCodec.decodeImage(bytes))
         .orElse(JpegCodec.decodeImage(bytes))
         .orElse(GifCodec.decodeImage(bytes))
+        .orElse(BmpCodec.decodeImage(bytes))
         .orElse(StubCodec.decodeImage(bytes))
   }
 

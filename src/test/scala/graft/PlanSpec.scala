@@ -735,9 +735,11 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // q228 = the q159 still-image pair plan, q229 = the q225 video plan
       ("q228_gif_png_dedup_pairs",      1, 5),
       ("q229_animated_gif_frame_dedup", 1, 5),
-      // q231 (r16): identical shape to q159/q228 — the interlaced/16-bit
-      // PNG corpus hashes behind persistArtifact, then the banded join
+      // q231/q232 (r16): identical shape to q159/q228 — the interlaced/
+      // 16-bit PNG and BMP corpus hashes behind persistArtifact, then
+      // the banded join
       ("q231_png_interlace_dedup_pairs", 1, 5),
+      ("q232_bmp_dedup_pairs",           1, 5),
       // q230: the video funnel — frame hashes behind persistArtifact +
       // barriers (1 artifact scan), gate pairs + scene window + the
       // q121-style bucket windows + shard repartition + output sort;
