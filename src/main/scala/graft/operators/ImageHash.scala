@@ -761,6 +761,37 @@ object ImageHash {
     }
   }
 
+  /** Mixed TIFF/PNG still-image corpus (q233, r16): the [[syntheticPnm]]
+    * pixels with every ORIGINAL re-encoded as a real baseline TIFF
+    * (alternating encoder profiles, so half the corpus exercises the
+    * little-endian single-strip path and half the BIG-endian PackBits
+    * multi-strip WhiteIsZero path — byte order, run-length decode, and
+    * photometric inversion all on the pair path) while the planted
+    * edited SIBLINGS stay sequential PNG. Both trans-codes are
+    * lossless on gray (uncompressed carries v verbatim; WhiteIsZero
+    * stores 255−v and decode inverts back), so the PAIR SET is
+    * bit-identical to the all-PNM corpus — the q159 pins double as
+    * the TIFF decoder's correctness gate. */
+  def syntheticTiffImages(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    syntheticPnm(docs).map { a =>
+      Multimodal.PnmCodec.decodeLuma(a.bytes) match {
+        case Some((w, h, luma)) =>
+          val px = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) { px(i) = luma(i).toByte; i += 1 }
+          if (a.asset_id % 2 == 0)
+            MediaAsset(a.asset_id, "image/tiff",
+              Multimodal.TiffCodec.encodeGray(w, h, px,
+                profile = ((a.asset_id / 2) % 2).toInt))
+          else
+            MediaAsset(a.asset_id, "image/png",
+              Multimodal.PngCodec.encodeGray(w, h, px))
+        case None => a
+      }
+    }
+  }
+
   /** Deterministic ANIMATED-GIF corpus (q229, r15 — the q225 design on
     * the other lib-free video container): each doc becomes a real
     * GIF89a animation of 3 + doc_id % 5 full-canvas 16×16 frames
@@ -991,6 +1022,20 @@ object ImageHash {
     "q232_bmp_dedup_pairs" -> QueryDef.sql(dkPairSql("q232")) { (s, dir) =>
       nearDupImagePairs(Similarity.persistArtifact("q232", "hashes",
         imageHashes(syntheticBmpImages(Tables.documents(s, dir)))))
+    },
+
+    // ---- TIFF near-dup (r16): the q159 banded pair join over a corpus
+    //      whose ORIGINALS are real baseline TIFFs (little-endian
+    //      uncompressed and big-endian PackBits WhiteIsZero,
+    //      alternating) and whose planted edited siblings are
+    //      sequential PNG — every recovered pair crosses a real TIFF
+    //      decode (incl. byte order + run-length + photometric
+    //      inversion). Lossless gray trans-code ⇒ pair set
+    //      bit-identical to q159's corpus design. ORACLE-CHECKED from
+    //      birth, same artifact replay. ----
+    "q233_tiff_dedup_pairs" -> QueryDef.sql(dkPairSql("q233")) { (s, dir) =>
+      nearDupImagePairs(Similarity.persistArtifact("q233", "hashes",
+        imageHashes(syntheticTiffImages(Tables.documents(s, dir)))))
     },
 
     // ---- animated-GIF video near-dup (r15): the q225 machinery on the

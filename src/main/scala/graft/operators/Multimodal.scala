@@ -1120,6 +1120,288 @@ object Multimodal {
     }
   }
 
+  /** Baseline TIFF decoder — pure JVM, zero codec libraries (r16; the
+    * last common still container whose baseline profile is feasible
+    * lib-free). Wire format is public (TIFF 6.0): both byte orders
+    * (`II` little- / `MM` big-endian), IFD entry walk with inline vs
+    * offset values, strip-organized 8-bit grayscale / palette / RGB,
+    * Compression 1 (none) and 32773 (PackBits run-length), photometric
+    * 0 (WhiteIsZero, inverted), 1 (BlackIsZero), 2 (RGB), 3 (palette —
+    * 16-bit ColorMap entries downsample by high byte like 16-bit PNG).
+    * Tiled layout, bit depths ≠ 8, planar configuration 2, LZW/JPEG/
+    * Deflate compression return None — a real corpus routes those to a
+    * codec library; the never-crash backstop and pixel cap match every
+    * decoder here. */
+  object TiffCodec extends Codec {
+
+    private val MaxPixels = 1 << 26
+
+    private[graft] def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (bytes.length < 8) return None
+      val le = bytes(0) == 'I' && bytes(1) == 'I'
+      val be = bytes(0) == 'M' && bytes(1) == 'M'
+      if (!le && !be) return None
+      def u16(o: Int): Int =
+        if (o < 0 || o + 2 > bytes.length) -1
+        else if (le) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+        else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      def u32(o: Int): Long =
+        if (o < 0 || o + 4 > bytes.length) -1L
+        else if (le) (u16(o) & 0xffffL) | ((u16(o + 2) & 0xffffL) << 16)
+        else ((u16(o) & 0xffffL) << 16) | (u16(o + 2) & 0xffffL)
+      if (u16(2) != 42) return None
+      val ifd = u32(4)
+      if (ifd < 8 || ifd > bytes.length - 2) return None
+      val n = u16(ifd.toInt)
+      if (n <= 0 || ifd + 2 + 12L * n > bytes.length) return None
+      // tag -> (type, count, valueOffsetField); SHORT/LONG scalar reads
+      // resolve inline, array reads resolve through the offset
+      var w = 0L; var h = 0L; var bits = 8L; var comp = 1L; var photo = -1L
+      var spp = 1L; var rps = Long.MaxValue; var planar = 1L
+      var stripOffTag: (Int, Long, Int) = null // (type, count, fieldOff)
+      var stripCntTag: (Int, Long, Int) = null
+      var colorMapTag: (Int, Long, Int) = null
+      var tiled = false
+      var i = 0
+      while (i < n) {
+        val e = ifd.toInt + 2 + 12 * i
+        val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+        def scalar: Long =
+          if (typ == 3) u16(e + 8).toLong
+          else if (typ == 4) u32(e + 8)
+          else -1L
+        tag match {
+          case 256 => w = scalar
+          case 257 => h = scalar
+          case 258 => // BitsPerSample: count 1 inline, or array (all must be 8)
+            bits = if (cnt == 1) scalar
+            else {
+              val off = u32(e + 8)
+              if (typ != 3 || off < 0 || off + 2 * cnt > bytes.length) -1
+              else {
+                var ok = true; var j = 0
+                while (j < cnt) { if (u16((off + 2 * j).toInt) != 8) ok = false; j += 1 }
+                if (ok) 8 else -1
+              }
+            }
+          case 259 => comp = scalar
+          case 262 => photo = scalar
+          case 273 => stripOffTag = (typ, cnt, e + 8)
+          case 277 => spp = scalar
+          case 278 => rps = scalar
+          case 279 => stripCntTag = (typ, cnt, e + 8)
+          case 284 => planar = scalar
+          case 320 => colorMapTag = (typ, cnt, e + 8)
+          case 322 | 323 | 324 | 325 => tiled = true
+          case _ => // ancillary tag — skip
+        }
+        i += 1
+      }
+      if (tiled || bits != 8 || planar != 1) return None
+      if (comp != 1 && comp != 32773) return None
+      if (w <= 0 || h <= 0 || w * h > MaxPixels) return None
+      if (stripOffTag == null || stripCntTag == null) return None
+      val okShape = (photo, spp) match {
+        case (0, 1) | (1, 1) | (3, 1) => true
+        case (2, s) if s >= 3         => true // extra samples stripped
+        case _                        => false
+      }
+      if (!okShape) return None
+      if (photo == 3 && colorMapTag == null) return None
+      def longArray(t: (Int, Long, Int)): Option[Array[Long]] = {
+        val (typ, cnt, fld) = t
+        if (typ != 3 && typ != 4) return None
+        if (cnt <= 0 || cnt > (1 << 20)) return None
+        val unit = if (typ == 3) 2 else 4
+        val inline = cnt * unit <= 4
+        val base = if (inline) fld.toLong else u32(fld)
+        if (base < 0 || base + cnt * unit > bytes.length) return None
+        Some(Array.tabulate(cnt.toInt)(j =>
+          if (typ == 3) u16((base + 2L * j).toInt).toLong else u32((base + 4L * j).toInt)))
+      }
+      val offs = longArray(stripOffTag).getOrElse(return None)
+      val cnts = longArray(stripCntTag).getOrElse(return None)
+      if (offs.length != cnts.length) return None
+      // palette: 3 planes of 2^bits 16-bit values (R then G then B)
+      val palette: Array[Byte] = if (photo == 3) {
+        val (typ, cnt, fld) = colorMapTag
+        if (typ != 3 || cnt != 768) return None
+        val base = u32(fld)
+        if (base < 0 || base + 2 * cnt > bytes.length) return None
+        val p = new Array[Byte](768)
+        var j = 0
+        while (j < 256) {
+          p(j * 3) = (u16((base + 2L * j).toInt) >> 8).toByte
+          p(j * 3 + 1) = (u16((base + 2L * (256 + j)).toInt) >> 8).toByte
+          p(j * 3 + 2) = (u16((base + 2L * (512 + j)).toInt) >> 8).toByte
+          j += 1
+        }
+        p
+      } else null
+      val wi = w.toInt; val hi = h.toInt
+      val sppI = spp.toInt
+      val rowBytes = wi * sppI
+      val raw = new Array[Byte](rowBytes * hi)
+      val rpsI = math.min(rps, h).toInt
+      val nStrips = (hi + rpsI - 1) / rpsI
+      if (offs.length < nStrips) return None
+      var strip = 0
+      var outPos = 0
+      while (strip < nStrips) {
+        val rows = math.min(rpsI, hi - strip * rpsI)
+        val need = rows * rowBytes
+        val so = offs(strip); val sc = cnts(strip)
+        if (so < 0 || sc < 0 || so + sc > bytes.length) return None
+        if (comp == 1) {
+          if (sc < need) return None
+          System.arraycopy(bytes, so.toInt, raw, outPos, need)
+        } else {
+          // PackBits: n in [0,127] → copy n+1 literals; n in [-127,-1] →
+          // repeat next byte 1−n times; −128 is a no-op
+          var p = so.toInt; val end = (so + sc).toInt
+          var o = outPos; val lim = outPos + need
+          while (o < lim) {
+            if (p >= end) return None
+            val c = bytes(p); p += 1
+            if (c >= 0) {
+              val len = c + 1
+              if (p + len > end || o + len > lim) return None
+              System.arraycopy(bytes, p, raw, o, len)
+              p += len; o += len
+            } else if (c != -128) {
+              val len = 1 - c
+              if (p >= end || o + len > lim) return None
+              java.util.Arrays.fill(raw, o, o + len, bytes(p))
+              p += 1; o += len
+            }
+          }
+        }
+        outPos += need
+        strip += 1
+      }
+      // normalize to the (w, h, ch, px) contract
+      if (photo == 2) {
+        if (sppI == 3) Some((wi, hi, 3, raw))
+        else { // strip extra samples (alpha etc.)
+          val px = new Array[Byte](wi * hi * 3)
+          var j = 0
+          while (j < wi * hi) {
+            px(j * 3) = raw(j * sppI); px(j * 3 + 1) = raw(j * sppI + 1)
+            px(j * 3 + 2) = raw(j * sppI + 2)
+            j += 1
+          }
+          Some((wi, hi, 3, px))
+        }
+      } else if (photo == 3) {
+        val px = new Array[Byte](wi * hi * 3)
+        var j = 0
+        while (j < wi * hi) {
+          val idx = (raw(j) & 0xff) * 3
+          px(j * 3) = palette(idx); px(j * 3 + 1) = palette(idx + 1)
+          px(j * 3 + 2) = palette(idx + 2)
+          j += 1
+        }
+        Some((wi, hi, 3, px))
+      } else if (photo == 0) {
+        val px = new Array[Byte](wi * hi)
+        var j = 0
+        while (j < wi * hi) { px(j) = (255 - (raw(j) & 0xff)).toByte; j += 1 }
+        Some((wi, hi, 1, px))
+      } else Some((wi, hi, 1, raw))
+    }
+
+    /** Same 8-dim feature contract as every pixel decoder here. */
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      decodePixels(bytes).map { case (w, h, ch, px) => featuresOfPixels(w, h, ch, px) }
+
+    /** Same integer-luminance contract as [[PnmCodec.decodeLuma]]. */
+    private[graft] def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      decodePixels(bytes).map { case (w, h, ch, px) => lumaOfPixels(w, h, ch, px) }
+
+    /** Minimal real gray encoder in two byte-disjoint profiles (the
+      * house discipline): 0 = little-endian (`II`), single
+      * uncompressed strip, photometric BlackIsZero; 1 = BIG-endian
+      * (`MM`), PackBits-compressed 4-row strips, photometric
+      * WhiteIsZero over INVERTED samples (255−v on the wire, inverted
+      * back by photometric 0 decode — the TIFF twin of the reversed
+      * GIF/BMP palettes: the stored sample plane differs from the luma
+      * plane everywhere while staying pixel-lossless). */
+    private[graft] def encodeGray(w: Int, h: Int, pixels: Array[Byte],
+        profile: Int = 0): Array[Byte] = {
+      require(pixels.length >= w * h, s"need ${w * h} pixels, got ${pixels.length}")
+      require(profile == 0 || profile == 1, s"profile $profile")
+      val le = profile == 0
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit =
+        if (le) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+        else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      def w32(v: Int): Unit =
+        if (le) { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+        else { w16((v >>> 16) & 0xffff); w16(v & 0xffff) }
+      // pixel payload first (strips start at offset 8, IFD follows)
+      val strips: Seq[Array[Byte]] =
+        if (profile == 0) Seq(java.util.Arrays.copyOf(pixels, w * h))
+        else (0 until h by 4).map { y0 =>
+          val rows = math.min(4, h - y0)
+          val body = new java.io.ByteArrayOutputStream()
+          var j = y0 * w; val end = (y0 + rows) * w
+          while (j < end) { // PackBits: maximal ≤128 runs, literals otherwise
+            val v = (255 - (pixels(j) & 0xff)).toByte
+            var run = 1
+            while (j + run < end && run < 128 &&
+              (255 - (pixels(j + run) & 0xff)).toByte == v) run += 1
+            if (run >= 2) { body.write(1 - run); body.write(v); j += run }
+            else {
+              var lit = 1 // scan forward to the next ≥2-run or 128 cap
+              while (j + lit < end && lit < 128 &&
+                !(j + lit + 1 < end &&
+                  pixels(j + lit) == pixels(j + lit + 1))) lit += 1
+              body.write(lit - 1)
+              var k = 0
+              while (k < lit) { body.write(255 - (pixels(j + k) & 0xff)); k += 1 }
+              j += lit
+            }
+          }
+          body.toByteArray
+        }
+      out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
+      w16(42)
+      val dataStart = 8
+      val dataLen = strips.map(_.length).sum
+      val nStrips = strips.length
+      // after pixel data: strip offset/count arrays when nStrips > 2
+      // (SHORT/LONG arrays over 4 bytes go through an offset)
+      val stripOffs = strips.scanLeft(dataStart)(_ + _.length).init
+      val arraysAt = dataStart + dataLen
+      val needArrays = nStrips > 1
+      val ifdAt = arraysAt + (if (needArrays) 8 * nStrips else 0)
+      w32(ifdAt)
+      strips.foreach(s => out.write(s, 0, s.length))
+      if (needArrays) { // LONG strip offsets, then LONG byte counts
+        stripOffs.foreach(w32)
+        strips.foreach(s => w32(s.length))
+      }
+      val entries = Seq[(Int, Int, Int, Int)](
+        (256, 4, 1, w),                         // ImageWidth
+        (257, 4, 1, h),                         // ImageLength
+        (258, 3, 1, 8),                         // BitsPerSample
+        (259, 3, 1, if (profile == 0) 1 else 32773), // Compression
+        (262, 3, 1, if (profile == 0) 1 else 0), // Photometric
+        (273, 4, nStrips, if (needArrays) arraysAt else dataStart),
+        (277, 3, 1, 1),                         // SamplesPerPixel
+        (278, 4, 1, if (profile == 0) h else 4), // RowsPerStrip
+        (279, 4, nStrips,
+          if (needArrays) arraysAt + 4 * nStrips else dataLen))
+      w16(entries.length)
+      entries.foreach { case (tag, typ, cnt, v) =>
+        w16(tag); w16(typ); w32(cnt)
+        if (typ == 3 && cnt == 1) { w16(v); w16(0) } else w32(v)
+      }
+      w32(0) // no next IFD
+      out.toByteArray
+    }
+  }
+
   /** Shared (w, h, channels, interleaved-bytes) → 8-dim feature
     * conversion (channel means, 2×2 luminance quadrants, aspect) — one
     * definition for every pixel decoder, so PNG/JPEG features cannot
@@ -2224,6 +2506,7 @@ object Multimodal {
       .orElse(JpegCodec.decodeLuma(bytes))
       .orElse(GifCodec.decodeLuma(bytes))
       .orElse(BmpCodec.decodeLuma(bytes))
+      .orElse(TiffCodec.decodeLuma(bytes))
 
   /** Decoded audio features. */
   case class AudioFeatures(asset_id: Long, sample_rate: Int, channels: Int,
@@ -3381,6 +3664,7 @@ object Multimodal {
         .orElse(JpegCodec.decodeImage(bytes))
         .orElse(GifCodec.decodeImage(bytes))
         .orElse(BmpCodec.decodeImage(bytes))
+        .orElse(TiffCodec.decodeImage(bytes))
         .orElse(StubCodec.decodeImage(bytes))
   }
 

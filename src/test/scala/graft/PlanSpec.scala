@@ -740,6 +740,7 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // the banded join
       ("q231_png_interlace_dedup_pairs", 1, 5),
       ("q232_bmp_dedup_pairs",           1, 5),
+      ("q233_tiff_dedup_pairs",          1, 5),
       // q230: the video funnel — frame hashes behind persistArtifact +
       // barriers (1 artifact scan), gate pairs + scene window + the
       // q121-style bucket windows + shard repartition + output sort;
