@@ -128,6 +128,11 @@ object Plans {
     "q228_gif_png_dedup_pairs",     // real LZW/PNG decode + banded Hamming join
     "q229_animated_gif_frame_dedup",// GIF compositing + frame-hash band join
     "q230_video_curation_pipeline", // video funnel: gate + scene sample + shards
+    // r16: the new still-image codec faces + the stills funnel
+    "q231_png_interlace_dedup_pairs", // Adam7/16-bit PNG decode + banded join
+    "q232_bmp_dedup_pairs",         // BMP/RLE8 decode + banded Hamming join
+    "q233_tiff_dedup_pairs",        // TIFF/PackBits decode + banded Hamming join
+    "q234_image_curation_pipeline", // stills funnel: dedup + quality + shards
     // r15 (VERDICT #2): the last three >5s lanes without committed plans
     "q119_wordpiece_train",         // iterative pair-merge loop, pinned rounds
     "q205_ivfpq_topk",              // IVF-PQ decimal-artifact lane (oracle face)

@@ -792,6 +792,147 @@ object ImageHash {
     }
   }
 
+  /** The q234 corpus (r16): [[syntheticPnm]] pixels with TWO planted
+    * structures on top — (a) every doc whose id ≡ 0 (mod 7) DARKENS its
+    * pixels (v >> 2: mean luma drops from ≈127 to ≈31, far below the
+    * quality gate's [64, 192) band — the degenerate-exposure asset a
+    * curation pass must drop; both pair members darken together so the
+    * dedup gate is undisturbed), and (b) ORIGINALS cycle all five
+    * lossless still containers (P5, GIF, BMP/RLE8, TIFF/PackBits-BE,
+    * Adam7 PNG) while siblings stay sequential PNG — the whole decoder
+    * family sits on ONE declared pipeline's ingest path. Darkening is
+    * monotone (floor v/4), which can flip dHash gradient signs only at
+    * near-ties; pair membership is unaffected because both members of
+    * every planted pair darken identically and un-darkened docs never
+    * pair with darkened ones (different docs ⇒ independent md5 noise). */
+  def syntheticCurationStills(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    syntheticPnm(docs).map { a =>
+      Multimodal.PnmCodec.decodeLuma(a.bytes) match {
+        case Some((w, h, luma)) =>
+          val docId = a.asset_id / 2
+          val px = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) {
+            val v = if (docId % 7 == 0) luma(i) >> 2 else luma(i)
+            px(i) = v.toByte; i += 1
+          }
+          if (a.asset_id % 2 == 1)
+            MediaAsset(a.asset_id, "image/png",
+              Multimodal.PngCodec.encodeGray(w, h, px))
+          else (docId % 5) match {
+            case 0 =>
+              val out = new java.io.ByteArrayOutputStream()
+              out.write(s"P5 $w $h 255\n".getBytes("US-ASCII"))
+              out.write(px)
+              MediaAsset(a.asset_id, "image/x-portable-graymap", out.toByteArray)
+            case 1 => MediaAsset(a.asset_id, "image/gif",
+              Multimodal.GifCodec.encodeGray(w, h, px))
+            case 2 => MediaAsset(a.asset_id, "image/bmp",
+              Multimodal.BmpCodec.encodeGray(w, h, px, profile = 1))
+            case 3 => MediaAsset(a.asset_id, "image/tiff",
+              Multimodal.TiffCodec.encodeGray(w, h, px, profile = 1))
+            case _ => MediaAsset(a.asset_id, "image/png",
+              Multimodal.PngCodec.encodeGray(w, h, px, profile = 1))
+          }
+        case None => a
+      }
+    }
+  }
+
+  /** (asset_id, dhash, mean_luma) for every decodable asset — the q234
+    * pipeline's persisted ingest table: the perceptual hash plus the
+    * one integer pixel statistic its quality gate reads (floor mean of
+    * the luminance plane — deterministic on every platform). Narrow,
+    * no shuffle, same decode discipline as [[imageHashes]]. */
+  def imageHashStats(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        Multimodal.decodeLumaAny(a.bytes).map { case (w, h, luma) =>
+          var s = 0L; var i = 0
+          while (i < luma.length) { s += luma(i); i += 1 }
+          (a.asset_id, dhash(w, h, luma), s / (w.toLong * h))
+        }
+      }
+    }.toDF("asset_id", "dhash", "mean_luma")
+  }
+
+  /** END-TO-END still-image curation pipeline (q234, r16 — the stills
+    * twin of [[videoCurationPipelineFrom]], closing the r15 NEXT
+    * carry-forward): ingest (decode + dHash + mean-luma, narrow) →
+    * image-level near-dup gate (drop the HIGHER asset of every ≤3-bit
+    * pair — the monotone at-ingest rule) → quality gate (mean_luma in
+    * [64, 192): the deterministic degenerate-exposure drop) → PHYSICAL
+    * shard write whose stage-3 counts come from the written files read
+    * back. Shard ids are the q121 hierarchical prefix sum (contiguous
+    * asset buckets, within-bucket windows, broadcast bucket offsets —
+    * never a single-partition corpus window), so the read-back
+    * distinct-shard count equals ceil(n/assetsPerShard) exactly, which
+    * the oracle cross-checks. NOTE the [[videoCurationPipelineFrom]]
+    * contract carries over: the shard write happens EAGERLY at call
+    * time (a side effect of building the returned report frame), and
+    * the default scratch dir is JVM-scoped. */
+  def imageCurationPipeline(stats: DataFrame, assetsPerShard: Long = 64,
+      bucketSize: Long = 64, shardDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = stats.localCheckpoint(eager = false) // consumers: stat + gate + write
+    def stat(stage: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_assets"))
+        .select(lit(stage).as("stage"), col("n_assets"),
+          lit(0L).as("n_shards"))
+    val dupIds = nearDupImagePairs(st.select("asset_id", "dhash"))
+      .select(col("a2").as("asset_id")).distinct()
+    val s1 = st.join(dupIds, Seq("asset_id"), "left_anti")
+      .localCheckpoint(eager = false) // consumers: stat + quality gate
+    val s2 = s1.filter(col("mean_luma") >= 64 && col("mean_luma") < 192)
+      .localCheckpoint(eager = false) // consumers: stat + manifest + write
+    val bucketed = s2.withColumn("bucket",
+      (col("asset_id") / bucketSize).cast("long"))
+    val inBucket = bucketed.withColumn("pos_in_bucket", row_number().over(
+      Window.partitionBy("bucket").orderBy("asset_id")))
+    val offsets = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boffset", coalesce(
+        sum("bn").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "boffset") // buckets-sized frame — broadcastable
+    val manifest = inBucket.join(broadcast(offsets), "bucket")
+      .withColumn("shard_id",
+        ((col("boffset") + col("pos_in_bucket") - 1) / assetsPerShard)
+          .cast("long"))
+      .select("asset_id", "shard_id")
+    val out = shardDir.getOrElse {
+      val d = java.nio.file.Files.createTempDirectory("graft-q234-shards")
+      registerScratchDir(d.toFile)
+      d.toString
+    }
+    val shardSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("asset_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dhash",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("mean_luma",
+        org.apache.spark.sql.types.LongType)))
+    s2.join(manifest, Seq("asset_id"))
+      .select(col("shard_id"), col("asset_id"), col("dhash"), col("mean_luma"))
+      .repartition(col("shard_id")) // one file per shard, not tasks × shards
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard_id").parquet(out)
+    val s3 = stats.sparkSession.read.schema(shardSchema).parquet(out)
+      .agg(count(lit(1)).as("n_assets"),
+        countDistinct(col("shard_id")).as("n_shards"))
+      .select(lit("3_shards_written").as("stage"), col("n_assets"),
+        col("n_shards").cast("long").as("n_shards"))
+    stat("0_raw", st)
+      .unionAll(stat("1_image_dedup", s1))
+      .unionAll(stat("2_quality_sample", s2))
+      .unionAll(s3)
+      .orderBy("stage")
+  }
+
   /** Deterministic ANIMATED-GIF corpus (q229, r15 — the q225 design on
     * the other lib-free video container): each doc becomes a real
     * GIF89a animation of 3 + doc_id % 5 full-canvas 16×16 frames
@@ -1036,6 +1177,46 @@ object ImageHash {
     "q233_tiff_dedup_pairs" -> QueryDef.sql(dkPairSql("q233")) { (s, dir) =>
       nearDupImagePairs(Similarity.persistArtifact("q233", "hashes",
         imageHashes(syntheticTiffImages(Tables.documents(s, dir)))))
+    },
+
+    // ---- END-TO-END still-image curation pipeline (q234, r16 — the
+    //      stills twin of q230, closing the r15 NEXT carry-forward):
+    //      ingest over a corpus cycling ALL FIVE lossless containers
+    //      (P5/GIF/BMP-RLE8/TIFF-PackBits/Adam7-PNG) → near-dup gate
+    //      (drop the higher asset of every ≤3-bit pair) → quality gate
+    //      (mean_luma ∈ [64,192) drops the planted darkened docs) →
+    //      physical shard write with read-back counts; shard ids via
+    //      the q121 hierarchical prefix sum, so read-back distinct
+    //      shards = ceil(n/64) exactly. Oracle composes the q159 pair
+    //      CTEs + the quality predicate + the shard arithmetic verbatim
+    //      from the persisted (asset_id, dhash, mean_luma) artifact. ----
+    "q234_image_curation_pipeline" -> QueryDef.sql(
+      s"""WITH h0 AS (SELECT asset_id, dhash, mean_luma
+         |  FROM read_parquet('${Similarity.annOracleRoot}/q234/hashes/*.parquet')),
+         |b AS (SELECT asset_id, dhash, bb.band AS band,
+         |    (dhash >> (bb.band * 16)) & 65535 AS v
+         |  FROM h0, (SELECT unnest(range(0, 4)) AS band) bb),
+         |p AS (SELECT DISTINCT a.asset_id AS a1, b2.asset_id AS a2,
+         |    a.dhash AS h1, b2.dhash AS h2
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.v = b2.v
+         |    AND a.asset_id < b2.asset_id),
+         |dup AS (SELECT DISTINCT a2 AS asset_id FROM p
+         |  WHERE bit_count(xor(h1, h2)) <= 3),
+         |s1 AS (SELECT h0.* FROM h0 LEFT JOIN dup USING (asset_id)
+         |  WHERE dup.asset_id IS NULL),
+         |s2 AS (SELECT * FROM s1 WHERE mean_luma >= 64 AND mean_luma < 192),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS na FROM s2)
+         |SELECT stage, n_assets, n_shards FROM (
+         |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_assets,
+         |      CAST(0 AS BIGINT) AS n_shards FROM h0
+         |  UNION ALL SELECT '1_image_dedup', CAST(count(*) AS BIGINT),
+         |      CAST(0 AS BIGINT) FROM s1
+         |  UNION ALL SELECT '2_quality_sample', na, CAST(0 AS BIGINT) FROM t
+         |  UNION ALL SELECT '3_shards_written', na,
+         |      CAST(ceil(na / 64.0) AS BIGINT) FROM t)
+         |ORDER BY stage""".stripMargin) { (s, dir) =>
+      imageCurationPipeline(Similarity.persistArtifact("q234", "hashes",
+        imageHashStats(syntheticCurationStills(Tables.documents(s, dir)))))
     },
 
     // ---- animated-GIF video near-dup (r15): the q225 machinery on the

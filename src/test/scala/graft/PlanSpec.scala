@@ -745,7 +745,12 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // barriers (1 artifact scan), gate pairs + scene window + the
       // q121-style bucket windows + shard repartition + output sort;
       // the shard read-back is its own parquet scan
-      ("q230_video_curation_pipeline",  2, 12))
+      ("q230_video_curation_pipeline",  2, 12),
+      // q234 (r16): the stills funnel — hash/stat table behind
+      // persistArtifact (1 artifact scan), banded dedup gate + quality
+      // filter + bucket windows + shard repartition + output sort; the
+      // shard read-back is its own parquet scan
+      ("q234_image_curation_pipeline",  2, 12))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each
