@@ -875,15 +875,31 @@ object ImageHash {
     * the default scratch dir is JVM-scoped. */
   def imageCurationPipeline(stats: DataFrame, assetsPerShard: Long = 64,
       bucketSize: Long = 64, shardDir: Option[String] = None): DataFrame = {
+    val st = stats.localCheckpoint(eager = false) // consumers: dupIds + stages
+    imageCurationPipelineFrom(st,
+      nearDupImagePairs(st.select("asset_id", "dhash"))
+        .select(col("a2").as("asset_id")).distinct(),
+      assetsPerShard, bucketSize, shardDir)
+  }
+
+  /** Stage-1-onward body of [[imageCurationPipeline]] with the drop set
+    * passed in — the streaming twin's publish half
+    * ([[graft.streaming.Streams.publishImageCurationSnapshot]]) derives
+    * `dupIds` from the accumulated pair log and runs THIS code, so batch
+    * and streamed reports are the same plan by construction (the
+    * [[videoCurationPipelineFrom]] discipline). Eager-shard-write and
+    * scratch-dir contracts carry over verbatim. */
+  def imageCurationPipelineFrom(stats: DataFrame, dupIds: DataFrame,
+      assetsPerShard: Long = 64, bucketSize: Long = 64,
+      shardDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val st = stats.localCheckpoint(eager = false) // consumers: stat + gate + write
     def stat(stage: String, d: DataFrame): DataFrame =
       d.agg(count(lit(1)).as("n_assets"))
         .select(lit(stage).as("stage"), col("n_assets"),
           lit(0L).as("n_shards"))
-    val dupIds = nearDupImagePairs(st.select("asset_id", "dhash"))
-      .select(col("a2").as("asset_id")).distinct()
-    val s1 = st.join(dupIds, Seq("asset_id"), "left_anti")
+    val s1 = st.join(dupIds.localCheckpoint(eager = false),
+        Seq("asset_id"), "left_anti")
       .localCheckpoint(eager = false) // consumers: stat + quality gate
     val s2 = s1.filter(col("mean_luma") >= 64 && col("mean_luma") < 192)
       .localCheckpoint(eager = false) // consumers: stat + manifest + write

@@ -627,6 +627,83 @@ object Streams {
       shardDir = shardDir)
   }
 
+  /** q234's streaming ingest half (the [[videoIngestSinkQuery]]
+    * discipline at still-image level): each micro-batch of image assets
+    * decodes + dHashes + reads its mean-luma ONCE (narrow — container
+    * bytes never shuffle), then lands in two replay-idempotent stores:
+    * the (asset_id, dhash, mean_luma) STAT store and the image-pair LOG
+    * (batch×store cross pairs via
+    * [[graft.operators.ImageHash.incrementalNearDupPairs]] + batch self
+    * pairs — both normalized to (min, max), so the pair (a, b) is
+    * complete at the LATER member's arrival regardless of order and the
+    * log converges to the full-corpus q159 pair set). Replayed assets
+    * are anti-joined away against the stat store BEFORE pairing and
+    * duplicates WITHIN a batch dropped first; pairs append before stats
+    * (a crash between the two leaves the asset un-ingested and the
+    * replay redoes both). Publish time
+    * ([[publishImageCurationSnapshot]]) derives the drop set from the
+    * log and runs the batch face's stages 1–3 verbatim. */
+  def imageIngestSinkQuery(assets: DataFrame, statsDir: String,
+      pairsDir: String, maxDist: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    assets.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.{ImageHash, Multimodal}
+        import org.apache.spark.sql.types._
+        val spark = batch.sparkSession
+        import spark.implicits._
+        def readOrEmpty(path: String, schema: StructType): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+        val statSchema = StructType(Seq(
+          StructField("asset_id", LongType),
+          StructField("dhash", LongType),
+          StructField("mean_luma", LongType)))
+        val pairSchema = StructType(Seq(
+          StructField("a1", LongType), StructField("a2", LongType),
+          StructField("dist", LongType)))
+        // read lazily (the videoIngestSinkQuery pattern): statsDir is
+        // immutable until the append below, so both consumers (replay
+        // filter + cross pairs) re-scan the parquet
+        val store = readOrEmpty(statsDir, statSchema)
+        val fresh = ImageHash.imageHashStats(
+            batch.dropDuplicates("asset_id").as[Multimodal.MediaAsset])
+          .join(store.select("asset_id"), Seq("asset_id"), "left_anti")
+          .localCheckpoint(true) // consumers: cross pairs, self pairs, append
+        // self pairs already emit a1 < a2; cross pairs normalize via
+        // least/greatest — the log's key is orientation-free either way
+        val pairs = ImageHash.incrementalNearDupPairs(fresh, store, maxDist)
+          .unionByName(ImageHash.nearDupImagePairs(fresh, maxDist))
+          .distinct()
+        pairs.join(readOrEmpty(pairsDir, pairSchema).select("a1", "a2"),
+            Seq("a1", "a2"), "left_anti")
+          .write.mode("append").parquet(pairsDir)
+        fresh.write.mode("append").parquet(statsDir)
+        ()
+      }
+
+  /** q234's publish half: cut the image-corpus snapshot from the ingest
+    * stores — the near-dup drop set from the accumulated pair log, then
+    * the batch face's quality gate + shard write
+    * ([[graft.operators.ImageHash.imageCurationPipelineFrom]] —
+    * literally the same code both faces run from stage 1 on). Returns
+    * the 4-row funnel report; StreamingSpec asserts it equals the batch
+    * q234 face row for row after scrambled-order ingestion. */
+  def publishImageCurationSnapshot(spark: SparkSession, statsDir: String,
+      pairsDir: String, assetsPerShard: Long = 64,
+      shardDir: Option[String] = None): DataFrame = {
+    val dupIds = spark.read.parquet(pairsDir)
+      .select(org.apache.spark.sql.functions.col("a2").as("asset_id"))
+      .distinct()
+    graft.operators.ImageHash.imageCurationPipelineFrom(
+      spark.read.parquet(statsDir), dupIds, assetsPerShard,
+      shardDir = shardDir)
+  }
+
   /** Watermarked stream-stream join: correlate two event streams per user
     * within a bounded interval (right event no earlier than the left, at
     * most `within` later). Both sides carry watermarks so join state is

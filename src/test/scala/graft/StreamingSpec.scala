@@ -303,6 +303,50 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("q234 streaming twin: scrambled-order image ingest + publish equals the batch report") {
+    import graft.operators.ImageHash
+    import graft.operators.Multimodal.MediaAsset
+    val root = java.nio.file.Files.createTempDirectory("q234twin").toString
+    val (statsDir, pairsDir) = (s"$root/stats", s"$root/pairs")
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = ImageHash.syntheticCurationStills(
+      Tables.documents(spark, sfDir)).collect()
+    val input = MemoryStream[MediaAsset](spark)
+    val q = Streams.imageIngestSinkQuery(input.toDF(), statsDir, pairsDir).start()
+    try {
+      // three batches SCRAMBLED by asset_id % 3: an original (even id)
+      // and its sibling (odd id) always land in DIFFERENT batches, so
+      // every planted pair crosses the incremental store path
+      (0 until 3).foreach { k =>
+        input.addData(corpus.filter(_.asset_id % 3 == k).toSeq)
+        q.processAllAvailable()
+      }
+      // replay a slice verbatim: nothing may change
+      input.addData(corpus.filter(_.asset_id % 3 == 0).take(20).toSeq)
+      q.processAllAvailable()
+      val streamed = Streams.publishImageCurationSnapshot(spark, statsDir,
+          pairsDir, shardDir = Some(s"$root/shards"))
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+      val batch = ImageHash.imageCurationPipeline(
+          ImageHash.imageHashStats(ImageHash.syntheticCurationStills(
+            Tables.documents(spark, sfDir))),
+          shardDir = Some(s"$root/shards_batch"))
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq,
+        s"twin drift:\nstreamed=${streamed.toSeq}\nbatch=${batch.toSeq}")
+      // the pair log converged to the FULL-corpus q159 pair set despite
+      // every pair's members arriving in different batches (and a replay)
+      val logged = spark.read.parquet(pairsDir)
+        .select("a1", "a2").as[(Long, Long)].collect().toSet
+      val full = ImageHash.nearDupImagePairs(
+          spark.read.parquet(statsDir).select("asset_id", "dhash"))
+        .select("a1", "a2").as[(Long, Long)].collect().toSet
+      assert(logged == full,
+        s"log drift: extra=${logged -- full} missing=${full -- logged}")
+      assert(full.nonEmpty, "sf0.001 must plant at least one recoverable pair")
+    } finally q.stop()
+  }
+
   test("q188 lateness: planted disorder counts per rung; tiny buckets exercise the hierarchy") {
     import java.sql.Timestamp
     def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
