@@ -792,6 +792,69 @@ object ImageHash {
     }
   }
 
+  /** Mixed TGA/PNG still-image corpus (q235, r16): the [[syntheticPnm]]
+    * pixels with every ORIGINAL re-encoded as a real Truevision TGA
+    * (alternating encoder profiles, so half the corpus exercises the
+    * uncompressed bottom-up grayscale path and half the RLE
+    * color-mapped TOP-DOWN reversed-palette path — run-length decode,
+    * row order, palette resolve, and the image-ID skip all on the pair
+    * path) while the planted edited SIBLINGS stay sequential PNG.
+    * Both trans-codes are lossless on gray (type 3 carries v verbatim;
+    * the RLE profile stores index 255−v through the reversed palette),
+    * so the PAIR SET is bit-identical to the all-PNM corpus — the q159
+    * pins double as the TGA decoder's correctness gate. TGA is
+    * magic-less, which is exactly why the corpus matters: the pair
+    * path proves the strict header walk routes real TGA streams while
+    * every other container still reaches its own decoder. */
+  def syntheticTgaImages(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    syntheticPnm(docs).map { a =>
+      Multimodal.PnmCodec.decodeLuma(a.bytes) match {
+        case Some((w, h, luma)) =>
+          val px = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) { px(i) = luma(i).toByte; i += 1 }
+          if (a.asset_id % 2 == 0)
+            MediaAsset(a.asset_id, "image/x-tga",
+              Multimodal.TgaCodec.encodeGray(w, h, px,
+                profile = ((a.asset_id / 2) % 2).toInt))
+          else
+            MediaAsset(a.asset_id, "image/png",
+              Multimodal.PngCodec.encodeGray(w, h, px))
+        case None => a
+      }
+    }
+  }
+
+  /** Mixed ICO/PNG still-image corpus (q236, r16): the [[syntheticPnm]]
+    * pixels with every ORIGINAL re-encoded as a real Windows icon
+    * (alternating encoder profiles, so half the corpus exercises the
+    * Vista+ PNG-payload branch and half the classic BMP-DIB branch —
+    * doubled biHeight, reversed 8-bit palette, AND-mask walk — all on
+    * the pair path) while the planted edited SIBLINGS stay sequential
+    * PNG. Both trans-codes are lossless on gray, so the PAIR SET is
+    * bit-identical to the all-PNM corpus — the q159 pins double as the
+    * ICO decoder's correctness gate. */
+  def syntheticIcoImages(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    syntheticPnm(docs).map { a =>
+      Multimodal.PnmCodec.decodeLuma(a.bytes) match {
+        case Some((w, h, luma)) =>
+          val px = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) { px(i) = luma(i).toByte; i += 1 }
+          if (a.asset_id % 2 == 0)
+            MediaAsset(a.asset_id, "image/vnd.microsoft.icon",
+              Multimodal.IcoCodec.encodeGray(w, h, px,
+                profile = ((a.asset_id / 2) % 2).toInt))
+          else
+            MediaAsset(a.asset_id, "image/png",
+              Multimodal.PngCodec.encodeGray(w, h, px))
+        case None => a
+      }
+    }
+  }
+
   /** The q234 corpus (r16): [[syntheticPnm]] pixels with TWO planted
     * structures on top — (a) every doc whose id ≡ 0 (mod 7) DARKENS its
     * pixels (v >> 2: mean luma drops from ≈127 to ≈31, far below the
@@ -1193,6 +1256,34 @@ object ImageHash {
     "q233_tiff_dedup_pairs" -> QueryDef.sql(dkPairSql("q233")) { (s, dir) =>
       nearDupImagePairs(Similarity.persistArtifact("q233", "hashes",
         imageHashes(syntheticTiffImages(Tables.documents(s, dir)))))
+    },
+
+    // ---- TGA near-dup (r16): the q159 banded pair join over a corpus
+    //      whose ORIGINALS are real Truevision TGAs (uncompressed gray
+    //      and RLE color-mapped reversed-palette top-down, alternating)
+    //      and whose planted edited siblings are sequential PNG — every
+    //      recovered pair crosses a real TGA decode (incl. run-length,
+    //      palette resolve, image-ID skip) through the STRICT
+    //      magic-less header walk. Lossless gray trans-code ⇒ pair set
+    //      bit-identical to q159's corpus design. ORACLE-CHECKED from
+    //      birth, same artifact replay. ----
+    "q235_tga_dedup_pairs" -> QueryDef.sql(dkPairSql("q235")) { (s, dir) =>
+      nearDupImagePairs(Similarity.persistArtifact("q235", "hashes",
+        imageHashes(syntheticTgaImages(Tables.documents(s, dir)))))
+    },
+
+    // ---- ICO near-dup (r16): the q159 banded pair join over a corpus
+    //      whose ORIGINALS are real Windows icons (PNG-payload and
+    //      BMP-DIB-payload entries, alternating) and whose planted
+    //      edited siblings are sequential PNG — every recovered pair
+    //      crosses a real icon-directory walk plus either an embedded
+    //      PNG decode or a doubled-height DIB + AND-mask decode.
+    //      Lossless gray trans-code ⇒ pair set bit-identical to q159's
+    //      corpus design. ORACLE-CHECKED from birth, same artifact
+    //      replay. ----
+    "q236_ico_dedup_pairs" -> QueryDef.sql(dkPairSql("q236")) { (s, dir) =>
+      nearDupImagePairs(Similarity.persistArtifact("q236", "hashes",
+        imageHashes(syntheticIcoImages(Tables.documents(s, dir)))))
     },
 
     // ---- END-TO-END still-image curation pipeline (q234, r16 — the

@@ -1402,6 +1402,370 @@ object Multimodal {
     }
   }
 
+  /** Truevision TGA decoder — pure JVM, zero codec libraries (r16; the
+    * stills family's magic-less member). Wire format is public (TGA
+    * 1.0/2.0 spec): 18-byte header, optional image-ID field, optional
+    * BGR(A) color map with a first-entry offset, image types 1/2/3
+    * (color-mapped / truecolor / grayscale) and their RLE twins
+    * 9/10/11 (run + raw packets, which MAY cross scan lines), 8-bit
+    * indices, 24/32-bit BGR(A), bottom-up AND top-down row order
+    * (descriptor bit 5). TGA has NO magic number, so the header walk
+    * is deliberately strict — color-map/type/depth consistency,
+    * reserved descriptor bits zero, exact payload length for
+    * uncompressed — and this decoder runs LAST in [[decodeLumaAny]],
+    * after every magic-bearing format has had its chance. 15/16-bit
+    * pixels, right-to-left rows (descriptor bit 4), and the legacy
+    * interleave bits return None; malformation is None, never a
+    * throw, same as every decoder here. */
+  object TgaCodec extends Codec {
+
+    private val MaxPixels = 1 << 26
+
+    /** (w, h, channels ∈ {1, 3}, channel-interleaved pixel bytes) with
+      * palette indices resolved, rows in top-down raster order. */
+    private[graft] def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (bytes.length < 18) return None
+      def u8(o: Int): Int = bytes(o) & 0xff
+      def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+      val idLen = u8(0)
+      val cmType = u8(1)
+      val imgType = u8(2)
+      if (cmType > 1) return None
+      val base = imgType & 7
+      val rle = (imgType & 8) != 0
+      if ((imgType & ~15) != 0 || base < 1 || base > 3) return None
+      val cmFirst = le16(3); val cmLen = le16(5); val cmBits = u8(7)
+      val w = le16(12); val h = le16(14)
+      val depth = u8(16); val desc = u8(17)
+      // bit 4 right-to-left, bits 6–7 legacy interleave: refuse; these
+      // zero-checks also harden the magic-less format detection
+      if ((desc & 0xd0) != 0) return None
+      val topDown = (desc & 0x20) != 0
+      if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+      base match {
+        case 1 => if (cmType != 1 || depth != 8 || cmLen == 0) return None
+        case 2 => if (depth != 24 && depth != 32) return None
+        case 3 => if (depth != 8) return None
+      }
+      // spec: no color map ⇒ the length field is zero (types 2/3 MAY
+      // carry a developer palette, but only when cmType says so); any
+      // present map must be 24/32-bit and fit 8-bit indices — checked
+      // for EVERY image type, or a hostile map on a truecolor header
+      // would escape the palette bounds
+      if (cmType == 0 && (cmLen != 0 || cmBits != 0)) return None
+      if (cmType == 1 && ((cmBits != 24 && cmBits != 32) ||
+        cmLen == 0 || cmFirst + cmLen > 256)) return None
+      var pos = 18 + idLen
+      val palette: Array[Byte] = if (cmType == 1) {
+        val entryBytes = cmBits / 8
+        if (pos + cmLen * entryBytes > bytes.length) return None
+        val p = new Array[Byte](768) // entries outside [first, first+len) stay 0
+        var j = 0
+        while (j < cmLen) {
+          val s = pos + j * entryBytes // BGR(A) on the wire
+          val o = (cmFirst + j) * 3
+          p(o) = bytes(s + 2); p(o + 1) = bytes(s + 1); p(o + 2) = bytes(s)
+          j += 1
+        }
+        pos += cmLen * entryBytes
+        p
+      } else null
+      val bpp = depth / 8
+      val ch = if (base == 3) 1 else 3
+      if (!rle) {
+        // exact-length check — part of the strict magic-less accept
+        if (pos.toLong + w.toLong * h * bpp > bytes.length) return None
+      } else {
+        // a run packet encodes ≤128 px per (1 + bpp) bytes — refuse a
+        // header whose pixel count the payload cannot carry BEFORE the
+        // canvas allocation
+        if (w.toLong * h > 128L * math.max(0, bytes.length - pos)) return None
+      }
+      val px = new Array[Byte](w * h * ch)
+      // write one source pixel (at src, file scan order position p)
+      // into the raster-order output
+      def emit(p: Int, src: Int): Unit = {
+        val row = p / w; val col = p - row * w
+        val outRow = if (topDown) row else h - 1 - row
+        val o = (outRow * w + col) * ch
+        if (base == 3) px(o) = bytes(src)
+        else if (base == 2) {
+          px(o) = bytes(src + 2); px(o + 1) = bytes(src + 1); px(o + 2) = bytes(src)
+        } else {
+          val idx = (bytes(src) & 0xff) * 3
+          px(o) = palette(idx); px(o + 1) = palette(idx + 1); px(o + 2) = palette(idx + 2)
+        }
+      }
+      val total = w * h
+      if (!rle) {
+        var p = 0
+        while (p < total) { emit(p, pos + p * bpp); p += 1 }
+      } else {
+        var p = 0
+        while (p < total) {
+          if (pos >= bytes.length) return None
+          val hdr = bytes(pos) & 0xff
+          pos += 1
+          val n = (hdr & 0x7f) + 1
+          if (p + n > total) return None // packet past image end
+          if ((hdr & 0x80) != 0) { // run: one pixel value repeated
+            if (pos + bpp > bytes.length) return None
+            var k = 0
+            while (k < n) { emit(p + k, pos); k += 1 }
+            pos += bpp
+          } else { // raw: n literal pixels
+            if (pos + n * bpp > bytes.length) return None
+            var k = 0
+            while (k < n) { emit(p + k, pos + k * bpp); k += 1 }
+            pos += n * bpp
+          }
+          p += n
+        }
+      }
+      Some((w, h, ch, px))
+    }
+
+    /** Same 8-dim feature contract as every pixel decoder here. */
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      decodePixels(bytes).map { case (w, h, ch, px) => featuresOfPixels(w, h, ch, px) }
+
+    /** Same integer-luminance contract as [[PnmCodec.decodeLuma]]. */
+    private[graft] def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      decodePixels(bytes).map { case (w, h, ch, px) => lumaOfPixels(w, h, ch, px) }
+
+    /** Minimal real gray encoder in two byte-disjoint profiles (the
+      * GifCodec discipline): 0 = type 3 (uncompressed grayscale),
+      * bottom-up, no ID field; 1 = type 9 (RLE color-mapped),
+      * TOP-DOWN (descriptor bit 5), a REVERSED 24-bit palette (entry
+      * j → 255−j, pixel index 255−v — the stored index plane differs
+      * from the luma bytes everywhere), a non-empty image-ID field
+      * (exercises the skip), and real run-length packets (maximal
+      * ≤128 runs, raw packets between). Both profiles are
+      * pixel-lossless on gray, so a TGA trans-code of a corpus is
+      * hash-invariant — the q159-pin gate design. */
+    private[graft] def encodeGray(w: Int, h: Int, pixels: Array[Byte],
+        profile: Int = 0): Array[Byte] = {
+      require(pixels.length >= w * h, s"need ${w * h} pixels, got ${pixels.length}")
+      require(profile == 0 || profile == 1, s"profile $profile")
+      require(w > 0 && w < 65536 && h > 0 && h < 65536, s"${w}x$h out of TGA range")
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      val id = if (profile == 1) "graft-tga".getBytes("US-ASCII") else Array.empty[Byte]
+      out.write(id.length)                      // idLength
+      out.write(if (profile == 0) 0 else 1)     // colorMapType
+      out.write(if (profile == 0) 3 else 9)     // imageType
+      le16(0)                                   // colorMapFirstEntry
+      le16(if (profile == 0) 0 else 256)        // colorMapLength
+      out.write(if (profile == 0) 0 else 24)    // colorMapEntrySize
+      le16(0); le16(0)                          // x/y origin
+      le16(w); le16(h)
+      out.write(8)                              // pixelDepth
+      out.write(if (profile == 0) 0 else 0x20)  // descriptor (bit 5 = top-down)
+      out.write(id, 0, id.length)
+      if (profile == 1) { // reversed gray palette, BGR triples
+        var j = 0
+        while (j < 256) { val g = 255 - j; out.write(g); out.write(g); out.write(g); j += 1 }
+      }
+      if (profile == 0) {
+        var row = h - 1
+        while (row >= 0) { out.write(pixels, row * w, w); row -= 1 }
+      } else {
+        // RLE over the top-down index plane (index = 255 − v); packets
+        // honor the classic no-row-crossing convention our hand-built
+        // spec streams then deliberately violate
+        var row = 0
+        while (row < h) {
+          var x = 0
+          while (x < w) {
+            val v = 255 - (pixels(row * w + x) & 0xff)
+            var run = 1
+            while (x + run < w && run < 128 &&
+              (255 - (pixels(row * w + x + run) & 0xff)) == v) run += 1
+            if (run >= 2) { out.write(0x80 | (run - 1)); out.write(v); x += run }
+            else {
+              var lit = 1 // literal stretch up to the next ≥2-run
+              while (x + lit < w && lit < 128 &&
+                !(x + lit + 1 < w &&
+                  pixels(row * w + x + lit) == pixels(row * w + x + lit + 1))) lit += 1
+              out.write(lit - 1)
+              var k = 0
+              while (k < lit) { out.write(255 - (pixels(row * w + x + k) & 0xff)); k += 1 }
+              x += lit
+            }
+          }
+          row += 1
+        }
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Windows icon (ICO) decoder — pure JVM, zero codec libraries (r16;
+    * the container face of the stills family). Wire format is public
+    * (ICONDIR + ICONDIRENTRY): a 6-byte directory header, 16-byte
+    * entries (width/height bytes where 0 means 256), and per-entry
+    * payloads that are EITHER a complete PNG stream (Vista+) — routed
+    * through [[PngCodec]] — or a BMP DIB with NO file header whose
+    * biHeight is DOUBLED to cover the XOR color plane plus the 1-bit
+    * AND transparency mask. Decode picks the largest entry by pixel
+    * area (ties → first), resolves 8-bit palette / 24-bit BGR /
+    * 32-bit BGRx XOR planes (4-byte-padded rows, bottom-up), then
+    * applies the AND mask by compositing transparent pixels to black —
+    * the same on-black compositing choice as the GIF path. CUR files
+    * (type 2), BI_RLE inside icons, and 1/4-bit planes return None;
+    * malformation is None, never a throw. */
+  object IcoCodec extends Codec {
+
+    private val MaxPixels = 1 << 26
+
+    private[graft] def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (bytes.length < 6 + 16) return None
+      def u8(o: Int): Int = bytes(o) & 0xff
+      def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+      def le32(o: Int): Long = le16(o).toLong | (le16(o + 2).toLong << 16)
+      if (le16(0) != 0 || le16(2) != 1) return None // reserved, type ICO
+      val count = le16(4)
+      if (count < 1 || 6 + 16 * count > bytes.length) return None
+      // largest entry by area, ties to the first — the "best" icon
+      var best = -1; var bestArea = -1L
+      var i = 0
+      while (i < count) {
+        val e = 6 + 16 * i
+        val ew = if (u8(e) == 0) 256 else u8(e)
+        val eh = if (u8(e + 1) == 0) 256 else u8(e + 1)
+        val area = ew.toLong * eh
+        if (area > bestArea) { best = i; bestArea = area }
+        i += 1
+      }
+      val e = 6 + 16 * best
+      val size = le32(e + 8); val off = le32(e + 12)
+      if (off < 6 + 16L * count || size < 16 ||
+        off + size > bytes.length) return None
+      val p0 = off.toInt; val pLen = size.toInt
+      // PNG payload (Vista+): a complete PNG stream starts here
+      if (pLen >= 8 && (bytes(p0) & 0xff) == 0x89 && bytes(p0 + 1) == 'P' &&
+        bytes(p0 + 2) == 'N' && bytes(p0 + 3) == 'G')
+        return PngCodec.decodePixels(
+          java.util.Arrays.copyOfRange(bytes, p0, p0 + pLen))
+      // BMP DIB payload: BITMAPINFOHEADER, biHeight doubled for the mask
+      def dle16(o: Int): Int = u8(p0 + o) | (u8(p0 + o + 1) << 8)
+      def dle32(o: Int): Int = dle16(o) | (dle16(o + 2) << 16)
+      if (pLen < 40 || dle32(0) != 40) return None
+      val w = dle32(4)
+      val h2 = dle32(8)
+      if (w <= 0 || h2 <= 0 || (h2 & 1) != 0) return None
+      val h = h2 / 2
+      if (w.toLong * h > MaxPixels) return None
+      if (dle16(12) != 1) return None // planes
+      val bpp = dle16(14)
+      if (bpp != 8 && bpp != 24 && bpp != 32) return None
+      if (dle32(16) != 0) return None // BI_RGB only inside icons
+      val palette: Array[Byte] = if (bpp == 8) {
+        val used0 = dle32(32)
+        val used = if (used0 == 0) 256 else used0
+        if (used < 1 || used > 256 || 40 + 4 * used > pLen) return None
+        val p = new Array[Byte](768)
+        var j = 0
+        while (j < used) {
+          val s = p0 + 40 + j * 4
+          p(j * 3) = bytes(s + 2); p(j * 3 + 1) = bytes(s + 1); p(j * 3 + 2) = bytes(s)
+          j += 1
+        }
+        p
+      } else null
+      val xorAt = 40 + (if (bpp == 8) 4 * (if (dle32(32) == 0) 256 else dle32(32)) else 0)
+      val xorStride = (w * (bpp / 8) + 3) & ~3
+      val andStride = ((w + 31) / 32) * 4 // 1-bpp rows, 4-byte aligned
+      val andAt = xorAt + xorStride * h
+      if (andAt.toLong + andStride.toLong * h > pLen) return None
+      val px = new Array[Byte](w * h * 3)
+      var row = 0
+      while (row < h) {
+        val srcRow = h - 1 - row // XOR and AND planes are bottom-up
+        val src = p0 + xorAt + srcRow * xorStride
+        val maskRow = p0 + andAt + srcRow * andStride
+        var x = 0
+        while (x < w) {
+          val o = (row * w + x) * 3
+          val transparent =
+            ((bytes(maskRow + (x >> 3)) >> (7 - (x & 7))) & 1) != 0
+          if (!transparent) {
+            if (bpp == 8) {
+              val idx = (bytes(src + x) & 0xff) * 3
+              px(o) = palette(idx); px(o + 1) = palette(idx + 1); px(o + 2) = palette(idx + 2)
+            } else {
+              val s = src + x * (bpp / 8)
+              px(o) = bytes(s + 2); px(o + 1) = bytes(s + 1); px(o + 2) = bytes(s)
+            }
+          } // else: composite on black — bytes already 0
+          x += 1
+        }
+        row += 1
+      }
+      Some((w, h, 3, px))
+    }
+
+    /** Same 8-dim feature contract as every pixel decoder here. */
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      decodePixels(bytes).map { case (w, h, ch, px) => featuresOfPixels(w, h, ch, px) }
+
+    /** Same integer-luminance contract as [[PnmCodec.decodeLuma]]. */
+    private[graft] def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      decodePixels(bytes).map { case (w, h, ch, px) => lumaOfPixels(w, h, ch, px) }
+
+    /** Minimal real gray encoder in two byte-disjoint profiles: 0 = a
+      * single PNG-payload entry (the [[PngCodec]] sequential stream
+      * wrapped in an icon directory — exercises the Vista+ branch);
+      * 1 = a single BMP-DIB-payload entry with a REVERSED 8-bit gray
+      * palette (entry j → 255−j, stored index 255−v), doubled
+      * biHeight, bottom-up 4-byte-padded XOR rows, and an all-opaque
+      * AND mask. Both are pixel-lossless on gray ⇒ an ICO trans-code
+      * of a corpus is hash-invariant — the q159-pin gate design.
+      * Icon directory entries cap dimensions at 256. */
+    private[graft] def encodeGray(w: Int, h: Int, pixels: Array[Byte],
+        profile: Int = 0): Array[Byte] = {
+      require(pixels.length >= w * h, s"need ${w * h} pixels, got ${pixels.length}")
+      require(profile == 0 || profile == 1, s"profile $profile")
+      require(w > 0 && w <= 256 && h > 0 && h <= 256, s"${w}x$h out of ICO range")
+      val payload: Array[Byte] = if (profile == 0) {
+        PngCodec.encodeGray(w, h, java.util.Arrays.copyOf(pixels, w * h))
+      } else {
+        val body = new java.io.ByteArrayOutputStream()
+        def le16(v: Int): Unit = { body.write(v & 0xff); body.write((v >> 8) & 0xff) }
+        def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+        val xorStride = (w + 3) & ~3
+        val andStride = ((w + 31) / 32) * 4
+        le32(40); le32(w); le32(2 * h) // doubled height
+        le16(1); le16(8); le32(0)
+        le32(xorStride * h + andStride * h)
+        le32(2835); le32(2835); le32(256); le32(0)
+        var j = 0 // reversed gray palette, BGRx quads
+        while (j < 256) { val g = 255 - j; body.write(g); body.write(g); body.write(g); body.write(0); j += 1 }
+        var row = h - 1 // XOR plane, bottom-up, index = 255 − v
+        while (row >= 0) {
+          var x = 0
+          while (x < w) { body.write(255 - (pixels(row * w + x) & 0xff)); x += 1 }
+          var pad = xorStride - w
+          while (pad > 0) { body.write(0); pad -= 1 }
+          row -= 1
+        }
+        var r = 0 // AND mask: all zero bits = fully opaque
+        while (r < andStride * h) { body.write(0); r += 1 }
+        body.toByteArray
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      le16(0); le16(1); le16(1) // reserved, ICO, one entry
+      out.write(if (w == 256) 0 else w); out.write(if (h == 256) 0 else h)
+      out.write(0); out.write(0) // colorCount, reserved
+      le16(1); le16(8) // planes, bpp (informational only)
+      le32(payload.length); le32(6 + 16) // size, offset
+      out.write(payload, 0, payload.length)
+      out.toByteArray
+    }
+  }
+
   /** Shared (w, h, channels, interleaved-bytes) → 8-dim feature
     * conversion (channel means, 2×2 luminance quadrants, aspect) — one
     * definition for every pixel decoder, so PNG/JPEG features cannot
@@ -2507,6 +2871,8 @@ object Multimodal {
       .orElse(GifCodec.decodeLuma(bytes))
       .orElse(BmpCodec.decodeLuma(bytes))
       .orElse(TiffCodec.decodeLuma(bytes))
+      .orElse(IcoCodec.decodeLuma(bytes))
+      .orElse(TgaCodec.decodeLuma(bytes)) // magic-less: always LAST
 
   /** Decoded audio features. */
   case class AudioFeatures(asset_id: Long, sample_rate: Int, channels: Int,
@@ -3665,6 +4031,8 @@ object Multimodal {
         .orElse(GifCodec.decodeImage(bytes))
         .orElse(BmpCodec.decodeImage(bytes))
         .orElse(TiffCodec.decodeImage(bytes))
+        .orElse(IcoCodec.decodeImage(bytes))
+        .orElse(TgaCodec.decodeImage(bytes)) // magic-less: last real codec
         .orElse(StubCodec.decodeImage(bytes))
   }
 

@@ -741,6 +741,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("q231_png_interlace_dedup_pairs", 1, 5),
       ("q232_bmp_dedup_pairs",           1, 5),
       ("q233_tiff_dedup_pairs",          1, 5),
+      // q235/q236 (r16): TGA and ICO corpora ride the same artifact +
+      // banded-join shape as every still-image pair face
+      ("q235_tga_dedup_pairs",           1, 5),
+      ("q236_ico_dedup_pairs",           1, 5),
       // q230: the video funnel — frame hashes behind persistArtifact +
       // barriers (1 artifact scan), gate pairs + scene window + the
       // q121-style bucket windows + shard repartition + output sort;
