@@ -135,6 +135,7 @@ object Plans {
     "q234_image_curation_pipeline", // stills funnel: dedup + quality + shards
     "q235_tga_dedup_pairs",         // magic-less TGA decode + banded Hamming join
     "q236_ico_dedup_pairs",         // icon-directory walk + banded Hamming join
+    "q237_aiff_au_pairs",           // AIFF/AU container walk + banded energy join
     // r15 (VERDICT #2): the last three >5s lanes without committed plans
     "q119_wordpiece_train",         // iterative pair-merge loop, pinned rounds
     "q205_ivfpq_topk",              // IVF-PQ decimal-artifact lane (oracle face)

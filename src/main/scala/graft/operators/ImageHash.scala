@@ -277,6 +277,39 @@ object ImageHash {
     originals.as[MediaAsset].unionByName(siblings)
   }
 
+  /** Mixed AIFF/AIFC/AU corpus (q237, r16): the [[syntheticWav]] PCM
+    * with every ORIGINAL trans-coded into one of the three big-endian-
+    * family containers cycling by id — plain AIFF (PCM16 BE), AIFC
+    * `sowt` (PCM16 LITTLE-endian — every sample's bytes swapped), and
+    * Sun AU (PCM16 BE behind a 28-byte offset-honoring header) — while
+    * the planted edited SIBLINGS keep [[syntheticWav]]'s FLAC
+    * containers, so every recovered pair crosses TWO real compressed/
+    * container decodes (AIFF-family on one side, FLAC on the other).
+    * All three trans-codes carry the PCM verbatim, so the energy
+    * windows, hashes and PAIR SET are bit-identical to the q164 corpus
+    * — the q164
+    * pins double as the AIFF/AU decoders' correctness gate (80-bit
+    * extended rate parse, SSND prologue, byte-order resolve, and the
+    * AU offset walk all sit on the pair path). */
+  def syntheticAiffAu(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    syntheticWav(docs).map { a =>
+      if (a.asset_id % 2 != 0 || a.mime != "audio/wav") a
+      else {
+        val recoded = ((a.asset_id / 2) % 3) match {
+          case 0 => Multimodal.AiffCodec.transcodeFromWav(a.bytes, 0)
+            .map(b => Multimodal.MediaAsset(a.asset_id, "audio/aiff", b))
+          case 1 => Multimodal.AiffCodec.transcodeFromWav(a.bytes, 1)
+            .map(b => Multimodal.MediaAsset(a.asset_id, "audio/aifc", b))
+          case _ => Multimodal.AuCodec.transcodeFromWav(a.bytes)
+            .map(b => Multimodal.MediaAsset(a.asset_id, "audio/basic", b))
+        }
+        recoded.getOrElse(throw new IllegalStateException(
+          s"fixture WAV ${a.asset_id} failed AIFF/AU transcode"))
+      }
+    }
+  }
+
   /** Telephony/ADPCM twin of [[syntheticWav]] (q226): each doc's codec
     * family is doc_id % 3 — μ-law (G.711), A-law (G.711), IMA ADPCM —
     * and the 288-byte md5 raster is interpreted as that codec's CODE
@@ -1171,6 +1204,20 @@ object ImageHash {
     "q226_audio_codec_pairs" -> QueryDef.sql(dkPairSql("q226")) { (s, dir) =>
       nearDupImagePairs(Similarity.persistArtifact("q226", "hashes",
         audioEnergyHashes(syntheticCodecWav(Tables.documents(s, dir)))))
+    },
+
+    // ---- AIFF/AU near-dup (r16): the q164 banded pair join over a
+    //      corpus whose ORIGINALS cycle the big-endian audio container
+    //      family (plain AIFF PCM16-BE, AIFC `sowt` PCM16-LE, Sun AU
+    //      behind an offset-honoring header) and whose planted edited
+    //      siblings keep their FLAC containers — every recovered pair
+    //      crosses an 80-bit-extended-rate AIFF walk or AU header walk
+    //      on one side AND a real FLAC decode on the other. Lossless
+    //      PCM trans-code ⇒ pair set bit-identical to q164's corpus.
+    //      ORACLE-CHECKED from birth, same artifact replay. ----
+    "q237_aiff_au_pairs" -> QueryDef.sql(dkPairSql("q237")) { (s, dir) =>
+      nearDupImagePairs(Similarity.persistArtifact("q237", "hashes",
+        audioEnergyHashes(syntheticAiffAu(Tables.documents(s, dir)))))
     },
 
     // ---- video near-dup via REAL payload decode (r14): MJPEG-in-MP4

@@ -3967,6 +3967,283 @@ object Multimodal {
     }
   }
 
+  /** AIFF / AIFF-C decoder — pure JVM, zero codec libraries (r16; the
+    * audio twin of the TIFF move: the BIG-endian container family).
+    * Wire format is public (Apple AIFF 1.3 / AIFF-C): `FORM` +
+    * `AIFF`/`AIFC` IFF chunk walk (word-aligned, truncation-safe, the
+    * [[Riff]] hardening), `COMM` with the 80-bit IEEE-754 EXTENDED
+    * sample rate (sign / 15-bit exponent / explicit-integer-bit 64-bit
+    * mantissa — the format's famous wart, parsed exactly), `SSND` with
+    * its offset/blockSize prologue. Sample formats: 16-bit big-endian
+    * PCM (plain AIFF, and AIFC compression `NONE`), 16-bit
+    * LITTLE-endian PCM (AIFC `sowt` — the byte-swapped Mac profile),
+    * and 8-bit signed PCM (widened ×256). Compressed AIFC (`ulaw`,
+    * `ima4`, …) returns None — those lattices already live in
+    * [[G711Codec]]/[[AdpcmCodec]] behind their WAV tags. Decoded PCM
+    * lands as a canonical in-memory WAV and re-enters [[WavCodec]],
+    * exactly like FLAC/G.711 — identical PCM gives identical features
+    * and energy windows whichever container carried it. */
+  object AiffCodec extends AudioCodec {
+
+    /** 80-bit extended float at `off` → sample rate (Long), or -1 when
+      * non-finite / non-positive / absurd. value = mant · 2^(exp−16383−63). */
+    private def extendedToRate(bytes: Array[Byte], off: Int): Long = {
+      if (off + 10 > bytes.length) return -1
+      val se = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+      if ((se & 0x8000) != 0) return -1 // negative rate
+      val exp = se & 0x7fff
+      var mant = 0L
+      var i = 0
+      while (i < 8) { mant = (mant << 8) | (bytes(off + 2 + i) & 0xffL); i += 1 }
+      if (exp == 0 && mant == 0) return -1
+      if (exp == 0x7fff) return -1 // inf / nan
+      val shift = exp - 16383 - 63
+      // realistic rates fit far inside a Long; round to nearest integer
+      if (shift > 0) {
+        if (shift > 8) return -1 // >= 2^72 — absurd
+        mant << shift
+      } else if (shift < -63) 0L
+      else {
+        val s = -shift
+        (mant >>> s) + ((mant >>> (s - 1)) & 1L) // round half up
+      }
+    }
+
+    /** Sample rate → 80-bit extended bytes (normalized, exact for
+      * integer rates — the encoder half of the COMM wart). */
+    private[graft] def rateToExtended(rate: Long): Array[Byte] = {
+      require(rate > 0, s"rate $rate")
+      val nlz = java.lang.Long.numberOfLeadingZeros(rate)
+      val mant = rate << nlz // integer bit at bit 63
+      val exp = 16383 + 63 - nlz
+      val out = new Array[Byte](10)
+      out(0) = ((exp >> 8) & 0x7f).toByte; out(1) = (exp & 0xff).toByte
+      var i = 0
+      while (i < 8) { out(2 + i) = ((mant >>> (56 - 8 * i)) & 0xff).toByte; i += 1 }
+      out
+    }
+
+    /** AIFF/AIFC → canonical PCM16 WAV. None unless the form, COMM and
+      * SSND chunks all parse and the sample format is one of the three
+      * PCM profiles; never throws. */
+    private[graft] def toWav(bytes: Array[Byte]): Option[Array[Byte]] = {
+      def str(off: Int, n: Int): String =
+        if (off + n <= bytes.length) new String(bytes, off, n, "US-ASCII") else ""
+      def be16(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+      def be32(off: Int): Long = (be16(off).toLong << 16) | be16(off + 2)
+      if (bytes.length < 12 + 8 || str(0, 4) != "FORM") return None
+      val form = str(8, 4)
+      if (form != "AIFF" && form != "AIFC") return None
+      var pos = 12
+      var channels = 0; var sampleSize = 0; var rate = -1L
+      var nFrames = -1L
+      var compression = if (form == "AIFC") "" else "NONE"
+      var dataOff = -1; var dataLen = 0L
+      var walking = true
+      while (walking && pos + 8 <= bytes.length) {
+        val id = str(pos, 4)
+        val size = be32(pos + 4) // unsigned-as-Long
+        val body = pos + 8
+        id match {
+          // COMM: channels u16, numSampleFrames u32, sampleSize u16,
+          // extended-80 rate; AIFC adds a compression-type fourcc. Gate
+          // on the DECLARED size so a short chunk never reads its
+          // successor's bytes as fields (the Riff fmt hardening).
+          case "COMM" if size >= 18 && body + 18 <= bytes.length =>
+            channels = be16(body)
+            nFrames = be32(body + 2)
+            sampleSize = be16(body + 6)
+            rate = extendedToRate(bytes, body + 8)
+            if (form == "AIFC" && size >= 22 && body + 22 <= bytes.length)
+              compression = str(body + 18, 4)
+          case "SSND" if size >= 8 && body + 8 <= bytes.length =>
+            // offset + blockSize prologue precede the sample bytes
+            val off = be32(body)
+            if (off >= 0 && off <= size - 8) {
+              dataOff = body + 8 + off.toInt
+              dataLen = math.min(size - 8 - off, (bytes.length - dataOff).toLong)
+            }
+          case _ => // skip MARK/INST/annotation/etc.
+        }
+        val next = body.toLong + size + (size & 1L)
+        if (next <= pos || next > bytes.length) walking = false
+        else pos = next.toInt
+      }
+      val le = compression == "sowt"
+      val pcmOk = compression == "NONE" || le
+      if (!pcmOk || channels < 1 || channels > 8 || rate <= 0 ||
+        rate > 4000000L || dataOff < 0 || dataLen <= 0 ||
+        (sampleSize != 16 && sampleSize != 8)) return None
+      val bytesPerFrame = channels * (sampleSize / 8)
+      val frames = math.min(
+        if (nFrames >= 0) nFrames else Long.MaxValue,
+        dataLen / bytesPerFrame)
+      if (frames <= 0 || frames > Int.MaxValue / (2L * channels)) return None
+      val pcm = new Array[Short]((frames * channels).toInt)
+      var i = 0
+      if (sampleSize == 16) {
+        while (i < pcm.length) {
+          val o = dataOff + 2 * i
+          pcm(i) =
+            if (le) ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+            else (((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)).toShort
+          i += 1
+        }
+      } else {
+        while (i < pcm.length) { // 8-bit AIFF samples are SIGNED
+          pcm(i) = (bytes(dataOff + i) * 256).toShort
+          i += 1
+        }
+      }
+      Some(pcmWavBytes(rate.toInt, channels, pcm))
+    }
+
+    def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+      toWav(bytes).flatMap(WavCodec.decodeAudio)
+
+    private[graft] def decodeEnergyWindows(bytes: Array[Byte],
+        nWindows: Int = 65): Option[Array[Long]] =
+      toWav(bytes).flatMap(WavCodec.decodeEnergyWindows(_, nWindows))
+
+    /** Minimal real encoder in two byte-disjoint LOSSLESS profiles:
+      * 0 = plain `AIFF` with big-endian PCM16; 1 = `AIFC` compression
+      * `sowt` with LITTLE-endian PCM16 (every sample's bytes swapped —
+      * the stored stream differs from profile 0 at nearly every data
+      * byte, the TIFF-byte-order move) plus the FVER chunk AIFC
+      * requires. Both carry the PCM verbatim, so an AIFF trans-code of
+      * a corpus is hash-invariant — the q164-pin gate design. */
+    private[graft] def encode16(sampleRate: Int, channels: Int,
+        pcm: Array[Short], profile: Int = 0): Array[Byte] = {
+      require(profile == 0 || profile == 1, s"profile $profile")
+      require(channels >= 1 && pcm.length % channels == 0)
+      val le = profile == 1
+      val out = new java.io.ByteArrayOutputStream(64 + pcm.length * 2)
+      def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      def w32(v: Long): Unit = { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+      def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      val nFrames = pcm.length / channels
+      val ssndSize = 8 + pcm.length * 2
+      val commSize = if (profile == 0) 18 else 22 + 2 // + pascal-string pad
+      val fverSize = if (profile == 0) 0 else 8 + 4
+      val formSize = 4 + fverSize + 8 + commSize + 8 + ssndSize
+      fourcc("FORM"); w32(formSize)
+      fourcc(if (profile == 0) "AIFF" else "AIFC")
+      if (profile == 1) { fourcc("FVER"); w32(4); w32(0xA2805140L) } // AIFC version 1
+      fourcc("COMM"); w32(commSize)
+      w16(channels); w32(nFrames); w16(16)
+      out.write(rateToExtended(sampleRate.toLong), 0, 10)
+      if (profile == 1) { fourcc("sowt"); out.write(0); out.write(0) } // empty pstring, padded
+      fourcc("SSND"); w32(ssndSize); w32(0); w32(0) // offset, blockSize
+      var i = 0
+      while (i < pcm.length) {
+        val v = pcm(i) & 0xffff
+        if (le) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+        else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+        i += 1
+      }
+      out.toByteArray
+    }
+
+    /** Transcode a canonical 16-bit WAV payload to AIFF/AIFC (identical
+      * PCM) — the q237 fixture path, like [[FlacCodec.transcodeFromWav]]. */
+    private[graft] def transcodeFromWav(wav: Array[Byte], profile: Int = 0): Option[Array[Byte]] =
+      WavCodec.decodePcm16(wav).map { case (sr, ch, pcm) => encode16(sr, ch, pcm, profile) }
+  }
+
+  /** Sun/NeXT AU (`.snd`) decoder — pure JVM, zero codec libraries
+    * (r16; the simplest real audio container, and the one whose μ-law
+    * encoding predates WAV's). Wire format is public: 24-byte
+    * big-endian header (magic `.snd`, data offset ≥ 24 with an
+    * optional annotation field skipped by honoring it, data size —
+    * 0xffffffff means "rest of stream" — encoding, sample rate,
+    * channels). Encodings: 1 = G.711 μ-law (the [[G711Codec]] exact
+    * segment formula), 3 = 16-bit big-endian linear PCM, 27 = G.711
+    * A-law. Everything else (floats, 24/32-bit, compressed) returns
+    * None. Decoded PCM lands as canonical WAV and re-enters
+    * [[WavCodec]] like every compressed-audio path. */
+  object AuCodec extends AudioCodec {
+
+    private[graft] def toWav(bytes: Array[Byte]): Option[Array[Byte]] = {
+      if (bytes.length < 24) return None
+      def be32(off: Int): Long =
+        ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+          ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+      if (bytes(0) != '.' || bytes(1) != 's' || bytes(2) != 'n' || bytes(3) != 'd')
+        return None
+      val dataOff = be32(4)
+      val dataSize = be32(8)
+      val encoding = be32(12)
+      val rate = be32(16)
+      val channels = be32(20)
+      if (dataOff < 24 || dataOff > bytes.length) return None
+      if (channels < 1 || channels > 8 || rate <= 0 || rate > 4000000L) return None
+      val avail = bytes.length - dataOff
+      val dataLen = // 0xffffffff = unknown → rest of stream
+        (if (dataSize == 0xffffffffL) avail else math.min(dataSize, avail)).toInt
+      if (dataLen <= 0) return None
+      val off = dataOff.toInt
+      encoding match {
+        case 3 => // 16-bit BE linear PCM
+          val n = dataLen / 2
+          if (n < channels) return None
+          val pcm = new Array[Short](n - n % channels.toInt)
+          var i = 0
+          while (i < pcm.length) {
+            pcm(i) = (((bytes(off + 2 * i) & 0xff) << 8) |
+              (bytes(off + 2 * i + 1) & 0xff)).toShort
+            i += 1
+          }
+          Some(pcmWavBytes(rate.toInt, channels.toInt, pcm))
+        case 1 | 27 => // G.711 μ-law / A-law code bytes
+          if (dataLen < channels) return None
+          val decode: Int => Int =
+            if (encoding == 1) G711Codec.ulawToLinear else G711Codec.alawToLinear
+          val pcm = new Array[Short](dataLen - dataLen % channels.toInt)
+          var i = 0
+          while (i < pcm.length) {
+            pcm(i) = decode(bytes(off + i) & 0xff).toShort
+            i += 1
+          }
+          Some(pcmWavBytes(rate.toInt, channels.toInt, pcm))
+        case _ => None
+      }
+    }
+
+    def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+      toWav(bytes).flatMap(WavCodec.decodeAudio)
+
+    private[graft] def decodeEnergyWindows(bytes: Array[Byte],
+        nWindows: Int = 65): Option[Array[Long]] =
+      toWav(bytes).flatMap(WavCodec.decodeEnergyWindows(_, nWindows))
+
+    /** Minimal real encoder: 16-bit BE linear PCM (encoding 3) behind a
+      * 28-byte header (data offset 28 — a 4-byte annotation field, so
+      * the offset-honoring path is on the corpus, not just the spec).
+      * Lossless, so an AU trans-code is hash-invariant (q237). */
+    private[graft] def encode16(sampleRate: Int, channels: Int,
+        pcm: Array[Short]): Array[Byte] = {
+      require(channels >= 1 && pcm.length % channels == 0)
+      val out = new java.io.ByteArrayOutputStream(28 + pcm.length * 2)
+      def w32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      out.write(".snd".getBytes("US-ASCII"))
+      w32(28); w32(pcm.length * 2L); w32(3); w32(sampleRate.toLong); w32(channels.toLong)
+      w32(0) // 4-byte annotation (zero) — dataOff 28 skips it
+      var i = 0
+      while (i < pcm.length) {
+        val v = pcm(i) & 0xffff
+        out.write((v >> 8) & 0xff); out.write(v & 0xff)
+        i += 1
+      }
+      out.toByteArray
+    }
+
+    private[graft] def transcodeFromWav(wav: Array[Byte]): Option[Array[Byte]] =
+      WavCodec.decodePcm16(wav).map { case (sr, ch, pcm) => encode16(sr, ch, pcm) }
+  }
+
   /** Deterministic fake audio decode for formats without a lib-free
     * decoder here (MP3/OGG/AAC) — the audio [[StubCodec]]. */
   object StubAudioCodec extends AudioCodec {
@@ -3988,18 +4265,22 @@ object Multimodal {
         .orElse(FlacCodec.decodeAudio(bytes))
         .orElse(G711Codec.decodeAudio(bytes))
         .orElse(AdpcmCodec.decodeAudio(bytes))
+        .orElse(AiffCodec.decodeAudio(bytes))
+        .orElse(AuCodec.decodeAudio(bytes))
         .orElse(StubAudioCodec.decodeAudio(bytes))
 
     /** Container-routing twin of the q164/q226 window decode: PCM WAV
-      * bytes walk the RIFF path; FLAC, G.711 and ADPCM bytes decode and
-      * re-enter it — identical windows for identical PCM, whichever
-      * container carried it. */
+      * bytes walk the RIFF path; FLAC, G.711, ADPCM, AIFF and AU bytes
+      * decode and re-enter it — identical windows for identical PCM,
+      * whichever container carried it. */
     private[graft] def decodeEnergyWindows(bytes: Array[Byte],
         nWindows: Int = 65): Option[Array[Long]] =
       WavCodec.decodeEnergyWindows(bytes, nWindows)
         .orElse(FlacCodec.decodeEnergyWindows(bytes, nWindows))
         .orElse(G711Codec.decodeEnergyWindows(bytes, nWindows))
         .orElse(AdpcmCodec.decodeEnergyWindows(bytes, nWindows))
+        .orElse(AiffCodec.decodeEnergyWindows(bytes, nWindows))
+        .orElse(AuCodec.decodeEnergyWindows(bytes, nWindows))
   }
 
   /** STUB codec — deterministic fake decode keyed on content bytes, for
