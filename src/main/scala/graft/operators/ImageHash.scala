@@ -893,10 +893,16 @@ object ImageHash {
     * pixels (v >> 2: mean luma drops from ≈127 to ≈31, far below the
     * quality gate's [64, 192) band — the degenerate-exposure asset a
     * curation pass must drop; both pair members darken together so the
-    * dedup gate is undisturbed), and (b) ORIGINALS cycle all five
+    * dedup gate is undisturbed), and (b) ORIGINALS cycle all SEVEN
     * lossless still containers (P5, GIF, BMP/RLE8, TIFF/PackBits-BE,
-    * Adam7 PNG) while siblings stay sequential PNG — the whole decoder
-    * family sits on ONE declared pipeline's ingest path. Darkening is
+    * Adam7 PNG, TGA/RLE-reversed-palette, ICO/DIB — since r16 the
+    * full decoder family) while siblings stay sequential PNG — the
+    * whole decoder family sits on ONE declared pipeline's ingest
+    * path. The container cycles by (docId / 7) % 7, NOT docId % 7:
+    * any mod-7 cycle would correlate container choice with the mod-7
+    * darkening band (container 0 would be exactly the darkened docs),
+    * whereas the div-7 cycle gives every container both darkened and
+    * normal members across 49 consecutive docs. Darkening is
     * monotone (floor v/4), which can flip dHash gradient signs only at
     * near-ties; pair membership is unaffected because both members of
     * every planted pair darken identically and un-darkened docs never
@@ -916,7 +922,7 @@ object ImageHash {
           if (a.asset_id % 2 == 1)
             MediaAsset(a.asset_id, "image/png",
               Multimodal.PngCodec.encodeGray(w, h, px))
-          else (docId % 5) match {
+          else ((docId / 7) % 7) match {
             case 0 =>
               val out = new java.io.ByteArrayOutputStream()
               out.write(s"P5 $w $h 255\n".getBytes("US-ASCII"))
@@ -928,6 +934,10 @@ object ImageHash {
               Multimodal.BmpCodec.encodeGray(w, h, px, profile = 1))
             case 3 => MediaAsset(a.asset_id, "image/tiff",
               Multimodal.TiffCodec.encodeGray(w, h, px, profile = 1))
+            case 4 => MediaAsset(a.asset_id, "image/x-tga",
+              Multimodal.TgaCodec.encodeGray(w, h, px, profile = 1))
+            case 5 => MediaAsset(a.asset_id, "image/vnd.microsoft.icon",
+              Multimodal.IcoCodec.encodeGray(w, h, px, profile = 1))
             case _ => MediaAsset(a.asset_id, "image/png",
               Multimodal.PngCodec.encodeGray(w, h, px, profile = 1))
           }

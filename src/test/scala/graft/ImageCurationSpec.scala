@@ -16,17 +16,19 @@ class ImageCurationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     ImageHash.syntheticCurationStills(docs)).collect()
     .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
 
-  test("corpus: all five lossless containers appear among originals; siblings PNG") {
+  test("corpus: all seven lossless containers appear among originals; siblings PNG") {
     val origs = corpus.filter(_.asset_id % 2 == 0)
     def sniff(b: Array[Byte]): String =
       if (b(0) == 'P' && b(1) == '5') "p5"
       else if (b(0) == 'G') "gif"
       else if (b(0) == 'B' && b(1) == 'M') "bmp"
       else if (b(0) == 'I' || b(0) == 'M') "tiff"
+      else if (b(0) == 0 && b(1) == 0 && b(2) == 1 && b(3) == 0) "ico"
+      else if (b(1) == 1 && b(2) == 9) "tga" // RLE color-mapped profile
       else if ((b(1) & 0xff) == 'P') "png"
       else "?"
     assert(origs.map(a => sniff(a.bytes)).toSet ==
-      Set("p5", "gif", "bmp", "tiff", "png"))
+      Set("p5", "gif", "bmp", "tiff", "tga", "ico", "png"))
     // the PNG originals are the Adam7 profile (interlace byte set)
     assert(origs.filter(a => sniff(a.bytes) == "png")
       .forall(a => a.bytes(28) == 1), "PNG originals must be Adam7")
