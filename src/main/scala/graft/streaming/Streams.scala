@@ -508,6 +508,24 @@ object Streams {
   def mediaDedupSinkQuery(
       assets: DataFrame, hashDir: String, pairsDir: String,
       maxDist: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    perceptualDedupSinkQuery(assets, hashDir, pairsDir, maxDist,
+      graft.operators.ImageHash.imageHashes)
+
+  /** The AUDIO at-ingest twin (r16): identical store/pair-log machinery
+    * — the banded Hamming machinery is modality-blind over any 64-bit
+    * perceptual hash — with the routed audio decode
+    * ([[graft.operators.ImageHash.audioEnergyHashes]]: WAV/FLAC/G.711/
+    * ADPCM/AIFF/AU → energy-window hash) on the ingest edge. */
+  def audioDedupSinkQuery(
+      assets: DataFrame, hashDir: String, pairsDir: String,
+      maxDist: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    perceptualDedupSinkQuery(assets, hashDir, pairsDir, maxDist,
+      graft.operators.ImageHash.audioEnergyHashes)
+
+  private def perceptualDedupSinkQuery(
+      assets: DataFrame, hashDir: String, pairsDir: String, maxDist: Int,
+      hasher: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaAsset] => DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     assets.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -529,7 +547,7 @@ object Streams {
           StructField("dist", LongType)))
         // hash ONCE per batch (decode is the expensive step); the hash
         // frame feeds three consumers (cross pairs, self pairs, append)
-        val hashes = ImageHash.imageHashes(
+        val hashes = hasher(
           batch.as[Multimodal.MediaAsset]).localCheckpoint(true)
         val store = readOrEmpty(hashDir, hashSchema)
         val pairs = ImageHash.incrementalNearDupPairs(hashes, store, maxDist)

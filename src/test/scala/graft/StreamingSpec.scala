@@ -413,6 +413,58 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("audio dedup sink: cross-batch cross-CONTAINER near-dups flagged, replays idempotent") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaAsset
+    val root = java.nio.file.Files.createTempDirectory("audiodedup").toString
+    val (hashDir, pairsDir) = (s"$root/hashes", s"$root/pairs")
+    val rnd = new scala.util.Random(29)
+    def pcm(seed: Int): Array[Short] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(144)((r.nextInt(65536) - 32768).toShort)
+    }
+    val a = pcm(1); val b = pcm(2); val c = pcm(3)
+    val edited = a.clone() // tail-window edit: hash moves ≤ a few bits
+    for (i <- 140 until 144) edited(i) = (rnd.nextInt(65536) - 32768).toShort
+    def wav(p: Array[Short]) = Multimodal.pcmWavBytes(16000, 1, p)
+    val input = MemoryStream[MediaAsset](spark)
+    val q = Streams.audioDedupSinkQuery(input.toDF(), hashDir, pairsDir).start()
+    try {
+      // batch 1: WAV original + its AIFF-contained edited sibling
+      // (within-batch, cross-container) + an unrelated WAV
+      input.addData(
+        MediaAsset(1L, "audio/wav", wav(a)),
+        MediaAsset(2L, "audio/aiff",
+          Multimodal.AiffCodec.transcodeFromWav(wav(edited), 0).get),
+        MediaAsset(3L, "audio/wav", wav(b)))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(pairsDir)
+        .select("a1", "a2").as[(Long, Long)].collect().toSet
+      assert(after1 == Set((1L, 2L)), s"batch-1 pairs: $after1")
+      // batch 2: 10 carries asset 1's EXACT PCM inside an AU container
+      // (cross-batch AND cross-container — hash distance 0 through the
+      // persisted store), 11 is fresh
+      input.addData(
+        MediaAsset(10L, "audio/basic", Multimodal.AuCodec.transcodeFromWav(wav(a)).get),
+        MediaAsset(11L, "audio/wav", wav(c)))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(pairsDir)
+        .select("a1", "a2").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L), (1L, 10L), (2L, 10L)),
+        s"cross-batch pairs wrong: $pairs")
+      val ids = spark.read.parquet(hashDir).select("asset_id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 10L, 11L), s"hash store: $ids")
+      // replay: resend asset 10 — neither store may grow
+      input.addData(
+        MediaAsset(10L, "audio/basic", Multimodal.AuCodec.transcodeFromWav(wav(a)).get))
+      q.processAllAvailable()
+      assert(spark.read.parquet(hashDir).count() == 5, "replay must not re-index")
+      assert(spark.read.parquet(pairsDir).select("a1", "a2")
+        .as[(Long, Long)].collect().toSet == pairs, "replay must not re-emit pairs")
+    } finally q.stop()
+  }
+
   test("compacted near-dup stores: fewer files, identical flags, sink keeps working") {
     val root = java.nio.file.Files.createTempDirectory("ndcompact").toString
     val (sigDir, pairsDir) = (s"$root/sigs", s"$root/pairs")
