@@ -310,6 +310,35 @@ object ImageHash {
     }
   }
 
+  /** PCM bit-depth corpus (q238, r16): the [[syntheticWav]] PCM with
+    * every ORIGINAL re-carried at a non-canonical depth, alternating —
+    * 24-bit WAV (v << 8, narrowed back exactly by the top-16 decode)
+    * and 32-bit FLOAT WAV (v / 32767f, inverted exactly by the
+    * round-half-even rescale — identity proven exhaustively in
+    * PcmDepthSpec) — while the planted edited SIBLINGS keep their FLAC
+    * containers. Both depth conversions are lossless on 16-bit PCM, so
+    * the energy windows, hashes and PAIR SET are bit-identical to the
+    * q164 corpus — the q164 pins double as the depth decoder's
+    * correctness gate (24-bit narrowing and float rescale both sit on
+    * the pair path). */
+  def syntheticPcmDepth(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    syntheticWav(docs).map { a =>
+      if (a.asset_id % 2 != 0 || a.mime != "audio/wav") a
+      else {
+        val recoded =
+          if ((a.asset_id / 2) % 2 == 0)
+            Multimodal.PcmDepthCodec.transcodeFromWav24(a.bytes)
+              .map(b => Multimodal.MediaAsset(a.asset_id, "audio/wav-24bit", b))
+          else
+            Multimodal.PcmDepthCodec.transcodeFromWavFloat(a.bytes)
+              .map(b => Multimodal.MediaAsset(a.asset_id, "audio/wav-float32", b))
+        recoded.getOrElse(throw new IllegalStateException(
+          s"fixture WAV ${a.asset_id} failed depth transcode"))
+      }
+    }
+  }
+
   /** Telephony/ADPCM twin of [[syntheticWav]] (q226): each doc's codec
     * family is doc_id % 3 — μ-law (G.711), A-law (G.711), IMA ADPCM —
     * and the 288-byte md5 raster is interpreted as that codec's CODE
@@ -1228,6 +1257,20 @@ object ImageHash {
     "q237_aiff_au_pairs" -> QueryDef.sql(dkPairSql("q237")) { (s, dir) =>
       nearDupImagePairs(Similarity.persistArtifact("q237", "hashes",
         audioEnergyHashes(syntheticAiffAu(Tables.documents(s, dir)))))
+    },
+
+    // ---- PCM bit-depth near-dup (r16): the q164 banded pair join over
+    //      a corpus whose ORIGINALS alternate 24-bit and float32 WAV
+    //      carriers of the same 16-bit lattice PCM and whose planted
+    //      edited siblings keep their FLAC containers — every recovered
+    //      pair crosses a real depth conversion (top-16 narrowing or
+    //      the exhaustively-proven float rescale) on one side and a
+    //      FLAC decode on the other. Lossless by construction ⇒ pair
+    //      set bit-identical to q164's corpus. ORACLE-CHECKED from
+    //      birth, same artifact replay. ----
+    "q238_pcm_depth_pairs" -> QueryDef.sql(dkPairSql("q238")) { (s, dir) =>
+      nearDupImagePairs(Similarity.persistArtifact("q238", "hashes",
+        audioEnergyHashes(syntheticPcmDepth(Tables.documents(s, dir)))))
     },
 
     // ---- video near-dup via REAL payload decode (r14): MJPEG-in-MP4

@@ -3967,6 +3967,150 @@ object Multimodal {
     }
   }
 
+  /** PCM bit-depth family decoder — pure JVM (r16): the WAV variants a
+    * real audio corpus actually contains beyond canonical 16-bit —
+    * 8-bit UNSIGNED PCM (WAV's convention below 9 bits; (v−128)·256),
+    * 24-bit little-endian signed PCM (narrowed to the top 16 bits —
+    * the deterministic truncation, no dither), and 32-bit IEEE-754
+    * float (format tag 3; symmetric ±32767 scaling with round-half-
+    * even: `rint(x·32767)` clamped — chosen over the asymmetric 32768
+    * convention because it makes encode∘decode the identity on every
+    * 16-bit value, which the spec proves exhaustively). Uses the
+    * hardened [[Riff]] walk; canonical 16-bit/format-1 returns None
+    * (that is [[WavCodec]]'s own path). Decoded PCM lands as canonical
+    * WAV and re-enters [[WavCodec]] like every non-canonical audio
+    * path, so features and energy windows are depth-invariant wherever
+    * the depth conversion is lossless. */
+  object PcmDepthCodec extends AudioCodec {
+
+    private[graft] def toWav(bytes: Array[Byte]): Option[Array[Byte]] =
+      try {
+        Riff.walk(bytes).flatMap { f =>
+          val ok = (f.format, f.bits) match {
+            case (1, 8) | (1, 24) | (3, 32) => true
+            case _                          => false
+          }
+          if (!ok) None
+          else {
+            val bpf = f.bits / 8
+            val n = (f.dataLen / bpf).toInt
+            if (n < f.channels) None
+            else {
+              val pcm = new Array[Short](n - n % f.channels)
+              var i = 0
+              if (f.bits == 8) {
+                while (i < pcm.length) {
+                  pcm(i) = (((bytes(f.dataOff + i) & 0xff) - 128) << 8).toShort
+                  i += 1
+                }
+              } else if (f.bits == 24) {
+                while (i < pcm.length) {
+                  val o = f.dataOff + 3 * i // LE: top 16 of the 24
+                  pcm(i) = (((bytes(o + 2) & 0xff) << 8) | (bytes(o + 1) & 0xff)).toShort
+                  i += 1
+                }
+              } else {
+                while (i < pcm.length) {
+                  val o = f.dataOff + 4 * i
+                  val x = java.lang.Float.intBitsToFloat(
+                    (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+                      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24))
+                  val v = // NaN canonicalizes to 0; ±inf clamp with the range
+                    if (java.lang.Float.isNaN(x)) 0.0
+                    else math.rint(x.toDouble * 32767.0)
+                  pcm(i) = math.max(-32768.0, math.min(32767.0, v)).toShort
+                  i += 1
+                }
+              }
+              Some(pcmWavBytes(f.sampleRate.toInt, f.channels, pcm))
+            }
+          }
+        }
+      } catch {
+        case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None
+      }
+
+    def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+      toWav(bytes).flatMap(WavCodec.decodeAudio)
+
+    private[graft] def decodeEnergyWindows(bytes: Array[Byte],
+        nWindows: Int = 65): Option[Array[Long]] =
+      toWav(bytes).flatMap(WavCodec.decodeEnergyWindows(_, nWindows))
+
+    private def wavAround(format: Int, sampleRate: Int, channels: Int,
+        bits: Int, data: Array[Byte], fact: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(60 + data.length)
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+      val factBytes = if (fact) 12 else 0
+      out.write("RIFF".getBytes("US-ASCII")); w32(36 + factBytes + data.length)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); w32(16)
+      w16(format); w16(channels); w32(sampleRate)
+      w32(sampleRate * channels * (bits / 8)); w16(channels * (bits / 8)); w16(bits)
+      if (fact) { // float WAVs conventionally carry one; exercises skip
+        out.write("fact".getBytes("US-ASCII")); w32(4)
+        w32(data.length / (channels * (bits / 8)))
+      }
+      out.write("data".getBytes("US-ASCII")); w32(data.length)
+      out.write(data)
+      out.toByteArray
+    }
+
+    /** 24-bit WAV around 16-bit PCM (v << 8: decode narrows back
+      * exactly — lossless by construction, the q238 corpus leg). */
+    private[graft] def encode24(sampleRate: Int, channels: Int,
+        pcm: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](pcm.length * 3)
+      var i = 0
+      while (i < pcm.length) {
+        data(3 * i) = 0 // low byte of v << 8
+        data(3 * i + 1) = (pcm(i) & 0xff).toByte
+        data(3 * i + 2) = ((pcm(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      wavAround(1, sampleRate, channels, 24, data, fact = false)
+    }
+
+    /** Float32 WAV around 16-bit PCM (x = v / 32767f: decode's
+      * rint(x·32767) is the identity on every 16-bit value — proven
+      * exhaustively in the spec; the other q238 corpus leg). */
+    private[graft] def encodeFloat32(sampleRate: Int, channels: Int,
+        pcm: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](pcm.length * 4)
+      var i = 0
+      while (i < pcm.length) {
+        val b = java.lang.Float.floatToIntBits(pcm(i) / 32767.0f)
+        data(4 * i) = (b & 0xff).toByte
+        data(4 * i + 1) = ((b >> 8) & 0xff).toByte
+        data(4 * i + 2) = ((b >> 16) & 0xff).toByte
+        data(4 * i + 3) = ((b >> 24) & 0xff).toByte
+        i += 1
+      }
+      wavAround(3, sampleRate, channels, 32, data, fact = true)
+    }
+
+    /** 8-bit unsigned WAV around ON-LATTICE 16-bit PCM (samples must be
+      * (u−128)·256 — the q226 on-lattice discipline; spec fixture). */
+    private[graft] def encode8(sampleRate: Int, channels: Int,
+        pcm: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](pcm.length)
+      var i = 0
+      while (i < pcm.length) {
+        require(pcm(i) % 256 == 0, s"sample $i=${pcm(i)} off the 8-bit lattice")
+        data(i) = ((pcm(i) >> 8) + 128).toByte
+        i += 1
+      }
+      wavAround(1, sampleRate, channels, 8, data, fact = false)
+    }
+
+    private[graft] def transcodeFromWav24(wav: Array[Byte]): Option[Array[Byte]] =
+      WavCodec.decodePcm16(wav).map { case (sr, ch, pcm) => encode24(sr, ch, pcm) }
+
+    private[graft] def transcodeFromWavFloat(wav: Array[Byte]): Option[Array[Byte]] =
+      WavCodec.decodePcm16(wav).map { case (sr, ch, pcm) => encodeFloat32(sr, ch, pcm) }
+  }
+
   /** AIFF / AIFF-C decoder — pure JVM, zero codec libraries (r16; the
     * audio twin of the TIFF move: the BIG-endian container family).
     * Wire format is public (Apple AIFF 1.3 / AIFF-C): `FORM` +
@@ -4265,6 +4409,7 @@ object Multimodal {
         .orElse(FlacCodec.decodeAudio(bytes))
         .orElse(G711Codec.decodeAudio(bytes))
         .orElse(AdpcmCodec.decodeAudio(bytes))
+        .orElse(PcmDepthCodec.decodeAudio(bytes))
         .orElse(AiffCodec.decodeAudio(bytes))
         .orElse(AuCodec.decodeAudio(bytes))
         .orElse(StubAudioCodec.decodeAudio(bytes))
@@ -4279,6 +4424,7 @@ object Multimodal {
         .orElse(FlacCodec.decodeEnergyWindows(bytes, nWindows))
         .orElse(G711Codec.decodeEnergyWindows(bytes, nWindows))
         .orElse(AdpcmCodec.decodeEnergyWindows(bytes, nWindows))
+        .orElse(PcmDepthCodec.decodeEnergyWindows(bytes, nWindows))
         .orElse(AiffCodec.decodeEnergyWindows(bytes, nWindows))
         .orElse(AuCodec.decodeEnergyWindows(bytes, nWindows))
   }

@@ -745,9 +745,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // banded-join shape as every still-image pair face
       ("q235_tga_dedup_pairs",           1, 5),
       ("q236_ico_dedup_pairs",           1, 5),
-      // q237 (r16): the AIFF/AIFC/AU audio corpus rides the q164/q226
-      // audio-pair shape
+      // q237/q238 (r16): the AIFF/AIFC/AU and PCM-depth audio corpora
+      // ride the q164/q226 audio-pair shape
       ("q237_aiff_au_pairs",             1, 4),
+      ("q238_pcm_depth_pairs",           1, 4),
       // q230: the video funnel — frame hashes behind persistArtifact +
       // barriers (1 artifact scan), gate pairs + scene window + the
       // q121-style bucket windows + shard repartition + output sort;
