@@ -137,6 +137,7 @@ object Plans {
     "q236_ico_dedup_pairs",         // icon-directory walk + banded Hamming join
     "q237_aiff_au_pairs",           // AIFF/AU container walk + banded energy join
     "q238_pcm_depth_pairs",         // 24-bit/float32 depth decode + banded join
+    "q239_audio_curation_pipeline", // audio funnel: dedup + loudness + shards
     // r15 (VERDICT #2): the last three >5s lanes without committed plans
     "q119_wordpiece_train",         // iterative pair-merge loop, pinned rounds
     "q205_ivfpq_topk",              // IVF-PQ decimal-artifact lane (oracle face)

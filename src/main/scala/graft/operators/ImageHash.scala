@@ -234,6 +234,28 @@ object ImageHash {
     }.toDF("asset_id", "dhash")
   }
 
+  /** (asset_id, dhash, rms_w) for every decodable audio asset — the
+    * q239 pipeline's persisted ingest table: the energy hash plus ONE
+    * integer loudness statistic its quality gate reads. rms_w =
+    * floor(sqrt(total window energy / nWindows)) — the per-window RMS
+    * energy, all-integer input and a single deterministic sqrt of an
+    * exact integer < 2^52, so the floor is bit-stable on every
+    * platform. Container-invariant by construction (windows come from
+    * the routed decode). Narrow, no shuffle. */
+  def audioHashStats(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        Multimodal.DefaultAudioCodec.decodeEnergyWindows(a.bytes).map { e =>
+          var s = 0L; var i = 0
+          while (i < e.length) { s += e(i); i += 1 }
+          (a.asset_id, energyHash(e),
+            math.floor(math.sqrt(s.toDouble / e.length)).toLong)
+        }
+      }
+    }.toDF("asset_id", "dhash", "rms_w")
+  }
+
   /** Deterministic WAV corpus from the documents table — the audio twin
     * of [[syntheticPnm]]: a constant canonical 44-byte PCM header (16 kHz
     * mono 16-bit, 144 frames) + 18 md5 blocks of the text as raster;
@@ -338,6 +360,91 @@ object ImageHash {
       }
     }
   }
+
+  /** The q239 corpus (r16): the [[syntheticWav]] raster PCM with TWO
+    * planted structures — (a) every doc whose id ≡ 0 (mod 7) QUIETS its
+    * samples (v >> 4: per-window RMS drops ≈16× from ≈39 800 to
+    * ≈2 490, far below the loudness gate's [16 384, 49 152) band — the
+    * degenerate near-silent asset an audio curation pass must drop;
+    * both pair members quiet together so the dedup gate is
+    * undisturbed), and (b) ORIGINALS cycle ALL SEVEN lossless audio
+    * carriers (canonical WAV, FLAC, AIFF, AIFC-sowt, AU, 24-bit WAV,
+    * float32 WAV) while SIBLINGS stay canonical WAV — the whole audio
+    * decoder family sits on ONE declared pipeline's ingest path. The
+    * carrier cycles by (docId / 7) % 7, NOT docId % 7 (the q234
+    * anti-correlation argument verbatim). Quieting is a per-sample
+    * arithmetic shift, identical for both members of a planted pair,
+    * so pair membership is unaffected. */
+  def syntheticCurationAudio(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    Multimodal.spreadByDocId(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)].flatMap { case (id, text) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def pcm(salt: String): Array[Short] = {
+          val raw = new Array[Byte](288)
+          var i = 1
+          while (i <= 18) {
+            val block =
+              if (i == 18 && salt.nonEmpty) md.digest((text + salt).getBytes("UTF-8"))
+              else md.digest((text + s"@$i").getBytes("UTF-8"))
+            System.arraycopy(block, 0, raw, (i - 1) * 16, 16)
+            i += 1
+          }
+          val out = new Array[Short](144) // the syntheticWav LE frames
+          var j = 0
+          while (j < 144) {
+            val v = ((raw(2 * j) & 0xff) | (raw(2 * j + 1) << 8)).toShort
+            out(j) = if (id % 7 == 0) (v >> 4).toShort else v
+            j += 1
+          }
+          out
+        }
+        def carrier(p: Array[Short]): MediaAsset = ((id / 7) % 7) match {
+          case 0 => Multimodal.MediaAsset(id * 2, "audio/wav",
+            Multimodal.pcmWavBytes(16000, 1, p))
+          case 1 => Multimodal.MediaAsset(id * 2, "audio/flac",
+            Multimodal.FlacCodec.encode16(16000, 1, p))
+          case 2 => Multimodal.MediaAsset(id * 2, "audio/aiff",
+            Multimodal.AiffCodec.encode16(16000, 1, p, 0))
+          case 3 => Multimodal.MediaAsset(id * 2, "audio/aifc",
+            Multimodal.AiffCodec.encode16(16000, 1, p, 1))
+          case 4 => Multimodal.MediaAsset(id * 2, "audio/basic",
+            Multimodal.AuCodec.encode16(16000, 1, p))
+          case 5 => Multimodal.MediaAsset(id * 2, "audio/wav-24bit",
+            Multimodal.PcmDepthCodec.encode24(16000, 1, p))
+          case _ => Multimodal.MediaAsset(id * 2, "audio/wav-float32",
+            Multimodal.PcmDepthCodec.encodeFloat32(16000, 1, p))
+        }
+        val orig = carrier(pcm(""))
+        if (id % 10 == 0)
+          Seq(orig, Multimodal.MediaAsset(id * 2 + 1, "audio/wav",
+            Multimodal.pcmWavBytes(16000, 1, pcm("~edit"))))
+        else Seq(orig)
+      }
+  }
+
+  /** END-TO-END audio curation pipeline (q239): the [[curationFunnelFrom]]
+    * machinery over the audio ingest table — near-dup gate (drop the
+    * higher asset of every ≤3-bit energy-hash pair), loudness gate
+    * (rms_w ∈ [16 384, 49 152) drops the planted near-silent docs), and
+    * the physical shard write with read-back counts. */
+  def audioCurationPipeline(stats: DataFrame, assetsPerShard: Long = 64,
+      bucketSize: Long = 64, shardDir: Option[String] = None): DataFrame = {
+    val st = stats.localCheckpoint(eager = false) // consumers: dupIds + stages
+    audioCurationPipelineFrom(st,
+      nearDupImagePairs(st.select("asset_id", "dhash"))
+        .select(col("a2").as("asset_id")).distinct(),
+      assetsPerShard, bucketSize, shardDir)
+  }
+
+  /** Stage-1-onward body of [[audioCurationPipeline]] with the drop set
+    * passed in — the streaming twin's publish half runs THIS code, the
+    * [[imageCurationPipelineFrom]] discipline verbatim. */
+  def audioCurationPipelineFrom(stats: DataFrame, dupIds: DataFrame,
+      assetsPerShard: Long = 64, bucketSize: Long = 64,
+      shardDir: Option[String] = None): DataFrame =
+    curationFunnelFrom(stats, dupIds, "rms_w", 16384L, 49152L,
+      "1_audio_dedup", assetsPerShard, bucketSize, shardDir, "graft-q239-shards")
 
   /** Telephony/ADPCM twin of [[syntheticWav]] (q226): each doc's codec
     * family is doc_id % 3 — μ-law (G.711), A-law (G.711), IMA ADPCM —
@@ -1026,7 +1133,24 @@ object ImageHash {
     * scratch-dir contracts carry over verbatim. */
   def imageCurationPipelineFrom(stats: DataFrame, dupIds: DataFrame,
       assetsPerShard: Long = 64, bucketSize: Long = 64,
-      shardDir: Option[String] = None): DataFrame = {
+      shardDir: Option[String] = None): DataFrame =
+    curationFunnelFrom(stats, dupIds, "mean_luma", 64L, 192L,
+      "1_image_dedup", assetsPerShard, bucketSize, shardDir, "graft-q234-shards")
+
+  /** The funnel shared by the stills (q234) and audio (q239) curation
+    * pipelines — identical machinery, parameterized only by the quality
+    * metric column/band and the dedup stage label: drop the flagged
+    * dup ids, gate on `metricCol` ∈ [lo, hi), assign shard ids via the
+    * q121 hierarchical prefix sum (contiguous asset buckets,
+    * within-bucket windows, broadcast bucket offsets — never a
+    * single-partition corpus window), physically write the shards, and
+    * read the stage-3 counts BACK from the written files. The shard
+    * schema derives from the stats frame, so any (asset_id, dhash,
+    * metric) artifact rides unchanged. */
+  private def curationFunnelFrom(stats: DataFrame, dupIds: DataFrame,
+      metricCol: String, lo: Long, hi: Long, dedupStage: String,
+      assetsPerShard: Long, bucketSize: Long,
+      shardDir: Option[String], tmpPrefix: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val st = stats.localCheckpoint(eager = false) // consumers: stat + gate + write
     def stat(stage: String, d: DataFrame): DataFrame =
@@ -1036,7 +1160,7 @@ object ImageHash {
     val s1 = st.join(dupIds.localCheckpoint(eager = false),
         Seq("asset_id"), "left_anti")
       .localCheckpoint(eager = false) // consumers: stat + quality gate
-    val s2 = s1.filter(col("mean_luma") >= 64 && col("mean_luma") < 192)
+    val s2 = s1.filter(col(metricCol) >= lo && col(metricCol) < hi)
       .localCheckpoint(eager = false) // consumers: stat + manifest + write
     val bucketed = s2.withColumn("bucket",
       (col("asset_id") / bucketSize).cast("long"))
@@ -1054,21 +1178,17 @@ object ImageHash {
           .cast("long"))
       .select("asset_id", "shard_id")
     val out = shardDir.getOrElse {
-      val d = java.nio.file.Files.createTempDirectory("graft-q234-shards")
+      val d = java.nio.file.Files.createTempDirectory(tmpPrefix)
       registerScratchDir(d.toFile)
       d.toString
     }
-    val shardSchema = org.apache.spark.sql.types.StructType(Seq(
+    val statCols = st.schema.fieldNames.toSeq
+    val shardSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("shard_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("asset_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("dhash",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("mean_luma",
-        org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.types.LongType) +:
+        st.schema.fields.toSeq)
     s2.join(manifest, Seq("asset_id"))
-      .select(col("shard_id"), col("asset_id"), col("dhash"), col("mean_luma"))
+      .select(col("shard_id") +: statCols.map(col): _*)
       .repartition(col("shard_id")) // one file per shard, not tasks × shards
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("shard_id").parquet(out)
@@ -1078,7 +1198,7 @@ object ImageHash {
       .select(lit("3_shards_written").as("stage"), col("n_assets"),
         col("n_shards").cast("long").as("n_shards"))
     stat("0_raw", st)
-      .unionAll(stat("1_image_dedup", s1))
+      .unionAll(stat(dedupStage, s1))
       .unionAll(stat("2_quality_sample", s2))
       .unionAll(s3)
       .orderBy("stage")
@@ -1271,6 +1391,46 @@ object ImageHash {
     "q238_pcm_depth_pairs" -> QueryDef.sql(dkPairSql("q238")) { (s, dir) =>
       nearDupImagePairs(Similarity.persistArtifact("q238", "hashes",
         audioEnergyHashes(syntheticPcmDepth(Tables.documents(s, dir)))))
+    },
+
+    // ---- END-TO-END audio curation pipeline (q239, r16 — the audio
+    //      member of the q230/q234 modality triple): ingest over a
+    //      corpus cycling ALL SEVEN lossless audio carriers → near-dup
+    //      gate (drop the higher asset of every ≤3-bit energy-hash
+    //      pair) → loudness gate (rms_w ∈ [16384, 49152) drops the
+    //      planted near-silent docs) → physical shard write with
+    //      read-back counts; shard ids via the q121 hierarchical prefix
+    //      sum, so read-back distinct shards = ceil(n/64) exactly.
+    //      Oracle composes the q164 pair CTEs + the loudness predicate
+    //      + the shard arithmetic verbatim from the persisted
+    //      (asset_id, dhash, rms_w) artifact. ----
+    "q239_audio_curation_pipeline" -> QueryDef.sql(
+      s"""WITH h0 AS (SELECT asset_id, dhash, rms_w
+         |  FROM read_parquet('${Similarity.annOracleRoot}/q239/hashes/*.parquet')),
+         |b AS (SELECT asset_id, dhash, bb.band AS band,
+         |    (dhash >> (bb.band * 16)) & 65535 AS v
+         |  FROM h0, (SELECT unnest(range(0, 4)) AS band) bb),
+         |p AS (SELECT DISTINCT a.asset_id AS a1, b2.asset_id AS a2,
+         |    a.dhash AS h1, b2.dhash AS h2
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.v = b2.v
+         |    AND a.asset_id < b2.asset_id),
+         |dup AS (SELECT DISTINCT a2 AS asset_id FROM p
+         |  WHERE bit_count(xor(h1, h2)) <= 3),
+         |s1 AS (SELECT h0.* FROM h0 LEFT JOIN dup USING (asset_id)
+         |  WHERE dup.asset_id IS NULL),
+         |s2 AS (SELECT * FROM s1 WHERE rms_w >= 16384 AND rms_w < 49152),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS na FROM s2)
+         |SELECT stage, n_assets, n_shards FROM (
+         |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_assets,
+         |      CAST(0 AS BIGINT) AS n_shards FROM h0
+         |  UNION ALL SELECT '1_audio_dedup', CAST(count(*) AS BIGINT),
+         |      CAST(0 AS BIGINT) FROM s1
+         |  UNION ALL SELECT '2_quality_sample', na, CAST(0 AS BIGINT) FROM t
+         |  UNION ALL SELECT '3_shards_written', na,
+         |      CAST(ceil(na / 64.0) AS BIGINT) FROM t)
+         |ORDER BY stage""".stripMargin) { (s, dir) =>
+      audioCurationPipeline(Similarity.persistArtifact("q239", "hashes",
+        audioHashStats(syntheticCurationAudio(Tables.documents(s, dir)))))
     },
 
     // ---- video near-dup via REAL payload decode (r14): MJPEG-in-MP4

@@ -704,6 +704,67 @@ object Streams {
         ()
       }
 
+  /** q239's streaming ingest half (the [[imageIngestSinkQuery]]
+    * discipline at audio level): each micro-batch of audio assets
+    * decodes + energy-hashes + reads its per-window RMS ONCE (narrow —
+    * container bytes never shuffle), then lands in two replay-
+    * idempotent stores: the (asset_id, dhash, rms_w) STAT store and
+    * the pair LOG. Same replay/ordering/crash contracts as the image
+    * twin — the pair machinery is modality-blind. Publish time
+    * ([[publishAudioCurationSnapshot]]) derives the drop set from the
+    * log and runs the batch face's stages 1–3 verbatim. */
+  def audioIngestSinkQuery(assets: DataFrame, statsDir: String,
+      pairsDir: String, maxDist: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    assets.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.{ImageHash, Multimodal}
+        import org.apache.spark.sql.types._
+        val spark = batch.sparkSession
+        import spark.implicits._
+        def readOrEmpty(path: String, schema: StructType): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+        val statSchema = StructType(Seq(
+          StructField("asset_id", LongType),
+          StructField("dhash", LongType),
+          StructField("rms_w", LongType)))
+        val pairSchema = StructType(Seq(
+          StructField("a1", LongType), StructField("a2", LongType),
+          StructField("dist", LongType)))
+        val store = readOrEmpty(statsDir, statSchema)
+        val fresh = ImageHash.audioHashStats(
+            batch.dropDuplicates("asset_id").as[Multimodal.MediaAsset])
+          .join(store.select("asset_id"), Seq("asset_id"), "left_anti")
+          .localCheckpoint(true) // consumers: cross pairs, self pairs, append
+        val pairs = ImageHash.incrementalNearDupPairs(fresh, store, maxDist)
+          .unionByName(ImageHash.nearDupImagePairs(fresh, maxDist))
+          .distinct()
+        pairs.join(readOrEmpty(pairsDir, pairSchema).select("a1", "a2"),
+            Seq("a1", "a2"), "left_anti")
+          .write.mode("append").parquet(pairsDir)
+        fresh.write.mode("append").parquet(statsDir)
+        ()
+      }
+
+  /** q239's publish half: cut the audio-corpus snapshot from the ingest
+    * stores — the [[publishImageCurationSnapshot]] discipline over the
+    * audio funnel. */
+  def publishAudioCurationSnapshot(spark: SparkSession, statsDir: String,
+      pairsDir: String, assetsPerShard: Long = 64,
+      shardDir: Option[String] = None): DataFrame = {
+    val dupIds = spark.read.parquet(pairsDir)
+      .select(org.apache.spark.sql.functions.col("a2").as("asset_id"))
+      .distinct()
+    graft.operators.ImageHash.audioCurationPipelineFrom(
+      spark.read.parquet(statsDir), dupIds, assetsPerShard,
+      shardDir = shardDir)
+  }
+
   /** q234's publish half: cut the image-corpus snapshot from the ingest
     * stores — the near-dup drop set from the accumulated pair log, then
     * the batch face's quality gate + shard write

@@ -758,7 +758,10 @@ class PlanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // persistArtifact (1 artifact scan), banded dedup gate + quality
       // filter + bucket windows + shard repartition + output sort; the
       // shard read-back is its own parquet scan
-      ("q234_image_curation_pipeline",  2, 12))
+      ("q234_image_curation_pipeline",  2, 12),
+      // q239 (r16): the audio funnel — identical machinery
+      // (curationFunnelFrom) over the audio ingest table
+      ("q239_audio_curation_pipeline",  2, 12))
     budgets.foreach { case (name, maxScans, maxExchanges) =>
       val p = plan(name)
       // count the formatted-explain detail headers — the tree prints each

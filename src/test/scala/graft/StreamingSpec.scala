@@ -347,6 +347,47 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("q239 streaming twin: scrambled-order audio ingest + publish equals the batch report") {
+    import graft.operators.ImageHash
+    import graft.operators.Multimodal.MediaAsset
+    val root = java.nio.file.Files.createTempDirectory("q239twin").toString
+    val (statsDir, pairsDir) = (s"$root/stats", s"$root/pairs")
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = ImageHash.syntheticCurationAudio(
+      Tables.documents(spark, sfDir)).collect()
+    val input = MemoryStream[MediaAsset](spark)
+    val q = Streams.audioIngestSinkQuery(input.toDF(), statsDir, pairsDir).start()
+    try {
+      // scrambled by asset_id % 3: original and sibling always land in
+      // DIFFERENT batches, so every planted pair crosses the store path
+      (0 until 3).foreach { k =>
+        input.addData(corpus.filter(_.asset_id % 3 == k).toSeq)
+        q.processAllAvailable()
+      }
+      // replay a slice verbatim: nothing may change
+      input.addData(corpus.filter(_.asset_id % 3 == 0).take(20).toSeq)
+      q.processAllAvailable()
+      val streamed = Streams.publishAudioCurationSnapshot(spark, statsDir,
+          pairsDir, shardDir = Some(s"$root/shards"))
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+      val batch = ImageHash.audioCurationPipeline(
+          ImageHash.audioHashStats(ImageHash.syntheticCurationAudio(
+            Tables.documents(spark, sfDir))),
+          shardDir = Some(s"$root/shards_batch"))
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq,
+        s"twin drift:\nstreamed=${streamed.toSeq}\nbatch=${batch.toSeq}")
+      val logged = spark.read.parquet(pairsDir)
+        .select("a1", "a2").as[(Long, Long)].collect().toSet
+      val full = ImageHash.nearDupImagePairs(
+          spark.read.parquet(statsDir).select("asset_id", "dhash"))
+        .select("a1", "a2").as[(Long, Long)].collect().toSet
+      assert(logged == full,
+        s"log drift: extra=${logged -- full} missing=${full -- logged}")
+      assert(full.nonEmpty, "sf0.001 must plant at least one recoverable pair")
+    } finally q.stop()
+  }
+
   test("q188 lateness: planted disorder counts per rung; tiny buckets exercise the hierarchy") {
     import java.sql.Timestamp
     def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
