@@ -245,9 +245,15 @@ object Bench {
     // md5-plane face behind barriers writes 4.6 MB (no repartition
     // exchange). The x-lanes are the pre-switch plans and inherit the
     // pre-switch pins.
-    "q51_ngram_jaccard_pairs" -> 12.4, "q52_minhash_lsh_pairs" -> 0.8,
-    "q54_cosine_topk" -> 0.0, "q55b_cosine_pairs_lsh" -> 4.6,
-    "q74_decontamination" -> 7.7, "q78_jaccard_prefix_filter" -> 3.9,
+    // q51/q52/q55b/q74 re-pinned r16 (optimization round): the
+    // split-deficiency spread (Tables.documentsSpread/embeddingsSpread)
+    // adds one (id, payload) exchange of the base table ahead of the
+    // fused hash/fold work — +0.4–3.5 MB of local shuffle buying 1.2–2.7 s
+    // of wall (the single-split scan had pinned the fold to one core);
+    // inert at production scale where the scan has ≥ parallelism splits.
+    "q51_ngram_jaccard_pairs" -> 15.9, "q52_minhash_lsh_pairs" -> 1.2,
+    "q54_cosine_topk" -> 0.0, "q55b_cosine_pairs_lsh" -> 5.1,
+    "q74_decontamination" -> 8.5, "q78_jaccard_prefix_filter" -> 3.9,
     "x52_minhash_lsh_pairs_xxhash" -> 0.9, "x55b_cosine_pairs_lsh_native" -> 6.0)
 
   /** Coarse per-query wall-clock budget for the FULL-inventory sweep

@@ -16,7 +16,10 @@ object JobProfile {
   private class JobListener extends SparkListener {
     case class Job(id: Int, desc: String, start: Long, var end: Long = 0L,
         var stages: Int = 0, var tasks: Int = 0, var shuffleWrite: Long = 0L)
+    case class Stage(id: Int, jobId: Int, name: String, wallMs: Long,
+        tasks: Int, taskTimeMs: Long, shufR: Long, shufW: Long)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, Stage]
     private val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]
     override def onJobStart(j: SparkListenerJobStart): Unit = {
       val desc = Option(j.properties)
@@ -34,6 +37,15 @@ object JobProfile {
         val m = s.stageInfo.taskMetrics
         if (m != null) jb.shuffleWrite += m.shuffleWriteMetrics.bytesWritten
       }
+      val si = s.stageInfo
+      val m = si.taskMetrics
+      val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+        yield a - b).getOrElse(0L)
+      stages.put(si.stageId, Stage(si.stageId, jid, si.name.takeWhile(_ != '\n'),
+        wall, si.numTasks,
+        if (m != null) m.executorRunTime else 0L,
+        if (m != null) m.shuffleReadMetrics.totalBytesRead else 0L,
+        if (m != null) m.shuffleWriteMetrics.bytesWritten else 0L))
     }
   }
 
@@ -74,9 +86,15 @@ object JobProfile {
       println(f"   sum(job wall)=$accounted%.2f s (gaps = driver/planning time)")
       jobs.foreach { j =>
         val d = (j.end - j.start) / 1e3
-        if (d >= 0.05)
+        if (d >= 0.05) {
           println(f"   job ${j.id}%4d ${d}%7.2f s stages=${j.stages}%3d tasks=${j.tasks}%5d " +
             f"shufW=${j.shuffleWrite / 1e6}%8.2f MB  ${j.desc.take(100)}")
+          l.stages.values.asScala.filter(s => s.jobId == j.id && s.wallMs >= 50)
+            .toSeq.sortBy(_.id).foreach { s =>
+              println(f"      stage ${s.id}%4d ${s.wallMs / 1e3}%6.2f s tasks=${s.tasks}%4d " +
+                f"taskTime=${s.taskTimeMs / 1e3}%6.2f s shufR=${s.shufR / 1e6}%7.2f shufW=${s.shufW / 1e6}%7.2f MB  ${s.name.take(60)}")
+            }
+        }
       }
     }
     spark.stop()

@@ -18,6 +18,78 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic hash key per table for [[spread]] — the table's id
+    * column (high-cardinality, so 32-way hashing is even; never rand()). */
+  private val spreadKeys: Map[String, String] = Map(
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** Below this input size the single-task scan finishes faster than the
+    * extra exchange + N-task scheduling round it would take to spread it. */
+  private val minSpreadBytes = 256L * 1024
+
+  /** (dir/name) → total input bytes; a stat per table per process, cached
+    * so repeated bench runs don't re-stat (it caches a FILE SIZE only —
+    * never data or results). */
+  private val sizeCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  private def inputBytes(spark: SparkSession, path: String): Long =
+    sizeCache.computeIfAbsent(path, { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+      } catch { case _: Throwable => 0L }
+    })
+
+  /** Scale-adaptive split-deficiency fix (optimization guide §2.5 input
+    * skew / §6 split size): the driver's test parquet ships ONE row group
+    * per file, so byte-range splitting cannot parallelize the scan and
+    * every operator fused into the scan stage runs on a single core
+    * while the other 31 idle — measured (JobProfile r16) as the dominant
+    * cost of the hash-fold headline lanes at sf0.1: q55b's md5-plane
+    * margin fold 2.7 s / q52's md5 signature fold 2.1 s, each one task.
+    * The fix is [[operators.Multimodal.spreadByDocId]]'s repartition,
+    * generalized but GATED ON MEASURED INPUT SIZE: spread only when the
+    * scan's size-estimated split count is below the session's
+    * parallelism (and the input is big enough for the exchange to pay
+    * for itself). At production scale inputBytes/maxPartitionBytes
+    * vastly exceeds any core count, so this is a structural no-op —
+    * never a constant tuned for local[32].
+    *
+    * Applied PER CONSUMER, not in [[load]]: a blanket spread was A/B'd
+    * across the full headline (r16 opt round, OPTIMIZATION_r16.md) and
+    * the exchange it adds only pays where heavy per-row expression work
+    * (md5/shingle folds over every row) is fused into the scan stage —
+    * q55b 4.04→1.40 s, q52 2.77→1.40 s — while lanes whose scan feeds
+    * cheap work ate the exchange as pure cost (q03 +1.3 s, q24/q36/q09
+    * +0.5 s each). Only the measured winners call these entry points.
+    * Partition count is EXPLICIT (repartition(n, key)): AQE would
+    * coalesce a column-only repartition of small data straight back to
+    * one partition — the failure being fixed, since the cost is CPU in
+    * downstream expressions, invisible to size-based coalescing. */
+  private def spread(spark: SparkSession, dir: String, name: String,
+      df: DataFrame): DataFrame =
+    spreadKeys.get(name) match {
+      case Some(key) =>
+        val bytes = inputBytes(spark, s"$dir/$name.parquet")
+        val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+        val estSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+        val par = spark.sparkContext.defaultParallelism
+        if (bytes >= minSpreadBytes && estSplits < par)
+          df.repartition(par, org.apache.spark.sql.functions.col(key))
+        else df
+      case None => df
+    }
+
+  /** [[documents]] with the split-deficiency spread — for consumers whose
+    * scan stage fuses corpus-sized hash/fold work (see [[spread]]). */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, dir, "documents", documents(spark, dir))
+
+  /** [[embeddings]] with the split-deficiency spread — see [[spread]]. */
+  def embeddingsSpread(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, dir, "embeddings", embeddings(spark, dir))
+
   /** Reads events.parquet tolerating either physical `ts` encoding the
     * driver has shipped: TIMESTAMP(NANOS) (surfaces as int64 under the
     * legacy `nanosAsLong` conf) or plain timestamp[us] (surfaces as

@@ -135,7 +135,9 @@ object Dedup {
 
     // ---- exact n-gram Jaccard near-dup pairs via shingle inverted index ----
     "q51_ngram_jaccard_pairs" -> QueryDef.sql(jaccardPairsOracleSql) { (s, dir) =>
-      exactJaccardPairs(Tables.documents(s, dir), threshold = 0.6)
+      // documentsSpread: the shingle explode+xxhash64 build is fused into
+      // the single-split scan (measured 2.76 → 2.20 s at sf0.1)
+      exactJaccardPairs(Tables.documentsSpread(s, dir), threshold = 0.6)
         .orderBy("d1", "d2")
     },
 
@@ -645,7 +647,10 @@ object Dedup {
         |          GROUP BY 1, 2)
         |SELECT d1, d2, CAST(eq AS DOUBLE) / 16 AS est_jaccard
         |FROM agree ORDER BY d1, d2""") { (s, dir) =>
-      minhashLshPairsMd5(Tables.documents(s, dir), numHashes = 16, bands = 4)
+      // documentsSpread: the per-lane-salted md5 signature fold is fused
+      // into the scan stage; a single-split corpus pinned it to one task
+      // (measured 2.77 → 1.40 s at sf0.1, r16 opt round)
+      minhashLshPairsMd5(Tables.documentsSpread(s, dir), numHashes = 16, bands = 4)
         .orderBy("d1", "d2")
     },
 
