@@ -253,7 +253,10 @@ object Bench {
     // inert at production scale where the scan has ≥ parallelism splits.
     "q51_ngram_jaccard_pairs" -> 15.9, "q52_minhash_lsh_pairs" -> 1.2,
     "q54_cosine_topk" -> 0.0, "q55b_cosine_pairs_lsh" -> 5.1,
-    "q74_decontamination" -> 8.5, "q78_jaccard_prefix_filter" -> 3.9,
+    // q78 re-pinned r16: documentsSpread + explicit-count prefix/dedup
+    // exchanges (AQE byte-based coalescing had serialized the CPU-bound
+    // candidate join + verify onto 2 tasks); +1.6 MB buys ~1 s of wall
+    "q74_decontamination" -> 8.5, "q78_jaccard_prefix_filter" -> 5.5,
     "x52_minhash_lsh_pairs_xxhash" -> 0.9, "x55b_cosine_pairs_lsh_native" -> 6.0)
 
   /** Coarse per-query wall-clock budget for the FULL-inventory sweep

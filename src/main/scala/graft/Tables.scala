@@ -90,6 +90,20 @@ object Tables {
   def embeddingsSpread(spark: SparkSession, dir: String): DataFrame =
     spread(spark, dir, "embeddings", embeddings(spark, dir))
 
+  /** Partition count for an exchange feeding CPU-heavy per-row work
+    * (guide §2.5): never below the session's core count or its configured
+    * shuffle partitions. Used as an EXPLICIT repartition count where AQE's
+    * byte-based coalescing would otherwise serialize a compute-bound
+    * stage — coalescing targets ~64 MB of shuffle bytes per partition and
+    * cannot see expression cost, so a few MB of candidate rows whose
+    * verify work is seconds of CPU lands on 1–2 tasks (measured on q78:
+    * two 2-task stages at ~0.95 s CPU per task). At production scale both
+    * inputs to the max are deployment-sized (cluster cores / configured
+    * shuffle partitions), so nothing here is a local constant. */
+  def computeParallelism(spark: SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+
   /** Reads events.parquet tolerating either physical `ts` encoding the
     * driver has shipped: TIMESTAMP(NANOS) (surfaces as int64 under the
     * legacy `nanosAsLong` conf) or plain timestamp[us] (surfaces as

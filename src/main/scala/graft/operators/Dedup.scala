@@ -147,7 +147,9 @@ object Dedup {
     //      array-intersect verify; "df" order available for candidate-
     //      minimal behavior on boilerplate-heavy corpora) ----
     "q78_jaccard_prefix_filter" -> QueryDef.sql(jaccardPairsOracleSql) { (s, dir) =>
-      prefixJaccardPairs(Tables.documents(s, dir), threshold = 0.6)
+      // documentsSpread: the shingle-array build + in-row prefix sort are
+      // fused into the single-split scan (two ~0.5 s one-task jobs)
+      prefixJaccardPairs(Tables.documentsSpread(s, dir), threshold = 0.6)
         .orderBy("d1", "d2")
     },
 
@@ -1049,8 +1051,13 @@ object Dedup {
     // the prefix index keeps the repartition-for-reuse form: a barrier
     // here A/B'd 1.8× SLOWER (8.8s vs 4.8s at sf0.1) — off
     // UnknownPartitioning the candidate self-join shuffles the whole
-    // index twice, where the canonical exchange is read twice in place
-    val prefix = prefixIndex(arr, threshold, order).repartition(col("sh"))
+    // index twice, where the canonical exchange is read twice in place.
+    // EXPLICIT partition count (r16 opt round): without it AQE coalesced
+    // this ~2 MB exchange to 2 partitions and the candidate join +
+    // positional filter — CPU-bound, invisible to byte-based coalescing —
+    // ran 2 tasks × ~0.95 s CPU each (measured; see computeParallelism)
+    val prefix = prefixIndex(arr, threshold, order)
+      .repartition(graft.Tables.computeParallelism(docs.sparkSession), col("sh"))
     // PPJoin positional filter: a pair with overlap o has its FIRST common
     // shingle (in the global order) at positions where everything common
     // lies at-or-after it in both lists, so o <= min(n1-pos1, n2-pos2)+1.
@@ -1067,6 +1074,15 @@ object Dedup {
         least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) + lit(1) >= minOverlap)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
+      // explicit-count repartition ahead of the dedup: the candidate rows
+      // are a few MB but the verify that runs on them downstream is
+      // seconds of CPU, so AQE's byte-based coalescing of the distinct's
+      // own exchange serialized it onto 2 tasks (measured ~0.95 s CPU
+      // each). Hash by (d1, d2) clusters the full dedup key's rows
+      // identically (n1/n2 are functions of d1/d2), so the aggregate
+      // reuses this exchange instead of adding one.
+      .repartition(graft.Tables.computeParallelism(docs.sparkSession),
+        col("d1"), col("d2"))
       .distinct()
     // verify candidates against the compact per-doc ARRAYS (two doc-keyed
     // joins + in-row intersection count) — never re-shuffles the exploded

@@ -27,9 +27,38 @@ import org.apache.spark.sql.functions._
   */
 object Tokenizers {
 
+  /** Run independent driver-coordinated training loops concurrently
+    * (optimization guide §2.6, "overlap independent jobs"): the three
+    * tokenizer trainings share no state beyond the read-only corpus
+    * barrier, but each is an iterative loop of small driver-submitted
+    * jobs (30 rounds × 2–3 jobs plus per-round planning), so running them
+    * sequentially leaves the cluster idle through every round's plan/
+    * schedule gap — measured 6.6 s of driver gaps on q158 at sf0.1. A
+    * fresh pool per call keeps Spark's thread-inherited job-group
+    * properties correct (threads are created under the caller's group,
+    * so Bench's per-query cost attribution still lands on this query);
+    * results are deterministic because the loops are independent and
+    * each is deterministic on its own. */
+  private def inParallel(thunks: (() => DataFrame)*): Seq[DataFrame] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    try {
+      val futs = thunks.map { t =>
+        pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame = t()
+        })
+      }
+      futs.map { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   /** One comparable summary row per tokenizer family. */
   def tokenizerAudit(docs: DataFrame): DataFrame = {
-    val d = docs.localCheckpoint(eager = false) // consumers: 3 train+apply pipelines
+    // eager: the corpus barrier materializes ONCE before the trainers fork
+    // (a lazy checkpoint would be raced to materialization by all three)
+    val d = docs.localCheckpoint(eager = true) // consumers: 3 train+apply pipelines
     def row(name: String, perDoc: DataFrame, subCol: String, unkCol: Option[String],
         vocabUnits: DataFrame): DataFrame = {
       val agg = perDoc.agg(
@@ -42,12 +71,13 @@ object Tokenizers {
           round(col("n_subwords").cast("double") / col("n_words"), 6)
             .as("fertility"))
     }
-    val bpeMerges = Curation.bpeTrainMerges(d)
-      .localCheckpoint(eager = false) // consumers: tokenize + unit count
-    val wpMerges = Wordpiece.wordpieceTrainMerges(d)
-      .localCheckpoint(eager = false)
-    val ugPieces = Unigram.unigramTrain(d)
-      .localCheckpoint(eager = false)
+    val Seq(bpeMerges, wpMerges, ugPieces) = inParallel(
+      () => Curation.bpeTrainMerges(d)
+        .localCheckpoint(eager = false), // consumers: tokenize + unit count
+      () => Wordpiece.wordpieceTrainMerges(d)
+        .localCheckpoint(eager = false),
+      () => Unigram.unigramTrain(d)
+        .localCheckpoint(eager = false))
     def units(t: DataFrame): DataFrame = t.agg(count(lit(1)).as("vocab_units"))
     val bpe = row("bpe", Curation.bpeTokenize(d, bpeMerges),
       "n_subwords", None, units(bpeMerges))
@@ -71,19 +101,20 @@ object Tokenizers {
     * division per pair; the three unit tables are tokenizer-sized, so
     * every join below is broadcast-trivial at any corpus size. */
   def tokenizerVocabOverlap(docs: DataFrame): DataFrame = {
-    val d = docs.localCheckpoint(eager = false) // consumers: 3 trainings
-    val bpe = Curation.bpeTrainMerges(d)
-      .select(concat(col("l"), col("r")).as("unit")).distinct()
-      .withColumn("fam", lit("bpe"))
-    val wp = Wordpiece.wordpieceTrainMerges(d)
-      .select(concat(col("l"), expr("substring(r, 3)")).as("u"))
-      .select(when(col("u").startsWith("##"), expr("substring(u, 3)"))
-        .otherwise(col("u")).as("unit")).distinct()
-      .withColumn("fam", lit("wordpiece"))
-    val ug = Unigram.unigramTrain(d)
-      .filter(length(col("piece")) >= 2)
-      .select(col("piece").as("unit")).distinct()
-      .withColumn("fam", lit("unigram"))
+    val d = docs.localCheckpoint(eager = true) // consumers: 3 trainings (forked)
+    val Seq(bpe, wp, ug) = inParallel(
+      () => Curation.bpeTrainMerges(d)
+        .select(concat(col("l"), col("r")).as("unit")).distinct()
+        .withColumn("fam", lit("bpe")),
+      () => Wordpiece.wordpieceTrainMerges(d)
+        .select(concat(col("l"), expr("substring(r, 3)")).as("u"))
+        .select(when(col("u").startsWith("##"), expr("substring(u, 3)"))
+          .otherwise(col("u")).as("unit")).distinct()
+        .withColumn("fam", lit("wordpiece")),
+      () => Unigram.unigramTrain(d)
+        .filter(length(col("piece")) >= 2)
+        .select(col("piece").as("unit")).distinct()
+        .withColumn("fam", lit("unigram")))
     val units = bpe.unionByName(wp).unionByName(ug)
       .localCheckpoint(eager = false) // consumers: both pair sides
     val a = units.select(col("fam").as("fam_a"), col("unit"))
