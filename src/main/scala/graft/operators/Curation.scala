@@ -1286,7 +1286,9 @@ object Curation {
     //      rebuilds stages 1–2 incrementally from the signature store
     //      and must land the identical report. ----
     "q223_curation_pipeline" -> QueryDef.sql(q223Sql) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // documentsSpread: stage 1 runs the q52 md5 signature fold over the
+      // corpus — fused into the single-split scan it was one 2.6 s task
+      val docs = Tables.documentsSpread(s, dir)
       curationPipeline(docs,
         Similarity.persistArtifact("q223", "weights",
           Classifier.ensureWeights(s, dir)))
@@ -2200,9 +2202,17 @@ object Curation {
   def writeShards(docs: DataFrame, outDir: String, shardTokens: Long = 512,
       bucketSize: Long = 1024): DataFrame = {
     val spark = docs.sparkSession
+    // cluster by shard BEFORE the partitioned write (guide §6): without
+    // it the write runs in the join output's partitioning — on a
+    // single-split corpus ONE task opened all ~529 shard writers serially
+    // (measured 7.9 s of q207's 10.7 s wall), and at scale every task
+    // writes a file into every shard directory (the many-small-files
+    // anti-pattern). Hashing by shard_id sends each shard to exactly one
+    // writer: same files, parallel writers, one file per shard either way.
     docs.join(shardManifest(docs, shardTokens, bucketSize), "doc_id")
       .select(col("shard_id"), col("order_key"), col("doc_id"),
         col("source"), col("text"))
+      .repartition(graft.Tables.computeParallelism(spark), col("shard_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("shard_id").parquet(outDir)
     spark.read.parquet(outDir)

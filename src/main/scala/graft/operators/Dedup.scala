@@ -222,7 +222,7 @@ object Dedup {
     //      relationally. The xxhash64 production audit stays available
     //      via [[minhashErrorAudit]], in-suite gated. ----
     "q189_minhash_error_audit" -> QueryDef.sql(minhashErrorAuditOracleSql) { (s, dir) =>
-      minhashErrorAuditMd5(Tables.documents(s, dir))
+      minhashErrorAuditMd5(Tables.documentsSpread(s, dir))
     },
 
     // ---- near-dup explanation: the rarest shared shingles per flagged
@@ -306,7 +306,7 @@ object Dedup {
         |  CAST(sum(CASE WHEN d.mn <> d.mx THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS dup_ppm
         |FROM w JOIN d USING (w)
         |GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      exactSubstringDup(Tables.documents(s, dir))
+      exactSubstringDup(Tables.documentsSpread(s, dir))
     },
 
     // ---- substring-dup character coverage (q212): the interval-union
@@ -329,7 +329,7 @@ object Dedup {
         |FROM documents dd LEFT JOIN agg a USING (doc_id)
         |WHERE length(dd.text) >= 40
         |ORDER BY doc_id""") { (s, dir) =>
-      substringDupCoverage(Tables.documents(s, dir))
+      substringDupCoverage(Tables.documentsSpread(s, dir))
     },
 
     // ---- exact substring dedup APPLY (q214): strip every character
@@ -356,7 +356,7 @@ object Dedup {
         |FROM documents dd LEFT JOIN kept k USING (doc_id)
         |WHERE length(dd.text) >= 40
         |ORDER BY doc_id""") { (s, dir) =>
-      substringDedupApply(Tables.documents(s, dir))
+      substringDedupApply(Tables.documentsSpread(s, dir))
     },
 
     // ---- LSH parameter planner (q216): expected FN/FP pair counts per

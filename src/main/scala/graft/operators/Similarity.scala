@@ -74,7 +74,7 @@ object Similarity {
       s"""WITH p AS ($cosinePairsOracleCte)
         |SELECT v1, v2, cos_sim FROM p WHERE cos_sim >= 0.4
         |ORDER BY v1, v2""") { (s, dir) =>
-      exactCosinePairs(Tables.embeddings(s, dir), threshold = 0.4)
+      exactCosinePairs(Tables.embeddingsSpread(s, dir), threshold = 0.4)
         .orderBy("v1", "v2")
     },
 
@@ -172,7 +172,7 @@ object Similarity {
         |  round(t1.cos_sim / ((mq.knn_mean + mn.knn_mean) / 2), 6) AS margin
         |FROM t1 JOIN m mq ON t1.qid = mq.qid JOIN m mn ON t1.nid = mn.qid
         |ORDER BY t1.qid""") { (s, dir) =>
-      marginScores(Tables.embeddings(s, dir), k = 4).orderBy("qid")
+      marginScores(Tables.embeddingsSpread(s, dir), k = 4).orderBy("qid")
     },
 
     // ---- LSH-bucketed approximate top-k (the 100 TB path), ORACLE-
@@ -542,7 +542,7 @@ object Similarity {
         |SELECT vec_id, CAST(i AS BIGINT) AS proj_dim,
         |  round(CAST(sum(contrib) AS DOUBLE) / 4.0, 6) AS value
         |FROM c GROUP BY 1, 2 ORDER BY vec_id, proj_dim""") { (s, dir) =>
-      jlProject(Tables.embeddings(s, dir)).orderBy("vec_id", "proj_dim")
+      jlProject(Tables.embeddingsSpread(s, dir)).orderBy("vec_id", "proj_dim")
     },
 
     // ---- prototypicality pruning (Sorscher et al. 2022): cosine to the

@@ -161,7 +161,7 @@ object SubstrDupStore {
     "q213_substring_dup_incremental" -> QueryDef.sql(
       Dedup.defs("q210_exact_substring_dup").oracle.getOrElse(
         throw new IllegalStateException("q210 oracle missing"))) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsSpread(s, dir)
       val d = java.nio.file.Files.createTempDirectory("graft-substr-store").toString
       val isNew = substring(md5(col("doc_id").cast("string")), 1, 1) > lit("c")
       build(docs.filter(!isNew), d)
@@ -177,7 +177,7 @@ object SubstrDupStore {
     "q215_substring_dedup_apply_incremental" -> QueryDef.sql(
       Dedup.defs("q214_substring_dedup_apply").oracle.getOrElse(
         throw new IllegalStateException("q214 oracle missing"))) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsSpread(s, dir)
       val d = java.nio.file.Files.createTempDirectory("graft-substr-store").toString
       val isNew = substring(md5(col("doc_id").cast("string")), 1, 1) > lit("c")
       build(docs.filter(!isNew), d)
