@@ -65,14 +65,20 @@ object Bench {
     * name via SPARK_GRAFT_BENCH_ONLY) and are pinned in
     * bench_full_pins.json like every declared query. */
   val productionLanes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // documentsSpread (r17): the xxhash signature fold ran as one 0.92 s
+    // task fused into the single-split scan (JobProfile; the r16 A/B that
+    // left this lane alone was taken under session noise — re-measured
+    // quiet, the spread wins ~0.5 s)
     "x52_minhash_lsh_pairs_xxhash" -> ((s, d) =>
-      operators.Dedup.minhashLshPairs(Tables.documents(s, d), numHashes = 16, bands = 4)
+      operators.Dedup.minhashLshPairs(Tables.documentsSpread(s, d), numHashes = 16, bands = 4)
         .orderBy("d1", "d2")),
     "x53_simhash_pairs_xxhash" -> ((s, d) =>
       operators.Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 6)
         .orderBy("d1", "d2")),
+    // embeddingsSpread (r17): the plane-margin fold was one 0.76 s task
+    // fused into the single-split scan — same re-measured rationale as x52
     "x55b_cosine_pairs_lsh_native" -> ((s, d) =>
-      operators.Similarity.cosineThresholdPairsLsh(Tables.embeddings(s, d),
+      operators.Similarity.cosineThresholdPairsLsh(Tables.embeddingsSpread(s, d),
         threshold = 0.4, planesPerBand = 6, bands = 24).orderBy("v1", "v2")),
     // r14: q56's declared face moved to persisted-planes scaled-long
     // arithmetic to earn its DuckDB oracle; this lane keeps the
@@ -256,8 +262,14 @@ object Bench {
     // q78 re-pinned r16: documentsSpread + explicit-count prefix/dedup
     // exchanges (AQE byte-based coalescing had serialized the CPU-bound
     // candidate join + verify onto 2 tasks); +1.6 MB buys ~1 s of wall
-    "q74_decontamination" -> 8.5, "q78_jaccard_prefix_filter" -> 5.5,
-    "x52_minhash_lsh_pairs_xxhash" -> 0.9, "x55b_cosine_pairs_lsh_native" -> 6.0)
+    // q74 re-pinned r17: the hashed-identity 8-gram stream (no shingle
+    // strings built or shuffled) shrinks the freq-cap partials 7.1→2.8 MB
+    "q74_decontamination" -> 3.9, "q78_jaccard_prefix_filter" -> 5.5,
+    // x52/x55b re-pinned r17: the split-deficiency spread reaches the
+    // production lanes (one (id, payload) exchange ahead of the fused
+    // signature/margin folds — +0.3/+0.5 MB, same rationale as the r16
+    // q51/q52/q55b/q74 re-pin)
+    "x52_minhash_lsh_pairs_xxhash" -> 1.2, "x55b_cosine_pairs_lsh_native" -> 6.5)
 
   /** Coarse per-query wall-clock budget for the FULL-inventory sweep
     * (VERDICT r10 #3): medians pinned from a committed sf0.1 run live in

@@ -1929,7 +1929,33 @@ object Curation {
     * a 100 TB corpus, which is precisely why this runs as a map-side
     * join over the corpus scan rather than a shuffle. */
   def decontaminationScan(docs: DataFrame, benchIds: DataFrame, n: Int = 8): DataFrame =
-    decontaminationScanAgainst(docs, benchShingleSet(docs, benchIds, n), n)
+    decontaminationScanHashed(docs, benchShingleHashSet(docs, benchIds, n), n)
+
+  /** Hashed-identity n-gram stream: (doc_id, sh LONG), sh = xxhash64
+    * chained over the window's words — the n-gram STRING is never built
+    * (guide §2.3/§1.2; the r17 q51 change applied to the n-gram family).
+    * The 8-way concat_ws per position dominated q74's corpus stage
+    * (15.6 s of task CPU at sf0.1, JobProfile r17). Identity-only
+    * consumers ONLY: results may carry doc ids and counts, never the
+    * shingle itself, and both join sides must hash the same way. The
+    * Bloom face (q123) keeps the STRING set — its bits are defined over
+    * md5/xxhash64 of the joined string and must not move. */
+  private[operators] def shingleHashesN(docs: DataFrame, n: Int): DataFrame = {
+    val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(ws)-$n), i -> xxhash64($parts))"))).as("sh"))
+  }
+
+  /** [[benchShingleSet]] in hashed-identity form: (b_sh LONG, b_doc) —
+    * the twin [[decontaminationScanHashed]] joins against. */
+  private[operators] def benchShingleHashSet(docs: DataFrame, benchIds: DataFrame,
+      n: Int = 8): DataFrame =
+    shingleHashesN(docs.join(broadcast(benchIds),
+        col("doc_id") === col("bench_id"), "left_semi"), n)
+      .select(col("sh").as("b_sh"), col("doc_id").as("b_doc"))
+      .distinct()
 
   /** The benchmark side of the scan as a standalone relation:
     * (b_sh, b_doc) — the distinct n-gram shingles of the benchmark docs.
@@ -1956,8 +1982,19 @@ object Curation {
     * bench set was built capped or not: a capped-out shingle is absent
     * from the corpus side, so it can never join. */
   def decontaminationScanAgainst(
-      docs: DataFrame, benchShingles: DataFrame, n: Int = 8): DataFrame = {
-    val sh0 = shinglesN(docs, n)
+      docs: DataFrame, benchShingles: DataFrame, n: Int = 8): DataFrame =
+    decontaminationBody(shinglesN(docs, n), benchShingles)
+
+  /** [[decontaminationScanAgainst]] over the hashed-identity shingle
+    * stream (see [[shingleHashesN]]) — identical output (doc ids,
+    * counts, flags; the shingle never surfaces), the corpus stage just
+    * stops building n-gram strings. The bench side must come from
+    * [[benchShingleHashSet]] so both sides share one hash identity. */
+  private[operators] def decontaminationScanHashed(
+      docs: DataFrame, benchShingleHashes: DataFrame, n: Int = 8): DataFrame =
+    decontaminationBody(shingleHashesN(docs, n), benchShingleHashes)
+
+  private def decontaminationBody(sh0: DataFrame, benchShingles: DataFrame): DataFrame = {
     val freqOk = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDocFreq).select("sh")
     // one barrier, two consumers (per-doc counts + the bench hits join):
@@ -3035,7 +3072,7 @@ object Curation {
     val s2Ids = qualityPercentileFilter(s1, keepFrac).select("doc_id")
       .localCheckpoint(eager = false)
     val s2 = docs.join(s2Ids, Seq("doc_id"), "left_semi")
-    val bad = decontaminationScanAgainst(s2, benchShingleSet(docs, benchIds))
+    val bad = decontaminationScanHashed(s2, benchShingleHashSet(docs, benchIds))
       .filter(col("contaminated")).select("doc_id")
     val s3 = s2.join(bad, Seq("doc_id"), "left_anti")
     stat("0_raw", docs)

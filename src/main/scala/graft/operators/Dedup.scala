@@ -59,6 +59,27 @@ object Dedup {
         "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
         .as("sh"))
 
+  /** Hashed-identity shingle stream: (doc_id, sh LONG) with sh =
+    * xxhash64 chained over the 3-gram's words — no shingle STRING is ever
+    * materialized (guide §2.3 narrower types / §1.2 per-task work). For
+    * identity-only consumers ([[rawJaccardPairFrame]]: the shingle is
+    * only a join/count key, results carry doc ids and counts), this
+    * removes the per-position concat_ws allocation + string
+    * array_distinct that dominated the shingle stage (25.3 s of task CPU
+    * at sf0.1, JobProfile r17) and shuffles 8-byte longs instead of
+    * 20-40-byte strings. Collision exposure is UNCHANGED: the pair frame
+    * already keyed on xxhash64 of the shingle string (r12), so distinct
+    * 3-grams colliding at 64 bits merged there too; chaining over words
+    * instead of hashing the joined string only changes WHICH hash
+    * function instance keys the index. NOT usable for minhash/simhash
+    * faces — their signatures are defined over the shingle strings. */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> xxhash64(ws[i], ws[i+1], ws[i+2]))")))
+        .as("sh"))
+
   /** Drop shingles appearing in more than this many docs before the pair
     * join — the skew guard that keeps the inverted-index join bounded on a
     * real corpus (a stopword-only shingle would otherwise create a
@@ -996,7 +1017,13 @@ object Dedup {
     * blocks spill to executor disk rather than re-running a 100 TB
     * explode per consumer. */
   private[operators] def rawJaccardPairFrame(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    // hashed-identity shingles (see shingleHashes): the strings were
+    // hashed away right here anyway, now they are never built at all.
+    // (An explicit-count canonical exchange on sh was A/B'd here in r17
+    // and REVERTED: AQE broadcasts the freq-cap list and keeps this join
+    // map-side over the spread scan — the explicit exchange added 4.5 MB
+    // of raw-row shuffle for no wall win.)
+    val sh = shingleHashes(docs)
     val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDocFreq).select("sh")
     val shF = sh.join(freqOk, "sh").localCheckpoint(eager = false)
@@ -1122,14 +1149,24 @@ object Dedup {
       (col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
     order match {
       // both orders emit xxhash64(sh) as the join key — candidates join
-      // on 8-byte longs, not shingle text. STRICTLY safe here (unlike
-      // q51/q96): a collision only admits an extra candidate pair, and
-      // the verify phase recomputes the true intersection on the string
-      // arrays, so the result cannot change
+      // on 8-byte longs, not shingle text. A collision only admits an
+      // extra candidate pair (killed by the exact string verify) — with
+      // one caveat shared with q51: the r17 rewrite sorts the HASHES as
+      // a primitive long array instead of (hash, string) structs (the
+      // interpreted struct comparator + per-element struct allocation
+      // was most of the 19.9 s prefix-build task CPU at sf0.1,
+      // JobProfile r17). Whenever the doc's hashes are collision-free
+      // the order, prefix set and positions are IDENTICAL to the struct
+      // form; under an intra-doc collision the order is no longer total
+      // and a candidate could in principle be missed. That regime is
+      // already the system's bet: q51 — whose string-exact DuckDB oracle
+      // q78 must hash-match — keys its overlap COUNTS on the same
+      // 64-bit identity, so a real collision fails the oracle gate
+      // before candidate completeness ever matters.
       case "hash" =>
         arr.withColumn("p", prefixLen)
           .select(col("doc_id"), col("n"), posexplode(expr(
-            "transform(slice(array_sort(transform(shs, s -> struct(xxhash64(s) AS h, s AS sh))), 1, p), x -> x.h)")))
+            "slice(array_sort(transform(shs, s -> xxhash64(s))), 1, p)")))
           .select(col("doc_id"), col("col").as("sh"), col("n"),
             (col("pos") + 1).as("pos"))
       case "df" =>
