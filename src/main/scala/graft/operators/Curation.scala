@@ -2046,18 +2046,26 @@ object Curation {
     // the bench shingle set has TWO consumers here (the broadcast join
     // and the per-bench-doc set sizes); without a barrier each re-runs
     // the semi-join's full corpus scan — the q51 failure mode, on the
-    // side of the plan that exists to be cheap
-    fuzzyDecontaminationScanAgainst(docs,
-      benchShingleSet(docs, benchIds, n).localCheckpoint(eager = false),
-      n, threshold)
+    // side of the plan that exists to be cheap.
+    // hashed-identity form (r17, the q74 change): every consumer is
+    // identity-only (intersection/union COUNTS; the shingle never
+    // surfaces), so neither side builds the n-gram string
+    fuzzyDecontaminationBody(shingleHashesN(docs, n),
+      benchShingleHashSet(docs, benchIds, n).localCheckpoint(eager = false),
+      threshold)
 
   /** [[fuzzyDecontaminationScan]] against a prebuilt (possibly persisted)
     * benchmark shingle relation (b_sh, b_doc) — the per-benchmark-release
     * precompute entry point, mirroring [[decontaminationScanAgainst]]. */
   def fuzzyDecontaminationScanAgainst(docs: DataFrame, benchShingles: DataFrame,
-      n: Int = 8, threshold: Double = 0.5): DataFrame = {
+      n: Int = 8, threshold: Double = 0.5): DataFrame =
+    fuzzyDecontaminationBody(shinglesN(docs, n), benchShingles, threshold)
+
+  /** The scan body over either shingle stream (string or hashed — both
+    * sides must share one identity; see [[shingleHashesN]]). */
+  private def fuzzyDecontaminationBody(sh0: DataFrame,
+      benchShingles: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh0 = shinglesN(docs, n)
     val freqOk = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDocFreq).select("sh")
     val sh = sh0.join(freqOk, "sh").localCheckpoint(eager = false)

@@ -1229,7 +1229,9 @@ object Dedup {
     * integer column per pair. */
   def containmentPairs(docs: DataFrame, containThreshold: Double = 0.9,
       jaccardBelow: Double = 0.6): DataFrame = {
-    val sh = shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    // hashed-identity shingles (r17, the q51 change): identity-only
+    // consumer — sh is only a join/count key, results carry doc ids
+    val sh = shingleHashes(docs)
     val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDocFreq).select("sh")
     val shF = sh.join(freqOk, "sh").localCheckpoint(eager = false)
@@ -1984,7 +1986,9 @@ object Dedup {
     * max(struct(c, −cand)) — no window sort; candidate volume is the
     * SAME pair set the dedup join already materializes, never all-pairs. */
   def contrastivePairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    // hashed-identity shingles (r17, the q51 change): identity-only
+    // consumer — sh is only a join/count key, results carry doc ids
+    val sh = shingleHashes(docs)
     val freqOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDocFreq).select("sh")
     val shF = sh.join(freqOk, "sh").localCheckpoint(eager = false)

@@ -99,11 +99,15 @@ object Maintenance {
       .filter(col("status").isin("added", "changed"))
       .select(col("doc_id"), col("status"))
       .localCheckpoint(eager = false) // consumers: semi filter + output join
-    val bSh = Curation.shinglesN(
+    // hashed-identity shingle streams on BOTH sides (r17, the q74
+    // change): every consumer is identity-only (set sizes + the
+    // intersection counts; no shingle surfaces), so neither snapshot
+    // builds n-gram strings and the index join keys on 8-byte longs
+    val bSh = Curation.shingleHashesN(
         newDf.join(st.select(col("doc_id")), Seq("doc_id"), "left_semi"), n)
       .select(col("doc_id").as("b_id"), col("sh"))
       .localCheckpoint(eager = false) // consumers: sizes + index join
-    val aSh = Curation.shinglesN(oldDf, n)
+    val aSh = Curation.shingleHashesN(oldDf, n)
       .select(col("doc_id").as("a_id"), col("sh"))
       .localCheckpoint(eager = false) // consumers: sizes + index join
     val na = aSh.groupBy("a_id").agg(count(lit(1)).as("n_a"))
