@@ -101,7 +101,11 @@ object Similarity {
         |FROM members m JOIN reach r ON r.a = m.vec_id
         |GROUP BY m.vec_id
         |ORDER BY vec_id""") { (s, dir) =>
-      semanticDedupClusters(Tables.embeddings(s, dir), threshold = 0.4)
+      // embeddingsSpread (r17): the all-pairs BNLJ stream side was the
+      // single-split scan — one 3.4 s task (JobProfile), the exact shape
+      // the r16 spread fixed for q55/q126. Pair cosines are in-row and
+      // the cluster labels integer, so the result is partitioning-proof.
+      semanticDedupClusters(Tables.embeddingsSpread(s, dir), threshold = 0.4)
         .orderBy("vec_id")
     },
 
@@ -119,7 +123,11 @@ object Similarity {
     //      this audit composes the exact graphs, the declared oracle
     //      baselines). ----
     "q222_dedup_family_agreement" -> QueryDef.sql(dkQ222Sql) { (s, dir) =>
-      dedupFamilyAgreement(Tables.documents(s, dir), Tables.embeddings(s, dir))
+      // both spreads (r17): the lexical side fuses the shingle-index fold
+      // and the semantic side the all-pairs BNLJ stream into their
+      // single-split scans (the q51/q55 shapes; JobProfile)
+      dedupFamilyAgreement(Tables.documentsSpread(s, dir),
+          Tables.embeddingsSpread(s, dir))
         .orderBy("family")
     },
 
