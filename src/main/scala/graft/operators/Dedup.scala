@@ -458,7 +458,8 @@ object Dedup {
         |FROM full_hist CROSS JOIN tot
         |WHERE n_components > 0
         |ORDER BY size""") { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // documentsSpread (r17): same single-task 12 MB exchange as q106
+      val docs = Tables.documentsSpread(s, dir)
       componentSizeHistogram(docs,
         duplicateClusters(exactJaccardPairs(docs, 0.6)))
     },
@@ -636,7 +637,10 @@ object Dedup {
         |      FROM g JOIN q USING (doc_id))
         |SELECT doc_id, group_id, n_members, quality
         |FROM r WHERE rn = 1 ORDER BY doc_id""") { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // documentsSpread (r17): the checkpointed shingle frame inherited
+      // the one-split scan's single partition — its self-join exchange
+      // ran as one 0.96 s task writing 12 MB (JobProfile)
+      val docs = Tables.documentsSpread(s, dir)
       dedupKeepBest(docs, duplicateClusters(exactJaccardPairs(docs, 0.6)))
         .orderBy("doc_id")
     },
