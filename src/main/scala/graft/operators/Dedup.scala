@@ -206,7 +206,7 @@ object Dedup {
         |FROM members m JOIN reach r ON r.a = m.doc_id
         |GROUP BY m.doc_id
         |ORDER BY doc_id""") { (s, dir) =>
-      duplicateClusters(exactJaccardPairs(Tables.documents(s, dir), 0.6))
+      duplicateClusters(exactJaccardPairs(Tables.documentsSpread(s, dir), 0.6))
         .orderBy("doc_id")
     },
 
@@ -278,7 +278,7 @@ object Dedup {
         |SELECT pairs.d1, pairs.d2, jaccard, evidence
         |FROM pairs JOIN ev ON ev.d1 = pairs.d1 AND ev.d2 = pairs.d2
         |ORDER BY pairs.d1, pairs.d2""") { (s, dir) =>
-      nearDupExplanation(Tables.documents(s, dir))
+      nearDupExplanation(Tables.documentsSpread(s, dir))
     },
 
     // ---- dedup threshold sweep: pair/affected-doc counts per ladder
@@ -310,7 +310,7 @@ object Dedup {
         |  coalesce(n_docs, 0) AS n_docs
         |FROM lad LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)
         |ORDER BY threshold""") { (s, dir) =>
-      thresholdSweep(Tables.documents(s, dir))
+      thresholdSweep(Tables.documentsSpread(s, dir))
     },
 
     // ---- exact substring duplication audit (q210): Lee et al. 2021's
@@ -413,7 +413,7 @@ object Dedup {
          |  CAST(coalesce(sum(CASE WHEN j6 < 600000 THEN CAST(n AS DECIMAL(14,0)) * p END), 0) AS DOUBLE) AS exp_fp
          |FROM per GROUP BY 1, 2, 3 ORDER BY b"""
     }) { (s, dir) =>
-      lshParameterPlan(Tables.documents(s, dir))
+      lshParameterPlan(Tables.documentsSpread(s, dir))
     },
 
     // ---- duplication-structure audit: component-size histogram of the
@@ -544,7 +544,7 @@ object Dedup {
         |       WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 2) < 'f3' THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM g ORDER BY doc_id""") { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsSpread(s, dir)
       clusterSplit(docs, duplicateClusters(exactJaccardPairs(docs, 0.6)))
         .orderBy("doc_id")
     },
@@ -580,7 +580,7 @@ object Dedup {
         |FROM members m JOIN reach r ON r.a = m.doc_id
         |GROUP BY m.doc_id
         |ORDER BY doc_id""") { (s, dir) =>
-      connectedComponentsStar(exactJaccardPairs(Tables.documents(s, dir), 0.6))
+      connectedComponentsStar(exactJaccardPairs(Tables.documentsSpread(s, dir), 0.6))
         .orderBy("doc_id")
     },
 
@@ -748,7 +748,7 @@ object Dedup {
     //      rounding discipline and an unrolled per-round CTE oracle. ----
     "q130_pagerank" -> QueryDef.sql(
       pageRankOracleSql(threshold = 0.3, damping = 0.85, iters = 5)) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsSpread(s, dir)
       pageRank(docs, exactJaccardPairs(docs, threshold = 0.3),
         damping = 0.85, iters = 5)
         .orderBy("doc_id")
@@ -794,7 +794,7 @@ object Dedup {
         |        FROM jp JOIN sp s1 ON s1.doc_id = jp.d1 JOIN sp s2 ON s2.doc_id = jp.d2)
         |SELECT band, cross_split, count(*) AS n_pairs
         |FROM aud GROUP BY 1, 2 ORDER BY band, cross_split""") { (s, dir) =>
-      splitLeakageAudit(Tables.documents(s, dir))
+      splitLeakageAudit(Tables.documentsSpread(s, dir))
     },
 
     // ---- per-source unique-data accounting under global exact dedup:
@@ -854,7 +854,7 @@ object Dedup {
         |  END AS clustering_coeff
         |FROM deg LEFT JOIN pn ON pn.v = deg.v
         |ORDER BY doc_id""") { (s, dir) =>
-      triangleCohesion(Tables.documents(s, dir), threshold = 0.3)
+      triangleCohesion(Tables.documentsSpread(s, dir), threshold = 0.3)
         .orderBy("doc_id")
     }
   )
