@@ -98,7 +98,8 @@ object Bench {
         operators.Curation.sourceShingleSketches(Tables.documents(s, d)))
         .orderBy("src_a", "src_b")),
     "x123_bloom_decontamination_xxhash" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // documentsSpread (r17): same single-task Bloom probe fold as q123
+      val docs = Tables.documentsSpread(s, d)
       operators.Curation.bloomDecontaminationScan(docs,
         docs.filter(org.apache.spark.sql.functions.substring(
           org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.col("text")), 1, 1) === "0")

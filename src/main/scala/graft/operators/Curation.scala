@@ -340,7 +340,11 @@ object Curation {
         |  round(CAST(n_maybe AS DOUBLE) / n_shingles, 6) AS contamination_ub,
         |  n_maybe * 2 >= n_shingles AS contaminated_ub
         |FROM agg ORDER BY doc_id""") { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // documentsSpread (r17): the Bloom probe loop over the corpus
+      // fused into the single-split scan as two ~1.2 s tasks (JobProfile);
+      // the bit array is built over md5/xxhash of the SAME strings either
+      // way — partitioning cannot move a bit
+      val docs = Tables.documentsSpread(s, dir)
       bloomDecontaminationScan(docs,
         docs.filter(substring(md5(col("text")), 1, 1) === "0")
           .select(col("doc_id").as("bench_id")))
@@ -904,7 +908,11 @@ object Curation {
          |  round(greatest(est_a + est_b - est_u, 0.0) / est_a, 6) AS overlap_frac_approx
          |FROM prs p JOIN uest u ON u.src_a = p.src_a AND u.src_b = p.src_b
          |ORDER BY 1, 2""") { (s, dir) =>
-      sourceOverlapHllMd5(Tables.documents(s, dir))
+      // documentsSpread (r17): the per-source HLL register fold over
+      // 8-gram md5s ran as one 2.7 s task fused into the single-split
+      // scan (JobProfile) — registers are per-(source, register-index)
+      // maxes, partitioning-proof by construction
+      sourceOverlapHllMd5(Tables.documentsSpread(s, dir))
         .orderBy("src_a", "src_b")
     },
 
