@@ -27,19 +27,26 @@ object Tables {
     * extra exchange + N-task scheduling round it would take to spread it. */
   private val minSpreadBytes = 256L * 1024
 
-  /** (dir/name) → total input bytes; a stat per table per process, cached
-    * so repeated bench runs don't re-stat (it caches a FILE SIZE only —
-    * never data or results). */
-  private val sizeCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  /** (path, mtime) → total input bytes; a stat per table per process,
+    * cached so repeated bench runs don't re-stat (it caches a FILE SIZE
+    * only — never data or results). Keyed on modification time so a
+    * dataset regenerated in-process at a different size gets a fresh
+    * spread decision, and FAILED stats are never cached (both r16
+    * ADVICE): a transient FS error returns 0 for THIS call only —
+    * NonFatal-only, so OOM/interrupts propagate. */
+  private val sizeCache = new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]
 
   private def inputBytes(spark: SparkSession, path: String): Long =
-    sizeCache.computeIfAbsent(path, { p =>
-      try {
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
-      } catch { case _: Throwable => 0L }
-    })
+    try {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(hp)) 0L
+      else {
+        val mtime = fs.getFileStatus(hp).getModificationTime
+        sizeCache.computeIfAbsent((path, mtime),
+          _ => fs.getContentSummary(hp).getLength)
+      }
+    } catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** Scale-adaptive split-deficiency fix (optimization guide §2.5 input
     * skew / §6 split size): the driver's test parquet ships ONE row group
@@ -66,7 +73,15 @@ object Tables {
     * Partition count is EXPLICIT (repartition(n, key)): AQE would
     * coalesce a column-only repartition of small data straight back to
     * one partition — the failure being fixed, since the cost is CPU in
-    * downstream expressions, invisible to size-based coalescing. */
+    * downstream expressions, invisible to size-based coalescing.
+    *
+    * Known bound (r16 ADVICE): the split estimate is bytes-based, so a
+    * LARGE input laid out as few single-row-group files would pass the
+    * gate yet still scan under-parallel. Production inputs are assumed
+    * to have properly sized row groups (the write path's own shard
+    * sizing guarantees it for engine-written data); the bytes gate is
+    * deliberate — a row-group count would need a footer read per file
+    * on the driver, which the 100 TB listing budget does not want. */
   private def spread(spark: SparkSession, dir: String, name: String,
       df: DataFrame): DataFrame =
     spreadKeys.get(name) match {

@@ -49,7 +49,15 @@ object Tokenizers {
       }
       futs.map { f =>
         try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // first failure aborts the OTHER trainings too (r16 ADVICE):
+            // shutdown() alone lets submitted trainers run to completion,
+            // burning cluster time after the lane is already dead
+            futs.foreach(_.cancel(true))
+            pool.shutdownNow()
+            throw e.getCause
+        }
       }
     } finally pool.shutdown()
   }
